@@ -1,0 +1,137 @@
+"""Text primitives: tokenization, q-grams, language-ID, quality scoring.
+
+All JVM-side column expressions (split / transform / aggregate) — the hot
+path never leaves codegen.  Q-gram semantics mirror the reference
+(``manager/ingested/DataIngestor.java:151-204``: the *string* facet is
+tokenized into q-gram sets, default q=3, ``Constants.java:40``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+def tokenize(col: Column, sep: str = " ") -> Column:
+    """Keyword-set tokenization (KEYWORD_SET mount,
+    ``TokenSetCollectionReader.java:47-143``): split on a separator, drop
+    empties, dedupe, sort (the reference stores sorted token sets —
+    ``manager/ingested/categorical/TokenSet.java``)."""
+    toks = F.array_distinct(F.filter(F.split(col, sep), lambda t: t != ""))
+    return F.array_sort(toks)
+
+
+def qgrams(col: Column, q: int = 3) -> Column:
+    """Distinct q-gram set of a string (``DataIngestor.java:151-204``).
+
+    Built with sequence+transform (codegen) rather than a UDF:
+    positions 1..len-q+1, substring each.  Strings shorter than q yield the
+    whole string as a single gram (matches padding-free semantics)."""
+    s = F.lower(col)
+    n = F.length(s)
+    count = F.greatest(n - F.lit(q - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), count), lambda i: s.substr(i, F.lit(q)))
+    return F.array_sort(F.array_distinct(F.filter(grams, lambda g: g != "")))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: token counting / quality / language-ID / fingerprint
+# ---------------------------------------------------------------------------
+
+#: tiny per-language stopword lists for the n-gram/stopword language heuristic.
+#: deliberately small + ASCII so the same lists are expressible in the DuckDB
+#: oracle SQL verbatim.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+}
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens, lowercased, empties dropped (token counting)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: count of runs matching word pieces / digits /
+    punctuation, the standard pre-tokenizer regex shape. Uses an ASCII-safe
+    pattern so Java and RE2/DuckDB dialects agree."""
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+
+def stopword_ratio(col: Column, stopwords: list[str]) -> Column:
+    """Fraction of whitespace tokens that are in `stopwords`."""
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio — the language-ID signal."""
+    return {lang: stopword_ratio(col, sw) for lang, sw in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over language scores; 'und' (undetermined) when all zero.
+    Deterministic tie-break: language list order en,de,fr,es."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    # iterate in fixed order; strict > keeps the earliest language on ties
+    for lang, sc in scores.items():
+        take = sc > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, sc).otherwise(best_score)
+    return best_lang
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    n = F.length(col)
+    stripped = F.length(F.regexp_replace(col, r"[!-/:-@\[-`{-~]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - stripped).cast("double") / n.cast("double"))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document quality in [0,1]: length sweet-spot, low punctuation,
+    healthy English-stopword density — the classic pre-training heuristics
+    (length/punct/stopword ratios)."""
+    n = F.length(col).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    sw = stopword_ratio(col, LANG_STOPWORDS["en"])
+    sw_score = F.least(sw * 5, F.lit(1.0))
+    return (len_score + punct_pen + sw_score) / F.lit(3.0)
+
+
+def char_fold_hash(col: Column, mod: int = 1_000_000_007, mult: int = 31) -> Column:
+    """Deterministic polynomial rolling hash over characters:
+    ``h = fold(c: (h*mult + ascii(c)) % mod)`` — identical arithmetic is
+    expressible in DuckDB via list_reduce, making hash-based operators
+    (fingerprint, minhash, simhash) oracle-checkable.  mod ~1e9 keeps
+    ``h*31 + 127`` far inside int64."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * mult + F.ascii(c)) % F.lit(mod),
+    )
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Document fingerprint: rolling hash of whitespace-normalized, lowercased
+    text — exact-dup detection key that survives whitespace jitter."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return char_fold_hash(norm)

@@ -1,0 +1,192 @@
+"""Multi-attribute rank aggregation (SURVEY.md §2.4 T1–T8).
+
+Reference semantics: aggregate score of entity e =
+``Σ w_i·sim_i(e) / Σ w_i`` with a missing/NULL attribute contributing
+sim 0 while its weight stays in the denominator
+(``RankAggregator.java:236-259``).  TA / NRA / PRA differ only in *access
+strategy* (queue pops + random access vs bound maintenance) — on complete
+data all three produce the same ranked list, so the Spark build has a single
+exact execution strategy: full per-facet scoring + weighted mean +
+TakeOrderedAndProject.  The ``algorithm`` request field is accepted and
+echoed for parity (SURVEY.md §2.4, T1–T3).
+
+Multi-weight fan-out (T7, ``RankAggregator.java:104-129``): the j-th weight
+of every facet forms combination j; all combination scores are computed in
+ONE projection over ONE scan (the reference's single candidate pass), then k
+rows per combination are taken with one TakeOrdered each — no full sort, no
+per-combination rescan of the base data.
+
+Scale: the aggregation is a single wide projection when all facets live on
+one table (zero shuffles: scan → project → TakeOrdered).  For facets on
+different tables, per-facet score frames are full-outer-joined on the entity
+key — a key-partitioned shuffle join that AQE handles (skew split) at 100 TB;
+small facet frames (post per-facet LIMIT M pruning) get broadcast.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simsearch_spark.operators import topk
+from simsearch_spark.plans.spec import Facet, SearchRequest
+
+
+def _facet_sim_frame(df: DataFrame, key_column: str, facets: list[Facet], k: int) -> DataFrame:
+    """Single-table path: one wide projection with per-facet dist + sim
+    columns; auto scales cross-joined as broadcast 1-row aggregates.
+
+    NULL attribute values yield sim 0 (not dropped): the entity can still
+    rank on its other facets (RankAggregator.java:239-241).
+    """
+    cols = {c: F.col(c) for c in df.columns}
+    scored = df
+    for f in facets:
+        bound = Facet(**{**f.__dict__, "query_value": topk.resolve_query_value(df, f)})
+        d = topk.facet_distance(cols, bound)
+        scored = scored.withColumn(f"__dist_{f.name}", d)
+
+    for f in facets:
+        if f.scale is None:
+            sdf = topk.kth_distance(scored, f"__dist_{f.name}", k, f"__scale_{f.name}")
+            scored = scored.crossJoin(F.broadcast(sdf))
+        else:
+            scored = scored.withColumn(f"__scale_{f.name}", F.lit(float(f.scale)))
+
+    for f in facets:
+        sim = topk.facet_similarity(F.col(f"__dist_{f.name}"), F.col(f"__scale_{f.name}"), f)
+        scored = scored.withColumn(f"__sim_{f.name}", F.coalesce(sim, F.lit(0.0)))
+    return scored
+
+
+def estimate_weights(scored: DataFrame, facets: list[Facet], k: int) -> dict[str, float]:
+    """T5 weight auto-estimation (``engine/weights/Estimator.java:177-189``;
+    invoked at ``RankAggregator.java:177-192``): for a facet with no
+    user-given weight, weight = the p-th percentile of its candidate score
+    distribution with p = (1 - k/N) where N = candidate count.
+
+    Exact ``percentile`` (linear interpolation at p·(n-1)) matches DuckDB's
+    ``quantile_cont`` — oracle-checkable. One aggregate job for all facets.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in facets:
+        aggs.append(F.sum(F.when(F.col(f"__sim_{f.name}").isNotNull(), 1).otherwise(0)).alias(f"__n_{f.name}"))
+    counts = scored.agg(*aggs).first()
+    percentile_aggs = []
+    for f in facets:
+        n = counts[f"__n_{f.name}"] or 1
+        p = max(0.0, min(1.0, 1.0 - k / n))
+        percentile_aggs.append(F.percentile(F.col(f"__sim_{f.name}"), F.lit(p)).alias(f.name))
+    row = scored.agg(*percentile_aggs).first()
+    return {f.name: float(row[f.name]) for f in facets}
+
+
+def multi_facet_topk(
+    df: DataFrame,
+    request: SearchRequest,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Rank-aggregated top-k over facets of one table.
+
+    Output (per combination j): (combo, id-as-key_column, score, rank,
+    per-facet value + ``<name>_sim``) with the determinism contract
+    ``ORDER BY score DESC, id ASC`` (FIXTURES.md §F4).  The aggregate score
+    is rounded *before* ranking so cross-engine exp() last-ulp differences
+    collapse into exact ties broken by id.
+    """
+    facets, k, key = request.facets, request.k, request.key_column
+    scored = _facet_sim_frame(df, key, facets, k)
+
+    need_estimate = [f for f in facets if f.weights is None]
+    est = estimate_weights(scored, need_estimate, k) if need_estimate else {}
+
+    n_combos = request.n_combinations
+    weight_sets: list[dict[str, float]] = []
+    for j in range(n_combos):
+        weight_sets.append(
+            {f.name: (f.weights[j] if f.weights is not None else est[f.name]) for f in facets}
+        )
+
+    # T7: every combination's score in one projection over one scan
+    for j, ws in enumerate(weight_sets):
+        total_w = sum(ws.values())
+        num = functools.reduce(
+            lambda a, b: a + b,
+            [F.col(f"__sim_{f.name}") * F.lit(ws[f.name]) for f in facets],
+        )
+        score = num / F.lit(total_w) if total_w else F.lit(0.0)
+        if round_digits is not None:
+            score = F.round(score, round_digits)
+        scored = scored.withColumn(f"__score_{j}", score)
+
+    facet_cols: list = []
+    for f in facets:
+        for c in f.value_cols:
+            facet_cols.append(c)
+        facet_cols.append(f"{f.name}_sim")
+        sim = F.col(f"__sim_{f.name}")
+        scored = scored.withColumn(
+            f"{f.name}_sim", F.round(sim, round_digits) if round_digits is not None else sim
+        )
+
+    per_combo = []
+    for j in range(n_combos):
+        top = (
+            scored.orderBy(F.col(f"__score_{j}").desc(), F.col(key).asc())
+            .limit(k)
+            .select(
+                F.lit(j).alias("combo"),
+                F.col(key),
+                F.col(f"__score_{j}").alias("score"),
+                *[F.col(c) for c in dict.fromkeys(facet_cols)],
+            )
+        )
+        per_combo.append(top)
+    out = functools.reduce(lambda a, b: a.unionByName(b), per_combo)
+    return out
+
+
+def multi_source_topk(
+    frames: dict[str, DataFrame],
+    facets: list[Facet],
+    key_column: str,
+    k: int,
+    weights: dict[str, float] | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """General path: facets over *different* tables (the reference's vertical
+    per-attribute maps, ``Coordinator.java:75``).  Each frame is scored
+    independently, then full-outer-joined on the entity key — absent entities
+    contribute 0 for that facet (RankAggregator.java:239-241).
+
+    At scale the join is shuffle-on-key; per-facet frames can be pre-pruned
+    to their M = 1000·k best candidates (INFLATION_FACTOR, Constants.java:44)
+    which turns every facet frame into a broadcastable relation — the exact
+    analog of the reference's bounded candidate queues.
+    """
+    sim_frames = []
+    for f in facets:
+        df = frames[f.name]
+        scored = _facet_sim_frame(df, key_column, [f], k)
+        sim_frames.append(
+            scored.select(F.col(key_column), F.col(f"__sim_{f.name}").alias(f"{f.name}_sim"))
+        )
+    joined = functools.reduce(
+        lambda a, b: a.join(b, on=key_column, how="full_outer"), sim_frames
+    )
+    ws = weights or {f.name: 1.0 for f in facets}
+    total_w = sum(ws.values())
+    num = functools.reduce(
+        lambda a, b: a + b,
+        [F.coalesce(F.col(f"{f.name}_sim"), F.lit(0.0)) * F.lit(ws[f.name]) for f in facets],
+    )
+    score = num / F.lit(total_w)
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    return (
+        joined.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col(key_column).asc())
+        .limit(k)
+    )

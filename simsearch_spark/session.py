@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for the similarity workload.
+
+Local testing runs on ``local[N]``; the configs below are the ones that
+matter at cluster scale too (AQE for runtime re-planning and skew joins,
+Arrow for the few Pandas-UDF paths, sane shuffle parallelism).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "simsearch-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    On a real cluster ``master`` comes from the environment; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.  ``spark.sql.shuffle.partitions``
+    is only a floor — AQE coalesces small shuffle partitions at runtime, so
+    over-provisioning here is safe at 100 TB while staying cheap at sf0.01.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching — all essential at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus) * 2))
+        # Arrow for the (rare) pandas-UDF paths: vectorized batch transfer.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,89 @@
+import math
+
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions import measures
+from simsearch_spark.functions.text import doc_fingerprint, lang_id, qgrams, token_count, tokenize
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+def test_abs_diff(spark):
+    assert one(spark, measures.abs_diff(F.lit(3.0), F.lit(10.0))) == 7.0
+
+
+def test_planar_distance(spark):
+    assert one(spark, measures.planar_distance(F.lit(3.0), F.lit(4.0), F.lit(0.0), F.lit(0.0))) == 5.0
+
+
+def test_haversine_equator_degree(spark):
+    # one degree of longitude at the equator ~111.19 km
+    d = one(spark, measures.haversine_distance(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)))
+    assert abs(d - 111.19) < 0.1
+
+
+def test_jaccard(spark):
+    d = one(
+        spark,
+        measures.jaccard_distance(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")), F.array(F.lit("b"), F.lit("c"), F.lit("d"))
+        ),
+    )
+    assert abs(d - 0.5) < 1e-12  # 2 common / 4 union
+
+
+def test_vector_metrics(spark):
+    a = F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))
+    b = F.array(F.lit(4.0), F.lit(6.0), F.lit(3.0))
+    assert one(spark, measures.euclidean_distance(a, b)) == 5.0
+    assert one(spark, measures.manhattan_distance(a, b)) == 7.0
+    assert one(spark, measures.chebyshev_distance(a, b)) == 4.0
+    assert one(spark, measures.dot_product(a, b)) == 25.0
+
+
+def test_cosine_zero_norm(spark):
+    z = F.array(F.lit(0.0), F.lit(0.0))
+    a = F.array(F.lit(1.0), F.lit(0.0))
+    assert one(spark, measures.cosine_similarity(z, a)) == 0.0
+    assert abs(one(spark, measures.cosine_similarity(a, a)) - 1.0) < 1e-12
+
+
+def test_decayed_similarity(spark):
+    s = one(spark, measures.decayed_similarity(F.lit(2.0), F.lit(4.0)))
+    assert abs(s - math.exp(-0.05 * 0.5)) < 1e-12
+    # scale 0 guard: exact match scores 1
+    assert one(spark, measures.decayed_similarity(F.lit(0.0), F.lit(0.0))) == 1.0
+
+
+def test_jaccard_disjoint_forced_zero(spark):
+    # DecayedSimilarity.java:69-70 — disjoint sets score 0, not exp(-λ)
+    s = one(spark, measures.jaccard_similarity_scored(F.lit(1.0), F.lit(1.0)))
+    assert s == 0.0
+
+
+def test_qgrams(spark):
+    g = one(spark, qgrams(F.lit("Hello")))
+    assert g == ["ell", "hel", "llo"]
+    assert one(spark, qgrams(F.lit("ab"))) == ["ab"]
+
+
+def test_tokenize(spark):
+    assert one(spark, tokenize(F.lit("b a  a c"))) == ["a", "b", "c"]
+
+
+def test_token_count(spark):
+    assert one(spark, token_count(F.lit("the quick  brown fox"))) == 4
+
+
+def test_lang_id(spark):
+    assert one(spark, lang_id(F.lit("the cat and the dog in the house"))) == "en"
+    assert one(spark, lang_id(F.lit("der hund und die katze ist nicht da"))) == "de"
+    assert one(spark, lang_id(F.lit("xyzzy plugh"))) == "und"
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    a = one(spark, doc_fingerprint(F.lit("Hello   World")))
+    b = one(spark, doc_fingerprint(F.lit("hello world")))
+    assert a == b
