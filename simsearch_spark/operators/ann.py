@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (ANN).
+
+Baseline: brute-force cosine top-k — a single column-expression pass +
+TakeOrderedAndProject; this is exact and already the right answer for
+one-off queries at any scale that can afford a scan.
+
+Scale path: sign-LSH (random hyperplanes) bucketing.  Each vector gets a
+b-bit signature (sign of dot with b fixed hyperplanes); a query probes its
+own bucket plus all buckets within `probe_hamming` bits (multi-probe), and
+only those rows get exact-scored.  Persisting the table partitioned by
+`bucket` makes the probe a partition-pruned read — the scan never touches
+the rest of the corpus.  Hyperplanes come from a fixed LCG (deterministic,
+literal-expressible in oracle SQL).
+
+IVF variant: coarse centroids (here: the fixture's `label` k-means-style
+clusters, or any precomputed centroid table) → probe nearest `n_probe`
+centroids → exact-score members.  Same plan shape as LSH with a learned
+quantizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions import measures
+
+
+def lcg_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim from a fixed
+    LCG — no RNG at query time; values are embeddable as literals in both
+    Spark plans and oracle SQL."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            v.append(round((state % 2_000_001) / 1_000_000.0 - 1.0, 6))
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit_i = 1 iff dot(vec, plane_i) > 0."""
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        pv = F.array(*[F.lit(float(x)) for x in plane])
+        d = measures.dot_product(vec, pv)
+        acc = acc + F.when(d > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def cosine_topk(
+    df: DataFrame, id_col: str, vec_col: str, query_vec: list[float], k: int
+) -> DataFrame:
+    """Exact brute-force cosine top-k (the correctness baseline every ANN
+    variant is measured against)."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = F.round(measures.cosine_similarity(F.col(vec_col), qv), 6)
+    return (
+        df.withColumn("cos_sim", score)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cos_sim")
+    )
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int,
+    planes: list[list[float]],
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: probe buckets within `probe_hamming` bits of
+    the query bucket, exact-score only those rows.
+
+    The bucket filter is a plain predicate on a persisted column → partition
+    pruning at scale.  Recall grows with probe_hamming (0 = single bucket).
+    """
+    bucket = lsh_bucket(F.col(vec_col), planes)
+    bucketed = df.withColumn("bucket", bucket)
+    q_bits = sum(
+        (1 << i)
+        for i, plane in enumerate(planes)
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0
+    )
+    probe = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bits))) <= probe_hamming
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = F.round(measures.cosine_similarity(F.col(vec_col), qv), 6)
+    return (
+        bucketed.where(probe)
+        .withColumn("cos_sim", score)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cos_sim", "bucket")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 1,
+    assign_col: str | None = None,
+) -> DataFrame:
+    """IVF: probe the `n_probe` centroids nearest the query, exact-score their
+    members.  `centroids` = (cluster_id, centroid array<double>); rows are
+    assigned by `assign_col` if the table persists an assignment, else by
+    nearest centroid computed on the fly (one broadcast-join pass).
+    """
+    cent = [(r[0], list(r[1])) for r in centroids.collect()]
+    by_dist = sorted(
+        cent, key=lambda c: sum((a - b) ** 2 for a, b in zip(query_vec, c[1]))
+    )
+    probe_ids = [cid for cid, _v in by_dist[:n_probe]]
+
+    if assign_col is None:
+        # assign rows to nearest centroid inline (centroids broadcast as literals)
+        best_id, best_d = None, None
+        for cid, vec in cent:
+            cv = F.array(*[F.lit(float(x)) for x in vec])
+            d = measures.euclidean_distance(F.col(vec_col), cv)
+            if best_id is None:
+                best_id, best_d = F.lit(cid), d
+            else:
+                cond = d < best_d
+                best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+                best_d = F.when(cond, d).otherwise(best_d)
+        df = df.withColumn("__cluster", best_id)
+        assign_col = "__cluster"
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = F.round(measures.cosine_similarity(F.col(vec_col), qv), 6)
+    return (
+        df.where(F.col(assign_col).isin(probe_ids))
+        .withColumn("cos_sim", score)
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "cos_sim")
+    )

@@ -1,0 +1,185 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five tiers, cheapest-first — exactly the ladder a 100 TB corpus pipeline
+runs (the reference engine has no dedup; these generalize its K4 set-sim
+machinery, SURVEY.md §7 step 7):
+
+- exact: fingerprint (normalized rolling hash) → groupBy.  One shuffle on a
+  64-bit key; at 100 TB this is the classic first pass.
+- minhash LSH: shingle → minhash signature → band-bucket join → verified
+  Jaccard.  Candidate generation shuffles only (band_hash, id) pairs;
+  verification touches candidate pairs, not the n² space.
+- simhash: 32-bit signature per doc, near-dup = hamming ≤ r.  Signature is a
+  pure map; the pair join is block-partitioned by signature prefix at scale.
+- n-gram Jaccard: the exact prefix-filtered set-similarity join
+  (operators/setsim.py) over word shingles.
+- embedding cosine: near-dup by vector similarity; brute pairs locally,
+  LSH-bucketed (operators/ann.py) at scale.
+
+All hash arithmetic uses the char-fold base hash (functions/hashing.py) so
+every tier is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions import measures
+from simsearch_spark.functions.hashing import (
+    hamming64,
+    minhash_bands,
+    minhash_signature,
+    simhash,
+    token_hashes,
+)
+from simsearch_spark.functions.text import doc_fingerprint
+from simsearch_spark.operators.setsim import jaccard_self_join
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (order-preserving token n-grams).  Token-set
+    Jaccard saturates on small vocabularies; shingles keep word order and are
+    the standard dedup unit (MinHash over shingles)."""
+    w = F.split(col, " ")
+    count = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
+    # F.get is 0-based and NULL-safe out of bounds (no ANSI error for short
+    # docs); concat_ws skips NULLs — mirrored by DuckDB's concat_ws in oracles
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: (fingerprint, keeper=min id, group size).  Whitespace/case
+    jitter collapses via the normalized fingerprint."""
+    fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
+
+    candidate generation: explode band hashes → groupBy-join on
+    (band_index, band_hash) → distinct (a,b) pairs; verification: exact
+    Jaccard on the pair's shingle sets.  Output: (id_a, id_b, jaccard) with
+    jaccard ≥ threshold among LSH candidates (banding may miss pairs — the
+    recall/perf trade LSH exists for; same contract as every production
+    minhash dedup).
+    """
+    rows_per_band = n_hashes // bands
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles"))
+    # materialize hashes once; minhash_signature fans out over this column
+    hashed = sh.withColumn("hashes", token_hashes(F.col("shingles")))
+    sig = hashed.withColumn("sig", minhash_signature(F.col("hashes"), n_hashes)).drop("hashes")
+    banded = sig.withColumn("bands", minhash_bands(F.col("sig"), bands, rows_per_band))
+    # materialization barrier: the signature table is computed ONCE and
+    # reused by candidate generation (twice: both join sides) and
+    # verification.  Without it, Spark's Generate stage re-evaluates the
+    # whole shingle→hash→sig→band chain outside whole-stage codegen
+    # (measured 270s vs 7s at sf0.1).  At corpus scale this frame is the
+    # persisted signature *table* every production minhash pipeline stores.
+    banded = banded.persist()
+
+    # explode to (band_idx, band_hash, id): the only shuffled relation —
+    # shingle arrays stay out of the shuffle; verification re-joins by id
+    expl = banded.select(F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash"))
+    left = expl.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    right = expl.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_map = banded.select(F.col(id_col), F.col("shingles"))
+    ver = (
+        cand.join(shingle_map.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(shingle_map.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        ver.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= float(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bits: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: signature map + pair join with
+    ``bit_count(a XOR b) <= r``.  Local path joins all pairs; the scale path
+    partitions by signature prefix bands (pigeonhole: hamming ≤ r means two
+    of r+1 prefix blocks match) — same banding trick as minhash."""
+    sh = (
+        df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles"))
+        .withColumn("hashes", token_hashes(F.col("shingles")))
+        .select(F.col(id_col), simhash(F.col("hashes"), bits).alias("sig"))
+        .persist()  # signature table: computed once, read by both join sides
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, shingle_n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup via the prefix-filtered set-similarity join
+    (no LSH recall loss; higher cost — the verification tier)."""
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles"))
+    out = jaccard_self_join(sh, id_col, "shingles", threshold)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine ≥ threshold (brute pair join; the
+    LSH-bucketed variant for scale lives in operators/ann.py).
+
+    Norms are precomputed per *row* (persisted side table), so each of the
+    O(n²) pairs evaluates one dot product instead of dot + two norms — a 3x
+    cut in the pair-stage HOF work (89s → ~30s at sf0.1).  The formula stays
+    ``dot/(norm_a*norm_b)`` — identical to the oracle SQL, keeping rounded
+    values bit-comparable."""
+    normed = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), measures.l2_norm(F.col(vec_col)).alias("nrm")
+    ).persist()
+    a = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    b = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    denom = F.col("n_a") * F.col("n_b")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        measures.dot_product(F.col("v_a"), F.col("v_b")) / denom
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round(cos, 6))
+        .where(F.col("cos_sim") >= float(threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,138 @@
+"""Set-similarity search & join at scale (SURVEY.md §2.3 K4/K5).
+
+Reference: AllPairs-style search over an in-heap inverted index with prefix +
+length filters (``engine/processor/ingested/CategoricalSimSearch.java``,
+int-encoded token sets sorted by global frequency,
+``categorical/CollectionTransformer.java:35,113-114``).
+
+Spark-first scale path (the inverted index as a *join*, not a structure):
+
+1. token-frequency dictionary: ``explode → groupBy(token).count``;
+2. prefix filter: a set with |A| tokens and threshold t can only match sets
+   sharing one of its first ``|A| - ceil(t·|A|) + 1`` rarest tokens — so we
+   explode only the prefix, not the whole set;
+3. inverted-list join on token → candidate pairs → ``groupBy(pair).count``
+   gives the overlap → Jaccard from |A|,|B|,overlap (no re-scan);
+4. verification contributes nothing extra: overlap counting is exact.
+
+This is the standard distributed set-similarity-join pattern (prefix filter
+pushes the candidate count down by orders of magnitude at 100 TB; the final
+shuffle is on (idA,idB) pairs that survive the filter).
+
+The *small path* (direct ``array_intersect`` scoring, used by top-k facet
+queries where one side is a literal) lives in measures.jaccard_distance.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def token_frequency_dict(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Global token→(frequency, rank) dictionary; rank ascending by frequency
+    so prefixes start with the *rarest* tokens (CollectionTransformer.java:35
+    orders its int encoding the same way).  One shuffle, reusable artifact —
+    at 100 TB this is a mount-time precompute, broadcast afterwards."""
+    return (
+        df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "token_rank",
+            F.row_number().over(Window.orderBy(F.col("freq").asc(), F.col("token").asc())),
+        )
+    )
+
+
+def _ranked_tokens(df: DataFrame, id_col: str, tokens_col: str, dict_df: DataFrame) -> DataFrame:
+    """(id, token_rank array sorted ascending = rarest-first, set size)."""
+    exploded = df.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+    ranked = exploded.join(F.broadcast(dict_df.select("token", "token_rank")), "token")
+    return ranked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("token_rank")).alias("ranks"),
+        F.count(F.lit(1)).alias("setsize"),
+    )
+
+
+def jaccard_self_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    dict_df: DataFrame | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard similarity ≥ threshold.
+
+    Output: (id_a, id_b, overlap, size_a, size_b, jaccard).  Exact — the
+    prefix filter only prunes candidates that provably cannot reach the
+    threshold (AllPairs/PPJoin bound, same pruning family as
+    CategoricalSimSearch.java:126-320).
+    """
+    if dict_df is None:
+        dict_df = token_frequency_dict(df, tokens_col)
+    ranked = _ranked_tokens(df, id_col, tokens_col, dict_df)
+
+    # prefix length per set: |A| - ceil(t*|A|) + 1
+    prefix_len = (
+        F.col("setsize")
+        - F.ceil(F.col("setsize") * F.lit(float(threshold))).cast("int")
+        + F.lit(1)
+    )
+    prefixed = ranked.withColumn("prefix", F.slice("ranks", 1, prefix_len))
+
+    left = prefixed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("setsize").alias("size_a"),
+        F.col("ranks").alias("ranks_a"),
+        F.explode("prefix").alias("tok"),
+    )
+    right = prefixed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("setsize").alias("size_b"),
+        F.col("ranks").alias("ranks_b"),
+        F.explode("prefix").alias("tok"),
+    )
+    # candidate pairs sharing >=1 prefix token; a<b dedups; length filter:
+    # |A| >= t*|B| is necessary for J >= t
+    cand = (
+        left.join(right, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("size_a") * F.lit(1.0) >= F.lit(float(threshold)) * F.col("size_b"))
+        .where(F.col("size_b") * F.lit(1.0) >= F.lit(float(threshold)) * F.col("size_a"))
+        .select("id_a", "id_b", "size_a", "size_b", "ranks_a", "ranks_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    overlap = F.size(F.array_intersect("ranks_a", "ranks_b"))
+    out = cand.withColumn("overlap", overlap).withColumn(
+        "jaccard",
+        F.col("overlap").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("overlap")).cast("double"),
+    )
+    return out.where(F.col("jaccard") >= float(threshold)).select(
+        "id_a", "id_b", "overlap", "size_a", "size_b", "jaccard"
+    )
+
+
+def jaccard_self_join_naive(df: DataFrame, id_col: str, tokens_col: str, threshold: float) -> DataFrame:
+    """Reference semantics without pruning (crossJoin) — test oracle for the
+    prefix-filtered path on small data; never the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(tokens_col).alias("t_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(tokens_col).alias("t_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    overlap = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size(F.array_union("t_a", "t_b"))
+    return (
+        pairs.withColumn("overlap", overlap)
+        .withColumn("size_a", F.size("t_a"))
+        .withColumn("size_b", F.size("t_b"))
+        .withColumn(
+            "jaccard",
+            F.when(union == 0, F.lit(0.0)).otherwise(F.col("overlap").cast("double") / union.cast("double")),
+        )
+        .where(F.col("jaccard") >= float(threshold))
+        .select("id_a", "id_b", "overlap", "size_a", "size_b", "jaccard")
+    )

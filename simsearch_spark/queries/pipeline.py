@@ -1,0 +1,453 @@
+"""Declared queries: training-data pipeline operators — dedup family, ANN,
+text analysis, event analytics.
+
+Oracle strategy: every hash-based operator (fingerprint, MinHash-LSH,
+SimHash) is built on the char-fold base hash so the *entire pipeline* —
+shingling, hashing, banding, candidate join, verification — is replayed
+verbatim in DuckDB SQL.  The oracles are generated programmatically from the
+same constants (`perm_params`) the Spark side uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions.hashing import MOD, PERM_MOD, perm_params
+from simsearch_spark.functions.text import (
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from simsearch_spark.operators.ann import cosine_topk, lcg_hyperplanes, lsh_bucket, lsh_cosine_topk
+from simsearch_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from simsearch_spark.queries.core import K
+from simsearch_spark.queries.vector import _cosine_sql
+from simsearch_spark.sources.registry import load_table
+
+MINHASH_T = 0.7
+NGRAM_T = 0.7
+SIMHASH_R = 6
+COSINE_T = 0.45
+N_HASHES = 16
+N_BANDS = 4
+SIMHASH_BITS = 32
+
+# -----------------------------------------------------------------------------
+# shared DuckDB fragments
+# -----------------------------------------------------------------------------
+
+#: char-fold hash of a string expr (mirrors functions.text.char_fold_hash;
+#: list_reduce's first-element init is equivalent to Spark's 0-init fold
+#: because (0*31+c)%m == c for c < m, and later steps are congruent mod m)
+def _charfold_sql(s: str) -> str:
+    return (
+        f"list_reduce(list_transform(string_split_regex({s}, ''), c -> ascii(c)::BIGINT), "
+        f"(a, x) -> (a * 31 + x) % {MOD})"
+    )
+
+
+#: 3-word shingles of a split-on-space word list (mirrors dedup.word_shingles)
+def _shingles_sql(w: str) -> str:
+    return (
+        f"list_distinct(list_transform(range(0, greatest(len({w}) - 2, 1)), "
+        f"i -> concat_ws(' ', {w}[i+1], {w}[i+2], {w}[i+3])))"
+    )
+
+
+def _jacc_sql(a: str, b: str) -> str:
+    isect = f"len(list_intersect({a}, {b}))"
+    return f"({isect}::DOUBLE / (len({a}) + len({b}) - {isect})::DOUBLE)"
+
+
+_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WS_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+# -----------------------------------------------------------------------------
+# dedup_exact: fingerprint groups
+# -----------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = f"""
+WITH fp AS (
+  SELECT doc_id, {_charfold_sql(_NORM_TEXT)} AS fingerprint FROM documents
+)
+SELECT fingerprint, min(doc_id) AS keeper, count(*) AS n_docs
+FROM fp GROUP BY fingerprint
+"""
+
+
+# -----------------------------------------------------------------------------
+# dedup_minhash_lsh: full LSH pipeline replayed in SQL
+# -----------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", MINHASH_T, N_HASHES, N_BANDS)
+
+
+def _minhash_oracle() -> str:
+    params = perm_params(N_HASHES)
+    sig_exprs = ",\n         ".join(
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {PERM_MOD})) AS sig_{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    band_exprs = []
+    for j in range(N_BANDS):
+        expr = f"sig_{j * rows_per_band}"
+        for r in range(1, rows_per_band):
+            expr = f"(({expr}) * 31 + sig_{j * rows_per_band + r}) % {MOD}"
+        band_exprs.append(f"{expr} AS b{j}")
+    bands_sql = ",\n         ".join(band_exprs)
+    expl = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band_idx, b{j} AS bh FROM bands" for j in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles_sql("string_split(text, ' ')")} AS sh FROM documents
+), hs AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_charfold_sql('s')}) AS hashes FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sig_exprs}
+  FROM hs
+), bands AS (
+  SELECT doc_id,
+         {bands_sql}
+  FROM sig
+), expl AS (
+{expl}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM expl a JOIN expl b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, round({_jacc_sql('sa.sh', 'sb.sh')}, 6) AS jaccard
+FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b
+WHERE {_jacc_sql('sa.sh', 'sb.sh')} >= {MINHASH_T}
+"""
+
+
+SQL_DEDUP_MINHASH_LSH = _minhash_oracle()
+
+
+# -----------------------------------------------------------------------------
+# dedup_simhash
+# -----------------------------------------------------------------------------
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", SIMHASH_R, SIMHASH_BITS)
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_reduce(list_transform(hashes, h -> ((h >> {j}) & 1) * 2 - 1), "
+        f"(a, x) -> a + x) > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles_sql("string_split(text, ' ')")} AS sh FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(sh, s -> {_charfold_sql('s')}) AS hashes FROM sh
+), sim AS (
+  SELECT doc_id, {bit_terms} AS sig FROM hs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sig, b.sig)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_R}
+"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_oracle()
+
+
+# -----------------------------------------------------------------------------
+# dedup_ngram_jaccard: exact prefix-filtered join vs brute-force oracle
+# -----------------------------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_T)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles_sql("string_split(text, ' ')")} AS sh FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({_jacc_sql('a.sh', 'b.sh')}, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {_jacc_sql('a.sh', 'b.sh')} >= {NGRAM_T}
+"""
+
+
+# -----------------------------------------------------------------------------
+# dedup_embed_cosine
+# -----------------------------------------------------------------------------
+
+def q_dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", COSINE_T)
+
+
+SQL_DEDUP_EMBED_COSINE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= {COSINE_T}
+"""
+
+
+# -----------------------------------------------------------------------------
+# ann_cosine_topk: brute-force baseline
+# -----------------------------------------------------------------------------
+
+ANN_QUERY_ID = 3
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == ANN_QUERY_ID).first().embedding]
+    return cosine_topk(emb, "vec_id", "embedding", qvec, K).select(
+        F.col("vec_id").alias("id"), F.col("cos_sim")
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID})
+SELECT e.vec_id AS id, round({_cosine_sql('e.embedding', 'qv')}, 6) AS cos_sim
+FROM embeddings e, q
+ORDER BY round({_cosine_sql('e.embedding', 'qv')}, 6) DESC, e.vec_id LIMIT {K}
+"""
+
+
+# -----------------------------------------------------------------------------
+# ann_lsh_topk: sign-LSH bucketed, multi-probe hamming<=1
+# -----------------------------------------------------------------------------
+
+N_PLANES = 8
+EMB_DIM = 64
+PLANES = lcg_hyperplanes(EMB_DIM, N_PLANES)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == ANN_QUERY_ID).first().embedding]
+    return lsh_cosine_topk(emb, "vec_id", "embedding", qvec, K, PLANES, probe_hamming=1).select(
+        F.col("vec_id").alias("id"), F.col("cos_sim"), F.col("bucket")
+    )
+
+
+def _lsh_oracle() -> str:
+    plane_cols = ", ".join(
+        f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[] AS p{i}"
+        for i, plane in enumerate(PLANES)
+    )
+
+    def bucket_of(vec: str) -> str:
+        terms = []
+        for i in range(N_PLANES):
+            dot = (
+                f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
+                f"i -> {vec}[i]::DOUBLE * p{i}[i]), (a, x) -> a + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END)")
+        return " + ".join(terms)
+
+    return f"""
+WITH planes AS (SELECT {plane_cols}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+qb AS (SELECT {bucket_of('qv')} AS qbucket FROM q, planes),
+bucketed AS (
+  SELECT e.vec_id AS id, e.embedding, {bucket_of('e.embedding')} AS bucket
+  FROM embeddings e, planes
+)
+SELECT b.id, round({_cosine_sql('b.embedding', 'qv')}, 6) AS cos_sim, b.bucket
+FROM bucketed b, q, qb
+WHERE bit_count(xor(b.bucket, qbucket)) <= 1
+ORDER BY round({_cosine_sql('b.embedding', 'qv')}, 6) DESC, b.id LIMIT {K}
+"""
+
+
+SQL_ANN_LSH_TOPK = _lsh_oracle()
+
+
+# -----------------------------------------------------------------------------
+# text analysis: language-ID, quality, token stats
+# -----------------------------------------------------------------------------
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_actual"), lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _lang_oracle() -> str:
+    ratio = {}
+    for lang, sw in LANG_STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
+        hits = f"len(list_filter(toks, t -> list_contains({lst}, t)))"
+        ratio[lang] = f"(CASE WHEN len(toks) = 0 THEN 0.0 ELSE {hits}::DOUBLE / len(toks)::DOUBLE END)"
+    return f"""
+WITH t AS (SELECT doc_id, lang AS lang_actual, {_WS_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang_actual, {ratio['en']} AS s_en, {ratio['de']} AS s_de,
+         {ratio['fr']} AS s_fr, {ratio['es']} AS s_es
+  FROM t
+)
+SELECT doc_id, lang_actual,
+       CASE WHEN s_en <= 0 AND s_de <= 0 AND s_fr <= 0 AND s_es <= 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+
+SQL_TEXT_LANG_ID = _lang_oracle()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+_sw_en = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+_PUNCT_RE = "'[!-/:-@\\[-`{-~]'"
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n,
+         length(text) - length(regexp_replace(text, {_PUNCT_RE}, '', 'g')) AS n_punct,
+         {_WS_TOKS} AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         least(n::DOUBLE / 500.0, 1.0) AS len_score,
+         1.0 - least((CASE WHEN n = 0 THEN 0.0 ELSE n_punct::DOUBLE / n::DOUBLE END) * 4, 1.0) AS punct_pen,
+         least((CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE len(list_filter(toks, t -> list_contains({_sw_en}, t)))::DOUBLE / len(toks)::DOUBLE END) * 5,
+               1.0) AS sw_score
+  FROM t
+)
+SELECT doc_id, round((len_score + punct_pen + sw_score) / 3.0, 6) AS quality FROM s
+"""
+
+
+_BPE_RE = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'"
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.col("n_chars"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({_WS_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, {_BPE_RE})) AS n_bpe_tokens,
+       length(text) AS n_chars_calc,
+       n_chars
+FROM documents
+"""
+
+
+# -----------------------------------------------------------------------------
+# event analytics: hourly rollup + gap sessionization (window functions)
+# -----------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800.0
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(avg(value), 4) AS avg_value, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via window functions (the batch equivalent of
+    the streaming session-window operator in streaming/)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_s")
+    return spark.sql(f"""
+        WITH ordered AS (
+          SELECT user_id, cast(ts AS double) AS tsec, event_id,
+                 lag(cast(ts AS double)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM __events_s
+        ), flagged AS (
+          SELECT user_id, event_id,
+                 CASE WHEN prev IS NULL OR tsec - prev > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+          FROM ordered
+        )
+        SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+        FROM flagged GROUP BY user_id
+    """)
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+WITH ordered AS (
+  SELECT user_id, epoch(ts) AS tsec, event_id,
+         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN prev IS NULL OR tsec - prev > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+PIPELINE_QUERIES = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_embed_cosine": (q_dedup_embed_cosine, SQL_DEDUP_EMBED_COSINE),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+}

@@ -37,6 +37,9 @@ def get_spark(
         # Arrow for the (rare) pandas-UDF paths: vectorized batch transfer.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the events fixture stores TIMESTAMP(NANOS) which vanilla Spark
+        # rejects; read as long nanos, converted in sources.registry
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -63,8 +63,19 @@ class Mount:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. ``spark.read.parquet`` keeps column pruning and
-    predicate pushdown available to every downstream facet scan."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    predicate pushdown available to every downstream facet scan.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS): with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds
+    and is converted here (fixture values are µs-aligned, so ``div 1000`` is
+    lossless; integer div — a double division would lose precision above
+    2^53 ns)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def mount_catalog(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:

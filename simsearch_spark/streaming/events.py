@@ -1,0 +1,84 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.7: its "progressive"
+queues are intra-query threading, not stream semantics), so these are
+engine extensions: the streaming duals of the batch event analytics in
+queries/pipeline.py, built the idiomatic way — readStream → event-time
+watermark → windowed/stateful aggregation → writeStream.
+
+Scale notes: tumbling-window aggregation is a streaming shuffle keyed by
+(window, event_type) with partial aggregation before the exchange; the
+watermark bounds state.  Session windows use Spark's native
+``session_window`` (gap-based state merge) — the same 30-min gap semantics
+as the batch sessionize query, which doubles as its correctness oracle on a
+replayed bounded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP = "30 minutes"
+WATERMARK = "2 hours"
+
+
+def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """File-source stream over parquet event files (one file per
+    micro-batch when replaying fixtures in tests).  In production this is
+    Kafka/Kinesis — only this reader changes; the graph below is
+    source-agnostic."""
+    reader = spark.readStream.format("parquet")
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """Streaming tumbling-window rollup: the dual of queries/pipeline.py
+    q_events_hourly.  Watermark bounds late data and lets Spark drop window
+    state once `WATERMARK` behind the max observed event time."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "event_type", "n", "avg_value", "sum_value")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Streaming gap-based sessionization via native session windows —
+    the stateful dual of q_events_sessionize (same 30-min gap)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events"),
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append"):
+    """Drive a streaming graph to a memory sink until all available input is
+    consumed (test/replay harness).  Returns the StreamingQuery; results land
+    in the ``query_name`` in-memory table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,95 @@
+from pyspark.sql import functions as F
+
+from simsearch_spark.operators.ann import cosine_topk, ivf_topk, lcg_hyperplanes, lsh_cosine_topk
+from simsearch_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+from simsearch_spark.operators.setsim import jaccard_self_join, jaccard_self_join_naive
+from simsearch_spark.sources.registry import load_table
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "t string")
+    rows = df.select(word_shingles(F.col("t")).alias("s")).collect()
+    assert sorted(rows[0].s) == ["a b c", "b c d"]
+    assert rows[1].s == ["x y"]  # shorter than n: one truncated shingle
+
+
+def test_exact_dedup_collapses_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "id long, text string",
+    )
+    groups = {r.keeper: r.n_docs for r in exact_dedup_groups(df, "id", "text").collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_prefix_join_equals_naive(spark, sf_dir):
+    """The prefix-filtered set-sim join must be exact: identical pairs to the
+    naive crossJoin at every threshold."""
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("s"))
+    for t in (0.5, 0.8):
+        fast = {(r.id_a, r.id_b) for r in jaccard_self_join(sh, "doc_id", "s", t).collect()}
+        naive = {(r.id_a, r.id_b) for r in jaccard_self_join_naive(sh, "doc_id", "s", t).collect()}
+        assert fast == naive
+
+
+def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, "doc_id", "text", 0.7).collect()}
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.7).collect()}
+    assert lsh, "expected planted near-duplicates"
+    assert lsh <= exact  # LSH+verify never yields false positives
+    # recall of banding at this threshold should be near-total on j≈0.97 dups
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_simhash_pairs_overlap_exact_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sim = {(r.id_a, r.id_b) for r in simhash_pairs(docs, "doc_id", "text", 6).collect()}
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.9).collect()}
+    assert exact and exact <= sim  # strong near-dups must be within hamming 6
+
+
+def test_embedding_cosine_pairs_symmetric_bound(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    assert all(r.id_a < r.id_b and r.cos_sim >= 0.4 for r in pairs)
+
+
+def test_lsh_topk_recall_vs_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 3).first().embedding]
+    brute = [r.vec_id for r in cosine_topk(emb, "vec_id", "embedding", qvec, 10).collect()]
+    planes = lcg_hyperplanes(len(qvec), 8)
+    approx = [
+        r.vec_id
+        for r in lsh_cosine_topk(emb, "vec_id", "embedding", qvec, 10, planes, probe_hamming=2).collect()
+    ]
+    assert brute[0] == 3  # query vector itself is its own 1-NN
+    assert 3 in approx
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.3, f"LSH recall collapsed: {recall}"
+
+
+def test_ivf_topk_probes_clusters(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 3).first().embedding]
+    # centroids from the fixture's label clusters: mean embedding per label
+    import numpy as np
+
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=float))
+    cent = [(int(lbl), [float(x) for x in np.mean(vs, axis=0)]) for lbl, vs in sorted(by_label.items())]
+    cdf = spark.createDataFrame(cent, "cluster_id int, centroid array<double>")
+    res = ivf_topk(emb, "vec_id", "embedding", cdf, qvec, 5, n_probe=2, assign_col="label")
+    got = [r.vec_id for r in res.collect()]
+    assert len(got) == 5 and 3 in got

@@ -1,0 +1,113 @@
+import struct
+import zlib
+
+from pyspark.sql import functions as F
+
+from simsearch_spark.multimodal.binary import (
+    MEDIA_SCHEMA,
+    decode_image_meta,
+    extract_features,
+    frame_sample_plan,
+)
+from simsearch_spark.queries.pipeline import q_events_hourly, q_events_sessionize
+from simsearch_spark.sources.registry import load_table
+from simsearch_spark.streaming.events import (
+    hourly_rollup_stream,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+)
+
+
+def _png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", _png(640, 480), "image/png"),
+        (2, "image", b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg"),
+        (3, "video", b"\x00" * 4096, "video/mp4"),
+        (4, "image", None, "image/png"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_image_meta_png_header(spark):
+    meta = {r.media_id: r for r in decode_image_meta(_media_df(spark)).collect()}
+    assert (meta[1].format, meta[1].width, meta[1].height) == ("png", 640, 480)
+    assert meta[2].format == "jpeg"  # no SOF0 in the stub payload → dims -1
+    assert meta[3].format == "unknown"
+    assert meta[4].n_bytes == 0
+
+
+def test_extract_features_deterministic_schema(spark):
+    feats = extract_features(_media_df(spark))
+    assert dict(feats.dtypes) == {"media_id": "bigint", "embedding": "array<float>"}
+    rows = {r.media_id: r.embedding for r in feats.collect()}
+    assert len(rows[1]) == 16
+    assert rows[4] == [0.0] * 16
+    # deterministic: same payload → same sketch
+    again = {r.media_id: r.embedding for r in extract_features(_media_df(spark)).collect()}
+    assert rows == again
+
+
+def test_frame_sample_plan(spark):
+    plan = frame_sample_plan(_media_df(spark).where(F.col("media_id") == 3), every_n=2)
+    idxs = [r.frame_idx for r in plan.collect()]
+    assert idxs == [0, 2]  # 4096 bytes → 4 est. frames, stride 2
+
+
+def _staged_events_dir(sf_dir, tmp_path):
+    """File-source streams need a directory; stage the fixture file into one."""
+    import shutil
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_streaming_hourly_matches_batch(spark, sf_dir, tmp_path):
+    """Replayed bounded stream must agree with the batch rollup (the batch
+    query doubles as the streaming oracle)."""
+    stream = read_events_stream(
+        spark, _staged_events_dir(sf_dir, tmp_path),
+        schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+    )
+    # complete mode: append would hold back windows the watermark has not
+    # passed at end-of-replay (they live in state, never emitted)
+    q = run_stream_to_memory(hourly_rollup_stream(stream), "hourly_t", mode="complete")
+    got = {
+        (r.hour, r.event_type): (r.n, r.avg_value, r.sum_value)
+        for r in spark.table("hourly_t").collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n, r.avg_value, r.sum_value)
+        for r in q_events_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
+    q.stop()
+
+
+def test_streaming_sessionize_counts(spark, sf_dir, tmp_path):
+    stream = read_events_stream(
+        spark, _staged_events_dir(sf_dir, tmp_path),
+        schema=spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+    )
+    q = run_stream_to_memory(sessionize_stream(stream), "sessions_t", mode="complete")
+    sess = spark.table("sessions_t")
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in per_user.collect()}
+    want = {r.user_id: (r.n_sessions, r.n_events) for r in q_events_sessionize(spark, sf_dir).collect()}
+    assert got == want
+    q.stop()
