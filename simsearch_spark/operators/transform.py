@@ -1,0 +1,83 @@
+"""Mount-time transformations (SURVEY.md §1.2):
+
+- word2vec transform: keyword sets → dense vectors by averaging per-token
+  embeddings from a mounted vector dictionary
+  (``manager/ingested/lookup/Word2VectorTransformer.java:42-90``, wired at
+  ``Coordinator.java:608-643``).
+- z / unity normalization of numeric attributes before indexing
+  (``ZNormal.java:23``, ``UnityNormal.java:25``, applied
+  ``DataIngestor.java:243-254``; the query value is normalized with the same
+  statistics — ``SearchHandler.java:455-461``).
+
+Scale: the dictionary join broadcasts (vocabularies are small relative to
+corpora); the element-wise mean shuffles (id, pos) pairs — at 100 TB this is
+a mount-time batch job whose output is persisted next to the table, exactly
+like the reference's transform-at-mount.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions.measures import unity_normal, z_normal
+
+
+def word2vec_transform(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    dictionary: DataFrame,
+    term_col: str = "term",
+    vec_col: str = "vec",
+    flat: bool = False,
+) -> DataFrame:
+    """Average the dictionary vectors of a row's tokens.
+
+    Tokens missing from the dictionary contribute nothing (the reference
+    skips unknown words, Word2VectorTransformer.java:66-78); rows with no
+    known token produce no output row (reference leaves the entity out of
+    the transformed dataset).
+
+    flat=True returns (id, pos, avg_val) — the element-wise layout used by
+    the DuckDB oracle; flat=False reassembles array vectors.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+    joined = toks.join(
+        F.broadcast(dictionary.select(F.col(term_col).alias("token"), F.col(vec_col).alias("v"))),
+        "token",
+    )
+    flat_vals = joined.select(
+        F.col(id_col), F.posexplode("v").alias("pos", "val")
+    ).groupBy(id_col, "pos").agg(F.round(F.avg("val"), 6).alias("avg_val"))
+    if flat:
+        return flat_vals
+    return (
+        flat_vals.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("pairs"))
+        .select(F.col(id_col), F.transform("pairs", lambda p: p["avg_val"]).alias("vec"))
+    )
+
+
+def z_normalize(df: DataFrame, col: str, out: str | None = None) -> tuple[DataFrame, float, float]:
+    """Attach a z-normalized column; returns (df, mean, std) so query values
+    can be normalized with the same statistics (SearchHandler.java:455-461).
+    Sample stddev (n-1) on both engines."""
+    stats = df.agg(F.avg(col).alias("m"), F.stddev(col).alias("s")).first()
+    mean, std = float(stats.m), float(stats.s or 0.0)
+    return (
+        df.withColumn(out or f"{col}_z", z_normal(F.col(col), F.lit(mean), F.lit(std))),
+        mean,
+        std,
+    )
+
+
+def unity_normalize(df: DataFrame, col: str, out: str | None = None) -> tuple[DataFrame, float, float]:
+    """Attach a [0,1]-scaled column; returns (df, min, max)."""
+    stats = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    lo, hi = float(stats.lo), float(stats.hi)
+    return (
+        df.withColumn(out or f"{col}_u", unity_normal(F.col(col), F.lit(lo), F.lit(hi))),
+        lo,
+        hi,
+    )

@@ -27,6 +27,7 @@ def _optional(module: str, attr: str) -> None:
 _optional("setsim", "SETSIM_QUERIES")
 _optional("vector", "VECTOR_QUERIES")
 _optional("pipeline", "PIPELINE_QUERIES")
+_optional("frontend", "FRONTEND_QUERIES")
 _optional("streaming", "STREAMING_QUERIES")
 
 
