@@ -146,3 +146,52 @@ def pivot_knn(
         .limit(k)
         .drop("lb", "radius", *[f"emb_{i}" for i in range(len(pivots))])
     )
+
+
+def epsilon_scale(sample: list[list[float]]) -> float:
+    """V1's per-attribute ε = mean nearest-neighbour distance on the sample
+    (``PivotManager.java:271-296``; reused as the fixed scale factor,
+    ``Constants.java:57`` context).  Driver-side over ≤500 points, as the
+    reference computes it."""
+    if len(sample) < 2:
+        return 1.0
+
+    def edist(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5
+
+    total = 0.0
+    for i, v in enumerate(sample):
+        total += min(edist(v, w) for j, w in enumerate(sample) if j != i)
+    return total / len(sample) or 1.0
+
+
+def allocate_pivots(samples: dict[str, list[list[float]]], total_pivots: int = 8) -> dict[str, int]:
+    """V1 pivot-count allocation (``pivoting/PivotAllocation.java:64-234``):
+    greedily hand out R pivots across attributes, each round giving the next
+    pivot to the attribute whose sample retains the largest remaining spread
+    (farthest-point residual — the triangle-inequality pruning potential the
+    reference maximizes).  Every attribute gets at least one pivot.
+    """
+    attrs = list(samples)
+    if not attrs:
+        return {}
+    alloc = {a: 1 for a in attrs}
+
+    def edist(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5
+
+    # residual spread after placing n farthest-point pivots on the sample
+    def residual(attr: str, n: int) -> float:
+        pts = samples[attr]
+        if len(pts) <= n:
+            return 0.0
+        pivots = [pts[0]]
+        while len(pivots) < n:
+            far = max(pts, key=lambda p: min(edist(p, q) for q in pivots))
+            pivots.append(far)
+        return max(min(edist(p, q) for q in pivots) for p in pts)
+
+    for _ in range(total_pivots - len(attrs)):
+        best = max(attrs, key=lambda a: residual(a, alloc[a]))
+        alloc[best] += 1
+    return alloc

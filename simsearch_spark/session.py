@@ -46,3 +46,25 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()
+
+
+def run_with_timeout(spark: SparkSession, thunk, timeout_s: float, group: str = "simsearch-query"):
+    """T9 query timeout (``Constants.java:51`` RANKING_MAX_TIME; loop guards
+    in every ranking class): cancel the job group when the budget elapses.
+
+    Divergence from the reference, by contract: the reference returns an
+    *approximate* best-so-far list on timeout (T8); Spark jobs are
+    all-or-nothing, so timeout raises and the caller retries/loosens.  The
+    exactness contract (FIXTURES.md §F4) is unaffected.
+    """
+    import threading
+
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "simsearch query with timeout", interruptOnCancel=True)
+    timer = threading.Timer(timeout_s, lambda: sc.cancelJobGroup(group))
+    timer.start()
+    try:
+        return thunk()
+    finally:
+        timer.cancel()
+        sc.setJobGroup(None, None)
