@@ -168,8 +168,12 @@ def embedding_cosine_pairs(
     cut in the pair-stage HOF work (89s → ~30s at sf0.1).  The formula stays
     ``dot/(norm_a*norm_b)`` — identical to the oracle SQL, keeping rounded
     values bit-comparable."""
+    # cast float vectors to double ONCE here: the O(n²) pair stage would
+    # otherwise re-cast both arrays element-wise for every pair
     normed = df.select(
-        F.col(id_col), F.col(vec_col).alias("v"), measures.l2_norm(F.col(vec_col)).alias("nrm")
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        measures.l2_norm(F.col(vec_col)).alias("nrm"),
     ).persist()
     a = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     b = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))

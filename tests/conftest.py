@@ -22,3 +22,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Session-scoped alias for hypothesis tests (function-scoped fixtures
+    trip hypothesis' health checks)."""
+    return spark

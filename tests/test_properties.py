@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) — the reference ships zero tests
+(SURVEY.md §5); these pin the algebraic properties the operators rely on.
+Each property evaluates one batched Spark job over many generated examples
+(per-example sessions would be prohibitively slow).
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions.text import char_fold_hash, qgrams
+from simsearch_spark.operators.setsim import jaccard_self_join, jaccard_self_join_naive
+
+ASCII_TOKEN = st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=8)
+
+
+def _py_charfold(s: str, mod: int = 1_000_000_007, mult: int = 31) -> int:
+    h = 0
+    for c in s:
+        h = (h * mult + ord(c)) % mod
+    return h
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None)
+def test_char_fold_hash_matches_python(spark_prop, strings):
+    df = spark_prop.createDataFrame([(s,) for s in strings], "s string")
+    got = [r.h for r in df.select(char_fold_hash(F.col("s")).alias("h")).collect()]
+    assert got == [_py_charfold(s) for s in strings]
+
+
+@given(st.lists(st.text(alphabet="abcd ", min_size=0, max_size=25), min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_qgram_count_bounds(spark_prop, strings):
+    df = spark_prop.createDataFrame([(s,) for s in strings], "s string")
+    rows = df.select(F.col("s"), F.size(qgrams(F.col("s"))).alias("n")).collect()
+    for r in rows:
+        # distinct q-grams: at least 1 (nonempty), at most len-2 for len>=3
+        expected_max = max(len(r.s) - 2, 1) if r.s else 1
+        assert 0 <= r.n <= expected_max
+
+
+@given(
+    st.lists(
+        st.lists(ASCII_TOKEN, min_size=0, max_size=12).map(lambda x: sorted(set(x))),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.3, 0.6, 0.9]),
+)
+@settings(max_examples=8, deadline=None)
+def test_prefix_join_equals_naive_property(spark_prop, sets, threshold):
+    rows = [(i, toks) for i, toks in enumerate(sets)]
+    df = spark_prop.createDataFrame(rows, "id long, tokens array<string>")
+    nonempty = df.where(F.size("tokens") > 0)
+    fast = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_self_join(nonempty, "id", "tokens", threshold).collect()
+    }
+    naive = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jaccard_self_join_naive(nonempty, "id", "tokens", threshold).collect()
+    }
+    assert fast == naive
+
+
+def test_decay_monotone_and_bounded(spark):
+    """exp(-λ d/s) is strictly decreasing in d and bounded in (0, 1]."""
+    from simsearch_spark.functions.measures import decayed_similarity
+
+    df = spark.range(1, 2000).select((F.col("id") / 10.0).alias("d"))
+    rows = df.select("d", decayed_similarity(F.col("d"), F.lit(7.0)).alias("s")).orderBy("d").collect()
+    sims = [r.s for r in rows]
+    assert all(0.0 < s <= 1.0 for s in sims)
+    assert all(a > b for a, b in zip(sims, sims[1:]))
+
+
+def test_minhash_identical_sets_identical_sigs(spark):
+    from simsearch_spark.functions.hashing import minhash_signature, token_hashes
+
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "z"]), (2, ["z", "y", "x"]), (3, ["x", "y"])],
+        "id long, toks array<string>",
+    )
+    sigs = {
+        r.id: tuple(r.sig)
+        for r in df.withColumn("h", token_hashes(F.col("toks")))
+        .select(F.col("id"), minhash_signature(F.col("h")).alias("sig"))
+        .collect()
+    }
+    assert sigs[1] == sigs[2]  # order-insensitive
+    assert sigs[1] != sigs[3]
