@@ -126,17 +126,53 @@ def simhash_pairs(
     max_hamming: int = 6,
     bits: int = 32,
     shingle_n: int = 3,
+    banded: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: signature map + pair join with
-    ``bit_count(a XOR b) <= r``.  Local path joins all pairs; the scale path
-    partitions by signature prefix bands (pigeonhole: hamming ≤ r means two
-    of r+1 prefix blocks match) — same banding trick as minhash."""
+    ``bit_count(a XOR b) <= r``.
+
+    banded=False: all-pairs join (exact, simple; fine to ~10⁴ rows/side).
+    banded=True: the scale path — split each signature into r+1 bit blocks;
+    by pigeonhole, hamming ≤ r forces at least one block to match exactly,
+    so candidates come from r+1 equi-joins on (block_idx, block_value) and
+    only candidates pay the bit_count verify.  Exact (no recall loss),
+    verified equal to the all-pairs join in tests.
+    """
     sh = (
         df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("shingles"))
         .withColumn("hashes", token_hashes(F.col("shingles")))
         .select(F.col(id_col), simhash(F.col("hashes"), bits).alias("sig"))
         .persist()  # signature table: computed once, read by both join sides
     )
+    if banded:
+        n_blocks = max_hamming + 1
+        width = (bits + n_blocks - 1) // n_blocks
+        blocks = F.array(
+            *[
+                F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+                for i in range(n_blocks)
+            ]
+        )
+        expl = sh.withColumn("blocks", blocks).select(
+            F.col(id_col), F.col("sig"), F.posexplode("blocks").alias("blk_idx", "blk_val")
+        )
+        left = expl.select(
+            F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "blk_idx", "blk_val"
+        )
+        right = expl.select(
+            F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "blk_idx", "blk_val"
+        )
+        cand = (
+            left.join(right, ["blk_idx", "blk_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand.withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+        )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
@@ -158,23 +194,76 @@ def ngram_jaccard_pairs(
 
 
 def embedding_cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, blocked: bool = True
 ) -> DataFrame:
-    """Embedding near-dup pairs by cosine ≥ threshold (brute pair join; the
-    LSH-bucketed variant for scale lives in operators/ann.py).
+    """Embedding near-dup pairs by cosine ≥ threshold.
 
-    Norms are precomputed per *row* (persisted side table), so each of the
-    O(n²) pairs evaluates one dot product instead of dot + two norms — a 3x
-    cut in the pair-stage HOF work (89s → ~30s at sf0.1).  The formula stays
-    ``dot/(norm_a*norm_b)`` — identical to the oracle SQL, keeping rounded
-    values bit-comparable."""
-    # cast float vectors to double ONCE here: the O(n²) pair stage would
-    # otherwise re-cast both arrays element-wise for every pair
+    blocked=True (default): Arrow-batched numpy scorer over ``mapInPandas``.
+    The n² dot products are computed as 64 rank-1 updates
+    (``acc += A[:,j] ⊗ B[:,j]`` for j ascending), which is the SAME IEEE
+    left-fold the JVM ``aggregate(zip_with(...))`` and the DuckDB-oracle
+    ``list_reduce`` evaluate — elementwise numpy ops are IEEE-correct, so
+    the raw cosines are bit-identical across all three engines; rounding
+    stays JVM-side.  ~10x over the per-pair HOF path at sf0.1.  The
+    comparison side rides an ``sc.broadcast`` of (ids, matrix, norms); at
+    corpus scale both sides tile into blocks — same kernel, or use the
+    LSH-bucketed variant in operators/ann.py.
+
+    blocked=False: pure column-expression pair join (the cross-engine
+    reference path; kept for equality testing).
+
+    Norms are always precomputed per row (never per pair) JVM-side with the
+    same fold as the oracle.
+    """
+    # cast float vectors to double ONCE here: the pair stage must not
+    # re-cast element-wise for every pair
     normed = df.select(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
         measures.l2_norm(F.col(vec_col)).alias("nrm"),
     ).persist()
+
+    if blocked:
+        import numpy as np
+        from collections.abc import Iterator
+
+        import pandas as pd
+
+        rows = normed.collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        nrm = np.array([r[2] for r in rows], dtype=np.float64)
+        spark = df.sparkSession
+        b_side = spark.sparkContext.broadcast((ids, mat, nrm))
+        loose = float(threshold) - 1e-9
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            b_ids, b_mat, b_nrm = b_side.value
+            dim = b_mat.shape[1]
+            for pdf in batches:
+                a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                a_mat = np.array(list(pdf["v"]), dtype=np.float64)
+                a_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+                # left-fold over dimensions: bit-identical to the JVM fold
+                acc = np.zeros((len(a_ids), len(b_ids)))
+                for j in range(dim):
+                    acc += np.outer(a_mat[:, j], b_mat[:, j])
+                denom = np.outer(a_nrm, b_nrm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom == 0, 0.0, acc / denom)
+                keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= loose)
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"id_a": a_ids[ai], "id_b": b_ids[bi], "cos_raw": cos[ai, bi]}
+                )
+
+        raw = normed.mapInPandas(score, "id_a long, id_b long, cos_raw double")
+        return (
+            raw.withColumn("cos_sim", F.round("cos_raw", 6))
+            .where(F.col("cos_sim") >= float(threshold))
+            .select("id_a", "id_b", "cos_sim")
+        )
+
     a = normed.select(F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     b = normed.select(F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))

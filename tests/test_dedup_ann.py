@@ -93,3 +93,24 @@ def test_ivf_topk_probes_clusters(spark, sf_dir):
     res = ivf_topk(emb, "vec_id", "embedding", cdf, qvec, 5, n_probe=2, assign_col="label")
     got = [r.vec_id for r in res.collect()]
     assert len(got) == 5 and 3 in got
+
+
+def test_simhash_banded_equals_allpairs(spark, sf_dir):
+    """Pigeonhole banding is a pruning strategy, never a semantic: banded and
+    all-pairs simhash joins must produce identical pair sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    allp = {(r.id_a, r.id_b, r.hamming) for r in simhash_pairs(docs, "doc_id", "text", 6).collect()}
+    band = {(r.id_a, r.id_b, r.hamming)
+            for r in simhash_pairs(docs, "doc_id", "text", 6, banded=True).collect()}
+    assert allp == band and allp
+
+
+def test_embed_cosine_blocked_equals_column_expr(spark, sf_dir):
+    """The numpy-blocked scorer's left-fold is bit-identical to the JVM fold:
+    pair sets AND rounded values must match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fast = sorted(tuple(r) for r in
+                  embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45, blocked=True).collect())
+    slow = sorted(tuple(r) for r in
+                  embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45, blocked=False).collect())
+    assert fast == slow and fast
