@@ -155,6 +155,7 @@ def multi_source_topk(
     k: int,
     weights: dict[str, float] | None = None,
     round_digits: int | None = 6,
+    prune_m: int | None = None,
 ) -> DataFrame:
     """General path: facets over *different* tables (the reference's vertical
     per-attribute maps, ``Coordinator.java:75``).  Each frame is scored
@@ -170,9 +171,19 @@ def multi_source_topk(
     for f in facets:
         df = frames[f.name]
         scored = _facet_sim_frame(df, key_column, [f], k)
-        sim_frames.append(
-            scored.select(F.col(key_column), F.col(f"__sim_{f.name}").alias(f"{f.name}_sim"))
-        )
+        frame = scored.select(F.col(key_column), F.col(f"__sim_{f.name}").alias(f"{f.name}_sim"))
+        if prune_m is not None:
+            # INFLATION_FACTOR candidate pruning (Constants.java:44,
+            # SearchHandler.java:318-320): keep each facet's M best
+            # candidates before aggregation.  With M = 1000·k this matches
+            # the reference's bounded queues — and like the reference, an
+            # entity outside every facet's top-M cannot surface (the
+            # reference's approximate-tail caveat, SURVEY §4); omit prune_m
+            # for the exact path.  Pruned frames are broadcastable.
+            frame = frame.orderBy(
+                F.col(f"{f.name}_sim").desc(), F.col(key_column).asc()
+            ).limit(prune_m)
+        sim_frames.append(frame)
     joined = functools.reduce(
         lambda a, b: a.join(b, on=key_column, how="full_outer"), sim_frames
     )

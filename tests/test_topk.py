@@ -107,3 +107,24 @@ def test_kmax_validation(spark):
         raise AssertionError("expected K_MAX validation error")
     except ValueError:
         pass
+
+
+def test_multi_source_prune_m_matches_exact_when_m_large(spark, sf_dir):
+    """With M >= per-facet candidate counts, INFLATION_FACTOR pruning must
+    not change the result; with tiny M it bounds each facet's reach (the
+    reference's approximate-tail behavior, SURVEY §4)."""
+    from simsearch_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    facets = [
+        Facet(name="bal", kind="numerical", value_cols=["c_acctbal"], query_value=1000.0),
+        Facet(name="nat", kind="numerical", value_cols=["c_nationkey"], query_value=10.0),
+    ]
+    frames = {"bal": cust, "nat": cust}
+    exact = [(r.c_custkey, r.score) for r in
+             multi_source_topk(frames, facets, "c_custkey", 5).collect()]
+    pruned = [(r.c_custkey, r.score) for r in
+              multi_source_topk(frames, facets, "c_custkey", 5, prune_m=1_000_000).collect()]
+    assert exact == pruned
+    tiny = multi_source_topk(frames, facets, "c_custkey", 5, prune_m=5).collect()
+    assert len(tiny) == 5  # still fills k from the bounded candidate pool
