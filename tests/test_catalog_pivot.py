@@ -124,3 +124,28 @@ def test_run_with_timeout(spark):
             lambda: spark.range(2_000_000_000).selectExpr("sum(id * id)").collect(),
             timeout_s=0.4,
         )
+
+
+def test_grid_knn_equals_brute_force(spark, sf_dir):
+    """Ring-expansion grid k-NN is pruning only: results must equal the
+    brute-force top-k for several query points and cell sizes."""
+    from simsearch_spark.operators.spatial import grid_knn
+    from simsearch_spark.functions import measures
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.abs(F.col("c_acctbal")) % 360 - 180).alias("lon"),
+        ((F.col("c_custkey") % 180) - 90).cast("double").alias("lat"),
+    )
+    for (qx, qy), cell in [((12.5, -40.0), 5.0), ((12.5, -40.0), 0.5), ((-179.0, 89.0), 2.0)]:
+        brute = [
+            (r.c_custkey, round(r.dist, 9))
+            for r in cust.withColumn(
+                "dist", measures.planar_distance(F.col("lon"), F.col("lat"), F.lit(qx), F.lit(qy))
+            ).orderBy(F.col("dist").asc(), F.col("c_custkey").asc()).limit(7).collect()
+        ]
+        grid = [
+            (r.c_custkey, round(r.dist, 9))
+            for r in grid_knn(cust, "c_custkey", "lon", "lat", qx, qy, 7, cell_deg=cell).collect()
+        ]
+        assert grid == brute, (qx, qy, cell)
