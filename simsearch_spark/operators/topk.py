@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from simsearch_spark.functions import measures
-from simsearch_spark.functions.text import qgrams, tokenize
+from simsearch_spark.functions.text import qgrams
 from simsearch_spark.plans.spec import Facet
 
 

@@ -17,7 +17,7 @@ like the reference's transform-at-mount.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from simsearch_spark.functions.measures import unity_normal, z_normal

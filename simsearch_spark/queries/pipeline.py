@@ -21,7 +21,7 @@ from simsearch_spark.functions.text import (
     quality_score,
     token_count,
 )
-from simsearch_spark.operators.ann import cosine_topk, lcg_hyperplanes, lsh_bucket, lsh_cosine_topk
+from simsearch_spark.operators.ann import cosine_topk, lcg_hyperplanes, lsh_cosine_topk
 from simsearch_spark.operators.dedup import (
     embedding_cosine_pairs,
     exact_dedup_groups,

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simsearch_spark.functions import measures
-from simsearch_spark.operators.pivot import embed_distances, pivot_knn
+from simsearch_spark.operators.pivot import embed_distances
 from simsearch_spark.queries.core import K
 from simsearch_spark.sources.registry import load_table
 

@@ -22,9 +22,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from simsearch_spark.plans.spec import KINDS, Facet, SearchRequest
+from simsearch_spark.plans.spec import Facet, SearchRequest
 
 OPERATION_TO_KIND = {
     "numerical_topk": "numerical",
