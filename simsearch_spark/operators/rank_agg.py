@@ -61,7 +61,9 @@ def _facet_sim_frame(df: DataFrame, key_column: str, facets: list[Facet], k: int
     return scored
 
 
-def estimate_weights(scored: DataFrame, facets: list[Facet], k: int) -> dict[str, float]:
+def estimate_weights(
+    scored: DataFrame, facets: list[Facet], k: int, approximate: bool = False
+) -> dict[str, float]:
     """T5 weight auto-estimation (``engine/weights/Estimator.java:177-189``;
     invoked at ``RankAggregator.java:177-192``): for a facet with no
     user-given weight, weight = the p-th percentile of its candidate score
@@ -69,6 +71,11 @@ def estimate_weights(scored: DataFrame, facets: list[Facet], k: int) -> dict[str
 
     Exact ``percentile`` (linear interpolation at p·(n-1)) matches DuckDB's
     ``quantile_cont`` — oracle-checkable. One aggregate job for all facets.
+
+    approximate=True switches to ``percentile_approx`` (t-digest sketch,
+    mergeable, no per-group sort buffer) — the 100 TB setting where an exact
+    percentile over the full candidate distribution is wasted precision for
+    a heuristic weight.  Declared queries keep the exact path.
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for f in facets:
@@ -78,7 +85,8 @@ def estimate_weights(scored: DataFrame, facets: list[Facet], k: int) -> dict[str
     for f in facets:
         n = counts[f"__n_{f.name}"] or 1
         p = max(0.0, min(1.0, 1.0 - k / n))
-        percentile_aggs.append(F.percentile(F.col(f"__sim_{f.name}"), F.lit(p)).alias(f.name))
+        fn = F.percentile_approx if approximate else F.percentile
+        percentile_aggs.append(fn(F.col(f"__sim_{f.name}"), F.lit(p)).alias(f.name))
     row = scored.agg(*percentile_aggs).first()
     return {f.name: float(row[f.name]) for f in facets}
 

@@ -1,0 +1,83 @@
+"""Physical-plan contract tests: guard the scale properties SCALE.md claims.
+
+These assert plan *shape*, not timings — a regression that introduces a
+global sort, drops filter pushdown, or loses column pruning fails here long
+before it shows up as a benchmark cliff at scale.
+"""
+
+from pyspark.sql import functions as F
+
+from simsearch_spark.operators.rank_agg import multi_facet_topk
+from simsearch_spark.operators.topk import single_facet_topk
+from simsearch_spark.plans.spec import Facet, SearchRequest
+from simsearch_spark.sources.registry import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_facet_topk_plan_contract(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    facet = Facet(
+        name="bal", kind="numerical", value_cols=["c_acctbal"], query_value=1000.0,
+        filter="c_mktsegment = 'BUILDING'",
+    )
+    plan = _plan(single_facet_topk(cust, "c_custkey", facet, k=5))
+    # top-k must be TakeOrderedAndProject (per-partition heaps), never a Sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrdered", "")
+    # the pre-filter must reach the parquet scan
+    assert "PushedFilters" in plan and "BUILDING" in plan
+    # no shuffle exchanges — only the 1-row broadcast of the scale
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_facet_topk_column_pruning(spark, sf_dir):
+    """A 2-column facet query over a 5-column table must not read all 5."""
+    cust = load_table(spark, sf_dir, "customer")
+    facet = Facet(name="bal", kind="numerical", value_cols=["c_acctbal"], query_value=1000.0)
+    plan = _plan(single_facet_topk(cust, "c_custkey", facet, k=5))
+    assert "c_name" not in plan and "c_mktsegment" not in plan  # pruned
+    assert "c_acctbal" in plan
+
+
+def test_multi_attr_no_shuffle(spark, sf_dir):
+    """Single-table multi-facet aggregation: no hash-partition shuffle —
+    wide projection + broadcast scales + TakeOrdered per combination."""
+    cust = load_table(spark, sf_dir, "customer")
+    req = SearchRequest(
+        table="customer",
+        key_column="c_custkey",
+        facets=[
+            Facet(name="bal", kind="numerical", value_cols=["c_acctbal"], query_value=1000.0,
+                  weights=[0.5]),
+            Facet(name="nat", kind="numerical", value_cols=["c_nationkey"], query_value=10.0,
+                  weights=[0.5]),
+        ],
+        k=5,
+    )
+    plan = _plan(multi_facet_topk(cust, req))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_scan_project_reads_three_columns(spark, sf_dir):
+    from simsearch_spark.queries.core import q_scan_project
+
+    plan = _plan(q_scan_project(spark, sf_dir))
+    # 11-column lineitem pruned to the 3 projected columns
+    assert "l_orderkey" in plan and "l_extendedprice" in plan
+    assert "l_quantity" not in plan and "l_shipdate" not in plan
+
+
+def test_weight_estimation_approx_close_to_exact(spark, sf_dir):
+    from simsearch_spark.operators.rank_agg import _facet_sim_frame, estimate_weights
+
+    cust = load_table(spark, sf_dir, "customer")
+    facets = [Facet(name="bal", kind="numerical", value_cols=["c_acctbal"], query_value=1000.0)]
+    scored = _facet_sim_frame(cust, "c_custkey", facets, 10)
+    exact = estimate_weights(scored, facets, 10)["bal"]
+    approx = estimate_weights(scored, facets, 10, approximate=True)["bal"]
+    assert abs(exact - approx) < 0.05  # sketch within tolerance of exact
