@@ -34,7 +34,7 @@ from simsearch_spark.plans.spec import Facet, SearchRequest
 ALGORITHMS = ("threshold", "no_random_access", "partial_random_access", "pivot_based")
 
 _SQL_RE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<table>\w+)\s+WHERE\s+(?P<where>.*?)"
+    r"^\s*SELECT\s+(?P<select>.*?)\s+(?:FROM\s+(?P<table>\w+)\s+)?WHERE\s+(?P<where>.*?)"
     r"(?:\s+WEIGHTS\s+(?P<weights>[\d.,\s;]+?))?"
     r"(?:\s+ALGORITHM\s+(?P<algorithm>\w+))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
@@ -42,7 +42,8 @@ _SQL_RE = re.compile(
 )
 
 _SIM_COND_RE = re.compile(r"^\s*(?P<col>\w+)\s*~=\s*(?P<val>.+?)\s*$", re.DOTALL)
-_POINT_RE = re.compile(r"^POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)$", re.IGNORECASE)
+#: tolerant of the stray trailing ')' the reference corpus contains
+_POINT_RE = re.compile(r"^POINT\s*\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)+$", re.IGNORECASE)
 
 
 class SqlParseError(ValueError):
@@ -56,8 +57,13 @@ class ParsedQuery:
 
 
 def _split_top_level_and(where: str) -> list[str]:
-    """Split on ANDs that are not inside quotes/parens (the reference treats
-    the similarity conjunction the same way, SqlParser.java:104-161)."""
+    """Split on ANDs that are not inside quotes/parens and not the AND of a
+    BETWEEN bound (the reference treats the similarity conjunction the same
+    way, SqlParser.java:104-161)."""
+    # shield "BETWEEN x AND y" so its AND doesn't split the predicate
+    where = re.sub(
+        r"(BETWEEN\s+\S+)\s+AND\s+", r"\1 __BETWEEN_AND__ ", where, flags=re.IGNORECASE
+    )
     parts, depth, in_str, cur = [], 0, False, []
     tokens = re.split(r"(\s+AND\s+)", where, flags=re.IGNORECASE)
     for tok in tokens:
@@ -75,7 +81,7 @@ def _split_top_level_and(where: str) -> list[str]:
         cur.append(tok)
     if cur:
         parts.append("".join(cur))
-    return [p.strip() for p in parts if p.strip()]
+    return [p.strip().replace("__BETWEEN_AND__", "AND") for p in parts if p.strip()]
 
 
 def _parse_value(raw: str):
@@ -84,7 +90,12 @@ def _parse_value(raw: str):
     if m:
         return ("point", (float(m.group(1)), float(m.group(2))))
     if raw.startswith("'") and raw.endswith("'"):
-        return ("str", raw[1:-1])
+        inner = raw[1:-1]
+        # the reference quotes every literal, WKT points included
+        pm = _POINT_RE.match(inner)
+        if pm:
+            return ("point", (float(pm.group(1)), float(pm.group(2))))
+        return ("str", inner)
     if raw.startswith("[") and raw.endswith("]"):
         items = [x.strip().strip("'\"") for x in raw[1:-1].split(",") if x.strip()]
         return ("list", items)
@@ -96,26 +107,35 @@ def _parse_value(raw: str):
         raise SqlParseError(f"cannot parse query value {raw!r}") from None
 
 
-def _bind_kind(df: DataFrame, col: str, val_kind: str, value) -> tuple[str, list[str], object]:
+def _bind_kind(
+    df: DataFrame, col: str, val_kind: str, value, alias_columns: dict[str, list[str]] | None = None
+) -> tuple[str, list[str], object]:
     dtypes = dict(df.dtypes)
-    if col not in dtypes:
-        raise SqlParseError(f"unknown column {col!r}")
-    dt = dtypes[col]
+    aliases = alias_columns or {}
     if val_kind == "point":
-        # spatial over (col, <lat col>) pair: reference mounts lon/lat as a
-        # virtual composite column (DataIngestor.java:119-133); here the
-        # convention is that `col` is the lon column and the lat column is
-        # the next schema column
+        # spatial: the reference mounts lon/lat pairs as a virtual composite
+        # with an alias_column (DataIngestor.java:119-133) — resolve the
+        # alias if declared, else `col` is lon and lat is the next column
+        if col in aliases:
+            return "spatial", list(aliases[col]), value
+        if col not in dtypes:
+            raise SqlParseError(f"unknown column {col!r}")
         cols = list(dtypes)
         lat_col = cols[cols.index(col) + 1]
         return "spatial", [col, lat_col], value
+    if col in aliases:
+        return _bind_kind(df, aliases[col][0], val_kind, value)
+    if col not in dtypes:
+        raise SqlParseError(f"unknown column {col!r}")
+    dt = dtypes[col]
     if dt in ("double", "float", "int", "bigint", "smallint", "decimal"):
         qv = value if val_kind == "num" or value == "max" else float(value)
         return "numerical", [col], qv
     if dt in ("timestamp", "timestamp_ntz", "date"):
         return "temporal", [col], str(value)
     if dt == "array<string>":
-        items = value if val_kind == "list" else [t for t in str(value).split(",") if t]
+        # comma-joined quoted strings are the corpus form ('a, b'); strip
+        items = value if val_kind == "list" else [t.strip() for t in str(value).split(",") if t.strip()]
         return "categorical", [col], items
     if dt.startswith("array<"):
         return "vector", [col], [float(x) for x in value]
@@ -124,11 +144,18 @@ def _bind_kind(df: DataFrame, col: str, val_kind: str, value) -> tuple[str, list
     raise SqlParseError(f"unsupported column type {dt} for similarity predicate on {col!r}")
 
 
-def parse_search_sql(df: DataFrame, table: str, sql: str, key_column: str) -> ParsedQuery:
+def parse_search_sql(
+    df: DataFrame,
+    table: str,
+    sql: str,
+    key_column: str,
+    alias_columns: dict[str, list[str]] | None = None,
+) -> ParsedQuery:
     m = _SQL_RE.match(sql)
     if not m:
-        raise SqlParseError("expected SELECT ... FROM ... WHERE ... [WEIGHTS ...] [ALGORITHM ...] [LIMIT k]")
-    if m.group("table").lower() != table.lower():
+        raise SqlParseError("expected SELECT ... [FROM t] WHERE ... [WEIGHTS ...] [ALGORITHM ...] [LIMIT k]")
+    # FROM may be omitted: the reference targets the running instance (Q3)
+    if m.group("table") is not None and m.group("table").lower() != table.lower():
         raise SqlParseError(f"query targets {m.group('table')!r}, bound table is {table!r}")
 
     select = [c.strip() for c in m.group("select").split(",")]
@@ -145,7 +172,7 @@ def parse_search_sql(df: DataFrame, table: str, sql: str, key_column: str) -> Pa
         sim = _SIM_COND_RE.match(cond)
         if sim:
             vk, value = _parse_value(sim.group("val"))
-            kind, cols, qv = _bind_kind(df, sim.group("col"), vk, value)
+            kind, cols, qv = _bind_kind(df, sim.group("col"), vk, value, alias_columns)
             facets.append(Facet(name=sim.group("col"), kind=kind, value_cols=cols, query_value=qv))
         else:
             if re.search(r"\(\s*SELECT\b", cond, flags=re.IGNORECASE):
