@@ -114,3 +114,19 @@ def test_embed_cosine_blocked_equals_column_expr(spark, sf_dir):
     slow = sorted(tuple(r) for r in
                   embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45, blocked=False).collect())
     assert fast == slow and fast
+
+
+def test_shingle_frame_equals_column_fn(spark, sf_dir):
+    """The pandas shingler must be byte-identical to the column-expression
+    shingler on real documents (incl. short/degenerate ones)."""
+    from simsearch_spark.operators.dedup import shingle_frame
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    extra = spark.createDataFrame([(9001, "x y"), (9002, ""), (9003, "one")],
+                                  "doc_id long, text string")
+    both = docs.select("doc_id", "text").unionByName(extra)
+    col_fn = {r.doc_id: list(r.s) for r in
+              both.select("doc_id", word_shingles(F.col("text")).alias("s")).collect()}
+    pandas_fn = {r.doc_id: list(r.shingles) for r in
+                 shingle_frame(both, "doc_id", "text").collect()}
+    assert col_fn == pandas_fn
