@@ -29,6 +29,7 @@ _optional("vector", "VECTOR_QUERIES")
 _optional("pipeline", "PIPELINE_QUERIES")
 _optional("frontend", "FRONTEND_QUERIES")
 _optional("multisource", "MULTISOURCE_QUERIES")
+_optional("corpus", "CORPUS_QUERIES")
 _optional("streaming", "STREAMING_QUERIES")
 
 
