@@ -30,6 +30,7 @@ _optional("pipeline", "PIPELINE_QUERIES")
 _optional("frontend", "FRONTEND_QUERIES")
 _optional("multisource", "MULTISOURCE_QUERIES")
 _optional("corpus", "CORPUS_QUERIES")
+_optional("media", "MEDIA_QUERIES")
 _optional("streaming", "STREAMING_QUERIES")
 
 
