@@ -14,7 +14,8 @@ functions — no Python row UDFs anywhere.
 
 from simsearch_spark.plans.spec import Facet, SearchRequest
 from simsearch_spark.session import get_spark
+from simsearch_spark.sources.catalog import Catalog
 
-__all__ = ["Facet", "SearchRequest", "get_spark"]
+__all__ = ["Catalog", "Facet", "SearchRequest", "get_spark"]
 
 __version__ = "0.1.0"

@@ -1,7 +1,8 @@
 """Declared-query registry: name -> (spark_callable, duckdb_oracle_sql|None).
 
-Assembled from the per-area modules; __spark_entry__.py at the repo root is a
-thin adapter over this registry (the driver contract).
+Imports are deliberately NOT guarded: a broken query module must fail loudly
+at import time, not silently shrink the driver's correctness surface.
+__spark_entry__.py at the repo root is a thin adapter over this registry.
 """
 
 from __future__ import annotations
@@ -11,27 +12,31 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from simsearch_spark.queries.core import CORE_QUERIES
+from simsearch_spark.queries.corpus import CORPUS_QUERIES
+from simsearch_spark.queries.frontend import FRONTEND_QUERIES
+from simsearch_spark.queries.media import MEDIA_QUERIES
+from simsearch_spark.queries.multisource import MULTISOURCE_QUERIES
+from simsearch_spark.queries.pipeline import PIPELINE_QUERIES
+from simsearch_spark.queries.setsim import SETSIM_QUERIES
+from simsearch_spark.queries.streaming import STREAMING_QUERIES
+from simsearch_spark.queries.vector import VECTOR_QUERIES
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
-REGISTRY.update(CORE_QUERIES)
-
-
-def _optional(module: str, attr: str) -> None:
-    try:
-        mod = __import__(f"simsearch_spark.queries.{module}", fromlist=[attr])
-        REGISTRY.update(getattr(mod, attr))
-    except ImportError:
-        pass
-
-
-_optional("setsim", "SETSIM_QUERIES")
-_optional("vector", "VECTOR_QUERIES")
-_optional("pipeline", "PIPELINE_QUERIES")
-_optional("frontend", "FRONTEND_QUERIES")
-_optional("multisource", "MULTISOURCE_QUERIES")
-_optional("corpus", "CORPUS_QUERIES")
-_optional("media", "MEDIA_QUERIES")
-_optional("streaming", "STREAMING_QUERIES")
+for _part in (
+    CORE_QUERIES,
+    SETSIM_QUERIES,
+    VECTOR_QUERIES,
+    PIPELINE_QUERIES,
+    FRONTEND_QUERIES,
+    MULTISOURCE_QUERIES,
+    CORPUS_QUERIES,
+    MEDIA_QUERIES,
+    STREAMING_QUERIES,
+):
+    _overlap = set(REGISTRY) & set(_part)
+    if _overlap:
+        raise ValueError(f"duplicate declared-query names: {sorted(_overlap)}")
+    REGISTRY.update(_part)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
