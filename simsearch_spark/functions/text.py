@@ -135,3 +135,41 @@ def doc_fingerprint(col: Column) -> Column:
     text — exact-dup detection key that survives whitespace jitter."""
     norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     return char_fold_hash(norm)
+
+
+def lang_id_frame(df, id_col: str, text_col: str):
+    """(id, lang_pred) via an Arrow-batched pandas kernel.
+
+    The column-expression `lang_id` evaluates 4 stopword-filter HOF chains
+    per row (each re-splitting the text); this kernel tokenizes once and
+    counts set hits in Python.  Arithmetic is bit-identical: hit counts and
+    token counts are exact ints, the ratio is one IEEE double division, and
+    the argmax/tie rules replicate `lang_id` exactly (strict > keeps the
+    earlier language; all-zero → 'und')."""
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_dtype = dict(df.dtypes)[id_col]
+    stop = {lang: set(sw) for lang, sw in LANG_STOPWORDS.items()}
+    order = list(LANG_STOPWORDS)
+    ws = _re.compile(r"\s+")
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            preds = []
+            for t in pdf[text_col]:
+                toks = [w for w in ws.split((t or "").lower()) if w]
+                n = len(toks)
+                best_lang, best_score = "und", 0.0
+                if n:
+                    for lang in order:
+                        sw = stop[lang]
+                        score = sum(1 for w in toks if w in sw) / n
+                        if score > best_score:
+                            best_lang, best_score = lang, score
+                preds.append(best_lang)
+            yield pd.DataFrame({id_col: pdf[id_col], "lang_pred": preds})
+
+    return df.select(id_col, text_col).mapInPandas(proc, f"{id_col} {id_dtype}, lang_pred string")

@@ -291,6 +291,10 @@ SQL_ANN_LSH_TOPK = _lsh_oracle()
 # -----------------------------------------------------------------------------
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inline column path: measured equal to the pandas kernel warm (<1s at
+    # sf0.1 for both; the bench delta was one-time codegen) and it keeps the
+    # plan join-free.  functions.text.lang_id_frame is the batch-kernel
+    # alternative, equality-tested.
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.col("lang").alias("lang_actual"), lang_id(F.col("text")).alias("lang_pred")

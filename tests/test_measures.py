@@ -87,3 +87,19 @@ def test_fingerprint_whitespace_invariant(spark):
     a = one(spark, doc_fingerprint(F.lit("Hello   World")))
     b = one(spark, doc_fingerprint(F.lit("hello world")))
     assert a == b
+
+
+def test_lang_id_frame_equals_column_fn(spark):
+    from simsearch_spark.functions.text import lang_id_frame
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"),
+         (2, "der hund und die katze ist nicht da"),
+         (3, "xyzzy plugh"), (4, ""), (5, None),
+         (6, "le chat et les chiens est dans une maison"),
+         (7, "el perro y la casa de los gatos para que")],
+        "id long, text string",
+    )
+    col_fn = {r.id: r.p for r in df.select("id", lang_id(F.col("text")).alias("p")).collect()}
+    frame_fn = {r.id: r.lang_pred for r in lang_id_frame(df, "id", "text").collect()}
+    assert col_fn == frame_fn
