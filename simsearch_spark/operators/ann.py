@@ -116,8 +116,10 @@ def ivf_topk(
     nearest centroid computed on the fly (one broadcast-join pass).
     """
     cent = [(r[0], list(r[1])) for r in centroids.collect()]
+    # deterministic probe order: distance, then cluster id (collect order is
+    # arbitrary and a bare stable sort would leak it into ties)
     by_dist = sorted(
-        cent, key=lambda c: sum((a - b) ** 2 for a, b in zip(query_vec, c[1]))
+        cent, key=lambda c: (sum((a - b) ** 2 for a, b in zip(query_vec, c[1])), c[0])
     )
     probe_ids = [cid for cid, _v in by_dist[:n_probe]]
 

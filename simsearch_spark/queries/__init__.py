@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from simsearch_spark.queries.core import CORE_QUERIES
 from simsearch_spark.queries.corpus import CORPUS_QUERIES
 from simsearch_spark.queries.frontend import FRONTEND_QUERIES
+from simsearch_spark.queries.ivf import IVF_QUERIES
 from simsearch_spark.queries.media import MEDIA_QUERIES
 from simsearch_spark.queries.multisource import MULTISOURCE_QUERIES
 from simsearch_spark.queries.pipeline import PIPELINE_QUERIES
@@ -31,6 +32,7 @@ for _part in (
     MULTISOURCE_QUERIES,
     CORPUS_QUERIES,
     MEDIA_QUERIES,
+    IVF_QUERIES,
     STREAMING_QUERIES,
 ):
     _overlap = set(REGISTRY) & set(_part)

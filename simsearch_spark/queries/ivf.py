@@ -1,0 +1,72 @@
+"""Declared query: IVF-probed ANN — the learned-quantizer scale path.
+
+Centroids = element-wise mean embedding per fixture `label` cluster
+(computed in-engine, the mount-time "train" step); the query probes the
+`N_PROBE` centroids nearest the query vector and exact-scores only their
+members.  The oracle replays centroid training, probe selection, and member
+scoring entirely in SQL, so the whole IVF pipeline — not just the final
+top-k — is verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simsearch_spark.operators.ann import ivf_topk
+from simsearch_spark.queries.core import K
+from simsearch_spark.queries.vector import _cosine_sql, _l2_sql
+from simsearch_spark.sources.registry import load_table
+
+IVF_QUERY_ID = 11
+N_PROBE = 2
+EMB_DIM = 64
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    ).groupBy("label", "pos").agg(F.avg(F.col("v").cast("double")).alias("mv"))
+    return (
+        flat.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.transform("pairs", lambda p: p["mv"]).alias("centroid"),
+        )
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding]
+    cents = _centroids(spark, sf_dir)
+    out = ivf_topk(
+        emb, "vec_id", "embedding", cents, qvec, K, n_probe=N_PROBE, assign_col="label"
+    )
+    return out.select(F.col("vec_id").alias("id"), F.col("cos_sim"))
+
+
+SQL_IVF_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {IVF_QUERY_ID}),
+flat AS (
+  SELECT label, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS u(i)
+), cm AS (
+  SELECT label, i, avg(v) AS mv FROM flat GROUP BY label, i
+), cent AS (
+  SELECT label, list(mv ORDER BY i) AS c FROM cm GROUP BY label
+), probe AS (
+  SELECT label FROM cent, q ORDER BY {_l2_sql('c', 'qv')} ASC, label ASC LIMIT {N_PROBE}
+)
+SELECT e.vec_id AS id, round({_cosine_sql('e.embedding', 'qv')}, 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.label IN (SELECT label FROM probe)
+ORDER BY round({_cosine_sql('e.embedding', 'qv')}, 6) DESC, e.vec_id LIMIT {K}
+"""
+
+
+IVF_QUERIES = {
+    "ann_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+}
