@@ -157,3 +157,64 @@ def jaccard_self_join_naive(df: DataFrame, id_col: str, tokens_col: str, thresho
         .where(F.col("jaccard") >= float(threshold))
         .select("id_a", "id_b", "overlap", "size_a", "size_b", "jaccard")
     )
+
+
+def jaccard_topk_pruned(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    query_tokens: list[str],
+    k: int,
+    decay: float = 0.05,
+    scale: float | None = None,
+) -> DataFrame:
+    """K4 categorical top-k with inverted-list pruning — the *search* dual of
+    the set-sim join (the reference walks its inverted index with exactly
+    this structure, CategoricalSimSearch.java:126-320).
+
+    Only rows sharing >=1 query token can have Jaccard distance < 1, so the
+    scan is pre-filtered with ``arrays_overlap`` — at scale, a token-bucketed
+    or inverted-list table turns this into pruned reads.  Exact: if fewer
+    than k rows share a token, the tail is filled with dist=1 rows by id
+    (their similarity is 0 by the disjoint-set rule, matching the full-scan
+    ranking's tie-break).  Output matches `single_facet_topk` on a
+    categorical facet row-for-row (equality-tested).
+    """
+    from simsearch_spark.functions import measures
+    from simsearch_spark.operators.topk import kth_distance
+
+    qset = F.array(*[F.lit(t) for t in sorted(set(query_tokens))])
+    base = df.where(F.col(tokens_col).isNotNull())
+    sharing = base.where(F.arrays_overlap(F.col(tokens_col), qset))
+    scored = sharing.withColumn("dist", measures.jaccard_distance(F.col(tokens_col), qset))
+
+    head = scored.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)
+    n_head = head.count()
+    if n_head < k:
+        # tail fill: disjoint rows all sit at dist exactly 1.0, sim 0
+        tail = (
+            base.join(sharing.select(id_col), on=id_col, how="left_anti")
+            .withColumn("dist", F.lit(1.0))
+            .orderBy(F.col(id_col).asc())
+            .limit(k - n_head)
+        )
+        scored = head.unionByName(tail.select(head.columns))
+    else:
+        scored = head
+
+    if scale is not None:
+        scale_col = F.lit(float(scale))
+        with_scale = scored
+    else:
+        # k-th distance over the pruned candidates equals the full-scan value:
+        # every excluded row has dist 1.0 >= any included distance
+        sdf = kth_distance(scored, "dist", k, "__scale")
+        with_scale = scored.crossJoin(F.broadcast(sdf))
+        scale_col = F.col("__scale")
+    sim = F.round(measures.jaccard_similarity_scored(F.col("dist"), scale_col, decay), 6)
+    return (
+        with_scale.withColumn("score", sim)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, tokens_col, "dist", "score")
+    )
