@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simsearch_spark.queries.pipeline import SQL_EVENTS_HOURLY, SQL_EVENTS_SESSIONIZE
+from simsearch_spark.sources.registry import ensure_nanos_conf
 from simsearch_spark.streaming.events import (
     hourly_rollup_stream,
     read_events_stream,
@@ -33,6 +34,7 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
 
 
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_nanos_conf(spark)  # harness sessions lack the nanos conf; ts arrives bigint
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = read_events_stream(spark, _staged_events(spark, sf_dir), schema=schema)
     # complete mode: append would withhold windows the final watermark has not
@@ -43,6 +45,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = read_events_stream(spark, _staged_events(spark, sf_dir), schema=schema)
     q = run_stream_to_memory(sessionize_stream(stream), "q_stream_sessions", mode="complete")

@@ -61,6 +61,16 @@ class Mount:
         return self.alias or self.value_columns[0]
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL conf;
+    set it defensively on EVERY session that reads fixtures.  The repo's own
+    ``session.py`` sets it at build time, but external harnesses construct
+    their own SparkSession — without this, reading ``events.parquet``
+    (physical type TIMESTAMP(NANOS)) raises ``PARQUET_TYPE_ILLEGAL`` before
+    the bigint fallback below can ever run."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. ``spark.read.parquet`` keeps column pruning and
     predicate pushdown available to every downstream facet scan.
@@ -70,6 +80,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and is converted here (fixture values are µs-aligned, so ``div 1000`` is
     lossless; integer div — a double division would lose precision above
     2^53 ns)."""
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -111,3 +111,32 @@ def test_streaming_sessionize_counts(spark, sf_dir, tmp_path):
     want = {r.user_id: (r.n_sessions, r.n_events) for r in q_events_sessionize(spark, sf_dir).collect()}
     assert got == want
     q.stop()
+
+
+def test_load_table_recovers_bare_session_nanos(spark, sf_dir):
+    """Harness sessions are built WITHOUT spark.sql.legacy.parquet.nanosAsLong
+    (CORRECTNESS_r01: 4 queries red on PARQUET_TYPE_ILLEGAL).  load_table must
+    set the conf at call time, not rely on session construction."""
+    from simsearch_spark.sources.registry import load_table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        assert ev.limit(1).count() == 1
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_stream_queries_recover_bare_session_nanos(spark, sf_dir):
+    """The streaming declared queries read events.parquet directly for the
+    schema; they must also survive a session missing the nanos conf."""
+    from simsearch_spark.queries.streaming import q_stream_events_hourly
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        out = q_stream_events_hourly(spark, sf_dir)
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
