@@ -222,20 +222,29 @@ def ngram_jaccard_pairs(
 
 
 def embedding_cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, blocked: bool = True
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    blocked: bool = True,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine ≥ threshold.
 
-    blocked=True (default): Arrow-batched numpy scorer over ``mapInPandas``.
-    The n² dot products are computed as 64 rank-1 updates
-    (``acc += A[:,j] ⊗ B[:,j]`` for j ascending), which is the SAME IEEE
-    left-fold the JVM ``aggregate(zip_with(...))`` and the DuckDB-oracle
+    blocked=True (default): distributed block-tiled pair join.  Rows are
+    hashed into B ≈ n/block_rows blocks; each unordered block pair (p ≤ q)
+    is one ``applyInPandas`` group whose numpy kernel scores its tile.  The
+    n² dot products are computed as rank-1 updates
+    (``acc += A[:,j] ⊗ B[:,j]`` for j ascending), the SAME IEEE left-fold
+    the JVM ``aggregate(zip_with(...))`` and the DuckDB-oracle
     ``list_reduce`` evaluate — elementwise numpy ops are IEEE-correct, so
-    the raw cosines are bit-identical across all three engines; rounding
-    stays JVM-side.  ~10x over the per-pair HOF path at sf0.1.  The
-    comparison side rides an ``sc.broadcast`` of (ids, matrix, norms); at
-    corpus scale both sides tile into blocks — same kernel, or use the
-    LSH-bucketed variant in operators/ann.py.
+    raw cosines are bit-identical across all three engines; the
+    authoritative round-6 filter stays JVM-side.  Driver memory is O(1)
+    (one bounded count); executor memory per task is O(block_rows·dim +
+    block_rows²).  Each row is shuffled B times (block-nested-loop
+    replication) — at corpus scale pre-prune the pair space with the
+    sign-LSH buckets in operators/ann.py and feed the surviving buckets
+    through this same kernel.
 
     blocked=False: pure column-expression pair join (the cross-engine
     reference path; kept for equality testing).
@@ -253,39 +262,76 @@ def embedding_cosine_pairs(
 
     if blocked:
         import numpy as np
-        from collections.abc import Iterator
 
-        import pandas as pd
+        # bounded driver work: ONE scalar (row count) sizes the tiling
+        n_rows = normed.count()
+        n_blocks = max(1, -(-n_rows // int(block_rows)))
+        # pre-filter margin must cover the round-half-width: raw cosines in
+        # [threshold - 5e-7, threshold) round UP to the threshold and must
+        # survive to the authoritative round-6 filter (ADVICE r01)
+        loose = float(threshold) - 1e-6
 
-        rows = normed.collect()
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        mat = np.array([r[1] for r in rows], dtype=np.float64)
-        nrm = np.array([r[2] for r in rows], dtype=np.float64)
-        spark = df.sparkSession
-        b_side = spark.sparkContext.broadcast((ids, mat, nrm))
-        loose = float(threshold) - 1e-9
+        blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+        tagged = normed.withColumn("blk", blk)
+        # row with block b joins tile (pa=b, pb=q) as side A for q ≥ b, and
+        # tile (pa=p, pb=b) as side B for p < b — every unordered row pair
+        # lands in exactly one tile (diagonal tiles carry side A only)
+        side_a = tagged.select(
+            F.col("blk").alias("pa"),
+            F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("pb"),
+            F.lit("a").alias("side"),
+            F.col(id_col).alias("rid"),
+            "v",
+            "nrm",
+        )
+        side_b = tagged.where(F.col("blk") > 0).select(
+            F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("pa"),
+            F.col("blk").alias("pb"),
+            F.lit("b").alias("side"),
+            F.col(id_col).alias("rid"),
+            "v",
+            "nrm",
+        )
+        tiles = side_a.unionByName(side_b)
 
-        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            b_ids, b_mat, b_nrm = b_side.value
-            dim = b_mat.shape[1]
-            for pdf in batches:
-                a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-                a_mat = np.array(list(pdf["v"]), dtype=np.float64)
-                a_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-                # left-fold over dimensions: bit-identical to the JVM fold
-                acc = np.zeros((len(a_ids), len(b_ids)))
-                for j in range(dim):
-                    acc += np.outer(a_mat[:, j], b_mat[:, j])
-                denom = np.outer(a_nrm, b_nrm)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(denom == 0, 0.0, acc / denom)
+        def score_tile(pdf):
+            import pandas as pd
+
+            a = pdf[pdf["side"] == "a"]
+            b = pdf[pdf["side"] == "b"]
+            diagonal = len(b) == 0
+            if diagonal:
+                b = a
+            a_ids = a["rid"].to_numpy(dtype=np.int64)
+            b_ids = b["rid"].to_numpy(dtype=np.int64)
+            if len(a_ids) == 0 or len(b_ids) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+                )
+            a_mat = np.array(list(a["v"]), dtype=np.float64)
+            b_mat = np.array(list(b["v"]), dtype=np.float64)
+            a_nrm = a["nrm"].to_numpy(dtype=np.float64)
+            b_nrm = b["nrm"].to_numpy(dtype=np.float64)
+            # left-fold over dimensions: bit-identical to the JVM fold
+            acc = np.zeros((len(a_ids), len(b_ids)))
+            for j in range(a_mat.shape[1]):
+                acc += np.outer(a_mat[:, j], b_mat[:, j])
+            denom = np.outer(a_nrm, b_nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, acc / denom)
+            if diagonal:
                 keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= loose)
                 ai, bi = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {"id_a": a_ids[ai], "id_b": b_ids[bi], "cos_raw": cos[ai, bi]}
-                )
+                lo, hi = a_ids[ai], b_ids[bi]
+            else:
+                ai, bi = np.nonzero(cos >= loose)
+                lo = np.minimum(a_ids[ai], b_ids[bi])
+                hi = np.maximum(a_ids[ai], b_ids[bi])
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_raw": cos[ai, bi]})
 
-        raw = normed.mapInPandas(score, "id_a long, id_b long, cos_raw double")
+        raw = tiles.groupBy("pa", "pb").applyInPandas(
+            score_tile, "id_a long, id_b long, cos_raw double"
+        )
         return (
             raw.withColumn("cos_sim", F.round("cos_raw", 6))
             .where(F.col("cos_sim") >= float(threshold))

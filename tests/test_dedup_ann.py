@@ -116,6 +116,19 @@ def test_embed_cosine_blocked_equals_column_expr(spark, sf_dir):
     assert fast == slow and fast
 
 
+def test_embed_cosine_tiled_multiblock_equals_column_expr(spark, sf_dir):
+    """Force many tiles (block_rows << n) so diagonal AND off-diagonal tile
+    kernels both execute; results must still be exactly the column-expression
+    pair join — the tiling is pure distribution, never semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    tiled = sorted(tuple(r) for r in
+                   embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45,
+                                          blocked=True, block_rows=16).collect())
+    slow = sorted(tuple(r) for r in
+                  embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45, blocked=False).collect())
+    assert tiled == slow and tiled
+
+
 def test_shingle_frame_equals_column_fn(spark, sf_dir):
     """The pandas shingler must be byte-identical to the column-expression
     shingler on real documents (incl. short/degenerate ones)."""
