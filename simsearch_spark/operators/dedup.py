@@ -165,6 +165,13 @@ def simhash_pairs(
     so candidates come from r+1 equi-joins on (block_idx, block_value) and
     only candidates pay the bit_count verify.  Exact (no recall loss),
     verified equal to the all-pairs join in tests.
+
+    The blocks partition [0, bits) EXACTLY with variable widths
+    (remainder spread over the first blocks).  A fixed ceil(bits/blocks)
+    width would push the last block past the meaningful bit range — the
+    char-fold base hash is < 2^30, so such a block is the constant 0 for
+    every row and its equi-join silently degenerates to the n² cross
+    product (found in round-1 advice).
     """
     sh = (
         shingle_frame(df, id_col, text_col, shingle_n)
@@ -174,11 +181,13 @@ def simhash_pairs(
     )
     if banded:
         n_blocks = max_hamming + 1
-        width = (bits + n_blocks - 1) // n_blocks
+        base_w, rem = divmod(bits, n_blocks)
+        widths = [base_w + 1] * rem + [base_w] * (n_blocks - rem)
+        offsets = [sum(widths[:i]) for i in range(n_blocks)]
         blocks = F.array(
             *[
-                F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1))
-                for i in range(n_blocks)
+                F.shiftright(F.col("sig"), off).bitwiseAND(F.lit((1 << w) - 1))
+                for off, w in zip(offsets, widths)
             ]
         )
         expl = sh.withColumn("blocks", blocks).select(

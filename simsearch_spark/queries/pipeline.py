@@ -149,8 +149,10 @@ SQL_DEDUP_MINHASH_LSH = _minhash_oracle()
 # -----------------------------------------------------------------------------
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded=True is the scale path (pigeonhole equi-join, exact — no
+    # crossJoin in the plan); the all-pairs join stays as the test oracle
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", SIMHASH_R, SIMHASH_BITS)
+    return simhash_pairs(docs, "doc_id", "text", SIMHASH_R, SIMHASH_BITS, banded=True)
 
 
 def _simhash_oracle() -> str:

@@ -161,3 +161,41 @@ def test_jaccard_topk_pruned_equals_full_scan(spark, sf_dir):
         pruned = [(r.doc_id, r.dist, r.score) for r in
                   jaccard_topk_pruned(docs, "doc_id", "tokens", q, 8).collect()]
         assert pruned == full, q
+
+
+def test_simhash_banded_blocks_carry_entropy(spark, sf_dir):
+    """Round-1 advice: the char-fold base hash is < 2^30, so a block lying
+    past the meaningful bit range is the constant 0 for every row and its
+    equi-join degenerates to n².  Blocks now partition [0, bits) exactly —
+    every block must take >1 distinct value on the fixture corpus."""
+    from simsearch_spark.functions.hashing import simhash, token_hashes
+    from simsearch_spark.operators.dedup import shingle_frame
+
+    bits, max_hamming = 32, 6
+    docs = load_table(spark, sf_dir, "documents")
+    sig = (
+        shingle_frame(docs, "doc_id", "text")
+        .withColumn("hashes", token_hashes(F.col("shingles")))
+        .select(simhash(F.col("hashes"), bits).alias("sig"))
+    )
+    n_blocks = max_hamming + 1
+    base_w, rem = divmod(bits, n_blocks)
+    widths = [base_w + 1] * rem + [base_w] * (n_blocks - rem)
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    assert offsets[-1] + widths[-1] == bits  # exact partition, no dead bits
+    distinct_per_block = [
+        sig.select(
+            F.shiftright(F.col("sig"), off).bitwiseAND(F.lit((1 << w) - 1)).alias("b")
+        ).distinct().count()
+        for off, w in zip(offsets, widths)
+    ]
+    assert all(d > 1 for d in distinct_per_block), distinct_per_block
+
+
+def test_dedup_simhash_declared_plan_has_no_cross_join(spark, sf_dir):
+    """The declared query must run the banded equi-join: a CartesianProduct
+    or BroadcastNestedLoopJoin in the plan is the n² scale-killer."""
+    from simsearch_spark.queries.pipeline import q_dedup_simhash
+
+    plan = q_dedup_simhash(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
