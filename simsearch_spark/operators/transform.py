@@ -31,6 +31,7 @@ def word2vec_transform(
     term_col: str = "term",
     vec_col: str = "vec",
     flat: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Average the dictionary vectors of a row's tokens.
 
@@ -39,24 +40,32 @@ def word2vec_transform(
     known token produce no output row (reference leaves the entity out of
     the transformed dataset).
 
+    Plan shape: one groupBy(id) carrying `dim` per-dimension ``avg``
+    aggregates over the packed vector column.  Every aggregate combines
+    map-side, so the shuffle moves one partial row per (id, map partition)
+    — the earlier posexplode→groupBy(id, pos) layout multiplied the shuffle
+    row count by `dim` (64× at the fixture schema; round-1 flagged it as
+    avoidable amplification at corpus scale).  The flat (id, pos, avg_val)
+    layout is reconstituted by posexplode AFTER aggregation, where only
+    result rows pay it.
+
     flat=True returns (id, pos, avg_val) — the element-wise layout used by
-    the DuckDB oracle; flat=False reassembles array vectors.
+    the DuckDB oracle; flat=False returns (id, vec) packed arrays.
     """
+    if dim is None:
+        # bounded driver scalar: vector width from one dictionary row
+        dim = int(dictionary.select(F.size(F.col(vec_col)).alias("d")).first().d)
     toks = df.select(F.col(id_col), F.explode(tokens_col).alias("token"))
     joined = toks.join(
         F.broadcast(dictionary.select(F.col(term_col).alias("token"), F.col(vec_col).alias("v"))),
         "token",
     )
-    flat_vals = joined.select(
-        F.col(id_col), F.posexplode("v").alias("pos", "val")
-    ).groupBy(id_col, "pos").agg(F.round(F.avg("val"), 6).alias("avg_val"))
+    aggs = [F.round(F.avg(F.col("v").getItem(i)), 6).alias(f"_d{i}") for i in range(dim)]
+    packed = joined.groupBy(id_col).agg(*aggs)
+    vec = F.array(*[F.col(f"_d{i}") for i in range(dim)])
     if flat:
-        return flat_vals
-    return (
-        flat_vals.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("pairs"))
-        .select(F.col(id_col), F.transform("pairs", lambda p: p["avg_val"]).alias("vec"))
-    )
+        return packed.select(F.col(id_col), F.posexplode(vec).alias("pos", "avg_val"))
+    return packed.select(F.col(id_col), vec.alias("vec"))
 
 
 def z_normalize(df: DataFrame, col: str, out: str | None = None) -> tuple[DataFrame, float, float]:
