@@ -108,6 +108,13 @@ def multi_facet_topk(
     scored = _facet_sim_frame(df, key, facets, k)
 
     need_estimate = [f for f in facets if f.weights is None]
+    # the scored frame is read once per weight combination (TakeOrdered each)
+    # plus twice by weight estimation; persist so the parquet scan + facet
+    # scoring run ONCE per workload, not once per job (round-1 flagged the
+    # j-fold rescan).  Single-combination requests with given weights read
+    # the frame exactly once — no persist needed.
+    if need_estimate or request.n_combinations > 1:
+        scored = scored.persist()
     est = estimate_weights(scored, need_estimate, k) if need_estimate else {}
 
     n_combos = request.n_combinations
