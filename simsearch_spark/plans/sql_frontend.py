@@ -121,8 +121,19 @@ def _bind_kind(
         if col not in dtypes:
             raise SqlParseError(f"unknown column {col!r}")
         cols = list(dtypes)
-        lat_col = cols[cols.index(col) + 1]
-        return "spatial", [col, lat_col], value
+        idx = cols.index(col)
+        numeric = ("double", "float", "int", "bigint", "smallint", "decimal")
+        if (
+            idx + 1 >= len(cols)
+            or dtypes[col] not in numeric
+            or dtypes[cols[idx + 1]] not in numeric
+        ):
+            raise SqlParseError(
+                f"cannot infer a (lon, lat) pair for POINT predicate on {col!r}: "
+                f"expected a numeric column immediately after a numeric {col!r}; "
+                "declare the pair explicitly via alias_columns={'<alias>': ['lon_col', 'lat_col']}"
+            )
+        return "spatial", [col, cols[idx + 1]], value
     if col in aliases:
         return _bind_kind(df, aliases[col][0], val_kind, value)
     if col not in dtypes:

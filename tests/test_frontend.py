@@ -81,6 +81,24 @@ def test_parse_rejects(cust):
         )
 
 
+def test_parse_point_lat_heuristic_guarded(spark):
+    """POINT binding must not blindly take 'the next column' as latitude: a
+    non-numeric or missing neighbor is a parse error steering the caller to
+    alias_columns, never an IndexError or a silently wrong column pair."""
+    lon_last = spark.createDataFrame([(1, "x", 1.0)], "id long, name string, lon double")
+    with pytest.raises(SqlParseError, match="alias_columns"):
+        parse_search_sql(lon_last, "t", "SELECT * WHERE lon ~= 'POINT (1.0 2.0)'", "id")
+    str_next = spark.createDataFrame([(1, 1.0, "x")], "id long, lon double, name string")
+    with pytest.raises(SqlParseError, match="alias_columns"):
+        parse_search_sql(str_next, "t", "SELECT * WHERE lon ~= 'POINT (1.0 2.0)'", "id")
+    # a declared alias resolves regardless of physical column order
+    p = parse_search_sql(
+        str_next, "t", "SELECT * WHERE pos ~= 'POINT (1.0 2.0)'", "id",
+        alias_columns={"pos": ["lon", "lon"]},
+    )
+    assert p.request.facets[0].kind == "spatial"
+
+
 def test_response_format_shape(cust):
     from simsearch_spark.plans.spec import Facet
 
