@@ -112,3 +112,119 @@ def test_gdelt_missing_values_score_zero(spark):
     # NULL facet contributes exactly 0, other facets still score
     assert all(r["__sim_position"] == 0.0 for r in rows)
     assert any(r["__sim_persons"] > 0.0 for r in rows)
+
+
+PIVOT_GOLDEN = f"{GDELT_DIR}/standalone/search_pivot_results.json"
+
+
+@needs_fixture
+def test_gdelt_pivot_golden_partial_parity(spark):
+    """Partial parity with the reference's pivot-mode golden
+    (`search_pivot_results.json`, query `search_pivot.json`).
+
+    Finding (round-2 adjudication follow-up): the golden records per-result
+    per-attribute SCORES but not the ε scales.  Solving
+    ``ε = decay·dist / -ln(score)`` against raw attribute distances shows
+    - positive_sentiment and position imply ONE consistent ε across all
+      results (the pivot-embedded distance equals the raw distance for them),
+    - timestamp and organizations imply a DIFFERENT ε per result (up to ~13×
+      spread): their recorded scores depend on the unseeded random pivots
+      (``pivoting/PivotSelector.java:141-145``) through lower-bound embedded
+      distances, so they are not deterministically recoverable — the
+      documented disposition for full pivot replay stands.
+
+    This test recovers ε for the two recoverable attributes from the FIRST
+    golden result only, then requires our engine's scoring pipeline to
+    reproduce the remaining recorded scores to 1e-9 — an end-to-end check of
+    csv ingest, numeric/spatial distance, and decay scoring in pivot mode.
+    """
+    import math as m
+
+    from simsearch_spark.functions.measures import DECAY_FACTOR
+    from simsearch_spark.operators.rank_agg import _facet_sim_frame
+
+    golden = json.load(open(PIVOT_GOLDEN))
+    results = [r for combo in golden for r in combo["rankedResults"]]
+    by_attr = {
+        a: {r["id"]: {x["name"]: x["score"] for x in r["attributes"]}[a] for r in results}
+        for a in ("positive_sentiment", "position")
+    }
+
+    df = (
+        spark.read.csv(SAMPLE, header=True, inferSchema=True)
+        .withColumn("positive_sentiment", F.col("positive_sentiment").cast("double"))
+        .withColumn("longitude", F.col("longitude").cast("double"))
+        .withColumn("latitude", F.col("latitude").cast("double"))
+    )
+    # pass 1: raw distances (scale 1.0) for the golden ids
+    probe = [
+        Facet(name="positive_sentiment", kind="numerical", value_cols=["positive_sentiment"],
+              query_value=2.5, scale=1.0),
+        Facet(name="position", kind="spatial", value_cols=["longitude", "latitude"],
+              query_value=(-74.94, 42.15), scale=1.0),
+    ]
+    ids = sorted({r["id"] for r in results})
+    dist_rows = {
+        r.article_id: r
+        for r in _facet_sim_frame(df.where(F.col("article_id").isin(ids)), "article_id", probe, 5)
+        .select("article_id", "__dist_positive_sentiment", "__dist_position")
+        .collect()
+    }
+    # recover ε from the first golden result, then verify every other result
+    scales = {}
+    first = golden[0]["rankedResults"][0]["id"]
+    for attr, dist_col in (("positive_sentiment", "__dist_positive_sentiment"),
+                           ("position", "__dist_position")):
+        s0, d0 = by_attr[attr][first], dist_rows[first][dist_col]
+        assert 0 < s0 < 1 and d0 > 0
+        scales[attr] = DECAY_FACTOR * d0 / -m.log(s0)
+
+    scored = _facet_sim_frame(
+        df.where(F.col("article_id").isin(ids)), "article_id",
+        [Facet(name="positive_sentiment", kind="numerical", value_cols=["positive_sentiment"],
+               query_value=2.5, scale=scales["positive_sentiment"]),
+         Facet(name="position", kind="spatial", value_cols=["longitude", "latitude"],
+               query_value=(-74.94, 42.15), scale=scales["position"])],
+        5,
+    ).select("article_id", "__sim_positive_sentiment", "__sim_position").collect()
+    checked = 0
+    for r in scored:
+        for attr, col in (("positive_sentiment", "__sim_positive_sentiment"),
+                          ("position", "__sim_position")):
+            want = by_attr[attr].get(r.article_id)
+            if want is None:
+                continue
+            assert math.isclose(r[col], want, abs_tol=1e-9), (r.article_id, attr, r[col], want)
+            checked += 1
+    assert checked >= 12  # both attributes across the golden result set
+
+
+@needs_fixture
+def test_gdelt_pivot_golden_ts_org_scales_unrecoverable(spark):
+    """The negative half of the finding, pinned as a test so the disposition
+    is evidence, not assertion: per-result implied ε for timestamp and
+    organizations is NOT constant (unseeded pivot embedding) — if a future
+    reference version starts recording raw-distance scores, this fails and
+    tells us full pivot parity became possible."""
+    import csv as _csv
+    import datetime as _dt
+    import math as m
+
+    golden = json.load(open(PIVOT_GOLDEN))
+    rows = {r["article_id"]: r for r in _csv.DictReader(open(SAMPLE))}
+    q_ts = _dt.datetime(2019, 11, 4, 8, 45, 0)
+    q_org = {"white house", "cnn"}
+    for attr in ("timestamp", "organizations"):
+        implied = []
+        for res in golden[0]["rankedResults"]:
+            s = {a["name"]: a["score"] for a in res["attributes"]}[attr]
+            r = rows[res["id"]]
+            if attr == "timestamp":
+                d = abs((_dt.datetime.strptime(r["timestamp"], "%Y%m%d%H%M%S") - q_ts).total_seconds())
+            else:
+                orgs = {t.strip().lower() for t in r["organizations"].split(";") if t.strip()}
+                d = 1 - len(orgs & q_org) / len(orgs | q_org)
+            if 0 < s < 1 and d > 0:
+                implied.append(0.05 * d / -m.log(s))
+        spread = max(implied) / min(implied)
+        assert spread > 1.5, (attr, implied)  # genuinely inconsistent
