@@ -159,6 +159,40 @@ def jaccard_self_join_naive(df: DataFrame, id_col: str, tokens_col: str, thresho
     )
 
 
+def token_postings(df: DataFrame, id_col: str, tokens_col: str, n_buckets: int = 64) -> DataFrame:
+    """Inverted-list layout (token, id) with a hash bucket column — the
+    mount-time dual of the reference's in-heap inverted index
+    (CategoricalSimSearch.java:126-320).  Write it
+    ``partitionBy("tok_bucket")``: a search then reads only the buckets its
+    query tokens hash into (partition pruning), never the full posting list."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens_col).alias("token"))
+        .withColumn("tok_bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int"))
+    )
+
+
+def postings_candidates(
+    postings: DataFrame, query_tokens: list[str], id_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Candidate ids sharing ≥1 query token, read from a (partitioned)
+    postings table.  The bucket values are computed with the same xxhash64 in
+    a bounded |query|-row job, so the ``tok_bucket IN (...)`` literal
+    predicate prunes partitions at the scan."""
+    spark = postings.sparkSession
+    toks = sorted(set(query_tokens))
+    bdf = (
+        spark.createDataFrame([(t,) for t in toks], "token string")
+        .select(F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("b"))
+        .distinct()
+    )
+    buckets = [r.b for r in bdf.collect()]
+    return (
+        postings.where(F.col("tok_bucket").isin(buckets) & F.col("token").isin(toks))
+        .select(id_col)
+        .distinct()
+    )
+
+
 def jaccard_topk_pruned(
     df: DataFrame,
     id_col: str,
@@ -167,6 +201,7 @@ def jaccard_topk_pruned(
     k: int,
     decay: float = 0.05,
     scale: float | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """K4 categorical top-k with inverted-list pruning — the *search* dual of
     the set-sim join (the reference walks its inverted index with exactly
@@ -185,7 +220,13 @@ def jaccard_topk_pruned(
 
     qset = F.array(*[F.lit(t) for t in sorted(set(query_tokens))])
     base = df.where(F.col(tokens_col).isNotNull())
-    sharing = base.where(F.arrays_overlap(F.col(tokens_col), qset))
+    if candidates is not None:
+        # ids pre-resolved from a partition-pruned postings table
+        # (token_postings/postings_candidates) — identical candidate set to
+        # the arrays_overlap scan, reads only the query tokens' buckets
+        sharing = base.join(candidates, on=id_col, how="left_semi")
+    else:
+        sharing = base.where(F.arrays_overlap(F.col(tokens_col), qset))
     scored = sharing.withColumn("dist", measures.jaccard_distance(F.col(tokens_col), qset))
 
     head = scored.orderBy(F.col("dist").asc(), F.col(id_col).asc()).limit(k)

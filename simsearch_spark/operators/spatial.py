@@ -28,7 +28,17 @@ from simsearch_spark.functions import measures
 
 def with_grid_cells(df: DataFrame, lon_col: str, lat_col: str, cell_deg: float) -> DataFrame:
     """Attach integer grid-cell coordinates (floor(coord / cell)) — the
-    mount-time bucketing step; persist/partition by these at scale."""
+    mount-time bucketing step; persist/partition by these at scale.
+
+    If the frame ALREADY carries cell_x/cell_y (a table written
+    ``partitionBy("cell_x", "cell_y")`` and read back), they are reused
+    untouched: recomputing them from lon/lat would shadow the partition
+    columns with derived expressions and silence partition pruning — the
+    whole point of the layout.  Callers own cell_deg consistency with the
+    stored layout (same contract as any partitioned table's bucket spec).
+    """
+    if "cell_x" in df.columns and "cell_y" in df.columns:
+        return df
     return df.withColumn(
         "cell_x", F.floor(F.col(lon_col) / F.lit(float(cell_deg))).cast("int")
     ).withColumn("cell_y", F.floor(F.col(lat_col) / F.lit(float(cell_deg))).cast("int"))
