@@ -137,6 +137,91 @@ def doc_fingerprint(col: Column) -> Column:
     return char_fold_hash(norm)
 
 
+def corpus_features_frame(df, id_col: str, text_col: str):
+    """(id, quality_raw, lang_pred, fingerprint, n_tokens) in ONE
+    Arrow-batched pandas pass — the corpus-clean pipeline's per-document
+    features without four separate interpreted HOF chains re-splitting the
+    text (measured ~5x on the composed query at sf0.1).
+
+    Bit-identical to the column expressions (equality-tested):
+    - quality_raw replays quality_score's exact IEEE expression tree and is
+      returned UNROUNDED — the authoritative round-6 stays JVM-side so the
+      DuckDB oracle contract is untouched;
+    - lang_pred replicates lang_id's strict-> tie rules;
+    - fingerprint is the same char-fold over trim+ws-collapse+lower text
+      (ord(c) == F.ascii per character);
+    - n_tokens is the whitespace token count.
+    ASCII-range regexes keep Java and Python \\s/punct classes agreeing
+    (fixture corpora are ASCII; the column path remains for full-unicode
+    inputs)."""
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    id_dtype = dict(df.dtypes)[id_col]
+    stop = {lang: set(sw) for lang, sw in LANG_STOPWORDS.items()}
+    order = list(LANG_STOPWORDS)
+    ws = _re.compile(r"\s+")
+    punct = _re.compile(r"[!-/:-@\[-`{-~]")
+    en = stop["en"]
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            quality, preds, fps, ntoks = [], [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    # replicate the column path's NULL propagation exactly
+                    # (equality-pinned): least(NULL,1)=1 → len_score 1,
+                    # punct_pen 0, sw_score 1 → quality 2/3; lang 'und';
+                    # fingerprint/token count stay NULL
+                    quality.append((1.0 + 0.0 + 1.0) / 3.0)
+                    preds.append("und")
+                    fps.append(None)
+                    ntoks.append(None)
+                    continue
+                low = t.lower()
+                toks = [w for w in ws.split(low) if w]
+                n_tok = len(toks)
+                # quality: length sweet-spot + punct penalty + en-stopword density
+                n = len(t)
+                len_score = min(n / 500.0, 1.0)
+                pr = 0.0 if n == 0 else (n - len(punct.sub("", t))) / n
+                punct_pen = 1.0 - min(pr * 4, 1.0)
+                sw_ratio = 0.0 if n_tok == 0 else sum(1 for w in toks if w in en) / n_tok
+                quality.append((len_score + punct_pen + min(sw_ratio * 5, 1.0)) / 3.0)
+                # language argmax, strict > keeps the earlier language
+                best_lang, best_score = "und", 0.0
+                if n_tok:
+                    for lang in order:
+                        sc = sum(1 for w in toks if w in stop[lang]) / n_tok
+                        if sc > best_score:
+                            best_lang, best_score = lang, sc
+                preds.append(best_lang)
+                # fingerprint: char-fold over whitespace-normalized lower text
+                norm = " ".join(w for w in ws.split(low) if w)
+                h = 0
+                for c in norm:
+                    h = (h * 31 + ord(c)) % 1_000_000_007
+                fps.append(h)
+                ntoks.append(n_tok)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "quality_raw": quality,
+                    "lang_pred": preds,
+                    "fingerprint": fps,
+                    "n_tokens": ntoks,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        proc,
+        f"{id_col} {id_dtype}, quality_raw double, lang_pred string, "
+        "fingerprint long, n_tokens int",
+    )
+
+
 def lang_id_frame(df, id_col: str, text_col: str):
     """(id, lang_pred) via an Arrow-batched pandas kernel.
 

@@ -103,3 +103,38 @@ def test_lang_id_frame_equals_column_fn(spark):
     col_fn = {r.id: r.p for r in df.select("id", lang_id(F.col("text")).alias("p")).collect()}
     frame_fn = {r.id: r.lang_pred for r in lang_id_frame(df, "id", "text").collect()}
     assert col_fn == frame_fn
+
+
+def test_corpus_features_frame_equals_column_fns(spark, sf_dir):
+    """The single-pass corpus-features kernel must be bit-identical to the
+    four column-expression features on real documents plus degenerate rows
+    (raw doubles compared exactly, pre-rounding)."""
+    from simsearch_spark.functions.text import (
+        corpus_features_frame,
+        quality_score,
+        token_count,
+    )
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, None), (9003, "  the  AND of!!  "), (9004, "x"),
+         (9005, "der hund und die katze ist nicht da")],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra)
+    col_fn = {
+        r.doc_id: (r.q, r.p, r.fp, r.nt)
+        for r in both.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q"),
+            lang_id(F.col("text")).alias("p"),
+            doc_fingerprint(F.col("text")).alias("fp"),
+            token_count(F.col("text")).alias("nt"),
+        ).collect()
+    }
+    kernel = {
+        r.doc_id: (r.quality_raw, r.lang_pred, r.fingerprint, r.n_tokens)
+        for r in corpus_features_frame(both, "doc_id", "text").collect()
+    }
+    assert col_fn == kernel
