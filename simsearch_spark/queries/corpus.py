@@ -90,6 +90,122 @@ FROM keepers WHERE rn = 1
 """
 
 
+# -----------------------------------------------------------------------------
+# text_repetition: Gopher-style repetition signals (duplicate-token fraction,
+# top-bigram mass).  The corpus-quality filters every pre-training pipeline
+# runs after the cheap length/punct pass; engine extension (the reference has
+# no corpus ops).
+# -----------------------------------------------------------------------------
+
+DUP_T = 0.7
+BIGRAM_T = 0.2
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simsearch_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    dup_raw = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.get(F.col("toks"), i), F.get(F.col("toks"), i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stats = base.select("doc_id", n.alias("n_tokens"), dup_raw.alias("dup_raw"), bigrams.alias("bigrams"))
+    # top-bigram mass: explode → count per (doc, bigram) → max/total per doc.
+    # Two key-partitioned shuffles + a key join — the scalable shape (a
+    # per-doc HOF count would be O(bigrams x distinct) interpreted work).
+    counts = (
+        stats.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    joined = stats.drop("bigrams").join(counts, "doc_id", "left")
+    top_raw = F.coalesce(F.col("mx").cast("double") / F.col("tot").cast("double"), F.lit(0.0))
+    dup6, top6 = F.round(F.col("dup_raw"), 6), F.round(top_raw, 6)
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        dup6.alias("dup_token_frac"),
+        top6.alias("top_bigram_frac"),
+        # flag from the ROUNDED values so both engines compare identical doubles
+        ((dup6 > DUP_T) | (top6 > BIGRAM_T)).alias("repetitive"),
+    )
+
+
+SQL_TEXT_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_WS_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS dup_raw,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])
+              ELSE []::VARCHAR[] END AS bigrams
+  FROM t
+), c AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bigrams) AS bg FROM s) GROUP BY doc_id, bg
+), m AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM c GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       round(s.dup_raw, 6) AS dup_token_frac,
+       round(coalesce(m.mx::DOUBLE / m.tot::DOUBLE, 0.0), 6) AS top_bigram_frac,
+       (round(s.dup_raw, 6) > {DUP_T}
+        OR round(coalesce(m.mx::DOUBLE / m.tot::DOUBLE, 0.0), 6) > {BIGRAM_T}) AS repetitive
+FROM s LEFT JOIN m ON s.doc_id = m.doc_id
+"""
+
+
+# -----------------------------------------------------------------------------
+# corpus_sample: deterministic stratified (per-source) hash sampling — the
+# domain-mixing primitive: every engine run and the oracle pick the SAME
+# rows, no RNG state anywhere (FIXTURES §F4 determinism rule).
+# -----------------------------------------------------------------------------
+
+SAMPLE_RATES = {"src0": 300, "src1": 150}  # per-mille keep rates by stratum
+SAMPLE_DEFAULT = 200
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simsearch_spark.functions.text import char_fold_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string"))
+    bucket = F.pmod(char_fold_hash(key), F.lit(1000))
+    rate = F.lit(SAMPLE_DEFAULT)
+    for src, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate)
+        .select("doc_id", "source", "bucket")
+    )
+
+
+_rate_sql = "CASE source WHEN 'src0' THEN 300 WHEN 'src1' THEN 150 ELSE 200 END"
+SQL_CORPUS_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         {_charfold_sql("source || '|' || doc_id::VARCHAR")} % 1000 AS bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket FROM t WHERE bucket < {_rate_sql}
+"""
+
+
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
 }

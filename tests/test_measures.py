@@ -138,3 +138,19 @@ def test_corpus_features_frame_equals_column_fns(spark, sf_dir):
         for r in corpus_features_frame(both, "doc_id", "text").collect()
     }
     assert col_fn == kernel
+
+
+def test_text_repetition_signals(spark, sf_dir, monkeypatch):
+    """Hand-checked Gopher-style repetition values."""
+    from simsearch_spark.queries import corpus as C
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "x y z w"), (3, "one"), (4, "ab cd ab cd ab cd")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(C, "load_table", lambda spark, sf_dir, name: df)
+    rows = {r.doc_id: r for r in C.q_text_repetition(spark, "ignored").collect()}
+    assert rows[1].dup_token_frac == 0.75 and rows[1].top_bigram_frac == 1.0 and rows[1].repetitive
+    assert rows[2].dup_token_frac == 0.0 and rows[2].top_bigram_frac == 0.333333
+    assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0
+    assert rows[4].top_bigram_frac == 0.6  # 'ab cd' 3 of 5 bigrams
