@@ -39,7 +39,7 @@ SIMHASH_R = 6
 COSINE_T = 0.45
 N_HASHES = 16
 N_BANDS = 4
-SIMHASH_BITS = 32
+SIMHASH_BITS = 32  # of the SPREAD base hash — all 32 entropic (hashing.SPREAD_MULT)
 
 # -----------------------------------------------------------------------------
 # shared DuckDB fragments
@@ -156,8 +156,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
+    # same Knuth spread as functions.hashing.simhash (exact int64 both sides)
+    from simsearch_spark.functions.hashing import SPREAD_MULT
+
     bit_terms = " + ".join(
-        f"(CASE WHEN list_reduce(list_transform(hashes, h -> ((h >> {j}) & 1) * 2 - 1), "
+        f"(CASE WHEN list_reduce(list_transform(hashes, h -> (((h * {SPREAD_MULT}) >> {j}) & 1) * 2 - 1), "
         f"(a, x) -> a + x) > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END)"
         for j in range(SIMHASH_BITS)
     )

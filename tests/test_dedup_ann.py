@@ -199,3 +199,22 @@ def test_dedup_simhash_declared_plan_has_no_cross_join(spark, sf_dir):
 
     plan = q_dedup_simhash(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_frame_equals_column_chain(spark, sf_dir):
+    """The fused signature kernel must be bit-identical to the
+    shingle→token_hashes→simhash column chain on real documents plus
+    degenerate rows."""
+    from simsearch_spark.functions.hashing import simhash, token_hashes
+    from simsearch_spark.operators.dedup import shingle_frame, simhash_frame
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    extra = spark.createDataFrame([(9001, "x y"), (9002, ""), (9003, "one")],
+                                  "doc_id long, text string")
+    both = docs.unionByName(extra)
+    col_fn = {r.doc_id: r.sig for r in
+              shingle_frame(both, "doc_id", "text")
+              .withColumn("hashes", token_hashes(F.col("shingles")))
+              .select("doc_id", simhash(F.col("hashes"), 32).alias("sig")).collect()}
+    kernel = {r.doc_id: r.sig for r in simhash_frame(both, "doc_id", "text", 32).collect()}
+    assert col_fn == kernel
