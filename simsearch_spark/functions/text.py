@@ -222,8 +222,8 @@ def corpus_features_frame(df, id_col: str, text_col: str):
     )
 
 
-def lang_id_frame(df, id_col: str, text_col: str):
-    """(id, lang_pred) via an Arrow-batched pandas kernel.
+def lang_id_frame(df, id_col: str, text_col: str, passthrough: tuple[str, ...] = ()):
+    """(id, *passthrough, lang_pred) via an Arrow-batched pandas kernel.
 
     The column-expression `lang_id` evaluates 4 stopword-filter HOF chains
     per row (each re-splitting the text); this kernel tokenizes once and
@@ -236,7 +236,9 @@ def lang_id_frame(df, id_col: str, text_col: str):
 
     import pandas as pd
 
-    id_dtype = dict(df.dtypes)[id_col]
+    dtypes = dict(df.dtypes)
+    id_dtype = dtypes[id_col]
+    passthrough = list(passthrough or ())
     stop = {lang: set(sw) for lang, sw in LANG_STOPWORDS.items()}
     order = list(LANG_STOPWORDS)
     ws = _re.compile(r"\s+")
@@ -255,6 +257,15 @@ def lang_id_frame(df, id_col: str, text_col: str):
                         if score > best_score:
                             best_lang, best_score = lang, score
                 preds.append(best_lang)
-            yield pd.DataFrame({id_col: pdf[id_col], "lang_pred": preds})
+            out = {id_col: pdf[id_col]}
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["lang_pred"] = preds
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(proc, f"{id_col} {id_dtype}, lang_pred string")
+    schema = ", ".join(
+        [f"{id_col} {id_dtype}"]
+        + [f"{c} {dtypes[c]}" for c in passthrough]
+        + ["lang_pred string"]
+    )
+    return df.select(id_col, *passthrough, text_col).mapInPandas(proc, schema)

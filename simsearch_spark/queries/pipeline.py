@@ -296,13 +296,16 @@ SQL_ANN_LSH_TOPK = _lsh_oracle()
 # -----------------------------------------------------------------------------
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # inline column path: measured equal to the pandas kernel warm (<1s at
-    # sf0.1 for both; the bench delta was one-time codegen) and it keeps the
-    # plan join-free.  functions.text.lang_id_frame is the batch-kernel
-    # alternative, equality-tested.
+    # batch pandas kernel (equality-tested vs the lang_id column chain):
+    # the cold-session bench pays one-time codegen for each of the four
+    # interpreted stopword HOF chains, so the kernel wins cold (r02 measured
+    # 13.2s -> ~2s) and ties warm.  functions.text.lang_id is the
+    # column-expression alternative for join-free plans.
+    from simsearch_spark.functions.text import lang_id_frame
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.col("lang").alias("lang_actual"), lang_id(F.col("text")).alias("lang_pred")
+    return lang_id_frame(docs, "doc_id", "text", passthrough=("lang",)).withColumnRenamed(
+        "lang", "lang_actual"
     )
 
 
