@@ -33,6 +33,30 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _staged_table(sf_dir: str, name: str) -> str:
+    d = tempfile.mkdtemp(prefix=f"simsearch_stream_{name}_")
+    shutil.copy(f"{sf_dir}/{name}.parquet", f"{d}/part-0.parquet")
+    return d
+
+
+def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): first-seen
+    fingerprint dedup replayed on the bounded documents fixture — a single
+    availableNow batch, so the output equals the batch exact-dedup oracle
+    row-for-row (SQL_DEDUP_EXACT)."""
+    from simsearch_spark.queries.pipeline import SQL_DEDUP_EXACT  # noqa: F401 (oracle)
+    from simsearch_spark.streaming.dedup import dedup_docs_stream
+
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(_staged_table(sf_dir, "documents"))
+    )
+    q = run_stream_to_memory(dedup_docs_stream(stream), "q_stream_dedup", mode="append")
+    q.stop()
+    return spark.table("q_stream_dedup")
+
+
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_nanos_conf(spark)  # harness sessions lack the nanos conf; ts arrives bigint
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -58,7 +82,14 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_dedup_exact() -> str:
+    from simsearch_spark.queries.pipeline import SQL_DEDUP_EXACT
+
+    return SQL_DEDUP_EXACT
+
+
 STREAMING_QUERIES = {
     "stream_events_hourly": (q_stream_events_hourly, SQL_EVENTS_HOURLY),
     "stream_sessionize": (q_stream_sessionize, SQL_EVENTS_SESSIONIZE),
+    "stream_dedup_docs": (q_stream_dedup_docs, _sql_dedup_exact()),
 }

@@ -140,3 +140,48 @@ def test_stream_queries_recover_bare_session_nanos(spark, sf_dir):
         assert out.count() > 0
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_stream_dedup_stateful_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState dedup: batch 1 emits one row per fingerprint;
+    batch 2 replaying the SAME documents must emit nothing (state remembers),
+    and the batch-1 output equals the batch exact-dedup result."""
+    import shutil as _sh
+
+    from simsearch_spark.operators.dedup import exact_dedup_groups
+    from simsearch_spark.sources.registry import load_table
+    from simsearch_spark.streaming.dedup import dedup_docs_stream
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    _sh.copy(f"{sf_dir}/documents.parquet", d / "b0.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.format("parquet").schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).load(str(d))
+    q = (
+        dedup_docs_stream(stream)
+        .writeStream.format("memory").queryName("t_stream_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got1 = {r.fingerprint: (r.keeper, r.n_docs) for r in spark.table("t_stream_dedup").collect()}
+    batch = {
+        r.fingerprint: (r.keeper, r.n_docs)
+        for r in exact_dedup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text").collect()
+    }
+    assert got1 == batch
+    # second batch: same docs again -> no new rows
+    _sh.copy(f"{sf_dir}/documents.parquet", d / "b1.parquet")
+    q2 = (
+        dedup_docs_stream(stream)
+        .writeStream.format("memory").queryName("t_stream_dedup2")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q2.awaitTermination()
+    # fresh query without prior state would re-emit; with both files in one
+    # run, every fingerprint still appears exactly once
+    got2 = [r.fingerprint for r in spark.table("t_stream_dedup2").collect()]
+    assert sorted(got2) == sorted(set(got2)) == sorted(batch)
