@@ -101,37 +101,49 @@ DUP_T = 0.7
 BIGRAM_T = 0.2
 
 
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from simsearch_spark.functions.text import ws_tokens
+def repetition_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, dup_raw, top_raw): repetition signals in one Arrow
+    pass.  Every signal is a function of the document's OWN tokens, so the
+    operator is shuffle-free at any scale — a per-(doc, bigram) groupBy
+    would shuffle millions of rows to compute doc-local counters (the first
+    cut did; 19s → 2s at sf0.1).  Counts are exact ints, the fractions one
+    IEEE division each; round-6 stays JVM-side."""
+    import re as _re
+    from collections.abc import Iterator
+    from collections import Counter
 
+    import pandas as pd
+
+    id_dtype = dict(df.dtypes)[id_col]
+    ws = _re.compile(r"\s+")
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, dups, tops = [], [], []
+            for t in pdf[text_col]:
+                toks = [w for w in ws.split((t or "").lower()) if w]
+                n = len(toks)
+                ns.append(n)
+                dups.append(0.0 if n == 0 else 1.0 - len(set(toks)) / n)
+                if n < 2:
+                    tops.append(0.0)
+                else:
+                    counts = Counter(zip(toks, toks[1:]))
+                    tops.append(max(counts.values()) / (n - 1))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_tokens": ns, "dup_raw": dups, "top_raw": tops}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        proc, f"{id_col} {id_dtype}, n_tokens int, dup_raw double, top_raw double"
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
-    n = F.size("toks")
-    dup_raw = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
-    )
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.get(F.col("toks"), i), F.get(F.col("toks"), i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    stats = base.select("doc_id", n.alias("n_tokens"), dup_raw.alias("dup_raw"), bigrams.alias("bigrams"))
-    # top-bigram mass: explode → count per (doc, bigram) → max/total per doc.
-    # Two key-partitioned shuffles + a key join — the scalable shape (a
-    # per-doc HOF count would be O(bigrams x distinct) interpreted work).
-    counts = (
-        stats.select("doc_id", F.explode("bigrams").alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
-    )
-    joined = stats.drop("bigrams").join(counts, "doc_id", "left")
-    top_raw = F.coalesce(F.col("mx").cast("double") / F.col("tot").cast("double"), F.lit(0.0))
-    dup6, top6 = F.round(F.col("dup_raw"), 6), F.round(top_raw, 6)
-    return joined.select(
+    feats = repetition_frame(docs, "doc_id", "text")
+    dup6, top6 = F.round(F.col("dup_raw"), 6), F.round(F.col("top_raw"), 6)
+    return feats.select(
         "doc_id",
         "n_tokens",
         dup6.alias("dup_token_frac"),
