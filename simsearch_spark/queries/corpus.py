@@ -216,8 +216,57 @@ SELECT doc_id, source, bucket FROM t WHERE bucket < {_rate_sql}
 """
 
 
+# -----------------------------------------------------------------------------
+# doc_chunks: fixed token-window chunking — the tokenize-and-pack step of a
+# pre-training pipeline (long documents become W-token training rows).
+# Pure row-local fan-out: sequence→slice→posexplode, no shuffle; output rows
+# scale with corpus tokens / W.
+# -----------------------------------------------------------------------------
+
+CHUNK_W = 64
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simsearch_spark.functions.text import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(CHUNK_W)).cast("int")
+    starts = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") * CHUNK_W + 1, CHUNK_W)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, {_WS_TOKS} AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, unnest(generate_series(0, ceil(len(toks) / {CHUNK_W}.0)::INT - 1)) AS chunk_idx
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_idx,
+       len(list_slice(toks, chunk_idx * {CHUNK_W} + 1, (chunk_idx + 1) * {CHUNK_W})) AS chunk_tokens,
+       array_to_string(list_slice(toks, chunk_idx * {CHUNK_W} + 1, (chunk_idx + 1) * {CHUNK_W}), ' ') AS chunk_text
+FROM c
+"""
+
+
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
 }

@@ -154,3 +154,18 @@ def test_text_repetition_signals(spark, sf_dir, monkeypatch):
     assert rows[2].dup_token_frac == 0.0 and rows[2].top_bigram_frac == 0.333333
     assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0
     assert rows[4].top_bigram_frac == 0.6  # 'ab cd' 3 of 5 bigrams
+
+
+def test_doc_chunks_windows(spark, monkeypatch):
+    """Chunking: W-token windows, last chunk ragged, empty docs dropped."""
+    from simsearch_spark.queries import corpus as C
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(130))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(C, "load_table", lambda spark, sf_dir, name: df)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.chunk_tokens) for r in C.q_doc_chunks(spark, "x").collect())
+    )
+    assert rows == [(1, 0, 64), (1, 1, 64), (1, 2, 2), (2, 0, 2)]
