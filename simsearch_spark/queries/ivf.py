@@ -67,6 +67,51 @@ ORDER BY round({_cosine_sql('e.embedding', 'qv')}, 6) DESC, e.vec_id LIMIT {K}
 """
 
 
+# -----------------------------------------------------------------------------
+# embed_outliers: distance-to-own-centroid scoring — the embedding-space
+# curation op (flag members far from their cluster center before training).
+# Centroid dims are ROUNDED to 6 before the distance so both engines fold
+# identical doubles (cross-row avg order is the only nondeterministic sum;
+# rounding pins it).  One groupBy(label) with packed per-dimension avgs
+# (map-side combine) + a broadcast join back — no row explosion.
+# -----------------------------------------------------------------------------
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simsearch_spark.functions.measures import euclidean_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    aggs = [
+        F.round(F.avg(F.col("embedding").getItem(i).cast("double")), 6).alias(f"_c{i}")
+        for i in range(EMB_DIM)
+    ]
+    cent = (
+        emb.groupBy("label")
+        .agg(*aggs)
+        .select("label", F.array(*[F.col(f"_c{i}") for i in range(EMB_DIM)]).alias("centroid"))
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    dist = euclidean_distance(F.col("embedding"), F.col("centroid"))
+    return joined.select(
+        "vec_id", "label", F.round(dist, 6).alias("centroid_dist")
+    )
+
+
+SQL_EMBED_OUTLIERS = f"""
+WITH flat AS (
+  SELECT label, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS u(i)
+), cm AS (
+  SELECT label, i, round(avg(v), 6) AS mv FROM flat GROUP BY label, i
+), cent AS (
+  SELECT label, list(mv ORDER BY i) AS c FROM cm GROUP BY label
+)
+SELECT e.vec_id, e.label, round({_l2_sql('e.embedding', 'c')}, 6) AS centroid_dist
+FROM embeddings e JOIN cent ON e.label = cent.label
+"""
+
+
 IVF_QUERIES = {
     "ann_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embed_outliers": (q_embed_outliers, SQL_EMBED_OUTLIERS),
 }
