@@ -48,6 +48,12 @@ def _facet_sim_frame(df: DataFrame, key_column: str, facets: list[Facet], k: int
         d = topk.facet_distance(cols, bound)
         scored = scored.withColumn(f"__dist_{f.name}", d)
 
+    # each auto-scaled facet runs its own k-th-distance job over this frame
+    # (TakeOrdered + 1-row agg); persist so those jobs and the final ranking
+    # read one materialization instead of re-scanning parquet per facet
+    if sum(1 for f in facets if f.scale is None) > 1:
+        scored = scored.persist()
+
     for f in facets:
         if f.scale is None:
             sdf = topk.kth_distance(scored, f"__dist_{f.name}", k, f"__scale_{f.name}")
