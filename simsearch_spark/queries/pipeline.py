@@ -434,6 +434,58 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the user's most recent prior click
+    (lexicographic (ts, event_id) order) — the custom temporal-join operator
+    Spark lacks natively, built as an ignore-nulls running last over ONE
+    key-partitioned window: no join, no range explosion, the canonical
+    scale shape for as-of semantics.  Purchases with no prior click keep
+    NULLs (tested NULL contract)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    click_ts = F.last(F.when(is_click, F.col("ts")), ignorenulls=True).over(w)
+    click_id = F.last(F.when(is_click, F.col("event_id")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("click_ts", click_ts)
+        .withColumn("click_id", click_id)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "click_id",
+            (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("delta_us"),
+        )
+    )
+
+
+SQL_EVENTS_ASOF_CLICK = """
+WITH t AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+  FROM t
+)
+SELECT event_id, user_id, click_id, epoch_us(ts) - epoch_us(click_ts) AS delta_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+
 SQL_EVENTS_SESSIONIZE = f"""
 WITH ordered AS (
   SELECT user_id, epoch(ts) AS tsec, event_id,
@@ -462,4 +514,5 @@ PIPELINE_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_asof_click": (q_events_asof_click, SQL_EVENTS_ASOF_CLICK),
 }

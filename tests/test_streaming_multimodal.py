@@ -185,3 +185,29 @@ def test_stream_dedup_stateful_across_batches(spark, sf_dir, tmp_path):
     # run, every fingerprint still appears exactly once
     got2 = [r.fingerprint for r in spark.table("t_stream_dedup2").collect()]
     assert sorted(got2) == sorted(set(got2)) == sorted(batch)
+
+
+def test_events_asof_click_semantics(spark, monkeypatch):
+    """As-of: each purchase takes the latest (ts, event_id)-prior click of
+    its user; no prior click -> NULLs."""
+    import datetime as dt
+
+    from simsearch_spark.queries import pipeline as P
+
+    T = dt.datetime
+    df = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), 7, "click", 0.0, ""),
+            (2, T(2024, 1, 1, 11, 0), 7, "purchase", 1.0, ""),
+            (3, T(2024, 1, 1, 12, 0), 7, "click", 0.0, ""),
+            (4, T(2024, 1, 1, 12, 30), 7, "purchase", 1.0, ""),
+            (5, T(2024, 1, 1, 9, 0), 8, "purchase", 1.0, ""),  # no prior click
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(P, "load_table", lambda spark, sf_dir, name: df)
+    rows = {r.event_id: (r.click_id, r.delta_us) for r in
+            P.q_events_asof_click(spark, "x").collect()}
+    assert rows[2] == (1, 3_600_000_000)
+    assert rows[4] == (3, 1_800_000_000)
+    assert rows[5] == (None, None)
