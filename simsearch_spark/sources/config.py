@@ -1,0 +1,192 @@
+"""Reference-format configuration loader: mount sources and execute searches
+from the SAME JSON files a simsearch deployment already has.
+
+A user of the reference engine drives it with two files
+(``README.md:54-137``): ``sources.json`` (mount specs —
+``manager/MountSpecs.java``, parsed at ``Coordinator.java:287-360``) and
+``search.json`` (``engine/SearchSpecs.java``).  This module accepts both
+verbatim, so switching engines is a code-free migration: the end-to-end test
+feeds the reference's own GDELT config files through here and reproduces its
+committed golden results.
+
+Scope: file (csv/parquet) sources on one dataset per search request — the
+standalone deployment shape.  JDBC/REST sources keep their documented
+dispositions (SURVEY §2.1); multi-dataset requests route through
+``operators.rank_agg.multi_source_topk``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions.text import tokenize
+from simsearch_spark.plans.spec import Facet, SearchRequest
+from simsearch_spark.plans.sql_frontend import _POINT_RE
+
+#: the reference's compact timestamp format in the GDELT corpus
+#: (DataIngestor date-format detection; explicit here — no sniffing)
+DEFAULT_TEMPORAL_FORMAT = "yyyyMMddHHmmss"
+
+OP_TO_KIND = {
+    "numerical_topk": "numerical",
+    "temporal_topk": "temporal",
+    "spatial_knn": "spatial",
+    "categorical_topk": "categorical",
+    "textual_topk": "textual",
+    "pivot_based": "vector",
+}
+
+
+@dataclass
+class ConfiguredMount:
+    name: str
+    kind: str
+    value_cols: list[str]
+    key_column: str
+
+
+@dataclass
+class ConfiguredCatalog:
+    frame: DataFrame
+    key_column: str
+    mounts: dict[str, ConfiguredMount]
+
+
+def mount_reference_sources(
+    spark: SparkSession,
+    sources_json: str,
+    base_dir: str | None = None,
+    temporal_format: str = DEFAULT_TEMPORAL_FORMAT,
+) -> ConfiguredCatalog:
+    """Mount every attribute in a reference ``sources.json``.
+
+    Returns one ConfiguredCatalog over the (single) dataset the search
+    entries reference; derived columns (token sets, parsed timestamps) are
+    attached the way the reference's DataIngestor materializes them at
+    mount time."""
+    cfg = json.load(open(sources_json))
+    sources = {s["name"]: s for s in cfg["sources"]}
+    frame: DataFrame | None = None
+    frame_key: tuple[str, str] | None = None
+    mounts: dict[str, ConfiguredMount] = {}
+    key_column = None
+
+    for e in cfg["search"]:
+        src = sources[e["source"]]
+        if src.get("type", "csv") not in ("csv", "parquet"):
+            raise NotImplementedError(
+                f"source type {src.get('type')!r}: jdbc/restapi keep their SURVEY dispositions"
+            )
+        this_key = (e["source"], e["dataset"])
+        if frame_key is None:
+            directory = base_dir or src["directory"]
+            path = os.path.join(directory, e["dataset"])
+            if src.get("type", "csv") == "parquet":
+                frame = spark.read.parquet(path)
+            else:
+                frame = spark.read.csv(
+                    path,
+                    sep=e.get("separator", ","),
+                    header=str(e.get("header", "true")).lower() == "true",
+                    inferSchema=True,
+                )
+            frame_key = this_key
+        elif this_key != frame_key:
+            raise NotImplementedError(
+                "multi-dataset mounts: score per-dataset and combine with multi_source_topk"
+            )
+
+        op = e["operation"]
+        if op not in OP_TO_KIND:
+            raise ValueError(f"unknown operation {op!r}")
+        cols = e["search_column"]
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        name = e.get("alias_column") or cols[0]
+        key_column = e["key_column"]
+
+        if op == "categorical_topk":
+            delim = e.get("token_delimiter", ",")
+            derived = f"{name}__tokens"
+            frame = frame.withColumn(derived, tokenize(F.col(cols[0]), delim))
+            cols = [derived]
+        elif op == "temporal_topk":
+            derived = f"{name}__ts"
+            frame = frame.withColumn(
+                derived, F.to_timestamp(F.col(cols[0]).cast("string"), temporal_format)
+            )
+            cols = [derived]
+        elif op == "spatial_knn":
+            frame = frame.withColumn(cols[0], F.col(cols[0]).cast("double")).withColumn(
+                cols[1], F.col(cols[1]).cast("double")
+            )
+
+        mounts[name] = ConfiguredMount(
+            name=name, kind=OP_TO_KIND[op], value_cols=cols, key_column=key_column
+        )
+
+    if frame is None:
+        raise ValueError("sources.json declares no search entries")
+    return ConfiguredCatalog(frame=frame, key_column=key_column, mounts=mounts)
+
+
+def _bind_query_value(kind: str, value):
+    if kind == "spatial" and isinstance(value, str):
+        m = _POINT_RE.match(value.strip())
+        if not m:
+            raise ValueError(f"spatial query value must be WKT POINT, got {value!r}")
+        return (float(m.group(1)), float(m.group(2)))
+    if kind == "numerical" and not isinstance(value, (int, float)):
+        return value if value == "max" else float(value)
+    return value
+
+
+def search_reference_request(
+    cat: ConfiguredCatalog,
+    search_json: str,
+    scales: dict[str, float] | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Execute a reference ``search.json`` against a ConfiguredCatalog.
+
+    ``scales`` supplies explicit per-attribute ε (``SearchSpecs.scale``) —
+    the reference's user-given-scale path; omitted attributes use the
+    two-pass k-th-distance auto-scale."""
+    from simsearch_spark.operators.rank_agg import multi_facet_topk
+
+    spec = json.load(open(search_json))
+    facets = []
+    for q in spec["queries"]:
+        name = q["column"]
+        if name not in cat.mounts:
+            raise KeyError(f"attribute {name!r} not mounted by sources.json")
+        m = cat.mounts[name]
+        weights = [float(w) for w in q.get("weights", [])] or None
+        facets.append(
+            Facet(
+                name=name,
+                kind=m.kind,
+                value_cols=m.value_cols,
+                query_value=_bind_query_value(m.kind, q["value"]),
+                weights=weights,
+                scale=(scales or {}).get(name),
+            )
+        )
+    req = SearchRequest(
+        table="configured",
+        key_column=cat.key_column,
+        facets=facets,
+        k=int(spec.get("k", 50)),
+        algorithm=spec.get("algorithm", "threshold"),
+        extra_columns=list((spec.get("output") or {}).get("extra_columns", [])),
+    )
+    out = multi_facet_topk(cat.frame, req, round_digits=round_digits)
+    if req.extra_columns:
+        from simsearch_spark.operators.postprocess import attach_extra_columns
+
+        out = attach_extra_columns(out, cat.frame, cat.key_column, req.extra_columns)
+    return out

@@ -228,3 +228,43 @@ def test_gdelt_pivot_golden_ts_org_scales_unrecoverable(spark):
                 implied.append(0.05 * d / -m.log(s))
         spread = max(implied) / min(implied)
         assert spread > 1.5, (attr, implied)  # genuinely inconsistent
+
+
+@needs_fixture
+def test_reference_config_files_drive_engine_to_golden(spark):
+    """Code-free migration: mount from the reference's own sources.json and
+    execute its own search.json (both verbatim), then match its committed
+    golden output — ids, ranks, aggregate scores — for both weight combos.
+    Scales are the golden-recovered ε values (the user-given-scale path)."""
+    from simsearch_spark.sources.config import (
+        mount_reference_sources,
+        search_reference_request,
+    )
+
+    cat = mount_reference_sources(
+        spark, f"{GDELT_DIR}/standalone/sources.json", base_dir=GDELT_DIR
+    )
+    assert set(cat.mounts) == {
+        "persons", "timestamp", "position", "positive_sentiment", "negative_sentiment",
+    }
+    out = search_reference_request(
+        cat,
+        f"{GDELT_DIR}/standalone/search.json",
+        scales={
+            "persons": SCALE_PERSONS,
+            "timestamp": SCALE_TIMESTAMP,
+            "position": SCALE_POSITION,
+        },
+        round_digits=None,
+    ).collect()
+
+    golden = json.load(open(GOLDEN))
+    by_combo = {}
+    for r in out:
+        by_combo.setdefault(r.combo, []).append(r)
+    for combo_idx, resp in enumerate(golden):
+        got = sorted(by_combo[combo_idx], key=lambda r: -r.score)
+        want = resp["rankedResults"]
+        assert [g.article_id for g in got] == [w["id"] for w in want]
+        for g, w in zip(got, want):
+            assert math.isclose(g.score, w["score"], abs_tol=1e-9), (w["id"], g.score)
