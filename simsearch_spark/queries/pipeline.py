@@ -486,6 +486,33 @@ FROM w WHERE event_type = 'purchase'
 """
 
 
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON ``props`` column
+    (``get_json_object`` — JVM-side JSON path, no UDF) and aggregate per
+    extracted bucket.  The metadata-column pattern every training corpus
+    carries (source tags, crawl info) — one key-partitioned aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .where(F.col("k_bucket").isNotNull())
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_STATS = """
+SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+GROUP BY 1
+"""
+
+
 SQL_EVENTS_SESSIONIZE = f"""
 WITH ordered AS (
   SELECT user_id, epoch(ts) AS tsec, event_id,
@@ -515,4 +542,5 @@ PIPELINE_QUERIES = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_asof_click": (q_events_asof_click, SQL_EVENTS_ASOF_CLICK),
+    "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
 }
