@@ -504,6 +504,57 @@ def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_W_US = 30 * 60 * 1_000_000  # 30-minute lookback window
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: clicks by the same user within [ts − 30 min, ts] of
+    each purchase, counted per purchase.  Spark has no native range join, so
+    this is the bucketed pattern: bucket the right side by window width,
+    explode each left row into its two candidate buckets, equi-join on
+    (user, bucket), then apply the exact range predicate — a key-partitioned
+    shuffle join, never a BroadcastNestedLoopJoin theta join (plan-tested).
+    Each right row matches from exactly one bucket, so no double counting;
+    purchases with no clicks keep count 0 via the left join."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_uid"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.unix_micros("ts").alias("c_us"),
+    ).withColumn("c_bkt", F.floor(F.col("c_us") / RANGE_W_US))
+    pb = p.withColumn(
+        "p_bkt",
+        F.explode(
+            F.array(F.floor(F.col("p_us") / RANGE_W_US) - 1, F.floor(F.col("p_us") / RANGE_W_US))
+        ),
+    )
+    cond = (
+        (pb["p_uid"] == c["c_uid"])
+        & (pb["p_bkt"] == c["c_bkt"])
+        & (c["c_us"] >= pb["p_us"] - RANGE_W_US)
+        & (c["c_us"] <= pb["p_us"])
+    )
+    return (
+        pb.join(c, cond, "left")
+        .groupBy(F.col("p_id").alias("event_id"), F.col("p_uid").alias("user_id"))
+        .agg(F.count("c_us").alias("n_clicks_30m"))
+    )
+
+
+SQL_EVENTS_RANGE_JOIN = """
+SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks_30m
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
 SQL_EVENTS_PROPS_STATS = """
 SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
        count(*) AS n, round(avg(value), 4) AS avg_value
@@ -543,4 +594,5 @@ PIPELINE_QUERIES = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "events_asof_click": (q_events_asof_click, SQL_EVENTS_ASOF_CLICK),
     "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
+    "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
 }

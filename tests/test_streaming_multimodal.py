@@ -211,3 +211,30 @@ def test_events_asof_click_semantics(spark, monkeypatch):
     assert rows[2] == (1, 3_600_000_000)
     assert rows[4] == (3, 1_800_000_000)
     assert rows[5] == (None, None)
+
+
+def test_events_range_join_bucketed_plan_and_counts(spark, monkeypatch):
+    """Range join must compile to a bucketed equi-join (no nested-loop theta
+    join) and count window membership inclusively, zero-filling purchases
+    with no prior clicks."""
+    import datetime as dt
+
+    from simsearch_spark.queries import pipeline as P
+
+    T = dt.datetime
+    df = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), 7, "click", 0.0, ""),
+            (2, T(2024, 1, 1, 10, 29), 7, "click", 0.0, ""),
+            (3, T(2024, 1, 1, 10, 30), 7, "purchase", 1.0, ""),  # both clicks in window
+            (4, T(2024, 1, 1, 11, 30), 7, "purchase", 1.0, ""),  # none (10:00 exp, 10:29 exp)
+            (5, T(2024, 1, 1, 11, 0, 0), 8, "purchase", 1.0, ""),  # user 8: no clicks
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(P, "load_table", lambda spark, sf_dir, name: df)
+    out = P.q_events_range_join(spark, "x")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    rows = {r.event_id: r.n_clicks_30m for r in out.collect()}
+    assert rows == {3: 2, 4: 0, 5: 0}
