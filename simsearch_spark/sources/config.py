@@ -82,6 +82,11 @@ def mount_reference_sources(
             raise NotImplementedError(
                 f"source type {src.get('type')!r}: jdbc/restapi keep their SURVEY dispositions"
             )
+        if e["operation"] == "vector_dictionary":
+            # word-vector dictionary source (Coordinator.java:608-643): a
+            # lookup table for the word2vec transform (its own dataset), not
+            # a searchable attribute — nothing to mount facet-wise
+            continue
         this_key = (e["source"], e["dataset"])
         if frame_key is None:
             directory = base_dir or src["directory"]
@@ -102,12 +107,31 @@ def mount_reference_sources(
             )
 
         op = e["operation"]
-        if op not in OP_TO_KIND:
-            raise ValueError(f"unknown operation {op!r}")
         cols = e["search_column"]
         cols = [cols] if isinstance(cols, str) else list(cols)
         name = e.get("alias_column") or cols[0]
         key_column = e["key_column"]
+
+        if op == "pivot_based":
+            # pivot deployments mount every attribute as pivot_based; the
+            # per-attribute metric comes from the column shape, exactly the
+            # DataIngestor dispatch: (lon, lat) pair → spatial, delimited
+            # token column → categorical, parseable date → temporal,
+            # numeric → numerical
+            if len(cols) == 2:
+                op = "spatial_knn"
+            elif "token_delimiter" in e:
+                op = "categorical_topk"
+            elif dict(frame.dtypes).get(cols[0]) in ("string",):
+                op = "textual_topk"
+            else:
+                sample = frame.select(F.col(cols[0]).cast("string")).first()
+                is_ts = sample is not None and len(str(sample[0] or "")) == len(
+                    "yyyyMMddHHmmss"
+                ) and str(sample[0]).isdigit()
+                op = "temporal_topk" if is_ts else "numerical_topk"
+        if op not in OP_TO_KIND:
+            raise ValueError(f"unknown operation {op!r}")
 
         if op == "categorical_topk":
             delim = e.get("token_delimiter", ",")
@@ -142,6 +166,12 @@ def _bind_query_value(kind: str, value):
         return (float(m.group(1)), float(m.group(2)))
     if kind == "numerical" and not isinstance(value, (int, float)):
         return value if value == "max" else float(value)
+    if kind == "temporal" and isinstance(value, str):
+        v = value.strip()
+        if v.isdigit() and len(v) == 14:  # the reference's compact yyyyMMddHHmmss
+            import datetime as _dt
+
+            return _dt.datetime.strptime(v, "%Y%m%d%H%M%S").strftime("%Y-%m-%d %H:%M:%S")
     return value
 
 

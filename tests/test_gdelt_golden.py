@@ -268,3 +268,37 @@ def test_reference_config_files_drive_engine_to_golden(spark):
         assert [g.article_id for g in got] == [w["id"] for w in want]
         for g, w in zip(got, want):
             assert math.isclose(g.score, w["score"], abs_tol=1e-9), (w["id"], g.score)
+
+
+@needs_fixture
+def test_reference_pivot_config_mounts_and_searches(spark):
+    """The pivot deployment's config files: every attribute mounts as
+    pivot_based with its metric inferred from column shape (the DataIngestor
+    dispatch); the vector_dictionary source is a lookup, not a facet.  The
+    search executes end-to-end with the golden-recovered ε for the two
+    recoverable attributes and returns k ranked rows with the requested
+    extra column."""
+    from simsearch_spark.sources.config import (
+        mount_reference_sources,
+        search_reference_request,
+    )
+
+    cat = mount_reference_sources(
+        spark, f"{GDELT_DIR}/standalone/sources_pivot.json", base_dir=GDELT_DIR
+    )
+    kinds = {m.name: m.kind for m in cat.mounts.values()}
+    assert kinds == {
+        "position": "spatial",
+        "organizations": "categorical",
+        "timestamp": "temporal",
+        "positive_sentiment": "numerical",
+        "negative_sentiment": "numerical",
+    }
+    out = search_reference_request(
+        cat,
+        f"{GDELT_DIR}/standalone/search_pivot.json",
+        scales={"positive_sentiment": 0.009894391287351795, "position": 1.1101190716697534,
+                "organizations": 0.12, "timestamp": 450_000.0},
+    ).collect()
+    assert len(out) == 2 * 5  # two weight combos x k=5
+    assert "negative_sentiment" in out[0].asDict()  # extra_columns honored
