@@ -30,7 +30,6 @@ from simsearch_spark.functions.hashing import (
     hamming64,
     minhash_bands,
     minhash_signature,
-    simhash,
     token_hashes,
 )
 from simsearch_spark.functions.text import doc_fingerprint
