@@ -264,8 +264,59 @@ FROM c
 """
 
 
+# -----------------------------------------------------------------------------
+# bm25_topk: keyword retrieval over the corpus (operators/bm25.py) — the
+# corpus-scale textual dual of the reference's q-gram facet.  Oracle replays
+# the exact stats + fold: avgdl is an exact integer-sum average, idf the same
+# ln() on both engines, and the per-term sum a left fold in sorted term order.
+# -----------------------------------------------------------------------------
+
+BM25_QUERY = ["spark", "join", "window"]
+BM25_K = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from simsearch_spark.functions.text import ws_tokens
+    from simsearch_spark.operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", ws_tokens(F.col("text")))
+    return bm25_topk(docs, "doc_id", "toks", BM25_QUERY, BM25_K)
+
+
+def _bm25_oracle() -> str:
+    from simsearch_spark.operators.bm25 import B, K1
+
+    terms = sorted(set(BM25_QUERY))
+    dfs = ",\n         ".join(
+        f"sum((len(list_filter(toks, x -> x = '{t}')) > 0)::BIGINT) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    norm = f"{K1} * ({1.0 - B} + {B} * len(toks)::DOUBLE / avgdl)"
+    score = "0.0"
+    for i, t in enumerate(terms):
+        idf = f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        tf = f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE"
+        score = f"({score} + {idf} * ({tf} * {K1 + 1.0}) / ({tf} + {norm}))"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_WS_TOKS} AS toks FROM documents
+), s AS (
+  SELECT count(*) AS n_docs, avg(len(toks)::DOUBLE) AS avgdl,
+         {dfs}
+  FROM t
+)
+SELECT doc_id, round({score}, 6) AS score, len(toks) AS n_tokens
+FROM t, s
+ORDER BY round({score}, 6) DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+SQL_BM25_TOPK = _bm25_oracle()
+
+
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),

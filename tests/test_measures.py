@@ -169,3 +169,24 @@ def test_doc_chunks_windows(spark, monkeypatch):
         ((r.doc_id, r.chunk_idx, r.chunk_tokens) for r in C.q_doc_chunks(spark, "x").collect())
     )
     assert rows == [(1, 0, 64), (1, 1, 64), (1, 2, 2), (2, 0, 2)]
+
+
+def test_bm25_ranks_term_rich_docs(spark):
+    """BM25 basics: more matching terms rank higher; rare terms weigh more
+    than common ones; score 0 for no-match docs."""
+    from simsearch_spark.functions.text import ws_tokens
+    from simsearch_spark.operators.bm25 import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark join window spark"),
+            (2, "spark filler filler filler"),
+            (3, "filler filler filler filler"),
+            (4, "join window filler filler"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("toks", ws_tokens(F.col("text")))
+    rows = [(r.doc_id, r.score) for r in bm25_topk(df, "doc_id", "toks", ["spark", "join", "window"], 4).collect()]
+    order = [d for d, _ in rows]
+    assert order[0] == 1 and order[-1] == 3
+    assert dict(rows)[3] == 0.0
