@@ -89,3 +89,22 @@ def test_jdbc_filter_pushdown_reaches_scan(spark, jdbc_source):
         .toString()
     )
     assert "PushedFilters" in plan and "c_acctbal" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_json_source_mount_roundtrip(spark, sf_dir, tmp_path):
+    """S1 generality: a JSON-lines dataset mounts through the same path as
+    parquet/csv and yields identical search results."""
+    import pytest as _pytest
+
+    pq = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    path = str(tmp_path / "cust_json")
+    pq.write.json(path)
+    cat = Catalog(spark)
+    cat.register_source("cust_json", path=path, fmt="json")
+    cat.mount("acctbal", "cust_json", "c_custkey", "c_acctbal", "numerical_topk")
+    got = [(r.c_custkey, r.score) for r in cat.search({"acctbal": 500.0}, k=5).collect()]
+    cat2 = Catalog(spark)
+    cat2.register_source("cust_pq", df=pq)
+    cat2.mount("acctbal", "cust_pq", "c_custkey", "c_acctbal", "numerical_topk")
+    want = [(r.c_custkey, r.score) for r in cat2.search({"acctbal": 500.0}, k=5).collect()]
+    assert got == want and len(got) == 5
