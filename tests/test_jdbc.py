@@ -94,8 +94,6 @@ def test_jdbc_filter_pushdown_reaches_scan(spark, jdbc_source):
 def test_json_source_mount_roundtrip(spark, sf_dir, tmp_path):
     """S1 generality: a JSON-lines dataset mounts through the same path as
     parquet/csv and yields identical search results."""
-    import pytest as _pytest
-
     pq = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     path = str(tmp_path / "cust_json")
     pq.write.json(path)
