@@ -192,7 +192,11 @@ def multi_source_topk(
     for f in facets:
         df = frames[f.name]
         scored = _facet_sim_frame(df, key_column, [f], k)
-        frame = scored.select(F.col(key_column), F.col(f"__sim_{f.name}").alias(f"{f.name}_sim"))
+        frame = scored.select(
+            F.col(key_column),
+            F.lit(f.name).alias("__facet"),
+            F.col(f"__sim_{f.name}").alias("__sim"),
+        )
         if prune_m is not None:
             # INFLATION_FACTOR candidate pruning (Constants.java:44,
             # SearchHandler.java:318-320): keep each facet's M best
@@ -200,14 +204,20 @@ def multi_source_topk(
             # the reference's bounded queues — and like the reference, an
             # entity outside every facet's top-M cannot surface (the
             # reference's approximate-tail caveat, SURVEY §4); omit prune_m
-            # for the exact path.  Pruned frames are broadcastable.
-            frame = frame.orderBy(
-                F.col(f"{f.name}_sim").desc(), F.col(key_column).asc()
-            ).limit(prune_m)
+            # for the exact path.
+            frame = frame.orderBy(F.col("__sim").desc(), F.col(key_column).asc()).limit(prune_m)
         sim_frames.append(frame)
-    joined = functools.reduce(
-        lambda a, b: a.join(b, on=key_column, how="full_outer"), sim_frames
-    )
+    # union + key-grouped aggregation instead of chained full-outer joins:
+    # full outer cannot broadcast (SMJ per facet pair), but a union shuffles
+    # ONCE on the entity key with map-side partial aggregation, handles any
+    # facet count, and reproduces absent-facet-scores-0 semantics exactly
+    # (no row → max(when)=NULL → coalesce 0, RankAggregator.java:239-241)
+    unioned = functools.reduce(lambda a, b: a.unionByName(b), sim_frames)
+    agg_cols = [
+        F.max(F.when(F.col("__facet") == f.name, F.col("__sim"))).alias(f"{f.name}_sim")
+        for f in facets
+    ]
+    joined = unioned.groupBy(key_column).agg(*agg_cols)
     ws = weights or {f.name: 1.0 for f in facets}
     total_w = sum(ws.values())
     num = functools.reduce(

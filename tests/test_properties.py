@@ -91,3 +91,52 @@ def test_minhash_identical_sets_identical_sigs(spark):
     }
     assert sigs[1] == sigs[2]  # order-insensitive
     assert sigs[1] != sigs[3]
+
+
+@given(st.lists(st.lists(ASCII_TOKEN, min_size=0, max_size=150), min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_doc_chunks_partition_tokens_exactly(spark_prop, token_lists):
+    """Chunking is a partition: chunk sizes sum to the doc's token count,
+    every chunk except the last is exactly W, and re-joining chunk texts in
+    order reproduces the tokenized document."""
+    from simsearch_spark.queries import corpus as C
+
+    df = spark_prop.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    import unittest.mock as _m
+
+    with _m.patch.object(C, "load_table", lambda spark, sf_dir, name: df):
+        rows = C.q_doc_chunks(spark_prop, "x").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_tokens, r.chunk_text))
+    for i, toks in enumerate(token_lists):
+        toks = [t for t in " ".join(toks).lower().split() if t]
+        chunks = sorted(by_doc.get(i, []))
+        assert sum(c[1] for c in chunks) == len(toks)
+        assert all(c[1] == C.CHUNK_W for c in chunks[:-1])
+        rejoined = " ".join(c[2] for c in chunks)
+        assert rejoined.split() == toks
+
+
+def test_multi_source_aggregation_has_no_join(spark, sf_dir):
+    """Multi-source rank aggregation is a union + ONE key-grouped
+    aggregation, never a chain of (unbroadcastable) full-outer joins —
+    full outer cannot use BroadcastHashJoin, so the join-free shape is the
+    scale contract."""
+    from simsearch_spark.operators.rank_agg import multi_source_topk
+    from simsearch_spark.plans.spec import Facet
+    from simsearch_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    facets = [
+        Facet(name="bal", kind="numerical", value_cols=["c_acctbal"], query_value=500.0),
+        Facet(name="nm", kind="textual", value_cols=["c_name"], query_value="Customer#0"),
+    ]
+    for m in (None, 100):
+        out = multi_source_topk({"bal": cust, "nm": cust}, facets, "c_custkey", 5, prune_m=m)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan and "FullOuter" not in plan, plan
+        assert out.count() == 5
