@@ -223,6 +223,14 @@ def simhash_pairs(
     sh = simhash_frame(df, id_col, text_col, bits, shingle_n).persist()
     if banded:
         n_blocks = max_hamming + 1
+        if bits < n_blocks:
+            # a zero-width block would mask to the constant 0 and equi-join
+            # every row against every row — the exact degeneration the
+            # variable-width partition exists to prevent
+            raise ValueError(
+                f"banded simhash needs bits >= max_hamming + 1 ({bits} < {n_blocks}); "
+                "use banded=False for radii that wide"
+            )
         base_w, rem = divmod(bits, n_blocks)
         widths = [base_w + 1] * rem + [base_w] * (n_blocks - rem)
         offsets = [sum(widths[:i]) for i in range(n_blocks)]
@@ -351,7 +359,11 @@ def embedding_cosine_pairs(
 
             a = pdf[pdf["side"] == "a"]
             b = pdf[pdf["side"] == "b"]
-            diagonal = len(b) == 0
+            # diagonal is a property of the tile COORDINATES, never of side-b
+            # emptiness: an off-diagonal tile whose q-block happens to be
+            # empty must stay empty, not re-score block p against itself
+            # (that would duplicate every pair tile (p,p) already emitted)
+            diagonal = bool(len(pdf) and pdf["pa"].iat[0] == pdf["pb"].iat[0])
             if diagonal:
                 b = a
             a_ids = a["rid"].to_numpy(dtype=np.int64)

@@ -18,9 +18,13 @@ per-combination rescan of the base data.
 
 Scale: the aggregation is a single wide projection when all facets live on
 one table (zero shuffles: scan → project → TakeOrdered).  For facets on
-different tables, per-facet score frames are full-outer-joined on the entity
-key — a key-partitioned shuffle join that AQE handles (skew split) at 100 TB;
-small facet frames (post per-facet LIMIT M pruning) get broadcast.
+different tables, per-facet score rows union into one (key, facet, sim)
+relation aggregated with ONE key-grouped shuffle (map-side partial agg) —
+full-outer joins cannot broadcast, so the join-free shape is the scale
+contract; per-facet LIMIT M pruning bounds the unioned row count.
+
+Persisted frames (multi-combination / auto-scale paths) are scoped to the
+workload and rely on Spark's LRU block eviction in long-lived sessions.
 """
 
 from __future__ import annotations
@@ -180,13 +184,14 @@ def multi_source_topk(
 ) -> DataFrame:
     """General path: facets over *different* tables (the reference's vertical
     per-attribute maps, ``Coordinator.java:75``).  Each frame is scored
-    independently, then full-outer-joined on the entity key — absent entities
-    contribute 0 for that facet (RankAggregator.java:239-241).
+    independently; the per-facet (key, sim) rows union into one relation and
+    aggregate with ONE key-grouped shuffle — absent entities produce no row
+    for that facet, so their sim coalesces to 0
+    (RankAggregator.java:239-241).
 
-    At scale the join is shuffle-on-key; per-facet frames can be pre-pruned
-    to their M = 1000·k best candidates (INFLATION_FACTOR, Constants.java:44)
-    which turns every facet frame into a broadcastable relation — the exact
-    analog of the reference's bounded candidate queues.
+    Per-facet frames can be pre-pruned to their M = 1000·k best candidates
+    (INFLATION_FACTOR, Constants.java:44), bounding the unioned row count —
+    the exact analog of the reference's bounded candidate queues.
     """
     sim_frames = []
     for f in facets:

@@ -163,21 +163,36 @@ def token_postings(df: DataFrame, id_col: str, tokens_col: str, n_buckets: int =
     """Inverted-list layout (token, id) with a hash bucket column — the
     mount-time dual of the reference's in-heap inverted index
     (CategoricalSimSearch.java:126-320).  Write it
-    ``partitionBy("tok_bucket")``: a search then reads only the buckets its
-    query tokens hash into (partition pruning), never the full posting list."""
+    ``partitionBy("tok_bucket{n}")``: a search then reads only the buckets
+    its query tokens hash into (partition pruning), never the full posting
+    list.  The bucket count is embedded in the COLUMN NAME so the layout is
+    self-describing — a reader can never silently prune with the wrong
+    modulus (which would drop true partitions and return wrong results)."""
     return (
         df.select(F.col(id_col), F.explode(tokens_col).alias("token"))
-        .withColumn("tok_bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int"))
+        .withColumn(
+            f"tok_bucket{n_buckets}",
+            F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int"),
+        )
     )
 
 
-def postings_candidates(
-    postings: DataFrame, query_tokens: list[str], id_col: str, n_buckets: int = 64
-) -> DataFrame:
+def postings_candidates(postings: DataFrame, query_tokens: list[str], id_col: str) -> DataFrame:
     """Candidate ids sharing ≥1 query token, read from a (partitioned)
-    postings table.  The bucket values are computed with the same xxhash64 in
-    a bounded |query|-row job, so the ``tok_bucket IN (...)`` literal
-    predicate prunes partitions at the scan."""
+    postings table.  The bucket modulus is parsed from the layout's own
+    ``tok_bucket{n}`` column (written by token_postings), and the bucket
+    values are computed with the same xxhash64 in a bounded |query|-row job,
+    so the ``tok_bucket{n} IN (...)`` literal predicate prunes partitions at
+    the scan and can never disagree with the stored layout."""
+    import re
+
+    bucket_cols = [c for c in postings.columns if re.fullmatch(r"tok_bucket\d+", c)]
+    if len(bucket_cols) != 1:
+        raise ValueError(
+            f"postings table must carry exactly one tok_bucket<n> column, found {bucket_cols}"
+        )
+    bucket_col = bucket_cols[0]
+    n_buckets = int(bucket_col[len("tok_bucket"):])
     spark = postings.sparkSession
     toks = sorted(set(query_tokens))
     bdf = (
@@ -187,7 +202,7 @@ def postings_candidates(
     )
     buckets = [r.b for r in bdf.collect()]
     return (
-        postings.where(F.col("tok_bucket").isin(buckets) & F.col("token").isin(toks))
+        postings.where(F.col(bucket_col).isin(buckets) & F.col("token").isin(toks))
         .select(id_col)
         .distinct()
     )

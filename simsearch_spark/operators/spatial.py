@@ -34,10 +34,31 @@ def with_grid_cells(df: DataFrame, lon_col: str, lat_col: str, cell_deg: float) 
     ``partitionBy("cell_x", "cell_y")`` and read back), they are reused
     untouched: recomputing them from lon/lat would shadow the partition
     columns with derived expressions and silence partition pruning — the
-    whole point of the layout.  Callers own cell_deg consistency with the
-    stored layout (same contract as any partitioned table's bucket spec).
+    whole point of the layout.  The stored cells are validated against
+    ``cell_deg`` on one sample row — a silent mismatch would make grid_knn
+    terminate its ring search early and return a WRONG k-NN, so it is a
+    hard error, not a performance footnote.
     """
     if "cell_x" in df.columns and "cell_y" in df.columns:
+        import math
+
+        probe = (
+            df.where(F.col(lon_col).isNotNull() & F.col(lat_col).isNotNull())
+            .select(lon_col, lat_col, "cell_x", "cell_y")
+            .first()
+        )
+        if probe is not None:
+            want = (
+                int(math.floor(probe[lon_col] / cell_deg)),
+                int(math.floor(probe[lat_col] / cell_deg)),
+            )
+            got = (probe["cell_x"], probe["cell_y"])
+            if want != got:
+                raise ValueError(
+                    f"stored grid cells {got} disagree with cell_deg={cell_deg} "
+                    f"(expected {want} for lon/lat {probe[lon_col]}, {probe[lat_col]}); "
+                    "pass the cell_deg the layout was written with"
+                )
         return df
     return df.withColumn(
         "cell_x", F.floor(F.col(lon_col) / F.lit(float(cell_deg))).cast("int")

@@ -54,7 +54,18 @@ def word2vec_transform(
     """
     if dim is None:
         # bounded driver scalar: vector width from one dictionary row
-        dim = int(dictionary.select(F.size(F.col(vec_col)).alias("d")).first().d)
+        first = dictionary.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            # empty dictionary: every token is unknown, so no entity gets a
+            # vector — the documented skipped-word contract, not an error
+            id_dtype = dict(df.dtypes)[id_col]
+            schema = (
+                f"{id_col} {id_dtype}, pos int, avg_val double"
+                if flat
+                else f"{id_col} {id_dtype}, vec array<double>"
+            )
+            return df.sparkSession.createDataFrame([], schema)
+        dim = int(first.d)
     toks = df.select(F.col(id_col), F.explode(tokens_col).alias("token"))
     joined = toks.join(
         F.broadcast(dictionary.select(F.col(term_col).alias("token"), F.col(vec_col).alias("v"))),

@@ -50,6 +50,13 @@ class SqlParseError(ValueError):
     pass
 
 
+def _is_numeric_dtype(dt: str) -> bool:
+    # decimal renders as "decimal(p,s)" — match by prefix
+    return dt in ("double", "float", "int", "bigint", "smallint", "tinyint") or dt.startswith(
+        "decimal"
+    )
+
+
 @dataclass
 class ParsedQuery:
     request: SearchRequest
@@ -122,11 +129,10 @@ def _bind_kind(
             raise SqlParseError(f"unknown column {col!r}")
         cols = list(dtypes)
         idx = cols.index(col)
-        numeric = ("double", "float", "int", "bigint", "smallint", "decimal")
         if (
             idx + 1 >= len(cols)
-            or dtypes[col] not in numeric
-            or dtypes[cols[idx + 1]] not in numeric
+            or not _is_numeric_dtype(dtypes[col])
+            or not _is_numeric_dtype(dtypes[cols[idx + 1]])
         ):
             raise SqlParseError(
                 f"cannot infer a (lon, lat) pair for POINT predicate on {col!r}: "
@@ -139,7 +145,7 @@ def _bind_kind(
     if col not in dtypes:
         raise SqlParseError(f"unknown column {col!r}")
     dt = dtypes[col]
-    if dt in ("double", "float", "int", "bigint", "smallint", "decimal"):
+    if _is_numeric_dtype(dt):
         qv = value if val_kind == "num" or value == "max" else float(value)
         return "numerical", [col], qv
     if dt in ("timestamp", "timestamp_ntz", "date"):

@@ -121,7 +121,16 @@ def repetition_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in batches:
             ns, dups, tops = [], [], []
             for t in pdf[text_col]:
-                toks = [w for w in ws.split((t or "").lower()) if w]
+                if t is None:
+                    # match the SQL oracle's NULL propagation exactly:
+                    # NULL toks → NULL n_tokens and dup fraction, but the
+                    # oracle's coalesce(mx/tot, 0.0) makes the bigram mass
+                    # 0.0, and the rounded-flag OR then yields NULL
+                    ns.append(None)
+                    dups.append(None)
+                    tops.append(0.0)
+                    continue
+                toks = [w for w in ws.split(t.lower()) if w]
                 n = len(toks)
                 ns.append(n)
                 dups.append(0.0 if n == 0 else 1.0 - len(set(toks)) / n)
@@ -299,7 +308,9 @@ def _bm25_oracle() -> str:
         score = f"({score} + {idf} * ({tf} * {K1 + 1.0}) / ({tf} + {norm}))"
     return f"""
 WITH t AS (
-  SELECT doc_id, {_WS_TOKS} AS toks FROM documents
+  -- NULL text yields NULL toks; exclude it from stats AND scoring exactly
+  -- as the engine's isNotNull filter does
+  SELECT doc_id, {_WS_TOKS} AS toks FROM documents WHERE text IS NOT NULL
 ), s AS (
   SELECT count(*) AS n_docs, avg(len(toks)::DOUBLE) AS avgdl,
          {dfs}

@@ -218,3 +218,21 @@ def test_simhash_frame_equals_column_chain(spark, sf_dir):
               .select("doc_id", simhash(F.col("hashes"), 32).alias("sig")).collect()}
     kernel = {r.doc_id: r.sig for r in simhash_frame(both, "doc_id", "text", 32).collect()}
     assert col_fn == kernel
+
+
+def test_embed_cosine_empty_block_tiles_no_duplicates(spark):
+    """A tile whose q-block is empty must emit NOTHING — treating it as a
+    diagonal tile would re-score the p-block against itself and duplicate
+    pairs (round-2 review finding).  block_rows=1 over a few rows forces
+    empty blocks for some tile coordinates."""
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(5)]
+    rows += [(10 + i, [1.0, 1.0, 0.0, 0.0]) for i in range(3)]  # identical vecs
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for br in (1, 2, 3):
+        tiled = sorted(tuple(r) for r in
+                       embedding_cosine_pairs(emb, "vec_id", "embedding", 0.5,
+                                              blocked=True, block_rows=br).collect())
+        plain = sorted(tuple(r) for r in
+                       embedding_cosine_pairs(emb, "vec_id", "embedding", 0.5,
+                                              blocked=False).collect())
+        assert tiled == plain, br

@@ -73,7 +73,7 @@ def test_token_postings_partition_pruning(spark, sf_dir, tmp_path_factory):
         "tokens", tokenize(F.col("text"))
     )
     path = str(tmp_path_factory.mktemp("tok") / "postings")
-    token_postings(docs, "doc_id", "tokens").write.partitionBy("tok_bucket").parquet(path)
+    token_postings(docs, "doc_id", "tokens").write.partitionBy("tok_bucket64").parquet(path)
     postings = spark.read.parquet(path)
 
     q = ["spark", "join", "table", "window"]
@@ -95,7 +95,7 @@ def test_jaccard_topk_via_postings_equals_scan(spark, sf_dir, tmp_path_factory):
         "tokens", tokenize(F.col("text"))
     )
     path = str(tmp_path_factory.mktemp("tok2") / "postings")
-    token_postings(docs, "doc_id", "tokens").write.partitionBy("tok_bucket").parquet(path)
+    token_postings(docs, "doc_id", "tokens").write.partitionBy("tok_bucket64").parquet(path)
     postings = spark.read.parquet(path)
 
     for q in (["spark", "join", "table", "window"], ["zzz-not-a-token"]):

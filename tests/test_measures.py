@@ -190,3 +190,36 @@ def test_bm25_ranks_term_rich_docs(spark):
     order = [d for d, _ in rows]
     assert order[0] == 1 and order[-1] == 3
     assert dict(rows)[3] == 0.0
+
+
+def test_text_repetition_null_text_matches_duckdb_oracle(spark, monkeypatch):
+    """NULL-text rows must produce IDENTICAL values in the engine and the
+    SQL oracle (NULL n_tokens/dup, 0.0 bigram mass via coalesce, NULL
+    flag) — pinned against a real DuckDB run, not just assumed."""
+    import duckdb
+
+    from simsearch_spark.queries import corpus as C
+
+    data = [(1, "a a b"), (2, None), (3, "")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    monkeypatch.setattr(C, "load_table", lambda spark, sf_dir, name: df)
+    got = {r.doc_id: (r.n_tokens, r.dup_token_frac, r.top_bigram_frac, r.repetitive)
+           for r in C.q_text_repetition(spark, "x").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(C.SQL_TEXT_REPETITION).fetchall()}
+    assert got == want
+
+
+def test_word2vec_empty_dictionary_returns_empty(spark):
+    """Empty dictionary -> every token unknown -> empty result frame with
+    the right schema (the skipped-word contract), not a crash."""
+    from simsearch_spark.operators.transform import word2vec_transform
+
+    docs = spark.createDataFrame([(1, ["a", "b"])], "id long, tokens array<string>")
+    empty = spark.createDataFrame([], "term string, vec array<double>")
+    flat = word2vec_transform(docs, "id", "tokens", empty, flat=True)
+    assert flat.columns == ["id", "pos", "avg_val"] and flat.count() == 0
+    packed = word2vec_transform(docs, "id", "tokens", empty, flat=False)
+    assert packed.columns == ["id", "vec"] and packed.count() == 0
