@@ -325,9 +325,57 @@ ORDER BY round({score}, 6) DESC, doc_id ASC LIMIT {BM25_K}
 SQL_BM25_TOPK = _bm25_oracle()
 
 
+# -----------------------------------------------------------------------------
+# topk_per_source: grouped top-k (best-k documents per stratum by quality) —
+# the per-domain selection step after scoring.  One window shuffle keyed by
+# the group column; rank never leaves its partition, so the shape holds at
+# any group cardinality (skewed groups split by AQE).
+# -----------------------------------------------------------------------------
+
+GROUP_TOPK = 5
+
+
+def q_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = corpus_features_frame(docs, "doc_id", "text").withColumn(
+        "quality", F.round(F.col("quality_raw"), 6)
+    )
+    with_src = feats.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        with_src.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= GROUP_TOPK)
+        .select("source", "rank", "doc_id", "quality")
+    )
+
+
+SQL_TOPK_PER_SOURCE = f"""
+WITH t AS (
+  SELECT doc_id, source, text, length(text) AS n,
+         length(text) - length(regexp_replace(text, {_PUNCT_RE}, '', 'g')) AS n_punct,
+         {_WS_TOKS} AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id, source,
+         round((least(n::DOUBLE / 500.0, 1.0)
+           + (1.0 - least((CASE WHEN n = 0 THEN 0.0 ELSE n_punct::DOUBLE / n::DOUBLE END) * 4, 1.0))
+           + least((CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, t -> list_contains({_sw_en}, t)))::DOUBLE / len(toks)::DOUBLE END) * 5,
+                   1.0)) / 3.0, 6) AS quality
+  FROM t
+), r AS (
+  SELECT source, doc_id, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS rank
+  FROM q
+)
+SELECT source, rank, doc_id, quality FROM r WHERE rank <= {GROUP_TOPK}
+"""
+
+
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "topk_per_source": (q_topk_per_source, SQL_TOPK_PER_SOURCE),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
