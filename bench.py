@@ -31,6 +31,11 @@ def main() -> None:
         n = df.count() if name == "scan_project" else len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        # queries persist per-workload frames (signature tables, scored
+        # frames); drop them between queries so 49 workloads in one JVM
+        # don't accumulate dead cached blocks and GC churn into each
+        # other's timings
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
