@@ -125,6 +125,72 @@ def simhash_frame(
     return df.select(id_col, text_col).mapInPandas(proc, f"{id_col} {id_dtype}, sig long")
 
 
+def minhash_banded_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, shingles, bands): the MinHash-LSH signature table in ONE Arrow
+    pass — shingling, char-fold hashing, the n permutation minima, and band
+    folding fused (the JVM chain evaluated n_hashes array-min HOF
+    expressions per row).  All-integer modular arithmetic identical to
+    ``minhash_bands(minhash_signature(token_hashes(...)))``
+    (equality-tested); empty token sets keep the PERM_MOD sentinel so they
+    never collide into real buckets."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from simsearch_spark.functions.hashing import MOD as _MOD
+    from simsearch_spark.functions.hashing import PERM_MOD, perm_params
+
+    id_dtype = dict(df.dtypes)[id_col]
+    rows_per_band = n_hashes // bands
+    params = perm_params(n_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sh_out, band_out = [], []
+            for t in pdf[text_col]:
+                words = (t or "").split(" ")
+                count = max(len(words) - (shingle_n - 1), 1)
+                shingles = list(
+                    dict.fromkeys(" ".join(words[i : i + shingle_n]) for i in range(count))
+                )
+                hs = []
+                for s in shingles:
+                    h = 0
+                    for c in s:
+                        h = (h * 31 + ord(c)) % _MOD
+                    hs.append(h)
+                if hs:
+                    # (n_hashes, n_tokens) permuted hashes; a*h ≤ 9e8·1e9 < 2^63
+                    perm = (a_vec * np.asarray(hs, dtype=np.int64) + b_vec) % PERM_MOD
+                    sig = perm.min(axis=1)
+                else:
+                    sig = np.full(n_hashes, PERM_MOD, dtype=np.int64)
+                bvals = []
+                for j in range(bands):
+                    acc = 0
+                    for r in range(rows_per_band):
+                        acc = (acc * 31 + int(sig[j * rows_per_band + r])) % _MOD
+                    bvals.append(acc)
+                sh_out.append(shingles)
+                band_out.append(bvals)
+            yield pd.DataFrame({id_col: pdf[id_col], "shingles": sh_out, "bands": band_out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        proc, f"{id_col} {id_dtype}, shingles array<string>, bands array<long>"
+    )
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: (fingerprint, keeper=min id, group size).  Whitespace/case
     jitter collapses via the normalized fingerprint."""
@@ -152,19 +218,15 @@ def minhash_lsh_pairs(
     recall/perf trade LSH exists for; same contract as every production
     minhash dedup).
     """
-    rows_per_band = n_hashes // bands
-    sh = shingle_frame(df, id_col, text_col, shingle_n)
-    # materialize hashes once; minhash_signature fans out over this column
-    hashed = sh.withColumn("hashes", token_hashes(F.col("shingles")))
-    sig = hashed.withColumn("sig", minhash_signature(F.col("hashes"), n_hashes)).drop("hashes")
-    banded = sig.withColumn("bands", minhash_bands(F.col("sig"), bands, rows_per_band))
+    # fused Arrow signature kernel (bit-identical to the
+    # shingle→hash→sig→band column chain, equality-tested).
     # materialization barrier: the signature table is computed ONCE and
     # reused by candidate generation (twice: both join sides) and
     # verification.  Without it, Spark's Generate stage re-evaluates the
-    # whole shingle→hash→sig→band chain outside whole-stage codegen
-    # (measured 270s vs 7s at sf0.1).  At corpus scale this frame is the
-    # persisted signature *table* every production minhash pipeline stores.
-    banded = banded.persist()
+    # whole signature chain outside whole-stage codegen (measured 270s vs
+    # 7s at sf0.1).  At corpus scale this frame is the persisted signature
+    # *table* every production minhash pipeline stores.
+    banded = minhash_banded_frame(df, id_col, text_col, n_hashes, bands, shingle_n).persist()
 
     # explode to (band_idx, band_hash, id): the only shuffled relation —
     # shingle arrays stay out of the shuffle; verification re-joins by id

@@ -236,3 +236,25 @@ def test_embed_cosine_empty_block_tiles_no_duplicates(spark):
                        embedding_cosine_pairs(emb, "vec_id", "embedding", 0.5,
                                               blocked=False).collect())
         assert tiled == plain, br
+
+
+def test_minhash_banded_frame_equals_column_chain(spark, sf_dir):
+    """The fused MinHash kernel must be bit-identical to the
+    shingle→token_hashes→signature→bands column chain, sentinel rows
+    included."""
+    from simsearch_spark.functions.hashing import minhash_bands, minhash_signature, token_hashes
+    from simsearch_spark.operators.dedup import minhash_banded_frame, shingle_frame
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    extra = spark.createDataFrame([(9001, "x y"), (9002, ""), (9003, "one")],
+                                  "doc_id long, text string")
+    both = docs.unionByName(extra)
+    col_fn = {r.doc_id: (list(r.shingles), list(r.bands)) for r in
+              shingle_frame(both, "doc_id", "text")
+              .withColumn("hashes", token_hashes(F.col("shingles")))
+              .withColumn("sig", minhash_signature(F.col("hashes"), 16))
+              .withColumn("bands", minhash_bands(F.col("sig"), 4, 4))
+              .select("doc_id", "shingles", "bands").collect()}
+    kernel = {r.doc_id: (list(r.shingles), list(r.bands)) for r in
+              minhash_banded_frame(both, "doc_id", "text", 16, 4).collect()}
+    assert col_fn == kernel
