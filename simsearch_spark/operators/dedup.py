@@ -26,12 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from simsearch_spark.functions import measures
-from simsearch_spark.functions.hashing import (
-    hamming64,
-    minhash_bands,
-    minhash_signature,
-    token_hashes,
-)
+from simsearch_spark.functions.hashing import hamming64
 from simsearch_spark.functions.text import doc_fingerprint
 from simsearch_spark.operators.setsim import jaccard_self_join
 
