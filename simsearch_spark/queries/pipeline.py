@@ -504,6 +504,40 @@ def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups in
+    ONE grouping-sets pass (one shuffle computes every granularity; a
+    per-granularity loop would rescan the fact table per level).  The
+    classic time-series materialization shape — at scale this output is the
+    persisted rollup table queries read instead of raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_rollup")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(date_trunc('hour', ts)) = 0 THEN 'hour' ELSE 'day' END AS level,
+               coalesce(date_trunc('hour', ts), date_trunc('day', ts)) AS bucket,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM __events_rollup
+        GROUP BY GROUPING SETS ((date_trunc('hour', ts), event_type),
+                                (date_trunc('day', ts), event_type))
+        """
+    )
+
+
+SQL_EVENTS_ROLLUP_MULTI = """
+SELECT CASE WHEN grouping(date_trunc('hour', ts)) = 0 THEN 'hour' ELSE 'day' END AS level,
+       coalesce(date_trunc('hour', ts), date_trunc('day', ts)) AS bucket,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((date_trunc('hour', ts), event_type),
+                        (date_trunc('day', ts), event_type))
+"""
+
+
 RANGE_W_US = 30 * 60 * 1_000_000  # 30-minute lookback window
 
 
@@ -595,4 +629,5 @@ PIPELINE_QUERIES = {
     "events_asof_click": (q_events_asof_click, SQL_EVENTS_ASOF_CLICK),
     "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
+    "events_rollup_multi": (q_events_rollup_multi, SQL_EVENTS_ROLLUP_MULTI),
 }
