@@ -538,6 +538,60 @@ GROUP BY GROUPING SETS ((date_trunc('hour', ts), event_type),
 """
 
 
+KMV_K = 64
+
+
+def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type —
+    a DETERMINISTIC cardinality sketch: unlike HLL registers (engine-
+    specific), the k smallest char-fold hash values are identical in any
+    engine, so the sketch estimate itself hash-matches the oracle.
+
+    Plan: distinct (type, hash) → per-group k-th smallest via window →
+    estimate (k−1)·M / kth.  The distinct shuffle is bounded by true
+    cardinality; at corpus scale the same sketch merges monotonically
+    (union of k-min sets) across partitions/days — the property KMV is
+    chosen for.  Groups with < k distinct users fall back to their exact
+    count (the standard small-set rule)."""
+    from simsearch_spark.functions.text import char_fold_hash
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = char_fold_hash(F.col("user_id").cast("string"))
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    kth = ranked.where(F.col("rn") == KMV_K).select("event_type", F.col("h").alias("kth"))
+    exact = ranked.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_hashes"))
+    est = F.round(F.lit(float(KMV_K - 1)) * F.lit(float(MOD)) / F.col("kth").cast("double"), 4)
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("kth"), F.lit(-1)).alias("kth_hash"),
+            F.coalesce(est, F.col("n_hashes").cast("double")).alias("est_users"),
+        )
+    )
+
+
+SQL_SKETCH_DISTINCT_USERS = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, {_charfold_sql("user_id::VARCHAR")} AS h FROM events
+), r AS (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM d
+), kth AS (
+  SELECT event_type, h AS kth FROM r WHERE rn = {KMV_K}
+), exact AS (
+  SELECT event_type, count(*) AS n_hashes FROM d GROUP BY event_type
+)
+SELECT e.event_type,
+       coalesce(k.kth, -1) AS kth_hash,
+       coalesce(round({KMV_K - 1}.0 * {MOD}.0 / k.kth::DOUBLE, 4), e.n_hashes::DOUBLE) AS est_users
+FROM exact e LEFT JOIN kth k ON e.event_type = k.event_type
+"""
+
+
 RANGE_W_US = 30 * 60 * 1_000_000  # 30-minute lookback window
 
 
@@ -630,4 +684,5 @@ PIPELINE_QUERIES = {
     "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_rollup_multi": (q_events_rollup_multi, SQL_EVENTS_ROLLUP_MULTI),
+    "sketch_distinct_users": (q_sketch_distinct_users, SQL_SKETCH_DISTINCT_USERS),
 }
