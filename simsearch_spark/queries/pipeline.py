@@ -390,7 +390,18 @@ FROM documents
 # event analytics: hourly rollup + gap sessionization (window functions)
 # -----------------------------------------------------------------------------
 
-SESSION_GAP_S = 1800.0
+# Sessionize gap contract (FIXTURES.md §F5): INTEGER MICROSECONDS end to end.
+# events.parquet stores TIMESTAMP(NANOS); Spark reads long nanos and floors to
+# µs (``ts div 1000``, registry.load_table).  The oracle must see the SAME µs
+# integers regardless of DuckDB version: DuckDB 1.0 truncates TIMESTAMP_NS to
+# µs TIMESTAMP at read (epoch_ns() is then a lossless *1000), newer DuckDB
+# keeps full ns — ``epoch_ns(ts) // 1000`` floors identically under both.
+# Float ``epoch(ts)`` seconds is version-SENSITIVE (ns/1e9 vs µs/1e6 ulp
+# flips) and caused the r2 hash fails.  A session splits when the gap is
+# STRICTLY greater than 30 min — measured equal to ``session_window``'s merge
+# rule (an event exactly gap after its predecessor stays in the session), so
+# batch, streaming, and oracle share one boundary semantics.
+SESSION_GAP_US = 1_800_000_000
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,17 +427,20 @@ FROM events GROUP BY 1, 2
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via window functions (the batch equivalent of
-    the streaming session-window operator in streaming/)."""
+    the streaming session-window operator in streaming/).  Gap arithmetic,
+    window ordering, and the split predicate all run on integer microseconds
+    (see SESSION_GAP_US contract note) so the result is bit-identical to the
+    oracle under any DuckDB timestamp precision."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__events_s")
     return spark.sql(f"""
         WITH ordered AS (
-          SELECT user_id, cast(ts AS double) AS tsec, event_id,
-                 lag(cast(ts AS double)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          SELECT user_id, unix_micros(ts) AS tus, event_id,
+                 lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id) AS prev
           FROM __events_s
         ), flagged AS (
           SELECT user_id, event_id,
-                 CASE WHEN prev IS NULL OR tsec - prev > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+                 CASE WHEN prev IS NULL OR tus - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
           FROM ordered
         )
         SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
@@ -467,21 +481,25 @@ def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same integer-µs contract as SQL_EVENTS_SESSIONIZE: window order and delta
+# arithmetic on epoch_ns//1000, never raw ts (ns tie-breaks) or epoch_us
+# (version-dependent rounding) — keeps the as-of attribution identical to
+# Spark's µs view under any DuckDB timestamp precision.
 SQL_EVENTS_ASOF_CLICK = """
 WITH t AS (
-  SELECT event_id, user_id, ts, event_type FROM events
+  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type FROM events
   WHERE event_type IN ('click', 'purchase')
 ), w AS (
-  SELECT event_id, user_id, ts, event_type,
-         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts,
+  SELECT event_id, user_id, tus, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_tus,
          last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
   FROM t
 )
-SELECT event_id, user_id, click_id, epoch_us(ts) - epoch_us(click_ts) AS delta_us
+SELECT event_id, user_id, click_id, tus - click_tus AS delta_us
 FROM w WHERE event_type = 'purchase'
 """
 
@@ -633,11 +651,14 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EVENTS_RANGE_JOIN = """
+# Range boundaries in integer µs (epoch_ns//1000), matching Spark's p_us/c_us
+# ints — a raw-timestamp BETWEEN flips at boundaries when DuckDB keeps ns
+# precision that Spark's µs view floors away.
+SQL_EVENTS_RANGE_JOIN = f"""
 SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks_30m
 FROM events p LEFT JOIN events c
   ON c.user_id = p.user_id AND c.event_type = 'click'
- AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+ AND epoch_ns(c.ts) // 1000 BETWEEN epoch_ns(p.ts) // 1000 - {RANGE_W_US} AND epoch_ns(p.ts) // 1000
 WHERE p.event_type = 'purchase'
 GROUP BY 1, 2
 """
@@ -652,14 +673,18 @@ GROUP BY 1
 """
 
 
+# Integer-µs oracle: epoch_ns(ts) // 1000 == Spark's unix_micros view under
+# BOTH DuckDB timestamp behaviors (1.0 truncates ns→µs at read; newer keeps
+# ns and the floor-div truncates here).  Ordering is (tus, event_id) — never
+# raw ts, whose ns-resolution tie-break can differ from the µs view.
 SQL_EVENTS_SESSIONIZE = f"""
 WITH ordered AS (
-  SELECT user_id, epoch(ts) AS tsec, event_id,
-         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
+         lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
   FROM events
 ), flagged AS (
   SELECT user_id, event_id,
-         CASE WHEN prev IS NULL OR tsec - prev > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_session
+         CASE WHEN prev IS NULL OR tus - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
   FROM ordered
 )
 SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events

@@ -77,9 +77,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` is parquet TIMESTAMP(NANOS): with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds
-    and is converted here (fixture values are µs-aligned, so ``div 1000`` is
-    lossless; integer div — a double division would lose precision above
-    2^53 ns)."""
+    and is FLOORED to microseconds here (``div 1000`` integer division — a
+    double division would lose precision above 2^53 ns).  Fixture values DO
+    carry sub-µs nanos, so this truncation is lossy and defines the engine's
+    canonical µs view of event time; every timestamp-sensitive oracle must
+    apply the same floor (``epoch_ns(ts) // 1000`` — see the SESSION_GAP_US
+    contract in queries/pipeline.py and FIXTURES.md §F5)."""
     ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

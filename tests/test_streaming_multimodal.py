@@ -238,3 +238,69 @@ def test_events_range_join_bucketed_plan_and_counts(spark, monkeypatch):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     rows = {r.event_id: r.n_clicks_30m for r in out.collect()}
     assert rows == {3: 2, 4: 0, 5: 0}
+
+
+def test_sessionize_gap_boundary_contract(spark, monkeypatch):
+    """Pins the FIXTURES.md §F5 boundary: a gap of EXACTLY 30 min stays in
+    the session (split is strictly > gap), matching session_window's merge
+    rule — batch window-function sessionize and the native session_window
+    aggregation must agree event-for-event at the boundary."""
+    import datetime as dt
+
+    from simsearch_spark.queries import pipeline as P
+    from simsearch_spark.streaming.events import SESSION_GAP
+
+    T = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    gap = dt.timedelta(seconds=1800)
+    rows = [
+        # user 1: exact-gap chain -> ONE session of 3 events
+        (1, T, 1), (2, T + gap, 1), (3, T + 2 * gap, 1),
+        # user 2: one µs over the gap -> TWO sessions
+        (4, T, 2), (5, T + gap + us, 2),
+        # user 3: one µs under -> ONE session
+        (6, T, 3), (7, T + gap - us, 3),
+    ]
+    df = spark.createDataFrame(
+        [(eid, ts, uid, "click", 0.0, "") for eid, ts, uid in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(P, "load_table", lambda spark, sf_dir, name: df)
+    batch = {r.user_id: (r.n_sessions, r.n_events) for r in
+             P.q_events_sessionize(spark, "x").collect()}
+    assert batch == {1: (1, 3), 2: (2, 2), 3: (1, 2)}
+    # session_window (the streaming operator, run in batch mode) must agree
+    sw = (df.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")))
+    stream = {r.user_id: (r.n_sessions, r.n_events) for r in sw.collect()}
+    assert stream == batch
+
+
+def test_oracle_us_contract_matches_raw_nanos(spark, sf_dir):
+    """The integer-µs contract (FIXTURES.md §F5): Spark's view of event time
+    (long nanos floored by ``div 1000``) and the DuckDB oracle expression
+    ``epoch_ns(ts) // 1000`` must BOTH equal raw_parquet_ns // 1000 for every
+    fixture row — under a µs-truncating DuckDB (1.0) and a ns-preserving one
+    alike.  Guards the r2 sessionize hash-fail from regressing."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simsearch_spark.sources.registry import load_table
+
+    path = f"{sf_dir}/events.parquet"
+    t = pq.read_table(path, columns=["event_id", "ts"])
+    raw = dict(zip(t.column("event_id").to_pylist(),
+                   t.column("ts").cast(pa.int64()).to_pylist()))
+    assert any(v % 1000 != 0 for v in raw.values()), "fixture should carry sub-µs nanos"
+
+    ev = load_table(spark, sf_dir, "events")
+    spark_us = dict(ev.select("event_id", F.unix_micros("ts").alias("us")).collect())
+    assert spark_us == {k: v // 1000 for k, v in raw.items()}
+
+    con = duckdb.connect()
+    duck_us = dict(con.execute(
+        f"SELECT event_id, epoch_ns(ts) // 1000 FROM read_parquet('{path}')").fetchall())
+    assert duck_us == spark_us
