@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,56 +28,79 @@ from simsearch_spark.streaming.events import (
 )
 
 
-def _staged_events(spark: SparkSession, sf_dir: str) -> str:
-    d = tempfile.mkdtemp(prefix="simsearch_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
-    return d
-
-
 def _staged_table(sf_dir: str, name: str) -> str:
     d = tempfile.mkdtemp(prefix=f"simsearch_stream_{name}_")
     shutil.copy(f"{sf_dir}/{name}.parquet", f"{d}/part-0.parquet")
     return d
 
 
+def _unique(name: str) -> str:
+    """Memory-sink table names are session-global; a reused harness session
+    that invokes a query twice (schema probe + collect) would collide on a
+    fixed name.  A per-invocation suffix makes every run independent."""
+    return f"{name}_{uuid.uuid4().hex[:12]}"
+
+
+def _run_staged(spark: SparkSession, staged: str, build, sink: str, mode: str):
+    """Run one bounded replay over a staged directory, always cleaning the
+    staging dir up (the memory sink owns the results after termination)."""
+    try:
+        q = run_stream_to_memory(build(), sink, mode=mode)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return q
+
+
 def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): first-seen
-    fingerprint dedup replayed on the bounded documents fixture — a single
-    availableNow batch, so the output equals the batch exact-dedup oracle
-    row-for-row (SQL_DEDUP_EXACT)."""
+    fingerprint dedup replayed on the bounded documents fixture.  The replay
+    stages ONE file and runs without maxFilesPerTrigger, so availableNow
+    delivers exactly one micro-batch and the output equals the batch
+    exact-dedup oracle row-for-row (SQL_DEDUP_EXACT).  Single-batch delivery
+    is asserted after the run: a multi-batch replay would make first-wins
+    emission diverge from the batch oracle (keeper/n_docs from the first
+    batch only), and that must be a loud failure, not a silent hash drift."""
     from simsearch_spark.queries.pipeline import SQL_DEDUP_EXACT  # noqa: F401 (oracle)
     from simsearch_spark.streaming.dedup import dedup_docs_stream
 
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.format("parquet").schema(schema).load(_staged_table(sf_dir, "documents"))
-    )
-    q = run_stream_to_memory(dedup_docs_stream(stream), "q_stream_dedup", mode="append")
-    q.stop()
-    return spark.table("q_stream_dedup")
+    staged = _staged_table(sf_dir, "documents")
+    stream = spark.readStream.format("parquet").schema(schema).load(staged)
+    sink = _unique("q_stream_dedup")
+    q = _run_staged(spark, staged, lambda: dedup_docs_stream(stream), sink, "append")
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    if len(data_batches) > 1:
+        raise RuntimeError(
+            f"stream_dedup_docs replay split into {len(data_batches)} micro-batches; "
+            "first-wins state emission only matches the batch oracle on a "
+            "single-batch replay"
+        )
+    return spark.table(sink)
 
 
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_nanos_conf(spark)  # harness sessions lack the nanos conf; ts arrives bigint
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = read_events_stream(spark, _staged_events(spark, sf_dir), schema=schema)
+    staged = _staged_table(sf_dir, "events")
+    stream = read_events_stream(spark, staged, schema=schema)
     # complete mode: append would withhold windows the final watermark has not
     # passed on a bounded replay (they would sit in state forever)
-    q = run_stream_to_memory(hourly_rollup_stream(stream), "q_stream_hourly", mode="complete")
-    q.stop()
-    return spark.table("q_stream_hourly")
+    sink = _unique("q_stream_hourly")
+    _run_staged(spark, staged, lambda: hourly_rollup_stream(stream), sink, "complete")
+    return spark.table(sink)
 
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = read_events_stream(spark, _staged_events(spark, sf_dir), schema=schema)
-    q = run_stream_to_memory(sessionize_stream(stream), "q_stream_sessions", mode="complete")
-    q.stop()
+    staged = _staged_table(sf_dir, "events")
+    stream = read_events_stream(spark, staged, schema=schema)
+    sink = _unique("q_stream_sessions")
+    _run_staged(spark, staged, lambda: sessionize_stream(stream), sink, "complete")
     # roll session windows up to the per-user shape of the batch oracle
     return (
-        spark.table("q_stream_sessions")
+        spark.table(sink)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
     )

@@ -69,16 +69,49 @@ def sessionize_stream(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
     )
 
 
-def run_stream_to_memory(stream_df: DataFrame, query_name: str, mode: str = "append"):
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    mode: str = "append",
+    timeout_s: float = 300.0,
+    shuffle_partitions: int = 16,
+):
     """Drive a streaming graph to a memory sink until all available input is
     consumed (test/replay harness).  Returns the StreamingQuery; results land
-    in the ``query_name`` in-memory table."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    in the ``query_name`` in-memory table.
+
+    Hardened for external harness sessions (the r2 driver lost the last
+    streaming verdict):
+
+    - state-store parallelism is pinned to ``shuffle_partitions`` for the
+      duration of the run (saved/restored) — a host session default of 200
+      creates 200 state partitions + checkpoint dirs per stateful query,
+      an order-of-magnitude startup tax on a bounded replay;
+    - ``awaitTermination`` is bounded: a wedged stream raises a clear
+      TimeoutError (a recordable failure) instead of hanging the harness;
+    - the query is stopped on every exit path.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if prev is not None:
+        shuffle_partitions = min(shuffle_partitions, int(prev))
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_s):
+                raise TimeoutError(
+                    f"streaming query {query_name!r} still running after {timeout_s}s"
+                )
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
