@@ -71,12 +71,17 @@ def word2vec_transform(
         F.broadcast(dictionary.select(F.col(term_col).alias("token"), F.col(vec_col).alias("v"))),
         "token",
     )
-    aggs = [F.round(F.avg(F.col("v").getItem(i)), 6).alias(f"_d{i}") for i in range(dim)]
+    # round AFTER the flatten: one round expression on the exploded column
+    # instead of `dim` round-wrapped aggregates — same values (round of the
+    # finished avg either way), ~dim fewer expression instances to codegen
+    aggs = [F.avg(F.col("v").getItem(i)).alias(f"_d{i}") for i in range(dim)]
     packed = joined.groupBy(id_col).agg(*aggs)
     vec = F.array(*[F.col(f"_d{i}") for i in range(dim)])
     if flat:
-        return packed.select(F.col(id_col), F.posexplode(vec).alias("pos", "avg_val"))
-    return packed.select(F.col(id_col), vec.alias("vec"))
+        return packed.select(F.col(id_col), F.posexplode(vec).alias("pos", "avg_val")).withColumn(
+            "avg_val", F.round("avg_val", 6)
+        )
+    return packed.select(F.col(id_col), F.transform(vec, lambda x: F.round(x, 6)).alias("vec"))
 
 
 def z_normalize(df: DataFrame, col: str, out: str | None = None) -> tuple[DataFrame, float, float]:

@@ -80,7 +80,17 @@ def q_word2vec_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary = vocab.withColumn("h", char_fold_hash(F.col("term")) % DICT_MOD).join(
         emb, F.col("h") == F.col("vec_id")
     ).select("term", F.col("embedding").alias("vec"))
-    return word2vec_transform(docs, "doc_id", "tokens", dictionary, flat=True).select(
+    # The dictionary is broadcast-sized by the transform's contract, so ONE
+    # bounded collect both materializes the broadcast side and yields the
+    # vector width — the r2 shape evaluated the whole vocab->hash->join
+    # pipeline TWICE (a .first() dim probe + the broadcast rebuild) and was
+    # the bench's single biggest avoidable cost.  Reusing dictionary.schema
+    # keeps element types (float vs double) — and therefore the avg
+    # arithmetic — identical to the distributed plan.
+    rows = dictionary.collect()
+    local_dict = spark.createDataFrame(rows, dictionary.schema)
+    dim = len(rows[0].vec) if rows else None
+    return word2vec_transform(docs, "doc_id", "tokens", local_dict, flat=True, dim=dim).select(
         "doc_id", "pos", "avg_val"
     )
 
