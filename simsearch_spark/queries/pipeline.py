@@ -448,6 +448,18 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_events_sessionize_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-guarded two-phase sessionize (operators/sessionize.py) as a
+    declared query against the SAME oracle as events_sessionize: the heavy
+    window partitions by (user, day) instead of user, so a power-law user
+    at 100× fixture scale is bounded by its busiest day, not its lifetime.
+    Driver-verified row-identical to the single-window contract."""
+    from simsearch_spark.operators.sessionize import sessionize_segmented
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_segmented(ev, gap_us=SESSION_GAP_US)
+
+
 def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the user's most recent prior click
     (lexicographic (ts, event_id) order) — the custom temporal-join operator
@@ -705,6 +717,7 @@ PIPELINE_QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_sessionize_segmented": (q_events_sessionize_segmented, SQL_EVENTS_SESSIONIZE),
     "events_asof_click": (q_events_asof_click, SQL_EVENTS_ASOF_CLICK),
     "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),

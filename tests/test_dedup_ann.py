@@ -258,3 +258,54 @@ def test_minhash_banded_frame_equals_column_chain(spark, sf_dir):
     kernel = {r.doc_id: (list(r.shingles), list(r.bands)) for r in
               minhash_banded_frame(both, "doc_id", "text", 16, 4).collect()}
     assert col_fn == kernel
+
+
+def test_embed_cosine_nrows_hint_equals_counted(spark, sf_dir):
+    """Passing a statistics-based row-count hint must only change tiling
+    geometry, never the result set — and an over-estimate is safe (block
+    sizing needs magnitude, not exactness)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = sorted(map(tuple,
+                  embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45,
+                                         block_rows=64).collect()))
+    hinted = sorted(map(tuple,
+                    embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45,
+                                           block_rows=64, n_rows=10_000).collect()))
+    assert hinted == base and len(base) > 0
+
+
+def test_embed_cosine_pruned_subset_and_planted_recall(spark, sf_dir):
+    """pruned=True (banded sign-LSH candidates -> shared exact kernel) must
+    emit a SUBSET of the exact pairs with identical cosines (no false
+    positives — every candidate is exact-scored), and on planted
+    high-similarity duplicates the default banding recovers every pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cos_sim for r in
+             embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45).collect()}
+    pruned = {(r.id_a, r.id_b): r.cos_sim for r in
+              embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45,
+                                     pruned=True).collect()}
+    assert set(pruned).issubset(set(exact))
+    assert all(exact[k] == v for k, v in pruned.items())
+
+    # planted near-dups at the threshold the defaults are tuned for (>=0.9):
+    # base vectors plus tiny perturbations -> cos ~ 0.999
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for g in range(20):
+        base = rng.randn(16)
+        for _dup in range(2):
+            v = base + 0.01 * rng.randn(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact_p = {(r.id_a, r.id_b) for r in
+               embedding_cosine_pairs(df, "vec_id", "embedding", 0.9).collect()}
+    pruned_p = {(r.id_a, r.id_b) for r in
+                embedding_cosine_pairs(df, "vec_id", "embedding", 0.9,
+                                       pruned=True).collect()}
+    assert len(exact_p) >= 20  # every planted twin pair is above threshold
+    assert pruned_p == exact_p

@@ -304,3 +304,42 @@ def test_oracle_us_contract_matches_raw_nanos(spark, sf_dir):
     duck_us = dict(con.execute(
         f"SELECT event_id, epoch_ns(ts) // 1000 FROM read_parquet('{path}')").fetchall())
     assert duck_us == spark_us
+
+
+def test_sessionize_segmented_equals_plain(spark, sf_dir):
+    """The two-phase skew-guarded sessionize must be row-identical to the
+    single-window form on the fixture, for segment widths well above, near,
+    and BELOW the gap (sessions spanning 3+ segments exercise the
+    one-merge-per-boundary accounting)."""
+    from simsearch_spark.operators.sessionize import sessionize_segmented
+    from simsearch_spark.queries.pipeline import SESSION_GAP_US, q_events_sessionize
+    from simsearch_spark.sources.registry import load_table
+
+    want = {r.user_id: (r.n_sessions, r.n_events) for r in
+            q_events_sessionize(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    for seg_us in (86_400_000_000, 2 * SESSION_GAP_US, SESSION_GAP_US // 3):
+        got = {r.user_id: (r.n_sessions, r.n_events) for r in
+               sessionize_segmented(ev, gap_us=SESSION_GAP_US, seg_us=seg_us).collect()}
+        assert got == want, f"seg_us={seg_us}"
+
+
+def test_sessionize_segmented_boundary_chain(spark):
+    """A session chained across many segments at exact-gap spacing must stay
+    ONE session (merge accounting + the strict > split at every boundary)."""
+    import datetime as dt
+
+    from simsearch_spark.operators.sessionize import sessionize_segmented
+
+    T = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(seconds=1800)
+    rows = [(i, T + i * gap, 1) for i in range(10)]          # one long chain
+    rows += [(100, T, 2), (101, T + 3 * gap + dt.timedelta(microseconds=1), 2)]
+    df = spark.createDataFrame(
+        [(eid, ts, uid) for eid, ts, uid in rows],
+        "event_id long, ts timestamp, user_id long",
+    )
+    # segment width BELOW the gap: every consecutive pair crosses >=1 boundary
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in
+           sessionize_segmented(df, gap_us=1_800_000_000, seg_us=600_000_000).collect()}
+    assert got == {1: (1, 10), 2: (2, 2)}
