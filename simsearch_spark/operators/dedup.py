@@ -34,7 +34,10 @@ from simsearch_spark.operators.setsim import jaccard_self_join
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct n-word shingles (order-preserving token n-grams).  Token-set
     Jaccard saturates on small vocabularies; shingles keep word order and are
-    the standard dedup unit (MinHash over shingles)."""
+    the standard dedup unit (MinHash over shingles).  NULL/whitespace-only
+    text yields the EMPTY shingle set (not [""]) — shared contract with the
+    Arrow kernels, so empty documents reach the minhash sentinel instead of
+    colliding on the hash of the empty string."""
     w = F.split(col, " ")
     count = F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))
     # F.get is 0-based and NULL-safe out of bounds (no ANSI error for short
@@ -43,7 +46,9 @@ def word_shingles(col: Column, n: int = 3) -> Column:
         F.sequence(F.lit(0), count - 1),
         lambda i: F.concat_ws(" ", *[F.get(w, i + j) for j in range(n)]),
     )
-    return F.array_distinct(grams)
+    return F.when(
+        col.isNull() | (F.trim(col) == ""), F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(grams))
 
 
 def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -62,7 +67,10 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         for pdf in batches:
             out = []
             for t in pdf[text_col]:
-                words = (t or "").split(" ")
+                if t is None or t.strip() == "":
+                    out.append([])
+                    continue
+                words = t.split(" ")
                 count = max(len(words) - (n - 1), 1)
                 # dict.fromkeys = first-occurrence dedupe, same contents as
                 # array_distinct
@@ -98,11 +106,14 @@ def simhash_frame(
         for pdf in batches:
             sigs = []
             for t in pdf[text_col]:
-                words = (t or "").split(" ")
-                count = max(len(words) - (shingle_n - 1), 1)
-                shingles = dict.fromkeys(
-                    " ".join(words[i : i + shingle_n]) for i in range(count)
-                )
+                if t is None or t.strip() == "":
+                    shingles = {}
+                else:
+                    words = t.split(" ")
+                    count = max(len(words) - (shingle_n - 1), 1)
+                    shingles = dict.fromkeys(
+                        " ".join(words[i : i + shingle_n]) for i in range(count)
+                    )
                 hs = []
                 for s in shingles:
                     h = 0
@@ -134,8 +145,12 @@ def minhash_banded_frame(
     folding fused (the JVM chain evaluated n_hashes array-min HOF
     expressions per row).  All-integer modular arithmetic identical to
     ``minhash_bands(minhash_signature(token_hashes(...)))``
-    (equality-tested); empty token sets keep the PERM_MOD sentinel so they
-    never collide into real buckets."""
+    (equality-tested on non-empty texts).  NULL/empty texts produce an
+    EMPTY shingle set and the PERM_MOD sentinel signature (the column chain
+    shingles them as [""], which made m empty docs collide into the same
+    buckets and verify at jaccard 1.0 — O(m²) false pairs);
+    ``minhash_lsh_pairs`` additionally filters them out of the candidate
+    universe, so the sentinel is defense-in-depth for direct callers."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -154,11 +169,14 @@ def minhash_banded_frame(
         for pdf in batches:
             sh_out, band_out = [], []
             for t in pdf[text_col]:
-                words = (t or "").split(" ")
-                count = max(len(words) - (shingle_n - 1), 1)
-                shingles = list(
-                    dict.fromkeys(" ".join(words[i : i + shingle_n]) for i in range(count))
-                )
+                if t is None or t.strip() == "":
+                    shingles = []
+                else:
+                    words = t.split(" ")
+                    count = max(len(words) - (shingle_n - 1), 1)
+                    shingles = list(
+                        dict.fromkeys(" ".join(words[i : i + shingle_n]) for i in range(count))
+                    )
                 hs = []
                 for s in shingles:
                     h = 0
@@ -212,7 +230,13 @@ def minhash_lsh_pairs(
     jaccard ≥ threshold among LSH candidates (banding may miss pairs — the
     recall/perf trade LSH exists for; same contract as every production
     minhash dedup).
+
+    NULL/whitespace-only documents are excluded from the candidate universe:
+    they have no shingle content to be "near-duplicates" BY (m of them would
+    otherwise bucket together and verify at jaccard 0/0); exact duplicates of
+    empty documents are the exact tier's job (``exact_dedup_groups``).
     """
+    df = df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     # fused Arrow signature kernel (bit-identical to the
     # shingle→hash→sig→band column chain, equality-tested).
     # materialization barrier: the signature table is computed ONCE and
@@ -275,6 +299,9 @@ def simhash_pairs(
     every row and its equi-join silently degenerates to the n² cross
     product (found in round-1 advice).
     """
+    # NULL/whitespace-only docs share one degenerate signature and would all
+    # pair at hamming 0 — same exclusion contract as minhash_lsh_pairs
+    df = df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
     # fused pandas signature kernel (bit-identical to the column chain,
     # equality-tested); persist: computed once, read by both join sides
     sh = simhash_frame(df, id_col, text_col, bits, shingle_n).persist()

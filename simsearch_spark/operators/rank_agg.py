@@ -38,7 +38,13 @@ from simsearch_spark.operators import topk
 from simsearch_spark.plans.spec import Facet, SearchRequest
 
 
-def _facet_sim_frame(df: DataFrame, key_column: str, facets: list[Facet], k: int) -> DataFrame:
+def _facet_sim_frame(
+    df: DataFrame,
+    key_column: str,
+    facets: list[Facet],
+    k: int,
+    persisted: list[DataFrame] | None = None,
+) -> DataFrame:
     """Single-table path: one wide projection with per-facet dist + sim
     columns; auto scales cross-joined as broadcast 1-row aggregates.
 
@@ -57,6 +63,8 @@ def _facet_sim_frame(df: DataFrame, key_column: str, facets: list[Facet], k: int
     # read one materialization instead of re-scanning parquet per facet
     if sum(1 for f in facets if f.scale is None) > 1:
         scored = scored.persist()
+        if persisted is not None:
+            persisted.append(scored)
 
     for f in facets:
         if f.scale is None:
@@ -105,6 +113,7 @@ def multi_facet_topk(
     df: DataFrame,
     request: SearchRequest,
     round_digits: int | None = 6,
+    eager_cleanup: bool = False,
 ) -> DataFrame:
     """Rank-aggregated top-k over facets of one table.
 
@@ -113,9 +122,18 @@ def multi_facet_topk(
     ``ORDER BY score DESC, id ASC`` (FIXTURES.md §F4).  The aggregate score
     is rounded *before* ranking so cross-engine exp() last-ulp differences
     collapse into exact ties broken by id.
+
+    CACHE LIFECYCLE: multi-combination and auto-scale requests persist an
+    intermediate scored frame that the lazily-returned result still reads,
+    so by default it stays cached until LRU eviction (or the caller's
+    ``spark.catalog.clearCache()``).  Pass ``eager_cleanup=True`` to
+    materialize the k·combos result rows now (``localCheckpoint``) and
+    unpersist immediately — the right mode for long-lived sessions issuing
+    many requests; the default keeps the plan lazy/inspectable.
     """
     facets, k, key = request.facets, request.k, request.key_column
-    scored = _facet_sim_frame(df, key, facets, k)
+    handles: list[DataFrame] = []
+    scored = _facet_sim_frame(df, key, facets, k, persisted=handles)
 
     need_estimate = [f for f in facets if f.weights is None]
     # the scored frame is read once per weight combination (TakeOrdered each)
@@ -125,6 +143,7 @@ def multi_facet_topk(
     # the frame exactly once — no persist needed.
     if need_estimate or request.n_combinations > 1:
         scored = scored.persist()
+        handles.append(scored)
     est = estimate_weights(scored, need_estimate, k) if need_estimate else {}
 
     n_combos = request.n_combinations
@@ -170,6 +189,12 @@ def multi_facet_topk(
         )
         per_combo.append(top)
     out = functools.reduce(lambda a, b: a.unionByName(b), per_combo)
+    if eager_cleanup and handles:
+        # materialize the bounded (k·combos rows) result, then free the
+        # workload-scoped cached frames instead of waiting for LRU eviction
+        out = out.localCheckpoint(eager=True)
+        for h in handles:
+            h.unpersist()
     return out
 
 

@@ -119,6 +119,7 @@ def _minhash_oracle() -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id, {_shingles_sql("string_split(text, ' ')")} AS sh FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
 ), hs AS (
   SELECT doc_id, sh, list_transform(sh, s -> {_charfold_sql('s')}) AS hashes FROM sh
 ), sig AS (
@@ -167,6 +168,7 @@ def _simhash_oracle() -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id, {_shingles_sql("string_split(text, ' ')")} AS sh FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
 ), hs AS (
   SELECT doc_id, list_transform(sh, s -> {_charfold_sql('s')}) AS hashes FROM sh
 ), sim AS (
@@ -193,6 +195,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH sh AS (
   SELECT doc_id, {_shingles_sql("string_split(text, ' ')")} AS sh FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, round({_jacc_sql('a.sh', 'b.sh')}, 6) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id

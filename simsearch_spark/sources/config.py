@@ -110,6 +110,16 @@ def mount_reference_sources(
         cols = e["search_column"]
         cols = [cols] if isinstance(cols, str) else list(cols)
         name = e.get("alias_column") or cols[0]
+        # every facet joins on ONE entity key; silently keeping the last
+        # entry's key would join earlier facets on the wrong column and
+        # return wrong results with no error — fail loudly like the
+        # multi-dataset guard above
+        if key_column is not None and e["key_column"] != key_column:
+            raise ValueError(
+                f"search entries disagree on key_column: {key_column!r} vs "
+                f"{e['key_column']!r} (entry {name!r}); a single-dataset mount "
+                "must use one entity key"
+            )
         key_column = e["key_column"]
 
         if op == "pivot_based":

@@ -309,3 +309,30 @@ def test_embed_cosine_pruned_subset_and_planted_recall(spark, sf_dir):
                                        pruned=True).collect()}
     assert len(exact_p) >= 20  # every planted twin pair is above threshold
     assert pruned_p == exact_p
+
+
+def test_hash_dedup_excludes_empty_docs(spark):
+    """NULL/whitespace-only documents must never form near-dup pairs in the
+    hash tiers (they have no shingle content to be near-duplicates BY; the
+    column chain used to shingle them as [""] and verify at jaccard 1.0).
+    Exact dedup still groups them — that tier's legitimate job."""
+    from simsearch_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, None),
+        (4, ""),
+        (5, "   "),
+        (6, "completely different text about something else entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = [(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, "doc_id", "text", 0.7).collect()]
+    assert mh == [(1, 2)]
+    sh = [(r.id_a, r.id_b) for r in simhash_pairs(df, "doc_id", "text", 3, banded=True).collect()]
+    assert (1, 2) in sh and all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in sh)
+    # the exact tier still collapses the empty family where it belongs:
+    # "" and "   " normalize to fingerprint 0 (one group); NULL text keeps a
+    # NULL fingerprint (SQL null propagation), its own group
+    ex = {r.fingerprint: r.n_docs for r in exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert ex[0] == 2 and ex[None] == 1

@@ -302,3 +302,29 @@ def test_reference_pivot_config_mounts_and_searches(spark):
     ).collect()
     assert len(out) == 2 * 5  # two weight combos x k=5
     assert "negative_sentiment" in out[0].asDict()  # extra_columns honored
+
+
+def test_mount_rejects_conflicting_key_columns(spark, tmp_path):
+    """Entries disagreeing on key_column must raise, not silently keep the
+    last one (every facet would then join on the wrong entity key and return
+    wrong results with no error)."""
+    import json
+
+    import pytest
+
+    from simsearch_spark.sources.config import mount_reference_sources
+
+    (tmp_path / "d.csv").write_text("id,a,b\n1,2.5,3.5\n2,4.5,5.5\n")
+    cfg = {
+        "sources": [{"name": "s1", "type": "csv", "directory": str(tmp_path)}],
+        "search": [
+            {"source": "s1", "dataset": "d.csv", "operation": "numerical_topk",
+             "search_column": "a", "key_column": "id"},
+            {"source": "s1", "dataset": "d.csv", "operation": "numerical_topk",
+             "search_column": "b", "key_column": "a"},
+        ],
+    }
+    p = tmp_path / "sources.json"
+    p.write_text(json.dumps(cfg))
+    with pytest.raises(ValueError, match="key_column"):
+        mount_reference_sources(spark, str(p))

@@ -128,3 +128,35 @@ def test_multi_source_prune_m_matches_exact_when_m_large(spark, sf_dir):
     assert exact == pruned
     tiny = multi_source_topk(frames, facets, "c_custkey", 5, prune_m=5).collect()
     assert len(tiny) == 5  # still fills k from the bounded candidate pool
+
+
+def test_multi_facet_eager_cleanup_frees_cache(spark, sf_dir):
+    """eager_cleanup=True must return identical rows while unpersisting the
+    workload-scoped scored frames (default mode leaves them for LRU/
+    clearCache; long-lived sessions opt into eager cleanup)."""
+    from simsearch_spark.plans.spec import Facet, SearchRequest
+    from simsearch_spark.sources.registry import load_table
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    cust = load_table(spark, sf_dir, "customer")
+    req = SearchRequest(
+        table="customer",
+        key_column="c_custkey",
+        facets=[
+            Facet(name="bal", kind="numerical", value_cols=["c_acctbal"], query_value=1000.0),
+            Facet(name="nat", kind="numerical", value_cols=["c_nationkey"], query_value=10.0),
+        ],
+        k=5,
+    )  # no scales + no weights -> both persist sites trigger
+    spark.catalog.clearCache()
+    lazy_rows = [tuple(r) for r in multi_facet_topk(cust, req).collect()]
+    lazy_cached = n_cached()
+    spark.catalog.clearCache()
+    eager_rows = [tuple(r) for r in multi_facet_topk(cust, req, eager_cleanup=True).collect()]
+    eager_cached = n_cached()
+    spark.catalog.clearCache()
+    assert eager_rows == lazy_rows
+    assert lazy_cached >= 2          # scored frame persisted at both sites
+    assert eager_cached <= 1         # only the checkpointed k-row result remains
