@@ -565,3 +565,86 @@ def embedding_cosine_pairs(
         .where(F.col("cos_sim") >= float(threshold))
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Transitive near-dup clusters from a pair relation: (id, component)
+    with component = the smallest id reachable through the pair graph —
+    the step every dedup pipeline needs between pair generation and keeper
+    selection (pairs (1,2) and (2,3) are ONE group keeping doc 1, which no
+    per-pair rule can decide).
+
+    Algorithm: distributed hash-min label propagation with a pointer-jump
+    shortcut each round (the hooking + pointer-jumping shape of
+    large-star/small-star CC).  Per round: (1) every node takes the min
+    label across its neighbors, (2) labels chase their own label's label
+    (path halving), so convergence is O(log diameter) rounds, not
+    O(diameter).  Each round is two key-partitioned joins + one min
+    aggregation over the LABEL frame (nodes appearing in pairs only — far
+    smaller than the corpus); the driver carries a single monotone scalar
+    (Σ labels, strictly decreasing until the fixpoint) per round for the
+    convergence test.  Raises after ``max_iters`` rounds rather than
+    returning a partially-merged clustering.
+
+    At 100 TB the pair relation is the output of the banded/tiled tiers
+    above (already bucketed); the label frame shuffles on id each round —
+    the standard iterative-CC cost, bounded by dup-graph size, never
+    corpus size.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+        .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    if prev_sum is None:  # no pairs at all
+        edges.unpersist()
+        return labels.select("id", "label")
+    converged = False
+    for _ in range(max_iters):
+        # (1) neighbor min: labels flow one hop along edges
+        prop = edges.join(labels.withColumnRenamed("id", "s"), "s").select(
+            F.col("d").alias("id"), "label"
+        )
+        stepped = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
+        )
+        # (2) pointer jump: chase label -> label's label (path halving);
+        # every label is itself a node id, so the self-join always resolves
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(F.col("id").alias("label"), F.col("label").alias("ll")),
+                "label",
+            )
+            .select("id", F.col("ll").alias("label"))
+            .persist()
+        )
+        new_sum = jumped.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = jumped
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "the pair graph is deeper than any near-dup clustering should be"
+        )
+    out = labels.select("id", F.col("label").alias("component"))
+    return out

@@ -146,6 +146,40 @@ SQL_DEDUP_MINHASH_LSH = _minhash_oracle()
 
 
 # -----------------------------------------------------------------------------
+# dedup_clusters: transitive near-dup groups over the minhash pair graph
+# -----------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH pair graph: (doc_id,
+    component = min reachable doc_id) — the transitive-grouping step between
+    pair generation and keeper selection that no per-pair rule can decide
+    (pairs (1,2), (2,3) are ONE group keeping doc 1).  Iterative hash-min
+    with pointer jumping (operators/dedup.py::connected_components); the
+    oracle is a recursive-CTE transitive closure over the same pair SQL."""
+    from simsearch_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", MINHASH_T, N_HASHES, N_BANDS)
+    return connected_components(pairs).select(F.col("id").alias("doc_id"), "component")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE p AS ({_minhash_oracle()}),
+e AS (
+  SELECT id_a AS s, id_b AS d FROM p
+  UNION
+  SELECT id_b AS s, id_a AS d FROM p
+),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s
+"""
+
+
+# -----------------------------------------------------------------------------
 # dedup_simhash
 # -----------------------------------------------------------------------------
 
@@ -710,6 +744,7 @@ FROM flagged GROUP BY user_id
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embed_cosine": (q_dedup_embed_cosine, SQL_DEDUP_EMBED_COSINE),

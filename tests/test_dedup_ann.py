@@ -336,3 +336,26 @@ def test_hash_dedup_excludes_empty_docs(spark):
     # NULL fingerprint (SQL null propagation), its own group
     ex = {r.fingerprint: r.n_docs for r in exact_dedup_groups(df, "doc_id", "text").collect()}
     assert ex[0] == 2 and ex[None] == 1
+
+
+def test_connected_components_chains_and_jumping(spark):
+    """Hash-min + pointer-jump CC: a 21-node path (forces multiple rounds —
+    log-depth, not one hop), a triangle, an isolated pair, and transitive
+    merging across clusters must all resolve to min-id components."""
+    from simsearch_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 120)]        # path of 21 nodes
+    tri = [(1, 2), (2, 3), (1, 3)]
+    iso = [(50, 51)]
+    pairs = spark.createDataFrame(chain + tri + iso, "id_a long, id_b long")
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert all(comp[i] == 100 for i in range(100, 121))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[50] == comp[51] == 50
+
+
+def test_connected_components_empty_pairs(spark):
+    from simsearch_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
