@@ -572,6 +572,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    broadcast_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Transitive near-dup clusters from a pair relation: (id, component)
     with component = the smallest id reachable through the pair graph —
@@ -581,20 +582,26 @@ def connected_components(
 
     Algorithm: distributed hash-min label propagation with a pointer-jump
     shortcut each round (the hooking + pointer-jumping shape of
-    large-star/small-star CC).  Per round: (1) every node takes the min
-    label across its neighbors, (2) labels chase their own label's label
-    (path halving), so convergence is O(log diameter) rounds, not
-    O(diameter).  Each round is two key-partitioned joins + one min
-    aggregation over the LABEL frame (nodes appearing in pairs only — far
-    smaller than the corpus); the driver carries a single monotone scalar
-    (Σ labels, strictly decreasing until the fixpoint) per round for the
-    convergence test.  Raises after ``max_iters`` rounds rather than
-    returning a partially-merged clustering.
+    large-star/small-star CC).  Init fuses the first hop — label =
+    min(self, neighbors) in the edge aggregation — so the pair-shaped
+    components that dominate near-dup graphs converge in a single round.
+    Per round: (1) every node takes the min label across its neighbors,
+    (2) labels chase their own label's label (path halving), so convergence
+    is O(log diameter) rounds, not O(diameter).  The driver carries one
+    monotone scalar (Σ labels, strictly decreasing until the fixpoint) per
+    round for the convergence test; labels are non-increasing per node, so
+    sum-equality IS per-node fixpoint.  Raises after ``max_iters`` rounds
+    rather than returning a partially-merged clustering.
 
     At 100 TB the pair relation is the output of the banded/tiled tiers
     above (already bucketed); the label frame shuffles on id each round —
-    the standard iterative-CC cost, bounded by dup-graph size, never
-    corpus size.
+    the standard iterative-CC cost, bounded by dup-graph size, never corpus
+    size.  When the dup graph is broadcast-sized (node count from the init
+    action ≤ ``broadcast_threshold``, ~16 B/row) the per-round joins hint
+    `broadcast` on the label side, collapsing each round to one map stage —
+    the node count is already on the driver, so the choice costs nothing;
+    above the threshold the same loop runs as key-partitioned shuffle
+    joins.
     """
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
@@ -602,38 +609,48 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Fused first hop: start from min(self, all neighbors), not self.
+    # localCheckpoint (not persist) each round: an iterative plan references
+    # its previous round twice (union + self-join), so without lineage
+    # truncation the LOGICAL plan doubles per round — exponential plan-string
+    # generation in AQE long before any data problem.  localCheckpoint cuts
+    # the plan at materialized partitions; on a cluster prefer a reliable
+    # checkpoint dir if executor loss mid-loop matters.
     labels = (
-        edges.select(F.col("s").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .persist()
+        edges.groupBy(F.col("s").alias("id"))
+        .agg(F.least(F.min("d"), F.col("s")).alias("label"))
+        .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    stats = labels.agg(F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")).first()
+    prev_sum, n_nodes = stats["s"], stats["n"]
     if prev_sum is None:  # no pairs at all
         edges.unpersist()
         return labels.select("id", "label")
+    bc = F.broadcast if n_nodes <= broadcast_threshold else (lambda df: df)
     converged = False
     for _ in range(max_iters):
         # (1) neighbor min: labels flow one hop along edges
-        prop = edges.join(labels.withColumnRenamed("id", "s"), "s").select(
+        prop = edges.join(bc(labels.withColumnRenamed("id", "s")), "s").select(
             F.col("d").alias("id"), "label"
         )
         stepped = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         # (2) pointer jump: chase label -> label's label (path halving);
         # every label is itself a node id, so the self-join always resolves
         jumped = (
             stepped.alias("x")
             .join(
-                stepped.select(F.col("id").alias("label"), F.col("label").alias("ll")),
+                bc(stepped.select(F.col("id").alias("label"), F.col("label").alias("ll"))),
                 "label",
             )
             .select("id", F.col("ll").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         new_sum = jumped.agg(F.sum("label")).first()[0]
-        labels.unpersist()
         labels = jumped
         if new_sum == prev_sum:
             converged = True
@@ -641,7 +658,6 @@ def connected_components(
         prev_sum = new_sum
     edges.unpersist()
     if not converged:
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds; "
             "the pair graph is deeper than any near-dup clustering should be"

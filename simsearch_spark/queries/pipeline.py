@@ -179,6 +179,47 @@ SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s
 """
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's terminal step: the surviving corpus.  Every doc in
+    a near-dup component except its min-id keeper is dropped via one
+    left-anti join against the (dup-graph-sized, tiny vs corpus) component
+    frame — docs outside any component pass through untouched, so the anti
+    join is the only corpus-wide work and it broadcasts at fixture scale /
+    shuffle-hash-joins on doc_id at 100 TB.  Composes pair generation
+    (MinHash-LSH), transitive clustering (connected_components), and keeper
+    selection — what a user actually runs to clean a training corpus."""
+    from simsearch_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", MINHASH_T, N_HASHES, N_BANDS)
+    losers = (
+        connected_components(pairs)
+        .where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "source", "n_chars")
+
+
+SQL_DEDUP_APPLY = f"""
+WITH RECURSIVE p AS ({_minhash_oracle()}),
+e AS (
+  SELECT id_a AS s, id_b AS d FROM p
+  UNION
+  SELECT id_b AS s, id_a AS d FROM p
+),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+),
+comps AS (
+  SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s
+)
+SELECT d.doc_id, d.source, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id != component)
+"""
+
+
 # -----------------------------------------------------------------------------
 # dedup_simhash
 # -----------------------------------------------------------------------------
@@ -605,6 +646,33 @@ GROUP BY GROUPING SETS ((date_trunc('hour', ts), event_type),
 """
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p50/p90/p99 of event value per type) — the
+    distribution-profiling step every pipeline runs before thresholding
+    (outlier cuts, SLA targets).  Spark's ``percentile`` is the exact
+    linear-interpolation aggregate (index p·(n−1) over the sorted group),
+    the same definition as DuckDB's ``quantile_cont``; round-6 absorbs
+    engine ulps per the oracle determinism rules.  One shuffle on the group
+    key with partial aggregation; at 100 TB swap in approx_percentile
+    (t-digest) for a one-pass mergeable sketch — same query shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+SQL_EVENTS_PERCENTILES = """
+SELECT event_type, count(value) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 KMV_K = 64
 
 
@@ -745,6 +813,7 @@ PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_apply": (q_dedup_apply, SQL_DEDUP_APPLY),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_embed_cosine": (q_dedup_embed_cosine, SQL_DEDUP_EMBED_COSINE),
@@ -760,5 +829,6 @@ PIPELINE_QUERIES = {
     "events_props_stats": (q_events_props_stats, SQL_EVENTS_PROPS_STATS),
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_rollup_multi": (q_events_rollup_multi, SQL_EVENTS_ROLLUP_MULTI),
+    "events_percentiles": (q_events_percentiles, SQL_EVENTS_PERCENTILES),
     "sketch_distinct_users": (q_sketch_distinct_users, SQL_SKETCH_DISTINCT_USERS),
 }
