@@ -646,6 +646,81 @@ GROUP BY GROUPING SETS ((date_trunc('hour', ts), event_type),
 """
 
 
+# -----------------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style) — local selection, SQL-window oracle
+# -----------------------------------------------------------------------------
+
+WINNOW_K = 3
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_DF = 100
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed k-gram fingerprints per document (operators/winnow.py): one
+    shuffle-free Arrow pass selecting each trailing window's min-hash k-gram
+    (rightmost tie).  The oracle re-derives the selection independently via
+    SQL window functions over the same composite integer key."""
+    from simsearch_spark.operators.winnow import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", WINNOW_K, WINNOW_W)
+
+
+def _winnow_oracle() -> str:
+    grams = ", ".join(f"w[i+{j + 1}]" for j in range(WINNOW_K))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
+), hl AS (
+  SELECT doc_id, list_transform(range(0, greatest(len(w) - {WINNOW_K - 1}, 1)),
+         i -> {_charfold_sql(f"concat_ws(' ', {grams})")}) AS hs
+  FROM toks
+), kg AS (
+  SELECT doc_id, unnest(range(0, len(hs))) AS pos, unnest(hs) AS h FROM hl
+), sel AS (
+  SELECT doc_id,
+         min(h * 1048576 + (1048575 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS skey,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM kg
+)
+SELECT DISTINCT doc_id, 1048575 - (skey % 1048576) AS pos, skey // 1048576 AS fp
+FROM sel WHERE rn >= least({WINNOW_W}, n)
+"""
+
+
+SQL_DOC_WINNOW = _winnow_oracle()
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS candidate pairs: documents sharing ≥ min_shared winnowed
+    fingerprints after the document-frequency stop-fingerprint cut — the
+    overlap-detection join the fingerprints exist for."""
+    from simsearch_spark.operators.winnow import winnow_fingerprints, winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "doc_id", "text", WINNOW_K, WINNOW_W)
+    return winnow_overlap_pairs(fps, "doc_id", WINNOW_MIN_SHARED, WINNOW_MAX_DF)
+
+
+SQL_WINNOW_OVERLAP = f"""
+WITH fps AS ({_winnow_oracle()}),
+d AS (
+  SELECT DISTINCT doc_id, fp FROM fps
+),
+rare AS (
+  SELECT fp FROM d GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM d a JOIN rare r ON a.fp = r.fp JOIN d b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (p50/p90/p99 of event value per type) — the
     distribution-profiling step every pipeline runs before thresholding
@@ -830,5 +905,7 @@ PIPELINE_QUERIES = {
     "events_range_join": (q_events_range_join, SQL_EVENTS_RANGE_JOIN),
     "events_rollup_multi": (q_events_rollup_multi, SQL_EVENTS_ROLLUP_MULTI),
     "events_percentiles": (q_events_percentiles, SQL_EVENTS_PERCENTILES),
+    "doc_winnow": (q_doc_winnow, SQL_DOC_WINNOW),
+    "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
     "sketch_distinct_users": (q_sketch_distinct_users, SQL_SKETCH_DISTINCT_USERS),
 }
