@@ -75,20 +75,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. ``spark.read.parquet`` keeps column pruning and
     predicate pushdown available to every downstream facet scan.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS): with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds
-    and is FLOORED to microseconds here (``div 1000`` integer division — a
-    double division would lose precision above 2^53 ns).  Fixture values DO
-    carry sub-µs nanos, so this truncation is lossy and defines the engine's
-    canonical µs view of event time; every timestamp-sensitive oracle must
-    apply the same floor (``epoch_ns(ts) // 1000`` — see the SESSION_GAP_US
-    contract in queries/pipeline.py and FIXTURES.md §F5)."""
+    ``events.ts`` is normalized to the canonical session-TZ TIMESTAMP (µs)
+    regardless of the fixture's physical encoding, of which three have been
+    observed across driver generations:
+
+    * TIMESTAMP(NANOS) → (with ``spark.sql.legacy.parquet.nanosAsLong``) long
+      nanoseconds, FLOORED to microseconds (``div 1000`` integer division — a
+      double division would lose precision above 2^53 ns);
+    * ``timestamp[us]`` without TZ → Spark TIMESTAMP_NTZ, cast to TIMESTAMP.
+      The session TZ is pinned to UTC (session.py), so the cast is lossless
+      and µs-exact — and required, since ``unix_micros()`` rejects NTZ input;
+    * ``timestamp[us, tz=UTC]`` → already TIMESTAMP, untouched.
+
+    Every timestamp-sensitive oracle shares the same µs floor
+    (``epoch_ns(ts) // 1000`` under nanos fixtures, native µs otherwise — see
+    the SESSION_GAP_US contract in queries/pipeline.py and FIXTURES.md §F5)."""
     ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = normalize_events_ts(df)
+    return df
 
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to session-TZ TIMESTAMP whatever the physical fixture
+    encoding (see ``load_table``).  Works on batch and streaming frames alike
+    — both are pure column expressions."""
+    from pyspark.sql import functions as F
+
+    ts_dtype = dict(df.dtypes).get("ts")
+    if ts_dtype == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

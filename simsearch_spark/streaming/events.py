@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simsearch_spark.sources.registry import normalize_events_ts
+
 SESSION_GAP = "30 minutes"
 WATERMARK = "2 hours"
 
@@ -32,9 +34,7 @@ def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.load(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_events_ts(df)
 
 
 def hourly_rollup_stream(events: DataFrame) -> DataFrame:

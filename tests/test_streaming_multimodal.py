@@ -278,12 +278,13 @@ def test_sessionize_gap_boundary_contract(spark, monkeypatch):
     assert stream == batch
 
 
-def test_oracle_us_contract_matches_raw_nanos(spark, sf_dir):
-    """The integer-µs contract (FIXTURES.md §F5): Spark's view of event time
-    (long nanos floored by ``div 1000``) and the DuckDB oracle expression
-    ``epoch_ns(ts) // 1000`` must BOTH equal raw_parquet_ns // 1000 for every
-    fixture row — under a µs-truncating DuckDB (1.0) and a ns-preserving one
-    alike.  Guards the r2 sessionize hash-fail from regressing."""
+def test_oracle_us_contract_matches_raw_fixture(spark, sf_dir):
+    """The integer-µs contract (FIXTURES.md §F5), encoding-agnostic: whatever
+    physical type the driver's fixture writer emits (TIMESTAMP(NANOS),
+    µs-NTZ, or µs-UTC), Spark's canonical post-load view (``unix_micros``)
+    and the DuckDB oracle expression ``epoch_ns(ts) // 1000`` must BOTH equal
+    the raw parquet value floored to µs.  Guards the r2 sessionize hash-fail
+    and the r4 NTZ regression from recurring."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -292,13 +293,18 @@ def test_oracle_us_contract_matches_raw_nanos(spark, sf_dir):
 
     path = f"{sf_dir}/events.parquet"
     t = pq.read_table(path, columns=["event_id", "ts"])
+    ts_type = t.schema.field("ts").type
     raw = dict(zip(t.column("event_id").to_pylist(),
                    t.column("ts").cast(pa.int64()).to_pylist()))
-    assert any(v % 1000 != 0 for v in raw.values()), "fixture should carry sub-µs nanos"
+    assert pa.types.is_timestamp(ts_type), f"unexpected fixture type {ts_type}"
+    div = {"s": None, "ms": None, "us": 1, "ns": 1000}[ts_type.unit]
+    assert div is not None, f"fixture unit {ts_type.unit} coarser than µs"
+    expect_us = {k: v // div for k, v in raw.items()}
 
     ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"  # canonical post-load dtype
     spark_us = dict(ev.select("event_id", F.unix_micros("ts").alias("us")).collect())
-    assert spark_us == {k: v // 1000 for k, v in raw.items()}
+    assert spark_us == expect_us
 
     con = duckdb.connect()
     duck_us = dict(con.execute(
