@@ -52,31 +52,22 @@ def _run_staged(spark: SparkSession, staged: str, build, sink: str, mode: str):
 
 
 def q_stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (applyInPandasWithState): first-seen
-    fingerprint dedup replayed on the bounded documents fixture.  The replay
-    stages ONE file and runs without maxFilesPerTrigger, so availableNow
-    delivers exactly one micro-batch and the output equals the batch
-    exact-dedup oracle row-for-row (SQL_DEDUP_EXACT).  Single-batch delivery
-    is asserted after the run: a multi-batch replay would make first-wins
-    emission diverge from the batch oracle (keeper/n_docs from the first
-    batch only), and that must be a loud failure, not a silent hash drift."""
-    from simsearch_spark.queries.pipeline import SQL_DEDUP_EXACT  # noqa: F401 (oracle)
-    from simsearch_spark.streaming.dedup import dedup_docs_stream
+    """Custom stateful streaming operator (applyInPandasWithState): running-
+    totals fingerprint dedup replayed on the bounded documents fixture.  Each
+    micro-batch emits per-touched-fingerprint snapshots of the cumulative
+    (keeper = min id, n_docs = total); ``latest_snapshots`` reduces the
+    append-mode sink to the final view, which equals the batch exact-dedup
+    oracle (SQL_DEDUP_EXACT) for ANY micro-batch split of the input — the
+    replay no longer depends on availableNow delivering a single batch."""
+    from simsearch_spark.streaming.dedup import dedup_docs_stream, latest_snapshots
 
     ensure_nanos_conf(spark)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     staged = _staged_table(sf_dir, "documents")
     stream = spark.readStream.format("parquet").schema(schema).load(staged)
     sink = _unique("q_stream_dedup")
-    q = _run_staged(spark, staged, lambda: dedup_docs_stream(stream), sink, "append")
-    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
-    if len(data_batches) > 1:
-        raise RuntimeError(
-            f"stream_dedup_docs replay split into {len(data_batches)} micro-batches; "
-            "first-wins state emission only matches the batch oracle on a "
-            "single-batch replay"
-        )
-    return spark.table(sink)
+    _run_staged(spark, staged, lambda: dedup_docs_stream(stream), sink, "append")
+    return latest_snapshots(spark.table(sink))
 
 
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2,17 +2,24 @@
 streaming surface (`applyInPandasWithState`), complementing the built-in
 window/session operators in streaming/events.py.
 
-Semantics: per normalized-document fingerprint, the FIRST micro-batch that
-contains the fingerprint emits one row (keeper = min id in that batch,
-n_docs = batch occurrence count) and marks the group seen; later batches
-emit nothing.  On a bounded single-batch replay this is exactly the batch
-`exact_dedup_groups` result, which is the correctness oracle; on a live
-stream it is the standard first-wins streaming dedup contract.
+Semantics (snapshot emission): per normalized-document fingerprint, EVERY
+micro-batch that contains the fingerprint emits one snapshot row carrying
+the running totals over all batches seen so far — ``keeper`` = min id seen,
+``n_docs`` = total occurrences seen.  Both are monotone (keeper
+non-increasing, n_docs increasing), so the LATEST snapshot per fingerprint
+equals the batch ``exact_dedup_groups`` result no matter how the input was
+split into micro-batches; ``latest_snapshots`` reduces an append-mode sink
+to that final view.  This closes the r2-r4 multi-batch divergence: the old
+first-wins contract emitted keeper/n_docs from the first batch only, which
+silently diverged from the batch oracle whenever a fingerprint straddled a
+batch boundary.
 
-Scale: state is one small tuple per DISTINCT fingerprint, partitioned by
-fingerprint across executors (RocksDB/HDFS state store on a cluster); the
-per-batch work is a key-partitioned shuffle of (fingerprint, id) pairs —
-the same single-shuffle shape as the batch dedup.
+Scale: state is one small (keeper, n) tuple per DISTINCT fingerprint,
+partitioned by fingerprint across executors (RocksDB/HDFS state store on a
+cluster); the per-batch work is a key-partitioned shuffle of
+(fingerprint, id) pairs — the same single-shuffle shape as the batch dedup.
+Emission volume per batch = fingerprints touched by that batch, not total
+state size.
 """
 
 from __future__ import annotations
@@ -24,28 +31,40 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from simsearch_spark.functions.text import doc_fingerprint
 
 OUTPUT_SCHEMA = "fingerprint long, keeper long, n_docs long"
-STATE_SCHEMA = "n long"
+STATE_SCHEMA = "keeper long, n long"
 
 
 def dedup_docs_stream(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """First-seen fingerprint dedup over a streaming DataFrame of documents."""
+    """Running-totals fingerprint dedup over a streaming DataFrame of
+    documents: each batch emits the group's cumulative (keeper, n_docs)."""
     fp = docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
 
-    def first_seen(key, pdfs, state):
+    def snapshot(key, pdfs, state):
         import pandas as pd
 
         ids: list[int] = []
         for pdf in pdfs:
             ids.extend(int(x) for x in pdf[id_col])
         if state.exists:
-            (n,) = state.get
-            state.update((n + len(ids),))
-            return iter(())
-        state.update((len(ids),))
+            keeper, n = state.get
+            keeper, n = min(keeper, min(ids)), n + len(ids)
+        else:
+            keeper, n = min(ids), len(ids)
+        state.update((keeper, n))
         return iter(
-            [pd.DataFrame({"fingerprint": [key[0]], "keeper": [min(ids)], "n_docs": [len(ids)]})]
+            [pd.DataFrame({"fingerprint": [key[0]], "keeper": [keeper], "n_docs": [n]})]
         )
 
     return fp.groupBy("fingerprint").applyInPandasWithState(
-        first_seen, OUTPUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        snapshot, OUTPUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def latest_snapshots(sink: DataFrame) -> DataFrame:
+    """Reduce an append-mode snapshot sink to the final per-fingerprint view
+    (= the batch exact-dedup result).  keeper is monotone non-increasing and
+    n_docs monotone increasing across a group's snapshots, so min/max pick
+    the last one without needing a batch-ordinal column."""
+    return sink.groupBy("fingerprint").agg(
+        F.min("keeper").alias("keeper"), F.max("n_docs").alias("n_docs")
     )

@@ -142,49 +142,58 @@ def test_stream_queries_recover_bare_session_nanos(spark, sf_dir):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def test_stream_dedup_stateful_across_batches(spark, sf_dir, tmp_path):
-    """applyInPandasWithState dedup: batch 1 emits one row per fingerprint;
-    batch 2 replaying the SAME documents must emit nothing (state remembers),
-    and the batch-1 output equals the batch exact-dedup result."""
-    import shutil as _sh
-
+def test_stream_dedup_two_batch_oracle_parity(spark, sf_dir, tmp_path):
+    """applyInPandasWithState dedup, MULTI-batch: split the corpus into two
+    files so duplicate-fingerprint groups straddle the micro-batch boundary
+    (maxFilesPerTrigger=1 forces two batches).  The latest-snapshot view of
+    the append sink must equal the batch exact-dedup result on the full
+    corpus — the r2-r4 first-wins contract failed exactly this."""
     from simsearch_spark.operators.dedup import exact_dedup_groups
-    from simsearch_spark.sources.registry import load_table
-    from simsearch_spark.streaming.dedup import dedup_docs_stream
+    from simsearch_spark.streaming.dedup import dedup_docs_stream, latest_snapshots
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    parity = pc.bit_wise_and(t.column("doc_id"), 1)
+    b0, b1 = t.filter(pc.equal(parity, 0)), t.filter(pc.equal(parity, 1))
+    # the fixture has no exact dups (every fingerprint is a singleton), so
+    # inject them: re-emit 20 batch-0 docs in batch 1 under new ids with
+    # whitespace jitter the fingerprint normalizes away -> groups straddle
+    max_id = pc.max(t.column("doc_id")).as_py()
+    echo = b0.slice(0, 20).to_pylist()
+    for i, row in enumerate(echo):
+        row["doc_id"] = max_id + 1 + i
+        row["text"] = "  " + row["text"].replace(" ", "  ") + " "
+    b1 = pa.concat_tables([b1, pa.Table.from_pylist(echo, schema=t.schema)])
     d = tmp_path / "docs_stream"
     d.mkdir()
-    _sh.copy(f"{sf_dir}/documents.parquet", d / "b0.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = spark.readStream.format("parquet").schema(schema).option(
+    pq.write_table(b0, str(d / "b0.parquet"))
+    pq.write_table(b1, str(d / "b1.parquet"))
+    full = tmp_path / "docs_full.parquet"
+    pq.write_table(pa.concat_tables([b0, b1]), str(full))
+    docs = spark.read.parquet(str(full))
+    stream = spark.readStream.format("parquet").schema(docs.schema).option(
         "maxFilesPerTrigger", 1
     ).load(str(d))
     q = (
         dedup_docs_stream(stream)
-        .writeStream.format("memory").queryName("t_stream_dedup")
+        .writeStream.format("memory").queryName("t_stream_dedup2b")
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    got1 = {r.fingerprint: (r.keeper, r.n_docs) for r in spark.table("t_stream_dedup").collect()}
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "split replay should deliver >=2 micro-batches"
+    sink = spark.table("t_stream_dedup2b")
+    # at least one fingerprint straddled the boundary -> got two snapshots
+    assert sink.groupBy("fingerprint").count().where("count > 1").count() > 0
+    got = {r.fingerprint: (r.keeper, r.n_docs) for r in latest_snapshots(sink).collect()}
     batch = {
         r.fingerprint: (r.keeper, r.n_docs)
-        for r in exact_dedup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text").collect()
+        for r in exact_dedup_groups(docs, "doc_id", "text").collect()
     }
-    assert got1 == batch
-    # second batch: same docs again -> no new rows
-    _sh.copy(f"{sf_dir}/documents.parquet", d / "b1.parquet")
-    q2 = (
-        dedup_docs_stream(stream)
-        .writeStream.format("memory").queryName("t_stream_dedup2")
-        .outputMode("append").trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
-    q2.awaitTermination()
-    # fresh query without prior state would re-emit; with both files in one
-    # run, every fingerprint still appears exactly once
-    got2 = [r.fingerprint for r in spark.table("t_stream_dedup2").collect()]
-    assert sorted(got2) == sorted(set(got2)) == sorted(batch)
+    assert got == batch
 
 
 def test_events_asof_click_semantics(spark, monkeypatch):
