@@ -1,0 +1,96 @@
+"""Benchmark contamination detection — train/eval n-gram overlap.
+
+The decontamination step every LLM training pipeline runs before training:
+for each candidate training document, measure how much of it appears in a
+held-out benchmark/eval set, by k-gram (token n-gram) hash overlap — the
+GPT-3/PaLM-style n-gram collision check, expressed as DataFrame ops.
+
+Two stages:
+
+* ``kgram_hashes`` — per document, the DISTINCT set of k-gram hashes (the
+  same char-fold polynomial hash and whitespace-token shingle contract as
+  winnowing/MinHash, ``operators/winnow.py``).  Selection is per-document
+  LOCAL: one shuffle-free ``mapInPandas`` Arrow pass.
+* ``contamination_report`` — join training-doc grams against the eval set's
+  distinct-gram table and aggregate per training doc.  The eval side is the
+  tiny one (benchmarks are MBs against a 100 TB corpus), so it is
+  broadcast: the corpus-sized side is never shuffled for the join, and the
+  only exchange is the per-doc aggregation, which partial-aggregates
+  map-side.
+
+Reference parity note: the reference engine has no contamination operator;
+this is part of the training-data-pipeline surface the Spark engine adds
+(same family as dedup/winnowing — see SURVEY.md §8).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kgram_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, gh): distinct k-gram hashes per document.
+
+    Shares the winnowing shingle contract (``operators/winnow.py``): tokens
+    are the raw single-space split, a document shorter than ``k`` tokens
+    contributes its single partial k-gram, NULL/blank documents contribute
+    nothing.  Hashes are the repo-wide char-fold polynomial over the
+    space-joined k-gram, so a DuckDB oracle reproduces them exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from simsearch_spark.functions.hashing import MOD as _MOD
+
+    id_dtype = dict(df.dtypes)[id_col]
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_gh = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None or t.strip() == "":
+                    continue
+                words = t.split(" ")
+                n_kg = max(len(words) - (k - 1), 1)
+                hs = np.empty(n_kg, dtype=np.int64)
+                for i in range(n_kg):
+                    h = 0
+                    for c in " ".join(words[i : i + k]):
+                        h = (h * 31 + ord(c)) % _MOD
+                    hs[i] = h
+                sel = np.unique(hs)
+                out_id.extend([doc_id] * len(sel))
+                out_gh.extend(sel.tolist())
+            yield pd.DataFrame({id_col: out_id, "gh": out_gh})
+
+    return df.select(id_col, text_col).mapInPandas(proc, f"{id_col} {id_dtype}, gh long")
+
+
+def contamination_report(
+    train_grams: DataFrame,
+    eval_grams: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_grams, n_contam, contam_ratio) per training document.
+
+    ``train_grams``/``eval_grams`` are (id, gh) frames from ``kgram_hashes``
+    over the two corpus splits.  A training doc's gram is contaminated iff
+    it appears in ANY eval document.  The distinct eval-gram table is
+    broadcast (benchmark sets are small by construction); mark
+    contaminated-only consumers can filter ``n_contam > 0`` downstream —
+    the report keeps every training doc so the ratio distribution itself
+    can be profiled.
+    """
+    ev = F.broadcast(eval_grams.select("gh").distinct().withColumn("_hit", F.lit(1)))
+    return (
+        train_grams.join(ev, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contam"),
+            F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("contam_ratio"),
+        )
+    )

@@ -68,8 +68,9 @@ DRIVER_EXCLUDED = frozenset(
         "normalized_topk",
         # deterministic row-local hash sample; pure projection+filter
         "corpus_sample",
-        # Arrow text kernel of the same shape as driver-verified text_quality
+        # Arrow text kernels of the same shape as driver-verified text_quality
         "text_repetition",
+        "token_stats",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

@@ -372,8 +372,56 @@ SELECT source, rank, doc_id, quality FROM r WHERE rank <= {GROUP_TOPK}
 """
 
 
+# -----------------------------------------------------------------------------
+# benchmark contamination: train/eval k-gram overlap (operators/contamination)
+# -----------------------------------------------------------------------------
+
+CONTAM_K = 3  # token n-gram width (real pipelines use 8-13; fixture docs are short)
+EVAL_MOD = 13  # doc_id % EVAL_MOD == 0 -> held-out eval split (~7.7%)
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination report: for every training document, the fraction of
+    its distinct k-gram hashes that appear anywhere in the held-out eval
+    split (deterministic doc_id split).  Gram extraction is one shuffle-free
+    Arrow pass; the eval gram set joins broadcast; the per-doc aggregation
+    is the only exchange (operators/contamination.py)."""
+    from simsearch_spark.operators.contamination import contamination_report, kgram_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = kgram_hashes(docs, "doc_id", "text", CONTAM_K)
+    ev = grams.where(F.col("doc_id") % EVAL_MOD == 0)
+    tr = grams.where(F.col("doc_id") % EVAL_MOD != 0)
+    return contamination_report(tr, ev, "doc_id")
+
+
+_CONTAM_GRAMS = ", ".join(f"w[i+{j + 1}]" for j in range(CONTAM_K))
+
+SQL_DOC_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
+), hl AS (
+  SELECT doc_id, list_transform(range(0, greatest(len(w) - {CONTAM_K - 1}, 1)),
+         i -> {_charfold_sql(f"concat_ws(' ', {_CONTAM_GRAMS})")}) AS hs
+  FROM toks
+), kg AS (
+  SELECT DISTINCT doc_id, unnest(hs) AS gh FROM hl
+), ev AS (
+  SELECT DISTINCT gh FROM kg WHERE doc_id % {EVAL_MOD} = 0
+), tr AS (
+  SELECT doc_id, gh FROM kg WHERE doc_id % {EVAL_MOD} != 0
+)
+SELECT tr.doc_id, count(*) AS n_grams, count(ev.gh) AS n_contam,
+       round(count(ev.gh) * 1.0 / count(*), 6) AS contam_ratio
+FROM tr LEFT JOIN ev ON tr.gh = ev.gh
+GROUP BY tr.doc_id
+"""
+
+
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
+    "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "topk_per_source": (q_topk_per_source, SQL_TOPK_PER_SOURCE),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),

@@ -80,17 +80,17 @@ def q_word2vec_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary = vocab.withColumn("h", char_fold_hash(F.col("term")) % DICT_MOD).join(
         emb, F.col("h") == F.col("vec_id")
     ).select("term", F.col("embedding").alias("vec"))
-    # The dictionary is broadcast-sized by the transform's contract, so ONE
-    # bounded collect both materializes the broadcast side and yields the
-    # vector width — the r2 shape evaluated the whole vocab->hash->join
-    # pipeline TWICE (a .first() dim probe + the broadcast rebuild) and was
-    # the bench's single biggest avoidable cost.  Reusing dictionary.schema
-    # keeps element types (float vs double) — and therefore the avg
-    # arithmetic — identical to the distributed plan.
-    rows = dictionary.collect()
-    local_dict = spark.createDataFrame(rows, dictionary.schema)
-    dim = len(rows[0].vec) if rows else None
-    return word2vec_transform(docs, "doc_id", "tokens", local_dict, flat=True, dim=dim).select(
+    # dim comes from the embeddings table (a 1-row parquet probe), NOT from a
+    # dictionary materialization: the r2 shape evaluated the whole
+    # vocab->hash->join pipeline twice (dim probe + broadcast rebuild), and
+    # the r3 fix still collected the dictionary to the driver and
+    # re-parallelized it.  Passing the unmaterialized plan straight to the
+    # transform evaluates it exactly once — inside the broadcast exchange —
+    # with zero driver round-trip; at corpus scale the driver never holds
+    # vocab-sized data.
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first.d) if first is not None else None
+    return word2vec_transform(docs, "doc_id", "tokens", dictionary, flat=True, dim=dim).select(
         "doc_id", "pos", "avg_val"
     )
 
