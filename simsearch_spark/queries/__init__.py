@@ -71,6 +71,12 @@ DRIVER_EXCLUDED = frozenset(
         # Arrow text kernels of the same shape as driver-verified text_quality
         "text_repetition",
         "token_stats",
+        # hour granularity is a strict subset of driver-verified
+        # events_rollup_multi (GROUPING SETS hour+day, same aggregates)
+        "events_hourly",
+        # same Arrow kernel family as driver-verified text_quality; also
+        # exercised inside the driver-verified corpus_clean composition
+        "text_lang_id",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

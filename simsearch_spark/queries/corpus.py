@@ -419,9 +419,123 @@ GROUP BY tr.doc_id
 """
 
 
+# -----------------------------------------------------------------------------
+# source mixing weights: temperature-scaled domain sampling proportions
+# -----------------------------------------------------------------------------
+
+MIX_ALPHA = 0.5  # sampling temperature: w_s ∝ n_tokens_s^α (α<1 upweights small domains)
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for domain mixing — the step that decides
+    how often each domain is drawn during training (multinomial sampling
+    with temperature, as in the GPT-3/Pile mixture recipes): weight_s ∝
+    (token count of source s)^α, normalized.  One groupBy(source) shuffle
+    with map-side partial aggregation over the corpus; the per-source frame
+    (domain-count-sized, trivially small) then normalizes against a
+    broadcast 1-row total — no second corpus pass, no driver loop."""
+    from simsearch_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+    total = per.agg(F.sum(w_raw).alias("_t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w_raw / F.col("_t"), 6).alias("mix_weight"),
+        )
+    )
+
+
+SQL_SOURCE_MIX_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs, sum(len({_WS_TOKS})) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(pow(n_tokens::DOUBLE, {MIX_ALPHA})) AS t FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(pow(n_tokens::DOUBLE, {MIX_ALPHA}) / t, 6) AS mix_weight
+FROM per, tot
+"""
+
+
+# -----------------------------------------------------------------------------
+# leakage-safe train/val split: near-dup components never straddle the split
+# -----------------------------------------------------------------------------
+
+VAL_MOD = 10  # ≈10% of component roots land in the validation split
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val split: every document is assigned by the
+    hash of its dedup-component ROOT (min reachable doc_id through the
+    MinHash-LSH pair graph; singletons root at themselves), so two near-
+    duplicate documents can never land on opposite sides of the split —
+    the eval-leakage failure mode of naive row-hash splits.  Work = the
+    dedup pair/CC pipeline (dup-graph-sized) + one left broadcast/hash join
+    to root the corpus + a hash projection; no corpus-sized shuffle beyond
+    the join on doc_id."""
+    from simsearch_spark.functions.text import char_fold_hash
+    from simsearch_spark.operators.dedup import connected_components
+    from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", MINHASH_T, N_HASHES, N_BANDS)
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    rooted = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("root")
+    )
+    split = F.when(
+        char_fold_hash(F.col("root").cast("string")) % VAL_MOD == 0, F.lit("val")
+    ).otherwise(F.lit("train"))
+    return rooted.select("doc_id", "root", split.alias("split"))
+
+
+def _split_oracle() -> str:
+    from simsearch_spark.queries.pipeline import _minhash_oracle
+
+    return f"""
+WITH RECURSIVE p AS ({_minhash_oracle()}),
+e AS (
+  SELECT id_a AS s, id_b AS d FROM p
+  UNION
+  SELECT id_b AS s, id_a AS d FROM p
+),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+),
+comp AS (
+  SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s
+),
+rooted AS (
+  SELECT doc_id, coalesce(component, doc_id) AS root
+  FROM documents LEFT JOIN comp USING (doc_id)
+)
+SELECT doc_id, root,
+       CASE WHEN {_charfold_sql('CAST(root AS VARCHAR)')} % {VAL_MOD} = 0
+            THEN 'val' ELSE 'train' END AS split
+FROM rooted
+"""
+
+
+SQL_SPLIT_LEAKAGE_SAFE = _split_oracle()
+
+
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
+    "source_mix_weights": (q_source_mix_weights, SQL_SOURCE_MIX_WEIGHTS),
+    "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "topk_per_source": (q_topk_per_source, SQL_TOPK_PER_SOURCE),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
