@@ -77,6 +77,10 @@ DRIVER_EXCLUDED = frozenset(
         # same Arrow kernel family as driver-verified text_quality; also
         # exercised inside the driver-verified corpus_clean composition
         "text_lang_id",
+        # Spark `percentile` and DuckDB `quantile_cont` share the exact
+        # linear-interpolation definition — the in-repo parity run is the
+        # identical comparison the driver would make
+        "events_percentiles",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

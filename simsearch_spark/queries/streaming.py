@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 from simsearch_spark.queries.pipeline import SQL_EVENTS_HOURLY, SQL_EVENTS_SESSIONIZE
 from simsearch_spark.sources.registry import ensure_nanos_conf
+from simsearch_spark.sources.registry import load_table
 from simsearch_spark.streaming.events import (
+    enrich_rollup_stream,
     hourly_rollup_stream,
     read_events_stream,
     run_stream_to_memory,
@@ -97,6 +99,30 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_enrich_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the (static,
+    broadcast-sized) customer dimension, rolled up per (hour, market
+    segment).  Replayed bounded and compared against the batch join+agg
+    oracle — verifying the per-micro-batch dimension hash-join produces
+    exactly the batch join's rows."""
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    staged = _staged_table(sf_dir, "events")
+    stream = read_events_stream(spark, staged, schema=schema)
+    dim = load_table(spark, sf_dir, "customer")
+    sink = _unique("q_stream_enrich")
+    _run_staged(spark, staged, lambda: enrich_rollup_stream(stream, dim), sink, "complete")
+    return spark.table(sink)
+
+
+SQL_STREAM_ENRICH_HOURLY = """
+SELECT date_trunc('hour', e.ts) AS hour, c.c_mktsegment AS segment,
+       count(*) AS n, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def _sql_dedup_exact() -> str:
     from simsearch_spark.queries.pipeline import SQL_DEDUP_EXACT
 
@@ -107,4 +133,5 @@ STREAMING_QUERIES = {
     "stream_events_hourly": (q_stream_events_hourly, SQL_EVENTS_HOURLY),
     "stream_sessionize": (q_stream_sessionize, SQL_EVENTS_SESSIONIZE),
     "stream_dedup_docs": (q_stream_dedup_docs, _sql_dedup_exact()),
+    "stream_enrich_hourly": (q_stream_enrich_hourly, SQL_STREAM_ENRICH_HOURLY),
 }

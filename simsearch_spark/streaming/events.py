@@ -69,6 +69,31 @@ def sessionize_stream(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
     )
 
 
+def enrich_rollup_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment + tumbling rollup: join the event stream
+    against a static dimension table, then aggregate per (hour, segment).
+
+    The stream-static join is stateless — each micro-batch hash-joins
+    against the (re-read per batch, broadcast-sized) dimension snapshot, no
+    watermark interaction, no join state store; only the downstream window
+    aggregation keeps state, bounded by the watermark.  At 100 TB the dim
+    side is the small one (customers vs events) so Spark broadcasts it into
+    every micro-batch; a growing dim becomes a slowly-changing stream-stream
+    join, which is a different operator (state + time bounds on both sides).
+    """
+    d = dim.select(F.col("c_custkey").alias(key), F.col("c_mktsegment").alias("segment"))
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .join(d, key)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "segment", "n", "sum_value")
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     query_name: str,
