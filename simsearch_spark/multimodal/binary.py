@@ -143,6 +143,61 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(proc, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("dst_width", IntegerType()),
+        StructField("dst_height", IntegerType()),
+        StructField("resized", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_w: int = 512, max_h: int = 512) -> DataFrame:
+    """Aspect-preserving bounded resize over binary image payloads.
+
+    The TARGET-geometry computation is real (min-scale fit into
+    ``max_w × max_h``, never upscales, parsed from the actual container
+    header); the pixel re-encode is the stubbed decode seam: with
+    `_HAS_DECODER` a real decoder re-encodes, without one the payload
+    passes through unchanged and ``resized`` records why
+    (``'pass-through'`` when already within bounds, ``'stub'`` when a real
+    decoder would have resized, ``'unknown'`` when the header is not
+    parseable).  Schema, Arrow batching, and the per-row geometry contract
+    are production-shaped; swapping in PIL changes only the marked branch.
+    """
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "payload", "src_width", "src_height",
+                                   "dst_width", "dst_height", "resized")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fmt, w, h = _sniff_header(p)
+                if w <= 0 or h <= 0:
+                    dw, dh, tag = -1, -1, "unknown"
+                elif w <= max_w and h <= max_h:
+                    dw, dh, tag = w, h, "pass-through"
+                else:
+                    scale = min(max_w / w, max_h / h)
+                    dw, dh = max(int(w * scale), 1), max(int(h * scale), 1)
+                    if _HAS_DECODER:  # pragma: no cover
+                        raise NotImplementedError("wire a real decoder here (PIL)")
+                    tag = "stub"
+                out["media_id"].append(mid)
+                out["payload"].append(p)
+                out["src_width"].append(w)
+                out["src_height"].append(h)
+                out["dst_width"].append(dw)
+                out["dst_height"].append(dh)
+                out["resized"].append(tag)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(proc, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: explodes (media_id, frame_idx) pairs for
     downstream decode.  Frame count is stubbed from payload size; the

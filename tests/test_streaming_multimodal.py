@@ -59,6 +59,27 @@ def test_extract_features_deterministic_schema(spark):
     assert rows == again
 
 
+def test_resize_images_geometry_and_stub_seam(spark):
+    """Aspect-preserving bound: real target geometry from real headers, pixel
+    re-encode stubbed (payload passes through, tagged)."""
+    from simsearch_spark.multimodal.binary import resize_images
+
+    rows = [
+        (1, "image", _png(640, 480), "image/png"),     # downscale 512-bound
+        (2, "image", _png(100, 200), "image/png"),     # within bounds
+        (3, "image", _png(2000, 1000), "image/png"),   # wide downscale
+        (4, "image", None, "image/png"),               # unparseable
+    ]
+    out = {r.media_id: r for r in
+           resize_images(spark.createDataFrame(rows, MEDIA_SCHEMA), 512, 512).collect()}
+    assert (out[1].dst_width, out[1].dst_height, out[1].resized) == (512, 384, "stub")
+    assert (out[2].dst_width, out[2].dst_height, out[2].resized) == (100, 200, "pass-through")
+    assert (out[3].dst_width, out[3].dst_height, out[3].resized) == (512, 256, "stub")
+    assert (out[4].dst_width, out[4].resized) == (-1, "unknown")
+    # stub seam: payload byte-identical until a real decoder is wired in
+    assert bytes(out[1].payload) == _png(640, 480)
+
+
 def test_frame_sample_plan(spark):
     plan = frame_sample_plan(_media_df(spark).where(F.col("media_id") == 3), every_n=2)
     idxs = [r.frame_idx for r in plan.collect()]
