@@ -62,13 +62,21 @@ class Mount:
 
 
 def ensure_nanos_conf(spark: SparkSession) -> None:
-    """``spark.sql.legacy.parquet.nanosAsLong`` is a runtime-settable SQL conf;
-    set it defensively on EVERY session that reads fixtures.  The repo's own
-    ``session.py`` sets it at build time, but external harnesses construct
-    their own SparkSession — without this, reading ``events.parquet``
-    (physical type TIMESTAMP(NANOS)) raises ``PARQUET_TYPE_ILLEGAL`` before
-    the bigint fallback below can ever run."""
+    """Runtime-settable SQL confs every fixture read depends on, set
+    defensively on EVERY session (the repo's own ``session.py`` sets them at
+    build time, but external harnesses construct their own SparkSession):
+
+    - ``spark.sql.legacy.parquet.nanosAsLong`` — without it, reading a
+      TIMESTAMP(NANOS) ``events.parquet`` raises ``PARQUET_TYPE_ILLEGAL``
+      before the bigint fallback in ``normalize_events_ts`` can run;
+    - ``spark.sql.session.timeZone = UTC`` — the µs-NTZ fixture encoding is
+      normalized by an NTZ→TIMESTAMP cast, which reinterprets the wall time
+      in the SESSION time zone; only under UTC does ``unix_micros`` agree
+      with the oracle's ``epoch_ns // 1000`` (DuckDB reads naive parquet
+      timestamps verbatim).  A harness session pinned to any other zone
+      would silently shift every event by its UTC offset."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

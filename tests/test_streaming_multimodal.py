@@ -150,6 +150,31 @@ def test_load_table_recovers_bare_session_nanos(spark, sf_dir):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def test_load_table_recovers_non_utc_session_tz(spark, sf_dir):
+    """A harness session pinned to a non-UTC zone must not shift event time:
+    the NTZ→TIMESTAMP normalization cast reinterprets wall time in the
+    session zone, so load_table pins UTC at call time (ensure_nanos_conf)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simsearch_spark.sources.registry import load_table
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    unit = t.schema.field("ts").type.unit
+    div = 1000 if unit == "ns" else 1
+    raw_us = dict(zip(t.column("event_id").to_pylist(),
+                      (v // div for v in t.column("ts").cast(pa.int64()).to_pylist())))
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        got = dict(ev.select("event_id", F.unix_micros("ts").alias("us")).collect())
+        assert got == raw_us
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_stream_queries_recover_bare_session_nanos(spark, sf_dir):
     """The streaming declared queries read events.parquet directly for the
     schema; they must also survive a session missing the nanos conf."""
