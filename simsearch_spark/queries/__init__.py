@@ -81,6 +81,9 @@ DRIVER_EXCLUDED = frozenset(
         # linear-interpolation definition — the in-repo parity run is the
         # identical comparison the driver would make
         "events_percentiles",
+        # deterministic KMV sketch over the shared char-fold hash; the
+        # in-repo parity run replays the identical sketch construction
+        "sketch_distinct_users",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

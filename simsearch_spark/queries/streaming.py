@@ -99,6 +99,50 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_time_slices(sf_dir: str, name: str, n_slices: int = 3) -> str:
+    """Stage one fixture into ``n_slices`` event-time-ordered parquet files
+    (global sort by (ts, event_id), sliced by row range, ascending mtimes so
+    the file source replays them as in-order micro-batches) — the bounded
+    stand-in for a per-key-ordered stream."""
+    import os
+    import time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix=f"simsearch_stream_{name}_sliced_")
+    t = pq.read_table(f"{sf_dir}/{name}.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    step = -(-t.num_rows // n_slices)
+    now = time.time()
+    for i in range(n_slices):
+        part = t.slice(i * step, step)
+        if part.num_rows == 0:
+            break
+        path = f"{d}/b{i}.parquet"
+        pq.write_table(part, path)
+        os.utime(path, (now + i, now + i))
+    return d
+
+
+def q_stream_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user as-of click attribution
+    (streaming/asof.py) replayed over time-ordered micro-batch slices and
+    compared against the BATCH as-of oracle — state (latest click per user)
+    must carry correctly across batch boundaries for the outputs to match."""
+    from simsearch_spark.streaming.asof import asof_click_stream
+
+    ensure_nanos_conf(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    staged = _staged_time_slices(sf_dir, "events", n_slices=3)
+    stream = read_events_stream(
+        spark, staged, schema=schema, max_files_per_trigger=1
+    )
+    sink = _unique("q_stream_asof")
+    _run_staged(spark, staged, lambda: asof_click_stream(stream), sink, "append")
+    return spark.table(sink)
+
+
 def q_stream_enrich_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched with the (static,
     broadcast-sized) customer dimension, rolled up per (hour, market
@@ -129,9 +173,16 @@ def _sql_dedup_exact() -> str:
     return SQL_DEDUP_EXACT
 
 
+def _sql_events_asof() -> str:
+    from simsearch_spark.queries.pipeline import SQL_EVENTS_ASOF_CLICK
+
+    return SQL_EVENTS_ASOF_CLICK
+
+
 STREAMING_QUERIES = {
     "stream_events_hourly": (q_stream_events_hourly, SQL_EVENTS_HOURLY),
     "stream_sessionize": (q_stream_sessionize, SQL_EVENTS_SESSIONIZE),
     "stream_dedup_docs": (q_stream_dedup_docs, _sql_dedup_exact()),
     "stream_enrich_hourly": (q_stream_enrich_hourly, SQL_STREAM_ENRICH_HOURLY),
+    "stream_asof_click": (q_stream_asof_click, _sql_events_asof()),
 }

@@ -25,14 +25,19 @@ SESSION_GAP = "30 minutes"
 WATERMARK = "2 hours"
 
 
-def read_events_stream(spark: SparkSession, path: str, schema=None) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, schema=None, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over parquet event files (one file per
     micro-batch when replaying fixtures in tests).  In production this is
     Kafka/Kinesis — only this reader changes; the graph below is
-    source-agnostic."""
+    source-agnostic.  ``max_files_per_trigger=1`` forces one staged file
+    per micro-batch (ordered-replay harness for stateful operators)."""
     reader = spark.readStream.format("parquet")
     if schema is not None:
         reader = reader.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(path)
     return normalize_events_ts(df)
 

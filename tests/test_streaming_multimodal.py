@@ -242,6 +242,69 @@ def test_stream_dedup_two_batch_oracle_parity(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_stream_asof_click_state_carries_across_batches(spark, tmp_path):
+    """A click in batch 0 must attribute a purchase arriving in batch 1
+    (state carry), and a user with no prior click gets NULLs."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simsearch_spark.streaming.asof import asof_click_stream
+
+    us = 1_000_000
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+
+    def tbl(rows):
+        return pa.Table.from_pylist(
+            [dict(zip(("event_id", "ts", "user_id", "event_type", "value", "props"), r))
+             for r in rows], schema=schema)
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    # batch 0: user 7 clicks; user 8 purchases with no prior click
+    pq.write_table(tbl([
+        (1, 1000 * us, 7, "click", 0.0, ""),
+        (2, 1500 * us, 8, "purchase", 1.0, ""),
+    ]), str(d / "b0.parquet"))
+    # batch 1: user 7 purchases (attributes to the batch-0 click), then a
+    # newer click and another purchase within the same batch
+    pq.write_table(tbl([
+        (3, 2000 * us, 7, "purchase", 1.0, ""),
+        (4, 2500 * us, 7, "click", 0.0, ""),
+        (5, 3000 * us, 7, "purchase", 1.0, ""),
+    ]), str(d / "b1.parquet"))
+    now = _time.time()
+    os.utime(str(d / "b0.parquet"), (now, now))
+    os.utime(str(d / "b1.parquet"), (now + 1, now + 1))
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string")
+        .option("maxFilesPerTrigger", 1).load(str(d))
+    )
+    from simsearch_spark.sources.registry import normalize_events_ts
+    q = (
+        asof_click_stream(normalize_events_ts(stream))
+        .writeStream.format("memory").queryName("t_stream_asof_unit")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 2
+    got = {r.event_id: (r.click_id, r.delta_us)
+           for r in spark.table("t_stream_asof_unit").collect()}
+    assert got == {
+        2: (None, None),
+        3: (1, 1000 * us),
+        5: (4, 500 * us),
+    }
+
+
 def test_events_asof_click_semantics(spark, monkeypatch):
     """As-of: each purchase takes the latest (ts, event_id)-prior click of
     its user; no prior click -> NULLs."""
