@@ -389,9 +389,11 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simsearch_spark.operators.contamination import contamination_report, kgram_hashes
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = kgram_hashes(docs, "doc_id", "text", CONTAM_K)
-    ev = grams.where(F.col("doc_id") % EVAL_MOD == 0)
-    tr = grams.where(F.col("doc_id") % EVAL_MOD != 0)
+    # split BEFORE gram extraction: the parity predicate pushes into both
+    # scans and each document runs the Arrow kernel exactly once — splitting
+    # after extraction would hash the full corpus twice (plan-audited)
+    ev = kgram_hashes(docs.where(F.col("doc_id") % EVAL_MOD == 0), "doc_id", "text", CONTAM_K)
+    tr = kgram_hashes(docs.where(F.col("doc_id") % EVAL_MOD != 0), "doc_id", "text", CONTAM_K)
     return contamination_report(tr, ev, "doc_id")
 
 
@@ -434,6 +436,8 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side partial aggregation over the corpus; the per-source frame
     (domain-count-sized, trivially small) then normalizes against a
     broadcast 1-row total — no second corpus pass, no driver loop."""
+    from pyspark.sql.window import Window
+
     from simsearch_spark.functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
@@ -442,15 +446,16 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(token_count(F.col("text"))).alias("n_tokens"),
     )
     w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
-    total = per.agg(F.sum(w_raw).alias("_t"))
-    return (
-        per.crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.round(w_raw / F.col("_t"), 6).alias("mix_weight"),
-        )
+    # normalize with an unpartitioned window OVER THE AGGREGATED FRAME: a
+    # separate `per.agg(sum)` branch would re-evaluate the plan and scan the
+    # corpus twice (plan-audited); the single-partition window touches only
+    # the domain-count-sized frame, never the corpus
+    total = F.sum(w_raw).over(Window.partitionBy())
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w_raw / total, 6).alias("mix_weight"),
     )
 
 
@@ -490,7 +495,11 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", MINHASH_T, N_HASHES, N_BANDS)
     comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
-    rooted = docs.join(comp, "doc_id", "left").select(
+    # the component frame is dup-graph-sized (docs that HAVE a near-dup),
+    # orders of magnitude smaller than the corpus — broadcast it so the
+    # corpus side never shuffles (falls back to a doc_id-keyed shuffle-hash
+    # join if a pathological corpus overflows the broadcast limit)
+    rooted = docs.join(F.broadcast(comp), "doc_id", "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("root")
     )
     split = F.when(
