@@ -46,7 +46,17 @@ def asof_click_stream(events: DataFrame) -> DataFrame:
     )
 
     def attribute(key, pdfs, state):
+        import warnings
+
         import pandas as pd
+
+        # pyspark's state serializer concatenates output frames after this
+        # function returns (same worker process); all-NA nullable columns
+        # (click_id with no prior click) trip a pandas FutureWarning there
+        # that would spam the driver log on every batch
+        warnings.filterwarnings(
+            "ignore", category=FutureWarning, message=".*concatenation with empty or all-NA.*"
+        )
 
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["tus", "event_id"], kind="mergesort"

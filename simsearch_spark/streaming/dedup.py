@@ -40,7 +40,15 @@ def dedup_docs_stream(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     fp = docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
 
     def snapshot(key, pdfs, state):
+        import warnings
+
         import pandas as pd
+
+        # same worker-process pandas FutureWarning suppression as
+        # streaming/asof.py — the state serializer's concat, not our frames
+        warnings.filterwarnings(
+            "ignore", category=FutureWarning, message=".*concatenation with empty or all-NA.*"
+        )
 
         ids: list[int] = []
         for pdf in pdfs:
