@@ -305,6 +305,32 @@ def test_stream_asof_click_state_carries_across_batches(spark, tmp_path):
     }
 
 
+def test_stream_asof_slice_count_invariance(spark, sf_dir):
+    """The ordered-replay contract must be batch-split-invariant: replaying
+    the fixture as 2 or 5 time-ordered slices yields identical attribution
+    (and equals the batch as-of query)."""
+    from simsearch_spark.queries.pipeline import q_events_asof_click
+    from simsearch_spark.queries.streaming import _staged_time_slices, _unique
+    from simsearch_spark.streaming.asof import asof_click_stream
+    from simsearch_spark.streaming.events import read_events_stream, run_stream_to_memory
+
+    want = {r.event_id: (r.click_id, r.delta_us)
+            for r in q_events_asof_click(spark, sf_dir).collect()}
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    for n_slices in (2, 5):
+        staged = _staged_time_slices(sf_dir, "events", n_slices=n_slices)
+        try:
+            stream = read_events_stream(spark, staged, schema=schema, max_files_per_trigger=1)
+            sink = _unique(f"t_asof_inv{n_slices}")
+            run_stream_to_memory(asof_click_stream(stream), sink, mode="append")
+            got = {r.event_id: (r.click_id, r.delta_us)
+                   for r in spark.table(sink).collect()}
+        finally:
+            import shutil as _sh
+            _sh.rmtree(staged, ignore_errors=True)
+        assert got == want, f"n_slices={n_slices}"
+
+
 def test_events_asof_click_semantics(spark, monkeypatch):
     """As-of: each purchase takes the latest (ts, event_id)-prior click of
     its user; no prior click -> NULLs."""
