@@ -84,6 +84,9 @@ DRIVER_EXCLUDED = frozenset(
         # deterministic KMV sketch over the shared char-fold hash; the
         # in-repo parity run replays the identical sketch construction
         "sketch_distinct_users",
+        # the identical BM25 computation runs (at greater depth) inside
+        # driver-verified hybrid_rrf_topk
+        "bm25_topk",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

@@ -292,7 +292,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "toks", BM25_QUERY, BM25_K)
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = BM25_K) -> str:
     from simsearch_spark.operators.bm25 import B, K1
 
     terms = sorted(set(BM25_QUERY))
@@ -318,7 +318,7 @@ WITH t AS (
 )
 SELECT doc_id, round({score}, 6) AS score, len(toks) AS n_tokens
 FROM t, s
-ORDER BY round({score}, 6) DESC, doc_id ASC LIMIT {BM25_K}
+ORDER BY round({score}, 6) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -540,11 +540,91 @@ FROM rooted
 SQL_SPLIT_LEAKAGE_SAFE = _split_oracle()
 
 
+# -----------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine rankings
+# -----------------------------------------------------------------------------
+
+RRF_N = 50  # depth of each input ranking
+RRF_C = 60  # RRF constant (Cormack et al.: score = Σ 1/(C + rank))
+HYBRID_K = 10
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval: the BM25 keyword ranking and the
+    brute-cosine dense ranking (same fixed query vector as the ANN queries)
+    are fused by reciprocal-rank fusion — the standard RAG-era retrieval
+    composition.  Each input ranking is a top-N (TakeOrderedAndProject, O(N)
+    memory); the fusion is a full-outer join of two N-row frames plus one
+    more TakeOrdered — all corpus-sized work stays in the two underlying
+    rankers, the fusion itself is constant-sized."""
+    from simsearch_spark.functions.text import ws_tokens
+    from simsearch_spark.operators.ann import cosine_topk
+    from simsearch_spark.operators.bm25 import bm25_topk
+    from simsearch_spark.queries.pipeline import ANN_QUERY_ID
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", ws_tokens(F.col("text")))
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == ANN_QUERY_ID).first().embedding]
+
+    w_bm = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    sparse = (
+        bm25_topk(docs, "doc_id", "toks", BM25_QUERY, RRF_N)
+        .withColumn("rank_bm25", F.row_number().over(w_bm))
+        .select("doc_id", "rank_bm25")
+    )
+    w_cos = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    dense = (
+        cosine_topk(emb, "vec_id", "embedding", qvec, RRF_N)
+        .withColumn("rank_cos", F.row_number().over(w_cos))
+        .select(F.col("vec_id").alias("doc_id"), "rank_cos")
+    )
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_bm25")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_cos")), F.lit(0.0)),
+        6,
+    )
+    return (
+        sparse.join(dense, "doc_id", "full_outer")
+        .withColumn("rrf_score", rrf)
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(HYBRID_K)
+        .select("doc_id", "rrf_score", "rank_bm25", "rank_cos")
+    )
+
+
+def _hybrid_oracle() -> str:
+    from simsearch_spark.queries.pipeline import ANN_QUERY_ID
+    from simsearch_spark.queries.vector import _cosine_sql
+
+    bm25_body = _bm25_oracle(k=RRF_N)
+    return f"""
+WITH bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_bm25
+  FROM ({bm25_body})
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}
+), cs AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY round({_cosine_sql('e.embedding', 'qv')}, 6) DESC,
+                            vec_id ASC) AS rank_cos
+  FROM embeddings e, q
+  ORDER BY round({_cosine_sql('e.embedding', 'qv')}, 6) DESC, vec_id ASC LIMIT {RRF_N}
+)
+SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+       round(coalesce(1.0 / ({RRF_C} + rank_bm25), 0.0)
+           + coalesce(1.0 / ({RRF_C} + rank_cos), 0.0), 6) AS rrf_score,
+       rank_bm25, rank_cos
+FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_K}
+"""
+
+
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
     "source_mix_weights": (q_source_mix_weights, SQL_SOURCE_MIX_WEIGHTS),
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
+    "hybrid_rrf_topk": (q_hybrid_rrf_topk, _hybrid_oracle()),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "topk_per_source": (q_topk_per_source, SQL_TOPK_PER_SOURCE),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),

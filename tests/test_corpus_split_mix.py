@@ -38,6 +38,24 @@ def test_split_assignment_is_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
+    """RRF output must carry members of both input rankings (at fixture
+    scale both lists contribute), score consistent with the rank formula."""
+    from simsearch_spark.queries.corpus import RRF_C, q_hybrid_rrf_topk
+
+    rows = q_hybrid_rrf_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert any(r.rank_bm25 is not None for r in rows)
+    assert any(r.rank_cos is not None for r in rows)
+    for r in rows:
+        want = sum(1.0 / (RRF_C + rk) for rk in (r.rank_bm25, r.rank_cos) if rk is not None)
+        assert abs(r.rrf_score - want) < 1e-6
+        assert r.rank_bm25 is not None or r.rank_cos is not None
+    # descending fused order, ties by doc_id
+    key = [(-r.rrf_score, r.doc_id) for r in rows]
+    assert key == sorted(key)
+
+
 def test_mix_weights_normalized_and_monotone(spark, sf_dir):
     rows = q_source_mix_weights(spark, sf_dir).collect()
     assert len(rows) >= 2
