@@ -1,11 +1,8 @@
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
 from simsearch_spark.operators.pivot import (
     allocate_pivots,
-    embed_distances,
     epsilon_scale,
     pivot_knn,
     select_pivots_farthest_point,

@@ -4,8 +4,6 @@ Each property evaluates one batched Spark job over many generated examples
 (per-example sessions would be prohibitively slow).
 """
 
-import math
-
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
