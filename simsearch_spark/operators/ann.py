@@ -100,6 +100,88 @@ def lsh_cosine_topk(
     )
 
 
+def multi_query_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+) -> DataFrame:
+    """Exact top-k per query for a BATCH of query vectors in one corpus scan.
+
+    The retrieval-at-scale shape: Q queries amortize a single pass instead
+    of Q separate scans.  An Arrow kernel scores each record batch against
+    the broadcast Q×D query matrix and emits only each batch's top-k per
+    query (plus a 2e-6 guard band so the authoritative JVM round-6 ordering
+    can never disagree with the batch-local pruning); the global stage ranks
+    (batches × k) survivors per query — a tournament top-k, never a
+    corpus-sized shuffle.
+
+    Exactness contract: dot products and norms replay the JVM left-fold
+    (ascending-dimension rank-1 updates, one IEEE add per element per step —
+    the same fold ``measures.dot_product``/``l2_norm`` evaluate and the
+    DuckDB oracle's ``list_reduce`` replays), so raw cosines are
+    bit-identical across engines and the final ``F.round(·, 6)`` ordering
+    matches the oracle's.
+    """
+    from pyspark.sql.window import Window
+
+    qids = [int(q) for q, _v in queries]
+    qvecs = [[float(x) for x in v] for _q, v in queries]
+    id_dtype = dict(df.dtypes)[id_col]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Qm = np.array(qvecs, dtype=np.float64)  # Q×D
+        qn = np.empty(len(qids), dtype=np.float64)
+        for qi, vec in enumerate(qvecs):
+            acc = 0.0
+            for x in vec:
+                acc = acc + x * x
+            qn[qi] = acc ** 0.5
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n, d = V.shape
+            dot = np.zeros((n, len(qids)), dtype=np.float64)
+            nsq = np.zeros(n, dtype=np.float64)
+            for j in range(d):  # ascending-dim left fold == JVM aggregate
+                col = V[:, j]
+                dot += col[:, None] * Qm[None, :, j]
+                nsq += col * col
+            denom = np.sqrt(nsq)[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, 0.0, dot / denom)
+            ids = pdf[id_col].values
+            out_q, out_id, out_raw = [], [], []
+            for qi, qid in enumerate(qids):
+                c = cos[:, qi]
+                if n > k:
+                    kth = np.partition(c, n - k)[n - k]
+                    keep = np.nonzero(c >= kth - 2e-6)[0]
+                else:
+                    keep = np.arange(n)
+                out_q.extend([qid] * len(keep))
+                out_id.extend(ids[keep])
+                out_raw.extend(c[keep])
+            yield pd.DataFrame({"query_id": out_q, id_col: out_id, "cos_raw": out_raw})
+
+    survivors = df.select(id_col, vec_col).mapInPandas(
+        score, f"query_id long, {id_col} {id_dtype}, cos_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cos_raw", 6).desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("cos_raw", 6).alias("cos_sim"), "rank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

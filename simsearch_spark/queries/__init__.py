@@ -87,6 +87,9 @@ DRIVER_EXCLUDED = frozenset(
         # the identical BM25 computation runs (at greater depth) inside
         # driver-verified hybrid_rrf_topk
         "bm25_topk",
+        # the single-query special case of driver-verified
+        # ann_multi_query_topk (same fold, same ordering contract)
+        "ann_cosine_topk",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

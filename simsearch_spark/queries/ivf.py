@@ -111,7 +111,46 @@ FROM embeddings e JOIN cent ON e.label = cent.label
 """
 
 
+# -----------------------------------------------------------------------------
+# ann_multi_query_topk: batch retrieval — Q queries, one corpus scan
+# -----------------------------------------------------------------------------
+
+MULTI_QUERY_IDS = (3, 7, 11)
+
+
+def q_ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k per query for a batch of query vectors
+    (operators/ann.py::multi_query_cosine_topk): one Arrow-kernel corpus
+    pass emits batch-local per-query top-k, a tournament window ranks the
+    survivors — Q scans collapse into one."""
+    from simsearch_spark.operators.ann import multi_query_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.where(F.col("vec_id").isin(*MULTI_QUERY_IDS)).select("vec_id", "embedding").collect()
+    queries = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows)
+    out = multi_query_cosine_topk(emb, "vec_id", "embedding", queries, K)
+    return out.select("query_id", F.col("vec_id").alias("id"), "cos_sim", "rank")
+
+
+SQL_ANN_MULTI_QUERY_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN {MULTI_QUERY_IDS}
+), s AS (
+  SELECT q.query_id, e.vec_id AS id,
+         round({_cosine_sql('e.embedding', 'qv')}, 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_cosine_sql('e.embedding', 'qv')}, 6) DESC, e.vec_id ASC
+         ) AS rank
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, id, cos_sim, rank FROM s WHERE rank <= {K}
+"""
+
+
 IVF_QUERIES = {
     "ann_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embed_outliers": (q_embed_outliers, SQL_EMBED_OUTLIERS),
+    "ann_multi_query_topk": (q_ann_multi_query_topk, SQL_ANN_MULTI_QUERY_TOPK),
 }

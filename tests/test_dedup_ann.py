@@ -359,3 +359,30 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_multi_query_topk_equals_per_query_brute(spark, sf_dir):
+    """The batched kernel must reproduce Q independent single-query brute
+    top-k results exactly (same fold, same round-6 ordering), including
+    under tiny Arrow batches (forces multi-batch tournament pruning)."""
+    from simsearch_spark.operators.ann import cosine_topk, multi_query_cosine_topk
+    from simsearch_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = (3, 7, 11)
+    queries = [
+        (q, [float(x) for x in emb.where(F.col("vec_id") == q).first().embedding])
+        for q in qids
+    ]
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        got = {
+            (r.query_id, r.rank): (r.vec_id, r.cos_sim)
+            for r in multi_query_cosine_topk(emb.repartition(7), "vec_id", "embedding", queries, 10).collect()
+        }
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    for q, vec in queries:
+        want = cosine_topk(emb, "vec_id", "embedding", vec, 10).collect()
+        for rank, r in enumerate(want, start=1):
+            assert got[(q, rank)] == (r.vec_id, r.cos_sim), (q, rank)
