@@ -441,9 +441,14 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simsearch_spark.functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
+    # NULL-text guard: DuckDB's sum(len(...)) SKIPS NULL rows, while Spark's
+    # size() on NULL can yield -1 under legacy sizeOfNull — make the skip
+    # explicit so a regenerated fixture with NULL text can't skew n_tokens
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("text").isNotNull(), token_count(F.col("text")))
+        ).alias("n_tokens"),
     )
     w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
     # normalize with an unpartitioned window OVER THE AGGREGATED FRAME: a
@@ -461,7 +466,7 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SOURCE_MIX_WEIGHTS = f"""
 WITH per AS (
-  SELECT source, count(*) AS n_docs, sum(len({_WS_TOKS})) AS n_tokens
+  SELECT source, count(*) AS n_docs, sum(len({_WS_TOKS}))::BIGINT AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (
   SELECT sum(pow(n_tokens::DOUBLE, {MIX_ALPHA})) AS t FROM per

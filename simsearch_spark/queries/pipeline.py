@@ -879,7 +879,7 @@ WITH ordered AS (
          CASE WHEN prev IS NULL OR tus - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
   FROM ordered
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 

@@ -107,12 +107,26 @@ def _staged_time_slices(sf_dir: str, name: str, n_slices: int = 3) -> str:
     import os
     import time
 
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     d = tempfile.mkdtemp(prefix=f"simsearch_stream_{name}_sliced_")
     t = pq.read_table(f"{sf_dir}/{name}.parquet")
-    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]))
+    # Sort on the µs-floored key the as-of operator and its oracle order by
+    # ((epoch_us, event_id)), NOT raw ts: under a TIMESTAMP(NANOS) fixture a
+    # raw-ts sort can break same-microsecond ties by their ns remainder,
+    # splitting a tied pair across a slice boundary in an order the
+    # operator's documented (µs, event_id) contract never sees.
+    epoch = pc.cast(t["ts"], pa.int64())
+    if getattr(t.schema.field("ts").type, "unit", "us") == "ns":
+        epoch = pc.divide(epoch, 1000)
+    t = t.append_column("__epoch_us", epoch)
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("__epoch_us", "ascending"), ("event_id", "ascending")]
+        )
+    ).drop_columns(["__epoch_us"])
     step = -(-t.num_rows // n_slices)
     now = time.time()
     for i in range(n_slices):

@@ -62,6 +62,29 @@ def test_every_exclusion_is_covered():
         assert sql is not None or name in _EQUIVALENCE_COVERED, name
 
 
+# Driver hasher is type-sensitive: DuckDB sum(int)→HUGEINT vs Spark BIGINT
+# hash-mismatches even when every value compares equal (the r2/r3/r5 red rows).
+# The fetchall() comparisons below erase that difference, so guard the TYPES
+# of every oracle in the registry — driver surface included — here.
+_UNSPARKABLE = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, (_f, s) in REGISTRY.items() if s is not None)
+)
+def test_oracle_output_types_sparkable(duck, name):
+    rel = duck.sql(REGISTRY[name][1])
+    offenders = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper().startswith(_UNSPARKABLE)
+    ]
+    assert not offenders, (
+        f"{name}: oracle columns {offenders} would hash-mismatch at the driver "
+        f"(type-sensitive hasher); add ::BIGINT/::DOUBLE casts in the SQL"
+    )
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n in DRIVER_EXCLUDED if REGISTRY[n][1] is not None)
 )

@@ -61,9 +61,21 @@ def main() -> int:
             if len(s_rows) == 0:
                 failures.append((name, "0 rows"))
             continue
-        res = con.execute(sql)
-        d_cols = [c[0].lower() for c in res.description]
-        d_rows = res.fetchall()
+        rel = con.sql(sql)
+        # the driver's value-hash is type-sensitive: DuckDB sum(int) yields
+        # HUGEINT (INT128) where Spark yields BIGINT, so values that compare
+        # equal here still hash-mismatch at the driver — reject such oracles
+        bad_types = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+        ]
+        if bad_types:
+            failures.append((name, f"oracle column type not Spark-hashable: {bad_types}"))
+            print(f"{name:24s} ORACLE TYPE {bad_types} — add ::BIGINT/::DOUBLE cast in the SQL")
+            continue
+        d_cols = [c.lower() for c in rel.columns]
+        d_rows = rel.fetchall()
         sc, sr = norm_rows(s_cols, s_rows)
         dc, dr = norm_rows(d_cols, d_rows)
         if sc != dc:
