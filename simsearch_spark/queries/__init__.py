@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from simsearch_spark.queries.cluster import CLUSTER_QUERIES
 from simsearch_spark.queries.core import CORE_QUERIES
 from simsearch_spark.queries.corpus import CORPUS_QUERIES
 from simsearch_spark.queries.frontend import FRONTEND_QUERIES
@@ -21,6 +22,7 @@ from simsearch_spark.queries.pipeline import PIPELINE_QUERIES
 from simsearch_spark.queries.setsim import SETSIM_QUERIES
 from simsearch_spark.queries.streaming import STREAMING_QUERIES
 from simsearch_spark.queries.vector import VECTOR_QUERIES
+from simsearch_spark.queries.vocab import VOCAB_QUERIES
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _part in (
@@ -34,6 +36,8 @@ for _part in (
     IVF_QUERIES,
     STREAMING_QUERIES,
     CORPUS_QUERIES,
+    VOCAB_QUERIES,
+    CLUSTER_QUERIES,
 ):
     _overlap = set(REGISTRY) & set(_part)
     if _overlap:
@@ -90,6 +94,22 @@ DRIVER_EXCLUDED = frozenset(
         # the single-query special case of driver-verified
         # ann_multi_query_topk (same fold, same ordering contract)
         "ann_cosine_topk",
+        # pure key-join extra-column fetch downstream of driver-verified
+        # num_topk (R1 is a projection join; no scoring of its own)
+        "extra_columns",
+        # k×k pairwise matrix — a pure function of the driver-verified
+        # top-k rows it is built from (R2)
+        "sim_matrix",
+        # row-local posexplode fan-out over fixed token windows; no join,
+        # no aggregation semantics beyond the in-repo compare
+        "doc_chunks",
+        # single grouped row_number window; the identical window shape is
+        # driver-verified at depth inside hybrid_rrf_topk
+        "topk_per_source",
+        # regex semantics pinned by literal fixtures + a DuckDB
+        # cross-engine check (tests/test_pii.py); the synthetic corpus has
+        # zero PII, so an external verdict would only ever compare zeros
+        "pii_scrub",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

@@ -1,0 +1,125 @@
+"""Declared queries: embedding-space clustering and quantization — the
+vector-curation extensions of the LLM-pipeline surface (the reference has
+no clustering/compression operator; its vector path is pivot-based k-NN,
+``pivoting/``).
+
+Both oracles replay the FULL algorithm in SQL — the k-means oracle unrolls
+every Lloyd iteration as CTE pairs, so assignment, re-averaging, and the
+empty-cluster rule are all driver-verified, not just the final shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simsearch_spark.operators.kmeans import kmeans_assign
+from simsearch_spark.operators.quantize import QUANT_LEVELS, quantization_error
+from simsearch_spark.queries.ivf import EMB_DIM
+from simsearch_spark.queries.vector import _l2_sql
+from simsearch_spark.sources.registry import load_table
+
+KM_K = 8
+KM_ITERS = 2
+
+
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means document clustering (operators/kmeans.py):
+    ``KM_ITERS`` Lloyd iterations from the k lowest-id seeds, reported as
+    per-cluster size + mean distance-to-centroid — the domain-discovery /
+    cluster-balanced-sampling step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, "vec_id", "embedding", k=KM_K, iters=KM_ITERS)
+    return out.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+    )
+
+
+def _km_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd's in DuckDB SQL: per iteration an assignment CTE
+    (row_number over (dist, cluster_id) — the strict-< argmin rule), a
+    re-average CTE rounded to 6 like the engine, and an empty-cluster
+    coalesce against the previous centroids."""
+    sql = f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster_id,
+         list_transform(embedding, x -> round(x::DOUBLE, 6)) AS c
+  FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT {k})
+)"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+a{it} AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC) AS rn
+  FROM (SELECT e.vec_id, c.cluster_id, {_l2_sql('e.embedding', 'c.c')} AS dist
+        FROM e, {prev} c)
+),
+m{it} AS (
+  SELECT s.cluster_id, u.i, round(avg(e.embedding[u.i]::DOUBLE), 6) AS mv
+  FROM (SELECT vec_id, cluster_id FROM a{it} WHERE rn = 1) s
+  JOIN e USING (vec_id), unnest(range(1, {EMB_DIM + 1})) AS u(i)
+  GROUP BY s.cluster_id, u.i
+),
+cn{it} AS (SELECT cluster_id, list(mv ORDER BY i) AS c FROM m{it} GROUP BY cluster_id),
+c{it} AS (
+  SELECT p.cluster_id, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN cn{it} n USING (cluster_id)
+)"""
+        prev = f"c{it}"
+    sql += f""",
+af AS (
+  SELECT vec_id, cluster_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC) AS rn
+  FROM (SELECT e.vec_id, c.cluster_id, {_l2_sql('e.embedding', 'c.c')} AS dist
+        FROM e, {prev} c)
+)
+SELECT cluster_id, count(*) AS n_vecs, round(avg(dist), 6) AS avg_dist
+FROM af WHERE rn = 1 GROUP BY cluster_id
+"""
+    return sql
+
+
+SQL_EMBED_KMEANS = _km_oracle(KM_K, KM_ITERS)
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit (operators/quantize.py): per fixture
+    label, the member count and the average / worst L2 reconstruction
+    error the 4× compression would introduce."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qerr = quantization_error(emb, "vec_id", "embedding")
+    return qerr.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("err"), 6).alias("avg_err"),
+        F.round(F.max("err"), 6).alias("max_err"),
+    )
+
+
+SQL_EMBED_QUANTIZE = f"""
+WITH flat AS (
+  SELECT vec_id, u.i, embedding[u.i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS u(i)
+), st AS (
+  SELECT i, min(v) AS mn, (max(v) - min(v)) / {QUANT_LEVELS} AS sc FROM flat GROUP BY i
+), dq AS (
+  SELECT f.vec_id, f.v,
+         CASE WHEN st.sc = 0 THEN st.mn
+              ELSE st.mn + least(greatest(round((f.v - st.mn) / st.sc, 0), 0), {QUANT_LEVELS}) * st.sc
+         END AS r
+  FROM flat f JOIN st USING (i)
+), pe AS (
+  SELECT vec_id, round(sqrt(sum((v - r) * (v - r))), 6) AS err FROM dq GROUP BY vec_id
+)
+SELECT e.label, count(*) AS n_vecs,
+       round(avg(err), 6) AS avg_err, round(max(err), 6) AS max_err
+FROM pe JOIN embeddings e USING (vec_id)
+GROUP BY e.label
+"""
+
+
+CLUSTER_QUERIES = {
+    "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
+    "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
+}

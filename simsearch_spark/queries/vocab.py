@@ -1,0 +1,188 @@
+"""Declared queries: corpus vocabulary statistics, TF-IDF keyword
+extraction, and PII scrubbing — text-analysis extensions of the
+LLM-pipeline surface (no reference counterpart; the reference's text
+operator is the q-gram similarity facet, ``DataIngestor.java:151-204``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simsearch_spark.functions.pii import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    email_count,
+    ipv4_count,
+    phone_count,
+    redact,
+)
+from simsearch_spark.functions.text import ws_tokens
+from simsearch_spark.queries.pipeline import _WS_TOKS
+from simsearch_spark.sources.registry import load_table
+
+NGRAM_TOP = 50
+TFIDF_TOP = 3
+
+
+# -----------------------------------------------------------------------------
+# ngram_vocab: corpus-level top-N bigram counts
+# -----------------------------------------------------------------------------
+
+
+def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``NGRAM_TOP`` whitespace bigrams by corpus frequency — the
+    vocabulary/collocation census (tokenizer training, boilerplate
+    discovery, Zipf audits).
+
+    100 TB shape: the bigram fan-out is row-local (transform over the
+    token array, no join), the count is one shuffle with map-side partial
+    aggregation on the ngram key, and the final top-N is a TakeOrdered —
+    no global sort.  Skewed head ngrams are exactly what partial
+    aggregation absorbs: each map task pre-counts its own copies."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = ws_tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(NGRAM_TOP)
+    )
+
+
+SQL_NGRAM_VOCAB = f"""
+WITH t AS (SELECT {_WS_TOKS} AS toks FROM documents WHERE text IS NOT NULL),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT ngram, count(*) AS n
+FROM b GROUP BY ngram
+ORDER BY n DESC, ngram ASC
+LIMIT {NGRAM_TOP}
+"""
+
+
+# -----------------------------------------------------------------------------
+# tfidf_keywords: top terms per document
+# -----------------------------------------------------------------------------
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP`` TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1, the sklearn convention) — per-doc keyword
+    extraction for tagging / routing / topic audits.
+
+    100 TB shape: two keyed shuffles with map-side combine ((doc, term)
+    term-frequency, then term document-frequency), a shuffle join of tf
+    against the vocab-sized df frame on the term key (NOT broadcast — a
+    100 TB vocab is not driver-sized), a 1-row corpus count broadcast, and
+    one per-doc window for the top-N.  Determinism: counts are exact
+    integers, the score is identical IEEE arithmetic on both engines,
+    and the window orders by the ROUNDED score with a term tie-break."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    terms = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + 1)
+                        / (F.col("df").cast("double") + 1)
+                    )
+                    + 1
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+SQL_TFIDF_KEYWORDS = f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS toks FROM documents WHERE text IS NOT NULL),
+term AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM t),
+s AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf::DOUBLE * (ln((n_docs::DOUBLE + 1) / (df::DOUBLE + 1)) + 1), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), nd
+)
+SELECT doc_id, term, tfidf,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+FROM s
+QUALIFY rank <= {TFIDF_TOP}
+"""
+
+
+# -----------------------------------------------------------------------------
+# pii_scrub: detection counts + redacted-length audit
+# -----------------------------------------------------------------------------
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII census (emails / IPv4 / phone-ish runs) plus the
+    post-redaction character count — the release-scrub audit.  Pure
+    regexp column expressions, embarrassingly parallel, no shuffle.
+    The synthetic corpus contains no PII (all counts 0 — the oracle
+    still verifies both engines' regex semantics agree on every doc);
+    the positive-match behavior is pinned by literal fixtures in
+    tests/test_pii.py, including a DuckDB cross-engine check."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        email_count(t).alias("n_emails"),
+        ipv4_count(t).alias("n_ipv4"),
+        phone_count(t).alias("n_phones"),
+        F.length(redact(t)).alias("n_chars_redacted"),
+    )
+
+
+_REDACT2 = (
+    f"regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'), "
+    f"'{IPV4_RE}', '<IP>', 'g')"
+)
+
+SQL_PII_SCRUB = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ipv4,
+       len(regexp_extract_all({_REDACT2}, '{PHONE_RE}')) AS n_phones,
+       length(regexp_replace({_REDACT2}, '{PHONE_RE}', '<PHONE>', 'g')) AS n_chars_redacted
+FROM documents
+"""
+
+
+VOCAB_QUERIES = {
+    "ngram_vocab": (q_ngram_vocab, SQL_NGRAM_VOCAB),
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+}
