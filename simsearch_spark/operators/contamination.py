@@ -69,22 +69,38 @@ def kgram_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     return df.select(id_col, text_col).mapInPandas(proc, f"{id_col} {id_dtype}, gh long")
 
 
+#: Broadcast the distinct eval-gram table only below this many grams.
+#: 4M int64 hashes ≈ 32 MiB serialized — comfortably inside executor memory
+#: with headroom for the hashed relation's load factor.  Above it, a fat
+#: eval suite falls back to a shuffled join instead of OOMing executors.
+BROADCAST_GRAM_LIMIT = 4_000_000
+
+
 def contamination_report(
     train_grams: DataFrame,
     eval_grams: DataFrame,
     id_col: str = "doc_id",
+    broadcast_gram_limit: int | None = BROADCAST_GRAM_LIMIT,
 ) -> DataFrame:
     """(id, n_grams, n_contam, contam_ratio) per training document.
 
     ``train_grams``/``eval_grams`` are (id, gh) frames from ``kgram_hashes``
     over the two corpus splits.  A training doc's gram is contaminated iff
     it appears in ANY eval document.  The distinct eval-gram table is
-    broadcast (benchmark sets are small by construction); mark
-    contaminated-only consumers can filter ``n_contam > 0`` downstream —
-    the report keeps every training doc so the ratio distribution itself
-    can be profiled.
+    broadcast when it holds at most ``broadcast_gram_limit`` grams
+    (benchmark sets are small by construction, so the corpus-sized train
+    side is never shuffled for the join); an oversized eval suite falls
+    back to an unhinted join — Catalyst/AQE pick sort-merge or shuffled
+    hash from runtime sizes — trading one train-side shuffle for executor
+    safety.  The size probe is one cheap partial-aggregated count over the
+    eval side only; pass ``broadcast_gram_limit=None`` to skip the probe
+    and force the broadcast.  Mark contaminated-only consumers can filter
+    ``n_contam > 0`` downstream — the report keeps every training doc so
+    the ratio distribution itself can be profiled.
     """
-    ev = F.broadcast(eval_grams.select("gh").distinct().withColumn("_hit", F.lit(1)))
+    ev = eval_grams.select("gh").distinct().withColumn("_hit", F.lit(1))
+    if broadcast_gram_limit is None or ev.count() <= broadcast_gram_limit:
+        ev = F.broadcast(ev)
     return (
         train_grams.join(ev, "gh", "left")
         .groupBy(id_col)

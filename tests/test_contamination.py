@@ -57,3 +57,29 @@ def test_contamination_broadcasts_eval_side(spark):
     plan = contamination_report(tr, ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_oversized_eval_falls_back_to_shuffle_join(spark):
+    """Above broadcast_gram_limit the eval side must NOT be broadcast-hinted.
+
+    With autoBroadcastJoinThreshold disabled, only an explicit F.broadcast
+    hint can produce a BroadcastHashJoin — so the guard's two branches are
+    observable: limit=None forces the hint (broadcast survives), limit=0
+    drops it (shuffled join).  Results must be identical on both paths.
+    """
+    g = kgram_hashes(_docs(spark), "doc_id", "text", k=3)
+    ev = g.where(F.col("doc_id") % 13 == 0)
+    tr = g.where(F.col("doc_id") % 13 != 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = contamination_report(tr, ev, broadcast_gram_limit=None)
+        guarded = contamination_report(tr, ev, broadcast_gram_limit=0)
+        fplan = forced._jdf.queryExecution().executedPlan().toString()
+        gplan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in fplan
+        assert "BroadcastHashJoin" not in gplan and "BroadcastExchange" not in gplan
+        key = lambda r: r.doc_id  # noqa: E731
+        assert sorted(guarded.collect(), key=key) == sorted(forced.collect(), key=key)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
