@@ -35,25 +35,36 @@ from simsearch_spark.functions.measures import euclidean_distance
 
 
 def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    return F.lit([float(v) for v in vals])
 
 
 def assign_clusters(
     df: DataFrame, vec_col: str, centroids: dict[int, list[float]]
 ) -> DataFrame:
     """Add ``cluster_id`` (nearest centroid, L2; lowest id wins ties) and
-    ``dist`` columns.  Pure column expressions — no shuffle, no UDF."""
+    ``dist`` columns.  Pure column expressions — no shuffle, no UDF.
+
+    The argmin is ``array_min`` over (dist, cluster_id) structs: Spark's
+    struct ordering compares dist first, then cluster_id, which is exactly
+    the strict-``<``/lowest-id-on-ties rule.  Each centroid's distance
+    expression appears ONCE — a folded when-chain would re-embed every
+    prior distance inside each comparison, doubling the codegen tree per
+    centroid (k=8 produced multi-MiB task binaries and dominated runtime
+    with JIT compilation, not data)."""
     items = sorted(centroids.items())
-    first_id, first_vec = items[0]
     vec = F.col(vec_col)
-    best_id = F.lit(first_id)
-    best_d = euclidean_distance(vec, _lit_vec(first_vec))
-    for cid, cvec in items[1:]:
-        d = euclidean_distance(vec, _lit_vec(cvec))
-        take = d < best_d  # strict <: earliest cluster id retained on ties
-        best_id = F.when(take, F.lit(cid)).otherwise(best_id)
-        best_d = F.when(take, d).otherwise(best_d)
-    return df.withColumn("cluster_id", best_id).withColumn("dist", best_d)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    euclidean_distance(vec, _lit_vec(cvec)).alias("dist"),
+                    F.lit(cid).alias("cluster_id"),
+                )
+                for cid, cvec in items
+            ]
+        )
+    )
+    return df.withColumn("cluster_id", best["cluster_id"]).withColumn("dist", best["dist"])
 
 
 def _rounded_means(assigned: DataFrame, vec_col: str) -> dict[int, list[float]]:
