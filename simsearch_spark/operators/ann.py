@@ -206,18 +206,24 @@ def ivf_topk(
     probe_ids = [cid for cid, _v in by_dist[:n_probe]]
 
     if assign_col is None:
-        # assign rows to nearest centroid inline (centroids broadcast as literals)
-        best_id, best_d = None, None
-        for cid, vec in cent:
-            cv = F.array(*[F.lit(float(x)) for x in vec])
-            d = measures.euclidean_distance(F.col(vec_col), cv)
-            if best_id is None:
-                best_id, best_d = F.lit(cid), d
-            else:
-                cond = d < best_d
-                best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-                best_d = F.when(cond, d).otherwise(best_d)
-        df = df.withColumn("__cluster", best_id)
+        # assign rows to nearest centroid inline (centroids broadcast as
+        # literals); array_min over (dist, id) structs keeps each distance
+        # expression in the codegen tree ONCE — a folded when-chain doubles
+        # the tree per centroid (see operators/kmeans.py::assign_clusters)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        measures.euclidean_distance(
+                            F.col(vec_col), F.lit([float(x) for x in vec])
+                        ).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, vec in sorted(cent)
+                ]
+            )
+        )
+        df = df.withColumn("__cluster", best["cid"])
         assign_col = "__cluster"
 
     qv = F.array(*[F.lit(float(x)) for x in query_vec])

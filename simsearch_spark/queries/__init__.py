@@ -110,6 +110,10 @@ DRIVER_EXCLUDED = frozenset(
         # cross-engine check (tests/test_pii.py); the synthetic corpus has
         # zero PII, so an external verdict would only ever compare zeros
         "pii_scrub",
+        # recall@k audit composed of three driver-verified paths
+        # (ann_cosine brute / ann_lsh_topk / ann_ivf_topk); the oracle
+        # replays all three end-to-end in-repo
+        "ann_recall_audit",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

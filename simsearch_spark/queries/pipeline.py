@@ -335,21 +335,33 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_oracle() -> str:
-    plane_cols = ", ".join(
+def lsh_plane_cols_sql() -> str:
+    """The hyperplane literals as a one-row CTE body — shared by the LSH
+    oracle here and the recall-audit oracle (queries/ivf.py) so the two can
+    never drift apart."""
+    return ", ".join(
         f"[{', '.join(repr(x) for x in plane)}]::DOUBLE[] AS p{i}"
         for i, plane in enumerate(PLANES)
     )
 
-    def bucket_of(vec: str) -> str:
-        terms = []
-        for i in range(N_PLANES):
-            dot = (
-                f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
-                f"i -> {vec}[i]::DOUBLE * p{i}[i]), (a, x) -> a + x)"
-            )
-            terms.append(f"(CASE WHEN {dot} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END)")
-        return " + ".join(terms)
+
+def lsh_bucket_sql(vec: str) -> str:
+    """DuckDB expression for the sign-LSH bucket of ``vec`` against the
+    ``planes`` CTE produced by ``lsh_plane_cols_sql`` (same bit order as
+    operators/ann.py::lsh_bucket)."""
+    terms = []
+    for i in range(N_PLANES):
+        dot = (
+            f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
+            f"i -> {vec}[i]::DOUBLE * p{i}[i]), (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END)")
+    return " + ".join(terms)
+
+
+def _lsh_oracle() -> str:
+    plane_cols = lsh_plane_cols_sql()
+    bucket_of = lsh_bucket_sql
 
     return f"""
 WITH planes AS (SELECT {plane_cols}),
