@@ -114,6 +114,10 @@ DRIVER_EXCLUDED = frozenset(
         # (ann_cosine brute / ann_lsh_topk / ann_ivf_topk); the oracle
         # replays all three end-to-end in-repo
         "ann_recall_audit",
+        # rate derivation downstream of driver-verified source_mix_weights
+        # plus the corpus_sample hash-threshold contract; full in-repo
+        # parity replay of both stages
+        "source_mix_apply",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

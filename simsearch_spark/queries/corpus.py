@@ -478,6 +478,93 @@ FROM per, tot
 
 
 # -----------------------------------------------------------------------------
+# source mix APPLY: materialize the temperature-mixed sample
+# -----------------------------------------------------------------------------
+
+MIX_BUDGET_FRAC = 0.25  # token budget = 25% of the corpus
+
+
+def q_source_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the mixed training sample the mix WEIGHTS prescribe —
+    the second half of the domain-mixing step: a token budget of
+    ``MIX_BUDGET_FRAC`` of the corpus is allotted to sources proportional
+    to their temperature weights (w ∝ n_tokens^α), each source's keep rate
+    is ``min(1, budget·w / n_tokens)`` (capped, as small upweighted domains
+    saturate), and membership is decided by the same deterministic
+    char-fold hash-threshold contract as ``corpus_sample`` — so the sample
+    is reproducible and join-free to audit.
+
+    Scale shape: one corpus groupBy for token counts (map-side partials),
+    rate derivation on the domain-sized frame only (window over ~|sources|
+    rows), then one broadcast join of the per-source thresholds back to the
+    corpus + a row-local hash filter.  No corpus-sized shuffle, no second
+    scan, no driver loop.
+
+    Cross-engine determinism: the only order-sensitive float (the weight
+    normalizer, a cross-row double sum) is already pinned by the 6-decimal
+    round the driver-verified ``source_mix_weights`` hash-matches on; every
+    operation downstream of ``round(w, 6)`` is identically parenthesized in
+    both engines, and thresholds become integers (ppm) before the compare."""
+    from simsearch_spark.functions.text import char_fold_hash, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("text").isNotNull(), token_count(F.col("text")))
+        ).alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = Window.partitionBy()
+    w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))
+    sel = per.select(
+        "source",
+        "n_tokens",
+        F.round(w_raw / F.sum(w_raw).over(w), 6).alias("w6"),
+        F.sum("n_tokens").over(w).alias("tt"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(MIX_BUDGET_FRAC)
+        * F.col("tt").cast("double")
+        * F.col("w6")
+        / F.col("n_tokens").cast("double"),
+    )
+    rates = sel.select(
+        "source",
+        F.round(F.round(rate, 6) * F.lit(1_000_000.0), 0).cast("long").alias("thr_ppm"),
+    )
+    key = F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string"))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("bucket_ppm", F.pmod(char_fold_hash(key), F.lit(1_000_000)))
+        .where(F.col("bucket_ppm") < F.col("thr_ppm"))
+        .select("doc_id", "source", "bucket_ppm", "thr_ppm")
+    )
+
+
+SQL_SOURCE_MIX_APPLY = f"""
+WITH per AS (
+  SELECT source, sum(len({_WS_TOKS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source HAVING sum(len({_WS_TOKS})) > 0
+), tot AS (
+  SELECT sum(pow(n_tokens::DOUBLE, {MIX_ALPHA})) AS tw, sum(n_tokens)::BIGINT AS tt
+  FROM per
+), rates AS (
+  SELECT source,
+         CAST(round(round(least(1.0,
+             {MIX_BUDGET_FRAC} * tt::DOUBLE
+             * round(pow(n_tokens::DOUBLE, {MIX_ALPHA}) / tw, 6)
+             / n_tokens::DOUBLE), 6) * 1000000.0, 0) AS BIGINT) AS thr_ppm
+  FROM per, tot
+)
+SELECT d.doc_id, d.source,
+       {_charfold_sql("d.source || '|' || d.doc_id::VARCHAR")} % 1000000 AS bucket_ppm,
+       r.thr_ppm
+FROM documents d JOIN rates r USING (source)
+WHERE {_charfold_sql("d.source || '|' || d.doc_id::VARCHAR")} % 1000000 < r.thr_ppm
+"""
+
+
+# -----------------------------------------------------------------------------
 # leakage-safe train/val split: near-dup components never straddle the split
 # -----------------------------------------------------------------------------
 
@@ -628,6 +715,7 @@ CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
     "source_mix_weights": (q_source_mix_weights, SQL_SOURCE_MIX_WEIGHTS),
+    "source_mix_apply": (q_source_mix_apply, SQL_SOURCE_MIX_APPLY),
     "split_leakage_safe": (q_split_leakage_safe, SQL_SPLIT_LEAKAGE_SAFE),
     "hybrid_rrf_topk": (q_hybrid_rrf_topk, _hybrid_oracle()),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
