@@ -95,7 +95,13 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the window orders by the ROUNDED score with a term tie-break."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     terms = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the score join and the document-frequency agg; Catalyst
+    # does not share common subplans, so without the persist each consumer
+    # re-scans the corpus and re-runs the explode+count (plan-audited: 3
+    # FileScans -> 2).  tf is the (doc, distinct-term) frame — far smaller
+    # than the exploded token stream it collapses — and spills to disk at
+    # scale rather than re-tokenizing the corpus
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
