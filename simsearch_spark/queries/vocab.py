@@ -189,8 +189,32 @@ FROM documents
 """
 
 
+# -----------------------------------------------------------------------------
+# bpe_merges: tokenizer training (first-N BPE merge rules)
+# -----------------------------------------------------------------------------
+
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-``BPE_MERGES`` byte-pair-encoding merge rules learned from the
+    corpus (operators/bpe.py) — tokenizer induction.  Iterative argmax
+    selection is not SQL-expressible, so this query carries no DuckDB
+    oracle; it is equivalence-verified against an independent pure-Python
+    BPE implementation over the same fixture (tests/test_bpe.py)."""
+    from simsearch_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        schema="merge_rank INT, left STRING, right STRING, pair_count BIGINT",
+    )
+
+
 VOCAB_QUERIES = {
     "ngram_vocab": (q_ngram_vocab, SQL_NGRAM_VOCAB),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "bpe_merges": (q_bpe_merges, None),
 }

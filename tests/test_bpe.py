@@ -1,0 +1,95 @@
+"""BPE merge learning vs an independent pure-Python reference.
+
+bpe_merges carries no DuckDB oracle (iterative argmax selection is not
+SQL-expressible), so its verification is this equivalence gate: a from-
+scratch Python BPE (Sennrich-style over word frequencies) run on the SAME
+live parquet fixture, compared merge-for-merge.  The reference shares
+nothing with the engine but the published algorithm definition:
+whitespace/lowercase word census, character symbolization, per-iteration
+(count DESC, left ASC, right ASC) argmax, greedy left-to-right
+non-overlapping merge application.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+from simsearch_spark.queries.vocab import BPE_MERGES, q_bpe_merges
+
+
+def _python_bpe(texts: list[str], n_merges: int) -> list[tuple[int, str, str, int]]:
+    words: Counter[str] = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.split(r"\s+", t.lower()):
+            if w:
+                words[w] += 1
+    syms = {w: [c for c in w] for w in words}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for w, cnt in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (left, right), count = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, left, right, count))
+        for w in syms:
+            s = syms[w]
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
+@pytest.fixture(scope="module")
+def fixture_texts(sf_dir):
+    path = os.path.join(sf_dir, "documents.parquet")
+    return [r[0] for r in duckdb.sql(f"SELECT text FROM '{path}'").fetchall()]
+
+
+def test_bpe_merges_match_reference(spark, sf_dir, fixture_texts):
+    expected = _python_bpe(fixture_texts, BPE_MERGES)
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in q_bpe_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+    assert len(got) == BPE_MERGES  # fixture is rich enough to fill the budget
+
+
+def test_bpe_merge_application_is_greedy_nonoverlapping(spark):
+    """The codegen fold must implement textbook greedy merging: runs of the
+    merged pair collapse left-to-right without re-merging the new token."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.operators.bpe import _apply_merge
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["b", "a", "a"],), ([],)],
+        "syms: array<string>",
+    )
+    got = [r.m for r in df.select(_apply_merge(F.col("syms"), "a", "a").alias("m")).collect()]
+    assert got == [["aa", "a"], ["aa", "aa"], ["b", "aa"], []]
+
+
+def test_bpe_early_stop_on_exhausted_pairs(spark):
+    """Single-char words have no adjacent pairs: learning stops early
+    instead of looping or erroring."""
+    from simsearch_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([("a b c",), ("a b",)], ["text"])
+    merges = learn_bpe_merges(df, "text", 5)
+    assert merges == []
