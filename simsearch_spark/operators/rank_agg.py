@@ -237,22 +237,41 @@ def multi_source_topk(
             # for the exact path.
             frame = frame.orderBy(F.col("__sim").desc(), F.col(key_column).asc()).limit(prune_m)
         sim_frames.append(frame)
-    # union + key-grouped aggregation instead of chained full-outer joins:
-    # full outer cannot broadcast (SMJ per facet pair), but a union shuffles
-    # ONCE on the entity key with map-side partial aggregation, handles any
-    # facet count, and reproduces absent-facet-scores-0 semantics exactly
-    # (no row → max(when)=NULL → coalesce 0, RankAggregator.java:239-241)
+    return aggregate_sim_frames(
+        sim_frames, [f.name for f in facets], key_column, k, weights, round_digits
+    )
+
+
+def aggregate_sim_frames(
+    sim_frames: list[DataFrame],
+    facet_names: list[str],
+    key_column: str,
+    k: int,
+    weights: dict[str, float] | None = None,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Weighted top-k over pre-scored facet frames of shape
+    (key_column, __facet, __sim) — the aggregation tail shared by
+    ``multi_source_topk`` and federated REST facets (whose scores arrive
+    already computed by the remote engine, ``SimSearchRestQuery.java:
+    188-189``, and must NOT be rescored locally).
+
+    union + key-grouped aggregation instead of chained full-outer joins:
+    full outer cannot broadcast (SMJ per facet pair), but a union shuffles
+    ONCE on the entity key with map-side partial aggregation, handles any
+    facet count, and reproduces absent-facet-scores-0 semantics exactly
+    (no row → max(when)=NULL → coalesce 0, RankAggregator.java:239-241)."""
     unioned = functools.reduce(lambda a, b: a.unionByName(b), sim_frames)
     agg_cols = [
-        F.max(F.when(F.col("__facet") == f.name, F.col("__sim"))).alias(f"{f.name}_sim")
-        for f in facets
+        F.max(F.when(F.col("__facet") == name, F.col("__sim"))).alias(f"{name}_sim")
+        for name in facet_names
     ]
     joined = unioned.groupBy(key_column).agg(*agg_cols)
-    ws = weights or {f.name: 1.0 for f in facets}
+    ws = weights or {name: 1.0 for name in facet_names}
     total_w = sum(ws.values())
     num = functools.reduce(
         lambda a, b: a + b,
-        [F.coalesce(F.col(f"{f.name}_sim"), F.lit(0.0)) * F.lit(ws[f.name]) for f in facets],
+        [F.coalesce(F.col(f"{name}_sim"), F.lit(0.0)) * F.lit(ws[name]) for name in facet_names],
     )
     score = num / F.lit(total_w)
     if round_digits is not None:

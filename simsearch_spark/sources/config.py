@@ -80,7 +80,10 @@ def mount_reference_sources(
         src = sources[e["source"]]
         if src.get("type", "csv") not in ("csv", "parquet"):
             raise NotImplementedError(
-                f"source type {src.get('type')!r}: jdbc/restapi keep their SURVEY dispositions"
+                f"source type {src.get('type')!r} is query-time, not mount-time: "
+                "jdbc mounts via sources.catalog register_source(jdbc_url=...), "
+                "restapi facets via sources.rest (es_facet_frame / "
+                "simsearch_facet_sim_frame) + multi_source_topk"
             )
         if e["operation"] == "vector_dictionary":
             # word-vector dictionary source (Coordinator.java:608-643): a
