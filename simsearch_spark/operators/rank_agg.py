@@ -242,6 +242,39 @@ def multi_source_topk(
     )
 
 
+INFLATION_FACTOR = 1000  # Constants.java:44 — candidate bound M = 1000·k
+
+
+def multi_source_topk_approximate(
+    frames: dict[str, DataFrame],
+    facets: list[Facet],
+    key_column: str,
+    k: int,
+    weights: dict[str, float] | None = None,
+    round_digits: int | None = 6,
+    prune_m: int | None = None,
+) -> DataFrame:
+    """T8 approximate tail fill (``ThresholdRanking.java:294-310``,
+    ``NoRandomAccessRanking.java:252-269``): bounded-candidate ranking where
+    incompletely-seen entities still surface, ranked by their LOWER-BOUND
+    aggregate score (unseen facets contribute 0 — the same fill-in the
+    reference reports when its queues dry up), with a per-row ``exact``
+    flag: true iff every facet scored the entity.
+
+    The Spark analog of "emission stalled" is the per-facet candidate bound:
+    each facet keeps its M = INFLATION_FACTOR·k best candidates
+    (``Constants.java:44``), so an entity inside some facets' top-M but
+    outside others' gets a partial (lower-bound) score and exact=false —
+    exactly the reference's approximate tail, without its timeout
+    nondeterminism.  ``prune_m=None`` uses the reference default M."""
+    m = prune_m if prune_m is not None else INFLATION_FACTOR * k
+    out = multi_source_topk(frames, facets, key_column, k, weights, round_digits, prune_m=m)
+    exact = functools.reduce(
+        lambda a, b: a & b, [F.col(f"{f.name}_sim").isNotNull() for f in facets]
+    )
+    return out.withColumn("exact", exact)
+
+
 def aggregate_sim_frames(
     sim_frames: list[DataFrame],
     facet_names: list[str],

@@ -4,9 +4,11 @@
 
 Per weight combination the reference emits: the weights used, and ranked
 results each carrying (id, score, exact flag, rank, per-attribute
-{name, value, score}, optional extra attributes).  The Spark build is exact
-by construction, so ``exact`` is always true (SURVEY.md §2.4 T8: the
-reference's approximate tail fill does not occur).
+{name, value, score}, optional extra attributes).  The exact-path Spark
+build computes full scores, so ``exact`` defaults to true; the T8
+approximate path (``rank_agg.multi_source_topk_approximate``,
+``ThresholdRanking.java:294-310``) attaches a per-row ``exact`` column —
+false for lower-bound-scored tail entities — which is honored here.
 """
 
 from __future__ import annotations
@@ -57,7 +59,7 @@ def format_response(
                     "id": _jsonable(r[request.key_column]),
                     "rank": rank,
                     "score": r["score"],
-                    "exact": True,
+                    "exact": bool(r["exact"]) if "exact" in r.__fields__ else True,
                     "attributes": attributes,
                     "extraAttributes": {
                         c: _jsonable(r[c]) for c in request.extra_columns if c in r.__fields__
