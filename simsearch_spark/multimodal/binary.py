@@ -2,12 +2,15 @@
 with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image_meta`` parses only container headers (PNG/JPEG dimensions from
-the first bytes — real, dependency-free), while ``extract_features`` ships a
-deterministic fake behind `_HAS_DECODER`.  The Spark-side contract — schema,
-batch iteration, partition sizing — is real and tested; swapping the fake for
-PIL/torchvision changes one function body, not the plan.
+PNG pixel decode is REAL (r6): ``multimodal/png.py`` is a dependency-free
+RFC 2083 codec (stdlib zlib; 8-bit gray/RGB/RGBA/palette, all five scanline
+filters), feeding ``pixel_stats`` and ``extract_pixel_features`` below.
+Non-PNG formats (JPEG entropy decode, audio, video) remain stubbed —
+``decode_image_meta`` parses their container headers only, and
+``extract_features`` ships a clearly-marked byte-histogram fake behind
+`_HAS_DECODER`.  The Spark-side contract — schema, batch iteration,
+partition sizing — is identical on both paths; wiring PIL/torchaudio for
+the remaining formats changes one function body, not the plan.
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row counts) governs partition
@@ -27,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -143,6 +147,178 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(proc, FEATURE_SCHEMA)
 
 
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("decoded", StringType()),  # ok | <failure reason>
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        # doubles, not floats: a 6-decimal mean at 0-255 scale needs ~9
+        # significant digits, beyond float32 — and the SQL oracle compares
+        # the rounded value exactly
+        StructField("mean_c0", DoubleType()),
+        StructField("mean_c1", DoubleType()),
+        StructField("mean_c2", DoubleType()),
+    ]
+)
+
+
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel statistics for PNG payloads (multimodal/png.py decode):
+    per-channel means over the actual decoded pixel grid.  Non-decodable
+    payloads report the failure reason instead of fake numbers.  Arrow
+    batches, shuffle-free — the same 100 TB shape as the header sniff."""
+    from simsearch_spark.multimodal.png import decode_png
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "decoded", "width", "height", "channels",
+                "mean_c0", "mean_c1", "mean_c2",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    w, h, ch, pix = decode_png(bytes(p))
+                    means = []
+                    for c in range(min(ch, 3)):
+                        means.append(round(sum(pix[c::ch]) / (w * h), 6))
+                    means += [None] * (3 - len(means))
+                    rows["media_id"].append(mid)
+                    rows["decoded"].append("ok")
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(ch)
+                    rows["mean_c0"].append(means[0])
+                    rows["mean_c1"].append(means[1])
+                    rows["mean_c2"].append(means[2])
+                except (ValueError, NotImplementedError, TypeError) as e:
+                    rows["media_id"].append(mid)
+                    rows["decoded"].append(str(e)[:80] or "undecodable")
+                    rows["width"].append(-1)
+                    rows["height"].append(-1)
+                    rows["channels"].append(-1)
+                    rows["mean_c0"].append(None)
+                    rows["mean_c1"].append(None)
+                    rows["mean_c2"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(proc, PIXEL_STATS_SCHEMA)
+
+
+def extract_pixel_features(df: DataFrame, grid: int = 4) -> DataFrame:
+    """REAL image features for PNG payloads: a ``grid``×``grid`` block-mean
+    luminance map (row-major, /255-normalized) — the classic tiny-thumbnail
+    embedding that feeds dedup/ANN downstream.  Non-decodable payloads fall
+    back to the byte-histogram sketch of ``extract_features`` so the
+    pipeline never drops rows; ``grid*grid`` must equal FEATURE_DIM so both
+    paths share one schema."""
+    from simsearch_spark.multimodal.png import decode_png
+
+    if grid * grid != FEATURE_DIM:
+        raise ValueError(f"grid {grid}^2 != FEATURE_DIM {FEATURE_DIM}")
+
+    def _byte_hist(p: bytes) -> list[float]:
+        hist = [0] * FEATURE_DIM
+        for b in p:
+            hist[b % FEATURE_DIM] += 1
+        total = max(sum(hist), 1)
+        return [round(c / total, 6) for c in hist]
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for p in pdf["payload"]:
+                if p is None:
+                    embs.append([0.0] * FEATURE_DIM)
+                    continue
+                try:
+                    w, h, ch, pix = decode_png(bytes(p))
+                    cells = [[0, 0] for _ in range(FEATURE_DIM)]  # (sum, count)
+                    for y in range(h):
+                        gy = y * grid // h
+                        base = y * w * ch
+                        for x in range(w):
+                            gx = x * grid // w
+                            o = base + x * ch
+                            lum = sum(pix[o : o + min(ch, 3)]) / min(ch, 3)
+                            cell = cells[gy * grid + gx]
+                            cell[0] += lum
+                            cell[1] += 1
+                    embs.append(
+                        [round(s / (n or 1) / 255.0, 6) for s, n in cells]
+                    )
+                except (ValueError, NotImplementedError, TypeError):
+                    embs.append(_byte_hist(bytes(p)))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
+
+    return df.mapInPandas(proc, FEATURE_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("decoded", StringType()),  # ok | <failure reason>
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL audio statistics for WAV payloads (multimodal/wav.py decode):
+    duration, RMS amplitude, zero-crossing count over the actual PCM
+    samples.  Same Arrow-batch, shuffle-free shape as pixel_stats; rounding
+    to 6 decimals pins the one float reduction (sum of squares) for the
+    closed-form oracle."""
+    import math
+
+    from simsearch_spark.multimodal.wav import decode_wav
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "decoded", "sample_rate", "channels", "n_samples",
+                "duration_s", "rms", "zero_crossings",
+            )}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    rate, ch, samples = decode_wav(bytes(p))
+                    n = len(samples)
+                    rms = round(math.sqrt(sum(s * s for s in samples) / max(n, 1)), 6)
+                    zc = sum(
+                        1
+                        for a, b in zip(samples, samples[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                    rows["media_id"].append(mid)
+                    rows["decoded"].append("ok")
+                    rows["sample_rate"].append(rate)
+                    rows["channels"].append(ch)
+                    rows["n_samples"].append(n)
+                    rows["duration_s"].append(round(n / (rate * ch), 6))
+                    rows["rms"].append(rms)
+                    rows["zero_crossings"].append(zc)
+                except (ValueError, NotImplementedError, TypeError, struct.error) as e:
+                    rows["media_id"].append(mid)
+                    rows["decoded"].append(str(e)[:80] or "undecodable")
+                    rows["sample_rate"].append(-1)
+                    rows["channels"].append(-1)
+                    rows["n_samples"].append(-1)
+                    rows["duration_s"].append(None)
+                    rows["rms"].append(None)
+                    rows["zero_crossings"].append(-1)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(proc, AUDIO_STATS_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -161,14 +337,30 @@ def resize_images(df: DataFrame, max_w: int = 512, max_h: int = 512) -> DataFram
 
     The TARGET-geometry computation is real (min-scale fit into
     ``max_w × max_h``, never upscales, parsed from the actual container
-    header); the pixel re-encode is the stubbed decode seam: with
-    `_HAS_DECODER` a real decoder re-encodes, without one the payload
-    passes through unchanged and ``resized`` records why
-    (``'pass-through'`` when already within bounds, ``'stub'`` when a real
-    decoder would have resized, ``'unknown'`` when the header is not
-    parseable).  Schema, Arrow batching, and the per-row geometry contract
-    are production-shaped; swapping in PIL changes only the marked branch.
+    header), and for decodable PNGs the resample is REAL too (r6):
+    nearest-neighbor via multimodal/png.py decode → re-encode, tagged
+    ``'resized'``.  Other cases record why (``'pass-through'`` when
+    already within bounds, ``'stub'`` for payloads only a full decoder
+    library could resample — JPEG entropy data, truncated PNGs —
+    ``'unknown'`` when the header is not parseable).  Schema, Arrow
+    batching, and the per-row geometry contract are identical on every
+    path.
     """
+    from simsearch_spark.multimodal.png import decode_png, encode_png
+
+    def _nn_resize(p: bytes, dw: int, dh: int) -> bytes:
+        w, h, ch, pix = decode_png(bytes(p))
+        out = bytearray(dw * dh * ch)
+        for y in range(dh):
+            sy = y * h // dh
+            src_base = sy * w * ch
+            dst_base = y * dw * ch
+            for x in range(dw):
+                sx = x * w // dw
+                out[dst_base + x * ch : dst_base + (x + 1) * ch] = pix[
+                    src_base + sx * ch : src_base + (sx + 1) * ch
+                ]
+        return encode_png(dw, dh, ch, bytes(out))
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,9 +375,14 @@ def resize_images(df: DataFrame, max_w: int = 512, max_h: int = 512) -> DataFram
                 else:
                     scale = min(max_w / w, max_h / h)
                     dw, dh = max(int(w * scale), 1), max(int(h * scale), 1)
-                    if _HAS_DECODER:  # pragma: no cover
-                        raise NotImplementedError("wire a real decoder here (PIL)")
-                    tag = "stub"
+                    if fmt == "png":
+                        try:
+                            p = _nn_resize(p, dw, dh)
+                            tag = "resized"
+                        except (ValueError, NotImplementedError):
+                            tag = "stub"  # header-only / exotic PNG
+                    else:
+                        tag = "stub"  # non-PNG needs a codec library
                 out["media_id"].append(mid)
                 out["payload"].append(p)
                 out["src_width"].append(w)

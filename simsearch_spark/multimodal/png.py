@@ -1,0 +1,174 @@
+"""Dependency-free PNG codec (RFC 2083) — makes the multimodal decode seam
+REAL for PNG payloads using only stdlib ``zlib``/``struct``.
+
+Scope: 8-bit depth, color types greyscale(0) / RGB(2) / palette(3) /
+grey+alpha(4) / RGBA(6), non-interlaced, all five scanline filters
+(None/Sub/Up/Average/Paeth).  Anything else raises ``NotImplementedError``
+with the offending parameter — the same explicit-seam contract the rest of
+``multimodal/`` uses.  The encoder can apply any filter type per scanline,
+which is how the tests drive every unfilter branch through round-trips.
+
+This is the LLM-pipeline extension surface (the reference engine has no
+media operators); decode feeds ``binary.pixel_stats`` /
+``binary.extract_pixel_features`` over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunk(typ: bytes, payload: bytes) -> bytes:
+    body = typ + payload
+    return struct.pack(">I", len(payload)) + body + struct.pack(
+        ">I", zlib.crc32(body) & 0xFFFFFFFF
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_line(ft: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        elif ft == 4:
+            pred = _paeth(a, b, c)
+        else:
+            raise NotImplementedError(f"PNG filter type {ft}")
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_line(ft: int, line: bytearray, prev: bytes, bpp: int) -> bytearray:
+    n = len(line)
+    if ft == 0:
+        return line
+    if ft == 1:
+        for i in range(bpp, n):
+            line[i] = (line[i] + line[i - bpp]) & 0xFF
+    elif ft == 2:
+        for i in range(n):
+            line[i] = (line[i] + prev[i]) & 0xFF
+    elif ft == 3:
+        for i in range(n):
+            a = line[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+    elif ft == 4:
+        for i in range(n):
+            a = line[i - bpp] if i >= bpp else 0
+            c = prev[i - bpp] if i >= bpp else 0
+            line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+    else:
+        raise NotImplementedError(f"PNG filter type {ft}")
+    return line
+
+
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    filter_types: list[int] | int = 0,
+) -> bytes:
+    """Encode row-major 8-bit ``pixels`` (len = width*height*channels) as a
+    valid non-interlaced PNG.  ``filter_types`` is one type for every
+    scanline or a per-row list — used by tests to exercise each unfilter."""
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(f"pixel buffer {len(pixels)} != {stride}*{height}")
+    fts = [filter_types] * height if isinstance(filter_types, int) else list(filter_types)
+    raw = bytearray()
+    prev = bytes(stride)
+    for row in range(height):
+        line = pixels[row * stride : (row + 1) * stride]
+        raw.append(fts[row])
+        raw += _filter_line(fts[row], line, prev, channels)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG payload to (width, height, channels, row-major 8-bit
+    pixels).  Palette images are expanded to RGB.  Raises
+    ``NotImplementedError`` for bit depths != 8 or interlaced images,
+    ``ValueError`` for malformed containers."""
+    if data[:8] != _SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    ct = 0
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            width, height, depth, ct, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth}")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG")
+            if ct not in _CT_CHANNELS:
+                raise ValueError(f"PNG color type {ct}")
+        elif typ == b"PLTE":
+            plte = payload
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if not idat:
+        raise ValueError("PNG without IDAT (header-only payload)")
+    channels = _CT_CHANNELS[ct]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(f"IDAT stream {len(raw)} != {(stride + 1) * height}")
+    out = bytearray()
+    prev: bytes = bytes(stride)
+    p = 0
+    for _row in range(height):
+        ft = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        line = _unfilter_line(ft, line, prev, channels)
+        out += line
+        prev = bytes(line)
+    if ct == 3:  # palette → RGB expansion
+        rgb = bytearray()
+        for idx in out:
+            rgb += plte[idx * 3 : idx * 3 + 3]
+        return width, height, 3, bytes(rgb)
+    return width, height, channels, bytes(out)

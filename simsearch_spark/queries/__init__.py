@@ -122,6 +122,13 @@ DRIVER_EXCLUDED = frozenset(
         # equivalence-verified against an independent pure-Python BPE
         # implementation on the live fixture (tests/test_bpe.py)
         "bpe_merges",
+        # real PNG decode over synthesized payloads; the in-repo oracle
+        # computes the identical closed-form pixel means, and the codec
+        # itself is round-trip/property-tested (tests/test_png.py)
+        "media_pixel_stats",
+        # real WAV decode dual of the above (closed-form square-wave
+        # oracle; codec round-trip tested in tests/test_png.py)
+        "media_audio_stats",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

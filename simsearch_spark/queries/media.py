@@ -69,6 +69,121 @@ FROM documents
 """
 
 
+# -----------------------------------------------------------------------------
+# media_pixel_stats: REAL pixel decode end to end
+# -----------------------------------------------------------------------------
+
+
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode path (multimodal/png.py): each document becomes a real
+    two-tone grayscale PNG — left half value ``doc_id % 256``, right half
+    ``(doc_id*7 + 13) % 256``, width ``n_chars % 31 + 2``, height
+    ``doc_id % 7 + 1`` — encoded with scanline filter ``doc_id % 5`` (so
+    the declared pipeline exercises every PNG unfilter).  The engine must
+    recover the exact per-image pixel mean the oracle computes in closed
+    form from the synthesis parameters; the pixels themselves never exist
+    outside the Arrow batch."""
+    from simsearch_spark.multimodal.binary import pixel_stats
+    from simsearch_spark.multimodal.png import encode_png
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(d), int(c)
+                w, h = c % 31 + 2, d % 7 + 1
+                a, b = d % 256, (d * 7 + 13) % 256
+                row = bytes([a] * (w // 2) + [b] * (w - w // 2))
+                payloads.append(encode_png(w, h, 1, row * h, filter_types=d % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, payload binary, mime string"
+    )
+    return pixel_stats(media).select(
+        "media_id", "decoded", "width", "height", "channels", "mean_c0"
+    )
+
+
+SQL_MEDIA_PIXEL_STATS = """
+SELECT doc_id AS media_id, 'ok' AS decoded,
+       (n_chars % 31 + 2)::INT AS width, (doc_id % 7 + 1)::INT AS height,
+       1 AS channels,
+       round(((doc_id % 256) * ((n_chars % 31 + 2) // 2)
+              + ((doc_id * 7 + 13) % 256)
+                * ((n_chars % 31 + 2) - (n_chars % 31 + 2) // 2))::DOUBLE
+             / (n_chars % 31 + 2), 6) AS mean_c0
+FROM documents
+"""
+
+
+# -----------------------------------------------------------------------------
+# media_audio_stats: REAL WAV decode end to end
+# -----------------------------------------------------------------------------
+
+
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full audio decode path (multimodal/wav.py): each document becomes a
+    real PCM-16 WAV square wave — amplitude ``(doc_id % 200 + 10)*100``,
+    half-period ``doc_id % 5 + 1`` samples, ``n_chars % 8 + 2`` cycles,
+    rate ``8000 + (doc_id % 4)*4000`` — and the engine must recover the
+    closed-form duration, RMS (= amplitude exactly for a square wave), and
+    zero-crossing count (2·cycles − 1).  Samples never exist outside the
+    Arrow batch."""
+    from simsearch_spark.multimodal.binary import audio_stats
+    from simsearch_spark.multimodal.wav import encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(d), int(c)
+                amp = (d % 200 + 10) * 100
+                half = d % 5 + 1
+                cycles = c % 8 + 2
+                rate = 8000 + (d % 4) * 4000
+                wave = ([amp] * half + [-amp] * half) * cycles
+                payloads.append(encode_wav(wave, rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, payload binary, mime string"
+    )
+    return audio_stats(media)
+
+
+SQL_MEDIA_AUDIO_STATS = """
+SELECT doc_id AS media_id, 'ok' AS decoded,
+       (8000 + (doc_id % 4) * 4000)::INT AS sample_rate, 1 AS channels,
+       (2 * (doc_id % 5 + 1) * (n_chars % 8 + 2))::BIGINT AS n_samples,
+       round((2 * (doc_id % 5 + 1) * (n_chars % 8 + 2))::DOUBLE
+             / (8000 + (doc_id % 4) * 4000), 6) AS duration_s,
+       ((doc_id % 200 + 10) * 100)::DOUBLE AS rms,
+       (2 * (n_chars % 8 + 2) - 1)::BIGINT AS zero_crossings
+FROM documents
+"""
+
+
 MEDIA_QUERIES = {
     "media_meta": (q_media_meta, SQL_MEDIA_META),
+    "media_pixel_stats": (q_media_pixel_stats, SQL_MEDIA_PIXEL_STATS),
+    "media_audio_stats": (q_media_audio_stats, SQL_MEDIA_AUDIO_STATS),
 }

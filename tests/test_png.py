@@ -1,0 +1,204 @@
+"""Dependency-free PNG/WAV codecs (multimodal/png.py, multimodal/wav.py)
+and the real decode paths they unlock (pixel_stats, extract_pixel_features,
+real resize, audio_stats)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simsearch_spark.multimodal.png import _chunk, decode_png, encode_png
+
+
+def _pixels(w: int, h: int, ch: int, seed: int = 7) -> bytes:
+    return bytes((seed + i * 31 + (i % ch) * 17) % 256 for i in range(w * h * ch))
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_round_trip_every_channel_and_filter(channels, filter_type):
+    w, h = 13, 5
+    pix = _pixels(w, h, channels)
+    data = encode_png(w, h, channels, pix, filter_types=filter_type)
+    assert decode_png(data) == (w, h, channels, pix)
+
+
+def test_round_trip_mixed_filters_per_row():
+    w, h, ch = 9, 10, 3
+    pix = _pixels(w, h, ch)
+    data = encode_png(w, h, ch, pix, filter_types=[r % 5 for r in range(h)])
+    assert decode_png(data) == (w, h, ch, pix)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([1, 3, 4]),
+    ft=st.integers(0, 4),
+    seed=st.integers(0, 1000),
+)
+def test_round_trip_property(w, h, ch, ft, seed):
+    pix = _pixels(w, h, ch, seed)
+    assert decode_png(encode_png(w, h, ch, pix, filter_types=ft)) == (w, h, ch, pix)
+
+
+def test_palette_expansion():
+    # 2x2 palette image: indices 0..3 -> distinct RGB entries
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = bytes([0, 0, 1, 0, 2, 3])  # two scanlines, filter 0
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, ch, pix = decode_png(data)
+    assert (w, h, ch) == (2, 2, 3)
+    assert pix == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+
+def test_explicit_failures():
+    with pytest.raises(ValueError):
+        decode_png(b"GIF89a not a png")
+    # header-only payload (the old fixture shape) must fail loudly, not
+    # return fake pixels
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    header_only = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(header_only)
+    deep = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(deep)
+    laced = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(laced)
+
+
+# ---------------------------------------------------------------------------
+# Spark paths
+# ---------------------------------------------------------------------------
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+
+
+def test_pixel_stats_real_means(spark):
+    from simsearch_spark.multimodal.binary import pixel_stats
+
+    # gray 4x2: left half 10, right half 250 -> mean (10*2+250*2)/4 = 130
+    gray = bytes([10, 10, 250, 250] * 2)
+    good = encode_png(4, 2, 1, gray, filter_types=2)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    header_only = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    out = {
+        r.media_id: r
+        for r in pixel_stats(
+            _media_df(
+                spark,
+                [(1, "image", good, "image/png"), (2, "image", header_only, "image/png")],
+            )
+        ).collect()
+    }
+    assert out[1].decoded == "ok"
+    assert (out[1].width, out[1].height, out[1].channels) == (4, 2, 1)
+    assert out[1].mean_c0 == 130.0 and out[1].mean_c1 is None
+    assert "IDAT" in out[2].decoded and out[2].width == -1
+
+
+def test_extract_pixel_features_constant_image(spark):
+    from simsearch_spark.multimodal.binary import FEATURE_DIM, extract_pixel_features
+
+    rgb = bytes([102, 102, 102]) * (8 * 8)
+    good = encode_png(8, 8, 3, rgb)
+    out = {
+        r.media_id: r.embedding
+        for r in extract_pixel_features(
+            _media_df(
+                spark,
+                [(1, "image", good, "image/png"), (2, "image", b"\xff\xd8junk", "image/jpeg")],
+            )
+        ).collect()
+    }
+    assert out[1] == pytest.approx([102 / 255.0] * FEATURE_DIM, abs=1e-5)
+    assert len(out[2]) == FEATURE_DIM and sum(out[2]) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_wav_round_trip_and_failures():
+    from simsearch_spark.multimodal.wav import decode_wav, encode_wav
+
+    samples = [100, -200, 300, -400, 0, 32767, -32768]
+    rate, ch, got = decode_wav(encode_wav(samples, 16000, channels=1))
+    assert (rate, ch, got) == (16000, 1, samples)
+    stereo = decode_wav(encode_wav(samples[:6], 44100, channels=2))
+    assert stereo == (44100, 2, samples[:6])
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS not a wav")
+    # non-PCM format tag must be an explicit seam, not garbage samples
+    bad = bytearray(encode_wav([1, 2], 8000))
+    bad[20] = 3  # format tag -> IEEE float
+    with pytest.raises(NotImplementedError, match="format tag"):
+        decode_wav(bytes(bad))
+
+
+def test_audio_stats_square_wave(spark):
+    from simsearch_spark.multimodal.binary import audio_stats
+    from simsearch_spark.multimodal.wav import encode_wav
+
+    amp, half, cycles, rate = 5000, 3, 4, 8000
+    wave = ([amp] * half + [-amp] * half) * cycles
+    rows = {
+        r.media_id: r
+        for r in audio_stats(
+            _media_df(
+                spark,
+                [(1, "audio", encode_wav(wave, rate), "audio/wav"),
+                 (2, "audio", b"\x00\x01junk", "audio/wav")],
+            )
+        ).collect()
+    }
+    ok = rows[1]
+    assert ok.decoded == "ok"
+    assert (ok.sample_rate, ok.channels, ok.n_samples) == (rate, 1, 2 * half * cycles)
+    assert ok.rms == float(amp)  # square wave RMS == amplitude, exactly
+    assert ok.zero_crossings == 2 * cycles - 1
+    assert ok.duration_s == round(len(wave) / rate, 6)
+    assert rows[2].decoded != "ok" and rows[2].n_samples == -1
+
+
+def test_resize_real_png_payload(spark):
+    from simsearch_spark.multimodal.binary import resize_images
+
+    big = encode_png(640, 480, 3, bytes([7, 8, 9]) * (640 * 480))
+    ihdr = struct.pack(">IIBBBBB", 2000, 1000, 8, 2, 0, 0, 0)
+    header_only = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    out = {
+        r.media_id: r
+        for r in resize_images(
+            _media_df(
+                spark,
+                [(1, "image", big, "image/png"), (2, "image", header_only, "image/png")],
+            ),
+            max_w=512,
+            max_h=512,
+        ).collect()
+    }
+    assert out[1].resized == "resized"
+    w, h, ch, pix = decode_png(bytes(out[1].payload))
+    assert (w, h, ch) == (out[1].dst_width, out[1].dst_height, 3) == (512, 384, 3)
+    assert pix == bytes([7, 8, 9]) * (512 * 384)  # constant image survives NN
+    assert out[2].resized == "stub"  # geometry computed, no pixels to move
+    assert (out[2].dst_width, out[2].dst_height) == (512, 256)
