@@ -132,9 +132,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         payload = data[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if typ == b"IHDR":
-            width, height, depth, ct, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
+            try:
+                width, height, depth, ct, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+            except struct.error as e:  # truncated chunk
+                raise ValueError(f"malformed IHDR: {e}") from e
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth}")
             if interlace != 0:
@@ -153,7 +156,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("PNG without IDAT (header-only payload)")
     channels = _CT_CHANNELS[ct]
     stride = width * channels
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # corrupt deflate stream must not escape as
+        raise ValueError(f"malformed IDAT: {e}") from e  # a zlib.error
     if len(raw) != (stride + 1) * height:
         raise ValueError(f"IDAT stream {len(raw)} != {(stride + 1) * height}")
     out = bytearray()
@@ -169,6 +175,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if ct == 3:  # palette → RGB expansion
         rgb = bytearray()
         for idx in out:
-            rgb += plte[idx * 3 : idx * 3 + 3]
+            entry = plte[idx * 3 : idx * 3 + 3]
+            if len(entry) < 3:
+                raise ValueError(f"palette index {idx} beyond PLTE")
+            rgb += entry
         return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)

@@ -42,7 +42,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         body = payload[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if cid == b"fmt ":
-            tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            try:
+                tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            except struct.error as e:  # truncated fmt chunk
+                raise ValueError(f"malformed fmt chunk: {e}") from e
             if tag != 1:
                 raise NotImplementedError(f"WAV format tag {tag} (PCM only)")
             if bits != 16:

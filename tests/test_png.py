@@ -137,6 +137,46 @@ def test_extract_pixel_features_constant_image(spark):
     assert len(out[2]) == FEATURE_DIM and sum(out[2]) == pytest.approx(1.0, abs=1e-4)
 
 
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_decode_png_never_raises_low_level_errors(data):
+    """Arbitrary bytes (optionally signature-prefixed) must produce a result
+    or a contracted exception — never zlib.error/struct.error/IndexError,
+    which would escape pixel_stats' catch and kill the Spark task."""
+    for payload in (data, b"\x89PNG\r\n\x1a\n" + data):
+        try:
+            decode_png(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_decode_wav_never_raises_low_level_errors(data):
+    from simsearch_spark.multimodal.wav import decode_wav
+
+    for payload in (data, b"RIFF\x00\x00\x00\x00WAVE" + data):
+        try:
+            decode_wav(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(flip=st.integers(8, 80), byte=st.integers(0, 255))
+def test_decode_png_mutated_valid_payload(flip, byte):
+    """Single-byte corruption of a valid PNG: decode must return pixels or
+    raise a contracted error, never hang or leak a low-level exception."""
+    base = bytearray(encode_png(5, 4, 3, _pixels(5, 4, 3), filter_types=4))
+    if flip >= len(base):
+        flip %= len(base)
+    base[flip] = byte
+    try:
+        decode_png(bytes(base))
+    except (ValueError, NotImplementedError):
+        pass
+
+
 def test_wav_round_trip_and_failures():
     from simsearch_spark.multimodal.wav import decode_wav, encode_wav
 
