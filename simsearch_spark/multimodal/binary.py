@@ -398,9 +398,61 @@ def resize_images(df: DataFrame, max_w: int = 512, max_h: int = 512) -> DataFram
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: explodes (media_id, frame_idx) pairs for
     downstream decode.  Frame count is stubbed from payload size; the
-    explode/partition shape is the real contract."""
+    explode/partition shape is the real contract.  For AVI payloads prefer
+    ``frame_sample`` below, which indexes REAL frame boundaries."""
     est_frames = F.greatest((F.length("payload") / F.lit(1024)).cast("int"), F.lit(1))
     return df.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), est_frames - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("decoded", StringType()),  # ok | <failure reason>
+        StructField("fps", DoubleType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video frame sampling for AVI payloads (multimodal/avi.py):
+    parse the container's frame index and emit every ``every_n``-th frame's
+    ACTUAL bytes (MJPEG frames are JPEGs — ready for the header sniff or a
+    future entropy decoder).  Undecodable payloads yield one row with the
+    failure reason and a NULL frame.  Row-local fan-out, shuffle-free; the
+    container is sliced inside the Arrow batch, never re-shipped per
+    frame."""
+    from simsearch_spark.multimodal.avi import parse_avi_frames
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "decoded", "fps", "n_frames",
+                                    "frame_idx", "frame")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                mid = int(mid)
+                try:
+                    b = bytes(p)
+                    fps, frames = parse_avi_frames(b)
+                    for i in range(0, len(frames), every_n):
+                        off, ln = frames[i]
+                        rows["media_id"].append(mid)
+                        rows["decoded"].append("ok")
+                        rows["fps"].append(round(fps, 6))
+                        rows["n_frames"].append(len(frames))
+                        rows["frame_idx"].append(i)
+                        rows["frame"].append(b[off : off + ln])
+                except (ValueError, NotImplementedError, TypeError) as e:
+                    rows["media_id"].append(mid)
+                    rows["decoded"].append(str(e)[:80] or "undecodable")
+                    rows["fps"].append(None)
+                    rows["n_frames"].append(-1)
+                    rows["frame_idx"].append(-1)
+                    rows["frame"].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(proc, FRAME_SCHEMA)

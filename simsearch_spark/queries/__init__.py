@@ -129,6 +129,9 @@ DRIVER_EXCLUDED = frozenset(
         # real WAV decode dual of the above (closed-form square-wave
         # oracle; codec round-trip tested in tests/test_png.py)
         "media_audio_stats",
+        # real AVI frame-index parse dual (closed-form sampled-frame
+        # fan-out oracle; container round-trip tested in tests/test_png.py)
+        "media_frame_sample",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

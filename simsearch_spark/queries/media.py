@@ -182,8 +182,69 @@ FROM documents
 """
 
 
+# -----------------------------------------------------------------------------
+# media_frame_sample: REAL video container parsing end to end
+# -----------------------------------------------------------------------------
+
+FRAME_EVERY_N = 2
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full video container path (multimodal/avi.py): each document becomes
+    a real AVI wrapping ``doc_id % 6 + 1`` frames of ``n_chars % 17 + 1``
+    bytes each at 25 fps; the engine parses the container's frame index and
+    samples every ``FRAME_EVERY_N``-th frame's ACTUAL bytes.  The oracle
+    computes the identical sampled (frame_idx, frame size) fan-out in
+    closed form — frame boundaries must land exactly for sizes to match."""
+    from simsearch_spark.multimodal.avi import encode_avi_mjpeg
+    from simsearch_spark.multimodal.binary import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(d), int(c)
+                frames = [
+                    bytes([(d + i) % 256]) * (c % 17 + 1) for i in range(d % 6 + 1)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=25))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/avi",
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, payload binary, mime string"
+    )
+    from pyspark.sql import functions as F
+
+    return frame_sample(media, every_n=FRAME_EVERY_N).select(
+        "media_id",
+        "decoded",
+        "fps",
+        "n_frames",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+SELECT doc_id AS media_id, 'ok' AS decoded, 25.0::DOUBLE AS fps,
+       (doc_id % 6 + 1)::INT AS n_frames, u.i::INT AS frame_idx,
+       (n_chars % 17 + 1)::BIGINT AS frame_bytes
+FROM documents, unnest(range(0, doc_id % 6 + 1, {FRAME_EVERY_N})) AS u(i)
+"""
+
+
 MEDIA_QUERIES = {
     "media_meta": (q_media_meta, SQL_MEDIA_META),
     "media_pixel_stats": (q_media_pixel_stats, SQL_MEDIA_PIXEL_STATS),
     "media_audio_stats": (q_media_audio_stats, SQL_MEDIA_AUDIO_STATS),
+    "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
 }

@@ -219,6 +219,50 @@ def test_audio_stats_square_wave(spark):
     assert rows[2].decoded != "ok" and rows[2].n_samples == -1
 
 
+def test_avi_round_trip_frame_index():
+    from simsearch_spark.multimodal.avi import encode_avi_mjpeg, parse_avi_frames
+
+    frames = [bytes([i]) * (i + 3) for i in range(7)]  # odd+even sizes
+    payload = encode_avi_mjpeg(frames, fps=30)
+    fps, idx = parse_avi_frames(payload)
+    assert fps == pytest.approx(30.0, abs=0.01)
+    assert [payload[o : o + n] for o, n in idx] == frames
+    with pytest.raises(ValueError):
+        parse_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_parse_avi_never_raises_low_level_errors(data):
+    from simsearch_spark.multimodal.avi import parse_avi_frames
+
+    for payload in (data, b"RIFF" + struct.pack("<I", len(data) + 4) + b"AVI " + data):
+        try:
+            parse_avi_frames(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_frame_sample_real_avi(spark):
+    from simsearch_spark.multimodal.avi import encode_avi_mjpeg
+    from simsearch_spark.multimodal.binary import frame_sample
+
+    frames = [bytes([i, i, i]) for i in range(9)]
+    rows = frame_sample(
+        _media_df(
+            spark,
+            [(1, "video", encode_avi_mjpeg(frames, fps=25), "video/avi"),
+             (2, "video", b"nonsense", "video/avi")],
+        ),
+        every_n=4,
+    ).collect()
+    ok = sorted((r.frame_idx, bytes(r.frame)) for r in rows if r.media_id == 1)
+    assert ok == [(0, frames[0]), (4, frames[4]), (8, frames[8])]
+    assert all(r.n_frames == 9 and r.fps == 25.0 for r in rows if r.media_id == 1)
+    bad = [r for r in rows if r.media_id == 2]
+    assert len(bad) == 1 and bad[0].decoded != "ok" and bad[0].frame is None
+
+
 def test_resize_real_png_payload(spark):
     from simsearch_spark.multimodal.binary import resize_images
 
