@@ -258,6 +258,15 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    return verify_shingle_pairs(cand, banded, id_col, threshold)
+
+
+def verify_shingle_pairs(
+    cand: DataFrame, banded: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    (id, shingles, ...) signature frame — the shared tail of the batch LSH
+    join and the streaming candidate sink (streaming/lshdedup.py)."""
     shingle_map = banded.select(F.col(id_col), F.col("shingles"))
     ver = (
         cand.join(shingle_map.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")

@@ -1,0 +1,79 @@
+"""Streaming MinHash-LSH near-duplicate detection — the incremental dual of
+``operators/dedup.py minhash_lsh_pairs``.
+
+As documents stream in, each is shingled/minhashed/banded by the SAME fused
+Arrow kernel as the batch path (``minhash_banded_frame`` runs unchanged on a
+streaming DataFrame), then keyed state per LSH bucket ``(band_idx,
+band_hash)`` holds the bucket's member ids; every arriving document emits
+one candidate pair against each EARLIER member of any bucket it lands in.
+
+Split-invariance contract (tests/test_lsh_stream.py): the DISTINCT set of
+emitted candidate pairs equals the batch band-join's candidate set for ANY
+micro-batch partition of the input — each bucket's final member set is
+split-invariant, and "pair each arrival with all prior members (and with
+same-batch predecessors in id order)" enumerates exactly its unordered
+member pairs.  Verification stays a batch post-pass on the sink
+(``verify_shingle_pairs`` against the corpus signature table) — the same
+candidate→verify split every production streaming dedup uses.
+
+Scale: state is the id list per OCCUPIED bucket (overwhelmingly singletons;
+total state = corpus × bands ids, partitioned by bucket key across the
+state store); per batch only that batch's (bucket, id) rows shuffle.  A
+pathological hot bucket (m members → m² pairs) is the LSH parameterization's
+problem — same as batch — not a streaming regression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from simsearch_spark.operators.dedup import minhash_banded_frame
+
+PAIR_SCHEMA = "id_a long, id_b long"
+STATE_SCHEMA = "members array<long>"
+
+
+def minhash_candidates_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a streaming document frame; pairs
+    may repeat across buckets/batches — consumers ``dropDuplicates`` (the
+    batch dual does the same after its band join)."""
+    docs = docs.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+    banded = minhash_banded_frame(docs, id_col, text_col, n_hashes, bands, shingle_n)
+    expl = banded.select(
+        F.col(id_col).alias("doc"), F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+
+    def emit(key, pdfs, state):
+        import warnings
+
+        import pandas as pd
+
+        warnings.filterwarnings(
+            "ignore", category=FutureWarning, message=".*concatenation with empty or all-NA.*"
+        )
+        members: list[int] = list(state.get[0]) if state.exists else []
+        a_out: list[int] = []
+        b_out: list[int] = []
+        new_ids: list[int] = []
+        for pdf in pdfs:
+            new_ids.extend(int(x) for x in pdf["doc"])
+        for doc in sorted(set(new_ids) - set(members)):
+            for m in members:
+                a_out.append(min(doc, m))
+                b_out.append(max(doc, m))
+            members.append(doc)
+        state.update((members,))
+        return iter([pd.DataFrame({"id_a": a_out, "id_b": b_out})])
+
+    return expl.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        emit, PAIR_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
