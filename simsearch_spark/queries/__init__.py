@@ -122,6 +122,9 @@ DRIVER_EXCLUDED = frozenset(
         # equivalence-verified against an independent pure-Python BPE
         # implementation on the live fixture (tests/test_bpe.py)
         "bpe_merges",
+        # encode side of bpe_merges (same non-SQL-expressible rules);
+        # verified token-for-token vs the Python reference (tests/test_bpe.py)
+        "bpe_token_stats",
         # real PNG decode over synthesized payloads; the in-repo oracle
         # computes the identical closed-form pixel means, and the codec
         # itself is round-trip/property-tested (tests/test_png.py)
@@ -132,6 +135,10 @@ DRIVER_EXCLUDED = frozenset(
         # real AVI frame-index parse dual (closed-form sampled-frame
         # fan-out oracle; container round-trip tested in tests/test_png.py)
         "media_frame_sample",
+        # seeded char-fold projection + shard-partitioned window — the
+        # same hash family as corpus_sample and the same window shape as
+        # topk_per_source, both driver-verified
+        "corpus_shuffle",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

@@ -723,4 +723,55 @@ CORPUS_QUERIES = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "corpus_shuffle": (None, None),  # bound below (needs SHUFFLE_* consts)
 }
+
+
+# -----------------------------------------------------------------------------
+# corpus_shuffle: seeded deterministic training-order shuffle
+# -----------------------------------------------------------------------------
+
+SHUFFLE_SEED = "ep0"
+SHUFFLE_SHARDS = 64
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle for training order: each document gets a
+    seeded char-fold shuffle key; documents are sharded by the key and
+    ordered within shards — change ``SHUFFLE_SEED`` per epoch for a fresh
+    permutation, same seed replays bit-for-bit.
+
+    100 TB shape: NO global sort/window — the only window partitions by
+    shard (corpus/SHUFFLE_SHARDS rows each, the training-shard files a
+    writer would emit via repartitionByRange + sortWithinPartitions); the
+    shuffle key is a 64-bit column expression, so the whole permutation is
+    one keyed exchange."""
+    from simsearch_spark.functions.text import char_fold_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = char_fold_hash(
+        F.concat(F.lit(SHUFFLE_SEED), F.lit("|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("shard", F.pmod(F.col("shuffle_key"), F.lit(SHUFFLE_SHARDS)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos", "shuffle_key")
+    )
+
+
+SQL_CORPUS_SHUFFLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_charfold_sql(f"'{SHUFFLE_SEED}|' || doc_id::VARCHAR")} AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, (shuffle_key % {SHUFFLE_SHARDS})::INT AS shard,
+       row_number() OVER (PARTITION BY shuffle_key % {SHUFFLE_SHARDS}
+                          ORDER BY shuffle_key ASC, doc_id ASC)::INT AS pos,
+       shuffle_key
+FROM t
+"""
+
+CORPUS_QUERIES["corpus_shuffle"] = (q_corpus_shuffle, SQL_CORPUS_SHUFFLE)

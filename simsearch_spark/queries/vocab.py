@@ -212,9 +212,35 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode side of the tokenizer: learn ``BPE_MERGES`` rules, apply
+    them to the corpus (operators/bpe.py apply_bpe), report per source the
+    document count, total subword tokens, and mean chars-per-token
+    (compression the vocab bought).  Verified token-for-token against the
+    independent Python BPE (tests/test_bpe.py)."""
+    from simsearch_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    merges = learn_bpe_merges(docs, "text", BPE_MERGES)
+    toks = apply_bpe(docs.select("source", "text"), "text", merges)
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("bpe_tokens")).alias("n_subwords"),
+        F.round(
+            F.sum(F.aggregate(
+                F.transform(F.col("bpe_tokens"), F.length),
+                F.lit(0).cast("long"), lambda a, x: a + x,
+            )).cast("double")
+            / F.sum(F.size("bpe_tokens")),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
 VOCAB_QUERIES = {
     "ngram_vocab": (q_ngram_vocab, SQL_NGRAM_VOCAB),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "bpe_merges": (q_bpe_merges, None),
+    "bpe_token_stats": (q_bpe_token_stats, None),
 }

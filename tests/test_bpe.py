@@ -70,6 +70,63 @@ def test_bpe_merges_match_reference(spark, sf_dir, fixture_texts):
     assert len(got) == BPE_MERGES  # fixture is rich enough to fill the budget
 
 
+def _python_apply(texts, merges):
+    """Independent encode: words -> chars -> merges in rank order."""
+    out = {}
+    for src, t in texts:
+        if t is None:
+            continue
+        row = []
+        for w in re.split(r"\s+", t.lower()):
+            if not w:
+                continue
+            syms = list(w)
+            for _rank, left, right, _cnt in merges:
+                nxt = []
+                for x in syms:
+                    if nxt and nxt[-1] == left and x == right:
+                        nxt[-1] = left + right
+                    else:
+                        nxt.append(x)
+                syms = nxt
+            row.extend(syms)
+        out.setdefault(src, []).append(row)
+    return out
+
+
+def test_bpe_token_stats_match_reference(spark, sf_dir):
+    """bpe_token_stats (learn + apply + aggregate) vs the independent
+    Python implementation run end-to-end on the same fixture."""
+    from simsearch_spark.queries.vocab import q_bpe_token_stats
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    rows = duckdb.sql(f"SELECT source, text FROM '{path}'").fetchall()
+    merges = _python_bpe([t for _s, t in rows], BPE_MERGES)
+    by_src = _python_apply(rows, merges)
+    expected = {}
+    for src, docs in by_src.items():
+        n_sub = sum(len(d) for d in docs)
+        n_chars = sum(len(tok) for d in docs for tok in d)
+        expected[src] = (len(docs), n_sub, round(n_chars / n_sub, 6))
+    got = {
+        r.source: (r.n_docs, r.n_subwords, r.chars_per_token)
+        for r in q_bpe_token_stats(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_apply_bpe_row_level(spark):
+    from simsearch_spark.operators.bpe import apply_bpe
+
+    df = spark.createDataFrame([("aa ab b",), (None,)], ["text"])
+    out = [
+        r.bpe_tokens
+        for r in apply_bpe(df, "text", [("a", "a"), ("a", "b")]).collect()
+    ]
+    # "aa" -> [aa]; "ab" -> [ab]; "b" -> [b]; NULL -> []
+    assert sorted(map(tuple, out)) == [(), ("aa", "ab", "b")]
+
+
 def test_bpe_merge_application_is_greedy_nonoverlapping(spark):
     """The codegen fold must implement textbook greedy merging: runs of the
     merged pair collapse left-to-right without re-merging the new token."""

@@ -51,7 +51,7 @@ def duck(sf_dir):
 
 
 # pytest-equality elsewhere, no standalone oracle needed (see DRIVER_EXCLUDED)
-_EQUIVALENCE_COVERED = {"events_sessionize_segmented", "bpe_merges"}
+_EQUIVALENCE_COVERED = {"events_sessionize_segmented", "bpe_merges", "bpe_token_stats"}
 
 
 def test_every_exclusion_is_covered():
