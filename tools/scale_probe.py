@@ -1,0 +1,134 @@
+"""Measured scaling probe: replicate the sf0.1 fixtures Nx into /tmp and
+time the scale-sensitive operators at each factor.
+
+This turns SCALE.md's "would hold at 100 TB" arguments into a measured
+local curve: each probe's cost should grow ~linearly with the factor (the
+shuffles are keyed, the windows are partitioned, the joins are
+pruned/banded), and a super-linear probe is a bug to chase.  Replicas are
+re-keyed (ids/users shifted per copy) and documents get a per-replica
+prefix token so copies are NOT near-duplicates of each other — the dup
+structure replicates linearly instead of exploding quadratically.
+
+Usage: python tools/scale_probe.py [factors...]   (default: 1 3 10)
+Prints one JSON line: {probe: {factor: seconds}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(root: str, factor: int) -> str:
+    out = os.path.join(root, f"x{factor}")
+    for table, id_col in (("documents", "doc_id"), ("events", "event_id"), ("embeddings", "vec_id")):
+        t = pq.read_table(os.path.join(BASE, f"{table}.parquet"))
+        dirpath = os.path.join(out, f"{table}.parquet")
+        os.makedirs(dirpath, exist_ok=True)
+        max_id = pc.max(t.column(id_col)).as_py() + 1
+        max_user = pc.max(t.column("user_id")).as_py() + 1 if table == "events" else 0
+        for k in range(factor):
+            part = t
+            part = part.set_column(
+                part.schema.get_field_index(id_col), id_col,
+                pc.add(part.column(id_col), k * max_id),
+            )
+            if table == "events":
+                part = part.set_column(
+                    part.schema.get_field_index("user_id"), "user_id",
+                    pc.add(part.column("user_id"), k * max_user),
+                )
+            if table == "documents" and k > 0:
+                # per-replica word SUFFIX: every token (hence every shingle)
+                # is distinct across replicas, so replicas share NO
+                # similarity and the dup/pair structure replicates exactly
+                # linearly, while within-replica near-dup structure is
+                # preserved verbatim.  Weaker constructions measured here:
+                # a prefix token leaves shingle sets ~identical (every doc
+                # gains `factor` near-dup copies; pair output quadratic —
+                # 119 s at 100x from ~25M true pairs); a seeded word SORT
+                # groups repeated words adjacently, manufacturing shared
+                # "w w w" shingles corpus-wide (hot LSH buckets).
+                sfx = f"_{k}"
+                part = part.set_column(
+                    part.schema.get_field_index("text"), "text",
+                    pa.array(
+                        [
+                            " ".join(w + sfx for w in t_.split()) if t_ else t_
+                            for t_ in part.column("text").to_pylist()
+                        ]
+                    ),
+                )
+            pq.write_table(part, os.path.join(dirpath, f"part{k}.parquet"))
+    return out
+
+
+def probes(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.operators.ann import cosine_topk
+    from simsearch_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+    from simsearch_spark.queries.pipeline import PIPELINE_QUERIES
+    from simsearch_spark.queries.vocab import q_ngram_vocab
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return {
+        "dedup_exact": lambda: exact_dedup_groups(docs, "doc_id", "text").count(),
+        "dedup_minhash_lsh": lambda: minhash_lsh_pairs(docs, "doc_id", "text").count(),
+        "events_sessionize": lambda: PIPELINE_QUERIES["events_sessionize"][0](spark, sf_dir).count(),
+        "ngram_vocab": lambda: q_ngram_vocab(spark, sf_dir).count(),
+        "ann_brute_topk": lambda: cosine_topk(
+            emb, "vec_id", "embedding",
+            [float(x) for x in emb.orderBy("vec_id").first()["embedding"]], 10,
+        ).count(),
+        "corpus_tokens": lambda: docs.select(
+            F.sum(F.size(F.split(F.lower("text"), r"\s+")))
+        ).collect(),
+    }
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    from simsearch_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="simsearch_scale_")
+    results: dict[str, dict[int, float]] = {}
+    try:
+        dirs = {f: replicate(root, f) for f in factors}
+        # warmup at the smallest factor so JIT cost lands outside the curve
+        for fn in probes(spark, dirs[factors[0]]).values():
+            fn()
+        for f in factors:
+            for name, fn in probes(spark, dirs[f]).items():
+                t0 = time.perf_counter()
+                n = fn()
+                results.setdefault(name, {})[f] = {
+                    "sec": round(time.perf_counter() - t0, 3),
+                    # result count makes the curve interpretable: a probe
+                    # whose OUTPUT grows super-linearly explains its runtime
+                    "rows": n if isinstance(n, int) else len(n),
+                }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+    print(json.dumps({"base": BASE, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
