@@ -2,15 +2,16 @@
 with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-PNG pixel decode is REAL (r6): ``multimodal/png.py`` is a dependency-free
-RFC 2083 codec (stdlib zlib; 8-bit gray/RGB/RGBA/palette, all five scanline
-filters), feeding ``pixel_stats`` and ``extract_pixel_features`` below.
-Non-PNG formats (JPEG entropy decode, audio, video) remain stubbed —
-``decode_image_meta`` parses their container headers only, and
-``extract_features`` ships a clearly-marked byte-histogram fake behind
-`_HAS_DECODER`.  The Spark-side contract — schema, batch iteration,
-partition sizing — is identical on both paths; wiring PIL/torchaudio for
-the remaining formats changes one function body, not the plan.
+Pixel decode is REAL (r6) for PNG (``multimodal/png.py``, RFC 2083, stdlib
+zlib) and baseline JPEG (``multimodal/jpeg.py``, T.81 Huffman + exact IDCT,
+numpy) via the ``decode_image`` magic-byte dispatcher, feeding
+``pixel_stats`` / ``extract_pixel_features`` / ``resize_images`` below;
+WAV PCM and AVI frame indexing are likewise real (wav.py / avi.py).
+Remaining seams: progressive/arithmetic JPEG, compressed audio, and frame
+PIXEL decode of non-MJPEG video — ``extract_features`` keeps a
+clearly-marked byte-histogram fake behind `_HAS_DECODER` for those.  The
+Spark-side contract — schema, batch iteration, partition sizing — is
+identical on every path.
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row counts) governs partition
@@ -164,12 +165,26 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
-def pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL pixel statistics for PNG payloads (multimodal/png.py decode):
-    per-channel means over the actual decoded pixel grid.  Non-decodable
-    payloads report the failure reason instead of fake numbers.  Arrow
-    batches, shuffle-free — the same 100 TB shape as the header sniff."""
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Dispatch on magic bytes to the real decoders: PNG (multimodal/png.py)
+    or baseline JPEG (multimodal/jpeg.py).  Raises ValueError for unknown
+    containers, NotImplementedError for in-family unsupported variants."""
+    from simsearch_spark.multimodal.jpeg import decode_jpeg
     from simsearch_spark.multimodal.png import decode_png
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    raise ValueError("unknown image container")
+
+
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel statistics for PNG and baseline-JPEG payloads
+    (decode_image): per-channel means over the actual decoded pixel grid.
+    Non-decodable payloads report the failure reason instead of fake
+    numbers.  Arrow batches, shuffle-free — the same 100 TB shape as the
+    header sniff."""
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,7 +195,7 @@ def pixel_stats(df: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 mid = int(mid)
                 try:
-                    w, h, ch, pix = decode_png(bytes(p))
+                    w, h, ch, pix = decode_image(bytes(p))
                     means = []
                     for c in range(min(ch, 3)):
                         means.append(round(sum(pix[c::ch]) / (w * h), 6))
@@ -208,14 +223,12 @@ def pixel_stats(df: DataFrame) -> DataFrame:
 
 
 def extract_pixel_features(df: DataFrame, grid: int = 4) -> DataFrame:
-    """REAL image features for PNG payloads: a ``grid``×``grid`` block-mean
-    luminance map (row-major, /255-normalized) — the classic tiny-thumbnail
-    embedding that feeds dedup/ANN downstream.  Non-decodable payloads fall
-    back to the byte-histogram sketch of ``extract_features`` so the
-    pipeline never drops rows; ``grid*grid`` must equal FEATURE_DIM so both
-    paths share one schema."""
-    from simsearch_spark.multimodal.png import decode_png
-
+    """REAL image features for PNG/baseline-JPEG payloads: a
+    ``grid``×``grid`` block-mean luminance map (row-major, /255-normalized)
+    — the classic tiny-thumbnail embedding that feeds dedup/ANN downstream.
+    Non-decodable payloads fall back to the byte-histogram sketch of
+    ``extract_features`` so the pipeline never drops rows; ``grid*grid``
+    must equal FEATURE_DIM so both paths share one schema."""
     if grid * grid != FEATURE_DIM:
         raise ValueError(f"grid {grid}^2 != FEATURE_DIM {FEATURE_DIM}")
 
@@ -234,7 +247,7 @@ def extract_pixel_features(df: DataFrame, grid: int = 4) -> DataFrame:
                     embs.append([0.0] * FEATURE_DIM)
                     continue
                 try:
-                    w, h, ch, pix = decode_png(bytes(p))
+                    w, h, ch, pix = decode_image(bytes(p))
                     cells = [[0, 0] for _ in range(FEATURE_DIM)]  # (sum, count)
                     for y in range(h):
                         gy = y * grid // h
@@ -339,17 +352,19 @@ def resize_images(df: DataFrame, max_w: int = 512, max_h: int = 512) -> DataFram
     ``max_w × max_h``, never upscales, parsed from the actual container
     header), and for decodable PNGs the resample is REAL too (r6):
     nearest-neighbor via multimodal/png.py decode → re-encode, tagged
-    ``'resized'``.  Other cases record why (``'pass-through'`` when
+    ``'resized'`` (baseline JPEG decodes too, via decode_image; the
+    resampled payload is re-encoded as PNG — lossless output regardless of
+    input container).  Other cases record why (``'pass-through'`` when
     already within bounds, ``'stub'`` for payloads only a full decoder
-    library could resample — JPEG entropy data, truncated PNGs —
+    library could resample — progressive JPEG, truncated containers —
     ``'unknown'`` when the header is not parseable).  Schema, Arrow
     batching, and the per-row geometry contract are identical on every
     path.
     """
-    from simsearch_spark.multimodal.png import decode_png, encode_png
+    from simsearch_spark.multimodal.png import encode_png
 
     def _nn_resize(p: bytes, dw: int, dh: int) -> bytes:
-        w, h, ch, pix = decode_png(bytes(p))
+        w, h, ch, pix = decode_image(bytes(p))
         out = bytearray(dw * dh * ch)
         for y in range(dh):
             sy = y * h // dh
@@ -375,14 +390,11 @@ def resize_images(df: DataFrame, max_w: int = 512, max_h: int = 512) -> DataFram
                 else:
                     scale = min(max_w / w, max_h / h)
                     dw, dh = max(int(w * scale), 1), max(int(h * scale), 1)
-                    if fmt == "png":
-                        try:
-                            p = _nn_resize(p, dw, dh)
-                            tag = "resized"
-                        except (ValueError, NotImplementedError):
-                            tag = "stub"  # header-only / exotic PNG
-                    else:
-                        tag = "stub"  # non-PNG needs a codec library
+                    try:
+                        p = _nn_resize(p, dw, dh)
+                        tag = "resized"
+                    except (ValueError, NotImplementedError):
+                        tag = "stub"  # header-only / progressive / exotic
                 out["media_id"].append(mid)
                 out["payload"].append(p)
                 out["src_width"].append(w)

@@ -135,6 +135,10 @@ DRIVER_EXCLUDED = frozenset(
         # real AVI frame-index parse dual (closed-form sampled-frame
         # fan-out oracle; container round-trip tested in tests/test_png.py)
         "media_frame_sample",
+        # real JPEG entropy-decode dual (block-constant grayscale decodes
+        # exactly at q85; closed-form mean oracle; codec PSNR/exactness
+        # tested in tests/test_jpeg.py)
+        "media_jpeg_stats",
         # seeded char-fold projection + shard-partitioned window — the
         # same hash family as corpus_sample and the same window shape as
         # topk_per_source, both driver-verified

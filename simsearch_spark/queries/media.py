@@ -242,9 +242,69 @@ FROM documents, unnest(range(0, doc_id % 6 + 1, {FRAME_EVERY_N})) AS u(i)
 """
 
 
+# -----------------------------------------------------------------------------
+# media_jpeg_stats: REAL JPEG entropy decode end to end
+# -----------------------------------------------------------------------------
+
+
+def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full JPEG decode path (multimodal/jpeg.py — Huffman entropy decode,
+    dequantize, exact IDCT): each document becomes a real baseline JPEG,
+    grayscale, 8px-block-aligned two-tone (left ``doc_id % 256``, right
+    ``(doc_id*11 + 29) % 256``).  Every 8×8 block is constant, and at
+    quality 85 the DC quantization step (≤5) bounds reconstruction error
+    below 0.5 — so integer pixels decode EXACTLY and the oracle's
+    closed-form mean must match to the last bit (the exactness property is
+    unit-tested in tests/test_jpeg.py::test_grayscale_block_constant_is_exact)."""
+    from simsearch_spark.multimodal.binary import pixel_stats
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(d), int(c)
+                w = 8 * (c % 4 + 2)
+                half = 8 * ((c % 4 + 2) // 2)
+                h = d % 9 + 4
+                a, b = d % 256, (d * 11 + 29) % 256
+                row = bytes([a] * half + [b] * (w - half))
+                payloads.append(encode_jpeg(w, h, 1, row * h, quality=85))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/jpeg",
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, payload binary, mime string"
+    )
+    return pixel_stats(media).select(
+        "media_id", "decoded", "width", "height", "channels", "mean_c0"
+    )
+
+
+SQL_MEDIA_JPEG_STATS = """
+SELECT doc_id AS media_id, 'ok' AS decoded,
+       (8 * (n_chars % 4 + 2))::INT AS width, (doc_id % 9 + 4)::INT AS height,
+       1 AS channels,
+       round(((doc_id % 256) * (8 * ((n_chars % 4 + 2) // 2))
+              + ((doc_id * 11 + 29) % 256)
+                * (8 * (n_chars % 4 + 2) - 8 * ((n_chars % 4 + 2) // 2)))::DOUBLE
+             / (8 * (n_chars % 4 + 2)), 6) AS mean_c0
+FROM documents
+"""
+
+
 MEDIA_QUERIES = {
     "media_meta": (q_media_meta, SQL_MEDIA_META),
     "media_pixel_stats": (q_media_pixel_stats, SQL_MEDIA_PIXEL_STATS),
     "media_audio_stats": (q_media_audio_stats, SQL_MEDIA_AUDIO_STATS),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
+    "media_jpeg_stats": (q_media_jpeg_stats, SQL_MEDIA_JPEG_STATS),
 }

@@ -1,0 +1,167 @@
+"""Baseline JPEG codec (multimodal/jpeg.py): lossy round trips under PSNR
+bounds, exactness where quantization guarantees it, explicit seams, fuzz,
+and the Spark decode paths through decode_image."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from simsearch_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient(w: int, h: int, ch: int) -> np.ndarray:
+    img = np.zeros((h, w, ch), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            for c in range(ch):
+                img[y, x, c] = (x * 5 + y * 7 + c * 11) % 256
+    return img
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize("dims", [(8, 8), (24, 16), (19, 17)])  # incl. partial MCUs
+def test_round_trip_psnr(channels, dims):
+    w, h = dims
+    img = _gradient(w, h, channels)
+    data = encode_jpeg(w, h, channels, img.tobytes(), quality=90)
+    ww, hh, cc, out = decode_jpeg(data)
+    assert (ww, hh, cc) == (w, h, channels)
+    assert _psnr(img, np.frombuffer(out, np.uint8).reshape(h, w, channels)) > 35
+
+
+def _smooth(w: int, h: int) -> np.ndarray:
+    """Clamped (non-wrapping) gradient: modulo wrap edges are legitimately
+    brutal for subsampled chroma and would test the content, not the codec."""
+    img = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = (min(x * 5, 255), min(y * 9, 255), min(100 + x * 2, 255))
+    return img
+
+
+def test_round_trip_420_subsampling():
+    img = _smooth(40, 24)
+    data = encode_jpeg(40, 24, 3, img.tobytes(), quality=90, subsample=True)
+    w, h, c, out = decode_jpeg(data)
+    assert (w, h, c) == (40, 24, 3)
+    assert _psnr(img, np.frombuffer(out, np.uint8).reshape(24, 40, 3)) > 33
+    # odd dims with 4:2:0 (chroma plane padding path)
+    img = _smooth(21, 13)
+    data = encode_jpeg(21, 13, 3, img.tobytes(), quality=90, subsample=True)
+    w, h, c, out = decode_jpeg(data)
+    assert (w, h, c) == (21, 13, 3)
+    assert _psnr(img, np.frombuffer(out, np.uint8).reshape(13, 21, 3)) > 30
+
+
+def test_grayscale_block_constant_is_exact():
+    """DC-only blocks at quality 85 (luma DC step <= 5) reconstruct with
+    error < 0.5, so integer pixels survive exactly — the property the
+    media_jpeg_stats oracle relies on."""
+    for v in (0, 7, 100, 128, 213, 255):
+        pix = bytes([v]) * (32 * 24)
+        w, h, c, out = decode_jpeg(encode_jpeg(32, 24, 1, pix, quality=85))
+        assert (w, h, c) == (32, 24, 1)
+        assert out == pix
+    # block-aligned two-tone: every 8x8 block constant -> exact
+    row = bytes([40] * 16 + [200] * 16)
+    pix = row * 24
+    w, h, c, out = decode_jpeg(encode_jpeg(32, 24, 1, pix, quality=85))
+    assert out == pix
+
+
+def test_quality_monotone():
+    img = _gradient(32, 32, 3)
+    lo = decode_jpeg(encode_jpeg(32, 32, 3, img.tobytes(), quality=20))[3]
+    hi = decode_jpeg(encode_jpeg(32, 32, 3, img.tobytes(), quality=95))[3]
+    p_lo = _psnr(img, np.frombuffer(lo, np.uint8).reshape(32, 32, 3))
+    p_hi = _psnr(img, np.frombuffer(hi, np.uint8).reshape(32, 32, 3))
+    assert p_hi > p_lo
+
+
+def test_explicit_seams():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # progressive frame marker (SOF2) is a NotImplementedError seam
+    prog = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=85))
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+    # 12-bit precision seam
+    deep = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=85))
+    idx = deep.find(b"\xff\xc0")
+    deep[idx + 4] = 12  # precision byte of SOF0
+    with pytest.raises(NotImplementedError, match="precision"):
+        decode_jpeg(bytes(deep))
+    # truncated entropy stream
+    whole = encode_jpeg(24, 24, 3, _gradient(24, 24, 3).tobytes())
+    with pytest.raises(ValueError):
+        decode_jpeg(whole[: len(whole) // 2])
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_decode_jpeg_never_raises_low_level_errors(data):
+    for payload in (data, b"\xff\xd8" + data):
+        try:
+            decode_jpeg(payload)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+@settings(max_examples=30, deadline=None)
+@given(flip=st.integers(2, 400), byte=st.integers(0, 255))
+def test_decode_jpeg_mutated_valid_payload(flip, byte):
+    base = bytearray(encode_jpeg(16, 16, 3, _gradient(16, 16, 3).tobytes()))
+    base[flip % len(base)] = byte
+    try:
+        decode_jpeg(bytes(base))
+    except (ValueError, NotImplementedError):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Spark paths via decode_image
+# ---------------------------------------------------------------------------
+
+
+def test_pixel_stats_decodes_jpeg(spark):
+    from simsearch_spark.multimodal.binary import pixel_stats
+
+    # block-constant grayscale -> exact decode -> exact means
+    row = bytes([40] * 16 + [200] * 16)
+    good = encode_jpeg(32, 8, 1, row * 8, quality=85)
+    df = spark.createDataFrame(
+        [(1, "image", good, "image/jpeg")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    r = pixel_stats(df).collect()[0]
+    assert r.decoded == "ok" and (r.width, r.height, r.channels) == (32, 8, 1)
+    assert r.mean_c0 == (40 * 16 + 200 * 16) / 32
+
+
+def test_resize_real_jpeg_payload(spark):
+    from simsearch_spark.multimodal.binary import resize_images
+    from simsearch_spark.multimodal.png import decode_png
+
+    big = encode_jpeg(640, 480, 3, np.full((480, 640, 3), 90, np.uint8).tobytes())
+    df = spark.createDataFrame(
+        [(1, "image", big, "image/jpeg")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    r = resize_images(df, max_w=320, max_h=320).collect()[0]
+    assert r.resized == "resized" and (r.dst_width, r.dst_height) == (320, 240)
+    w, h, ch, pix = decode_png(bytes(r.payload))  # resample re-encodes as PNG
+    assert (w, h, ch) == (320, 240, 3)
+    arr = np.frombuffer(pix, np.uint8)
+    assert int(arr.min()) >= 88 and int(arr.max()) <= 92  # constant within quant error
