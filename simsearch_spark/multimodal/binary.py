@@ -121,13 +121,15 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Feature extraction over binary payloads.
+    """Content-agnostic feature extraction over ARBITRARY binary payloads.
 
-    With a real decoder this would decode + run a vision/audio model per
-    Arrow batch.  Without one (`_HAS_DECODER` False) it emits a deterministic
+    For decodable images use ``extract_pixel_features`` (real pixels, r6);
+    this path is the fallback for formats without an in-repo decoder
+    (progressive JPEG, compressed audio, video frames): a deterministic
     byte-histogram sketch — a *fake*, clearly marked, but with the exact
-    production schema/batching so the pipeline (dedup by embedding, ANN) runs
-    end-to-end."""
+    production schema/batching so the pipeline (dedup by embedding, ANN)
+    runs end-to-end.  `_HAS_DECODER` marks where a vision/audio model
+    library would slot in."""
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
