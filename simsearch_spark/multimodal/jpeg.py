@@ -436,9 +436,14 @@ def encode_jpeg(
     pixels: bytes,
     quality: int = 85,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode row-major 8-bit pixels (grayscale or RGB) as baseline JPEG
-    with Annex-K tables; ``subsample=True`` emits 4:2:0 chroma."""
+    with Annex-K tables; ``subsample=True`` emits 4:2:0 chroma;
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
+    MCUs with DC-predictor resets (exercises the decoder's resync path —
+    the quantized coefficients are unchanged, so decode output is
+    bit-identical to the non-restart encoding)."""
     if channels not in (1, 3):
         raise ValueError(f"channels {channels}")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels).astype(np.float64)
@@ -478,6 +483,8 @@ def encode_jpeg(
         tables += [(0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA)]
     for tid, (bits, vals) in tables:
         out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
     for cid, *_ in comps:
         sos += bytes([cid, 0x00 if cid == 1 else 0x11])
@@ -498,8 +505,16 @@ def encode_jpeg(
         )
     bw = _BitWriter()
     pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu_count += 1
             for cid, ch, cv, tq_, _plane in comps:
                 # zigzag-ordered table: _encode_block divides zigzag-ordered
                 # coefficients (matches the zigzag-ordered DQT the decoder

@@ -79,6 +79,22 @@ def test_grayscale_block_constant_is_exact():
     assert out == pix
 
 
+def test_restart_markers_round_trip():
+    """DRI/RSTn resync: same quantized coefficients, different entropy
+    framing — decode output must be bit-identical to the non-restart
+    encoding, for both gray and 4:2:0 color."""
+    img = _gradient(40, 24, 1)
+    plain = decode_jpeg(encode_jpeg(40, 24, 1, img.tobytes(), quality=85))
+    rst = decode_jpeg(encode_jpeg(40, 24, 1, img.tobytes(), quality=85, restart_interval=2))
+    assert plain == rst
+    img3 = _smooth(40, 24)
+    plain3 = decode_jpeg(encode_jpeg(40, 24, 3, img3.tobytes(), subsample=True))
+    rst3 = decode_jpeg(
+        encode_jpeg(40, 24, 3, img3.tobytes(), subsample=True, restart_interval=1)
+    )
+    assert plain3 == rst3
+
+
 def test_quality_monotone():
     img = _gradient(32, 32, 3)
     lo = decode_jpeg(encode_jpeg(32, 32, 3, img.tobytes(), quality=20))[3]
