@@ -143,6 +143,10 @@ DRIVER_EXCLUDED = frozenset(
         # same hash family as corpus_sample and the same window shape as
         # topk_per_source, both driver-verified
         "corpus_shuffle",
+        # composition of two driver-verified recipes (embed_kmeans +
+        # dedup_embed_cosine); oracle replays the full composition with
+        # every Lloyd iteration unrolled
+        "semdedup",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from simsearch_spark.operators.kmeans import kmeans_assign
 from simsearch_spark.operators.quantize import QUANT_LEVELS, quantization_error
 from simsearch_spark.queries.ivf import EMB_DIM
-from simsearch_spark.queries.vector import _l2_sql
+from simsearch_spark.queries.vector import _cosine_sql, _l2_sql
 from simsearch_spark.sources.registry import load_table
 
 KM_K = 8
@@ -36,11 +36,9 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _km_oracle(k: int, iters: int) -> str:
-    """Unrolled Lloyd's in DuckDB SQL: per iteration an assignment CTE
-    (row_number over (dist, cluster_id) — the strict-< argmin rule), a
-    re-average CTE rounded to 6 like the engine, and an empty-cluster
-    coalesce against the previous centroids."""
+def _km_assign_ctes(k: int, iters: int) -> str:
+    """The WITH-chain of unrolled Lloyd's up to the final assignment CTE
+    ``af`` — shared by the k-means oracle and the SemDeDup oracle."""
     sql = f"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
 c0 AS (
   SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster_id,
@@ -74,11 +72,22 @@ af AS (
          row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC) AS rn
   FROM (SELECT e.vec_id, c.cluster_id, {_l2_sql('e.embedding', 'c.c')} AS dist
         FROM e, {prev} c)
-)
+)"""
+    return sql
+
+
+def _km_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd's in DuckDB SQL: per iteration an assignment CTE
+    (row_number over (dist, cluster_id) — the strict-< argmin rule), a
+    re-average CTE rounded to 6 like the engine, and an empty-cluster
+    coalesce against the previous centroids."""
+    return (
+        _km_assign_ctes(k, iters)
+        + """
 SELECT cluster_id, count(*) AS n_vecs, round(avg(dist), 6) AS avg_dist
 FROM af WHERE rn = 1 GROUP BY cluster_id
 """
-    return sql
+    )
 
 
 SQL_EMBED_KMEANS = _km_oracle(KM_K, KM_ITERS)
@@ -119,7 +128,85 @@ GROUP BY e.label
 """
 
 
+# -----------------------------------------------------------------------------
+# semdedup: cluster-then-prune semantic deduplication
+# -----------------------------------------------------------------------------
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (the Abbas et al. 2023 recipe shape): k-means cluster the
+    embeddings, then prune near-duplicates ONLY within clusters — a vector
+    is pruned iff a LOWER-id member of its own cluster has rounded cosine
+    ≥ the corpus dedup threshold.  Reports per cluster (size, pruned,
+    kept).
+
+    100 TB shape: the pair join is cluster-keyed — sum of per-cluster
+    squares instead of the corpus-wide O(N²), with k chosen so clusters
+    are partition-sized; the kmeans pass itself is the bounded-centroid
+    recipe of operators/kmeans.py.  Both stages reuse independently
+    driver-verified recipes (`embed_kmeans`, `dedup_embed_cosine`); the
+    oracle replays the FULL composition — every Lloyd iteration unrolled,
+    then the within-cluster cosine prune."""
+    from simsearch_spark.functions.measures import cosine_similarity
+    from simsearch_spark.queries.pipeline import COSINE_T
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=KM_K, iters=KM_ITERS)
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pruned = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= COSINE_T)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        assigned.join(pruned, "vec_id", "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_pruned"), F.lit(0))).alias("n_pruned"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("is_pruned"), F.lit(0)))).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+def _semdedup_oracle(k: int, iters: int) -> str:
+    from simsearch_spark.queries.pipeline import COSINE_T
+
+    return (
+        _km_assign_ctes(k, iters)
+        + f""",
+asg AS (SELECT vec_id, cluster_id FROM af WHERE rn = 1),
+pr AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({_cosine_sql('ea.embedding', 'eb.embedding')}, 6) >= {COSINE_T}
+)
+SELECT asg.cluster_id, count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_pruned,
+       (count(*) - sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS n_kept
+FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+GROUP BY asg.cluster_id
+"""
+    )
+
+
+SQL_SEMDEDUP = _semdedup_oracle(KM_K, KM_ITERS)
+
+
 CLUSTER_QUERIES = {
     "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
 }
