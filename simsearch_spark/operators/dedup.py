@@ -576,6 +576,80 @@ def embedding_cosine_pairs(
     )
 
 
+def clustered_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.9,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs — the SemDeDup pair stage.
+
+    Semantically ``a JOIN b ON cluster AND id_a < id_b WHERE cos ≥ t``,
+    but the physical plan survives scale where the naive cluster-keyed
+    self-join does not: a plain ``join(b, cluster_col)`` shuffles the
+    corpus onto k reducers (maximal skew by construction when k is small)
+    and materializes O((N/k)²) pairs per reducer.  Here each cluster is
+    independently block-tiled exactly like `embedding_cosine_pairs`
+    blocked=True — per-cluster block count Bc = ceil(|c|/block_rows), the
+    shuffle key is (cluster, pa, pb) with Σ Bc² keys, and every task
+    scores at most block_rows² pairs regardless of how fat its cluster
+    is.  Per-cluster sizes come from ONE k-row aggregate broadcast back.
+
+    Scoring reuses `_score_pair_group`, so raw cosines are bit-identical
+    to the JVM/DuckDB fold and the result set equals the naive join's —
+    equality-tested in tests/test_cluster.py."""
+    normed = df.select(
+        F.col(cluster_col).alias("cl"),
+        F.col(id_col).alias("rid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+        measures.l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    loose = float(threshold) - 1e-6
+    sizes = (
+        normed.groupBy("cl")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("nb", F.ceil(F.col("cnt") / F.lit(int(block_rows))).cast("int"))
+        .select("cl", "nb")
+    )
+    tagged = normed.join(F.broadcast(sizes), "cl").withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("rid")), F.col("nb")).cast("int")
+    )
+    side_a = tagged.select(
+        "cl",
+        F.col("blk").alias("pa"),
+        F.explode(F.sequence(F.col("blk"), F.col("nb") - 1)).alias("pb"),
+        F.lit("a").alias("side"),
+        "rid",
+        "v",
+        "nrm",
+    )
+    side_b = tagged.where(F.col("blk") > 0).select(
+        "cl",
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("pa"),
+        F.col("blk").alias("pb"),
+        F.lit("b").alias("side"),
+        "rid",
+        "v",
+        "nrm",
+    )
+    tiles = side_a.unionByName(side_b)
+
+    def score_tile(pdf):
+        diagonal = bool(len(pdf) and pdf["pa"].iat[0] == pdf["pb"].iat[0])
+        return _score_pair_group(pdf, loose, diagonal=diagonal)
+
+    raw = tiles.groupBy("cl", "pa", "pb").applyInPandas(
+        score_tile, "id_a long, id_b long, cos_raw double"
+    )
+    return (
+        raw.withColumn("cos_sim", F.round("cos_raw", 6))
+        .where(F.col("cos_sim") >= float(threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

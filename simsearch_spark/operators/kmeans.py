@@ -18,8 +18,21 @@ deterministic so a SQL oracle can replay it bit-for-bit:
 partial aggregation for the means; only k×dim rounded doubles ever reach
 the driver (k=8, dim=64 → 512 values), the same bounded-centroid-collect
 contract as IVF training (operators/ann.py).  The corpus itself never
-shuffles for assignment — distances are evaluated in whole-stage codegen
-against literal centroid arrays.
+shuffles for assignment.  TWO assignment kernels share that contract:
+
+- ``literal`` (k ≤ LITERAL_K_MAX): distances evaluated in whole-stage
+  codegen against literal centroid arrays — zero Python, but the codegen
+  tree grows with k (k=8 once produced multi-MiB task binaries; see
+  `assign_clusters`), so it is capped.
+- ``table`` (large k): an Arrow ``mapInPandas`` kernel over a broadcast
+  centroid ndarray — task-binary size is O(1) in k, letting k grow with
+  the corpus (the published SemDeDup recipe needs 10⁴–10⁵ clusters at
+  100 TB).  The kernel replays the engines' exact IEEE arithmetic
+  (ascending-index left-fold of ``d*d``, strict-``<`` argmin keeping the
+  lowest cluster id) so both paths are BIT-IDENTICAL — equality-tested in
+  tests/test_cluster.py.
+
+``kmeans_assign(assignment="auto")`` picks per call.
 
 Reference scope note: the reference engine has no clustering operator
 (clusters arrive pre-labeled, e.g. ``pivoting/` uses data-dependent pivot
@@ -32,6 +45,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from simsearch_spark.functions.measures import euclidean_distance
+
+
+#: Above this k, literal-centroid codegen trees get JIT-hostile (multi-MiB
+#: task binaries) — switch to the broadcast-centroid Arrow kernel.
+LITERAL_K_MAX = 32
 
 
 def _lit_vec(vals: list[float]) -> Column:
@@ -67,6 +85,60 @@ def assign_clusters(
     return df.withColumn("cluster_id", best["cluster_id"]).withColumn("dist", best["dist"])
 
 
+def assign_clusters_table(
+    df: DataFrame, vec_col: str, centroids: dict[int, list[float]]
+) -> DataFrame:
+    """Large-k assignment: one Arrow ``mapInPandas`` pass against a
+    broadcast centroid matrix (closure-captured — k×dim doubles, e.g.
+    10⁵×64 ≈ 50 MB at the published SemDeDup scale, well under executor
+    memory; NO join, NO shuffle, task-binary size independent of k).
+
+    Bit-identical to `assign_clusters`: squared deltas are accumulated in
+    ascending dimension order (the engines' shared left-fold — each
+    ``acc += d*d`` numpy op adds dimension j for every (row, centroid)
+    pair, so per-element addition order is exactly ``((0+d₀²)+d₁²)+…``),
+    and the argmin scans centroids in ascending cluster-id order with
+    strict ``<``, keeping the lowest id on ties."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    items = sorted(centroids.items())
+    cids = [int(cid) for cid, _ in items]
+    cmat = [[float(v) for v in cvec] for _, cvec in items]
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("cluster_id", IntegerType(), False),
+            StructField("dist", DoubleType(), False),
+        ]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def proc(batches):
+        import numpy as np
+
+        cmx = np.asarray(cmat, dtype=np.float64)  # k × dim
+        ids = np.asarray(cids, dtype=np.int64)
+        dim = cmx.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            acc = np.zeros((len(pdf), cmx.shape[0]))
+            for j in range(dim):  # ascending-index left-fold, per element
+                d = x[:, j, None] - cmx[None, :, j]
+                acc += d * d
+            dist = np.sqrt(acc)
+            # first-occurrence argmin over ascending cluster ids == the
+            # strict-< / lowest-id-on-ties rule of the literal path
+            best = np.argmin(dist, axis=1)
+            out = pdf.copy()
+            out["cluster_id"] = ids[best].astype("int32")
+            out["dist"] = dist[np.arange(len(pdf)), best]
+            yield out[in_cols + ["cluster_id", "dist"]]
+
+    return df.mapInPandas(proc, out_schema)
+
+
 def _rounded_means(assigned: DataFrame, vec_col: str) -> dict[int, list[float]]:
     """Per-cluster element-wise mean, rounded to 6 decimals IN-ENGINE (so the
     driver never re-rounds with Python's banker's rounding).  One corpus
@@ -89,10 +161,18 @@ def kmeans_assign(
     vec_col: str,
     k: int = 8,
     iters: int = 2,
+    assignment: str = "auto",
 ) -> DataFrame:
     """Run ``iters`` deterministic Lloyd iterations and return ``df`` with
     final ``cluster_id`` + ``dist`` columns.  Empty clusters keep their
-    previous centroid (mirrored by the oracle's LEFT JOIN + coalesce)."""
+    previous centroid (mirrored by the oracle's LEFT JOIN + coalesce).
+
+    assignment: ``"literal"`` (codegen, small k), ``"table"`` (broadcast
+    Arrow kernel, any k), or ``"auto"`` (table iff k > LITERAL_K_MAX).
+    Both kernels are bit-identical — the choice is a physical-plan knob."""
+    if assignment == "auto":
+        assignment = "table" if k > LITERAL_K_MAX else "literal"
+    assign = assign_clusters if assignment == "literal" else assign_clusters_table
     init_rows = (
         df.orderBy(id_col)
         .limit(k)
@@ -101,7 +181,17 @@ def kmeans_assign(
     )
     cents = {i: [float(v) for v in r["c"]] for i, r in enumerate(init_rows)}
     for _ in range(iters):
-        assigned = assign_clusters(df, vec_col, cents)
+        assigned = assign(df, vec_col, cents)
         means = _rounded_means(assigned, vec_col)
         cents = {cid: means.get(cid, old) for cid, old in cents.items()}
-    return assign_clusters(df, vec_col, cents)
+    return assign(df, vec_col, cents)
+
+
+def auto_km_k(n_rows: int, rows_per_cluster: int = 5_000, k_min: int = 8) -> int:
+    """The SemDeDup k-sizing rule: clusters should be ~task-sized, so k
+    grows LINEARLY with the corpus (Abbas et al. 2023 use 1.1×10⁴ clusters
+    for 10⁸ LAION embeddings — ~10⁴ rows/cluster).  With k ∝ N, the
+    within-cluster pair stage does N·rows_per_cluster work — linear, not
+    N² — and `assign_clusters_table` keeps assignment O(1) in task-binary
+    size however large k gets."""
+    return max(k_min, -(-n_rows // rows_per_cluster))

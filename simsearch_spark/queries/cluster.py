@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simsearch_spark.operators.kmeans import kmeans_assign
+from simsearch_spark.operators.kmeans import auto_km_k, kmeans_assign
 from simsearch_spark.operators.quantize import QUANT_LEVELS, quantization_error
 from simsearch_spark.queries.ivf import EMB_DIM
 from simsearch_spark.queries.vector import _cosine_sql, _l2_sql
@@ -133,6 +133,39 @@ GROUP BY e.label
 # -----------------------------------------------------------------------------
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int | None = None,
+    iters: int = KM_ITERS,
+    threshold: float | None = None,
+    rows_per_cluster: int = 5_000,
+) -> DataFrame:
+    """The SemDeDup composition as a reusable operator: k-means assign
+    (k=None → `auto_km_k`, growing k with the corpus so clusters stay
+    ~task-sized and the whole pipeline is linear in N), then the tiled
+    within-cluster cosine prune.  Returns the assigned frame with an
+    ``is_pruned`` 0/1 column."""
+    from simsearch_spark.operators.dedup import clustered_cosine_pairs
+    from simsearch_spark.queries.pipeline import COSINE_T
+
+    if threshold is None:
+        threshold = COSINE_T
+    if k is None:
+        k = auto_km_k(emb.count(), rows_per_cluster)
+    assigned = kmeans_assign(emb, id_col, vec_col, k=k, iters=iters)
+    pruned = (
+        clustered_cosine_pairs(assigned, id_col, vec_col, "cluster_id", threshold=threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return assigned.join(pruned, id_col, "left").withColumn(
+        "is_pruned", F.coalesce(F.col("is_pruned"), F.lit(0))
+    )
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (the Abbas et al. 2023 recipe shape): k-means cluster the
     embeddings, then prune near-duplicates ONLY within clusters — a vector
@@ -140,42 +173,24 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ the corpus dedup threshold.  Reports per cluster (size, pruned,
     kept).
 
-    100 TB shape: the pair join is cluster-keyed — sum of per-cluster
-    squares instead of the corpus-wide O(N²), with k chosen so clusters
-    are partition-sized; the kmeans pass itself is the bounded-centroid
-    recipe of operators/kmeans.py.  Both stages reuse independently
-    driver-verified recipes (`embed_kmeans`, `dedup_embed_cosine`); the
-    oracle replays the FULL composition — every Lloyd iteration unrolled,
-    then the within-cluster cosine prune."""
-    from simsearch_spark.functions.measures import cosine_similarity
-    from simsearch_spark.queries.pipeline import COSINE_T
-
+    100 TB shape (reworked round 7 after the r6 scale flag): k grows with
+    the corpus (`auto_km_k` — clusters stay ~task-sized, so with k ∝ N
+    the pair stage does N·rows_per_cluster work, linear not N²);
+    assignment switches to the broadcast-centroid Arrow kernel above
+    LITERAL_K_MAX so large k never inflates task binaries; and the pair
+    stage is `clustered_cosine_pairs` — each cluster independently
+    block-tiled, shuffle keyed by (cluster, tile) with bounded per-task
+    pair counts, instead of a k-reducer self-join shipping full vectors.
+    At the fixture scale auto_km_k floors at KM_K=8, keeping the oracle
+    (every Lloyd iteration unrolled, then the within-cluster prune)
+    byte-stable; large-k/table-path equality is pytest-pinned
+    (tests/test_cluster.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, "vec_id", "embedding", k=KM_K, iters=KM_ITERS)
-    a = assigned.select(
-        "cluster_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = assigned.select(
-        "cluster_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    pruned = (
-        a.join(b, "cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= COSINE_T)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("is_pruned", F.lit(1))
-    )
-    return (
-        assigned.join(pruned, "vec_id", "left")
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum(F.coalesce(F.col("is_pruned"), F.lit(0))).alias("n_pruned"),
-            (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("is_pruned"), F.lit(0)))).alias(
-                "n_kept"
-            ),
-        )
+    flagged = semdedup_prune(emb, "vec_id", "embedding", k=KM_K)
+    return flagged.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("is_pruned").alias("n_pruned"),
+        (F.count(F.lit(1)) - F.sum("is_pruned")).alias("n_kept"),
     )
 
 

@@ -61,3 +61,70 @@ def test_quantization_error_bound(spark, sf_dir):
     )
     assert max_err <= math.sqrt(dim) * widest / 2 + 1e-6
     assert qerr.count() == emb.count()
+
+
+# ---------------------------------------------------------------------------
+# round 7: large-k assignment + tiled within-cluster pair stage (the r6
+# semdedup scale fix) — both new physical paths must be BIT-identical to the
+# small-k/naive logical semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_assignment_table_equals_literal(spark, sf_dir):
+    """assign via broadcast-centroid Arrow kernel == literal-centroid
+    codegen, on raw (unrounded) distances — the bit-identical contract
+    that lets `auto` switch paths as a pure physical-plan knob."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    for k in (3, 8, 33):
+        lit = kmeans_assign(emb, "vec_id", "embedding", k=k, iters=2, assignment="literal")
+        tab = kmeans_assign(emb, "vec_id", "embedding", k=k, iters=2, assignment="table")
+        sel = lambda d: d.select("vec_id", "cluster_id", "dist")
+        assert _rows(sel(lit)) == _rows(sel(tab)), f"k={k} path divergence"
+
+
+def test_clustered_pairs_equal_naive_join(spark, sf_dir):
+    """clustered_cosine_pairs (per-cluster block tiling, block_rows forced
+    tiny so every cluster really is multi-tile) == the naive cluster-keyed
+    self-join it replaces."""
+    from simsearch_spark.functions.measures import cosine_similarity
+    from simsearch_spark.operators.dedup import clustered_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=4, iters=1)
+    t = 0.2  # loose threshold → plenty of surviving pairs to compare
+    # (sf0.001 within-cluster cosine p90≈0.19, max≈0.47 — 0.2 keeps ~10%)
+    tiled = clustered_cosine_pairs(
+        assigned, "vec_id", "embedding", "cluster_id", threshold=t, block_rows=7
+    )
+    a = assigned.select("cluster_id", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = assigned.select("cluster_id", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    naive = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_sim") >= t)
+        .select("id_a", "id_b", "cos_sim")
+    )
+    assert _rows(tiled) == _rows(naive)
+    assert tiled.count() > 0  # the comparison actually compared something
+
+
+def test_semdedup_prune_auto_k_scales_k_with_corpus(spark, sf_dir):
+    """auto_km_k grows k linearly with N (the published SemDeDup sizing);
+    semdedup_prune with an explicit large k runs the table-assignment +
+    tiled-pair path end-to-end and flags a sane subset."""
+    from simsearch_spark.operators.kmeans import LITERAL_K_MAX, auto_km_k
+    from simsearch_spark.queries.cluster import semdedup_prune
+
+    assert auto_km_k(100) == 8  # floor
+    assert auto_km_k(10_000_000) == 2_000
+    assert auto_km_k(100_000_000, rows_per_cluster=10_000) == 10_000
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = LITERAL_K_MAX + 8  # force the table path through the full recipe
+    out = semdedup_prune(emb, "vec_id", "embedding", k=k, threshold=0.8)
+    n = emb.count()
+    flags = dict(out.groupBy("is_pruned").count().collect() and
+                 [(r["is_pruned"], r["count"]) for r in out.groupBy("is_pruned").count().collect()])
+    assert sum(flags.values()) == n
+    assert flags.get(1, 0) < n  # never prunes everything

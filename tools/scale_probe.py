@@ -71,6 +71,23 @@ def replicate(root: str, factor: int) -> str:
                         ]
                     ),
                 )
+            if table == "embeddings" and k > 0:
+                # per-replica deterministic SIGN FLIP: cos(s⊙x, s⊙y) == cos(x, y)
+                # for a shared pattern s (norms and dots are sign-invariant), so
+                # within-replica near-dup structure is preserved EXACTLY, while
+                # cross-replica cosines become random-sign sums ≈ 0 — without
+                # this, identical vectors across replicas give every row
+                # `factor` exact dups and the semdedup pair OUTPUT is quadratic
+                # (a quadratic answer, not a quadratic algorithm).
+                import numpy as np
+
+                mat = np.array(part.column("embedding").to_pylist(), dtype=np.float32)
+                rng = np.random.default_rng(k)  # seeded per replica: deterministic
+                signs = rng.choice([-1.0, 1.0], size=mat.shape[1]).astype(np.float32)
+                part = part.set_column(
+                    part.schema.get_field_index("embedding"), "embedding",
+                    pa.array(list(mat * signs), type=part.schema.field("embedding").type),
+                )
             pq.write_table(part, os.path.join(dirpath, f"part{k}.parquet"))
     return out
 
@@ -80,6 +97,8 @@ def probes(spark, sf_dir: str):
 
     from simsearch_spark.operators.ann import cosine_topk
     from simsearch_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
+    from simsearch_spark.operators.kmeans import auto_km_k
+    from simsearch_spark.queries.cluster import semdedup_prune
     from simsearch_spark.queries.pipeline import PIPELINE_QUERIES
     from simsearch_spark.queries.vocab import q_ngram_vocab
     from simsearch_spark.sources.registry import load_table
@@ -98,6 +117,16 @@ def probes(spark, sf_dir: str):
         "corpus_tokens": lambda: docs.select(
             F.sum(F.size(F.split(F.lower("text"), r"\s+")))
         ).collect(),
+        # k grows ∝ N (the published SemDeDup sizing): clusters stay
+        # ~rows_per_cluster-sized, so assignment is N·k kernel flops and the
+        # tiled pair stage is N·rows_per_cluster pairs — both linear in N.
+        # rows_per_cluster=500 makes k actually MOVE across factors
+        # (sf0.1 ≈ 5k vecs → k=10 at 1x, 100 at 10x, 1000 at 100x).
+        "semdedup_auto_k": lambda: semdedup_prune(
+            emb, "vec_id", "embedding",
+            k=auto_km_k(emb.count(), rows_per_cluster=500),
+            rows_per_cluster=500,
+        ).where(F.col("is_pruned") == 1).count(),
     }
 
 
