@@ -50,6 +50,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
                 raise NotImplementedError(f"WAV format tag {tag} (PCM only)")
             if bits != 16:
                 raise NotImplementedError(f"WAV bit depth {bits} (16-bit only)")
+            # a parseable-but-degenerate fmt chunk must surface as a normal
+            # decode failure (callers' bounded-exception contract), not as a
+            # ZeroDivisionError in downstream duration math (ADVICE r6)
+            if rate == 0 or channels == 0:
+                raise ValueError(
+                    f"degenerate fmt chunk: sample_rate={rate} channels={channels}"
+                )
         elif cid == b"data":
             data = body
     if rate is None or data is None:

@@ -114,7 +114,10 @@ def simsearch_search_payload(kind: str, value_column: Any, search_value: Any, k:
     spatial (lon, lat) mounts — the reference sends the bracketed form."""
     column = list(value_column) if isinstance(value_column, (list, tuple)) else value_column
     return {
-        "k": str(k),
+        # the reference caps collectionSize at the connector's maxResultCount
+        # BEFORE building the federated request (SimSearchRestQuery ctor) —
+        # same cap the ES path applies via es_search_payload (ADVICE r6)
+        "k": str(min(int(k), MAX_RESULT_COUNT)),
         "queries": [
             {
                 "operation": f"{'spatial_knn' if kind == 'spatial' else kind + '_topk'}",
@@ -190,6 +193,24 @@ def _parse_geo(val: Any, lat_lon: bool) -> tuple[float, float]:
     return (b, a) if lat_lon else (a, b)
 
 
+def _source_node(src: Any, dotted: str) -> Any:
+    """Walk a dotted column path through a RAW (un-flattened) ``_source``
+    — flatten_source dot-joins nested dict keys, so probing the raw dict
+    with a single top-level ``get`` misses every nested path (ADVICE r6).
+    Lists mirror flatten's recursion: descend into the first dict item
+    that carries the next path segment."""
+    node = src
+    for part in str(dotted).split("."):
+        if isinstance(node, list):
+            node = next(
+                (x for x in node if isinstance(x, dict) and part in x), None
+            )
+        if not isinstance(node, dict) or part not in node:
+            return None
+        node = node[part]
+    return node
+
+
 def parse_es_hits(
     response: dict,
     kind: str,
@@ -218,8 +239,13 @@ def parse_es_hits(
         elif kind == "spatial":
             # string form from ES is "lat,lon"; object form was flattened to
             # "lon,lat" — distinguish by whether flatten produced it (object
-            # form came through the lon,lat collapse, marked by its source)
-            lat_lon = not isinstance(hit["_source"].get(value_column), dict)
+            # form came through the lon,lat collapse).  The probe must walk
+            # the DOTTED path through the raw _source: a nested geo-point
+            # (e.g. 'loc.point') has no top-level dotted key, and a plain
+            # get() would mis-read it as the string "lat,lon" form (ADVICE r6)
+            lat_lon = not isinstance(
+                _source_node(hit.get("_source", {}), value_column), dict
+            )
             out.append((ident, _parse_geo(val, lat_lon=lat_lon)))
         else:
             raise ValueError(f"unsupported ES facet kind {kind!r}")

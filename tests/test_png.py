@@ -286,3 +286,45 @@ def test_resize_real_png_payload(spark):
     assert pix == bytes([7, 8, 9]) * (512 * 384)  # constant image survives NN
     assert out[2].resized == "stub"  # geometry computed, no pixels to move
     assert (out[2].dst_width, out[2].dst_height) == (512, 256)
+
+
+def test_decode_wav_degenerate_fmt_is_valueerror(spark):
+    """A parseable fmt chunk declaring sample_rate=0 or channels=0 must be a
+    normal decode failure (bounded-exception contract) — previously it
+    crashed audio_stats' duration math with ZeroDivisionError (ADVICE r6)."""
+    from simsearch_spark.multimodal.binary import audio_stats
+    from simsearch_spark.multimodal.wav import decode_wav, encode_wav
+
+    zero_rate = bytearray(encode_wav([1, 2, 3], 8000))
+    zero_rate[24:28] = (0).to_bytes(4, "little")  # sample_rate = 0
+    zero_ch = bytearray(encode_wav([1, 2, 3], 8000))
+    zero_ch[22:24] = (0).to_bytes(2, "little")  # channels = 0
+    for bad in (bytes(zero_rate), bytes(zero_ch)):
+        with pytest.raises(ValueError, match="degenerate fmt"):
+            decode_wav(bad)
+    # and through the operator: a failure-reason row, not a task crash
+    df = spark.createDataFrame(
+        [(1, bytes(zero_rate)), (2, bytes(zero_ch))], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r["decoded"] for r in audio_stats(df).collect()}
+    assert all("degenerate fmt" in rows[i] for i in (1, 2))
+
+
+def test_pixel_features_gray_alpha_ignores_alpha(spark):
+    """2-channel gray+alpha features must equal the pure-gray image's —
+    the alpha plane is not luminance (ADVICE r6)."""
+    from simsearch_spark.multimodal.binary import extract_pixel_features
+    from simsearch_spark.multimodal.png import encode_png
+
+    w = h = 8
+    gray = bytes([(x * 31 + y * 7) % 256 for y in range(h) for x in range(w)])
+    ga = bytes(
+        b for y in range(h) for x in range(w)
+        for b in (gray[y * w + x], (x * 201 + y * 13) % 256)  # noisy alpha
+    )
+    df = spark.createDataFrame(
+        [(1, encode_png(w, h, 1, gray)), (2, encode_png(w, h, 2, ga))],
+        "media_id long, payload binary",
+    )
+    feats = {r["media_id"]: list(r["embedding"]) for r in extract_pixel_features(df).collect()}
+    assert feats[1] == feats[2]

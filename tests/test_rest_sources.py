@@ -314,3 +314,28 @@ def test_engine_response_round_trips_as_federated_source(spark, stub_server):
         post_json(f"{stub_server}/sim/self", {}), "textual", "kw"
     )
     assert parsed == [("a", "v", 0.75), ("b", "v", 0.5)]
+
+
+def test_parse_es_hits_spatial_nested_object_form():
+    """Object-form geo-points under a NESTED path ('loc.point') must keep
+    lon,lat axis order — the raw-_source probe has to walk the dotted path,
+    not a single top-level get (ADVICE r6)."""
+    hits = _es_hits(
+        [
+            {"id": "n", "loc": {"point": {"lon": 10.5, "lat": 20.25}}},
+            {"id": "l", "loc": [{"point": {"lon": 33.0, "lat": 44.0}}]},
+        ]
+    )
+    got = dict(parse_es_hits(hits, "spatial", "id", "loc.point"))
+    assert got["n"] == (10.5, 20.25)
+    assert got["l"] == (33.0, 44.0)
+
+
+def test_simsearch_payload_caps_k_at_max_result_count():
+    """The reference caps collectionSize at maxResultCount before building
+    the federated request — the same cap as the ES path (ADVICE r6)."""
+    from simsearch_spark.sources.rest import MAX_RESULT_COUNT, simsearch_search_payload
+
+    payload = simsearch_search_payload("numerical", "price", 10.0, MAX_RESULT_COUNT + 500)
+    assert payload["k"] == str(MAX_RESULT_COUNT)
+    assert simsearch_search_payload("numerical", "price", 10.0, 5)["k"] == "5"
