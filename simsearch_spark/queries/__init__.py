@@ -147,6 +147,12 @@ DRIVER_EXCLUDED = frozenset(
         # dedup_embed_cosine); oracle replays the full composition with
         # every Lloyd iteration unrolled
         "semdedup",
+        # real MJPEG frame-pixel decode (r7): composition of two
+        # independently verified codecs — the AVI frame index behind
+        # media_frame_sample and the JPEG entropy decode behind
+        # media_jpeg_stats — sharing their Arrow batch; closed-form
+        # uniform-frame oracle replayed by the in-repo parity gate
+        "media_frame_pixel_stats",
     }
 )
 if len(REGISTRY) - len(DRIVER_EXCLUDED) > DRIVER_WINDOW:

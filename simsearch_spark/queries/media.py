@@ -301,10 +301,74 @@ FROM documents
 """
 
 
+# -----------------------------------------------------------------------------
+# media_frame_pixel_stats: REAL video frame PIXEL decode end to end (r7 —
+# container index + per-frame JPEG entropy decode; closes the MJPEG half of
+# the r6 'frame pixel decode' seam)
+# -----------------------------------------------------------------------------
+
+
+def q_media_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document becomes a real MJPEG AVI of ``doc_id % 4 + 1`` frames;
+    frame ``i`` is a UNIFORM ``(n_chars % 13 + 4)``×``(doc_id % 5 + 3)``
+    grayscale baseline JPEG of value ``(doc_id*13 + i*37) % 256`` — uniform
+    images are block-constant whatever the geometry, so q85 decodes the
+    integer value exactly (tests/test_jpeg.py exactness property) and the
+    sampled per-frame mean has a closed form.  The engine runs
+    `frame_pixel_stats`: AVI frame index + per-frame entropy decode inside
+    one Arrow batch — pixels and frame bytes never leave the task."""
+    from simsearch_spark.multimodal.avi import encode_avi_mjpeg
+    from simsearch_spark.multimodal.binary import frame_pixel_stats
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(d), int(c)
+                w, h = c % 13 + 4, d % 5 + 3
+                frames = [
+                    encode_jpeg(
+                        w, h, 1, bytes([(d * 13 + i * 37) % 256]) * (w * h), quality=85
+                    )
+                    for i in range(d % 4 + 1)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=25))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/avi",
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, payload binary, mime string"
+    )
+    return frame_pixel_stats(media, every_n=FRAME_EVERY_N)
+
+
+SQL_MEDIA_FRAME_PIXEL_STATS = f"""
+SELECT doc_id AS media_id, 'ok' AS decoded,
+       (doc_id % 4 + 1)::INT AS n_frames, u.i::INT AS frame_idx,
+       (n_chars % 13 + 4)::INT AS width, (doc_id % 5 + 3)::INT AS height,
+       1 AS channels,
+       ((doc_id * 13 + u.i * 37) % 256)::DOUBLE AS mean_c0
+FROM documents, unnest(range(0, doc_id % 4 + 1, {FRAME_EVERY_N})) AS u(i)
+"""
+
+
 MEDIA_QUERIES = {
     "media_meta": (q_media_meta, SQL_MEDIA_META),
     "media_pixel_stats": (q_media_pixel_stats, SQL_MEDIA_PIXEL_STATS),
     "media_audio_stats": (q_media_audio_stats, SQL_MEDIA_AUDIO_STATS),
     "media_frame_sample": (q_media_frame_sample, SQL_MEDIA_FRAME_SAMPLE),
     "media_jpeg_stats": (q_media_jpeg_stats, SQL_MEDIA_JPEG_STATS),
+    "media_frame_pixel_stats": (
+        q_media_frame_pixel_stats,
+        SQL_MEDIA_FRAME_PIXEL_STATS,
+    ),
 }

@@ -11,6 +11,9 @@ structure replicates linearly instead of exploding quadratically.
 
 Usage: python tools/scale_probe.py [factors...]   (default: 1 3 10)
 Prints one JSON line: {probe: {factor: seconds}}.
+SPARK_GRAFT_PROBE=name[,name...] restricts to named probes (timed probes
+must run on a quiet machine — see MEMORY/SCALE.md jitter discipline — so
+re-measuring one probe must not force re-running them all).
 """
 
 from __future__ import annotations
@@ -122,9 +125,16 @@ def probes(spark, sf_dir: str):
         # tiled pair stage is N·rows_per_cluster pairs — both linear in N.
         # rows_per_cluster=500 makes k actually MOVE across factors
         # (sf0.1 ≈ 5k vecs → k=10 at 1x, 100 at 10x, 1000 at 100x).
+        # threshold 0.8, not the corpus COSINE_T=0.45: sign-flipped
+        # cross-replica cosines are random sums that clear 0.45 at a small
+        # but k-means-selected rate (within-cluster pairs are cosine-biased
+        # by construction), which makes the pruned OUTPUT super-linear while
+        # the runtime stays linear; at 0.8 only true (within-replica)
+        # near-dups survive and the answer replicates linearly too.
         "semdedup_auto_k": lambda: semdedup_prune(
             emb, "vec_id", "embedding",
             k=auto_km_k(emb.count(), rows_per_cluster=500),
+            threshold=0.8,
             rows_per_cluster=500,
         ).where(F.col("is_pruned") == 1).count(),
     }
@@ -141,10 +151,14 @@ def main() -> None:
     try:
         dirs = {f: replicate(root, f) for f in factors}
         # warmup at the smallest factor so JIT cost lands outside the curve
-        for fn in probes(spark, dirs[factors[0]]).values():
-            fn()
+        only = {n for n in os.environ.get("SPARK_GRAFT_PROBE", "").split(",") if n}
+        for name, fn in probes(spark, dirs[factors[0]]).items():
+            if not only or name in only:
+                fn()
         for f in factors:
             for name, fn in probes(spark, dirs[f]).items():
+                if only and name not in only:
+                    continue
                 t0 = time.perf_counter()
                 n = fn()
                 results.setdefault(name, {})[f] = {
