@@ -164,6 +164,11 @@ def main() -> None:
     warm_a = run_all(spark)
     warm_b = run_all(spark)
     warm = {k: min(warm_a[k], warm_b[k]) for k in warm_a}
+    # median-of-3 alongside the min: two independent location estimates make
+    # cross-round per-query ratios decidable from artifacts alone — a real
+    # regression moves both, one-off compile/GC jitter moves only one
+    # (the r5→r6 stream_events_hourly question needed a second run to answer)
+    med = {k: sorted((cold[k], warm_a[k], warm_b[k]))[1] for k in warm_a}
     layouts = run_layouts(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -175,6 +180,8 @@ def main() -> None:
                 "queries": warm,
                 "cold_value": round(sum(cold.values()), 3),
                 "queries_cold": cold,
+                "median_value": round(sum(med.values()), 3),
+                "queries_median": med,
                 "layouts": layouts,
                 "runs": 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -147,6 +147,12 @@ DRIVER_EXCLUDED = frozenset(
         # dedup_embed_cosine); oracle replays the full composition with
         # every Lloyd iteration unrolled
         "semdedup",
+        # V5 metric census over 50 fixed consecutive embedding pairs —
+        # every measure it reports is driver-verified AT DEPTH elsewhere on
+        # the surface (haversine in spatial_knn, jaccard in cat_topk, L2 in
+        # pivot_knn/pivot paths, cosine in ann_multi_query_topk); rotated
+        # off r7 to give the new lm_perplexity an external verdict
+        "metric_distances",
         # real MJPEG frame-pixel decode (r7): composition of two
         # independently verified codecs — the AVI frame index behind
         # media_frame_sample and the JPEG entropy decode behind

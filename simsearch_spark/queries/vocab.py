@@ -151,6 +151,103 @@ QUALIFY rank <= {TFIDF_TOP}
 
 
 # -----------------------------------------------------------------------------
+# lm_perplexity: count-based bigram LM quality score (the CCNet-style filter)
+# -----------------------------------------------------------------------------
+
+LM_ALPHA = 0.5  # add-alpha smoothing
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM log-perplexity — the classic corpus-quality
+    filter (CCNet trains a KenLM on reference text and drops the worst
+    tail; here the LM is count-based and trained on the corpus itself so
+    the whole recipe is deterministic and SQL-expressible).  Score =
+    mean over the document's bigrams of −ln p(w₂|w₁) with add-α smoothing,
+    p(w₂|w₁) = (c(w₁w₂)+α)/(c(w₁·)+α·V); boilerplate scores low,
+    token-salad scores high.  Documents with <2 tokens get a NULL score
+    (nothing to condition on) and stay in the frame for the filter stage.
+
+    100 TB shape: per-doc bigrams collapse to (doc, bigram, count) FIRST
+    (row-local fan-out, one keyed shuffle with map-side combine); the LM
+    tables derive from that frame by re-aggregation (never re-tokenizing
+    the corpus — persisted like tfidf's tf); scoring joins the per-doc
+    frame to the bigram LM on the bigram key as a SHUFFLE join (a corpus
+    LM is vocab²-sized — not driver-sized, same broadcast-or-join call as
+    TF-IDF's df); V and the context counts are a 1-row broadcast and a
+    vocab-sized join."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = ws_tokens(F.col("text"))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bgc = (
+        docs.select("doc_id", F.explode(bigrams).alias("ngram"))
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn("ctx", F.substring_index("ngram", " ", 1))
+        .persist()
+    )
+    cb = bgc.groupBy("ngram").agg(F.sum("m").alias("cb"))
+    cu = bgc.groupBy("ctx").agg(F.sum("m").alias("cu"))
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    a = F.lit(float(LM_ALPHA))
+    scored = (
+        bgc.join(cb, "ngram")
+        .join(cu, "ctx")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("cb").cast("double") + a)
+                / (F.col("cu").cast("double") + a * F.col("v").cast("double"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.round(F.sum(F.col("m") * F.col("nll")) / F.sum("m"), 6).alias("log_ppl"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        "log_ppl",
+    )
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS toks FROM documents WHERE text IS NOT NULL),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                                       i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+  FROM t WHERE len(toks) >= 2
+),
+bgc AS (
+  SELECT doc_id, ngram, split_part(ngram, ' ', 1) AS ctx, count(*) AS m
+  FROM bg GROUP BY doc_id, ngram
+),
+cb AS (SELECT ngram, sum(m) AS cb FROM bgc GROUP BY ngram),
+cu AS (SELECT ctx, sum(m) AS cu FROM bgc GROUP BY ctx),
+v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+s AS (
+  SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+         round(sum(m * -ln((cb::DOUBLE + {LM_ALPHA}::DOUBLE)
+                           / (cu::DOUBLE + {LM_ALPHA}::DOUBLE * v::DOUBLE)))
+               / sum(m), 6) AS log_ppl
+  FROM bgc JOIN cb USING (ngram) JOIN cu USING (ctx), v
+  GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams, s.log_ppl
+FROM t LEFT JOIN s USING (doc_id)
+"""
+
+
+# -----------------------------------------------------------------------------
 # pii_scrub: detection counts + redacted-length audit
 # -----------------------------------------------------------------------------
 
@@ -240,6 +337,7 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_QUERIES = {
     "ngram_vocab": (q_ngram_vocab, SQL_NGRAM_VOCAB),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_token_stats": (q_bpe_token_stats, None),
