@@ -2,15 +2,16 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query runs THREE times in the same JVM: run 1 pays one-time
+Each query runs FOUR times in the same JVM: run 1 pays one-time
 JIT/codegen for its plan shapes (a known 5-15 s tax on a fresh JVM —
-BASELINE.md machine gate is wall-clock); runs 2-3 are steady-state
+BASELINE.md machine gate is wall-clock); runs 2-4 are steady-state
 candidates.  The headline `value`/`queries` report the per-query MIN of
-runs 2-3 — C2 compiles on background threads, so a single "warm" run still
+runs 2-4 — C2 compiles on background threads, so a single "warm" run still
 carries multi-second compile jitter (observed 52 s vs 74 s totals for an
 identical tree) and the min is the number that scales with data, not with
-Janino.  `cold_value`/`queries_cold` carry run 1 so regressions in compile
-cost stay visible too.
+Janino.  The per-query MEDIAN of runs 2-4 (a true warm median, not
+contaminated by the cold run) plus run 1 and the layout timings go to
+BENCH_DETAIL.json, committed per round.
 """
 
 from __future__ import annotations
@@ -161,31 +162,48 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     cold = run_all(spark)
-    warm_a = run_all(spark)
-    warm_b = run_all(spark)
-    warm = {k: min(warm_a[k], warm_b[k]) for k in warm_a}
-    # median-of-3 alongside the min: two independent location estimates make
-    # cross-round per-query ratios decidable from artifacts alone — a real
-    # regression moves both, one-off compile/GC jitter moves only one
-    # (the r5→r6 stream_events_hourly question needed a second run to answer)
-    med = {k: sorted((cold[k], warm_a[k], warm_b[k]))[1] for k in warm_a}
+    # THREE warm runs: the median is a true median-of-warm (ADVICE r7 — a
+    # median that includes the cold run degenerates to max(warm_a, warm_b)),
+    # and the min keeps the r01+ headline metric.  Two independent location
+    # estimates make cross-round per-query ratios decidable from artifacts
+    # alone — a real regression moves both, one-off compile/GC jitter
+    # moves only one.
+    warms = [run_all(spark) for _ in range(3)]
+    warm = {k: round(min(w[k] for w in warms), 2) for k in warms[0]}
+    med = {k: round(sorted(w[k] for w in warms)[1], 2) for k in warms[0]}
     layouts = run_layouts(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver records only the LAST 2000 chars of stdout: the full
+    # cold/median/layout detail goes to BENCH_DETAIL.json (committed per
+    # round), and the stdout line is compact, scalars first, the headline
+    # MIN map last — so the surviving tail is metric-consistent with
+    # rounds 1-6 and the median lives in the repo artifact.
+    detail = {
+        "sf": sf_val,
+        "runs": 4,
+        "queries_min": warm,
+        "queries_median": med,
+        "queries_cold": cold,
+        "layouts": layouts,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "declared_queries_total_wall",
-                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
+                "sf": sf_val,
+                "runs": 4,
+                "detail": "BENCH_DETAIL.json",
+                "cold_value": round(sum(cold.values()), 2),
+                "median_value": round(sum(med.values()), 2),
+                "value": round(sum(warm.values()), 2),
                 "queries": warm,
-                "cold_value": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "median_value": round(sum(med.values()), 3),
-                "queries_median": med,
-                "layouts": layouts,
-                "runs": 3,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -388,6 +388,12 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
                 except (ValueError, NotImplementedError, TypeError) as e:
                     emit(mid, str(e)[:80] or "undecodable")
                     continue
+                if not frames:
+                    # A parseable AVI that indexes zero frames must still
+                    # appear in the output (ADVICE r7): one status row,
+                    # like every other bounded failure mode here.
+                    emit(mid, "no frames", 0)
+                    continue
                 for i in range(0, len(frames), every_n):
                     off, ln = frames[i]
                     try:

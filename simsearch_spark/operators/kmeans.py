@@ -98,7 +98,14 @@ def assign_clusters_table(
     ``acc += d*d`` numpy op adds dimension j for every (row, centroid)
     pair, so per-element addition order is exactly ``((0+d₀²)+d₁²)+…``),
     and the argmin scans centroids in ascending cluster-id order with
-    strict ``<``, keeping the lowest id on ties."""
+    strict ``<``, keeping the lowest id on ties.
+
+    Pathological inputs never kill the task (ADVICE r7): a null or
+    wrong-length embedding distances to +inf everywhere (assigns to the
+    lowest cluster id with ``dist = inf``; the literal path yields a null
+    ``dist`` there — clean-embedding input is the documented precondition
+    for bit-equality), and NaN distances sort last exactly as Spark's
+    struct ``array_min`` orders them (finite < inf < NaN)."""
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     items = sorted(centroids.items())
@@ -108,7 +115,11 @@ def assign_clusters_table(
         list(df.schema.fields)
         + [
             StructField("cluster_id", IntegerType(), False),
-            StructField("dist", DoubleType(), False),
+            # nullable: an all-NaN distance row (NaN element in every
+            # centroid / in the vector) surfaces as dist NULL — pandas'
+            # NaN is Arrow's missing sentinel, it cannot round-trip as a
+            # real NaN through mapInPandas
+            StructField("dist", DoubleType(), True),
         ]
     )
     in_cols = [f.name for f in df.schema.fields]
@@ -122,15 +133,38 @@ def assign_clusters_table(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            # Guard nulls/NaNs so the table path matches the codegen
+            # literal path on pathological rows (ADVICE r7): a null or
+            # wrong-length embedding distances to +inf (never wins),
+            # and NaN elements poison that centroid's distance to +inf
+            # (Spark's struct array_min orders NaN last, i.e. never
+            # the minimum while any finite distance exists).
+            x = np.full((len(pdf), dim), np.inf, dtype=np.float64)
+            for i, v in enumerate(pdf[vec_col]):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape == (dim,):
+                    x[i] = a
             acc = np.zeros((len(pdf), cmx.shape[0]))
             for j in range(dim):  # ascending-index left-fold, per element
                 d = x[:, j, None] - cmx[None, :, j]
                 acc += d * d
             dist = np.sqrt(acc)
             # first-occurrence argmin over ascending cluster ids == the
-            # strict-< / lowest-id-on-ties rule of the literal path
-            best = np.argmin(dist, axis=1)
+            # strict-< / lowest-id-on-ties rule of the literal path.
+            # NaN distances (a NaN element in a CENTROID) must sort LAST
+            # (Spark: finite < inf < NaN), while np.argmin would return
+            # the first NaN index — mask NaN to inf for the scan, then
+            # for all-inf rows prefer the first true (non-NaN) inf, as
+            # Spark's struct ordering would (ADVICE r7).
+            nanmask = np.isnan(dist)
+            d2 = np.where(nanmask, np.inf, dist)
+            best = np.argmin(d2, axis=1)
+            allbad = ~np.isfinite(d2[np.arange(len(pdf)), best])
+            if allbad.any():
+                true_inf = np.isinf(dist) & ~nanmask
+                best[allbad] = np.argmax(true_inf, axis=1)[allbad]
             out = pdf.copy()
             out["cluster_id"] = ids[best].astype("int32")
             out["dist"] = dist[np.arange(len(pdf)), best]

@@ -201,10 +201,17 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu, "ctx")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
+            # nll is rounded to 6 decimals PER (doc, ngram) ROW before the
+            # cross-row fold (same pinning trick as kmeans' _rounded_means,
+            # ADVICE r7): both engines then sum identical doubles, so the
+            # final round only has to absorb accumulation-order ulps.
             "nll",
-            -F.log(
-                (F.col("cb").cast("double") + a)
-                / (F.col("cu").cast("double") + a * F.col("v").cast("double"))
+            F.round(
+                -F.log(
+                    (F.col("cb").cast("double") + a)
+                    / (F.col("cu").cast("double") + a * F.col("v").cast("double"))
+                ),
+                6,
             ),
         )
         .groupBy("doc_id")
@@ -236,8 +243,8 @@ cu AS (SELECT ctx, sum(m) AS cu FROM bgc GROUP BY ctx),
 v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
 s AS (
   SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
-         round(sum(m * -ln((cb::DOUBLE + {LM_ALPHA}::DOUBLE)
-                           / (cu::DOUBLE + {LM_ALPHA}::DOUBLE * v::DOUBLE)))
+         round(sum(m * round(-ln((cb::DOUBLE + {LM_ALPHA}::DOUBLE)
+                                 / (cu::DOUBLE + {LM_ALPHA}::DOUBLE * v::DOUBLE)), 6))
                / sum(m), 6) AS log_ppl
   FROM bgc JOIN cb USING (ngram) JOIN cu USING (ctx), v
   GROUP BY doc_id

@@ -198,7 +198,12 @@ def _source_node(src: Any, dotted: str) -> Any:
     — flatten_source dot-joins nested dict keys, so probing the raw dict
     with a single top-level ``get`` misses every nested path (ADVICE r6).
     Lists mirror flatten's recursion: descend into the first dict item
-    that carries the next path segment."""
+    that carries the next path segment.  ES also allows LITERAL dotted
+    field names ({"loc.point": {...}}), which flatten_source finds under
+    the joined key — probe that spelling first so both raw forms agree
+    (ADVICE r7)."""
+    if isinstance(src, dict) and dotted in src:
+        return src[dotted]
     node = src
     for part in str(dotted).split("."):
         if isinstance(node, list):

@@ -128,3 +128,29 @@ def test_semdedup_prune_auto_k_scales_k_with_corpus(spark, sf_dir):
                  [(r["is_pruned"], r["count"]) for r in out.groupBy("is_pruned").count().collect()])
     assert sum(flags.values()) == n
     assert flags.get(1, 0) < n  # never prunes everything
+
+
+def test_assignment_table_pathological_rows(spark):
+    """Null / wrong-length / NaN-element embeddings must not kill the Arrow
+    kernel (ADVICE r7): malformed rows distance to +inf everywhere, and NaN
+    distances sort LAST exactly as Spark orders doubles (finite < inf < NaN),
+    so a NaN-bearing centroid never beats a finite one."""
+    from simsearch_spark.operators.kmeans import assign_clusters_table
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0]), (4, [float("nan"), 0.0])],
+        "id long, embedding array<double>",
+    )
+    cents = {0: [float("nan"), 0.0], 1: [5.0, 5.0], 2: [0.5, 0.0]}
+    got = {
+        r["id"]: (r["cluster_id"], r["dist"])
+        for r in assign_clusters_table(df, "embedding", cents).collect()
+    }
+    assert got[1] == (2, 0.5)  # NaN centroid 0 sorts last; 2 is nearest
+    # null / wrong-length rows: +inf to every centroid; among all-inf ties the
+    # first NON-NaN centroid wins (inf < NaN), mirroring Spark's ordering
+    assert got[2] == (1, float("inf"))
+    assert got[3] == (1, float("inf"))
+    # all-NaN distances -> lowest id; NaN dist surfaces as NULL (pandas'
+    # NaN is Arrow's missing sentinel — it cannot cross mapInPandas as NaN)
+    assert got[4] == (0, None)

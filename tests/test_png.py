@@ -328,3 +328,19 @@ def test_pixel_features_gray_alpha_ignores_alpha(spark):
     )
     feats = {r["media_id"]: list(r["embedding"]) for r in extract_pixel_features(df).collect()}
     assert feats[1] == feats[2]
+
+
+def test_frame_pixel_stats_zero_frame_avi(spark):
+    """An AVI that parses but indexes ZERO frames must still appear in the
+    output as one bounded status row, not vanish (ADVICE r7)."""
+    from simsearch_spark.multimodal.avi import encode_avi_mjpeg
+    from simsearch_spark.multimodal.binary import frame_pixel_stats
+
+    rows = frame_pixel_stats(
+        _media_df(spark, [(1, "video", encode_avi_mjpeg([], fps=25), "video/avi")]),
+        every_n=1,
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].media_id == 1
+    assert rows[0].decoded == "no frames"
+    assert rows[0].n_frames == 0

@@ -339,3 +339,13 @@ def test_simsearch_payload_caps_k_at_max_result_count():
     payload = simsearch_search_payload("numerical", "price", 10.0, MAX_RESULT_COUNT + 500)
     assert payload["k"] == str(MAX_RESULT_COUNT)
     assert simsearch_search_payload("numerical", "price", 10.0, 5)["k"] == "5"
+
+
+def test_parse_es_hits_spatial_literal_dotted_key():
+    """ES allows LITERAL dotted field names: a raw _source like
+    {"loc.point": {lon, lat}} has no 'loc' to walk, but flatten_source DOES
+    find the object form under the joined key — the raw probe must check the
+    literal spelling first or it swaps axes (ADVICE r7)."""
+    hits = _es_hits([{"id": "d", "loc.point": {"lon": 7.5, "lat": 81.25}}])
+    got = dict(parse_es_hits(hits, "spatial", "id", "loc.point"))
+    assert got["d"] == (7.5, 81.25)
