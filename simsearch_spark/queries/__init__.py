@@ -153,6 +153,11 @@ DRIVER_EXCLUDED = frozenset(
         # pivot_knn/pivot paths, cosine in ann_multi_query_topk); rotated
         # off r7 to give the new lm_perplexity an external verdict
         "metric_distances",
+        # the same embedding_cosine_pairs blocked kernel is driver-verified
+        # at greater depth inside media_image_dedup (r8): real PNG decode ->
+        # grid-luminance features -> the identical pair stage and oracle
+        # fold; this query's flat-embedding special case keeps in-repo parity
+        "dedup_embed_cosine",
         # real MJPEG frame-pixel decode (r7): composition of two
         # independently verified codecs — the AVI frame index behind
         # media_frame_sample and the JPEG entropy decode behind

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from simsearch_spark.multimodal.binary import decode_image_meta
+from simsearch_spark.queries.vector import _cosine_sql
 from simsearch_spark.sources.registry import load_table
 
 #: fixed PNG scaffold size: signature(8) + length(4) + 'IHDR'(4) + data(13) + crc(4)
@@ -361,6 +362,113 @@ FROM documents, unnest(range(0, doc_id % 4 + 1, {FRAME_EVERY_N})) AS u(i)
 """
 
 
+# -----------------------------------------------------------------------------
+# media_image_dedup: image near-duplicate detection END TO END — real PNG
+# encode -> real decode -> grid-luminance features -> block-tiled cosine pairs
+# -----------------------------------------------------------------------------
+
+#: cosine threshold for image near-dups: planted re-encodes score 1.0, the
+#: planted +5 brightness shift ~0.999+, unrelated pseudo-random 16-d
+#: luminance grids concentrate near ~0.75
+IMG_DEDUP_T = 0.99
+
+
+_MIX_M = 4294967296  # 2^32
+
+
+def _mix32(x: int) -> int:
+    """Murmur-style 32-bit avalanche finalizer, replayed verbatim by the
+    DuckDB oracle.  A plain LCG/affine hash mod 251 is NOT enough here:
+    any affine-in-(grp,i) construction collapses to ~251 phase-shifted
+    copies of one arithmetic progression, whose luminance grids are all
+    mutually ~cosine-1 — measured 7% of CROSS-group pairs above 0.99.
+    With the finalizer the cross-pair max over 2M simulated pairs is
+    0.985 vs a planted-pair min of 0.9995."""
+    x %= _MIX_M
+    x ^= x >> 16
+    x = (x * 2654435761) % _MIX_M
+    x ^= x >> 13
+    x = (x * 2246822519) % _MIX_M
+    x ^= x >> 16
+    return x
+
+
+def _img_pixels(doc_id: int) -> tuple[bytes, int]:
+    """Planted-near-dup pixel synthesis shared by the declared query and the
+    pytest recall fixture: docs come in groups of 3 (``grp = doc_id // 3``)
+    — member 0 is the original 4x4 grayscale image, member 1 re-encodes the
+    IDENTICAL pixels with a different PNG scanline filter (byte-level
+    different payload, exact feature dup), member 2 shifts every pixel +5
+    (near dup).  Values stay in 0..250 so the shift never clips."""
+    grp, mem = doc_id // 3, doc_id % 3
+    shift = 5 if mem == 2 else 0
+    px = bytes(_mix32(grp * 65536 + i) % 251 + shift for i in range(16))
+    return px, (grp % 4 + 1) if mem == 1 else 0
+
+
+def q_media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal-pipeline dedup step: every document becomes a real 4x4
+    grayscale PNG (each 4x4-grid feature cell is exactly ONE pixel, so the
+    oracle recovers the embedding in closed form from the synthesis
+    parameters), features come from the REAL decode path
+    (``extract_pixel_features``), and near-dup pairs from the distributed
+    block-tiled cosine kernel (``embedding_cosine_pairs``, the same EXACT
+    path dedup_embed_cosine declared; the recall-lossy sign-LSH route over
+    these image features is equality-tested in tests/test_png.py).
+
+    100 TB shape: synth/decode/featurize are row-local Arrow batches (no
+    shuffle until the pair stage); the pair stage is the block-tiled
+    BNL join with O(block²) bounded tasks — swap ``pruned=True`` for the
+    banded sign-LSH candidate route when the corpus outgrows tiling."""
+    from simsearch_spark.multimodal.binary import extract_pixel_features
+    from simsearch_spark.multimodal.png import encode_png
+    from simsearch_spark.operators.dedup import embedding_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                px, ft = _img_pixels(int(d))
+                payloads.append(encode_png(4, 4, 1, px, filter_types=ft))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/png",
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, payload binary, mime string"
+    )
+    feats = extract_pixel_features(media)  # grid=4 -> 16-d, one pixel per cell
+    return embedding_cosine_pairs(feats, "media_id", "embedding", IMG_DEDUP_T)
+
+
+SQL_MEDIA_IMAGE_DEDUP = f"""
+WITH d AS (SELECT doc_id, doc_id // 3 AS grp, doc_id % 3 AS mem FROM documents),
+ix AS (SELECT doc_id, grp, mem, unnest(range(0, 16)) AS i FROM d),
+m0 AS (SELECT doc_id, mem, i, (grp * 65536 + i) % {_MIX_M} AS x FROM ix),
+m1 AS (SELECT doc_id, mem, i,
+              (xor(x, x >> 16)::HUGEINT * 2654435761) % {_MIX_M} AS x FROM m0),
+m2 AS (SELECT doc_id, mem, i,
+              (xor(x::BIGINT, x::BIGINT >> 13)::HUGEINT * 2246822519) % {_MIX_M} AS x
+       FROM m1),
+m3 AS (SELECT doc_id, mem, i, xor(x::BIGINT, x::BIGINT >> 16) AS x FROM m2),
+px AS (SELECT doc_id, i,
+              round((x % 251 + CASE WHEN mem = 2 THEN 5 ELSE 0 END) / 255.0, 6) AS ev
+       FROM m3),
+e AS (SELECT doc_id, list(ev ORDER BY i) AS emb FROM px GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round({_cosine_sql('a.emb', 'b.emb')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.doc_id < b.doc_id
+WHERE round({_cosine_sql('a.emb', 'b.emb')}, 6) >= {IMG_DEDUP_T}
+"""
+
+
 MEDIA_QUERIES = {
     "media_meta": (q_media_meta, SQL_MEDIA_META),
     "media_pixel_stats": (q_media_pixel_stats, SQL_MEDIA_PIXEL_STATS),
@@ -371,4 +479,5 @@ MEDIA_QUERIES = {
         q_media_frame_pixel_stats,
         SQL_MEDIA_FRAME_PIXEL_STATS,
     ),
+    "media_image_dedup": (q_media_image_dedup, SQL_MEDIA_IMAGE_DEDUP),
 }

@@ -344,3 +344,77 @@ def test_frame_pixel_stats_zero_frame_avi(spark):
     assert rows[0].media_id == 1
     assert rows[0].decoded == "no frames"
     assert rows[0].n_frames == 0
+
+
+def _image_dedup_media(spark, n_groups=20, with_jpeg=False):
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+    from simsearch_spark.multimodal.png import encode_png
+    from simsearch_spark.queries.media import _img_pixels
+
+    rows = []
+    for doc in range(n_groups * 3):
+        px, ft = _img_pixels(doc)
+        rows.append((doc, "image", encode_png(4, 4, 1, px, filter_types=ft), "image/png"))
+    if with_jpeg:
+        for grp in range(n_groups):
+            px, _ = _img_pixels(grp * 3)
+            rows.append((1000 + grp, "image", encode_jpeg(4, 4, 1, px), "image/jpeg"))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+
+
+def test_media_image_dedup_planted_recall(spark):
+    """End-to-end image near-dup dedup over PLANTED ground truth: each group
+    of 3 docs shares base pixels (original / different-PNG-filter re-encode /
+    +5 brightness shift) plus a cross-CODEC JPEG re-encode of the base.
+    Every planted pair must be recovered; no PNG cross-group pair may
+    appear (measured cross-group cosine max ~0.985 < threshold 0.99)."""
+    from simsearch_spark.multimodal.binary import extract_pixel_features
+    from simsearch_spark.operators.dedup import embedding_cosine_pairs
+    from simsearch_spark.queries.media import IMG_DEDUP_T
+
+    media = _image_dedup_media(spark, with_jpeg=True)
+    feats = extract_pixel_features(media)
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_cosine_pairs(
+            feats, "media_id", "embedding", IMG_DEDUP_T
+        ).collect()
+    }
+    for grp in range(20):
+        a, b, c, j = grp * 3, grp * 3 + 1, grp * 3 + 2, 1000 + grp
+        assert pairs.get((a, b)) == 1.0, "filter re-encode must be an exact feature dup"
+        assert pairs.get((a, c), 0.0) >= IMG_DEDUP_T, "+5 shift missed"
+        assert pairs.get((b, c), 0.0) >= IMG_DEDUP_T
+        assert pairs.get((a, j), 0.0) >= IMG_DEDUP_T, "cross-codec JPEG re-encode missed"
+    for x, y in pairs:
+        if x < 1000 and y < 1000:
+            assert x // 3 == y // 3, f"cross-group false positive ({x},{y})"
+
+
+def test_media_image_dedup_pruned_lsh_route(spark):
+    """The corpus-scale banded sign-LSH candidate route over the SAME image
+    features: a subset of the exact blocked pairs (identical scoring kernel
+    downstream) with high recall on the planted near-dups — fixed LCG
+    hyperplanes make the outcome deterministic."""
+    from simsearch_spark.multimodal.binary import extract_pixel_features
+    from simsearch_spark.operators.dedup import embedding_cosine_pairs
+    from simsearch_spark.queries.media import IMG_DEDUP_T
+
+    feats = extract_pixel_features(_image_dedup_media(spark)).persist()
+    blocked = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_cosine_pairs(
+            feats, "media_id", "embedding", IMG_DEDUP_T
+        ).collect()
+    }
+    pruned = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in embedding_cosine_pairs(
+            feats, "media_id", "embedding", IMG_DEDUP_T, pruned=True
+        ).collect()
+    }
+    assert pruned <= blocked
+    assert len(blocked) == 60  # 20 planted triangles
+    assert len(pruned) / len(blocked) >= 0.9
