@@ -121,3 +121,105 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def passage_removal(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-PASSAGE removal — the deduplication step that
+    cuts shared boilerplate spans out of documents instead of dropping whole
+    documents (the ExactSubstr/passage-level recipe used on top of
+    winnowing fingerprints).
+
+    Rules: a fingerprint present in ≥ ``min_df`` distinct documents marks a
+    repeated passage; the lowest doc id containing it WINS and keeps its
+    text, every other occurrence cuts the k-gram token span ``[pos,
+    pos+k-1]`` (clamped to the document length).  Overlapping cut spans are
+    merged; the output reports per-document token accounting plus the
+    char-fold hash of the cleaned (kept-token) text so the cut CONTENT is
+    verified, not just counted.
+
+    Returns (id, n_tokens, n_removed, n_kept, n_spans, clean_hash) for every
+    non-null non-blank document.
+
+    100 TB shape: fingerprint selection is the row-local winnowing pass; the
+    shared-fp table is one keyed aggregation bounded by fingerprint
+    cardinality; covered-index fan-out is k× the CUT volume only (untouched
+    documents never enter the window or the anti-join); the island window
+    partitions by doc id over cut docs only.  No step scales with corpus²."""
+    from pyspark.sql.window import Window
+
+    from simsearch_spark.functions.text import char_fold_hash
+
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    base = docs.where(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    toks = base.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("wlist")
+    )
+    nt = toks.select("id", F.size("wlist").alias("n_tokens"))
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("df"), F.min(id_col).alias("winner"))
+        .where(F.col("df") >= min_df)
+    )
+    cuts = (
+        fps.join(shared, "fp")
+        .where(F.col(id_col) != F.col("winner"))
+        .select(F.col(id_col).alias("id"), "pos")
+    )
+    cov = (
+        cuts.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("idx"),
+        )
+        .join(nt, "id")
+        .where(F.col("idx") < F.col("n_tokens"))
+        .select("id", "idx")
+        .distinct()
+    )
+    wspec = Window.partitionBy("id").orderBy("idx")
+    spans = (
+        cov.withColumn("prev", F.lag("idx").over(wspec))
+        .withColumn(
+            "start",
+            (F.col("prev").isNull() | (F.col("idx") - F.col("prev") != 1)).cast("long"),
+        )
+        .groupBy("id")
+        .agg(F.sum("start").alias("n_spans"), F.count(F.lit(1)).alias("n_removed"))
+    )
+    tok_rows = toks.select("id", F.posexplode("wlist").alias("idx", "tok"))
+    kept = tok_rows.join(cov, ["id", "idx"], "left_anti")
+    clean = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    return (
+        nt.join(spans, "id", "left")
+        .join(clean, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_removed"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            char_fold_hash(F.coalesce(F.col("clean_text"), F.lit(""))).alias(
+                "clean_hash"
+            ),
+        )
+    )

@@ -153,6 +153,11 @@ DRIVER_EXCLUDED = frozenset(
         # pivot_knn/pivot paths, cosine in ann_multi_query_topk); rotated
         # off r7 to give the new lm_perplexity an external verdict
         "metric_distances",
+        # the shared-fingerprint df-grouping + fp equi-join is driver-verified
+        # at greater depth inside passage_removal (r8): same winnow
+        # fingerprints, same df cut, plus span cutting and a cleaned-text
+        # hash the overlap REPORT never exercised; in-repo parity retained
+        "winnow_overlap",
         # the same embedding_cosine_pairs blocked kernel is driver-verified
         # at greater depth inside media_image_dedup (r8): real PNG decode ->
         # grid-luminance features -> the identical pair stage and oracle

@@ -733,6 +733,68 @@ GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
 
+PASSAGE_MIN_DF = 2
+
+
+def q_passage_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage removal (operators/winnow.py
+    ``passage_removal``): shared winnowed fingerprints (df ≥ 2) mark
+    repeated passages, the lowest doc id keeps its copy, every other
+    occurrence has its k-gram token span cut (overlaps merged).  The output
+    carries before/after token accounting AND the char-fold hash of the
+    cleaned text, so the oracle verifies the exact tokens that survived the
+    cuts — removal semantics, not just overlap reporting."""
+    from simsearch_spark.operators.winnow import passage_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return passage_removal(
+        docs, "doc_id", "text", WINNOW_K, WINNOW_W, PASSAGE_MIN_DF
+    )
+
+
+SQL_PASSAGE_REMOVAL = f"""
+WITH fps AS ({_winnow_oracle()}),
+docs_t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE text IS NOT NULL AND trim(text) != ''
+),
+sh AS (
+  SELECT fp, min(doc_id) AS winner FROM fps
+  GROUP BY fp HAVING count(DISTINCT doc_id) >= {PASSAGE_MIN_DF}
+),
+cuts AS (
+  SELECT o.doc_id, o.pos FROM fps o JOIN sh s ON o.fp = s.fp AND o.doc_id != s.winner
+),
+cov AS (
+  SELECT DISTINCT c.doc_id, c.pos + t.j AS idx
+  FROM cuts c, unnest(range(0, {WINNOW_K})) AS t(j), docs_t d
+  WHERE d.doc_id = c.doc_id AND c.pos + t.j < len(d.w)
+),
+spans AS (
+  SELECT doc_id,
+         sum(CASE WHEN prev IS NULL OR idx - prev != 1 THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+         count(*)::BIGINT AS n_removed
+  FROM (SELECT doc_id, idx,
+               lag(idx) OVER (PARTITION BY doc_id ORDER BY idx) AS prev FROM cov)
+  GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, unnest(range(0, len(w))) AS idx, unnest(w) AS tok FROM docs_t
+),
+keptxt AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.idx) AS ct
+  FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.idx = t.idx
+  WHERE cov.idx IS NULL GROUP BY t.doc_id
+)
+SELECT d.doc_id, len(d.w)::BIGINT AS n_tokens,
+       coalesce(s.n_removed, 0)::BIGINT AS n_removed,
+       (len(d.w) - coalesce(s.n_removed, 0))::BIGINT AS n_kept,
+       coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+       {_charfold_sql("coalesce(k.ct, '')")} AS clean_hash
+FROM docs_t d LEFT JOIN spans s USING (doc_id) LEFT JOIN keptxt k USING (doc_id)
+"""
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (p50/p90/p99 of event value per type) — the
     distribution-profiling step every pipeline runs before thresholding
@@ -919,5 +981,6 @@ PIPELINE_QUERIES = {
     "events_percentiles": (q_events_percentiles, SQL_EVENTS_PERCENTILES),
     "doc_winnow": (q_doc_winnow, SQL_DOC_WINNOW),
     "winnow_overlap": (q_winnow_overlap, SQL_WINNOW_OVERLAP),
+    "passage_removal": (q_passage_removal, SQL_PASSAGE_REMOVAL),
     "sketch_distinct_users": (q_sketch_distinct_users, SQL_SKETCH_DISTINCT_USERS),
 }

@@ -87,3 +87,60 @@ def test_winnow_position_bound_raises(spark):
     )
     with pytest.raises(Exception, match="position bound|chunk"):
         winnow_fingerprints(df, "doc_id", "text", K, W).collect()
+
+
+def test_passage_removal_planted_spans(spark):
+    """Removal semantics over a planted shared passage: the lower doc id
+    WINS and keeps its text verbatim; the loser has (only) k-gram spans
+    inside the shared passage cut, overlaps merged; the cleaned-text hash
+    matches an independent pure-Python replay of the rules from the
+    collected fingerprints; a unique doc is untouched."""
+    from simsearch_spark.operators.winnow import passage_removal, winnow_fingerprints
+
+    shared = "common run one two three four five six"  # 8 tokens >= w+K-1
+    d1 = "alpha beta gamma " + shared + " tail one"
+    d2 = "x y " + shared + " z zz zzz"
+    d3 = "totally unique words that never repeat anywhere else at all"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in passage_removal(df, "doc_id", "text", K, W, min_df=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # winner (doc 1) and the unique doc keep everything
+    for i, txt in ((1, d1), (3, d3)):
+        assert out[i].n_removed == 0 and out[i].n_spans == 0
+        assert out[i].n_kept == out[i].n_tokens == len(txt.split(" "))
+        assert out[i].clean_hash == _py_charfold(txt)
+    # loser: at least one k-gram of the shared passage cut, nothing outside
+    fps = winnow_fingerprints(df, "doc_id", "text", K, W).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    shared_fps = {f for _, f in by_doc[1]} & {f for _, f in by_doc[2]}
+    assert shared_fps, "winnowing guarantee: an 8-token run must share a fingerprint"
+    w2 = d2.split(" ")
+    covered = set()
+    for pos, f in by_doc[2]:
+        if f in shared_fps:
+            covered |= {i for i in range(pos, pos + K) if i < len(w2)}
+    spans = sum(1 for i in covered if i - 1 not in covered)
+    clean = " ".join(t for i, t in enumerate(w2) if i not in covered)
+    r2 = out[2]
+    assert r2.n_tokens == len(w2)
+    assert r2.n_removed == len(covered) > 0
+    assert r2.n_kept == len(w2) - len(covered)
+    assert r2.n_spans == spans
+    assert r2.clean_hash == _py_charfold(clean)
+    # every cut index sits inside the planted shared-passage window of doc 2
+    start = 2  # "x y " prefix
+    assert all(start <= i < start + 8 for i in covered)
+
+
+def _py_charfold(s: str, mod: int = 1_000_000_007) -> int:
+    h = 0
+    for c in s:
+        h = (h * 31 + ord(c)) % mod
+    return h
