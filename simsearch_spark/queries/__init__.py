@@ -153,6 +153,11 @@ DRIVER_EXCLUDED = frozenset(
         # pivot_knn/pivot paths, cosine in ann_multi_query_topk); rotated
         # off r7 to give the new lm_perplexity an external verdict
         "metric_distances",
+        # the FULL bigram-LM scoring recipe is driver-verified at greater
+        # depth inside corpus_quality_filter (r8), which replays it end to
+        # end and adds the percentile threshold + bucket classification on
+        # top; in-repo parity retains the standalone scorer
+        "lm_perplexity",
         # the shared-fingerprint df-grouping + fp equi-join is driver-verified
         # at greater depth inside passage_removal (r8): same winnow
         # fingerprints, same df cut, plus span cutting and a cleaned-text

@@ -201,23 +201,33 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu, "ctx")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
-            # nll is rounded to 6 decimals PER (doc, ngram) ROW before the
-            # cross-row fold (same pinning trick as kmeans' _rounded_means,
-            # ADVICE r7): both engines then sum identical doubles, so the
-            # final round only has to absorb accumulation-order ulps.
-            "nll",
+            # nll is pinned PER (doc, ngram) ROW to an exact INTEGER of
+            # micro-nats before the cross-row fold (ADVICE r7, hardened):
+            # rounding to a 6-decimal double still let the cross-row sum's
+            # accumulation order flip the final round when the per-doc mean
+            # landed on a 7th-digit tie (observed when this frame is
+            # re-aggregated under a different plan in
+            # corpus_quality_filter).  Integer sums are order-independent
+            # and exact, so both engines divide identical integers and the
+            # final round sees the identical double.
+            "nll6",
             F.round(
                 -F.log(
                     (F.col("cb").cast("double") + a)
                     / (F.col("cu").cast("double") + a * F.col("v").cast("double"))
-                ),
-                6,
-            ),
+                )
+                * F.lit(1_000_000.0),
+                0,
+            ).cast("long"),
         )
         .groupBy("doc_id")
         .agg(
             F.sum("m").alias("n_bigrams"),
-            F.round(F.sum(F.col("m") * F.col("nll")) / F.sum("m"), 6).alias("log_ppl"),
+            F.round(
+                F.sum(F.col("m") * F.col("nll6")).cast("double")
+                / (F.sum("m").cast("double") * F.lit(1_000_000.0)),
+                6,
+            ).alias("log_ppl"),
         )
     )
     return docs.select("doc_id").join(scored, "doc_id", "left").select(
@@ -243,9 +253,10 @@ cu AS (SELECT ctx, sum(m) AS cu FROM bgc GROUP BY ctx),
 v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
 s AS (
   SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
-         round(sum(m * round(-ln((cb::DOUBLE + {LM_ALPHA}::DOUBLE)
-                                 / (cu::DOUBLE + {LM_ALPHA}::DOUBLE * v::DOUBLE)), 6))
-               / sum(m), 6) AS log_ppl
+         round(sum(m * CAST(round(-ln((cb::DOUBLE + {LM_ALPHA}::DOUBLE)
+                                      / (cu::DOUBLE + {LM_ALPHA}::DOUBLE * v::DOUBLE))
+                                  * 1000000) AS BIGINT))::DOUBLE
+               / (sum(m)::DOUBLE * 1000000), 6) AS log_ppl
   FROM bgc JOIN cb USING (ngram) JOIN cu USING (ctx), v
   GROUP BY doc_id
 )
@@ -341,10 +352,66 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -----------------------------------------------------------------------------
+# corpus_quality_filter: the CCNet-style perplexity-tail drop, composed on
+# the bigram-LM scorer above
+# -----------------------------------------------------------------------------
+
+#: fraction of the scored corpus kept by log-perplexity: docs above the
+#: p90 log_ppl (token salad) are dropped, as are unscorable (<2 token) docs
+LM_QUALITY_P = 0.9
+
+
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning stage CCNet builds on its LM: score every document with
+    the bigram-LM log-perplexity (the full ``lm_perplexity`` recipe,
+    replayed here end to end), compute the corpus p90 of the score, and
+    bucket each document — ``keep`` (scored, at/below the tail threshold),
+    ``drop_tail`` (worst 10%), ``drop_unscored`` (<2 tokens, nothing to
+    condition on).  Emitting the bucket per document rather than the
+    filtered subset verifies BOTH the threshold computation and every
+    classification against the oracle.
+
+    100 TB shape: scoring is the lm_perplexity plan (one keyed shuffle +
+    vocab²-LM shuffle join); the threshold is exact ``percentile`` here
+    (identical linear interpolation to DuckDB quantile_cont — the
+    events_percentiles contract) collapsed to ONE row and broadcast; at
+    corpus scale swap in approx_percentile's mergeable t-digest — same
+    shape, no extra corpus pass either way."""
+    scored = q_lm_perplexity(spark, sf_dir).persist()
+    thr = scored.where(F.col("log_ppl").isNotNull()).agg(
+        F.round(F.expr(f"percentile(log_ppl, {LM_QUALITY_P})"), 6).alias("t")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_bigrams",
+        "log_ppl",
+        F.when(F.col("log_ppl").isNull(), F.lit("drop_unscored"))
+        .when(F.col("log_ppl") > F.col("t"), F.lit("drop_tail"))
+        .otherwise(F.lit("keep"))
+        .alias("bucket"),
+    )
+
+
+SQL_CORPUS_QUALITY_FILTER = f"""
+WITH lm AS ({SQL_LM_PERPLEXITY}),
+thr AS (
+  SELECT round(quantile_cont(log_ppl, {LM_QUALITY_P}), 6) AS t
+  FROM lm WHERE log_ppl IS NOT NULL
+)
+SELECT doc_id, n_bigrams, log_ppl,
+       CASE WHEN log_ppl IS NULL THEN 'drop_unscored'
+            WHEN log_ppl > t THEN 'drop_tail'
+            ELSE 'keep' END AS bucket
+FROM lm, thr
+"""
+
+
 VOCAB_QUERIES = {
     "ngram_vocab": (q_ngram_vocab, SQL_NGRAM_VOCAB),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "corpus_quality_filter": (q_corpus_quality_filter, SQL_CORPUS_QUALITY_FILTER),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_token_stats": (q_bpe_token_stats, None),

@@ -138,3 +138,24 @@ def test_multi_source_aggregation_has_no_join(spark, sf_dir):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" not in plan and "FullOuter" not in plan, plan
         assert out.count() == 5
+
+
+def test_corpus_quality_filter_buckets(spark, sf_dir):
+    """The CCNet-style composition: bucket counts must be internally
+    consistent with an independent numpy replay of the p90 threshold over
+    the query's own scores (percentile == numpy 'linear' interpolation),
+    and the keep fraction must be ~LM_QUALITY_P of scored docs."""
+    import numpy as np
+
+    from simsearch_spark.queries.vocab import LM_QUALITY_P, q_corpus_quality_filter
+
+    rows = q_corpus_quality_filter(spark, sf_dir).collect()
+    scored = [r for r in rows if r.log_ppl is not None]
+    assert {r.bucket for r in rows} <= {"keep", "drop_tail", "drop_unscored"}
+    assert all(r.bucket == "drop_unscored" for r in rows if r.log_ppl is None)
+    thr = round(float(np.percentile([r.log_ppl for r in scored], LM_QUALITY_P * 100)), 6)
+    for r in scored:
+        want = "drop_tail" if r.log_ppl > thr else "keep"
+        assert r.bucket == want, (r.doc_id, r.log_ppl, thr, r.bucket)
+    keep = sum(1 for r in scored if r.bucket == "keep")
+    assert abs(keep / len(scored) - LM_QUALITY_P) < 0.05
