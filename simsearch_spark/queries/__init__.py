@@ -153,6 +153,11 @@ DRIVER_EXCLUDED = frozenset(
         # pivot_knn/pivot paths, cosine in ann_multi_query_topk); rotated
         # off r7 to give the new lm_perplexity an external verdict
         "metric_distances",
+        # its quality score, token count, and fingerprint run (at depth)
+        # inside driver-verified corpus_clean via the identical
+        # corpus_features_frame Arrow kernel — the same rationale that
+        # already covers text_lang_id; rotated r8 to seat domain_curation
+        "text_quality",
         # the FULL bigram-LM scoring recipe is driver-verified at greater
         # depth inside corpus_quality_filter (r8), which replays it end to
         # end and adds the percentile threshold + bucket classification on

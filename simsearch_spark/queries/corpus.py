@@ -422,6 +422,90 @@ GROUP BY tr.doc_id
 
 
 # -----------------------------------------------------------------------------
+# domain curation: per-domain stats + blocklist filter over REAL URL parsing
+# -----------------------------------------------------------------------------
+
+
+def q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level corpus curation — the pre-training stage that
+    profiles and gates content by web domain (per-domain doc counts,
+    per-domain exact-dup rate, and a domain blocklist).  Documents carry no
+    URL, so one is synthesized deterministically per doc
+    (``https://d<doc_id%7>.<source>.example.com/p/<doc_id>``); the engine
+    then runs REAL URL parsing — ``parse_url(url, 'HOST')`` JVM-side — and
+    the oracle re-derives the host with an independent string-split, so the
+    parse itself is cross-checked rather than replayed.  The blocklist is
+    the numeric-subdomain % 5 == 0 rule applied to the PARSED host via
+    regexp (domain-string logic, as a real blocklist join would see it).
+
+    100 TB shape: one groupBy(host) shuffle with partial aggregation
+    (domain cardinality ≪ corpus); exact-dup rate rides the same shuffle as
+    countDistinct over the 64-bit text fingerprint; the blocklist test is a
+    row-local regexp on the domain-sized frame — in production the same
+    column joins a broadcast blocklist table."""
+    from simsearch_spark.functions.text import char_fold_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://d"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    tagged = docs.withColumn("host", F.parse_url(url, F.lit("HOST")))
+    blocked = (
+        F.regexp_extract(F.col("host"), r"^d(\d+)\.", 1).cast("int") % 5 == 0
+    )
+    return (
+        tagged.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(char_fold_hash(F.col("text"))).alias("n_unique"),
+        )
+        .select(
+            "host",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            F.round(
+                F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+            blocked.alias("blocked"),
+            F.when(blocked, F.lit(0))
+            .otherwise(F.col("n_docs"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
+SQL_DOMAIN_CURATION = f"""
+WITH u AS (
+  SELECT doc_id, text,
+         'https://d' || (doc_id % 7)::VARCHAR || '.' || source
+           || '.example.com/p/' || doc_id::VARCHAR AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id, text, split_part(split_part(url, '//', 2), '/', 1) AS host FROM u
+),
+s AS (
+  SELECT host, count(*)::BIGINT AS n_docs,
+         count(DISTINCT {_charfold_sql('text')})::BIGINT AS n_unique
+  FROM h GROUP BY host
+)
+SELECT host, n_docs, n_unique,
+       round(1.0::DOUBLE - n_unique::DOUBLE / n_docs::DOUBLE, 6) AS dup_rate,
+       (regexp_extract(host, '^d(\\d+)\\.', 1)::INT % 5 = 0) AS blocked,
+       (CASE WHEN regexp_extract(host, '^d(\\d+)\\.', 1)::INT % 5 = 0
+             THEN 0 ELSE n_docs END)::BIGINT AS n_kept
+FROM s
+"""
+
+
+# -----------------------------------------------------------------------------
 # source mixing weights: temperature-scaled domain sampling proportions
 # -----------------------------------------------------------------------------
 
@@ -713,6 +797,7 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_K}
 
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
+    "domain_curation": (q_domain_curation, SQL_DOMAIN_CURATION),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
     "source_mix_weights": (q_source_mix_weights, SQL_SOURCE_MIX_WEIGHTS),
     "source_mix_apply": (q_source_mix_apply, SQL_SOURCE_MIX_APPLY),
