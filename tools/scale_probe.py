@@ -102,8 +102,9 @@ def probes(spark, sf_dir: str):
     from simsearch_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
     from simsearch_spark.operators.kmeans import auto_km_k
     from simsearch_spark.queries.cluster import semdedup_prune
+    from simsearch_spark.queries.media import q_media_frame_pixel_stats
     from simsearch_spark.queries.pipeline import PIPELINE_QUERIES
-    from simsearch_spark.queries.vocab import q_ngram_vocab
+    from simsearch_spark.queries.vocab import q_lm_perplexity, q_ngram_vocab
     from simsearch_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -131,6 +132,22 @@ def probes(spark, sf_dir: str):
         # by construction), which makes the pruned OUTPUT super-linear while
         # the runtime stays linear; at 0.8 only true (within-replica)
         # near-dups survive and the answer replicates linearly too.
+        # the vocab²-sized LM is joined by SHUFFLE, not broadcast — this
+        # probe measures that join's curve as the per-replica-suffixed
+        # vocab (and so the LM table) grows with the corpus.  NOT .count():
+        # the final left join is on unique aggregate keys, so Catalyst
+        # eliminates the whole scoring subtree under a bare count —
+        # aggregate the SCORE columns to force the real plan
+        "lm_perplexity": lambda: int(
+            q_lm_perplexity(spark, sf_dir)
+            .agg(F.count("log_ppl") + F.count(F.lit(1)))
+            .first()[0]
+        ),
+        # row-local Arrow codec composition (AVI index + JPEG entropy
+        # decode in one batch) — should be embarrassingly linear
+        "media_frame_pixel_stats": lambda: q_media_frame_pixel_stats(
+            spark, sf_dir
+        ).count(),
         "semdedup_auto_k": lambda: semdedup_prune(
             emb, "vec_id", "embedding",
             k=auto_km_k(emb.count(), rows_per_cluster=500),
