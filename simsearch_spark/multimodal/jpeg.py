@@ -1,16 +1,21 @@
 """Dependency-free baseline JPEG codec (ITU-T T.81) — real entropy decode
 for the multimodal surface using stdlib ``struct`` + numpy.
 
-Scope: baseline sequential DCT (SOF0), 8-bit samples, grayscale or YCbCr,
-chroma subsampling up to 2×2, restart markers, standard or custom
-DQT/DHT tables.  Progressive (SOF2), arithmetic coding, and 12-bit
-precision raise ``NotImplementedError``; malformed streams raise
-``ValueError`` (same bounded-exception contract as png.py/wav.py/avi.py).
+Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 — spectral
+selection, successive approximation, EOB runs; r8), 8-bit samples,
+grayscale or YCbCr, chroma subsampling up to 2×2, restart markers,
+standard or custom DQT/DHT tables.  Arithmetic coding, hierarchical
+frames, and 12-bit precision raise ``NotImplementedError``; malformed
+streams raise ``ValueError`` (same bounded-exception contract as
+png.py/wav.py/avi.py).
 
 The encoder (4:4:4 or 4:2:0, Annex-K standard tables, quality-scaled) is
 JPEG's lossy round trip — tests assert PSNR bounds and near-exactness on
 constant blocks rather than byte equality.  IDCT/FDCT are exact matrix
-transforms (numpy), so codec error is quantization error only.
+transforms (numpy), so codec error is quantization error only.  The
+progressive encoder shares the baseline quantizer, which pins the decoder
+contract exactly: progressive decode == baseline decode, bit for bit, on
+any image (tests/test_jpeg.py property-tests this).
 """
 
 from __future__ import annotations
@@ -217,6 +222,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, dict] = {}
     frame = None  # (w, h, [(cid, h, v, tq)])
     restart_interval = 0
+    progressive = False
+    pstate: _ProgState | None = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -236,7 +243,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     raise NotImplementedError("16-bit quantization tables")
                 qt[tq] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
                 p += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
@@ -245,7 +252,10 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq_ = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq_))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+            if progressive:
+                pstate = _ProgState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"non-baseline JPEG frame 0xFF{marker:02X}")
         elif marker == 0xC4:  # DHT
             p = 0
@@ -266,10 +276,19 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tables >> 4, tables & 0xF))
-            return _decode_scan(
-                data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac, restart_interval
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            pos = _decode_progressive_scan(
+                data, pos + seg_len, pstate, scan, huff_dc, huff_ac,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval,
             )
+            continue
         pos += seg_len
+    if progressive and pstate is not None and pstate.any_scan:
+        return pstate.reconstruct(qt)
     raise ValueError("JPEG without SOS scan")
 
 
@@ -308,7 +327,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
             except _RestartMarker:
                 raise ValueError("restart marker mid-MCU") from None
             mcu_count += 1
-    # upsample to full size and color-convert
+    return _assemble(comps, planes, w, h, hmax, vmax)
+
+
+def _assemble(comps, planes, w, h, hmax, vmax) -> tuple[int, int, int, bytes]:
+    """Upsample component planes to full size and color-convert — shared by
+    the baseline and progressive reconstruction paths."""
     out_planes = []
     for cid, ch, cv, _tq in comps:
         p = planes[cid]
@@ -352,6 +376,209 @@ def _decode_block(reader, dc_table, ac_table) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# progressive decoder (SOF2) — T.81 Annex G.2: coefficients accumulate
+# across scans (spectral selection bands × successive-approximation bit
+# planes) and are reconstructed once at EOI
+# ---------------------------------------------------------------------------
+
+
+class _ProgState:
+    """Accumulated progressive-decode state: one zigzag-order coefficient
+    row per block on the INTERLEAVED grid per component (DC scans cover the
+    padded interleaved grid; single-component AC scans cover the smaller
+    non-interleaved grid per A.2.2 — both index into the same store)."""
+
+    def __init__(self, frame):
+        w, h, comps = frame
+        self.frame = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coef: dict[int, np.ndarray] = {}
+        self.dims: dict[int, tuple[int, int, int, int]] = {}
+        for cid, ch, cv, _tq in comps:
+            bw_i, bh_i = self.mcux * ch, self.mcuy * cv
+            nbw = (-(-(w * ch) // self.hmax) + 7) // 8
+            nbh = (-(-(h * cv) // self.vmax) + 7) // 8
+            self.dims[cid] = (bw_i, bh_i, nbw, nbh)
+            self.coef[cid] = np.zeros((bh_i * bw_i, 64), dtype=np.int64)
+        self.any_scan = False
+
+    def reconstruct(self, qt) -> tuple[int, int, int, bytes]:
+        w, h, comps = self.frame
+        planes = {}
+        for cid, ch, cv, tq_ in comps:
+            bw_i, bh_i, _, _ = self.dims[cid]
+            dq = self.coef[cid].astype(np.float64) * qt[tq_].astype(np.float64)[None, :]
+            nat = np.zeros_like(dq)
+            nat[:, ZIGZAG] = dq  # same zigzag placement as the baseline path
+            px = _C.T[None] @ nat.reshape(-1, 8, 8) @ _C[None] + 128.0
+            planes[cid] = (
+                px.reshape(bh_i, bw_i, 8, 8).transpose(0, 2, 1, 3).reshape(bh_i * 8, bw_i * 8)
+            )
+        return _assemble(comps, planes, w, h, self.hmax, self.vmax)
+
+
+def _decode_progressive_scan(
+    data, pos, st: _ProgState, scan, huff_dc, huff_ac, ss, se, ah, al, restart_interval
+):
+    """Decode ONE progressive scan's entropy data into the coefficient
+    store; returns the byte offset of the next marker."""
+    _w, _h, comps = st.frame
+    cmap = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
+    reader = _BitReader(data, pos)
+    st.any_scan = True
+    if ss == 0:  # ---- DC scan ----
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        pred = {cs: 0 for cs, _td, _ta in scan}
+        count = 0
+
+        def dc_block(blk, td):
+            if ah == 0:
+                t = _decode_huff(reader, huff_dc[td])
+                if t > 15:
+                    raise ValueError(f"invalid DC category {t}")
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                return diff
+            return None
+
+        if len(scan) > 1:  # interleaved MCU order over the padded grid
+            for my in range(st.mcuy):
+                for mx in range(st.mcux):
+                    if restart_interval and count and count % restart_interval == 0:
+                        reader.align_to_restart()
+                        pred = {cs: 0 for cs in pred}
+                    count += 1
+                    for cs, td, _ta in scan:
+                        ch, cv = cmap[cs]
+                        bw_i = st.dims[cs][0]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                blk = st.coef[cs][(my * cv + by) * bw_i + (mx * ch + bx)]
+                                if ah == 0:
+                                    pred[cs] += dc_block(blk, td)
+                                    blk[0] = pred[cs] << al
+                                elif reader.read_bit():
+                                    blk[0] |= 1 << al
+        else:  # single-component: non-interleaved block raster
+            cs, td, _ta = scan[0]
+            bw_i, _bh_i, nbw, nbh = st.dims[cs]
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if restart_interval and count and count % restart_interval == 0:
+                        reader.align_to_restart()
+                        pred = {cs: 0 for cs in pred}
+                    count += 1
+                    blk = st.coef[cs][by * bw_i + bx]
+                    if ah == 0:
+                        pred[cs] += dc_block(blk, td)
+                        blk[0] = pred[cs] << al
+                    elif reader.read_bit():
+                        blk[0] |= 1 << al
+    else:  # ---- AC scan: single component only (G.1.1.1.1) ----
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        cs, _td, ta = scan[0]
+        bw_i, _bh_i, nbw, nbh = st.dims[cs]
+        coef = st.coef[cs]
+        table = huff_ac[ta]
+        eobrun = 0
+        count = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and count and count % restart_interval == 0:
+                    reader.align_to_restart()
+                    eobrun = 0
+                count += 1
+                blk = coef[by * bw_i + bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, table, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, table, blk, ss, se, al, eobrun)
+    # advance to the next marker (skip residual entropy padding)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(data)
+
+
+def _ac_first_block(reader, table, blk, ss, se, al, eobrun) -> int:
+    """G.2.2: first pass of an AC band — magnitudes arrive shifted left by
+    Al; EOBn symbols start runs of all-remaining-zero bands."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, table, blk, ss, se, al, eobrun) -> int:
+    """G.2.3: successive-approximation refinement of an AC band — newly
+    significant coefficients arrive as ±1<<Al; every already-nonzero
+    coefficient crossed (including inside ZRL runs and EOB runs) receives
+    one correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(reader, table)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # tail of this block handled by the eobrun branch
+                # r == 15: ZRL — skip 16 ZERO-HISTORY positions
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with magnitude > 1")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if reader.read_bit() and (abs(c) & p1) == 0:
+                        blk[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(blk[k])
+            if c != 0:
+                if reader.read_bit() and (abs(c) & p1) == 0:
+                    blk[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+# ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
 
@@ -388,6 +615,48 @@ def _scale_q(table: np.ndarray, quality: int) -> np.ndarray:
     quality = min(max(quality, 1), 100)
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     return np.clip((table * s + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _prep_comps(width, height, channels, pixels, quality, subsample):
+    """Shared encoder front half: color-convert, optionally subsample, and
+    MCU-pad the component planes.  Returns (comps [(cid, h, v, tq, plane)],
+    luma_q, chroma_q, hmax, vmax, mcux, mcuy, padded{cid: plane})."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels {channels}")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels).astype(np.float64)
+    lq = _scale_q(STD_LUMA_Q, quality)
+    cq = _scale_q(STD_CHROMA_Q, quality)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            pad_h, pad_w = (height + 1) // 2 * 2, (width + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, pad_h - height), (0, pad_w - width)), mode="edge")
+            crp = np.pad(cr, ((0, pad_h - height), (0, pad_w - width)), mode="edge")
+            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            cr = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+            comps = [(1, 2, 2, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
+        else:
+            comps = [(1, 1, 1, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
+    else:
+        comps = [(1, 1, 1, 0, arr[..., 0])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    padded = {}
+    for cid, ch, cv, _tq, plane in comps:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        padded[cid] = np.pad(
+            plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge"
+        )
+    return comps, lq, cq, hmax, vmax, mcux, mcuy, padded
 
 
 def _encode_block(bw, blk, qtab, dc_tab, ac_tab, pred):
@@ -444,30 +713,12 @@ def encode_jpeg(
     MCUs with DC-predictor resets (exercises the decoder's resync path —
     the quantized coefficients are unchanged, so decode output is
     bit-identical to the non-restart encoding)."""
-    if channels not in (1, 3):
-        raise ValueError(f"channels {channels}")
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels).astype(np.float64)
-    lq = _scale_q(STD_LUMA_Q, quality)
-    cq = _scale_q(STD_CHROMA_Q, quality)
-    if channels == 3:
-        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
-            pad_h, pad_w = (height + 1) // 2 * 2, (width + 1) // 2 * 2
-            cbp = np.pad(cb, ((0, pad_h - height), (0, pad_w - width)), mode="edge")
-            crp = np.pad(cr, ((0, pad_h - height), (0, pad_w - width)), mode="edge")
-            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
-            cr = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
-            comps = [(1, 2, 2, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
-        else:
-            comps = [(1, 1, 1, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
-    else:
-        comps = [(1, 1, 1, 0, arr[..., 0])]
+    comps, lq, cq, hmax, vmax, mcux, mcuy, padded = _prep_comps(
+        width, height, channels, pixels, quality, subsample
+    )
 
     def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+        return _seg(marker, body)
 
     out = bytearray(b"\xff\xd8")
     # DQT bodies are stored in ZIGZAG order (T.81 B.2.4.1)
@@ -493,16 +744,6 @@ def encode_jpeg(
 
     enc_dc = {0: _build_encode_table(*STD_DC_LUMA), 1: _build_encode_table(*STD_DC_CHROMA)}
     enc_ac = {0: _build_encode_table(*STD_AC_LUMA), 1: _build_encode_table(*STD_AC_CHROMA)}
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    padded = {}
-    for cid, ch, cv, _tq, plane in comps:
-        ph, pw = mcuy * cv * 8, mcux * ch * 8
-        padded[cid] = np.pad(
-            plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])), mode="edge"
-        )
     bw = _BitWriter()
     pred = {cid: 0 for cid, *_ in comps}
     mcu_count = 0
@@ -531,5 +772,274 @@ def encode_jpeg(
                         )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — spectral selection + successive approximation
+# with EOB runs, the libjpeg-style default scan script.  Exists to exercise
+# the progressive DECODER against ground truth: both paths quantize
+# identically, so progressive decode must reproduce the baseline decode of
+# the same image bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+class _ScanSink:
+    """Two-pass scan emission: pass 1 (no writer) collects the Huffman
+    symbols a scan uses so a table covering exactly those symbols can be
+    built; pass 2 writes codes and raw bits."""
+
+    def __init__(self, bw: _BitWriter | None = None, table: dict | None = None):
+        self.bw, self.table = bw, table
+        self.syms: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        if self.bw is None:
+            self.syms.add(s)
+        else:
+            ln, code = self.table[s]
+            self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if self.bw is not None and n:
+            self.bw.write(v, n)
+
+
+def _fixed_table(syms: set[int]) -> tuple[list[int], list[int]]:
+    """Canonical Huffman table assigning every used symbol one fixed code
+    length L = bit_length(n) — valid (n < 2^L keeps the all-ones code
+    unused, T.81 C.2) and trivially decodable; compression is irrelevant
+    for the round-trip contract this encoder serves."""
+    vals = sorted(syms)
+    n = len(vals)
+    ln = max(n.bit_length(), 1)
+    bits = [0] * 16
+    bits[ln - 1] = n
+    return bits, vals
+
+
+def _quantize_grid(padded: np.ndarray, qz: np.ndarray) -> np.ndarray:
+    """Forward DCT + quantization over a padded plane, vectorized; returns
+    (n_blocks, 64) zigzag-order int coefficients in interleaved block
+    raster order — the same arithmetic as the baseline `_encode_block`."""
+    ph, pw = padded.shape
+    bh, bwid = ph // 8, pw // 8
+    blocks = padded.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coef = _C[None] @ (blocks - 128.0) @ _C.T[None]
+    return np.rint(coef.reshape(-1, 64)[:, ZIGZAG] / qz[None, :]).astype(np.int64)
+
+
+def _enc_dc_first(sink: _ScanSink, units, al: int) -> None:
+    pred: dict[int, int] = {}
+    for cs, blk in units:
+        v = int(blk[0]) >> al  # arithmetic shift: floor toward -inf, G.1.2.1
+        diff = v - pred.get(cs, 0)
+        pred[cs] = v
+        t = abs(diff).bit_length()
+        sink.sym(t)
+        if t:
+            sink.bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+
+def _enc_dc_refine(sink: _ScanSink, units, al: int) -> None:
+    for _cs, blk in units:
+        sink.bits((int(blk[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(sink: _ScanSink, blocks, ss: int, se: int, al: int) -> None:
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            sink.sym(n << 4)
+            if n:
+                sink.bits(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for blk in blocks:
+        band = [int(v) for v in blk[ss : se + 1]]
+        t = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+        nz = [i for i, v in enumerate(t) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run, last = 0, nz[-1]
+        for i in range(last + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                if run == 16:
+                    sink.sym(0xF0)  # ZRL (a nonzero at `last` still follows)
+                    run = 0
+                continue
+            s = abs(v).bit_length()
+            sink.sym((run << 4) | s)
+            sink.bits(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < len(band) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(sink: _ScanSink, blocks, ss: int, se: int, al: int) -> None:
+    """G.1.2.3 correction-bit emission: runs count ZERO-HISTORY positions;
+    already-nonzero coefficients contribute one buffered bit each, dumped
+    after the next emitted symbol (ZRL / significance / EOBn) — exactly the
+    order the refinement decoder consumes them in."""
+    eobrun = 0
+    bits_pend: list[int] = []  # correction bits deferred with the EOB run
+
+    def flush() -> None:
+        nonlocal eobrun, bits_pend
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            sink.sym(n << 4)
+            if n:
+                sink.bits(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in bits_pend:
+            sink.bits(b, 1)
+        bits_pend = []
+
+    for blk in blocks:
+        band = [int(v) for v in blk[ss : se + 1]]
+        absv = [abs(v) >> al for v in band]
+        eobpos = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eobpos = i
+        run = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                run += 1
+                continue
+            # ZRL check runs at EVERY nonzero (history or new) so the
+            # buffered bits stay aligned with the decoder's crossings
+            while run > 15 and i <= eobpos:
+                flush()
+                sink.sym(0xF0)
+                run -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            flush()
+            sink.sym((run << 4) | 1)
+            sink.bits(1 if band[i] > 0 else 0, 1)
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            bits_pend.extend(br)
+            if eobrun == 0x7FFF or len(bits_pend) > 900:
+                flush()
+    flush()
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 85,
+    subsample: bool = False,
+) -> bytes:
+    """Encode row-major 8-bit pixels as PROGRESSIVE JPEG (SOF2) using the
+    libjpeg-shaped default script — interleaved DC first at Al=1, per-
+    component AC bands 1-5 / 6-63 at Al=2, two AC refinement passes, DC
+    refinement last.  Quantization is shared with the baseline encoder, so
+    ``decode_jpeg(encode_jpeg_progressive(px)) ==
+    decode_jpeg(encode_jpeg(px))`` bit-for-bit — the round-trip contract
+    the progressive decoder is tested against.  Each scan carries its own
+    DHT built over exactly the symbols it emits (EOBn symbols are not in
+    the Annex-K baseline tables)."""
+    comps, lq, cq, hmax, vmax, mcux, mcuy, padded = _prep_comps(
+        width, height, channels, pixels, quality, subsample
+    )
+    qzs = {0: lq[ZIGZAG].astype(np.float64), 1: cq[ZIGZAG].astype(np.float64)}
+    grids: dict[int, np.ndarray] = {}
+    dims: dict[int, tuple[int, int, int, int]] = {}
+    for cid, ch, cv, tq_, _plane in comps:
+        grids[cid] = _quantize_grid(padded[cid], qzs[tq_])
+        nbw = (-(-(width * ch) // hmax) + 7) // 8
+        nbh = (-(-(height * cv) // vmax) + 7) // 8
+        dims[cid] = (mcux * ch, mcuy * cv, nbw, nbh)
+    dc_units = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, ch, cv, _tq, _plane in comps:
+                bw_i = dims[cid][0]
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc_units.append((cid, grids[cid][(my * cv + by) * bw_i + (mx * ch + bx)]))
+
+    def ac_blocks(cid):
+        bw_i, _bh, nbw, nbh = dims[cid]
+        return [grids[cid][by * bw_i + bx] for by in range(nbh) for bx in range(nbw)]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes(lq[ZIGZAG].tolist()))
+    if channels == 3:
+        out += _seg(0xDB, bytes([1]) + bytes(cq[ZIGZAG].tolist()))
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
+    for cid, ch, cv, tq_, _plane in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq_])
+    out += _seg(0xC2, sof)
+
+    cids = [c[0] for c in comps]
+    script: list[tuple[str, int | None, int, int, int, int]] = [("dc1", None, 0, 0, 0, 1)]
+    for cid in cids:
+        script += [("ac1", cid, 1, 5, 0, 2), ("ac1", cid, 6, 63, 0, 2)]
+    for cid in cids:
+        script.append(("acr", cid, 1, 63, 2, 1))
+    for cid in cids:
+        script.append(("acr", cid, 1, 63, 1, 0))
+    script.append(("dcr", None, 0, 0, 1, 0))
+
+    for kind, cid, ss, se, ah, al in script:
+        def run(sink: _ScanSink) -> None:
+            if kind == "dc1":
+                _enc_dc_first(sink, dc_units, al)
+            elif kind == "dcr":
+                _enc_dc_refine(sink, dc_units, al)
+            elif kind == "ac1":
+                _enc_ac_first(sink, ac_blocks(cid), ss, se, al)
+            else:
+                _enc_ac_refine(sink, ac_blocks(cid), ss, se, al)
+
+        counter = _ScanSink()
+        run(counter)
+        if counter.syms:
+            bits, vals = _fixed_table(counter.syms)
+            tc = 0 if kind.startswith("dc") else 1
+            out += _seg(0xC4, bytes([(tc << 4) | 0]) + bytes(bits) + bytes(vals))
+            table = _build_encode_table(bits, vals)
+        else:
+            table = {}
+        if kind.startswith("dc"):
+            sos = bytes([len(comps)])
+            for c in cids:
+                sos += bytes([c, 0x00])
+        else:
+            sos = bytes([1, cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        bw = _BitWriter()
+        run(_ScanSink(bw, table))
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

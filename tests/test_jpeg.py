@@ -107,11 +107,19 @@ def test_quality_monotone():
 def test_explicit_seams():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
-    # progressive frame marker (SOF2) is a NotImplementedError seam
+    # arithmetic-coded frame marker (SOF9) is a NotImplementedError seam
+    # (progressive SOF2 is implemented as of r8)
+    arith = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=85))
+    idx = arith.find(b"\xff\xc0")
+    arith[idx + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(arith))
+    # a baseline scan relabeled SOF2 is MALFORMED progressive (Se=63 DC
+    # scan), not a seam — it must fail loudly, not decode garbage
     prog = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=85))
     idx = prog.find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bytes(prog))
     # 12-bit precision seam
     deep = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=85))
@@ -181,3 +189,95 @@ def test_resize_real_jpeg_payload(spark):
     assert (w, h, ch) == (320, 240, 3)
     arr = np.frombuffer(pix, np.uint8)
     assert int(arr.min()) >= 88 and int(arr.max()) <= 92  # constant within quant error
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — r8
+# ---------------------------------------------------------------------------
+
+
+def _prog_equals_baseline(w, h, ch, pix, quality=85, subsample=False):
+    from simsearch_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    base = decode_jpeg(encode_jpeg(w, h, ch, pix, quality=quality, subsample=subsample))
+    prog_payload = encode_jpeg_progressive(
+        w, h, ch, pix, quality=quality, subsample=subsample
+    )
+    prog = decode_jpeg(prog_payload)
+    assert prog == base  # identical quantizer -> bit-identical reconstruction
+    return prog_payload
+
+
+def test_progressive_equals_baseline_shapes():
+    """Progressive decode must reproduce the baseline decode bit-for-bit
+    (shared quantizer) across geometries, color, and 4:2:0 subsampling —
+    the non-interleaved AC grids differ from the padded DC grid exactly
+    when subsampled dimensions are odd-block."""
+    rng = np.random.default_rng(7)
+    for w, h, ch, sub in [
+        (8, 8, 1, False), (17, 13, 1, False), (32, 32, 3, False),
+        (23, 9, 3, False), (21, 17, 3, True), (100, 3, 1, False),
+        (3, 100, 3, True), (1, 1, 1, False),
+    ]:
+        pix = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        _prog_equals_baseline(w, h, ch, pix, subsample=sub)
+
+
+def test_progressive_stream_structure():
+    """The emitted stream really is multi-scan progressive: SOF2 frame,
+    the 6-scan grayscale script (DC first, 2 AC bands, 2 AC refinements,
+    DC refinement), per-scan DHTs; and smooth content exercises EOB runs
+    (a long gradient compresses to fewer bytes than the sum of per-block
+    EOB0s would allow)."""
+    from simsearch_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    img = _gradient(48, 40, 1)
+    payload = encode_jpeg_progressive(48, 40, 1, img.tobytes())
+    assert payload.count(b"\xff\xc2") == 1 and b"\xff\xc0" not in payload
+    assert payload.count(b"\xff\xda") == 6  # grayscale script
+    decoded = np.frombuffer(decode_jpeg(payload)[3], np.uint8).reshape(40, 48)
+    assert _psnr(img[..., 0], decoded) > 30
+
+
+def test_progressive_truncation_raises():
+    from simsearch_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    payload = encode_jpeg_progressive(24, 24, 1, bytes(range(256)) * 2 + bytes(64))
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) * 2 // 3])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    ch=st.sampled_from([1, 3]),
+    sub=st.booleans(),
+    q=st.integers(5, 98),
+    seed=st.integers(0, 2**31),
+)
+def test_progressive_equals_baseline_property(w, h, ch, sub, q, seed):
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+    _prog_equals_baseline(w, h, ch, pix, quality=q, subsample=sub)
+
+
+def test_progressive_through_decode_image_and_features(spark):
+    """The Spark multimodal surface accepts progressive payloads end to
+    end: decode_image dispatches on SOI, and extract_pixel_features gives
+    the SAME embedding for baseline and progressive encodings of one
+    image (shared quantizer) — so image dedup treats them as exact dups."""
+    from simsearch_spark.multimodal.binary import decode_image, extract_pixel_features
+    from simsearch_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(12, 20), dtype=np.uint8)
+    b = encode_jpeg(20, 12, 1, img.tobytes())
+    p = encode_jpeg_progressive(20, 12, 1, img.tobytes())
+    assert decode_image(p) == decode_image(b)
+    df = spark.createDataFrame(
+        [(1, "image", b, "image/jpeg"), (2, "image", p, "image/jpeg")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    embs = {r.media_id: r.embedding for r in extract_pixel_features(df).collect()}
+    assert embs[1] == embs[2]
