@@ -256,9 +256,14 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality 85 the DC quantization step (≤5) bounds reconstruction error
     below 0.5 — so integer pixels decode EXACTLY and the oracle's
     closed-form mean must match to the last bit (the exactness property is
-    unit-tested in tests/test_jpeg.py::test_grayscale_block_constant_is_exact)."""
+    unit-tested in tests/test_jpeg.py::test_grayscale_block_constant_is_exact).
+
+    Odd doc_ids encode PROGRESSIVE (SOF2, r8) instead of baseline: the
+    shared quantizer makes reconstruction bit-identical, so one oracle
+    covers both entropy layouts and the multi-scan decode path runs on
+    half the declared corpus."""
     from simsearch_spark.multimodal.binary import pixel_stats
-    from simsearch_spark.multimodal.jpeg import encode_jpeg
+    from simsearch_spark.multimodal.jpeg import encode_jpeg, encode_jpeg_progressive
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
@@ -272,7 +277,8 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = d % 9 + 4
                 a, b = d % 256, (d * 11 + 29) % 256
                 row = bytes([a] * half + [b] * (w - half))
-                payloads.append(encode_jpeg(w, h, 1, row * h, quality=85))
+                enc = encode_jpeg_progressive if d % 2 else encode_jpeg
+                payloads.append(enc(w, h, 1, row * h, quality=85))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
