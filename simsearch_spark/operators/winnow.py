@@ -156,7 +156,10 @@ def passage_removal(
 
     from simsearch_spark.functions.text import char_fold_hash
 
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    # persist the fingerprint frame: it feeds the shared-fp aggregation AND
+    # the cut join — without this the winnowing Arrow kernel re-runs (and
+    # the corpus re-scans) once per consumer (r8 plan audit: 16 scans → 6)
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w).persist()
     base = docs.where(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     )
@@ -185,6 +188,7 @@ def passage_removal(
         .where(F.col("idx") < F.col("n_tokens"))
         .select("id", "idx")
         .distinct()
+        .persist()  # consumed by the island window AND the kept-token anti-join
     )
     wspec = Window.partitionBy("id").orderBy("idx")
     spans = (
