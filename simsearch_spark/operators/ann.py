@@ -42,7 +42,11 @@ def lcg_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit_i = 1 iff dot(vec, plane_i) > 0."""
+    """Sign-LSH bucket id: bit_i = 1 iff dot(vec, plane_i) > 0.  At most
+    63 planes — the id is a signed 64-bit key (bit 63 would overflow);
+    wider signatures mean multiple bucket columns, not a wider int."""
+    if len(planes) > 63:
+        raise ValueError(f"{len(planes)} hyperplanes > 63-bit signed bucket key")
     acc = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         pv = F.array(*[F.lit(float(x)) for x in plane])

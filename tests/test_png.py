@@ -418,3 +418,32 @@ def test_media_image_dedup_pruned_lsh_route(spark):
     assert pruned <= blocked
     assert len(blocked) == 60  # 20 planted triangles
     assert len(pruned) / len(blocked) >= 0.9
+
+
+def test_media_image_dedup_centered_lsh_route(spark):
+    """center=True (mean-center before hashing only) is the scale fix for
+    one-sided luminance features — it must stay a SUBSET of the exact
+    blocked pairs with high planted recall, and centering must not change
+    any emitted cosine (scoring stays on raw vectors)."""
+    from simsearch_spark.multimodal.binary import extract_pixel_features
+    from simsearch_spark.operators.dedup import embedding_cosine_pairs
+    from simsearch_spark.queries.media import IMG_DEDUP_T
+
+    feats = extract_pixel_features(_image_dedup_media(spark)).persist()
+    blocked = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_cosine_pairs(
+            feats, "media_id", "embedding", IMG_DEDUP_T
+        ).collect()
+    }
+    centered = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_cosine_pairs(
+            feats, "media_id", "embedding", IMG_DEDUP_T,
+            pruned=True, n_planes=32, band_bits=8, center=True,
+        ).collect()
+    }
+    assert set(centered) <= set(blocked)
+    assert len(centered) / len(blocked) >= 0.9
+    for k, v in centered.items():
+        assert blocked[k] == v  # identical scoring kernel on raw vectors

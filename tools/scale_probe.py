@@ -95,6 +95,54 @@ def replicate(root: str, factor: int) -> str:
     return out
 
 
+def _image_dedup_pruned(spark, sf_dir: str) -> int:
+    from simsearch_spark.multimodal.binary import extract_pixel_features
+    from simsearch_spark.operators.dedup import embedding_cosine_pairs
+    from simsearch_spark.queries.media import IMG_DEDUP_T, q_media_image_dedup
+
+    # reuse the declared query's synth+featurize front half by rebuilding it
+    # against this sf_dir, but swap the exact blocked pair stage for the
+    # banded sign-LSH route — the 100×-scale candidate path
+    import simsearch_spark.queries.media as media_mod
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        from simsearch_spark.multimodal.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                px, ft = media_mod._img_pixels(int(d))
+                payloads.append(encode_png(4, 4, 1, px, filter_types=ft))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": "image",
+                 "payload": payloads, "mime": "image/png"}
+            )
+
+    m = docs.mapInPandas(synth, "media_id long, kind string, payload binary, mime string")
+    feats = extract_pixel_features(m)
+    # Banding must be sized to the corpus — band keys prune RANDOM pairs at
+    # a fixed rate ≈ bands·2^-band_bits, so band_bits must grow ~log2(N) to
+    # keep candidate volume linear (at fixed bits the candidate set is
+    # Θ(N²·2^-bits): measured 146 s / 2e9 scored pairs at 100× with 8-bit
+    # bands).  8 bits to ~100k rows, 16 bits beyond: buckets stay
+    # O(N/2^bits) rows and true near-dups (cos ≥ 0.999, p=0.99/plane)
+    # keep recall ≥ 0.999 over 4 bands.  center=True mean-centers before
+    # hashing: one-sided luminance features otherwise share an orthant and
+    # collapse into hot buckets (measured 6 s → 208 s at 10×).
+    n = docs.count()
+    bb = 8 if n <= 100_000 else 15  # 4 bands; 60 planes ≤ the 63-bit key cap
+    return embedding_cosine_pairs(
+        feats, "media_id", "embedding", IMG_DEDUP_T,
+        pruned=True, n_planes=4 * bb, band_bits=bb, center=True, n_rows=n,
+    ).count()
+
+
 def probes(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -148,6 +196,20 @@ def probes(spark, sf_dir: str):
         "media_frame_pixel_stats": lambda: q_media_frame_pixel_stats(
             spark, sf_dir
         ).count(),
+        # the image-dedup pipeline at its declared SCALE path: row-local
+        # synth→decode→featurize, then banded sign-LSH candidate pairs
+        # (pruned=True — the blocked exact tiling is the small-corpus path;
+        # its pair count is quadratic by construction).  Dup structure
+        # replicates linearly: replica doc_ids land in fresh groups whose
+        # avalanche-hashed pixels decorrelate from every other group.
+        "media_image_dedup_lsh": lambda: _image_dedup_pruned(spark, sf_dir),
+        # winnowing is a row-local Arrow kernel (linear); the cut joins are
+        # keyed on fp / doc — suffix-decorrelated replicas share no
+        # fingerprints, so the shared-fp table and cut volume replicate
+        # linearly too
+        "passage_removal": lambda: PIPELINE_QUERIES["passage_removal"][0](
+            spark, sf_dir
+        ).agg(F.sum("n_removed") + F.sum("n_spans")).first()[0],
         "semdedup_auto_k": lambda: semdedup_prune(
             emb, "vec_id", "embedding",
             k=auto_km_k(emb.count(), rows_per_cluster=500),
