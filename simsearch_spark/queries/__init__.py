@@ -173,6 +173,11 @@ DRIVER_EXCLUDED = frozenset(
         # grid-luminance features -> the identical pair stage and oracle
         # fold; this query's flat-embedding special case keeps in-repo parity
         "dedup_embed_cosine",
+        # shot-boundary detection (r8): the decode half IS
+        # media_frame_pixel_stats' parity-gated composition; the detection
+        # half is one lag window + threshold, the window shape that is
+        # driver-verified at depth in hybrid_rrf_topk/topk_per_source
+        "media_shot_boundaries",
         # real MJPEG frame-pixel decode (r7): composition of two
         # independently verified codecs — the AVI frame index behind
         # media_frame_sample and the JPEG entropy decode behind

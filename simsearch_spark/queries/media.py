@@ -18,6 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from simsearch_spark.multimodal.binary import decode_image_meta
 from simsearch_spark.queries.vector import _cosine_sql
@@ -369,6 +370,92 @@ FROM documents, unnest(range(0, doc_id % 4 + 1, {FRAME_EVERY_N})) AS u(i)
 
 
 # -----------------------------------------------------------------------------
+# media_shot_boundaries: video shot/scene-boundary detection — the curation
+# step that segments raw video into shots before frame sampling
+# -----------------------------------------------------------------------------
+
+#: mean-luminance jump that marks a shot boundary; planted intra-shot drift
+#: is 1/frame, planted inter-shot jumps are ~88-167
+SHOT_T = 50.0
+
+
+def q_media_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video frames: each document
+    becomes an MJPEG AVI with PLANTED shot structure — shots of 3 frames
+    whose uniform luminance drifts by 1 within a shot and jumps ~90 between
+    shots (values built mod 253 so the +i%3 drift never wraps; a 90-step
+    mod-253 jump lands at |Δ| ∈ {88..92, 161..165}, always ≥ SHOT_T).
+    The pipeline is the composition a video curator runs: AVI index + JPEG
+    entropy decode (one Arrow batch, frames never leave the task) → per-
+    frame mean → one lag window per video → threshold.  Uniform q85 frames
+    decode exactly, so means, deltas, and verdicts are all closed-form.
+
+    100 TB shape: decode is row-local; the only exchange is the window
+    partitioned by media_id (per-video frame counts are bounded); boundary
+    logic is codegen column math."""
+    from simsearch_spark.multimodal.avi import encode_avi_mjpeg
+    from simsearch_spark.multimodal.binary import frame_pixel_stats
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(d), int(c)
+                w, h = c % 13 + 4, d % 5 + 3
+                n = d % 6 + 4  # 4..9 frames -> 2-3 shots of 3
+                frames = [
+                    encode_jpeg(
+                        w, h, 1,
+                        bytes([(d * 17 + (i // 3) * 90) % 253 + i % 3]) * (w * h),
+                        quality=85,
+                    )
+                    for i in range(n)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=25))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "mime": "video/avi",
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, payload binary, mime string"
+    )
+    stats = frame_pixel_stats(media, every_n=1)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    delta = F.abs(F.col("mean_c0") - F.lag("mean_c0").over(w))
+    return stats.select(
+        "media_id",
+        "frame_idx",
+        "mean_c0",
+        delta.alias("delta"),
+        (delta > F.lit(SHOT_T)).alias("is_boundary"),
+    )
+
+
+SQL_MEDIA_SHOT_BOUNDARIES = f"""
+WITH f AS (
+  SELECT doc_id AS media_id, u.i::INT AS frame_idx,
+         ((doc_id * 17 + (u.i // 3) * 90) % 253 + u.i % 3)::DOUBLE AS mean_c0
+  FROM documents, unnest(range(0, doc_id % 6 + 4)) AS u(i)
+)
+SELECT media_id, frame_idx, mean_c0,
+       abs(mean_c0 - lag(mean_c0) OVER (PARTITION BY media_id ORDER BY frame_idx)) AS delta,
+       (abs(mean_c0 - lag(mean_c0) OVER (PARTITION BY media_id ORDER BY frame_idx))
+        > {SHOT_T}) AS is_boundary
+FROM f
+"""
+
+
+# -----------------------------------------------------------------------------
 # media_image_dedup: image near-duplicate detection END TO END — real PNG
 # encode -> real decode -> grid-luminance features -> block-tiled cosine pairs
 # -----------------------------------------------------------------------------
@@ -486,4 +573,5 @@ MEDIA_QUERIES = {
         SQL_MEDIA_FRAME_PIXEL_STATS,
     ),
     "media_image_dedup": (q_media_image_dedup, SQL_MEDIA_IMAGE_DEDUP),
+    "media_shot_boundaries": (q_media_shot_boundaries, SQL_MEDIA_SHOT_BOUNDARIES),
 }

@@ -447,3 +447,19 @@ def test_media_image_dedup_centered_lsh_route(spark):
     assert len(centered) / len(blocked) >= 0.9
     for k, v in centered.items():
         assert blocked[k] == v  # identical scoring kernel on raw vectors
+
+
+def test_media_shot_boundaries_planted_structure(spark, sf_dir):
+    """Every planted shot boundary (frame_idx divisible by 3) is detected
+    and nothing else: intra-shot drift is 1, inter-shot jumps ≥ 88."""
+    from simsearch_spark.queries.media import q_media_shot_boundaries
+
+    rows = q_media_shot_boundaries(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.frame_idx == 0:
+            assert r.delta is None and r.is_boundary is None
+        elif r.frame_idx % 3 == 0:
+            assert r.is_boundary and r.delta >= 88.0
+        else:
+            assert not r.is_boundary and r.delta == 1.0
