@@ -173,6 +173,12 @@ DRIVER_EXCLUDED = frozenset(
         # grid-luminance features -> the identical pair stage and oracle
         # fold; this query's flat-embedding special case keeps in-repo parity
         "dedup_embed_cosine",
+        # FFT dominant-frequency analysis (r8): the decode half is the
+        # WAV codec behind media_audio_stats (parity-gated + round-trip
+        # tested); the rFFT argmax is pinned by the closed-form
+        # square-wave oracle in the in-repo parity run and by the
+        # sine/junk fixtures in tests/test_png.py
+        "media_audio_spectral",
         # shot-boundary detection (r8): the decode half IS
         # media_frame_pixel_stats' parity-gated composition; the detection
         # half is one lag window + threshold, the window shape that is

@@ -370,6 +370,61 @@ FROM documents, unnest(range(0, doc_id % 4 + 1, {FRAME_EVERY_N})) AS u(i)
 
 
 # -----------------------------------------------------------------------------
+# media_audio_spectral: real FFT frequency analysis over decoded PCM
+# -----------------------------------------------------------------------------
+
+AUDIO_RATE = 8000
+
+
+def q_media_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-frequency analysis over REAL decoded audio: each document
+    becomes a PCM-16 WAV square wave with an exact integer number of
+    cycles (period ``2·(doc_id%5+2)`` samples, ``doc_id%7+2`` cycles), so
+    the rFFT's dominant non-DC bin is exactly the cycle count (harmonics
+    fall at odd multiples with 1/m amplitudes — verified numerically for
+    every fixture shape) and the dominant frequency has the closed form
+    ``rate / period``.  The pipeline is decode → numpy rFFT → argmax in
+    one Arrow batch; samples never leave the task."""
+    from simsearch_spark.multimodal.binary import audio_spectral
+    from simsearch_spark.multimodal.wav import encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                p, c = 2 * (d % 5 + 2), d % 7 + 2
+                amp = 3000 + (d % 50) * 100
+                wave = ([amp] * (p // 2) + [-amp] * (p // 2)) * c
+                payloads.append(encode_wav(wave, AUDIO_RATE))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                }
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_id long, kind string, payload binary, mime string"
+    )
+    return audio_spectral(media)
+
+
+SQL_MEDIA_AUDIO_SPECTRAL = f"""
+SELECT doc_id AS media_id, 'ok' AS decoded,
+       (2 * (doc_id % 5 + 2) * (doc_id % 7 + 2))::BIGINT AS n_samples,
+       (doc_id % 7 + 2)::INT AS dominant_bin,
+       round((doc_id % 7 + 2)::DOUBLE * {AUDIO_RATE}
+             / (2 * (doc_id % 5 + 2) * (doc_id % 7 + 2)), 6) AS dominant_hz
+FROM documents
+"""
+
+
+# -----------------------------------------------------------------------------
 # media_shot_boundaries: video shot/scene-boundary detection — the curation
 # step that segments raw video into shots before frame sampling
 # -----------------------------------------------------------------------------
@@ -574,4 +629,5 @@ MEDIA_QUERIES = {
     ),
     "media_image_dedup": (q_media_image_dedup, SQL_MEDIA_IMAGE_DEDUP),
     "media_shot_boundaries": (q_media_shot_boundaries, SQL_MEDIA_SHOT_BOUNDARIES),
+    "media_audio_spectral": (q_media_audio_spectral, SQL_MEDIA_AUDIO_SPECTRAL),
 }

@@ -281,3 +281,34 @@ def test_progressive_through_decode_image_and_features(spark):
     )
     embs = {r.media_id: r.embedding for r in extract_pixel_features(df).collect()}
     assert embs[1] == embs[2]
+
+
+@settings(max_examples=40, deadline=None)
+@given(flip=st.integers(2, 2000), byte=st.integers(0, 255))
+def test_progressive_mutated_payload_bounded_errors(flip, byte):
+    """Byte-flipped progressive streams must die with ValueError /
+    NotImplementedError only — the same bounded-exception contract as the
+    baseline path (the multi-scan state machine adds new parse surfaces:
+    scan headers, EOB runs, refinement bit reads)."""
+    from simsearch_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    base = bytearray(
+        encode_jpeg_progressive(16, 16, 3, _gradient(16, 16, 3).tobytes())
+    )
+    base[flip % len(base)] = byte
+    try:
+        decode_jpeg(bytes(base))
+    except (ValueError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(cut=st.integers(2, 4000))
+def test_progressive_truncated_payload_bounded_errors(cut):
+    from simsearch_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    whole = encode_jpeg_progressive(24, 16, 1, bytes(range(256)) * 1 + bytes(128))
+    try:
+        decode_jpeg(whole[: cut % len(whole)])
+    except (ValueError, NotImplementedError):
+        pass

@@ -463,3 +463,30 @@ def test_media_shot_boundaries_planted_structure(spark, sf_dir):
             assert r.is_boundary and r.delta >= 88.0
         else:
             assert not r.is_boundary and r.delta == 1.0
+
+
+def test_audio_spectral_sine_and_junk(spark):
+    """A pure sine with exactly c cycles must put the dominant bin at c
+    with zero leakage; junk payloads get a bounded failure row."""
+    import math
+
+    from simsearch_spark.multimodal.binary import audio_spectral
+    from simsearch_spark.multimodal.wav import encode_wav
+
+    n, c, rate = 64, 5, 8000
+    wave = [int(round(10000 * math.sin(2 * math.pi * c * i / n))) for i in range(n)]
+    rows = {
+        r.media_id: r
+        for r in audio_spectral(
+            _media_df(
+                spark,
+                [(1, "audio", encode_wav(wave, rate), "audio/wav"),
+                 (2, "audio", b"not a wav", "audio/wav")],
+            )
+        ).collect()
+    }
+    ok = rows[1]
+    assert ok.decoded == "ok" and ok.n_samples == n
+    assert ok.dominant_bin == c
+    assert ok.dominant_hz == round(c * rate / n, 6)
+    assert rows[2].decoded != "ok" and rows[2].dominant_bin == -1
