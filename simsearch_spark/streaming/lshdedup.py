@@ -1,5 +1,7 @@
-"""Streaming MinHash-LSH near-duplicate detection — the incremental dual of
-``operators/dedup.py minhash_lsh_pairs``.
+"""Streaming LSH near-duplicate detection — the incremental duals of
+``operators/dedup.py minhash_lsh_pairs`` (text, MinHash bands) and
+``embedding_cosine_pairs(pruned=True)`` (embeddings, sign-LSH bands, r8);
+both fronts share one keyed bucket-state candidate emitter.
 
 As documents stream in, each is shingled/minhashed/banded by the SAME fused
 Arrow kernel as the batch path (``minhash_banded_frame`` runs unchanged on a
@@ -51,6 +53,60 @@ def minhash_candidates_stream(
     expl = banded.select(
         F.col(id_col).alias("doc"), F.posexplode("bands").alias("band_idx", "band_hash")
     )
+    return _bucket_state_candidates(expl)
+
+
+def embedding_candidates_stream(
+    vecs: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    band_bits: int = 4,
+    planes_seed: int = 7,
+    mean: list[float] | None = None,
+) -> DataFrame:
+    """Streaming sign-LSH near-dup candidates for an EMBEDDING stream — the
+    incremental dual of ``embedding_cosine_pairs(pruned=True)``'s banding
+    front, sharing the keyed bucket state with the minhash front above.
+
+    ``dim`` is explicit (a stream has no first() to probe) and ``mean`` is
+    the optional precomputed per-dimension corpus mean for one-sided
+    features (the center=True scale fix) — a stream cannot compute a global
+    mean mid-flight, so production supplies it as a batch profile artifact,
+    exactly like IVF centroids.  Same split-invariance contract: the
+    distinct candidate set equals the batch band join for ANY micro-batch
+    partition (tests/test_lsh_stream.py); scoring stays a batch post-pass
+    on raw vectors."""
+    from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_bucket
+
+    planes = lcg_hyperplanes(dim, n_planes, seed=planes_seed)
+    n_bands = max(1, n_planes // band_bits)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if mean is not None:
+        v = F.zip_with(v, F.lit([float(x) for x in mean]), lambda x, m: x - m)
+    expl = (
+        vecs.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("doc"), lsh_bucket(v, planes).alias("bits"))
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+            "bits",
+        )
+        .withColumn(
+            "band_hash",
+            F.expr(
+                f"shiftright(bits, band_idx * {int(band_bits)}) & {(1 << band_bits) - 1}"
+            ),
+        )
+        .select("doc", "band_idx", "band_hash")
+    )
+    return _bucket_state_candidates(expl)
+
+
+def _bucket_state_candidates(expl: DataFrame) -> DataFrame:
+    """(doc, band_idx, band_hash) rows → streamed candidate pairs via keyed
+    per-bucket member state — shared by the minhash and sign-LSH fronts."""
 
     def emit(key, pdfs, state):
         import warnings

@@ -112,3 +112,76 @@ def test_stream_single_batch_equals_multi_batch(spark, sf_dir, tmp_path):
     p1 = {(r.id_a, r.id_b) for r in _run_stream(spark, schema, one, "t_lsh_one").collect()}
     p2 = {(r.id_a, r.id_b) for r in _run_stream(spark, schema, two, "t_lsh_two").collect()}
     assert p1 == p2
+
+
+def test_embedding_stream_candidates_equal_batch_for_any_split(spark, sf_dir, tmp_path):
+    """Streaming sign-LSH (r8): the distinct streamed candidate set equals
+    the batch band join on the full frame for a 3-way split with planted
+    near-dups straddling every boundary; planted echoes are always found."""
+    from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_bucket
+    from simsearch_spark.streaming.lshdedup import embedding_candidates_stream
+
+    n_planes, band_bits, seed = 16, 4, 7
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    dim = len(t.column("embedding")[0].as_py())
+    max_id = pc.max(t.column("vec_id")).as_py()
+    echo = t.slice(0, 12).to_pylist()
+    for i, row in enumerate(echo):
+        row["vec_id"] = max_id + 1 + i  # exact vector dups under new ids
+    t = pa.concat_tables([t, pa.Table.from_pylist(echo, schema=t.schema)])
+
+    d = tmp_path / "vslices"
+    d.mkdir()
+    mod = pc.bit_wise_and(t.column("vec_id"), 3)
+    for s in range(3):
+        part = t.filter(pc.equal(mod, s) if s < 2 else pc.greater_equal(mod, 2))
+        pq.write_table(part, str(d / f"s{s}.parquet"))
+    full = tmp_path / "vfull.parquet"
+    pq.write_table(t, str(full))
+    vecs = spark.read.parquet(str(full))
+
+    stream = (
+        spark.readStream.format("parquet").schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1).load(str(d))
+    )
+    q = (
+        embedding_candidates_stream(
+            stream, dim, n_planes=n_planes, band_bits=band_bits, planes_seed=seed
+        )
+        .writeStream.format("memory").queryName("t_vec_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    s_pairs = {
+        (r.id_a, r.id_b)
+        for r in spark.sql("SELECT DISTINCT id_a, id_b FROM t_vec_stream").collect()
+    }
+
+    planes = lcg_hyperplanes(dim, n_planes, seed=seed)
+    n_bands = n_planes // band_bits
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    expl = (
+        vecs.select(F.col("vec_id"), lsh_bucket(v, planes).alias("bits"))
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
+            "bits",
+        )
+        .withColumn(
+            "band_hash",
+            F.expr(f"shiftright(bits, band_idx * {band_bits}) & {(1 << band_bits) - 1}"),
+        )
+    )
+    left = expl.select(F.col("vec_id").alias("id_a"), "band_idx", "band_hash")
+    right = expl.select(F.col("vec_id").alias("id_b"), "band_idx", "band_hash")
+    b_pairs = {
+        (r.id_a, r.id_b)
+        for r in left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct().collect()
+    }
+    assert s_pairs == b_pairs and len(b_pairs) > 0
+    # an exact vector dup shares every band -> its pair must be present
+    for i in range(12):
+        orig = echo[i]["vec_id"] - (max_id + 1)
+        assert (orig, echo[i]["vec_id"]) in s_pairs
