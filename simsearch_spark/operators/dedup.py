@@ -480,6 +480,11 @@ def embedding_cosine_pairs(
     # survive to the authoritative round-6 filter (ADVICE r01)
     loose = float(threshold) - 1e-6
 
+    if center and not pruned:
+        raise ValueError(
+            "center=True only affects the pruned sign-LSH route's hashing; "
+            "the blocked/plain paths score raw vectors and need no centering"
+        )
     if pruned:
         from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_bucket
 

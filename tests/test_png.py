@@ -490,3 +490,25 @@ def test_audio_spectral_sine_and_junk(spark):
     assert ok.dominant_bin == c
     assert ok.dominant_hz == round(c * rate / n, 6)
     assert rows[2].decoded != "ok" and rows[2].dominant_bin == -1
+
+
+def test_media_image_dedup_cluster_apply(spark):
+    """The pairs compose with the generic dedup tail: connected components
+    over the planted triangles recover exactly the 3-member groups, and
+    keep-lowest leaves one survivor per group — the keep/drop step a
+    multimodal pipeline runs after pair generation."""
+    from simsearch_spark.multimodal.binary import extract_pixel_features
+    from simsearch_spark.operators.dedup import connected_components, embedding_cosine_pairs
+    from simsearch_spark.queries.media import IMG_DEDUP_T
+
+    feats = extract_pixel_features(_image_dedup_media(spark)).persist()
+    pairs = embedding_cosine_pairs(feats, "media_id", "embedding", IMG_DEDUP_T)
+    comp = connected_components(pairs, "id_a", "id_b")
+    groups = {}
+    for r in comp.collect():
+        groups.setdefault(r.component, set()).add(r.id)
+    assert len(groups) == 20
+    for root, members in groups.items():
+        grp = root // 3
+        assert members == {grp * 3, grp * 3 + 1, grp * 3 + 2}
+        assert root == min(members)
