@@ -457,6 +457,17 @@ def q_media_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # uniform frames depend only on (w, h, value): memoize the JPEG
+        # encode per batch — fixture-synthesis cost, not operator cost
+        # (the decode under test runs per frame regardless)
+        memo: dict[tuple[int, int, int], bytes] = {}
+
+        def frame(w: int, h: int, v: int) -> bytes:
+            key = (w, h, v)
+            if key not in memo:
+                memo[key] = encode_jpeg(w, h, 1, bytes([v]) * (w * h), quality=85)
+            return memo[key]
+
         for pdf in batches:
             payloads = []
             for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
@@ -464,11 +475,7 @@ def q_media_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = c % 13 + 4, d % 5 + 3
                 n = d % 6 + 4  # 4..9 frames -> 2-3 shots of 3
                 frames = [
-                    encode_jpeg(
-                        w, h, 1,
-                        bytes([(d * 17 + (i // 3) * 90) % 253 + i % 3]) * (w * h),
-                        quality=85,
-                    )
+                    frame(w, h, (d * 17 + (i // 3) * 90) % 253 + i % 3)
                     for i in range(n)
                 ]
                 payloads.append(encode_avi_mjpeg(frames, fps=25))
