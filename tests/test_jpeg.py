@@ -312,3 +312,83 @@ def test_progressive_truncated_payload_bounded_errors(cut):
         decode_jpeg(whole[: cut % len(whole)])
     except (ValueError, NotImplementedError):
         pass
+
+
+def _refine_roundtrip(blocks, ss, se, al):
+    """Encode one AC refinement scan over crafted TRUTH coefficient blocks,
+    then decode it against the prior-scan state; returns decoded blocks."""
+    from simsearch_spark.multimodal.jpeg import (
+        _ac_refine_block,
+        _BitReader,
+        _BitWriter,
+        _build_decode_table,
+        _build_encode_table,
+        _enc_ac_refine,
+        _fixed_table,
+        _ScanSink,
+    )
+
+    counter = _ScanSink()
+    _enc_ac_refine(counter, blocks, ss, se, al)
+    bits, vals = _fixed_table(counter.syms or {0x00})
+    enc_tab = _build_encode_table(bits, vals)
+    bw = _BitWriter()
+    _enc_ac_refine(_ScanSink(bw, enc_tab), blocks, ss, se, al)
+    bw.flush()
+    dec_tab = _build_decode_table(bits, vals)
+    reader = _BitReader(bytes(bw.out) + b"\xff\xd9", 0)
+    out = []
+    eobrun = 0
+    for truth in blocks:
+        prior = np.zeros(64, dtype=np.int64)
+        for k in range(ss, se + 1):
+            t = int(truth[k])
+            hi = abs(t) >> (al + 1)  # magnitude known before this scan
+            prior[k] = (1 if t >= 0 else -1) * (hi << (al + 1))
+        eobrun = _ac_refine_block(reader, dec_tab, prior, ss, se, al, eobrun)
+        out.append(prior)
+    return out
+
+
+def _expected_after_refine(truth, ss, se, al):
+    exp = np.zeros(64, dtype=np.int64)
+    for k in range(ss, se + 1):
+        t = int(truth[k])
+        exp[k] = (1 if t >= 0 else -1) * ((abs(t) >> al) << al)
+    return exp
+
+
+@pytest.mark.parametrize("al", [0, 1, 2])
+def test_ac_refinement_crafted_blocks(al):
+    """Direct round trip of the AC successive-approximation scan on blocks
+    crafted to force every hard path: ZRL runs (>15 zero-history gaps) with
+    buffered correction bits for history coefficients inside the gap, new
+    significance after the gap, multi-block EOB runs carrying deferred
+    correction bits, and all-zero bands."""
+    lo = 1 << al          # newly-significant magnitude at this scan
+    hi = 6 << al          # history magnitude (known from earlier scans)
+    b1 = np.zeros(64, dtype=np.int64)   # ZRL + interleaved history
+    b1[3], b1[10] = hi, -hi             # history inside the zero gap
+    b1[30] = lo                         # new significance after >15 zeros
+    b1[60] = -(hi | lo)                 # history receiving a 1-correction
+    b2 = np.zeros(64, dtype=np.int64)   # EOB-run block w/ trailing history
+    b2[5] = hi | lo
+    b3 = np.zeros(64, dtype=np.int64)   # fully empty band
+    b4 = np.zeros(64, dtype=np.int64)   # new significance at band edges
+    b4[1], b4[63] = -lo, lo
+    blocks = [b1, b2, b3, b4]
+    got = _refine_roundtrip(blocks, 1, 63, al)
+    for truth, dec in zip(blocks, got):
+        assert (dec == _expected_after_refine(truth, 1, 63, al)).all()
+
+
+def test_ac_refinement_long_zrl_chain():
+    """Two chained ZRL crossings (>32 zero-history positions) with history
+    coefficients scattered through BOTH gaps — the correction bits must
+    interleave with the right crossing, not dump after the first ZRL."""
+    al = 1
+    b = np.zeros(64, dtype=np.int64)
+    b[2], b[20], b[38] = 6 << al, -(6 << al), 7 << al  # history in the gaps
+    b[40] = 1 << al                                    # new sig after ~36 zeros
+    got = _refine_roundtrip([b], 1, 63, al)
+    assert (got[0] == _expected_after_refine(b, 1, 63, al)).all()

@@ -512,3 +512,29 @@ def test_media_image_dedup_cluster_apply(spark):
         grp = root // 3
         assert members == {grp * 3, grp * 3 + 1, grp * 3 + 2}
         assert root == min(members)
+
+
+def test_media_image_dedup_scale_invariant_member(spark):
+    """A 2x-upscaled re-encode (each pixel duplicated into a 2x2 block) has
+    the IDENTICAL grid-luminance embedding — the grid normalizes geometry —
+    so resized variants are exact feature dups, completing the planted-dup
+    taxonomy (re-encode / brightness / cross-codec / cross-geometry)."""
+    from simsearch_spark.multimodal.binary import extract_pixel_features
+    from simsearch_spark.multimodal.png import encode_png
+    from simsearch_spark.queries.media import _img_pixels
+
+    rows = []
+    for grp in range(8):
+        px, _ = _img_pixels(grp * 3)
+        rows.append((grp * 2, "image", encode_png(4, 4, 1, px, filter_types=0), "image/png"))
+        up = bytearray()
+        for y in range(4):
+            row = bytes(px[y * 4 + (x // 2)] for x in range(8))
+            up += row + row
+        rows.append((grp * 2 + 1, "image", encode_png(8, 8, 1, bytes(up)), "image/png"))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    embs = {r.media_id: r.embedding for r in extract_pixel_features(media).collect()}
+    for grp in range(8):
+        assert embs[grp * 2] == embs[grp * 2 + 1]
