@@ -805,6 +805,14 @@ class _ScanSink:
         if self.bw is not None and n:
             self.bw.write(v, n)
 
+    def restart(self, m: int) -> None:
+        """Byte-align and emit RSTm (pass 2 only); callers must flush any
+        pending EOB run / correction bits FIRST — runs never cross a
+        restart boundary (T.81 G.1.2.2)."""
+        if self.bw is not None:
+            self.bw.flush()
+            self.bw.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _fixed_table(syms: set[int]) -> tuple[list[int], list[int]]:
     """Canonical Huffman table assigning every used symbol one fixed code
@@ -830,25 +838,37 @@ def _quantize_grid(padded: np.ndarray, qz: np.ndarray) -> np.ndarray:
     return np.rint(coef.reshape(-1, 64)[:, ZIGZAG] / qz[None, :]).astype(np.int64)
 
 
-def _enc_dc_first(sink: _ScanSink, units, al: int) -> None:
+def _enc_dc_first(sink: _ScanSink, mcus, al: int, ri: int = 0) -> None:
     pred: dict[int, int] = {}
-    for cs, blk in units:
-        v = int(blk[0]) >> al  # arithmetic shift: floor toward -inf, G.1.2.1
-        diff = v - pred.get(cs, 0)
-        pred[cs] = v
-        t = abs(diff).bit_length()
-        sink.sym(t)
-        if t:
-            sink.bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+    rst = 0
+    for mi, mcu in enumerate(mcus):
+        if ri and mi and mi % ri == 0:
+            sink.restart(rst)
+            rst = (rst + 1) & 7
+            pred = {}
+        for cs, blk in mcu:
+            v = int(blk[0]) >> al  # arithmetic shift: floor toward -inf, G.1.2.1
+            diff = v - pred.get(cs, 0)
+            pred[cs] = v
+            t = abs(diff).bit_length()
+            sink.sym(t)
+            if t:
+                sink.bits(diff if diff > 0 else diff + (1 << t) - 1, t)
 
 
-def _enc_dc_refine(sink: _ScanSink, units, al: int) -> None:
-    for _cs, blk in units:
-        sink.bits((int(blk[0]) >> al) & 1, 1)
+def _enc_dc_refine(sink: _ScanSink, mcus, al: int, ri: int = 0) -> None:
+    rst = 0
+    for mi, mcu in enumerate(mcus):
+        if ri and mi and mi % ri == 0:
+            sink.restart(rst)
+            rst = (rst + 1) & 7
+        for _cs, blk in mcu:
+            sink.bits((int(blk[0]) >> al) & 1, 1)
 
 
-def _enc_ac_first(sink: _ScanSink, blocks, ss: int, se: int, al: int) -> None:
+def _enc_ac_first(sink: _ScanSink, blocks, ss: int, se: int, al: int, ri: int = 0) -> None:
     eobrun = 0
+    rst = 0
 
     def flush() -> None:
         nonlocal eobrun
@@ -859,7 +879,11 @@ def _enc_ac_first(sink: _ScanSink, blocks, ss: int, se: int, al: int) -> None:
                 sink.bits(eobrun - (1 << n), n)
             eobrun = 0
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush()  # an EOB run never crosses a restart (G.1.2.2)
+            sink.restart(rst)
+            rst = (rst + 1) & 7
         band = [int(v) for v in blk[ss : se + 1]]
         t = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
         nz = [i for i, v in enumerate(t) if v]
@@ -889,12 +913,13 @@ def _enc_ac_first(sink: _ScanSink, blocks, ss: int, se: int, al: int) -> None:
     flush()
 
 
-def _enc_ac_refine(sink: _ScanSink, blocks, ss: int, se: int, al: int) -> None:
+def _enc_ac_refine(sink: _ScanSink, blocks, ss: int, se: int, al: int, ri: int = 0) -> None:
     """G.1.2.3 correction-bit emission: runs count ZERO-HISTORY positions;
     already-nonzero coefficients contribute one buffered bit each, dumped
     after the next emitted symbol (ZRL / significance / EOBn) — exactly the
     order the refinement decoder consumes them in."""
     eobrun = 0
+    rst = 0
     bits_pend: list[int] = []  # correction bits deferred with the EOB run
 
     def flush() -> None:
@@ -909,7 +934,11 @@ def _enc_ac_refine(sink: _ScanSink, blocks, ss: int, se: int, al: int) -> None:
             sink.bits(b, 1)
         bits_pend = []
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush()  # pending EOB run + correction bits stay inside the interval
+            sink.restart(rst)
+            rst = (rst + 1) & 7
         band = [int(v) for v in blk[ss : se + 1]]
         absv = [abs(v) >> al for v in band]
         eobpos = -1
@@ -956,6 +985,7 @@ def encode_jpeg_progressive(
     pixels: bytes,
     quality: int = 85,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode row-major 8-bit pixels as PROGRESSIVE JPEG (SOF2) using the
     libjpeg-shaped default script — interleaved DC first at Al=1, per-
@@ -965,7 +995,11 @@ def encode_jpeg_progressive(
     decode_jpeg(encode_jpeg(px))`` bit-for-bit — the round-trip contract
     the progressive decoder is tested against.  Each scan carries its own
     DHT built over exactly the symbols it emits (EOBn symbols are not in
-    the Annex-K baseline tables)."""
+    the Annex-K baseline tables).  ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N MCUs (DC scans) / N blocks (AC scans)
+    with predictor and EOB-run resets — the quantized coefficients are
+    unchanged, so decode output stays bit-identical to the non-restart
+    encoding while exercising the decoder's progressive resync path."""
     comps, lq, cq, hmax, vmax, mcux, mcuy, padded = _prep_comps(
         width, height, channels, pixels, quality, subsample
     )
@@ -977,14 +1011,16 @@ def encode_jpeg_progressive(
         nbw = (-(-(width * ch) // hmax) + 7) // 8
         nbh = (-(-(height * cv) // vmax) + 7) // 8
         dims[cid] = (mcux * ch, mcuy * cv, nbw, nbh)
-    dc_units = []
+    dc_mcus = []
     for my in range(mcuy):
         for mx in range(mcux):
+            mcu = []
             for cid, ch, cv, _tq, _plane in comps:
                 bw_i = dims[cid][0]
                 for by in range(cv):
                     for bx in range(ch):
-                        dc_units.append((cid, grids[cid][(my * cv + by) * bw_i + (mx * ch + bx)]))
+                        mcu.append((cid, grids[cid][(my * cv + by) * bw_i + (mx * ch + bx)]))
+            dc_mcus.append(mcu)
 
     def ac_blocks(cid):
         bw_i, _bh, nbw, nbh = dims[cid]
@@ -998,6 +1034,8 @@ def encode_jpeg_progressive(
     for cid, ch, cv, tq_, _plane in comps:
         sof += bytes([cid, (ch << 4) | cv, tq_])
     out += _seg(0xC2, sof)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
 
     cids = [c[0] for c in comps]
     script: list[tuple[str, int | None, int, int, int, int]] = [("dc1", None, 0, 0, 0, 1)]
@@ -1012,13 +1050,13 @@ def encode_jpeg_progressive(
     for kind, cid, ss, se, ah, al in script:
         def run(sink: _ScanSink) -> None:
             if kind == "dc1":
-                _enc_dc_first(sink, dc_units, al)
+                _enc_dc_first(sink, dc_mcus, al, restart_interval)
             elif kind == "dcr":
-                _enc_dc_refine(sink, dc_units, al)
+                _enc_dc_refine(sink, dc_mcus, al, restart_interval)
             elif kind == "ac1":
-                _enc_ac_first(sink, ac_blocks(cid), ss, se, al)
+                _enc_ac_first(sink, ac_blocks(cid), ss, se, al, restart_interval)
             else:
-                _enc_ac_refine(sink, ac_blocks(cid), ss, se, al)
+                _enc_ac_refine(sink, ac_blocks(cid), ss, se, al, restart_interval)
 
         counter = _ScanSink()
         run(counter)

@@ -392,3 +392,21 @@ def test_ac_refinement_long_zrl_chain():
     b[40] = 1 << al                                    # new sig after ~36 zeros
     got = _refine_roundtrip([b], 1, 63, al)
     assert (got[0] == _expected_after_refine(b, 1, 63, al)).all()
+
+
+def test_progressive_restart_markers_round_trip():
+    """Progressive + DRI/RSTn: predictor and EOB-run resets at every
+    restart, byte-aligned resync in all six scan kinds — decode output must
+    stay bit-identical to the non-restart progressive encoding (same
+    quantized coefficients), gray and 4:2:0 color."""
+    from simsearch_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for w, h, ch, sub in [(24, 16, 1, False), (21, 17, 3, True)]:
+        pix = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        plain = decode_jpeg(encode_jpeg_progressive(w, h, ch, pix, subsample=sub))
+        for ri in (1, 2, 5):
+            rst = decode_jpeg(
+                encode_jpeg_progressive(w, h, ch, pix, subsample=sub, restart_interval=ri)
+            )
+            assert rst == plain

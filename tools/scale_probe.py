@@ -98,15 +98,14 @@ def replicate(root: str, factor: int) -> str:
 def _image_dedup_pruned(spark, sf_dir: str) -> int:
     from simsearch_spark.multimodal.binary import extract_pixel_features
     from simsearch_spark.operators.dedup import embedding_cosine_pairs
-    from simsearch_spark.queries.media import IMG_DEDUP_T, q_media_image_dedup
+    from simsearch_spark.queries.media import IMG_DEDUP_T
 
     # reuse the declared query's synth+featurize front half by rebuilding it
     # against this sf_dir, but swap the exact blocked pair stage for the
     # banded sign-LSH route — the 100×-scale candidate path
-    import simsearch_spark.queries.media as media_mod
     import pandas as pd
-    from pyspark.sql import functions as F  # noqa: F811
 
+    import simsearch_spark.queries.media as media_mod
     from simsearch_spark.sources.registry import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
