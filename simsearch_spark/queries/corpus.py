@@ -489,7 +489,13 @@ WITH u AS (
   FROM documents
 ),
 h AS (
-  SELECT doc_id, text, split_part(split_part(url, '//', 2), '/', 1) AS host FROM u
+  -- nullif: DuckDB split_part on a NULL url returns '' (not NULL), which
+  -- would both crash the later ::INT cast and group under '' while Spark
+  -- groups a NULL parse under NULL (regeneration-robustness: a NULL
+  -- source must behave identically in both engines)
+  SELECT doc_id, text,
+         nullif(split_part(split_part(url, '//', 2), '/', 1), '') AS host
+  FROM u
 ),
 s AS (
   SELECT host, count(*)::BIGINT AS n_docs,
@@ -498,8 +504,8 @@ s AS (
 )
 SELECT host, n_docs, n_unique,
        round(1.0::DOUBLE - n_unique::DOUBLE / n_docs::DOUBLE, 6) AS dup_rate,
-       (regexp_extract(host, '^d(\\d+)\\.', 1)::INT % 5 = 0) AS blocked,
-       (CASE WHEN regexp_extract(host, '^d(\\d+)\\.', 1)::INT % 5 = 0
+       (nullif(regexp_extract(host, '^d(\\d+)\\.', 1), '')::INT % 5 = 0) AS blocked,
+       (CASE WHEN nullif(regexp_extract(host, '^d(\\d+)\\.', 1), '')::INT % 5 = 0
              THEN 0 ELSE n_docs END)::BIGINT AS n_kept
 FROM s
 """

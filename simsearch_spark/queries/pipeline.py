@@ -404,7 +404,14 @@ def _lang_oracle() -> str:
     for lang, sw in LANG_STOPWORDS.items():
         lst = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
         hits = f"len(list_filter(toks, t -> list_contains({lst}, t)))"
-        ratio[lang] = f"(CASE WHEN len(toks) = 0 THEN 0.0 ELSE {hits}::DOUBLE / len(toks)::DOUBLE END)"
+        # `toks IS NULL` arm: a NULL text must score 0.0 (and so classify
+        # 'und', matching the Arrow kernel) — without it the NULL ratios
+        # fall through every CASE comparison to the ELSE language
+        # (regeneration-robustness: current fixtures carry no NULL text)
+        ratio[lang] = (
+            f"(CASE WHEN toks IS NULL OR len(toks) = 0 THEN 0.0 "
+            f"ELSE {hits}::DOUBLE / len(toks)::DOUBLE END)"
+        )
     return f"""
 WITH t AS (SELECT doc_id, lang AS lang_actual, {_WS_TOKS} AS toks FROM documents),
 s AS (

@@ -1,0 +1,55 @@
+"""Regeneration-robustness harness: build an ADVERSARIAL documents fixture
+(NULL/empty/whitespace text, unicode + emoji, 1-token and 5000-token docs,
+regex metacharacters, NULL source) on top of a real sf dir, then run the
+full oracle gate against it:
+
+    python tools/adversarial_fixtures.py [src_sf_dir] [dst_dir]
+    SPARK_GRAFT_SF_DIR=<dst_dir> python tools/check_correctness.py
+
+The external driver regenerates /root/testdata between rounds; this gate
+catches engine/oracle NULL- and edge-divergences BEFORE a regenerated
+fixture does (r8 caught two: DuckDB split_part(NULL) -> '' crashing
+domain_curation's ::INT cast, and NULL-text lang ratios falling through
+the lang-id CASE to the ELSE language).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+
+def build(src: str, dst: str) -> None:
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    for t in os.listdir(src):
+        if t != "documents.parquet":
+            shutil.copy(os.path.join(src, t), os.path.join(dst, t))
+    con.execute(f"CREATE TABLE d AS SELECT * FROM '{src}/documents.parquet'")
+    maxid = con.sql("SELECT max(doc_id) FROM d").fetchone()[0]
+    rows = [
+        (maxid + 1, None, "en", "srcX", 0),
+        (maxid + 2, "", "en", "srcX", 0),
+        (maxid + 3, "   ", "en", "srcX", 3),
+        (maxid + 4, "café naïve 中文 emoji \U0001f600 mix", "en", "srcX", 30),
+        (maxid + 5, "single", "en", "srcX", 6),
+        (maxid + 6, "a a a a a a a a a a a a a a a a", "en", "srcX", 31),
+        (maxid + 7, " ".join(f"w{i % 97}" for i in range(5000)), "en", "srcY", 25000),
+        (maxid + 8, 'quote " back \\ dot . star * plus + bracket [x] pipe |', "en", "srcY", 50),
+        (maxid + 9, "tab\tand\nnewline  double  space", "en", None, 30),
+    ]
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
+    con.execute(f"COPY d TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+    print(f"adversarial fixture at {dst}: "
+          f"{con.sql('SELECT count(*) FROM d').fetchone()[0]} docs")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_adversarial"
+    build(src, dst)
+    print(f"now: SPARK_GRAFT_SF_DIR={dst} python tools/check_correctness.py")
