@@ -53,8 +53,13 @@ def sessionize_segmented(
     Requires non-negative event times (``div`` truncates toward zero; the
     fixture epoch-µs values are positive).  Returns
     (user_id, n_sessions, n_events) — the same shape and values as the
-    single-window batch sessionize.
+    single-window batch sessionize.  Rows with a NULL event time or NULL
+    user key are excluded (the uniform event-time-operator contract — they
+    cannot be ordered into a session).
     """
+    events = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    )
     e = events.select(
         F.col(user_col).alias("user_id"),
         F.unix_micros(F.col(ts_col)).alias("tus"),

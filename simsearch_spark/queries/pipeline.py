@@ -527,14 +527,19 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming session-window operator in streaming/).  Gap arithmetic,
     window ordering, and the split predicate all run on integer microseconds
     (see SESSION_GAP_US contract note) so the result is bit-identical to the
-    oracle under any DuckDB timestamp precision."""
+    oracle under any DuckDB timestamp precision.
+
+    Contract (uniform across every event-time operator, r8): rows with a
+    NULL event time or NULL session key are EXCLUDED — they cannot be
+    ordered into a session, and the streaming dual's watermark drops them
+    anyway, so batch and stream agree on any regenerated fixture."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__events_s")
     return spark.sql(f"""
         WITH ordered AS (
           SELECT user_id, unix_micros(ts) AS tus, event_id,
                  lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY unix_micros(ts), event_id) AS prev
-          FROM __events_s
+          FROM __events_s WHERE ts IS NOT NULL AND user_id IS NOT NULL
         ), flagged AS (
           SELECT user_id, event_id,
                  CASE WHEN prev IS NULL OR tus - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
@@ -568,6 +573,8 @@ def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
     )
     w = (
         Window.partitionBy("user_id")
@@ -598,6 +605,7 @@ SQL_EVENTS_ASOF_CLICK = """
 WITH t AS (
   SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus, event_type FROM events
   WHERE event_type IN ('click', 'purchase')
+    AND ts IS NOT NULL AND user_id IS NOT NULL
 ), w AS (
   SELECT event_id, user_id, tus, event_type,
          last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
@@ -937,11 +945,18 @@ GROUP BY 1, 2
 """
 
 
+# json_valid guard: DuckDB's ->> RAISES on malformed JSON while Spark's
+# get_json_object returns NULL — a regenerated fixture with one bad props
+# row must skip it in both engines, not crash the oracle
 SQL_EVENTS_PROPS_STATS = """
-SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
-       count(*) AS n, round(avg(value), 4) AS avg_value
-FROM events
-WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+WITH j AS (
+  SELECT value,
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(props->>'$.k' AS BIGINT) END AS k
+  FROM events
+)
+SELECT k % 10 AS k_bucket, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM j WHERE k IS NOT NULL
 GROUP BY 1
 """
 
@@ -954,7 +969,7 @@ SQL_EVENTS_SESSIONIZE = f"""
 WITH ordered AS (
   SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
          lag(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
-  FROM events
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), flagged AS (
   SELECT user_id, event_id,
          CASE WHEN prev IS NULL OR tus - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session

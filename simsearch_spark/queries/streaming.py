@@ -177,6 +177,7 @@ SQL_STREAM_ENRICH_HOURLY = """
 SELECT date_trunc('hour', e.ts) AS hour, c.c_mktsegment AS segment,
        count(*) AS n, round(sum(e.value), 2) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -194,7 +195,14 @@ def _sql_events_asof() -> str:
 
 
 STREAMING_QUERIES = {
-    "stream_events_hourly": (q_stream_events_hourly, SQL_EVENTS_HOURLY),
+    # streaming duals drop NULL-event-time rows (no window assignable under
+    # a watermark); their oracles must too — the BATCH events_hourly keeps
+    # its NULL-hour group consistently in both engines, so only the
+    # streaming oracle is wrapped
+    "stream_events_hourly": (
+        q_stream_events_hourly,
+        SQL_EVENTS_HOURLY.replace("FROM events", "FROM events WHERE ts IS NOT NULL"),
+    ),
     "stream_sessionize": (q_stream_sessionize, SQL_EVENTS_SESSIONIZE),
     "stream_dedup_docs": (q_stream_dedup_docs, _sql_dedup_exact()),
     "stream_enrich_hourly": (q_stream_enrich_hourly, SQL_STREAM_ENRICH_HOURLY),

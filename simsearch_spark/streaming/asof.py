@@ -38,7 +38,15 @@ STATE_SCHEMA = "click_tus long, click_id long"
 def asof_click_stream(events: DataFrame) -> DataFrame:
     """Attribute each purchase in the stream to the user's latest prior
     click (NULLs when none), maintaining one latest-click tuple per user."""
-    ev = events.where(F.col("event_type").isin("click", "purchase")).select(
+    # uniform event-time-operator contract (r8): NULL event times / NULL
+    # user keys cannot be ordered or keyed — exclude them HERE, before the
+    # state kernel, where a NULL tus would otherwise arrive as pandas NaN
+    # and kill the task on int()
+    ev = events.where(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
         F.col("user_id"),
         F.col("event_id"),
         F.unix_micros("ts").alias("tus"),

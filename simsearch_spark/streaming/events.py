@@ -60,9 +60,13 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
 
 def sessionize_stream(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
     """Streaming gap-based sessionization via native session windows —
-    the stateful dual of q_events_sessionize (same 30-min gap)."""
+    the stateful dual of q_events_sessionize (same 30-min gap).  NULL user
+    keys are excluded (the uniform event-time-operator contract; NULL event
+    times are already unassignable under the watermark), matching the batch
+    oracle's filter."""
     return (
-        events.withWatermark("ts", WATERMARK)
+        events.where(F.col("user_id").isNotNull())
+        .withWatermark("ts", WATERMARK)
         .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

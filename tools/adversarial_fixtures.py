@@ -44,8 +44,26 @@ def build(src: str, dst: str) -> None:
     ]
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
     con.execute(f"COPY d TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+    # adversarial EVENTS: NULL user/value/type/props/ts, malformed JSON,
+    # negative value, far-future timestamp (r8 findings: stream-vs-batch
+    # NULL-event-time divergence; NaN crash in the as-of state kernel;
+    # DuckDB ->> raising on malformed JSON)
+    con.execute(f"CREATE TABLE e AS SELECT * FROM '{src}/events.parquet'")
+    m = con.sql("SELECT max(event_id) FROM e").fetchone()[0]
+    erows = [
+        (m + 1, "2024-01-02 03:04:05", None, "click", 1.5, '{"k": 1}'),
+        (m + 2, "2024-01-02 03:04:06", 7, "click", None, '{"k": 2}'),
+        (m + 3, "2024-01-02 03:04:07", 7, None, 2.5, '{"k": 3}'),
+        (m + 4, "2024-01-02 03:04:08", 7, "click", -5.0, None),
+        (m + 5, "2024-01-02 03:04:09", 7, "click", 0.0, "not json"),
+        (m + 6, "2030-12-31 23:59:59", 7, "click", 9.0, '{"k":9}'),
+        (m + 7, None, 7, "click", 3.0, '{"k":4}'),
+    ]
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", erows)
+    con.execute(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
     print(f"adversarial fixture at {dst}: "
-          f"{con.sql('SELECT count(*) FROM d').fetchone()[0]} docs")
+          f"{con.sql('SELECT count(*) FROM d').fetchone()[0]} docs, "
+          f"{con.sql('SELECT count(*) FROM e').fetchone()[0]} events")
 
 
 if __name__ == "__main__":
