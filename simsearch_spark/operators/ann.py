@@ -239,3 +239,26 @@ def ivf_topk(
         .limit(k)
         .select(id_col, "cos_sim")
     )
+
+
+def valid_embeddings(df: DataFrame, vec_col: str = "embedding", dim: int | None = None) -> DataFrame:
+    """Filter to structurally VALID embeddings: non-null, uniform dimension
+    (probed from the first non-null row when not given), every element
+    finite.  This is the explicit validation stage every embedding consumer
+    in this engine assumes — vector kernels batch rows into fixed-shape
+    numpy/Arrow arrays and codegen distance trees, where a NULL, ragged, or
+    NaN/Inf vector is a structural error, not a data point (embeddings come
+    from a fixed-dim model; a corrupt row means a broken producer).  Run it
+    once after ingest, the way a schema check runs — pure codegen column
+    predicates, no UDF, no shuffle."""
+    if dim is None:
+        row = df.where(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+        if row is None:
+            return df.where(F.lit(False))
+        dim = int(row[0])
+    v = F.col(vec_col)
+    bad = F.exists(
+        v,
+        lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) > F.lit(1e308)),
+    )
+    return df.where(v.isNotNull() & (F.size(v) == F.lit(dim)) & ~bad)

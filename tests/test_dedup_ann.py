@@ -386,3 +386,41 @@ def test_multi_query_topk_equals_per_query_brute(spark, sf_dir):
         want = cosine_topk(emb, "vec_id", "embedding", vec, 10).collect()
         for rank, r in enumerate(want, start=1):
             assert got[(q, rank)] == (r.vec_id, r.cos_sim), (q, rank)
+
+
+def test_valid_embeddings_filters_structural_garbage(spark, sf_dir):
+    """The explicit validation stage (r8): NULL, ragged, NaN, and Inf
+    vectors are dropped; clean rows pass untouched, and every downstream
+    vector operator then behaves as on a clean corpus."""
+    import math
+
+    from simsearch_spark.operators.ann import cosine_topk, valid_embeddings
+    from simsearch_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_clean = emb.count()
+    dim = len(emb.first().embedding)
+    dirty = emb.unionByName(
+        spark.createDataFrame(
+            [
+                (90001, None, 0),
+                (90002, [1.0], 0),
+                (90003, [float("nan")] + [0.0] * (dim - 1), 0),
+                (90004, [float("inf")] + [0.0] * (dim - 1), 0),
+                (90005, [0.0] * dim, 0),  # zero vector IS structurally valid
+            ],
+            f"vec_id long, embedding array<float>, label int",
+        )
+    )
+    valid = valid_embeddings(dirty, "embedding")
+    ids = {r.vec_id for r in valid.select("vec_id").collect()}
+    assert 90005 in ids and not ({90001, 90002, 90003, 90004} & ids)
+    assert len(ids) == n_clean + 1
+    # downstream operator runs clean on the validated frame
+    q = [float(x) for x in emb.first().embedding]
+    top_dirty = cosine_topk(valid, "vec_id", "embedding", q, 5).collect()
+    top_clean = cosine_topk(emb, "vec_id", "embedding", q, 5).collect()
+    assert [(r.vec_id, r.cos_sim) for r in top_dirty] == [
+        (r.vec_id, r.cos_sim) for r in top_clean
+    ]
+    assert all(not math.isnan(r.cos_sim) for r in top_dirty)

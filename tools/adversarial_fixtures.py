@@ -8,9 +8,15 @@ full oracle gate against it:
 
 The external driver regenerates /root/testdata between rounds; this gate
 catches engine/oracle NULL- and edge-divergences BEFORE a regenerated
-fixture does (r8 caught two: DuckDB split_part(NULL) -> '' crashing
-domain_curation's ::INT cast, and NULL-text lang ratios falling through
-the lang-id CASE to the ELSE language).
+fixture does (r8 caught several — see the "Uniform NULL contract" and
+"Harden oracles" commits).
+
+EMBEDDINGS are deliberately NOT mutated: a NULL / ragged / non-finite
+vector is a structural error (embeddings come from a fixed-dim model),
+and the documented contract is the explicit validation stage
+``operators/ann.py valid_embeddings`` — tested in
+tests/test_dedup_ann.py::test_valid_embeddings_filters_structural_garbage
+— not per-kernel garbage tolerance.
 """
 
 from __future__ import annotations
