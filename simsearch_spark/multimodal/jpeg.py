@@ -425,6 +425,19 @@ def _decode_progressive_scan(
 ):
     """Decode ONE progressive scan's entropy data into the coefficient
     store; returns the byte offset of the next marker."""
+    try:
+        return _decode_progressive_scan_inner(
+            data, pos, st, scan, huff_dc, huff_ac, ss, se, ah, al, restart_interval
+        )
+    except _RestartMarker:
+        # a stray RSTn mid-entropy (malformed stream) must surface as the
+        # bounded ValueError, not the private resync exception
+        raise ValueError("unexpected restart marker in progressive scan") from None
+
+
+def _decode_progressive_scan_inner(
+    data, pos, st: _ProgState, scan, huff_dc, huff_ac, ss, se, ah, al, restart_interval
+):
     _w, _h, comps = st.frame
     cmap = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
     reader = _BitReader(data, pos)
