@@ -159,3 +159,27 @@ def test_corpus_quality_filter_buckets(spark, sf_dir):
         assert r.bucket == want, (r.doc_id, r.log_ppl, thr, r.bucket)
     keep = sum(1 for r in scored if r.bucket == "keep")
     assert abs(keep / len(scored) - LM_QUALITY_P) < 0.05
+
+
+def test_corpus_quality_filter_all_unscored(spark, tmp_path):
+    """A corpus of <2-token docs has no scored rows: the threshold
+    aggregate is a single NULL row (never empty), and every doc buckets
+    drop_unscored instead of crashing or misclassifying."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simsearch_spark.queries.vocab import q_corpus_quality_filter
+
+    d = tmp_path / "sf_tiny"
+    d.mkdir()
+    t = pa.Table.from_pylist(
+        [
+            {"doc_id": 1, "text": "one", "lang": "en", "source": "s", "n_chars": 3},
+            {"doc_id": 2, "text": "", "lang": "en", "source": "s", "n_chars": 0},
+            {"doc_id": 3, "text": None, "lang": "en", "source": "s", "n_chars": 0},
+        ]
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    rows = q_corpus_quality_filter(spark, str(d)).collect()
+    got = {r.doc_id: r.bucket for r in rows}
+    assert got == {1: "drop_unscored", 2: "drop_unscored"}  # NULL text filtered upstream
