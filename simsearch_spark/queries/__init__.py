@@ -61,8 +61,9 @@ DRIVER_EXCLUDED = frozenset(
         "events_sessionize_segmented",
         # one anti-join downstream of driver-verified dedup_clusters
         "dedup_apply",
-        # upstream half of driver-verified winnow_overlap (its hash is a pure
-        # function of these fingerprints)
+        # upstream half of the winnow family — now driver-verified at depth
+        # through passage_removal (r8), whose cuts are a pure function of
+        # these fingerprints
         "doc_winnow",
         # upstream half of driver-verified pivot_knn (exact rescore consumes
         # these embeddings)
@@ -72,14 +73,16 @@ DRIVER_EXCLUDED = frozenset(
         "normalized_topk",
         # deterministic row-local hash sample; pure projection+filter
         "corpus_sample",
-        # Arrow text kernels of the same shape as driver-verified text_quality
+        # Arrow text kernels of the same family as the corpus_features_frame
+        # kernel driver-verified inside corpus_clean (text_quality itself
+        # rotated r8 under the same argument)
         "text_repetition",
         "token_stats",
         # hour granularity is a strict subset of driver-verified
         # events_rollup_multi (GROUPING SETS hour+day, same aggregates)
         "events_hourly",
-        # same Arrow kernel family as driver-verified text_quality; also
-        # exercised inside the driver-verified corpus_clean composition
+        # same Arrow kernel family; exercised inside the driver-verified
+        # corpus_clean composition (the shared corpus_features_frame kernel)
         "text_lang_id",
         # Spark `percentile` and DuckDB `quantile_cont` share the exact
         # linear-interpolation definition — the in-repo parity run is the
