@@ -150,6 +150,7 @@ def probes(spark, sf_dir: str):
     from simsearch_spark.operators.kmeans import auto_km_k
     from simsearch_spark.queries.cluster import semdedup_prune
     from simsearch_spark.queries.media import q_media_frame_pixel_stats
+    from simsearch_spark.queries.corpus import CORPUS_QUERIES
     from simsearch_spark.queries.pipeline import PIPELINE_QUERIES
     from simsearch_spark.queries.vocab import q_lm_perplexity, q_ngram_vocab
     from simsearch_spark.sources.registry import load_table
@@ -209,6 +210,12 @@ def probes(spark, sf_dir: str):
         "passage_removal": lambda: PIPELINE_QUERIES["passage_removal"][0](
             spark, sf_dir
         ).agg(F.sum("n_removed") + F.sum("n_spans")).first()[0],
+        # one groupBy(host) with a countDistinct over the 64-bit text
+        # fingerprint — the cost is the JVM char-fold over every document
+        # plus one domain-cardinality shuffle
+        "domain_curation": lambda: CORPUS_QUERIES["domain_curation"][0](
+            spark, sf_dir
+        ).agg(F.sum("n_kept") + F.sum("n_unique")).first()[0],
         "semdedup_auto_k": lambda: semdedup_prune(
             emb, "vec_id", "embedding",
             k=auto_km_k(emb.count(), rows_per_cluster=500),
