@@ -67,6 +67,20 @@ def build(src: str, dst: str) -> None:
     ]
     con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", erows)
     con.execute(f"COPY e TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    # adversarial CUSTOMER: NULL facet values exercise the reference's P3
+    # NULL-exclusion contract across the whole top-k family (passed clean
+    # on first run in r8 — kept to guard regressions)
+    con.execute(f"CREATE TABLE c AS SELECT * FROM '{src}/customer.parquet'")
+    mc = con.sql("SELECT max(c_custkey) FROM c").fetchone()[0]
+    crows = [
+        (mc + 1, None, 3, 100.5, "BUILDING"),
+        (mc + 2, "Null#Bal", 3, None, "BUILDING"),
+        (mc + 3, "NegBal", 3, -999999.99, None),
+        (mc + 4, "Dup Dup", None, 100.5, "AUTOMOBILE"),
+        (mc + 5, "", 3, 0.0, "MACHINERY"),
+    ]
+    con.executemany("INSERT INTO c VALUES (?,?,?,?,?)", crows)
+    con.execute(f"COPY c TO '{dst}/customer.parquet' (FORMAT PARQUET)")
     print(f"adversarial fixture at {dst}: "
           f"{con.sql('SELECT count(*) FROM d').fetchone()[0]} docs, "
           f"{con.sql('SELECT count(*) FROM e').fetchone()[0]} events")
