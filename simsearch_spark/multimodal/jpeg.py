@@ -104,7 +104,21 @@ for _k in range(8):
 
 
 def _build_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(code_length, code) -> symbol, canonical order (T.81 C.2)."""
+    """(code_length, code) -> symbol, canonical order (T.81 C.2).
+    Memoized on the table spec: MJPEG streams re-declare the identical DHT
+    in EVERY frame, and rebuilding it dominated small-frame decode
+    (media_shot_boundaries decodes ~32k one-block frames per sf0.1 run).
+    The returned dict is SHARED — all callers are read-only."""
+    return _build_decode_table_cached(tuple(bits), tuple(vals))
+
+
+from functools import lru_cache  # noqa: E402  (decoder-local helper)
+
+
+@lru_cache(maxsize=256)
+def _build_decode_table_cached(
+    bits: tuple[int, ...], vals: tuple[int, ...]
+) -> dict[tuple[int, int], int]:
     table: dict[tuple[int, int], int] = {}
     code = 0
     vi = 0
