@@ -176,6 +176,11 @@ DRIVER_EXCLUDED = frozenset(
         # grid-luminance features -> the identical pair stage and oracle
         # fold; this query's flat-embedding special case keeps in-repo parity
         "dedup_embed_cosine",
+        # the composed end-to-end curation recipe (r8): every stage is
+        # driver-verified on its own (corpus_clean; the LM scoring inside
+        # corpus_quality_filter) — this query verifies their COMPOSITION
+        # via the in-repo parity gate's full chained oracle
+        "corpus_curation_pipeline",
         # FFT dominant-frequency analysis (r8): the decode half is the
         # WAV codec behind media_audio_stats (parity-gated + round-trip
         # tested); the rFFT argmax is pinned by the closed-form

@@ -422,6 +422,58 @@ GROUP BY tr.doc_id
 
 
 # -----------------------------------------------------------------------------
+# corpus curation pipeline: the full modern pre-training recipe, composed
+# -----------------------------------------------------------------------------
+
+
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation recipe, every stage previously verified on
+    its own, now verified COMPOSED: quality score → language filter →
+    exact-dedup keeper selection (the corpus_clean pipeline) → bigram-LM
+    log-perplexity scoring (full-corpus LM) → p90 perplexity-tail drop
+    over the surviving subset (unscorable docs drop, the
+    corpus_quality_filter rule).  Returns each surviving document with the
+    scores that admitted it, so the oracle checks every stage's filter AND
+    the cross-stage threshold interaction, not just a final count.
+
+    100 TB shape: the union of the component plans — the only additions
+    are one doc-keyed join between two persisted doc-sized frames and a
+    1-row broadcast threshold."""
+    from simsearch_spark.queries.vocab import LM_QUALITY_P, q_lm_perplexity
+
+    clean = q_corpus_clean(spark, sf_dir)
+    scored = q_lm_perplexity(spark, sf_dir).select("doc_id", "log_ppl")
+    joined = clean.join(scored, "doc_id", "left").persist()
+    thr = joined.where(F.col("log_ppl").isNotNull()).agg(
+        F.round(F.expr(f"percentile(log_ppl, {LM_QUALITY_P})"), 6).alias("t")
+    )
+    return (
+        joined.crossJoin(F.broadcast(thr))
+        .where(F.col("log_ppl").isNotNull() & (F.col("log_ppl") <= F.col("t")))
+        .select("doc_id", "quality", "n_tokens", "log_ppl")
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    from simsearch_spark.queries.vocab import LM_QUALITY_P, SQL_LM_PERPLEXITY
+
+    return f"""
+WITH clean AS ({SQL_CORPUS_CLEAN}),
+lm AS ({SQL_LM_PERPLEXITY}),
+j AS (
+  SELECT c.doc_id, c.quality, c.n_tokens, l.log_ppl
+  FROM clean c LEFT JOIN lm l USING (doc_id)
+),
+thr AS (
+  SELECT round(quantile_cont(log_ppl, {LM_QUALITY_P}), 6) AS t
+  FROM j WHERE log_ppl IS NOT NULL
+)
+SELECT doc_id, quality, n_tokens, log_ppl FROM j, thr
+WHERE log_ppl IS NOT NULL AND log_ppl <= t
+"""
+
+
+# -----------------------------------------------------------------------------
 # domain curation: per-domain stats + blocklist filter over REAL URL parsing
 # -----------------------------------------------------------------------------
 
@@ -804,6 +856,7 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_K}
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "domain_curation": (q_domain_curation, SQL_DOMAIN_CURATION),
+    "corpus_curation_pipeline": (q_corpus_curation_pipeline, _sql_curation_pipeline()),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),
     "source_mix_weights": (q_source_mix_weights, SQL_SOURCE_MIX_WEIGHTS),
     "source_mix_apply": (q_source_mix_apply, SQL_SOURCE_MIX_APPLY),
