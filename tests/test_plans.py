@@ -81,3 +81,32 @@ def test_weight_estimation_approx_close_to_exact(spark, sf_dir):
     exact = estimate_weights(scored, facets, 10)["bal"]
     approx = estimate_weights(scored, facets, 10, approximate=True)["bal"]
     assert abs(exact - approx) < 0.05  # sketch within tolerance of exact
+
+
+def test_bench_stdout_fits_driver_tail_window():
+    """The external driver records only the LAST 2000 chars of bench
+    stdout.  The headline `value` scalar and the COMPLETE per-query min
+    map must survive that window at the current registry size — when this
+    fails, shrink the emitted line (shorter rounding, fewer leading keys)
+    rather than losing the metric-consistent tail (r7 lesson)."""
+    import importlib.util
+
+    from simsearch_spark.queries import REGISTRY
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qs = {name: 12.34 for name in REGISTRY}  # worst-case 5-char values
+    line = bench.stdout_line(qs, qs, qs, 0.1)
+    tail = line[-2000:]
+    # the headline scalar sits AFTER the map and must always survive
+    assert tail.endswith(f',"value":{round(sum(qs.values()), 2)}}}')
+    # the window keeps the END of the line, so the newest (last-registered)
+    # entries survive; at worst the rounds-stable registry HEAD overflows —
+    # require ≥90% coverage and every entry outside the head tenth
+    names = list(REGISTRY)
+    surviving = [n for n in names if f'"{n}":' in tail]
+    assert len(surviving) >= int(len(names) * 0.9)
+    assert all(f'"{n}":' in tail for n in names[len(names) // 10 :])
