@@ -216,6 +216,12 @@ def probes(spark, sf_dir: str):
         "domain_curation": lambda: CORPUS_QUERIES["domain_curation"][0](
             spark, sf_dir
         ).agg(F.sum("n_kept") + F.sum("n_unique")).first()[0],
+        # the composed curation pipeline: corpus_clean + full-corpus LM
+        # scoring + one doc-keyed join + 1-row threshold — its curve should
+        # track lm_perplexity's (the dominant stage)
+        "corpus_curation_pipeline": lambda: CORPUS_QUERIES[
+            "corpus_curation_pipeline"
+        ][0](spark, sf_dir).agg(F.sum("n_tokens") + F.count(F.lit(1))).first()[0],
         "semdedup_auto_k": lambda: semdedup_prune(
             emb, "vec_id", "embedding",
             k=auto_km_k(emb.count(), rows_per_cluster=500),
