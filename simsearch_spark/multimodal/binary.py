@@ -373,6 +373,13 @@ def audio_spectral(df: DataFrame) -> DataFrame:
                 mid = int(mid)
                 try:
                     rate, ch, samples = decode_wav(bytes(p))
+                    if ch > 1:
+                        # decode_wav returns interleaved L/R/...: FFT over the
+                        # interleaved stream mixes channels and scales every
+                        # frequency by `ch`. Deinterleave channel 0 so the
+                        # spectrum (and the Hz conversion below, which uses the
+                        # per-channel frame count) is of one real signal.
+                        samples = samples[0::ch]
                     n = len(samples)
                     if n < 2 or rate <= 0:
                         raise ValueError("too few samples for spectrum")

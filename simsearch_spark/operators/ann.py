@@ -257,8 +257,11 @@ def valid_embeddings(df: DataFrame, vec_col: str = "embedding", dim: int | None 
             return df.where(F.lit(False))
         dim = int(row[0])
     v = F.col(vec_col)
+    inf = F.lit(float("inf")).cast("double")
     bad = F.exists(
         v,
-        lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) > F.lit(1e308)),
+        # exact Inf test — a magnitude threshold like 1e308 would reject
+        # legitimate finite doubles in (1e308, DBL_MAX≈1.797e308]
+        lambda x: F.isnan(x.cast("double")) | (F.abs(x.cast("double")) == inf),
     )
     return df.where(v.isNotNull() & (F.size(v) == F.lit(dim)) & ~bad)

@@ -510,7 +510,12 @@ def embedding_cosine_pairs(
             mean_row = normed.agg(
                 F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("m")
             ).first()
-            mean_lit = F.lit([float(x) for x in mean_row["m"]])
+            # avg() is NULL for an empty frame or an all-NULL dimension;
+            # centering by 0.0 there degrades to plain sign-LSH instead of
+            # raising TypeError on the driver (bounded-behavior contract)
+            mean_lit = F.lit(
+                [float(x) if x is not None else 0.0 for x in mean_row["m"]]
+            )
             hash_vec = F.zip_with(F.col("v"), mean_lit, lambda x, m: x - m)
         bits = lsh_bucket(hash_vec, planes)
         tagged = normed.withColumn("bits", bits)

@@ -182,6 +182,26 @@ GROUP BY 1, 2
 """
 
 
+def _sql_events_hourly_nonnull_ts() -> str:
+    """The streaming dual of the events-hourly oracle: identical SQL with
+    NULL event times excluded (no window is assignable under a watermark).
+    Derived from the batch constant by substitution, but GUARDED — if
+    SQL_EVENTS_HOURLY ever gains a second ``FROM events`` (subquery, join),
+    a blind ``.replace`` would rewrite both and silently corrupt the
+    oracle, so the single-occurrence invariant is asserted first."""
+    occurrences = SQL_EVENTS_HOURLY.count("FROM events")
+    if occurrences != 1:
+        raise AssertionError(
+            "SQL_EVENTS_HOURLY now contains %d 'FROM events' clauses; "
+            "the streaming oracle substitution assumes exactly one — "
+            "give stream_events_hourly its own dedicated SQL constant"
+            % occurrences
+        )
+    return SQL_EVENTS_HOURLY.replace(
+        "FROM events", "FROM events WHERE ts IS NOT NULL"
+    )
+
+
 def _sql_dedup_exact() -> str:
     from simsearch_spark.queries.pipeline import SQL_DEDUP_EXACT
 
@@ -201,7 +221,7 @@ STREAMING_QUERIES = {
     # streaming oracle is wrapped
     "stream_events_hourly": (
         q_stream_events_hourly,
-        SQL_EVENTS_HOURLY.replace("FROM events", "FROM events WHERE ts IS NOT NULL"),
+        _sql_events_hourly_nonnull_ts(),
     ),
     "stream_sessionize": (q_stream_sessionize, SQL_EVENTS_SESSIONIZE),
     "stream_dedup_docs": (q_stream_dedup_docs, _sql_dedup_exact()),
