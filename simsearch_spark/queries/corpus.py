@@ -438,14 +438,18 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the union of the component plans — the only additions
     are one doc-keyed join between two persisted doc-sized frames and a
-    1-row broadcast threshold."""
+    1-row broadcast threshold, computed by the distributed exact quantile
+    (operators/quantile.py histogram narrowing; no single-buffer
+    percentile aggregate anywhere in the plan — the r8 scale flag)."""
+    from simsearch_spark.operators.quantile import exact_quantile_cont
     from simsearch_spark.queries.vocab import LM_QUALITY_P, q_lm_perplexity
 
     clean = q_corpus_clean(spark, sf_dir)
     scored = q_lm_perplexity(spark, sf_dir).select("doc_id", "log_ppl")
     joined = clean.join(scored, "doc_id", "left").persist()
-    thr = joined.where(F.col("log_ppl").isNotNull()).agg(
-        F.round(F.expr(f"percentile(log_ppl, {LM_QUALITY_P})"), 6).alias("t")
+    t_raw = exact_quantile_cont(joined, "log_ppl", LM_QUALITY_P)
+    thr = spark.range(1).select(
+        F.round(F.lit(t_raw).cast("double"), 6).alias("t")
     )
     return (
         joined.crossJoin(F.broadcast(thr))

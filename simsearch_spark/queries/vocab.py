@@ -373,14 +373,22 @@ def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification against the oracle.
 
     100 TB shape: scoring is the lm_perplexity plan (one keyed shuffle +
-    vocab²-LM shuffle join); the threshold is exact ``percentile`` here
-    (identical linear interpolation to DuckDB quantile_cont — the
-    events_percentiles contract) collapsed to ONE row and broadcast; at
-    corpus scale swap in approx_percentile's mergeable t-digest — same
-    shape, no extra corpus pass either way."""
+    vocab²-LM shuffle join); the threshold is the DISTRIBUTED exact
+    quantile (operators/quantile.py: iterative histogram-bin narrowing —
+    a handful of map-side-combinable passes with O(bins) driver state,
+    identical linear interpolation to DuckDB quantile_cont / Spark
+    ``percentile``), injected as a broadcast literal.  The query plan
+    itself carries NO percentile aggregate — the r8-flagged single-buffer
+    ObjectHashAggregate that concentrated every log_ppl in one task is
+    gone (plan-asserted in tests/test_quantile.py)."""
+    from simsearch_spark.operators.quantile import exact_quantile_cont
+
     scored = q_lm_perplexity(spark, sf_dir).persist()
-    thr = scored.where(F.col("log_ppl").isNotNull()).agg(
-        F.round(F.expr(f"percentile(log_ppl, {LM_QUALITY_P})"), 6).alias("t")
+    t_raw = exact_quantile_cont(scored, "log_ppl", LM_QUALITY_P)
+    # round in Spark (HALF_UP BigDecimal semantics, constant-folded), so
+    # the 6-digit threshold is bit-identical to the old percentile plan's
+    thr = spark.range(1).select(
+        F.round(F.lit(t_raw).cast("double"), 6).alias("t")
     )
     return scored.crossJoin(F.broadcast(thr)).select(
         "doc_id",

@@ -54,22 +54,36 @@ def replicate(root: str, factor: int) -> str:
                     pc.add(part.column("user_id"), k * max_user),
                 )
             if table == "documents" and k > 0:
-                # per-replica word SUFFIX: every token (hence every shingle)
-                # is distinct across replicas, so replicas share NO
-                # similarity and the dup/pair structure replicates exactly
-                # linearly, while within-replica near-dup structure is
-                # preserved verbatim.  Weaker constructions measured here:
-                # a prefix token leaves shingle sets ~identical (every doc
-                # gains `factor` near-dup copies; pair output quadratic —
-                # 119 s at 100x from ~25M true pairs); a seeded word SORT
-                # groups repeated words adjacently, manufacturing shared
-                # "w w w" shingles corpus-wide (hot LSH buckets).
+                # per-replica word SUFFIX on NON-STOPWORD tokens: any
+                # shingle containing a content word (the overwhelming
+                # majority) is distinct across replicas, so the dup/pair
+                # structure still replicates ~linearly, while within-replica
+                # near-dup structure is preserved verbatim.  Stopwords are
+                # left INTACT so replicas keep their English stopword
+                # density: the r8 probe suffixed every token, the language
+                # filter classified all k>0 replicas non-English, and the
+                # curation probe's survivor set stayed flat by construction
+                # (SCALE.md r8 caveat) — it measured scan cost, not
+                # survivor-volume scaling through the LM join + tail
+                # threshold.  Weaker constructions measured here: a prefix
+                # token leaves shingle sets ~identical (every doc gains
+                # `factor` near-dup copies; pair output quadratic — 119 s
+                # at 100x from ~25M true pairs); a seeded word SORT groups
+                # repeated words adjacently, manufacturing shared "w w w"
+                # shingles corpus-wide (hot LSH buckets).
+                from simsearch_spark.functions.text import LANG_STOPWORDS
+
+                sw = set(LANG_STOPWORDS["en"])
                 sfx = f"_{k}"
                 part = part.set_column(
                     part.schema.get_field_index("text"), "text",
                     pa.array(
                         [
-                            " ".join(w + sfx for w in t_.split()) if t_ else t_
+                            " ".join(
+                                w if w.lower() in sw else w + sfx
+                                for w in t_.split()
+                            )
+                            if t_ else t_
                             for t_ in part.column("text").to_pylist()
                         ]
                     ),
@@ -148,6 +162,7 @@ def probes(spark, sf_dir: str):
     from simsearch_spark.operators.ann import cosine_topk
     from simsearch_spark.operators.dedup import exact_dedup_groups, minhash_lsh_pairs
     from simsearch_spark.operators.kmeans import auto_km_k
+    from simsearch_spark.operators.quantile import exact_quantile_cont
     from simsearch_spark.queries.cluster import semdedup_prune
     from simsearch_spark.queries.media import q_media_frame_pixel_stats
     from simsearch_spark.queries.corpus import CORPUS_QUERIES
@@ -222,6 +237,23 @@ def probes(spark, sf_dir: str):
         "corpus_curation_pipeline": lambda: CORPUS_QUERIES[
             "corpus_curation_pipeline"
         ][0](spark, sf_dir).agg(F.sum("n_tokens") + F.count(F.lit(1))).first()[0],
+        # the distributed exact-quantile threshold stage in ISOLATION (the
+        # r8 'weak' fix, operators/quantile.py): p90 over a continuous
+        # per-doc double — count/min/max + 2-3 histogram-narrowing passes +
+        # the neighbor pass, every one a map-side-combinable aggregation
+        # with O(bins) driver state.  hash-derived uniform doubles force
+        # real narrowing (integer lengths would converge in one pass);
+        # cost must stay a flat small multiple of the scan as N grows
+        "exact_quantile_threshold": lambda: int(
+            exact_quantile_cont(
+                docs.select(
+                    (F.hash("text").cast("double") / F.lit(2.0 ** 31)).alias("u")
+                ),
+                "u",
+                0.9,
+            )
+            * 1e6
+        ),
         "semdedup_auto_k": lambda: semdedup_prune(
             emb, "vec_id", "embedding",
             k=auto_km_k(emb.count(), rows_per_cluster=500),
