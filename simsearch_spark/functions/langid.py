@@ -1,0 +1,198 @@
+"""Character-trigram language identification (v2) — the Cavnar-Trenkle
+n-gram-profile idea reduced to an oracle-replayable integer kernel.
+
+Why v2 exists: the stopword-ratio heuristic (functions/text.py lang_id) is
+trivially defeated by token-level mutation — suffix every word and the
+stopword hit-rate drops to zero, so the whole corpus classifies "und"
+(observed in the r8 scale probe, where suffixed replicas all failed the
+corpus_clean language filter).  Character trigrams survive such mutations:
+"the_1 fast_1" still contains "the", "he_", "fas", "ast" …, so a trigram
+profile still votes the right language.
+
+Design (all public knowledge: Cavnar & Trenkle 1994, "N-Gram-Based Text
+Categorization"):
+
+- A per-language PROFILE is built at import time from a small embedded
+  ASCII seed text: the top ``PROFILE_K`` trigrams of the lowercased seed,
+  weighted by their frequency in INTEGER MICRO-UNITS
+  (``count * 1e6 // total_positions``).  The profile is a deterministic
+  mount-time artifact, like lm_perplexity's LM — and because every weight
+  is an integer, a document's score is an exact BIGINT sum in any engine
+  and any aggregation order (the established float-fold defense).
+- Scoring is ROW-LOCAL: one fold over the document's trigram positions,
+  looking each trigram up in a constant-folded literal map of weight
+  vectors (one array<long> lane per language) — no shuffle, no UDF, pure
+  codegen expressions.  100 TB shape: embarrassingly parallel scan.
+- ``lang_id_v2`` keeps the stopword heuristic as the CHEAP PRE-FILTER:
+  when stopword evidence exists (any hit), its verdict stands (a handful
+  of `isin` probes per token); only stopword-blind documents pay the
+  trigram fold.
+- The DuckDB oracle replays the identical computation from the same
+  constants: ``profile_sql_values()`` renders the profile as a VALUES
+  table, positions unnest via ``range``, and the per-language score is the
+  same BIGINT sum (see queries/corpus.py SQL_LANG_ID_TRIGRAM).
+
+Reference parity note: the reference engine has no language-ID operator
+(LLM-pipeline extension surface, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions.text import lang_id
+
+__all__ = [
+    "LANGS",
+    "PROFILES",
+    "PROFILE_K",
+    "trigram_scores_micro",
+    "trigram_lang",
+    "lang_id_v2",
+    "profile_sql_values",
+]
+
+#: fixed language order — argmax tie-break and the lane order of the
+#: packed weight vectors (must match the CASE ordering in the oracle SQL)
+LANGS = ("en", "de", "fr", "es")
+
+#: trigrams kept per language profile.  64 is plenty to separate four
+#: languages and keeps the oracle's VALUES table ≤256 rows.
+PROFILE_K = 64
+
+# Embedded ASCII seed texts (public-domain phrase stock: pangrams, opening
+# lines, common function-word runs).  Deliberately ASCII-only — accented
+# forms are dropped so Spark/DuckDB lower()/substr() can never disagree on
+# code points — and single-spaced so profile construction needs no
+# whitespace normalization.
+_SEEDS = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and it was the best of "
+        "times it was the worst of times it is a truth universally "
+        "acknowledged that a single man in possession of a good fortune must "
+        "be in want of a wife all happy families are alike each unhappy "
+        "family is unhappy in its own way this is the day that we have made "
+        "and we will rejoice in it for the people of the world and all that "
+        "is in it the rain in spain stays mainly in the plain"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt uber den faulen hund und es war "
+        "die beste aller zeiten es war die schlimmste aller zeiten alle "
+        "glucklichen familien gleichen einander jede ungluckliche familie "
+        "ist auf ihre eigene weise unglucklich dies ist der tag den wir "
+        "gemacht haben und wir werden uns an ihm freuen fur die menschen der "
+        "welt und alles was darin ist der regen in spanien bleibt meistens "
+        "in der ebene und die zeit vergeht schnell in dem land"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et c "
+        "etait le meilleur des temps c etait le pire des temps toutes les "
+        "familles heureuses se ressemblent chaque famille malheureuse l est "
+        "a sa facon ceci est le jour que nous avons fait et nous nous en "
+        "rejouirons pour les gens du monde et tout ce qui s y trouve la "
+        "pluie en espagne reste surtout dans la plaine et le temps passe "
+        "vite dans le pays des lumieres et de la liberte"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y era el "
+        "mejor de los tiempos era el peor de los tiempos todas las familias "
+        "felices se parecen cada familia infeliz lo es a su manera este es "
+        "el dia que hemos hecho y nos alegraremos en el para la gente del "
+        "mundo y todo lo que hay en el la lluvia en espana se queda sobre "
+        "todo en la llanura y el tiempo pasa rapido en el pais de la vida"
+    ),
+}
+
+
+def _build_profile(seed: str, k: int = PROFILE_K) -> dict[str, int]:
+    """Top-k trigrams of the lowercased seed with integer micro-weights.
+    Deterministic: ties broken by trigram text ascending."""
+    s = seed.lower()
+    counts = Counter(s[i : i + 3] for i in range(len(s) - 2))
+    total = sum(counts.values())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return {t: c * 1_000_000 // total for t, c in top}
+
+
+PROFILES: dict[str, dict[str, int]] = {l: _build_profile(_SEEDS[l]) for l in LANGS}
+
+# the union trigram table: trigram -> one weight lane per language, in
+# LANGS order (0 where the trigram is outside that language's top-k)
+_ALL_TRIS = sorted(set().union(*[set(p) for p in PROFILES.values()]))
+
+
+def _weight_map() -> Column:
+    entries: list[Column] = []
+    for t in _ALL_TRIS:
+        entries.append(F.lit(t))
+        entries.append(
+            F.array(*[F.lit(PROFILES[l].get(t, 0)).cast("long") for l in LANGS])
+        )
+    return F.create_map(*entries)  # literal → constant-folded by Catalyst
+
+
+def trigram_scores_micro(col: Column) -> Column:
+    """array<long> of per-language trigram scores in LANGS order: the exact
+    BIGINT sum of profile micro-weights over every trigram position of
+    ``lower(col)``.  Row-local single fold; NULL/short (<3 chars) text
+    scores [0,0,0,0]."""
+    s = F.lower(F.coalesce(col, F.lit("")))
+    n = F.length(s)
+    m = _weight_map()
+    zero = F.array(*[F.lit(0).cast("long") for _ in LANGS])
+    folded = F.aggregate(
+        F.sequence(F.lit(1), n - 2),
+        zero,
+        lambda acc, i: F.zip_with(
+            acc,
+            F.coalesce(F.element_at(m, F.substring(s, i, F.lit(3))), zero),
+            lambda a, b: a + b,
+        ),
+    )
+    # sequence(1, n-2) would COUNT DOWN for n < 3 (Spark defaults to step
+    # -1 when start > stop) — guard the degenerate case explicitly
+    return F.when(n >= 3, folded).otherwise(zero)
+
+
+def trigram_lang_from_scores(scores: Column) -> Column:
+    """argmax language from an already-computed score vector (LANGS order);
+    'und' when all zero.  Deterministic tie-break: LANGS order, strict >
+    (same contract as the stopword lang_id).  Take the vector from a
+    single ``trigram_scores_micro`` column so the fold is not re-evaluated
+    per language."""
+    best_lang = F.lit("und")
+    best = F.lit(0).cast("long")
+    for i, lang in enumerate(LANGS):
+        sc = scores[i]
+        take = sc > best
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best = F.when(take, sc).otherwise(best)
+    return best_lang
+
+
+def trigram_lang(col: Column) -> Column:
+    """argmax language of the trigram scores; 'und' when all zero."""
+    return trigram_lang_from_scores(trigram_scores_micro(col))
+
+
+def lang_id_v2(col: Column) -> Column:
+    """Composed language ID: the stopword heuristic decides when it has any
+    evidence (cheap pre-filter — a few token `isin` probes); documents it
+    cannot classify ('und': zero stopword hits, e.g. suffix-mutated text)
+    fall through to the trigram profile scorer."""
+    sw = lang_id(col)
+    return F.when(sw != F.lit("und"), sw).otherwise(trigram_lang(col))
+
+
+def profile_sql_values() -> str:
+    """The profile as a SQL VALUES body — (lang, tri, w) rows, identical
+    constants to the Spark literal map, for the DuckDB oracle."""
+    rows = []
+    for lang in LANGS:
+        for t, w in sorted(PROFILES[lang].items()):
+            esc = t.replace("'", "''")
+            rows.append(f"('{lang}', '{esc}', {w})")
+    return ", ".join(rows)

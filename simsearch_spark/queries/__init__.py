@@ -192,6 +192,13 @@ DRIVER_EXCLUDED = frozenset(
         # half is one lag window + threshold, the window shape that is
         # driver-verified at depth in hybrid_rrf_topk/topk_per_source
         "media_shot_boundaries",
+        # exact fingerprint dedup (r9 rotation, seating lang_id_trigram):
+        # its oracle SQL is ALREADY on the driver surface verbatim as
+        # stream_dedup_docs' oracle (the streaming dual compares against
+        # the identical SQL_DEDUP_EXACT), and the same fingerprint +
+        # keep-lowest selection is driver-verified at depth inside
+        # corpus_clean's dedup stage; in-repo parity retained
+        "dedup_exact",
         # real MJPEG frame-pixel decode (r7): composition of two
         # independently verified codecs — the AVI frame index behind
         # media_frame_sample and the JPEG entropy decode behind

@@ -422,6 +422,126 @@ GROUP BY tr.doc_id
 
 
 # -----------------------------------------------------------------------------
+# lang_id_trigram: character-trigram language ID v2 (stopword pre-filter +
+# Cavnar-Trenkle profile scorer, functions/langid.py)
+# -----------------------------------------------------------------------------
+
+
+def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID v2 over every document: the stopword heuristic as the
+    CHEAP PRE-FILTER (a few token `isin` probes; its verdict stands when it
+    has any evidence) and the character-trigram profile scorer as the
+    fallback for stopword-blind text — the mutation-robust path (suffixed
+    tokens zero the stopword signal but leave most trigrams intact; the r8
+    probe showed the stopword heuristic alone classifying every suffixed
+    replica 'und').
+
+    Emits the FULL per-language trigram score vector (exact BIGINT sums of
+    integer micro-weights — order-independent in any engine), both
+    verdicts, and the composed prediction, so the oracle verifies the
+    profile lookup, the fold, both argmaxes, and the composition rule.
+
+    100 TB shape: entirely row-local — one constant-folded literal map, one
+    fold over trigram positions, zero shuffles, zero UDFs (the same
+    embarrassingly-parallel scan contract as corpus_features_frame)."""
+    from simsearch_spark.functions.langid import (
+        LANGS,
+        lang_id,
+        trigram_lang_from_scores,
+        trigram_scores_micro,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_sw"),
+        trigram_scores_micro(F.col("text")).alias("_sc"),
+    )
+    tri = trigram_lang_from_scores(F.col("_sc"))
+    return scored.select(
+        "doc_id",
+        "lang_sw",
+        *[F.col("_sc")[i].alias(f"score_{l}") for i, l in enumerate(LANGS)],
+        tri.alias("lang_tri"),
+        F.when(F.col("lang_sw") != F.lit("und"), F.col("lang_sw"))
+        .otherwise(tri)
+        .alias("lang_pred"),
+    )
+
+
+def _sql_lang_id_trigram() -> str:
+    from simsearch_spark.functions.langid import profile_sql_values
+    from simsearch_spark.functions.text import LANG_STOPWORDS
+
+    ratio = {}
+    for lang, sw in LANG_STOPWORDS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in sw) + "]"
+        hits = f"len(list_filter(toks, t -> list_contains({lst}, t)))"
+        ratio[lang] = (
+            f"(CASE WHEN toks IS NULL OR len(toks) = 0 THEN 0.0 "
+            f"ELSE {hits}::DOUBLE / len(toks)::DOUBLE END)"
+        )
+    return f"""
+WITH prof(lang, tri, w) AS (VALUES {profile_sql_values()}),
+t AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS s, {_WS_TOKS} AS toks
+  FROM documents
+),
+sw AS (
+  SELECT doc_id, s,
+         CASE WHEN r_en <= 0 AND r_de <= 0 AND r_fr <= 0 AND r_es <= 0 THEN 'und'
+              WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+              WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+              WHEN r_fr >= r_es THEN 'fr'
+              ELSE 'es' END AS lang_sw
+  FROM (
+    SELECT doc_id, s, {ratio['en']} AS r_en, {ratio['de']} AS r_de,
+           {ratio['fr']} AS r_fr, {ratio['es']} AS r_es
+    FROM t
+  )
+),
+pos AS (
+  SELECT doc_id, s, unnest(range(1, length(s) - 1)) AS i
+  FROM sw WHERE length(s) >= 3
+),
+hit AS (
+  SELECT p.doc_id, pr.lang, sum(pr.w)::BIGINT AS sm
+  FROM pos p JOIN prof pr ON substr(p.s, p.i::INT, 3) = pr.tri
+  GROUP BY 1, 2
+),
+pv AS (
+  SELECT doc_id,
+         coalesce(max(CASE WHEN lang = 'en' THEN sm END), 0)::BIGINT AS score_en,
+         coalesce(max(CASE WHEN lang = 'de' THEN sm END), 0)::BIGINT AS score_de,
+         coalesce(max(CASE WHEN lang = 'fr' THEN sm END), 0)::BIGINT AS score_fr,
+         coalesce(max(CASE WHEN lang = 'es' THEN sm END), 0)::BIGINT AS score_es
+  FROM hit GROUP BY doc_id
+),
+j AS (
+  SELECT sw.doc_id, sw.lang_sw,
+         coalesce(pv.score_en, 0)::BIGINT AS score_en,
+         coalesce(pv.score_de, 0)::BIGINT AS score_de,
+         coalesce(pv.score_fr, 0)::BIGINT AS score_fr,
+         coalesce(pv.score_es, 0)::BIGINT AS score_es
+  FROM sw LEFT JOIN pv USING (doc_id)
+)
+SELECT doc_id, lang_sw, score_en, score_de, score_fr, score_es,
+       CASE WHEN score_en <= 0 AND score_de <= 0 AND score_fr <= 0 AND score_es <= 0 THEN 'und'
+            WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+            WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+            WHEN score_fr >= score_es THEN 'fr'
+            ELSE 'es' END AS lang_tri,
+       CASE WHEN lang_sw != 'und' THEN lang_sw
+            WHEN score_en <= 0 AND score_de <= 0 AND score_fr <= 0 AND score_es <= 0 THEN 'und'
+            WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+            WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+            WHEN score_fr >= score_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM j
+"""
+
+
+# -----------------------------------------------------------------------------
 # corpus curation pipeline: the full modern pre-training recipe, composed
 # -----------------------------------------------------------------------------
 
@@ -859,6 +979,7 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_K}
 
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
+    "lang_id_trigram": (q_lang_id_trigram, _sql_lang_id_trigram()),
     "domain_curation": (q_domain_curation, SQL_DOMAIN_CURATION),
     "corpus_curation_pipeline": (q_corpus_curation_pipeline, _sql_curation_pipeline()),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),

@@ -1,0 +1,99 @@
+"""Tests for character-trigram language ID v2 (functions/langid.py) — the
+r8 judge task: the stopword heuristic is trivially defeated by token
+mutation; the trigram profile scorer must survive it, with the stopword
+path kept as the cheap pre-filter.
+"""
+
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions.langid import (
+    LANGS,
+    PROFILES,
+    _SEEDS,
+    lang_id_v2,
+    trigram_lang,
+    trigram_scores_micro,
+)
+
+
+def _score_py(text: str) -> list[int]:
+    """Independent pure-Python replay of the scoring contract."""
+    s = (text or "").lower()
+    out = []
+    for lang in LANGS:
+        prof = PROFILES[lang]
+        out.append(sum(prof.get(s[i : i + 3], 0) for i in range(max(len(s) - 2, 0))))
+    return out
+
+
+def _one(spark, col, text):
+    return (
+        spark.createDataFrame([(text,)], "t string")
+        .select(col(F.col("t")).alias("v"))
+        .first()
+        .v
+    )
+
+
+def test_profiles_deterministic_and_ascii():
+    for lang in LANGS:
+        assert all(ord(c) < 128 for c in _SEEDS[lang]), lang
+        prof = PROFILES[lang]
+        assert len(prof) == 64
+        assert all(isinstance(w, int) and w > 0 for w in prof.values())
+        assert all(len(t) == 3 for t in prof)
+
+
+def test_scores_match_python_reference(spark):
+    texts = [
+        "the cat sat on the mat and it was warm in the sun",
+        "der hund und die katze sind in dem haus mit der zeit",
+        "le chien et le chat sont dans la maison pour le jour",
+        "el perro y el gato estan en la casa para la gente",
+        "xy",       # too short: all-zero
+        "",          # empty
+        None,        # NULL
+        "zzz qqq vvv",  # no profile trigram at all
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select("t", trigram_scores_micro(F.col("t")).alias("sc")).collect()
+    for r in rows:
+        assert list(r.sc) == _score_py(r.t), r.t
+
+
+def test_trigram_lang_classifies_each_seed_language(spark):
+    # each seed's own text must classify as its language — and so must a
+    # short natural sentence per language
+    for lang in LANGS:
+        assert _one(spark, trigram_lang, _SEEDS[lang]) == lang
+    assert _one(spark, trigram_lang, "it is the best of all the things in the world") == "en"
+    assert _one(spark, trigram_lang, "und der wagen ist nicht mit dem zug gekommen") == "de"
+
+
+def test_suffix_mutation_defeats_stopwords_but_not_trigrams(spark):
+    """The r8 probe construction: every token suffixed. Stopword lang_id
+    says 'und'; the trigram fallback inside lang_id_v2 still classifies."""
+    from simsearch_spark.functions.text import lang_id
+
+    en = "the quick brown fox jumps over the lazy dog and it was the best of times"
+    de = "der schnelle braune fuchs springt uber den faulen hund und es war die beste aller zeiten"
+    en_m = " ".join(w + "_9" for w in en.split())
+    de_m = " ".join(w + "_9" for w in de.split())
+    assert _one(spark, lang_id, en_m) == "und"  # stopword path defeated
+    assert _one(spark, lang_id, de_m) == "und"
+    assert _one(spark, lang_id_v2, en_m) == "en"  # trigram fallback recovers
+    assert _one(spark, lang_id_v2, de_m) == "de"
+
+
+def test_v2_stopword_prefilter_decides_when_it_has_evidence(spark):
+    """When the stopword path has ANY evidence its verdict stands — v2 must
+    not pay the trigram fold or override the cheap verdict."""
+    from simsearch_spark.functions.text import lang_id
+
+    # 'la' is a stopword for both fr and es; fr wins the ratio tie-break —
+    # v2 must return the stopword verdict even where trigrams might differ
+    t = "la maison"
+    assert _one(spark, lang_id, t) == _one(spark, lang_id_v2, t)
+    # degenerate inputs classify 'und' end to end
+    for t in (None, "", "   ", "zz"):
+        assert _one(spark, lang_id_v2, t) == "und"

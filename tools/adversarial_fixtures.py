@@ -47,6 +47,21 @@ def build(src: str, dst: str) -> None:
         (maxid + 7, " ".join(f"w{i % 97}" for i in range(5000)), "en", "srcY", 25000),
         (maxid + 8, 'quote " back \\ dot . star * plus + bracket [x] pipe |', "en", "srcY", 50),
         (maxid + 9, "tab\tand\nnewline  double  space", "en", None, 30),
+        # suffix-mutated text (every token mutated, the r8 scale-probe
+        # construction that zeroed the stopword language signal): the
+        # trigram fallback in lang_id_v2 must still classify these — the
+        # pytest gate (tests/test_langid.py) asserts the classification,
+        # this fixture keeps the oracle gate honest on the same shape
+        (maxid + 10,
+         " ".join(w + "_9" for w in (
+             "the quick brown fox jumps over the lazy dog and it was the "
+             "best of times for all the people of the world").split()),
+         "en", "srcZ", 140),
+        (maxid + 11,
+         " ".join(w + "_9" for w in (
+             "der schnelle braune fuchs springt uber den faulen hund und es "
+             "war die beste aller zeiten fur die menschen der welt").split()),
+         "de", "srcZ", 130),
     ]
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
     con.execute(f"COPY d TO '{dst}/documents.parquet' (FORMAT PARQUET)")
