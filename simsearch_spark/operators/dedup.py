@@ -221,8 +221,16 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    auto_params: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
+
+    auto_params=True sizes (n_hashes, bands) from the corpus via
+    ``operators/lshparams.py auto_minhash_params`` — the S-curve midpoint
+    matched to ``threshold`` with an N-driven rows-per-band floor that
+    suppresses random-pair band collisions as the corpus grows; one
+    bounded count() when enabled.  The fixed defaults (16, 4) remain the
+    small-corpus/registry contract.
 
     candidate generation: explode band hashes → groupBy-join on
     (band_index, band_hash) → distinct (a,b) pairs; verification: exact
@@ -237,6 +245,11 @@ def minhash_lsh_pairs(
     empty documents are the exact tier's job (``exact_dedup_groups``).
     """
     df = df.where(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+    if auto_params:
+        from simsearch_spark.operators.lshparams import auto_minhash_params
+
+        prm = auto_minhash_params(df.count(), float(threshold))
+        n_hashes, bands = prm.n_hashes, prm.bands
     # fused Arrow signature kernel (bit-identical to the
     # shingle→hash→sig→band column chain, equality-tested).
     # materialization barrier: the signature table is computed ONCE and
@@ -429,6 +442,7 @@ def embedding_cosine_pairs(
     band_bits: int = 4,
     planes_seed: int = 7,
     center: bool = False,
+    auto_params: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine ≥ threshold.
 
@@ -486,13 +500,23 @@ def embedding_cosine_pairs(
             "the blocked/plain paths score raw vectors and need no centering"
         )
     if pruned:
-        from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_bucket
+        from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_band_keys
 
         # planes are generated for the table's vector width (1-row probe)
         first = df.select(F.size(vec_col).alias("d")).first()
         if first is None:
             return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
         dim = int(first.d)
+        if auto_params:
+            # mount-time sizing profile (operators/lshparams.py): band_bits
+            # ~log2(N) keeps random candidates-per-row flat; bands widened
+            # for recall ≥0.95 at the threshold.  One bounded count when no
+            # statistics hint is passed (same contract as the block tiling)
+            from simsearch_spark.operators.lshparams import auto_sign_lsh_params
+
+            n_est = n_rows if n_rows is not None else df.count()
+            prm = auto_sign_lsh_params(n_est, float(threshold))
+            n_planes, band_bits = prm.n_planes, prm.band_bits
         planes = lcg_hyperplanes(dim, n_planes, seed=planes_seed)
         n_bands = max(1, n_planes // band_bits)
         hash_vec = F.col("v")
@@ -517,17 +541,18 @@ def embedding_cosine_pairs(
                 [float(x) if x is not None else 0.0 for x in mean_row["m"]]
             )
             hash_vec = F.zip_with(F.col("v"), mean_lit, lambda x, m: x - m)
-        bits = lsh_bucket(hash_vec, planes)
-        tagged = normed.withColumn("bits", bits)
+        # per-band INDEPENDENT 63-bit keys (ann.py lsh_band_keys) — value-
+        # identical to slicing one packed signature when bands·band_bits
+        # ≤ 63 (bit i of a bucket is plane i), and the construction that
+        # lets band_bits keep growing ~log2(N) past the old single-key cap
+        # (auto_sign_lsh_params sizes it; SCALE.md r9)
+        keys = lsh_band_keys(hash_vec, planes, band_bits)
+        tagged = normed.withColumn("keys", keys)
         banded = tagged.select(
             F.col(id_col).alias("rid"),
             "v",
             "nrm",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
-            F.col("bits").alias("bits"),
-        ).withColumn(
-            "band_key",
-            F.expr(f"shiftright(bits, band_idx * {int(band_bits)}) & {(1 << band_bits) - 1}"),
+            F.posexplode("keys").alias("band_idx", "band_key"),
         )
 
         def score_bucket(pdf):

@@ -78,28 +78,23 @@ def embedding_candidates_stream(
     distinct candidate set equals the batch band join for ANY micro-batch
     partition (tests/test_lsh_stream.py); scoring stays a batch post-pass
     on raw vectors."""
-    from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_bucket
+    from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_band_keys
 
     planes = lcg_hyperplanes(dim, n_planes, seed=planes_seed)
-    n_bands = max(1, n_planes // band_bits)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     if mean is not None:
         v = F.zip_with(v, F.lit([float(x) for x in mean]), lambda x, m: x - m)
+    # per-band independent keys — same construction as the batch front
+    # (value-identical to the old packed shiftright slicing for
+    # bands·band_bits ≤ 63, unbounded beyond), so auto_sign_lsh_params
+    # sizings apply to both fronts identically
     expl = (
         vecs.where(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("doc"), lsh_bucket(v, planes).alias("bits"))
         .select(
-            "doc",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band_idx"),
-            "bits",
+            F.col(id_col).alias("doc"),
+            lsh_band_keys(v, planes, band_bits).alias("keys"),
         )
-        .withColumn(
-            "band_hash",
-            F.expr(
-                f"shiftright(bits, band_idx * {int(band_bits)}) & {(1 << band_bits) - 1}"
-            ),
-        )
-        .select("doc", "band_idx", "band_hash")
+        .select("doc", F.posexplode("keys").alias("band_idx", "band_hash"))
     )
     return _bucket_state_candidates(expl)
 

@@ -156,6 +156,66 @@ def _image_dedup_pruned(spark, sf_dir: str) -> int:
     ).count()
 
 
+def _auto_sign_candidates(spark, sf_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_band_keys
+    from simsearch_spark.operators.lshparams import auto_sign_lsh_params
+    from simsearch_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    prm = auto_sign_lsh_params(n, 0.99)
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = lcg_hyperplanes(dim, prm.n_planes, seed=7)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    expl = emb.select(
+        F.col("vec_id").alias("doc"),
+        F.posexplode(lsh_band_keys(v, planes, prm.band_bits)).alias("band_idx", "band_hash"),
+    ).persist()
+    left = expl.select(F.col("doc").alias("id_a"), "band_idx", "band_hash")
+    right = expl.select(F.col("doc").alias("id_b"), "band_idx", "band_hash")
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    expl.unpersist()
+    return cand
+
+
+def _auto_minhash_candidates(spark, sf_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.operators.dedup import minhash_banded_frame
+    from simsearch_spark.operators.lshparams import auto_minhash_params
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    prm = auto_minhash_params(docs.count(), 0.7)
+    banded = minhash_banded_frame(
+        docs, "doc_id", "text", prm.n_hashes, prm.bands
+    ).persist()
+    expl = banded.select(
+        F.col("doc_id"), F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    left = expl.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+    right = expl.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    banded.unpersist()
+    return cand
+
+
 def probes(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -237,6 +297,14 @@ def probes(spark, sf_dir: str):
         "corpus_curation_pipeline": lambda: CORPUS_QUERIES[
             "corpus_curation_pipeline"
         ][0](spark, sf_dir).agg(F.sum("n_tokens") + F.count(F.lit(1))).first()[0],
+        # ADAPTIVE LSH sizing (operators/lshparams.py): candidate PAIRS
+        # under auto params must stay ~flat PER ROW as N grows — the probe
+        # counts distinct band-join candidates on both fronts; divide rows
+        # by the corpus size across factors to read the flatness claim
+        # (fixed params are Θ(N²·2^-bits): the r8 finding these profiles
+        # exist to fix)
+        "auto_sign_candidates": lambda: _auto_sign_candidates(spark, sf_dir),
+        "auto_minhash_candidates": lambda: _auto_minhash_candidates(spark, sf_dir),
         # the distributed exact-quantile threshold stage in ISOLATION (the
         # r8 'weak' fix, operators/quantile.py): p90 over a continuous
         # per-doc double — count/min/max + 2-3 histogram-narrowing passes +
