@@ -9,11 +9,15 @@ numpy) via the ``decode_image`` magic-byte dispatcher, feeding
 WAV PCM and AVI frame indexing are likewise real (wav.py / avi.py), and
 MJPEG video frame PIXELS decode for real too (r7, ``frame_pixel_stats`` —
 AVI index + per-frame JPEG entropy decode in one Arrow batch).
-Remaining seams: progressive/arithmetic JPEG, compressed audio, and frame
-pixel decode of non-MJPEG codecs (H.264 etc.) — ``extract_features`` keeps
-a clearly-marked byte-histogram fake behind `_HAS_DECODER` for those.  The
-Spark-side contract — schema, batch iteration, partition sizing — is
-identical on every path.
+Progressive JPEG decodes for real since r8 (SOF2 multi-scan,
+``multimodal/jpeg.py``) and FLAC since r9 (``multimodal/flac.py``, via the
+``decode_audio`` dispatcher).  Remaining seams: arithmetic/hierarchical
+JPEG, perceptual audio codecs (MP3/AAC/OGG), and frame pixel decode of
+non-MJPEG video codecs (H.264 etc.) — each surfaces as a bounded
+failure-reason row naming the family.  ``extract_features`` keeps a
+clearly-marked byte-histogram fake behind `_HAS_DECODER` for payloads with
+no in-repo decoder.  The Spark-side contract — schema, batch iteration,
+partition sizing — is identical on every path.
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row counts) governs partition
@@ -292,15 +296,34 @@ AUDIO_STATS_SCHEMA = StructType(
 )
 
 
+
+def decode_audio(payload: bytes) -> tuple[int, int, list[int]]:
+    """Audio codec dispatcher: RIFF/WAVE -> PCM decode (multimodal/wav.py),
+    fLaC -> FLAC decode (multimodal/flac.py, lossless so downstream math is
+    codec-invariant).  Anything else (MP3/AAC/OGG frames, raw PCM, ...) is a
+    documented seam: NotImplementedError with the family named, surfacing as
+    a bounded failure-reason row in audio_stats/audio_spectral."""
+    if payload[:4] == b"RIFF":
+        from simsearch_spark.multimodal.wav import decode_wav
+
+        return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from simsearch_spark.multimodal.flac import decode_flac
+
+        return decode_flac(payload)
+    raise NotImplementedError(
+        "audio codec not supported (PCM WAV and FLAC implemented; "
+        "MP3/AAC/OGG are documented seams)"
+    )
+
+
 def audio_stats(df: DataFrame) -> DataFrame:
-    """REAL audio statistics for WAV payloads (multimodal/wav.py decode):
+    """REAL audio statistics for WAV and FLAC payloads (decode_audio):
     duration, RMS amplitude, zero-crossing count over the actual PCM
     samples.  Same Arrow-batch, shuffle-free shape as pixel_stats; rounding
     to 6 decimals pins the one float reduction (sum of squares) for the
     closed-form oracle."""
     import math
-
-    from simsearch_spark.multimodal.wav import decode_wav
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -311,7 +334,7 @@ def audio_stats(df: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 mid = int(mid)
                 try:
-                    rate, ch, samples = decode_wav(bytes(p))
+                    rate, ch, samples = decode_audio(bytes(p))
                     n = len(samples)
                     rms = round(math.sqrt(sum(s * s for s in samples) / max(n, 1)), 6)
                     zc = sum(
@@ -353,7 +376,7 @@ AUDIO_SPECTRAL_SCHEMA = StructType(
 
 
 def audio_spectral(df: DataFrame) -> DataFrame:
-    """REAL frequency analysis for WAV payloads: rFFT over the decoded PCM
+    """REAL frequency analysis for WAV/FLAC payloads: rFFT over the decoded PCM
     samples, dominant non-DC bin by magnitude (lowest bin on ties), and its
     frequency in Hz — the fundamental-pitch probe an audio curation
     pipeline runs (language/music/noise triage, clipping detection feeds).
@@ -361,8 +384,6 @@ def audio_spectral(df: DataFrame) -> DataFrame:
     with an exact integer number of cycles the dominant bin is the cycle
     count, so synthesized fixtures give the oracle a closed form."""
     import numpy as np
-
-    from simsearch_spark.multimodal.wav import decode_wav
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -372,7 +393,7 @@ def audio_spectral(df: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 mid = int(mid)
                 try:
-                    rate, ch, samples = decode_wav(bytes(p))
+                    rate, ch, samples = decode_audio(bytes(p))
                     if ch > 1:
                         # decode_wav returns interleaved L/R/...: FFT over the
                         # interleaved stream mixes channels and scales every

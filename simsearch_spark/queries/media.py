@@ -140,15 +140,22 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate ``8000 + (doc_id % 4)*4000`` — and the engine must recover the
     closed-form duration, RMS (= amplitude exactly for a square wave), and
     zero-crossing count (2·cycles − 1).  Samples never exist outside the
-    Arrow batch."""
+    Arrow batch.
+
+    r9: ODD doc_ids encode the same PCM as FLAC (multimodal/flac.py) —
+    the compressed-audio path runs for real through the ``decode_audio``
+    dispatcher, and because FLAC is lossless the closed-form oracle is
+    codec-invariant (the same gating pattern as media_jpeg_stats'
+    progressive rotation)."""
     from simsearch_spark.multimodal.binary import audio_stats
+    from simsearch_spark.multimodal.flac import encode_flac
     from simsearch_spark.multimodal.wav import encode_wav
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            payloads, mimes = [], []
             for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
                 d, c = int(d), int(c)
                 amp = (d % 200 + 10) * 100
@@ -156,13 +163,18 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cycles = c % 8 + 2
                 rate = 8000 + (d % 4) * 4000
                 wave = ([amp] * half + [-amp] * half) * cycles
-                payloads.append(encode_wav(wave, rate))
+                if d % 2:
+                    payloads.append(encode_flac(wave, rate))
+                    mimes.append("audio/flac")
+                else:
+                    payloads.append(encode_wav(wave, rate))
+                    mimes.append("audio/wav")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
                     "kind": "audio",
                     "payload": payloads,
-                    "mime": "audio/wav",
+                    "mime": mimes,
                 }
             )
 
@@ -384,27 +396,37 @@ def q_media_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall at odd multiples with 1/m amplitudes — verified numerically for
     every fixture shape) and the dominant frequency has the closed form
     ``rate / period``.  The pipeline is decode → numpy rFFT → argmax in
-    one Arrow batch; samples never leave the task."""
+    one Arrow batch; samples never leave the task.
+
+    r9: odd doc_ids carry FLAC (lossless → identical samples, identical
+    closed-form spectrum), so the compressed-audio decode path is gated
+    here too."""
     from simsearch_spark.multimodal.binary import audio_spectral
+    from simsearch_spark.multimodal.flac import encode_flac
     from simsearch_spark.multimodal.wav import encode_wav
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            payloads, mimes = [], []
             for d in pdf["doc_id"]:
                 d = int(d)
                 p, c = 2 * (d % 5 + 2), d % 7 + 2
                 amp = 3000 + (d % 50) * 100
                 wave = ([amp] * (p // 2) + [-amp] * (p // 2)) * c
-                payloads.append(encode_wav(wave, AUDIO_RATE))
+                if d % 2:
+                    payloads.append(encode_flac(wave, AUDIO_RATE))
+                    mimes.append("audio/flac")
+                else:
+                    payloads.append(encode_wav(wave, AUDIO_RATE))
+                    mimes.append("audio/wav")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
                     "kind": "audio",
                     "payload": payloads,
-                    "mime": "audio/wav",
+                    "mime": mimes,
                 }
             )
 
