@@ -14,9 +14,10 @@ Progressive JPEG decodes for real since r8 (SOF2 multi-scan,
 ``decode_audio`` dispatcher).  Remaining seams: arithmetic/hierarchical
 JPEG, perceptual audio codecs (MP3/AAC/OGG), and frame pixel decode of
 non-MJPEG video codecs (H.264 etc.) — each surfaces as a bounded
-failure-reason row naming the family.  ``extract_features`` keeps a
-clearly-marked byte-histogram fake behind `_HAS_DECODER` for payloads with
-no in-repo decoder.  The Spark-side contract — schema, batch iteration,
+failure-reason row naming the family.  Feature extraction is
+real pixels or nothing: a payload with no in-repo decoder gets a NULL
+embedding for ``valid_embeddings`` to gate, never fabricated numbers
+(the r6 byte-histogram sketch is retired).  The Spark-side contract — schema, batch iteration,
 partition sizing — is identical on every path.
 
 Scale notes: binary payloads dominate row size, so
@@ -45,9 +46,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-
-#: flipped to True when a real decoder library is wired in
-_HAS_DECODER = False
 
 MEDIA_SCHEMA = StructType(
     [
@@ -124,36 +122,6 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(proc, META_SCHEMA)
-
-
-def extract_features(df: DataFrame) -> DataFrame:
-    """Content-agnostic feature extraction over ARBITRARY binary payloads.
-
-    For decodable images use ``extract_pixel_features`` (real pixels, r6);
-    this path is the fallback for formats without an in-repo decoder
-    (progressive JPEG, compressed audio, video frames): a deterministic
-    byte-histogram sketch — a *fake*, clearly marked, but with the exact
-    production schema/batching so the pipeline (dedup by embedding, ANN)
-    runs end-to-end.  `_HAS_DECODER` marks where a vision/audio model
-    library would slot in."""
-
-    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if _HAS_DECODER:  # pragma: no cover
-                raise NotImplementedError("wire a real decoder here (PIL/torchaudio)")
-            embs = []
-            for p in pdf["payload"]:
-                if p is None:
-                    embs.append([0.0] * FEATURE_DIM)
-                    continue
-                hist = [0] * FEATURE_DIM
-                for b in p:
-                    hist[b % FEATURE_DIM] += 1
-                total = max(sum(hist), 1)
-                embs.append([round(c / total, 6) for c in hist])
-            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
-
-    return df.mapInPandas(proc, FEATURE_SCHEMA)
 
 
 PIXEL_STATS_SCHEMA = StructType(
@@ -234,25 +202,20 @@ def extract_pixel_features(df: DataFrame, grid: int = 4) -> DataFrame:
     """REAL image features for PNG/baseline-JPEG payloads: a
     ``grid``×``grid`` block-mean luminance map (row-major, /255-normalized)
     — the classic tiny-thumbnail embedding that feeds dedup/ANN downstream.
-    Non-decodable payloads fall back to the byte-histogram sketch of
-    ``extract_features`` so the pipeline never drops rows; ``grid*grid``
-    must equal FEATURE_DIM so both paths share one schema."""
+    Non-decodable payloads (and NULLs) yield a NULL embedding — the same
+    structural-failure contract as every other embedding producer: the
+    documented downstream gate is ``operators/ann.py valid_embeddings``
+    (r9 — this replaces the r6 byte-histogram sketch, the repo's last
+    fake-number path; features are now real pixels or nothing)."""
     if grid * grid != FEATURE_DIM:
         raise ValueError(f"grid {grid}^2 != FEATURE_DIM {FEATURE_DIM}")
-
-    def _byte_hist(p: bytes) -> list[float]:
-        hist = [0] * FEATURE_DIM
-        for b in p:
-            hist[b % FEATURE_DIM] += 1
-        total = max(sum(hist), 1)
-        return [round(c / total, 6) for c in hist]
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             embs = []
             for p in pdf["payload"]:
                 if p is None:
-                    embs.append([0.0] * FEATURE_DIM)
+                    embs.append(None)
                     continue
                 try:
                     w, h, ch, pix = decode_image(bytes(p))
@@ -276,7 +239,7 @@ def extract_pixel_features(df: DataFrame, grid: int = 4) -> DataFrame:
                         [round(s / (n or 1) / 255.0, 6) for s, n in cells]
                     )
                 except (ValueError, NotImplementedError, TypeError):
-                    embs.append(_byte_hist(bytes(p)))
+                    embs.append(None)
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
 
     return df.mapInPandas(proc, FEATURE_SCHEMA)

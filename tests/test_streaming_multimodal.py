@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 from simsearch_spark.multimodal.binary import (
     MEDIA_SCHEMA,
     decode_image_meta,
-    extract_features,
+    extract_pixel_features,
     frame_sample_plan,
 )
 from simsearch_spark.queries.pipeline import q_events_hourly, q_events_sessionize
@@ -48,15 +48,20 @@ def test_decode_image_meta_png_header(spark):
     assert meta[4].n_bytes == 0
 
 
-def test_extract_features_deterministic_schema(spark):
-    feats = extract_features(_media_df(spark))
+def test_pixel_features_schema_and_null_contract(spark):
+    """r9: the byte-histogram fake is retired — features are real pixels or
+    NULL (the valid_embeddings structural contract), same schema."""
+    feats = extract_pixel_features(_media_df(spark))
     assert dict(feats.dtypes) == {"media_id": "bigint", "embedding": "array<float>"}
     rows = {r.media_id: r.embedding for r in feats.collect()}
-    assert len(rows[1]) == 16
-    assert rows[4] == [0.0] * 16
-    # deterministic: same payload → same sketch
-    again = {r.media_id: r.embedding for r in extract_features(_media_df(spark)).collect()}
-    assert rows == again
+    # the header-only PNG stub, the JPEG stub, the unknown container, and
+    # the NULL payload all fail real decode → NULL embedding, no fake numbers
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+    # and valid_embeddings drops exactly those rows
+    from simsearch_spark.operators.ann import valid_embeddings
+
+    kept = [r.media_id for r in valid_embeddings(feats, "embedding", dim=16).collect()]
+    assert 2 not in kept and 3 not in kept and 4 not in kept
 
 
 def test_resize_images_geometry_and_stub_seam(spark):
