@@ -187,6 +187,81 @@ def lang_id_v2(col: Column) -> Column:
     return F.when(sw != F.lit("und"), sw).otherwise(trigram_lang(col))
 
 
+def langid_frame(df, id_col: str, text_col: str):
+    """(id, lang_sw, score_en..score_es, lang_tri, lang_pred) in ONE
+    Arrow-batched pass — the fused kernel behind the lang_id_trigram
+    surface query.  Byte-identical to the column-expression chain
+    (``lang_id`` + ``trigram_scores_micro`` + the argmax/composition
+    rules; equality-tested in tests/test_langid.py): integer micro-weight
+    sums are exact in any engine, and the stopword ratios use the same
+    IEEE division.  Why: Catalyst's GetMapValue on a literal map is a
+    LINEAR scan over all ~200 keys per trigram position (measured 11 s at
+    sf0.1); a dict lookup per position with all four language lanes fetched
+    at once is ~6× faster.  Same shuffle-free row-local contract."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from simsearch_spark.functions.text import LANG_STOPWORDS
+
+    tri_w = {t: tuple(PROFILES[l].get(t, 0) for l in LANGS) for t in _ALL_TRIS}
+    stopsets = [(lang, frozenset(sw)) for lang, sw in LANG_STOPWORDS.items()]
+    # Java's \s (non-UNICODE_CHARACTER_CLASS) is ASCII-only — Python's \s
+    # is unicode-aware, so spell the class out to match F.split exactly
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    id_dtype = dict(df.dtypes)[id_col]
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                id_col: [], "lang_sw": [],
+                **{f"score_{l}": [] for l in LANGS},
+                "lang_tri": [], "lang_pred": [],
+            }
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                s = (t or "").lower()
+                # stopword pre-filter (ws_tokens contract: split, drop "")
+                toks = [x for x in ws.split(s) if x != ""]
+                n = len(toks)
+                sw_lang, sw_best = "und", 0.0
+                for lang, sset in stopsets:
+                    ratio = (
+                        sum(1 for x in toks if x in sset) / n if n else 0.0
+                    )
+                    if ratio > sw_best:
+                        sw_lang, sw_best = lang, ratio
+                # trigram profile scores (exact integer micro-weights)
+                sc = [0, 0, 0, 0]
+                get = tri_w.get
+                for i in range(len(s) - 2):
+                    w = get(s[i : i + 3])
+                    if w is not None:
+                        sc[0] += w[0]
+                        sc[1] += w[1]
+                        sc[2] += w[2]
+                        sc[3] += w[3]
+                tri_lang, tri_best = "und", 0
+                for li, lang in enumerate(LANGS):
+                    if sc[li] > tri_best:
+                        tri_lang, tri_best = lang, sc[li]
+                cols[id_col].append(doc_id)
+                cols["lang_sw"].append(sw_lang)
+                for li, lang in enumerate(LANGS):
+                    cols[f"score_{lang}"].append(sc[li])
+                cols["lang_tri"].append(tri_lang)
+                cols["lang_pred"].append(sw_lang if sw_lang != "und" else tri_lang)
+            yield pd.DataFrame(cols)
+
+    score_cols = ", ".join(f"score_{l} long" for l in LANGS)
+    return df.select(id_col, text_col).mapInPandas(
+        proc,
+        f"{id_col} {id_dtype}, lang_sw string, {score_cols}, "
+        "lang_tri string, lang_pred string",
+    )
+
+
 def profile_sql_values() -> str:
     """The profile as a SQL VALUES body — (lang, tri, w) rows, identical
     constants to the Spark literal map, for the DuckDB oracle."""

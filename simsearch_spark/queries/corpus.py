@@ -441,32 +441,15 @@ def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdicts, and the composed prediction, so the oracle verifies the
     profile lookup, the fold, both argmaxes, and the composition rule.
 
-    100 TB shape: entirely row-local — one constant-folded literal map, one
-    fold over trigram positions, zero shuffles, zero UDFs (the same
-    embarrassingly-parallel scan contract as corpus_features_frame)."""
-    from simsearch_spark.functions.langid import (
-        LANGS,
-        lang_id,
-        trigram_lang_from_scores,
-        trigram_scores_micro,
-    )
+    100 TB shape: entirely row-local, zero shuffles — one fused Arrow
+    kernel (``langid_frame``; the column-expression chain is the
+    equality-tested reference, tests/test_langid.py — Catalyst's literal-
+    map lookup is a linear key scan per position, measured ~6× slower
+    than the dict-lookup kernel at sf0.1)."""
+    from simsearch_spark.functions.langid import langid_frame
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        lang_id(F.col("text")).alias("lang_sw"),
-        trigram_scores_micro(F.col("text")).alias("_sc"),
-    )
-    tri = trigram_lang_from_scores(F.col("_sc"))
-    return scored.select(
-        "doc_id",
-        "lang_sw",
-        *[F.col("_sc")[i].alias(f"score_{l}") for i, l in enumerate(LANGS)],
-        tri.alias("lang_tri"),
-        F.when(F.col("lang_sw") != F.lit("und"), F.col("lang_sw"))
-        .otherwise(tri)
-        .alias("lang_pred"),
-    )
+    return langid_frame(docs, "doc_id", "text")
 
 
 def _sql_lang_id_trigram() -> str:

@@ -85,6 +85,51 @@ def test_suffix_mutation_defeats_stopwords_but_not_trigrams(spark):
     assert _one(spark, lang_id_v2, de_m) == "de"
 
 
+def test_kernel_equals_column_chain(spark, sf_dir):
+    """The fused Arrow kernel (the query path) is byte-identical to the
+    column-expression chain on the live fixture PLUS edge cases — the
+    corpus_features_frame equality discipline."""
+    from simsearch_spark.functions.langid import (
+        langid_frame,
+        trigram_lang_from_scores,
+    )
+    from simsearch_spark.functions.text import lang_id
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "   "),
+            (9004, "the quick brown fox and the lazy dog"),
+            (9005, " ".join(w + "_9" for w in "der hund und die katze".split())),
+            (9006, "café naïve 中文 \U0001f600 the end"),
+            (9007, "tab\tand\nnewline  double  space"),
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.union(edge)
+    kernel = {r.doc_id: tuple(r) for r in langid_frame(df, "doc_id", "text").collect()}
+
+    sc = trigram_scores_micro(F.col("text"))
+    tri = trigram_lang_from_scores(F.col("_sc"))
+    chain_df = (
+        df.select("doc_id", lang_id(F.col("text")).alias("lang_sw"), sc.alias("_sc"))
+        .select(
+            "doc_id",
+            "lang_sw",
+            *[F.col("_sc")[i].alias(f"score_{l}") for i, l in enumerate(LANGS)],
+            tri.alias("lang_tri"),
+            F.when(F.col("lang_sw") != F.lit("und"), F.col("lang_sw"))
+            .otherwise(tri)
+            .alias("lang_pred"),
+        )
+    )
+    chain = {r.doc_id: tuple(r) for r in chain_df.collect()}
+    assert kernel == chain
+
+
 def test_v2_stopword_prefilter_decides_when_it_has_evidence(spark):
     """When the stopword path has ANY evidence its verdict stands — v2 must
     not pay the trigram fold or override the cheap verdict."""
