@@ -1,0 +1,165 @@
+"""Product quantization (PQ) — the canonical billion-scale embedding
+compression behind IVF-PQ ANN serving (Jégou, Douze, Schmid 2011,
+"Product Quantization for Nearest Neighbor Search").
+
+The vector is split into ``m`` contiguous subspaces; each subspace gets
+its own ``ksub``-centroid k-means codebook; a vector is stored as ``m``
+small codes (m bytes at ksub ≤ 256 — 64-dim float32 → 4 bytes here, 64×
+compression).  Queries scan codes with an Asymmetric Distance Computation
+(ADC) lookup table: ``dist²(q, x) ≈ Σ_j lut_j[code_j]`` where ``lut_j[c] =
+||q_j − centroid_{j,c}||²`` — m array lookups + adds per row instead of a
+dim-length kernel.
+
+Spark shapes (all reusing the deterministic k-means machinery,
+operators/kmeans.py — same seeding, same strict-< argmin, same in-engine
+round-6 means, so the DuckDB oracle unrolls it the same way):
+
+- ``pq_train``: m independent Lloyd loops over sliced subvectors.  Each
+  pass is the kmeans partial-agg shape; at 100 TB you train on a bounded
+  SAMPLE frame (the standard practice — FAISS trains on ≤1M vectors) and
+  the codebooks become a mount-time artifact like IVF centroids.
+- ``pq_encode``: per subspace one codegen argmin over ksub literal
+  centroids (the struct/array_min trick — each distance expression appears
+  once).  Row-local, zero shuffles; the corpus never moves.
+- ``pq_adc_topk``: the ADC scan — per-subspace LUT as an array literal,
+  ``element_at`` + sum, one TakeOrderedAndProject.  O(k) driver memory.
+
+Reference parity note: the reference engine has no quantization (its V4
+path re-scores exact vectors); PQ extends the LLM-pipeline ANN family
+(SURVEY.md §8) alongside sign-LSH and IVF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simsearch_spark.functions.measures import euclidean_distance
+from simsearch_spark.operators.kmeans import _lit_vec, _rounded_means, assign_clusters
+
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk"]
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.where(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+    if row is None:
+        raise ValueError("cannot probe vector width of an empty frame")
+    return int(row[0])
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+) -> list[dict[int, list[float]]]:
+    """Train per-subspace codebooks: for each of the ``m`` dim/m-wide
+    slices, run the deterministic Lloyd loop (seeds = the ksub lowest-id
+    subvectors rounded to 6, strict-< argmin, in-engine round-6 means,
+    empty clusters keep their previous centroid — exactly
+    ``kmeans_assign``'s contract so the oracle unrolls identically).
+    Returns ``m`` codebooks of ``ksub`` centroids each.
+
+    Corpus-scale note: pass a bounded sample frame (PQ codebooks saturate
+    long before corpus size; FAISS trains on ≤10⁶ vectors) and persist it —
+    each subspace runs ``iters`` assignment+mean passes over it.
+    """
+    dim = _probe_dim(df, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    codebooks: list[dict[int, list[float]]] = []
+    for j in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
+        )
+        init_rows = (
+            sub.orderBy(id_col)
+            .limit(ksub)
+            .select(
+                F.transform(F.col("_sub"), lambda x: F.round(x.cast("double"), 6)).alias("c")
+            )
+            .collect()
+        )
+        cents = {i: [float(v) for v in r["c"]] for i, r in enumerate(init_rows)}
+        for _ in range(iters):
+            assigned = assign_clusters(sub, "_sub", cents)
+            means = _rounded_means(assigned, "_sub")
+            cents = {cid: means.get(cid, old) for cid, old in cents.items()}
+        codebooks.append(cents)
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[dict[int, list[float]]],
+) -> DataFrame:
+    """Encode every vector: per subspace the argmin code over its codebook
+    plus the subspace quantization distance.  Output columns: ``id_col``,
+    ``code_0..code_{m-1}`` (int), ``dist_0..dist_{m-1}`` (the L2 between
+    the subvector and its centroid — the audit signal).  Pure codegen
+    column expressions, row-local, no shuffle."""
+    m = len(codebooks)
+    dim = _probe_dim(df, vec_col)
+    dsub = dim // m
+    out_cols = [F.col(id_col)]
+    passthrough = [c for c in df.columns if c not in (id_col, vec_col)]
+    out_cols += [F.col(c) for c in passthrough]
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        euclidean_distance(sub, _lit_vec(cvec)).alias("dist"),
+                        F.lit(int(cid)).alias("cid"),
+                    )
+                    for cid, cvec in sorted(cb.items())
+                ]
+            )
+        )
+        out_cols.append(best["cid"].alias(f"code_{j}"))
+        out_cols.append(best["dist"].alias(f"dist_{j}"))
+    return df.select(*out_cols)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    id_col: str,
+    codebooks: list[dict[int, list[float]]],
+    query_vec: list[float],
+    k: int,
+) -> DataFrame:
+    """Asymmetric-distance top-k over an ENCODED corpus: per subspace the
+    query builds a ksub-entry LUT of squared subdistances driver-side
+    (m·ksub floats — constant); the scan is m ``element_at`` lookups + a
+    fixed-order sum + one TakeOrderedAndProject.  Returns (id, adc_dist)
+    ascending, ties by id.  Approximate by construction (quantization
+    error); recall is audited against the exact scan in tests."""
+    m = len(codebooks)
+    dsub = len(query_vec) // m
+    luts = []
+    for j, cb in enumerate(codebooks):
+        q = query_vec[j * dsub : (j + 1) * dsub]
+        lut = []
+        for _cid, cvec in sorted(cb.items()):
+            s = 0.0
+            for a, b in zip(q, cvec):
+                d = float(a) - float(b)
+                s += d * d
+            lut.append(s)
+        luts.append(lut)
+    acc = None
+    for j in range(m):
+        term = F.element_at(F.lit(luts[j]), F.col(f"code_{j}") + 1)
+        acc = term if acc is None else acc + term
+    return (
+        codes.select(F.col(id_col), F.round(F.sqrt(acc), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -192,6 +192,13 @@ DRIVER_EXCLUDED = frozenset(
         # half is one lag window + threshold, the window shape that is
         # driver-verified at depth in hybrid_rrf_topk/topk_per_source
         "media_shot_boundaries",
+        # int8 scalar quantization (r9 rotation, seating embed_pq): the
+        # quantization family is driver-verified at greater depth through
+        # embed_pq — trained vector codebooks + per-subspace argmin encode
+        # + the SAME label-grouped reconstruction-error report, vs this
+        # query's closed-form per-dim min/max affine codebook; in-repo
+        # parity retained, error bound property-tested (tests/test_cluster.py)
+        "embed_quantize",
         # exact fingerprint dedup (r9 rotation, seating lang_id_trigram):
         # its oracle SQL is ALREADY on the driver surface verbatim as
         # stream_dedup_docs' oracle (the streaming dual compares against

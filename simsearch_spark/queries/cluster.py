@@ -220,8 +220,123 @@ GROUP BY asg.cluster_id
 SQL_SEMDEDUP = _semdedup_oracle(KM_K, KM_ITERS)
 
 
+# -----------------------------------------------------------------------------
+# embed_pq: product quantization (train + encode + reconstruction audit)
+# -----------------------------------------------------------------------------
+
+PQ_M = 4       # subspaces (64-dim -> 16-dim slices)
+PQ_KSUB = 8    # codes per subspace (3 bits; 256 in production = 1 B/subspace)
+PQ_ITERS = 2   # Lloyd iterations per subspace (the KM_ITERS contract)
+
+
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit (operators/pq.py — the IVF-PQ compression
+    recipe): train ``PQ_M`` per-subspace codebooks with the deterministic
+    Lloyd loop, encode every vector to ``PQ_M`` codes, and report per
+    fixture label the member count and the average / worst L2
+    reconstruction error — so codebook training, the per-subspace argmin
+    encode, AND the composed error all verify against the oracle's fully
+    unrolled replay.  Training here runs on the full frame (bounded
+    fixture); at corpus scale it runs on a sample and the codebooks are a
+    mount-time artifact (operators/pq.py docstring)."""
+    from simsearch_spark.operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    books = pq_train(emb, "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    enc = pq_encode(emb.select("vec_id", "label", "embedding"), "vec_id", "embedding", books)
+    err = None
+    for j in range(PQ_M):
+        term = F.col(f"dist_{j}") * F.col(f"dist_{j}")
+        err = term if err is None else err + term
+    # per-row error pinned to INTEGER MICRO-UNITS before the cross-row
+    # fold (the lm_perplexity discipline): integer sums are exact and
+    # order-independent, so the 7th-digit avg tie a float fold can flip
+    # under different plans can never flip here
+    return (
+        enc.withColumn("err6", F.round(F.sqrt(err) * F.lit(1_000_000.0), 0).cast("long"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum("err6").cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_err"),
+            F.round(F.max("err6").cast("double") / F.lit(1_000_000.0), 6).alias("max_err"),
+        )
+    )
+
+
+def _pq_sub_ctes(j: int, dsub: int, ksub: int, iters: int) -> str:
+    """Unrolled per-subspace Lloyd chain over ``embedding[a:b]`` slices —
+    the ``_km_assign_ctes`` construction parameterized by subspace;
+    terminal CTE ``af{j}`` holds (vec_id, dist, rn)."""
+    a, b = j * dsub + 1, (j + 1) * dsub
+    sql = f"""e{j} AS (SELECT vec_id, embedding[{a}:{b}] AS s FROM embeddings),
+c0x{j} AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster_id,
+         list_transform(s, x -> round(x::DOUBLE, 6)) AS c
+  FROM (SELECT vec_id, s FROM e{j} ORDER BY vec_id LIMIT {ksub})
+)"""
+    prev = f"c0x{j}"
+    for it in range(1, iters + 1):
+        sql += f""",
+a{it}x{j} AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC) AS rn
+  FROM (SELECT e.vec_id, c.cluster_id, {_l2_sql('e.s', 'c.c')} AS dist
+        FROM e{j} e, {prev} c)
+),
+m{it}x{j} AS (
+  SELECT s.cluster_id, u.i, round(avg(e.s[u.i]::DOUBLE), 6) AS mv
+  FROM (SELECT vec_id, cluster_id FROM a{it}x{j} WHERE rn = 1) s
+  JOIN e{j} e USING (vec_id), unnest(range(1, {dsub + 1})) AS u(i)
+  GROUP BY s.cluster_id, u.i
+),
+cn{it}x{j} AS (SELECT cluster_id, list(mv ORDER BY i) AS c FROM m{it}x{j} GROUP BY cluster_id),
+c{it}x{j} AS (
+  SELECT p.cluster_id, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN cn{it}x{j} n USING (cluster_id)
+)"""
+        prev = f"c{it}x{j}"
+    sql += f""",
+af{j} AS (
+  SELECT vec_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC) AS rn
+  FROM (SELECT e.vec_id, c.cluster_id, {_l2_sql('e.s', 'c.c')} AS dist
+        FROM e{j} e, {prev} c)
+)"""
+    return sql
+
+
+def _pq_oracle(m: int, ksub: int, iters: int) -> str:
+    dsub = EMB_DIM // m
+    chains = ",\n".join(_pq_sub_ctes(j, dsub, ksub, iters) for j in range(m))
+    dist_cols = ", ".join(f"f{j}.dist AS d{j}" for j in range(m))
+    joins = " ".join(
+        f"JOIN (SELECT vec_id, dist FROM af{j} WHERE rn = 1) f{j} USING (vec_id)"
+        for j in range(m)
+    )
+    err = " + ".join(f"d{j} * d{j}" for j in range(m))
+    return f"""WITH {chains},
+enc AS (
+  SELECT emb.vec_id, emb.label, {dist_cols}
+  FROM embeddings emb {joins}
+)
+SELECT label, count(*) AS n_vecs,
+       round(sum(err6)::DOUBLE / (count(*)::DOUBLE * 1000000.0), 6) AS avg_err,
+       round(max(err6)::DOUBLE / 1000000.0, 6) AS max_err
+FROM (SELECT label, round(sqrt({err}) * 1000000.0, 0)::BIGINT AS err6 FROM enc)
+GROUP BY label
+"""
+
+
+SQL_EMBED_PQ = _pq_oracle(PQ_M, PQ_KSUB, PQ_ITERS)
+
+
 CLUSTER_QUERIES = {
     "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
+    "embed_pq": (q_embed_pq, SQL_EMBED_PQ),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
 }
