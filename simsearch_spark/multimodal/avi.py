@@ -41,7 +41,13 @@ def encode_avi_mjpeg(frames: list[bytes], fps: int = 25) -> bytes:
     strh = (
         b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0)
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, 16, 16, 1, 24, 0, 0, 0, 0, 0, 0)
+    # biCompression carries the honest 'MJPG' fourcc (it was 0/BI_RGB in
+    # r6-r8, harmless then; now that raw DIB routes on BI_RGB the MJPEG
+    # container must declare itself)
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, 16, 16, 1, 24, int.from_bytes(b"MJPG", "little"), 0, 0, 0, 0, 0,
+    )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
@@ -92,3 +98,95 @@ def parse_avi_frames(payload: bytes) -> tuple[float, list[tuple[int, int]]]:
 
     walk(12, min(len(payload), 12 + struct.unpack("<I", payload[4:8])[0] - 4))
     return fps, frames
+
+
+def encode_avi_raw(frames_rgb: list[bytes], width: int, height: int, fps: int = 25) -> bytes:
+    """Minimal AVI wrapping UNCOMPRESSED video: each frame is top-down
+    row-major RGB24 pixel bytes (w·h·3), stored as a ``00db`` chunk in the
+    standard DIB layout — bottom-up rows, BGR byte order, row stride
+    padded to 4 bytes — with an honest ``strf`` BITMAPINFOHEADER
+    (biCompression=0/BI_RGB, biBitCount=24) so demuxers and
+    ``parse_avi_video_format`` can route the frames to the raw decoder."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(body) + 4) + kind + body
+
+    stride = (width * 3 + 3) & ~3
+    dibs = []
+    for f in frames_rgb:
+        if len(f) != width * height * 3:
+            raise ValueError(f"frame size {len(f)} != {width}x{height}x3")
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray(stride)
+            base = y * width * 3
+            for x in range(width):
+                r, g, b = f[base + 3 * x : base + 3 * x + 3]
+                row[3 * x : 3 * x + 3] = bytes((b, g, r))  # BGR
+            rows.append(bytes(row))
+        dibs.append(b"".join(rows))
+    n = len(dibs)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        _US_PER_S // max(fps, 1), 0, 0, 0x10, n, 0, 1, 0, 0, 0, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi" + b"".join(chunk(b"00db", f) for f in dibs)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_video_format(payload: bytes) -> tuple[int, int, int, int]:
+    """The video stream's ``strf`` BITMAPINFOHEADER → (biCompression,
+    biWidth, biHeight, biBitCount).  biCompression 0 is BI_RGB
+    (uncompressed DIB); otherwise it is a fourcc DWORD (e.g. 'MJPG').
+    Returns (-1, -1, -1, -1) when no parseable video strf exists — callers
+    fall back to per-frame magic-byte dispatch."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    result = (-1, -1, -1, -1)
+
+    def walk(start: int, end: int) -> None:
+        nonlocal result
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + ln > end:
+                return
+            if cid == b"LIST":
+                if payload[body_start : body_start + 4] in (b"hdrl", b"strl"):
+                    walk(body_start + 4, body_start + ln)
+            elif cid == b"strf" and ln >= 20 and result == (-1, -1, -1, -1):
+                _size, w, h, _planes, bits = struct.unpack("<IiiHH", payload[body_start : body_start + 16])
+                (comp,) = struct.unpack("<I", payload[body_start + 16 : body_start + 20])
+                result = (comp, w, h, bits)
+            pos = body_start + ln + (ln & 1)
+
+    walk(12, min(len(payload), 12 + struct.unpack("<I", payload[4:8])[0] - 4))
+    return result
+
+
+def decode_dib_frame(body: bytes, width: int, height: int) -> bytes:
+    """One BI_RGB 24-bit DIB frame body → top-down row-major RGB24 bytes.
+    Rows are stored bottom-up with 4-byte stride padding, BGR order."""
+    stride = (width * 3 + 3) & ~3
+    if len(body) < stride * height:
+        raise ValueError(f"DIB frame {len(body)} B < {stride}x{height} layout")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src = (height - 1 - y) * stride
+        dst = y * width * 3
+        for x in range(width):
+            b, g, r = body[src + 3 * x : src + 3 * x + 3]
+            out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
+    return bytes(out)

@@ -406,13 +406,22 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
     entropy-decode its bytes as an image (`decode_image` — MJPEG frames
     are baseline JPEGs), emitting per-frame dimensions and channel-0 mean.
 
-    Closes the r6 seam 'frame pixel decode for video' for the MJPEG case:
-    container slicing AND pixel decode happen inside one Arrow batch —
+    Closes the r6 seam 'frame pixel decode for video' for the MJPEG case
+    — and, since r9, the UNCOMPRESSED case: containers whose strf declares
+    BI_RGB 24-bit route to the raw DIB frame decoder (bottom-up BGR with
+    4-byte stride, multimodal/avi.py decode_dib_frame); MJPG (or an
+    unparseable strf) routes per-frame to decode_image; any other declared
+    codec (H.264 etc.) yields per-frame failure rows NAMING the fourcc.
+    Container slicing AND pixel decode happen inside one Arrow batch —
     frames never leave the task, no shuffle, the same row-local fan-out
     contract as `frame_sample`.  A frame that fails image decode yields a
     failure-reason row (bounded-exception contract); a payload that fails
     container parse yields one such row for the whole video."""
-    from simsearch_spark.multimodal.avi import parse_avi_frames
+    from simsearch_spark.multimodal.avi import (
+        decode_dib_frame,
+        parse_avi_frames,
+        parse_avi_video_format,
+    )
 
     cols = ("media_id", "decoded", "n_frames", "frame_idx", "width",
             "height", "channels", "mean_c0")
@@ -439,10 +448,25 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
                     # like every other bounded failure mode here.
                     emit(mid, "no frames", 0)
                     continue
+                comp, fw, fh, bits = parse_avi_video_format(b)
+                raw_dib = comp == 0 and bits == 24 and fw > 0 and fh > 0
+                mjpg = comp in (-1, int.from_bytes(b"MJPG", "little"))
                 for i in range(0, len(frames), every_n):
                     off, ln = frames[i]
                     try:
-                        w, h, ch, pix = decode_image(b[off : off + ln])
+                        if raw_dib:
+                            w, h, ch = fw, fh, 3
+                            pix = decode_dib_frame(b[off : off + ln], fw, fh)
+                        elif mjpg:
+                            w, h, ch, pix = decode_image(b[off : off + ln])
+                        else:
+                            fourcc = comp.to_bytes(4, "little").decode(
+                                "ascii", "replace"
+                            )
+                            raise NotImplementedError(
+                                f"video codec {fourcc!r} not supported "
+                                "(MJPG and BI_RGB DIB implemented)"
+                            )
                         mean = round(sum(pix[0::ch]) / (w * h), 6)
                         emit(mid, "ok", len(frames), i, w, h, ch, mean)
                     except (ValueError, NotImplementedError, TypeError) as e:

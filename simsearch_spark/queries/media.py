@@ -336,8 +336,13 @@ def q_media_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer value exactly (tests/test_jpeg.py exactness property) and the
     sampled per-frame mean has a closed form.  The engine runs
     `frame_pixel_stats`: AVI frame index + per-frame entropy decode inside
-    one Arrow batch — pixels and frame bytes never leave the task."""
-    from simsearch_spark.multimodal.avi import encode_avi_mjpeg
+    one Arrow batch — pixels and frame bytes never leave the task.
+
+    r9: ODD doc_ids carry the same uniform frames as UNCOMPRESSED BI_RGB
+    DIB video (``encode_avi_raw`` — bottom-up BGR, 4-byte stride), so the
+    raw-video decode route runs for real; lossless, so mean_c0 keeps the
+    same closed form (channels become 3)."""
+    from simsearch_spark.multimodal.avi import encode_avi_mjpeg, encode_avi_raw
     from simsearch_spark.multimodal.binary import frame_pixel_stats
     from simsearch_spark.multimodal.jpeg import encode_jpeg
 
@@ -349,6 +354,13 @@ def q_media_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
                 d, c = int(d), int(c)
                 w, h = c % 13 + 4, d % 5 + 3
+                if d % 2:
+                    frames = [
+                        bytes([(d * 13 + i * 37) % 256]) * (w * h * 3)
+                        for i in range(d % 4 + 1)
+                    ]
+                    payloads.append(encode_avi_raw(frames, w, h, fps=25))
+                    continue
                 frames = [
                     encode_jpeg(
                         w, h, 1, bytes([(d * 13 + i * 37) % 256]) * (w * h), quality=85
@@ -375,7 +387,7 @@ SQL_MEDIA_FRAME_PIXEL_STATS = f"""
 SELECT doc_id AS media_id, 'ok' AS decoded,
        (doc_id % 4 + 1)::INT AS n_frames, u.i::INT AS frame_idx,
        (n_chars % 13 + 4)::INT AS width, (doc_id % 5 + 3)::INT AS height,
-       1 AS channels,
+       (CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END)::INT AS channels,
        ((doc_id * 13 + u.i * 37) % 256)::DOUBLE AS mean_c0
 FROM documents, unnest(range(0, doc_id % 4 + 1, {FRAME_EVERY_N})) AS u(i)
 """

@@ -540,3 +540,52 @@ def test_media_image_dedup_scale_invariant_member(spark):
     embs = {r.media_id: r.embedding for r in extract_pixel_features(media).collect()}
     for grp in range(8):
         assert embs[grp * 2] == embs[grp * 2 + 1]
+
+
+def test_avi_raw_dib_roundtrip_nonuniform():
+    """encode_avi_raw stores bottom-up BGR with 4-byte stride; decode must
+    invert all three — verified with a non-uniform, non-square frame whose
+    width forces stride padding (w=5 → 15 B rows padded to 16)."""
+    from simsearch_spark.multimodal.avi import (
+        decode_dib_frame,
+        encode_avi_raw,
+        parse_avi_frames,
+        parse_avi_video_format,
+    )
+
+    w, h = 5, 3
+    frame = bytes((y * 50 + x * 10 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    avi = encode_avi_raw([frame, frame[::-1]], w, h, fps=10)
+    comp, fw, fh, bits = parse_avi_video_format(avi)
+    assert (comp, fw, fh, bits) == (0, w, h, 24)
+    fps, frames = parse_avi_frames(avi)
+    assert fps == 10.0 and len(frames) == 2
+    for i, original in enumerate([frame, frame[::-1]]):
+        off, ln = frames[i]
+        assert decode_dib_frame(avi[off : off + ln], w, h) == original
+
+
+def test_frame_pixel_stats_mixed_codecs(spark):
+    """One MJPEG AVI, one raw-DIB AVI, one AVI declaring an unsupported
+    codec: the first two decode for real, the third yields per-frame
+    failure rows NAMING the fourcc."""
+    import struct as _struct
+
+    from simsearch_spark.multimodal.avi import encode_avi_mjpeg, encode_avi_raw
+    from simsearch_spark.multimodal.binary import frame_pixel_stats
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+
+    w, h = 8, 4
+    mj = encode_avi_mjpeg([encode_jpeg(w, h, 1, bytes([77]) * (w * h), quality=85)])
+    raw = encode_avi_raw([bytes([10, 20, 30]) * (w * h)], w, h)
+    h264 = bytearray(encode_avi_raw([bytes([1, 2, 3]) * (w * h)], w, h))
+    pos = h264.index(b"strf")
+    h264[pos + 8 + 16 : pos + 8 + 20] = b"H264"  # overwrite biCompression
+    df = spark.createDataFrame(
+        [(1, bytearray(mj)), (2, bytearray(raw)), (3, bytearray(bytes(h264)))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in frame_pixel_stats(df, every_n=1).collect()}
+    assert rows[1].decoded == "ok" and rows[1].channels == 1 and rows[1].mean_c0 == 77.0
+    assert rows[2].decoded == "ok" and rows[2].channels == 3 and rows[2].mean_c0 == 10.0
+    assert "H264" in rows[3].decoded and "not supported" in rows[3].decoded
