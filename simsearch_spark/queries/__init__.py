@@ -192,6 +192,12 @@ DRIVER_EXCLUDED = frozenset(
         # half is one lag window + threshold, the window shape that is
         # driver-verified at depth in hybrid_rrf_topk/topk_per_source
         "media_shot_boundaries",
+        # per-source exact-quantile thresholds (r9): the grouped form of
+        # the SAME histogram-narrowing machinery driver-verified through
+        # corpus_quality_filter's global threshold; the per-key join /
+        # convergence logic is parity-gated plus unit-tested against
+        # Spark's own grouped percentile (tests/test_quantile.py)
+        "source_quality_threshold",
         # int8 scalar quantization (r9 rotation, seating embed_pq): the
         # quantization family is driver-verified at greater depth through
         # embed_pq — trained vector codebooks + per-subspace argmin encode

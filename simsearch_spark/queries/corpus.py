@@ -525,6 +525,68 @@ FROM j
 
 
 # -----------------------------------------------------------------------------
+# source_quality_threshold: per-source exact quantile thresholds (the
+# grouped form of the r9 distributed quantile)
+# -----------------------------------------------------------------------------
+
+
+def q_source_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE quality thresholds — the per-domain curation shape (each
+    domain keeps its own best decile, so one spammy domain cannot shift
+    every other domain's bar): exact p90 of the round-6 quality score per
+    source via ``exact_grouped_quantile_cont`` (operators/quantile.py —
+    all groups narrow simultaneously against one broadcast state frame;
+    no per-group percentile buffer anywhere), then per source the member
+    count and how many documents clear their own source's bar.
+
+    NULL sources are excluded (the repo-wide keyed-operator contract);
+    NULL-text documents count toward n_docs but never clear a threshold
+    (NULL quality compares false in both engines)."""
+    from simsearch_spark.functions.text import quality_score
+    from simsearch_spark.operators.quantile import exact_grouped_quantile_cont
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    scored = docs.select(
+        "doc_id", "source", F.round(quality_score(F.col("text")), 6).alias("quality")
+    ).persist()
+    thr = exact_grouped_quantile_cont(scored, "source", "quality", 0.9)
+    thr_frame = spark.createDataFrame(
+        sorted(thr.items()), "source string, p90_raw double"
+    ).select("source", F.round(F.col("p90_raw"), 6).alias("p90_quality"))
+    return (
+        scored.join(F.broadcast(thr_frame), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("p90_quality").alias("p90_quality"),  # constant per group
+            F.sum(
+                F.when(F.col("quality") >= F.col("p90_quality"), 1).otherwise(0)
+            ).cast("long").alias("n_top_decile"),
+        )
+    )
+
+
+SQL_SOURCE_QUALITY_THRESHOLD = f"""
+WITH tq AS ({SQL_TEXT_QUALITY}),
+j AS (
+  SELECT d.source, t.quality
+  FROM documents d JOIN tq t USING (doc_id)
+  WHERE d.source IS NOT NULL
+),
+thr AS (
+  SELECT source, round(quantile_cont(quality, 0.9), 6) AS p90_quality
+  FROM j GROUP BY source
+  HAVING round(quantile_cont(quality, 0.9), 6) IS NOT NULL
+)
+SELECT j.source, count(*)::BIGINT AS n_docs,
+       max(thr.p90_quality) AS p90_quality,
+       sum(CASE WHEN j.quality >= thr.p90_quality THEN 1 ELSE 0 END)::BIGINT AS n_top_decile
+FROM j JOIN thr USING (source)
+GROUP BY j.source
+"""
+
+
+# -----------------------------------------------------------------------------
 # corpus curation pipeline: the full modern pre-training recipe, composed
 # -----------------------------------------------------------------------------
 
@@ -963,6 +1025,7 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_K}
 CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "lang_id_trigram": (q_lang_id_trigram, _sql_lang_id_trigram()),
+    "source_quality_threshold": (q_source_quality_threshold, SQL_SOURCE_QUALITY_THRESHOLD),
     "domain_curation": (q_domain_curation, SQL_DOMAIN_CURATION),
     "corpus_curation_pipeline": (q_corpus_curation_pipeline, _sql_curation_pipeline()),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),

@@ -70,6 +70,49 @@ def test_invalid_fraction_rejected(spark):
         exact_quantile_cont(df, "x", 1.5)
 
 
+def test_grouped_matches_builtin_percentile(spark):
+    """Per-group bit-exact agreement with Spark's grouped exact percentile
+    across skewed group sizes, duplicates, and fractions — with tiny bins
+    so every group takes several simultaneous narrowing passes."""
+    from simsearch_spark.operators.quantile import exact_grouped_quantile_cont
+
+    rng = random.Random(11)
+    rows = []
+    for g, size in (("a", 1), ("b", 17), ("c", 101), ("d", 400), ("e", 3)):
+        for _ in range(size):
+            rows.append((g, rng.uniform(-100, 100)))
+    rows += [("dups", float(rng.randint(0, 5))) for _ in range(60)]
+    rows += [("const", 7.5)] * 9
+    rows += [(None, 1.0), ("a", None), ("a", float("nan"))]  # excluded
+    df = spark.createDataFrame(rows, "k string, x double").persist()
+    # the operator's contract excludes NULL keys AND NULL/NaN values (the
+    # oracle-facing domain — quantile_cont has no NaN ordering); compare
+    # against the builtin over that same domain
+    clean = df.where(
+        F.col("k").isNotNull() & F.col("x").isNotNull() & ~F.isnan("x")
+    ).persist()
+    for p in (0.0, 0.25, 0.5, 0.9, 1.0):
+        expected = {
+            r.k: r.t
+            for r in clean.groupBy("k")
+            .agg(F.expr(f"percentile(x, {p!r})").alias("t"))
+            .collect()
+            if r.t is not None
+        }
+        # fed the RAW frame: the operator must do the exclusion itself
+        got = exact_grouped_quantile_cont(df, "k", "x", p, bins=8)
+        assert got == expected, p
+
+
+def test_grouped_empty_and_validation(spark):
+    from simsearch_spark.operators.quantile import exact_grouped_quantile_cont
+
+    df = spark.createDataFrame([(None, 1.0)], "k string, x double")
+    assert exact_grouped_quantile_cont(df, "k", "x", 0.5) == {}
+    with pytest.raises(ValueError, match="outside"):
+        exact_grouped_quantile_cont(df, "k", "x", -0.1)
+
+
 def test_quality_filter_plan_has_no_percentile_buffer(spark, sf_dir):
     """The r8 'weak' flag, closed: neither quality query's plan may carry
     an exact-percentile aggregate (the unmergeable ObjectHashAggregate
