@@ -493,7 +493,6 @@ def encode_flac(
 def _rice_cost(resid: list[int], k: int) -> int:
     cost = 0
     for v in resid:
-        u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
         u = (v << 1) if v >= 0 else ((-v) << 1) - 1
         cost += (u >> k) + 1 + k
     return cost

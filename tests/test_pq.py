@@ -94,6 +94,21 @@ def test_adc_candidates_plus_rerank_recall_on_live_fixture(spark, sf_dir):
     assert [v for v in rerank if v in set(common)] == common
 
 
+def test_encode_plan_is_shuffle_free(spark):
+    """The 100 TB contract: PQ encode is a pure projection — the corpus
+    never moves.  The executed plan must contain no Exchange."""
+    vecs = [[float(i % 7), float(i % 3), float(-i % 5), 1.0] for i in range(40)]
+    df = _frame(spark, vecs)
+    books = pq_train(df, "vec_id", "embedding", m=2, ksub=4, iters=1)
+    plan = (
+        pq_encode(df, "vec_id", "embedding", books)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_dim_must_divide_and_empty_frame(spark):
     df = _frame(spark, [[1.0, 2.0, 3.0]])
     with pytest.raises(ValueError, match="not divisible"):

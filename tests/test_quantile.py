@@ -127,6 +127,23 @@ def test_quality_filter_plan_has_no_percentile_buffer(spark, sf_dir):
         assert "ObjectHashAggregate" not in plan, q.__name__
 
 
+def test_source_threshold_joins_broadcast(spark, sf_dir):
+    """The per-source threshold frame is domain-sized: the final plan must
+    broadcast it (no shuffle of the corpus for the join) and carry no
+    percentile aggregate."""
+    from simsearch_spark.queries.corpus import q_source_quality_threshold
+
+    plan = (
+        q_source_quality_threshold(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "percentile" not in plan.lower()
+
+
 def test_quality_filter_threshold_unchanged(spark, sf_dir):
     """The migrated threshold is value-identical to the old single-buffer
     percentile plan on real data (the quantile_cont hash contract)."""

@@ -216,6 +216,33 @@ def _auto_minhash_candidates(spark, sf_dir: str) -> int:
     return cand
 
 
+def _grouped_quantile_probe(spark, sf_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.operators.quantile import exact_grouped_quantile_cont
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", (F.hash("text").cast("double") / F.lit(2.0 ** 31)).alias("u")
+    )
+    thr = exact_grouped_quantile_cont(docs, "source", "u", 0.9)
+    return len(thr)
+
+
+def _pq_encode_probe(spark, sf_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.operators.pq import pq_encode, pq_train
+    from simsearch_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.orderBy("vec_id").limit(2000).persist()
+    books = pq_train(sample, "vec_id", "embedding", m=4, ksub=8, iters=2)
+    sample.unpersist()
+    enc = pq_encode(emb, "vec_id", "embedding", books)
+    return int(enc.agg(F.sum("code_0") + F.count(F.lit(1))).first()[0])
+
+
 def probes(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -322,6 +349,16 @@ def probes(spark, sf_dir: str):
             )
             * 1e6
         ),
+        # the GROUPED exact quantile (r9): per-source p90 of a continuous
+        # per-doc double — group count stays fixed (~20 sources) while
+        # group sizes grow with the corpus; all groups narrow against one
+        # broadcast state frame, so the pass count stays O(log bins-range)
+        # and runtime tracks the scan
+        "grouped_quantile_threshold": lambda: _grouped_quantile_probe(spark, sf_dir),
+        # PQ (r9): train on a FIXED-size head sample (the production
+        # pattern — codebooks saturate long before corpus size), then
+        # encode the whole corpus row-locally; cost must track the scan
+        "embed_pq_encode": lambda: _pq_encode_probe(spark, sf_dir),
         "semdedup_auto_k": lambda: semdedup_prune(
             emb, "vec_id", "embedding",
             k=auto_km_k(emb.count(), rows_per_cluster=500),
