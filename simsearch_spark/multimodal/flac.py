@@ -50,15 +50,20 @@ class _BitReader:
         self.pos = pos_bits  # absolute bit position
 
     def read(self, n: int) -> int:
-        v = 0
         d, p = self.data, self.pos
-        if p + n > len(d) * 8:
+        end = p + n
+        if end > len(d) * 8:
             raise ValueError("FLAC bitstream truncated")
-        for _ in range(n):
-            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
-            p += 1
-        self.pos = p
-        return v
+        if n == 0:
+            return 0
+        # byte-chunked big-endian extract (the per-bit loop dominated the
+        # audio queries' runtime — decode is in the Arrow batch hot path)
+        first = p >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(d[first:last], "big")
+        shift = (last - first) * 8 - (p - (first << 3)) - n
+        self.pos = end
+        return (chunk >> shift) & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
@@ -68,17 +73,21 @@ class _BitReader:
         """count of 0 bits before the next 1 bit (FLAC unary)."""
         d, p = self.data, self.pos
         total = len(d) * 8
-        q = 0
-        while True:
-            if p >= total:
-                raise ValueError("FLAC bitstream truncated in unary")
-            if (d[p >> 3] >> (7 - (p & 7))) & 1:
-                p += 1
-                break
-            q += 1
-            p += 1
-        self.pos = p
-        return q
+        start = p
+        # finish the current partial byte, then skip whole zero bytes
+        while p < total:
+            byte = d[p >> 3]
+            rem = byte & ((1 << (8 - (p & 7))) - 1)  # bits at/after p
+            if rem == 0:
+                p = (p >> 3 << 3) + 8  # rest of byte is zeros
+                while p + 8 <= total and d[p >> 3] == 0:
+                    p += 8
+                continue
+            # highest set bit within the remainder
+            p = (p >> 3 << 3) + (8 - rem.bit_length())
+            self.pos = p + 1
+            return p - start
+        raise ValueError("FLAC bitstream truncated in unary")
 
     def align_byte(self) -> None:
         self.pos = (self.pos + 7) & ~7
