@@ -192,6 +192,11 @@ DRIVER_EXCLUDED = frozenset(
         # half is one lag window + threshold, the window shape that is
         # driver-verified at depth in hybrid_rrf_topk/topk_per_source
         "media_shot_boundaries",
+        # ADC top-k over PQ codes (r9): the serving half of the embed_pq
+        # machinery — training + encode hold a surface verdict through
+        # embed_pq; the LUT scan is a pure function of those codes, its
+        # recall audited in tests/test_pq.py; full-replay parity oracle
+        "ann_pq_topk",
         # per-source exact-quantile thresholds (r9): the grouped form of
         # the SAME histogram-narrowing machinery driver-verified through
         # corpus_quality_filter's global threshold; the per-key join /

@@ -301,7 +301,7 @@ c{it}x{j} AS (
         prev = f"c{it}x{j}"
     sql += f""",
 af{j} AS (
-  SELECT vec_id, dist,
+  SELECT vec_id, cluster_id, dist,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC) AS rn
   FROM (SELECT e.vec_id, c.cluster_id, {_l2_sql('e.s', 'c.c')} AS dist
         FROM e{j} e, {prev} c)
@@ -334,9 +334,78 @@ GROUP BY label
 SQL_EMBED_PQ = _pq_oracle(PQ_M, PQ_KSUB, PQ_ITERS)
 
 
+# -----------------------------------------------------------------------------
+# ann_pq_topk: ADC top-k over the PQ-encoded corpus — the 4th ANN family
+# member (brute / sign-LSH / IVF / PQ)
+# -----------------------------------------------------------------------------
+
+ANN_PQ_K = 10
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ-ENCODED corpus (the serving
+    half of the IVF-PQ recipe): train + encode as in ``embed_pq``, then
+    the query (lowest-id embedding) scans codes with a driver-built
+    m×ksub LUT of squared subdistances — m ``element_at`` lookups + a
+    fixed-order sum per row, one TakeOrderedAndProject.  Approximate by
+    construction; its recall-vs-exact audit is tests/test_pq.py's
+    candidates+rerank contract.  The oracle replays EVERYTHING: all m
+    unrolled training chains, the per-subspace argmin codes, and the same
+    left-fold LUT arithmetic."""
+    from simsearch_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    books = pq_train(emb, "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    enc = pq_encode(emb.select("vec_id", "embedding"), "vec_id", "embedding", books)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    return pq_adc_topk(enc, "vec_id", books, q, ANN_PQ_K)
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a})+1), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _ann_pq_oracle(m: int, ksub: int, iters: int, k: int) -> str:
+    dsub = EMB_DIM // m
+    chains = ",\n".join(_pq_sub_ctes(j, dsub, ksub, iters) for j in range(m))
+    sels = ",\n".join(
+        f"sel{j} AS (SELECT vec_id, cluster_id FROM af{j} WHERE rn = 1)" for j in range(m)
+    )
+    # per subspace: the code's centroid from the FINAL centroid CTE, scored
+    # against the query slice with the same ascending-dimension left fold
+    # the driver-side LUT uses
+    dists = ", ".join(
+        _l2sq_sql(f"qv[{j * dsub + 1}:{(j + 1) * dsub}]", f"cb{j}.c") + f" AS d{j}"
+        for j in range(m)
+    )
+    joins = " ".join(
+        f"JOIN sel{j} USING (vec_id) JOIN c{iters}x{j} cb{j} ON cb{j}.cluster_id = sel{j}.cluster_id"
+        for j in range(m)
+    )
+    total = " + ".join(f"d{j}" for j in range(m))
+    return f"""WITH {chains},
+{sels},
+q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+adc AS (
+  SELECT e.vec_id, {dists}
+  FROM embeddings e {joins}, q
+)
+SELECT vec_id, round(sqrt({total}), 6) AS adc_dist
+FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT {k}
+"""
+
+
+SQL_ANN_PQ_TOPK = _ann_pq_oracle(PQ_M, PQ_KSUB, PQ_ITERS, ANN_PQ_K)
+
+
 CLUSTER_QUERIES = {
     "embed_kmeans": (q_embed_kmeans, SQL_EMBED_KMEANS),
     "embed_quantize": (q_embed_quantize, SQL_EMBED_QUANTIZE),
     "embed_pq": (q_embed_pq, SQL_EMBED_PQ),
+    "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_PQ_TOPK),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
 }
