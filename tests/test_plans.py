@@ -98,15 +98,23 @@ def test_bench_stdout_fits_driver_tail_window():
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
+    import json as _json
+
     qs = {name: 12.34 for name in REGISTRY}  # worst-case 5-char values
     line = bench.stdout_line(qs, qs, qs, 0.1)
-    tail = line[-2000:]
-    # the headline scalar sits AFTER the map and must always survive
-    assert tail.endswith(f',"value":{round(sum(qs.values()), 2)}}}')
-    # the window keeps the END of the line, so the newest (last-registered)
-    # entries survive; at worst the rounds-stable registry HEAD overflows —
-    # require ≥90% coverage and every entry outside the head tenth
+    # r9 contract: the line is ADAPTIVE — it must fit the window WHOLE, so
+    # the driver's tail capture is one complete parseable JSON object
+    assert len(line) <= bench.DRIVER_TAIL_CHARS
+    doc = _json.loads(line)
+    assert doc["value"] == round(sum(qs.values()), 2)
     names = list(REGISTRY)
-    surviving = [n for n in names if f'"{n}":' in tail]
-    assert len(surviving) >= int(len(names) * 0.9)
-    assert all(f'"{n}":' in tail for n in names[len(names) // 10 :])
+    kept = list(doc["queries"])
+    # what survives is exactly a SUFFIX of registry order (newest entries),
+    # the omission is counted, and coverage stays high even at worst case
+    assert kept == names[len(names) - len(kept):]
+    assert doc.get("queries_omitted", 0) == len(names) - len(kept)
+    assert len(kept) >= int(len(names) * 0.75)
+    # every omitted entry is a registry-HEAD (rounds-stable) query whose
+    # full record lives in the committed BENCH_DETAIL.json; the newest
+    # (most-in-flux) entries always survive
+    assert set(names[: len(names) - len(kept)]) == set(names) - set(kept)
