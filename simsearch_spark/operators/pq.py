@@ -142,7 +142,11 @@ def pq_adc_topk(
     ascending, ties by id.  Approximate by construction (quantization
     error); recall is audited against the exact scan in tests."""
     m = len(codebooks)
-    dsub = len(query_vec) // m
+    dsub = len(next(iter(codebooks[0].values())))
+    if len(query_vec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebooks' {m}x{dsub}"
+        )
     luts = []
     for j, cb in enumerate(codebooks):
         q = query_vec[j * dsub : (j + 1) * dsub]

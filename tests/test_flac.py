@@ -281,3 +281,49 @@ def test_flac_and_wav_decode_identically():
     p, c, amp = 8, 5, 3100
     wave = ([amp] * (p // 2) + [-amp] * (p // 2)) * c
     assert decode_wav(encode_wav(wave, 8000)) == decode_flac(encode_flac(wave, 8000))
+
+
+def test_empty_stream_roundtrip():
+    rate, ch, dec = decode_flac(encode_flac([], 8000))
+    assert (rate, ch, dec) == (8000, 1, [])
+
+
+def test_decode_flac_never_raises_low_level_errors():
+    """Arbitrary bytes (optionally magic-prefixed, optionally grafted onto
+    a valid stream) must produce a result or a CONTRACTED exception —
+    never struct.error/IndexError/OverflowError, which would escape the
+    audio operators' catch and kill a Spark task (the decode_png/decode_wav
+    fuzz discipline)."""
+    import random as _random
+
+    rng = _random.Random(99)
+    valid = encode_flac([i % 200 - 100 for i in range(300)], 8000)
+    for trial in range(300):
+        n = rng.randint(0, 120)
+        junk = bytes(rng.randrange(256) for _ in range(n))
+        for payload in (
+            junk,
+            b"fLaC" + junk,
+            valid[: rng.randint(0, len(valid))],
+            valid[:20] + junk,
+        ):
+            try:
+                decode_flac(payload)
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_decode_flac_mutated_valid_stream():
+    """Single-byte corruption of a valid stream: decode returns samples or
+    raises a contracted error (almost always a CRC mismatch)."""
+    import random as _random
+
+    rng = _random.Random(5)
+    valid = bytearray(encode_flac([i % 500 - 250 for i in range(400)], 8000))
+    for _ in range(200):
+        b = bytearray(valid)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            decode_flac(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
