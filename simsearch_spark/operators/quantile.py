@@ -56,33 +56,16 @@ DEFAULT_BINS = 4096
 _MAX_PASSES = 128  # adjacent-double ranges split in one pass; never near this
 
 
-def exact_kth_value(df: DataFrame, col: str, k: int, bins: int = DEFAULT_BINS) -> float | None:
-    """EXACT k-th smallest (0-indexed) of ``df[col]`` (nulls/NaNs excluded)
-    by iterative histogram narrowing.  Returns None when k is out of range.
-
-    Every Spark job this launches is a map-side-combinable aggregation
-    whose shuffled/collected state is O(bins); the column itself never
-    concentrates in one task.  Callers iterating several ranks should
-    ``persist()`` ``df`` first — each pass re-scans it.
-    """
-    v = F.col(col).cast("double")
-    vals = df.where(v.isNotNull() & ~F.isnan(v)).select(v.alias("_q"))
-
-    head = vals.agg(
-        F.count("_q").alias("n"), F.min("_q").alias("lo"), F.max("_q").alias("hi")
-    ).first()
-    n = int(head["n"])
-    if k < 0 or k >= n:
-        return None
-    lo, hi = float(head["lo"]), float(head["hi"])
-
-    k_rem = k
+def _narrow_to_rank(vals, lo: float, hi: float, k_rem: int, bins: int) -> float:
+    """The shared narrowing loop over a prepared (non-null, double) ``_q``
+    column: histogram passes over [lo, hi] until the rank's bin holds one
+    distinct value.  Monotone bin index (clamped): equal values share a
+    bin, bins are contiguous value ranges, so per-bin counts give exact
+    ranks."""
     for _ in range(_MAX_PASSES):
         if lo == hi:
             return lo
         x = F.col("_q")
-        # monotone in x (clamped): equal values share a bin, bins are
-        # contiguous value ranges, so per-bin counts give exact ranks
         idx = F.least(
             F.lit(bins - 1),
             F.greatest(
@@ -106,7 +89,28 @@ def exact_kth_value(df: DataFrame, col: str, k: int, bins: int = DEFAULT_BINS) -
             cum += int(row["c"])
         else:  # pragma: no cover - rank accounting is exact
             raise RuntimeError("histogram narrowing lost the target rank")
-    raise RuntimeError("exact_kth_value did not converge")  # pragma: no cover
+    raise RuntimeError("histogram narrowing did not converge")  # pragma: no cover
+
+
+def exact_kth_value(df: DataFrame, col: str, k: int, bins: int = DEFAULT_BINS) -> float | None:
+    """EXACT k-th smallest (0-indexed) of ``df[col]`` (nulls/NaNs excluded)
+    by iterative histogram narrowing.  Returns None when k is out of range.
+
+    Every Spark job this launches is a map-side-combinable aggregation
+    whose shuffled/collected state is O(bins); the column itself never
+    concentrates in one task.  Callers iterating several ranks should
+    ``persist()`` ``df`` first — each pass re-scans it.
+    """
+    v = F.col(col).cast("double")
+    vals = df.where(v.isNotNull() & ~F.isnan(v)).select(v.alias("_q"))
+
+    head = vals.agg(
+        F.count("_q").alias("n"), F.min("_q").alias("lo"), F.max("_q").alias("hi")
+    ).first()
+    n = int(head["n"])
+    if k < 0 or k >= n:
+        return None
+    return _narrow_to_rank(vals, float(head["lo"]), float(head["hi"]), k, bins)
 
 
 def exact_quantile_cont(
@@ -124,14 +128,19 @@ def exact_quantile_cont(
         raise ValueError(f"quantile fraction {p} outside [0, 1]")
     v = F.col(col).cast("double")
     vals = df.where(v.isNotNull() & ~F.isnan(v)).select(v.alias("_q"))
-    n = vals.count()
+    # one pass serves both the rank position AND the initial range — no
+    # separate count() scan
+    head = vals.agg(
+        F.count("_q").alias("n"), F.min("_q").alias("lo"), F.max("_q").alias("hi")
+    ).first()
+    n = int(head["n"])
     if n == 0:
         return None
 
     pos = p * (n - 1)
     k = int(math.floor(pos))
     frac = pos - k
-    x_k = exact_kth_value(vals, "_q", k, bins=bins)
+    x_k = _narrow_to_rank(vals, float(head["lo"]), float(head["hi"]), k, bins)
     if frac == 0.0:
         return x_k
 
