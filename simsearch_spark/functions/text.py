@@ -269,3 +269,52 @@ def lang_id_frame(df, id_col: str, text_col: str, passthrough: tuple[str, ...] =
         + ["lang_pred string"]
     )
     return df.select(id_col, *passthrough, text_col).mapInPandas(proc, schema)
+
+
+def nfc_frame(df, id_col: str, text_col: str):
+    """(id, was_decomposed, n_chars_nfc, fp_nfc): Unicode NFC
+    normalization audit in one Arrow pass — the canonicalization step a
+    multilingual corpus runs before fingerprint dedup (visually-identical
+    strings with composed vs decomposed accents otherwise hash apart and
+    dodge the exact tier).
+
+    Verification story: the kernel normalizes with Python's ``unicodedata``
+    (UCD tables) while the DuckDB oracle uses ``nfc_normalize`` (utf8proc)
+    — two INDEPENDENT Unicode-conformant NFC implementations that must
+    agree on every document, plus the shared char-fold fingerprint over
+    the normalized text.  NULL text propagates NULL (the schema-ish
+    contract); row-local, shuffle-free."""
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from simsearch_spark.functions.hashing import MOD as _MOD
+
+    id_dtype = dict(df.dtypes)[id_col]
+
+    def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec, ln, fp = [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    dec.append(None)
+                    ln.append(None)
+                    fp.append(None)
+                    continue
+                norm = unicodedata.normalize("NFC", t)
+                h = 0
+                for c in norm:
+                    h = (h * 31 + ord(c)) % _MOD
+                dec.append(norm != t)
+                ln.append(len(norm))
+                fp.append(h)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "was_decomposed": dec,
+                 "n_chars_nfc": ln, "fp_nfc": fp}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        proc,
+        f"{id_col} {id_dtype}, was_decomposed boolean, n_chars_nfc int, fp_nfc long",
+    )

@@ -192,6 +192,11 @@ DRIVER_EXCLUDED = frozenset(
         # half is one lag window + threshold, the window shape that is
         # driver-verified at depth in hybrid_rrf_topk/topk_per_source
         "media_shot_boundaries",
+        # Unicode NFC canonicalization audit (r9): row-local Arrow kernel
+        # of the corpus_features_frame family; verified by CROSS-IMPLEMENT
+        # agreement (Python unicodedata vs DuckDB utf8proc) in the parity
+        # gate on real + adversarial fixtures incl. decomposed sequences
+        "text_nfc_normalize",
         # ADC top-k over PQ codes (r9): the serving half of the embed_pq
         # machinery — training + encode hold a surface verdict through
         # embed_pq; the LUT scan is a pure function of those codes, its

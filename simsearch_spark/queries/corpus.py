@@ -525,6 +525,36 @@ FROM j
 
 
 # -----------------------------------------------------------------------------
+# text_nfc_normalize: Unicode canonicalization audit (two independent NFC
+# implementations must agree)
+# -----------------------------------------------------------------------------
+
+
+def q_text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over every document (functions/text.py
+    ``nfc_frame``): composed-vs-decomposed detection, normalized length,
+    and the char-fold fingerprint of the NORMALIZED text — the
+    canonicalization a multilingual corpus runs before fingerprint dedup.
+    The oracle recomputes everything with DuckDB's utf8proc
+    ``nfc_normalize`` — an independent Unicode implementation — so the
+    normalization itself is cross-checked, not replayed."""
+    from simsearch_spark.functions.text import nfc_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nfc_frame(docs, "doc_id", "text")
+
+
+SQL_TEXT_NFC_NORMALIZE = f"""
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL ELSE nfc_normalize(text) != text END AS was_decomposed,
+       (CASE WHEN text IS NULL THEN NULL ELSE length(nfc_normalize(text)) END)::INT AS n_chars_nfc,
+       (CASE WHEN text IS NULL THEN NULL
+             ELSE {_charfold_sql('nfc_normalize(text)')} END)::BIGINT AS fp_nfc
+FROM documents
+"""
+
+
+# -----------------------------------------------------------------------------
 # source_quality_threshold: per-source exact quantile thresholds (the
 # grouped form of the r9 distributed quantile)
 # -----------------------------------------------------------------------------
@@ -1026,6 +1056,7 @@ CORPUS_QUERIES = {
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "lang_id_trigram": (q_lang_id_trigram, _sql_lang_id_trigram()),
     "source_quality_threshold": (q_source_quality_threshold, SQL_SOURCE_QUALITY_THRESHOLD),
+    "text_nfc_normalize": (q_text_nfc_normalize, SQL_TEXT_NFC_NORMALIZE),
     "domain_curation": (q_domain_curation, SQL_DOMAIN_CURATION),
     "corpus_curation_pipeline": (q_corpus_curation_pipeline, _sql_curation_pipeline()),
     "doc_contamination": (q_doc_contamination, SQL_DOC_CONTAMINATION),

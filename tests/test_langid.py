@@ -142,3 +142,32 @@ def test_v2_stopword_prefilter_decides_when_it_has_evidence(spark):
     # degenerate inputs classify 'und' end to end
     for t in (None, "", "   ", "zz"):
         assert _one(spark, lang_id_v2, t) == "und"
+
+
+def test_nfc_frame_decomposed_and_null(spark):
+    """Unicode NFC audit (functions/text.py nfc_frame): decomposed input
+    normalizes (shorter, different fingerprint), composed input is a
+    fixed point, the uncomposable combining mark survives, NULL
+    propagates NULL."""
+    from simsearch_spark.functions.text import nfc_frame
+
+    composed = "café naïve"
+    decomposed = "café naïve"
+    rows = {
+        r.doc_id: r
+        for r in nfc_frame(
+            spark.createDataFrame(
+                [(1, composed), (2, decomposed), (3, "q́x"), (4, None)],
+                "doc_id long, text string",
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert rows[1].was_decomposed is False and rows[1].n_chars_nfc == len(composed)
+    assert rows[2].was_decomposed is True and rows[2].n_chars_nfc == len(composed)
+    # after normalization the two spell the SAME string → same fingerprint
+    assert rows[1].fp_nfc == rows[2].fp_nfc
+    # combining acute on 'q' has no composed form: normalized but unchanged
+    assert rows[3].was_decomposed is False and rows[3].n_chars_nfc == 3
+    assert rows[4].was_decomposed is None and rows[4].fp_nfc is None

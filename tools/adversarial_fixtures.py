@@ -62,6 +62,13 @@ def build(src: str, dst: str) -> None:
              "der schnelle braune fuchs springt uber den faulen hund und es "
              "war die beste aller zeiten fur die menschen der welt").split()),
          "de", "srcZ", 130),
+        # DECOMPOSED unicode (NFD: base + combining accents) + a combining
+        # sequence NFC cannot compose: exercises the text_nfc_normalize
+        # cross-implementation check (unicodedata vs utf8proc) and every
+        # text kernel's per-codepoint contract
+        (maxid + 12,
+         "cafe\u0301 and nai\u0308ve re\u0301sume\u0301 in the q\u0301 row",
+         "en", "srcZ", 40),
     ]
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
     con.execute(f"COPY d TO '{dst}/documents.parquet' (FORMAT PARQUET)")
