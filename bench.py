@@ -196,6 +196,11 @@ def main() -> None:
 
 #: the external driver records only the LAST this-many chars of stdout
 DRIVER_TAIL_CHARS = 2000
+#: shrink against a margin: print's trailing newline (or any stray byte a
+#: shutdown hook emits after the line) must not evict the opening '{' from
+#: the driver's tail window (ADVICE r9) — a line of exactly
+#: DRIVER_TAIL_CHARS chars plus '\n' would otherwise lose its first char
+STDOUT_LINE_MARGIN = 16
 
 
 def stdout_line(cold, med, warm, sf_val) -> str:
@@ -230,7 +235,7 @@ def stdout_line(cold, med, warm, sf_val) -> str:
     names = list(warm)
     drop = 0
     line = build(warm, 0)
-    while len(line) > DRIVER_TAIL_CHARS and drop < len(names):
+    while len(line) > DRIVER_TAIL_CHARS - STDOUT_LINE_MARGIN and drop < len(names):
         drop += 1
         line = build({n: warm[n] for n in names[drop:]}, drop)
     return line

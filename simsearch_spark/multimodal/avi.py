@@ -144,18 +144,25 @@ def encode_avi_raw(frames_rgb: list[bytes], width: int, height: int, fps: int = 
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def parse_avi_video_format(payload: bytes) -> tuple[int, int, int, int]:
-    """The video stream's ``strf`` BITMAPINFOHEADER → (biCompression,
-    biWidth, biHeight, biBitCount).  biCompression 0 is BI_RGB
-    (uncompressed DIB); otherwise it is a fourcc DWORD (e.g. 'MJPG').
-    Returns (-1, -1, -1, -1) when no parseable video strf exists — callers
+def parse_avi_video_format(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """The VIDEO stream's ``strf`` BITMAPINFOHEADER → (biCompression,
+    biWidth, biHeight, biBitCount, strh_fccHandler).  biCompression 0 is
+    BI_RGB (uncompressed DIB); otherwise it is a fourcc DWORD
+    (e.g. 'MJPG').  Only a ``strf`` owned by a ``strh`` whose fccType is
+    ``'vids'`` is accepted (ADVICE r9: in AVIs whose audio ``strl``
+    precedes the video stream, the first ``strf`` is a WAVEFORMATEX and
+    must not be misparsed as a BITMAPINFOHEADER).  The owning strh's
+    fccHandler rides along so callers can cross-check the routing.
+    Returns (-1, -1, -1, -1, b"") when no video strf exists — callers
     fall back to per-frame magic-byte dispatch."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
-    result = (-1, -1, -1, -1)
+    result = (-1, -1, -1, -1, b"")
+    stream_type = b""
+    stream_handler = b""
 
     def walk(start: int, end: int) -> None:
-        nonlocal result
+        nonlocal result, stream_type, stream_handler
         pos = start
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
@@ -164,12 +171,26 @@ def parse_avi_video_format(payload: bytes) -> tuple[int, int, int, int]:
             if body_start + ln > end:
                 return
             if cid == b"LIST":
-                if payload[body_start : body_start + 4] in (b"hdrl", b"strl"):
+                kind = payload[body_start : body_start + 4]
+                if kind in (b"hdrl", b"strl"):
+                    if kind == b"strl":
+                        # each stream list carries its own strh; never let a
+                        # prior stream's type leak into a malformed strl
+                        stream_type = b""
+                        stream_handler = b""
                     walk(body_start + 4, body_start + ln)
-            elif cid == b"strf" and ln >= 20 and result == (-1, -1, -1, -1):
+            elif cid == b"strh" and ln >= 8:
+                stream_type = payload[body_start : body_start + 4]
+                stream_handler = payload[body_start + 4 : body_start + 8]
+            elif (
+                cid == b"strf"
+                and ln >= 20
+                and stream_type == b"vids"
+                and result[0] == -1
+            ):
                 _size, w, h, _planes, bits = struct.unpack("<IiiHH", payload[body_start : body_start + 16])
                 (comp,) = struct.unpack("<I", payload[body_start + 16 : body_start + 20])
-                result = (comp, w, h, bits)
+                result = (comp, w, h, bits, stream_handler)
             pos = body_start + ln + (ln & 1)
 
     walk(12, min(len(payload), 12 + struct.unpack("<I", payload[4:8])[0] - 4))

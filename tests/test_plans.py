@@ -104,7 +104,9 @@ def test_bench_stdout_fits_driver_tail_window():
     line = bench.stdout_line(qs, qs, qs, 0.1)
     # r9 contract: the line is ADAPTIVE — it must fit the window WHOLE, so
     # the driver's tail capture is one complete parseable JSON object
-    assert len(line) <= bench.DRIVER_TAIL_CHARS
+    # margin: the trailing newline / a stray shutdown byte must never push
+    # the opening '{' out of the driver's tail window (ADVICE r9)
+    assert len(line) <= bench.DRIVER_TAIL_CHARS - bench.STDOUT_LINE_MARGIN
     doc = _json.loads(line)
     assert doc["value"] == round(sum(qs.values()), 2)
     names = list(REGISTRY)

@@ -556,8 +556,8 @@ def test_avi_raw_dib_roundtrip_nonuniform():
     w, h = 5, 3
     frame = bytes((y * 50 + x * 10 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
     avi = encode_avi_raw([frame, frame[::-1]], w, h, fps=10)
-    comp, fw, fh, bits = parse_avi_video_format(avi)
-    assert (comp, fw, fh, bits) == (0, w, h, 24)
+    comp, fw, fh, bits, handler = parse_avi_video_format(avi)
+    assert (comp, fw, fh, bits, handler) == (0, w, h, 24, b"DIB ")
     fps, frames = parse_avi_frames(avi)
     assert fps == 10.0 and len(frames) == 2
     for i, original in enumerate([frame, frame[::-1]]):
@@ -589,3 +589,79 @@ def test_frame_pixel_stats_mixed_codecs(spark):
     assert rows[1].decoded == "ok" and rows[1].channels == 1 and rows[1].mean_c0 == 77.0
     assert rows[2].decoded == "ok" and rows[2].channels == 3 and rows[2].mean_c0 == 10.0
     assert "H264" in rows[3].decoded and "not supported" in rows[3].decoded
+
+
+def _avi_audio_then_video(frame_dib: bytes, w: int, h: int) -> bytes:
+    """Hand-built AVI whose AUDIO strl precedes the video strl — the real-
+    world layout that made the pre-fix parser misparse a WAVEFORMATEX as a
+    BITMAPINFOHEADER (ADVICE r9)."""
+    import struct as _struct
+
+    def chunk(cid, body):
+        return cid + _struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind, body):
+        return b"LIST" + _struct.pack("<I", len(body) + 4) + kind + body
+
+    avih = _struct.pack("<IIIIIIIIIIIIII", 40000, 0, 0, 0x10, 1, 0, 2, 0, 0, 0, 0, 0, 0, 0)
+    # audio stream: strh fccType 'auds', strf = WAVEFORMATEX (PCM 8kHz mono)
+    a_strh = b"auds" + b"\x00\x00\x00\x00" + _struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 8000, 0, 0, 0, 0)
+    a_strf = _struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, 16, 0)
+    v_strh = b"vids" + b"DIB " + _struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25, 0, 1, 0, 0, 0, 0)
+    stride = (w * 3 + 3) & ~3
+    v_strf = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf))
+        + lst(b"strl", chunk(b"strh", v_strh) + chunk(b"strf", v_strf)),
+    )
+    movi_body = b"movi" + chunk(b"01db", frame_dib)
+    movi = b"LIST" + _struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def test_avi_audio_strl_first_picks_video_strf(spark):
+    """ADVICE r9 (medium): with an audio strl ahead of the video stream,
+    parse_avi_video_format must skip the WAVEFORMATEX and return the
+    'vids' stream's BITMAPINFOHEADER — and frame_pixel_stats must decode
+    the DIB frame correctly instead of misrouting on garbage geometry."""
+    from simsearch_spark.multimodal.avi import parse_avi_video_format
+    from simsearch_spark.multimodal.binary import frame_pixel_stats
+
+    w, h = 6, 4
+    stride = (w * 3 + 3) & ~3
+    dib = bytearray(stride * h)
+    for y in range(h):
+        for x in range(w):
+            dib[y * stride + 3 * x : y * stride + 3 * x + 3] = bytes((30, 20, 40))  # BGR
+    avi = _avi_audio_then_video(bytes(dib), w, h)
+    comp, fw, fh, bits, handler = parse_avi_video_format(avi)
+    assert (comp, fw, fh, bits, handler) == (0, w, h, 24, b"DIB ")
+    df = spark.createDataFrame([(1, bytearray(avi))], "media_id long, payload binary")
+    (row,) = frame_pixel_stats(df, every_n=1).collect()
+    assert row.decoded == "ok" and (row.width, row.height, row.channels) == (w, h, 3)
+    assert row.mean_c0 == 40.0  # BGR in storage → R channel is byte 2
+
+
+def test_avi_pre_r9_mjpeg_header_routes_to_jpeg(spark):
+    """ADVICE r9 (low): pre-r9 encode_avi_mjpeg wrote biCompression=0/
+    biBitCount=24 around JPEG frames.  Such payloads must route to image
+    decode (the strh handler says MJPG and the frame starts with SOI) —
+    never to the raw-DIB path as garbage stats marked 'ok'."""
+    import struct as _struct
+
+    from simsearch_spark.multimodal.avi import encode_avi_mjpeg
+    from simsearch_spark.multimodal.binary import frame_pixel_stats
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+
+    w, h = 16, 16
+    jpg = encode_jpeg(w, h, 1, bytes([99]) * (w * h), quality=85)
+    avi = bytearray(encode_avi_mjpeg([jpg]))
+    pos = avi.index(b"strf")
+    # regress the strf to the pre-r9 shape: biCompression=0 (BI_RGB)
+    avi[pos + 8 + 16 : pos + 8 + 20] = b"\x00\x00\x00\x00"
+    df = spark.createDataFrame([(1, bytearray(bytes(avi)))], "media_id long, payload binary")
+    (row,) = frame_pixel_stats(df, every_n=1).collect()
+    assert row.decoded == "ok" and row.channels == 1 and row.mean_c0 == 99.0

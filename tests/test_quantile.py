@@ -70,6 +70,88 @@ def test_invalid_fraction_rejected(spark):
         exact_quantile_cont(df, "x", 1.5)
 
 
+def test_infinities_match_builtin(spark):
+    """ADVICE r9: ±Inf made hi−lo infinite, the bin index NULL for every
+    row, and the narrowing loop never converged.  Infinite ranks now
+    resolve by exact mass; the result must stay bit-identical to the
+    builtin percentile the operator replaces (which handles infinities),
+    for every fraction that lands inside, between, or outside the
+    infinite tails — including the interpolation rows x_k=-Inf/x_k1
+    finite and x_k finite/x_k1=+Inf."""
+    inf = float("inf")
+    values = [-inf, -inf, 1.0, 2.0, 3.0, 4.0, inf]
+    df = spark.createDataFrame([(v,) for v in values], "x double").persist()
+    for p in (0.0, 0.1, 1 / 6, 0.25, 0.5, 5 / 6, 0.9, 1.0):
+        expected = _spark_percentile(spark, values, p)
+        got = exact_quantile_cont(df, "x", p, bins=8)
+        assert (got == expected) or (
+            math.isnan(got) and math.isnan(expected)
+        ), (p, got, expected)
+    # all-infinite column: no finite range at all
+    alli = spark.createDataFrame([(inf,), (inf,), (-inf,)], "x double")
+    assert exact_quantile_cont(alli, "x", 1.0) == inf
+    assert exact_quantile_cont(alli, "x", 0.0) == -inf
+    assert exact_kth_value(df, "x", 0) == -inf
+    assert exact_kth_value(df, "x", 6) == inf
+    assert exact_kth_value(df, "x", 3) == 2.0
+
+
+def test_grouped_infinities_match_builtin(spark):
+    from simsearch_spark.operators.quantile import exact_grouped_quantile_cont
+
+    inf = float("inf")
+    rows = (
+        [("g1", v) for v in (-inf, 1.0, 2.0, 3.0, inf, inf)]
+        + [("g2", v) for v in (5.0, 6.0, 7.0)]
+        + [("g3", inf), ("g3", inf)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double").persist()
+    for p in (0.0, 0.2, 0.5, 0.8, 1.0):
+        expected = {
+            r.k: r.t
+            for r in df.groupBy("k")
+            .agg(F.expr(f"percentile(x, {p!r})").alias("t"))
+            .collect()
+        }
+        got = exact_grouped_quantile_cont(df, "k", "x", p, bins=8)
+        for k, e in expected.items():
+            g = got[k]
+            assert (g == e) or (math.isnan(g) and math.isnan(e)), (k, p, g, e)
+
+
+def test_grouped_interpolation_matches_ungrouped_ulp(spark):
+    """ADVICE r9: the grouped path interpolated with (k + 1 − (k + frac)),
+    which re-rounds pos for large k and can drift an ulp from the
+    ungrouped / Spark formula (k + 1 − pos).  Large-k + irrational-frac
+    groups must now be BIT-identical to both."""
+    from simsearch_spark.operators.quantile import exact_grouped_quantile_cont
+
+    rng = random.Random(5)
+    n = 5001  # pos = p*(n-1) large enough that k+frac re-rounds
+    values = sorted(rng.uniform(0, 1) for _ in range(n))
+    df = spark.createDataFrame([("g", v) for v in values], "k string, x double").persist()
+    flat = df.select("x").persist()
+    for p in (1 / 3, 0.123456789, 0.9999, 2 / 7):
+        expected = _spark_percentile(spark, values, p)
+        assert exact_grouped_quantile_cont(df, "k", "x", p, bins=8)["g"] == expected, p
+        assert exact_quantile_cont(flat, "x", p, bins=8) == expected, p
+
+
+def test_grouped_group_count_guard(spark):
+    """VERDICT r9 note 2: an unbounded key must raise a clear error BEFORE
+    any head frame is collected, not OOM the driver."""
+    from simsearch_spark.operators.quantile import exact_grouped_quantile_cont
+
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("k"), F.col("id").cast("double").alias("x")
+    )
+    with pytest.raises(ValueError, match="exceeds the driver-state bound"):
+        exact_grouped_quantile_cont(df, "k", "x", 0.5, max_groups=100)
+    # at the bound it still runs
+    out = exact_grouped_quantile_cont(df, "k", "x", 0.5, max_groups=500)
+    assert len(out) == 500 and out["7"] == 7.0
+
+
 def test_grouped_matches_builtin_percentile(spark):
     """Per-group bit-exact agreement with Spark's grouped exact percentile
     across skewed group sizes, duplicates, and fractions — with tiny bins
