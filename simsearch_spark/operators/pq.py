@@ -34,10 +34,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from simsearch_spark.functions.measures import euclidean_distance
+from simsearch_spark.functions.measures import cosine_similarity, euclidean_distance
 from simsearch_spark.operators.kmeans import _lit_vec, _rounded_means, assign_clusters
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk"]
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivf_pq_topk"]
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int:
@@ -128,19 +128,13 @@ def pq_encode(
     return df.select(*out_cols)
 
 
-def pq_adc_topk(
-    codes: DataFrame,
-    id_col: str,
-    codebooks: list[dict[int, list[float]]],
-    query_vec: list[float],
-    k: int,
-) -> DataFrame:
-    """Asymmetric-distance top-k over an ENCODED corpus: per subspace the
-    query builds a ksub-entry LUT of squared subdistances driver-side
+def _adc_dist_expr(
+    codebooks: list[dict[int, list[float]]], query_vec: list[float]
+):
+    """The ADC distance column over ``code_0..code_{m-1}``: per subspace
+    the query builds a ksub-entry LUT of squared subdistances driver-side
     (m·ksub floats — constant); the scan is m ``element_at`` lookups + a
-    fixed-order sum + one TakeOrderedAndProject.  Returns (id, adc_dist)
-    ascending, ties by id.  Approximate by construction (quantization
-    error); recall is audited against the exact scan in tests."""
+    fixed-order sum, rounded to 6 (the engine-wide score contract)."""
     m = len(codebooks)
     dsub = len(next(iter(codebooks[0].values())))
     if len(query_vec) != m * dsub:
@@ -162,8 +156,110 @@ def pq_adc_topk(
     for j in range(m):
         term = F.element_at(F.lit(luts[j]), F.col(f"code_{j}") + 1)
         acc = term if acc is None else acc + term
+    return F.round(F.sqrt(acc), 6)
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    id_col: str,
+    codebooks: list[dict[int, list[float]]],
+    query_vec: list[float],
+    k: int,
+) -> DataFrame:
+    """Asymmetric-distance top-k over an ENCODED corpus: the
+    ``_adc_dist_expr`` scan + one TakeOrderedAndProject.  Returns
+    (id, adc_dist) ascending, ties by id.  Approximate by construction
+    (quantization error); recall is audited against the exact scan in
+    tests."""
     return (
-        codes.select(F.col(id_col), F.round(F.sqrt(acc), 6).alias("adc_dist"))
+        codes.select(
+            F.col(id_col), _adc_dist_expr(codebooks, query_vec).alias("adc_dist")
+        )
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    codebooks: list[dict[int, list[float]]],
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 1,
+    rerank: int = 32,
+    assign_col: str | None = None,
+) -> DataFrame:
+    """IVF-PQ serving — the composed billion-scale ANN shape (Jégou 2011
+    §V; FAISS ``IndexIVFPQ``): route the query to its ``n_probe`` nearest
+    IVF cells, ADC-scan ONLY those cells' PQ codes, then exact-rescore the
+    ``rerank`` best ADC candidates and return the true-cosine top-k.
+
+    Plan shape (the thing that must survive 100×): the cell predicate
+    ``assign_col IN probes`` is a pushable scan filter, so the bytes read
+    scale with n_probe/n_cells — NOT with N (plan- and probe-asserted in
+    tests/test_pq.py and tools/scale_probe.py).  The ADC scan over the
+    surviving rows is the ``pq_encode`` codegen argmin + m ``element_at``
+    lookups, row-local, zero shuffles; one TakeOrderedAndProject keeps the
+    ``rerank`` candidates (driver O(rerank)); the exact rescore runs on
+    those rows alone — in production the full vectors come from a point
+    store keyed by id, here the bounded candidate rows still carry them.
+
+    ``centroids`` = (cluster_id, centroid array<double>), a driver-bounded
+    frame exactly like ``ivf_topk``'s; rows are routed by ``assign_col``
+    when the table persists an assignment (the mount-time artifact shape),
+    else assigned to their nearest centroid inline.  Returns
+    (id_col, adc_dist, cos_sim), cos_sim descending, ties by id.
+    """
+    cent = [(r[0], list(r[1])) for r in centroids.collect()]
+    # deterministic probe order: distance, then cluster id (ivf_topk's rule)
+    by_dist = sorted(
+        cent, key=lambda c: (sum((a - b) ** 2 for a, b in zip(query_vec, c[1])), c[0])
+    )
+    probe_ids = [cid for cid, _v in by_dist[:n_probe]]
+
+    if assign_col is None:
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        euclidean_distance(F.col(vec_col), _lit_vec(vec)).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, vec in sorted(cent)
+                ]
+            )
+        )
+        df = df.withColumn("__cell", best["cid"])
+        assign_col = "__cell"
+
+    cells = df.where(F.col(assign_col).isin(probe_ids))
+    # the vector rides along under a private name (pq_encode passes through
+    # everything but id/vec) so the bounded rerank needs no second scan
+    enc = pq_encode(
+        cells.select(F.col(id_col), F.col(vec_col), F.col(vec_col).alias("__v")),
+        id_col,
+        vec_col,
+        codebooks,
+    )
+    cand = (
+        enc.select(
+            F.col(id_col),
+            F.col("__v"),
+            _adc_dist_expr(codebooks, query_vec).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    qv = _lit_vec([float(x) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("adc_dist"),
+            F.round(cosine_similarity(F.col("__v"), qv), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -16,6 +16,7 @@ from simsearch_spark.queries.core import CORE_QUERIES
 from simsearch_spark.queries.corpus import CORPUS_QUERIES
 from simsearch_spark.queries.frontend import FRONTEND_QUERIES
 from simsearch_spark.queries.ivf import IVF_QUERIES
+from simsearch_spark.queries.ivfpq import IVFPQ_QUERIES
 from simsearch_spark.queries.media import MEDIA_QUERIES
 from simsearch_spark.queries.multisource import MULTISOURCE_QUERIES
 from simsearch_spark.queries.pipeline import PIPELINE_QUERIES
@@ -38,6 +39,7 @@ for _part in (
     CORPUS_QUERIES,
     VOCAB_QUERIES,
     CLUSTER_QUERIES,
+    IVFPQ_QUERIES,
 ):
     _overlap = set(REGISTRY) & set(_part)
     if _overlap:
@@ -113,10 +115,17 @@ DRIVER_EXCLUDED = frozenset(
         # cross-engine check (tests/test_pii.py); the synthetic corpus has
         # zero PII, so an external verdict would only ever compare zeros
         "pii_scrub",
-        # recall@k audit composed of three driver-verified paths
-        # (ann_cosine brute / ann_lsh_topk / ann_ivf_topk); the oracle
-        # replays all three end-to-end in-repo
+        # recall@k audit composed of driver-verified paths (ann_cosine
+        # brute / ann_lsh_topk / the IVF+IVF-PQ routing inside surface
+        # ann_ivfpq_topk); the oracle replays all four end-to-end in-repo
         "ann_recall_audit",
+        # IVF cell routing (r10 rotation, seating ann_ivfpq_topk): the
+        # IDENTICAL centroid training + L2 probe selection + cell filter
+        # run at greater depth inside surface ann_ivfpq_topk (whose oracle
+        # replays them verbatim — SQL_IVF_TOPK's probe CTEs are embedded
+        # in SQL_ANN_IVFPQ_TOPK), plus the ivf arm of the parity-gated
+        # recall audit; in-repo parity retained
+        "ann_ivf_topk",
         # rate derivation downstream of driver-verified source_mix_weights
         # plus the corpus_sample hash-threshold contract; full in-repo
         # parity replay of both stages

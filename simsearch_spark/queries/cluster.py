@@ -227,22 +227,40 @@ SQL_SEMDEDUP = _semdedup_oracle(KM_K, KM_ITERS)
 PQ_M = 4       # subspaces (64-dim -> 16-dim slices)
 PQ_KSUB = 8    # codes per subspace (3 bits; 256 in production = 1 B/subspace)
 PQ_ITERS = 2   # Lloyd iterations per subspace (the KM_ITERS contract)
+#: training-sample bound: codebooks are trained on the PQ_TRAIN_N
+#: LOWEST-id vectors, never the corpus (VERDICT r9: the gated plan must BE
+#: the 100 TB plan — at 10^10 vectors full-frame training would pay
+#: PQ_ITERS x PQ_M corpus scans for codebooks a sample saturates; FAISS
+#: trains on <= 10^6).  Lowest-id keeps the sample deterministic so the
+#: oracle's unrolled chains replay it exactly.  256 is a strict subset of
+#: every fixture (500 @ sf0.01, 2000 @ sf0.1) so the bound is really
+#: exercised, and 32x ksub oversampling per codebook.
+PQ_TRAIN_N = 256
+
+
+def pq_training_sample(emb: DataFrame) -> DataFrame:
+    """The deterministic bounded PQ training frame — the PQ_TRAIN_N
+    lowest-id vectors.  A GlobalLimit after a vec_id sort: the plan is
+    asserted bounded (tests/test_pq.py) so training can never silently
+    regress to a corpus scan."""
+    return emb.orderBy("vec_id").limit(PQ_TRAIN_N).select("vec_id", "embedding")
 
 
 def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization audit (operators/pq.py — the IVF-PQ compression
     recipe): train ``PQ_M`` per-subspace codebooks with the deterministic
-    Lloyd loop, encode every vector to ``PQ_M`` codes, and report per
-    fixture label the member count and the average / worst L2
-    reconstruction error — so codebook training, the per-subspace argmin
-    encode, AND the composed error all verify against the oracle's fully
-    unrolled replay.  Training here runs on the full frame (bounded
-    fixture); at corpus scale it runs on a sample and the codebooks are a
-    mount-time artifact (operators/pq.py docstring)."""
+    Lloyd loop ON THE BOUNDED ``PQ_TRAIN_N`` SAMPLE, encode every vector
+    to ``PQ_M`` codes, and report per fixture label the member count and
+    the average / worst L2 reconstruction error — so codebook training,
+    the per-subspace argmin encode, AND the composed error all verify
+    against the oracle's fully unrolled replay (whose training chains read
+    the identical lowest-id sample)."""
     from simsearch_spark.operators.pq import pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings").persist()
-    books = pq_train(emb, "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    books = pq_train(
+        pq_training_sample(emb), "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS
+    )
     enc = pq_encode(emb.select("vec_id", "label", "embedding"), "vec_id", "embedding", books)
     err = None
     for j in range(PQ_M):
@@ -267,16 +285,27 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the oracle-side mirror of ``pq_training_sample``
+_SQL_PQ_TRAIN_SRC = (
+    f"tr AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_TRAIN_N})"
+)
+
+
 def _pq_sub_ctes(j: int, dsub: int, ksub: int, iters: int) -> str:
     """Unrolled per-subspace Lloyd chain over ``embedding[a:b]`` slices —
-    the ``_km_assign_ctes`` construction parameterized by subspace;
-    terminal CTE ``af{j}`` holds (vec_id, dist, rn)."""
+    the ``_km_assign_ctes`` construction parameterized by subspace.
+    TRAINING (seeds, assignment passes, re-means) reads ``t{j}`` — slices
+    of the bounded lowest-id sample CTE ``tr`` (``_SQL_PQ_TRAIN_SRC``,
+    the mirror of ``pq_training_sample``); the terminal assignment CTE
+    ``af{j}`` (vec_id, dist, rn) scores EVERY row's slice ``e{j}`` against
+    the final codebook, exactly like ``pq_encode``."""
     a, b = j * dsub + 1, (j + 1) * dsub
-    sql = f"""e{j} AS (SELECT vec_id, embedding[{a}:{b}] AS s FROM embeddings),
+    sql = f"""t{j} AS (SELECT vec_id, embedding[{a}:{b}] AS s FROM tr),
+e{j} AS (SELECT vec_id, embedding[{a}:{b}] AS s FROM embeddings),
 c0x{j} AS (
   SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster_id,
          list_transform(s, x -> round(x::DOUBLE, 6)) AS c
-  FROM (SELECT vec_id, s FROM e{j} ORDER BY vec_id LIMIT {ksub})
+  FROM (SELECT vec_id, s FROM t{j} ORDER BY vec_id LIMIT {ksub})
 )"""
     prev = f"c0x{j}"
     for it in range(1, iters + 1):
@@ -285,12 +314,12 @@ a{it}x{j} AS (
   SELECT vec_id, cluster_id,
          row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC) AS rn
   FROM (SELECT e.vec_id, c.cluster_id, {_l2_sql('e.s', 'c.c')} AS dist
-        FROM e{j} e, {prev} c)
+        FROM t{j} e, {prev} c)
 ),
 m{it}x{j} AS (
   SELECT s.cluster_id, u.i, round(avg(e.s[u.i]::DOUBLE), 6) AS mv
   FROM (SELECT vec_id, cluster_id FROM a{it}x{j} WHERE rn = 1) s
-  JOIN e{j} e USING (vec_id), unnest(range(1, {dsub + 1})) AS u(i)
+  JOIN t{j} e USING (vec_id), unnest(range(1, {dsub + 1})) AS u(i)
   GROUP BY s.cluster_id, u.i
 ),
 cn{it}x{j} AS (SELECT cluster_id, list(mv ORDER BY i) AS c FROM m{it}x{j} GROUP BY cluster_id),
@@ -311,7 +340,9 @@ af{j} AS (
 
 def _pq_oracle(m: int, ksub: int, iters: int) -> str:
     dsub = EMB_DIM // m
-    chains = ",\n".join(_pq_sub_ctes(j, dsub, ksub, iters) for j in range(m))
+    chains = _SQL_PQ_TRAIN_SRC + ",\n" + ",\n".join(
+        _pq_sub_ctes(j, dsub, ksub, iters) for j in range(m)
+    )
     dist_cols = ", ".join(f"f{j}.dist AS d{j}" for j in range(m))
     joins = " ".join(
         f"JOIN (SELECT vec_id, dist FROM af{j} WHERE rn = 1) f{j} USING (vec_id)"
@@ -349,13 +380,17 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m×ksub LUT of squared subdistances — m ``element_at`` lookups + a
     fixed-order sum per row, one TakeOrderedAndProject.  Approximate by
     construction; its recall-vs-exact audit is tests/test_pq.py's
-    candidates+rerank contract.  The oracle replays EVERYTHING: all m
-    unrolled training chains, the per-subspace argmin codes, and the same
-    left-fold LUT arithmetic."""
+    candidates+rerank contract.  Training reads only the bounded
+    lowest-id ``PQ_TRAIN_N`` sample (the 100 TB shape).  The oracle
+    replays EVERYTHING: all m unrolled training chains over the same
+    sample, the per-subspace argmin codes, and the same left-fold LUT
+    arithmetic."""
     from simsearch_spark.operators.pq import pq_adc_topk, pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings").persist()
-    books = pq_train(emb, "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    books = pq_train(
+        pq_training_sample(emb), "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS
+    )
     enc = pq_encode(emb.select("vec_id", "embedding"), "vec_id", "embedding", books)
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     return pq_adc_topk(enc, "vec_id", books, q, ANN_PQ_K)
@@ -371,7 +406,9 @@ def _l2sq_sql(a: str, b: str) -> str:
 
 def _ann_pq_oracle(m: int, ksub: int, iters: int, k: int) -> str:
     dsub = EMB_DIM // m
-    chains = ",\n".join(_pq_sub_ctes(j, dsub, ksub, iters) for j in range(m))
+    chains = _SQL_PQ_TRAIN_SRC + ",\n" + ",\n".join(
+        _pq_sub_ctes(j, dsub, ksub, iters) for j in range(m)
+    )
     sels = ",\n".join(
         f"sel{j} AS (SELECT vec_id, cluster_id FROM af{j} WHERE rn = 1)" for j in range(m)
     )

@@ -149,114 +149,8 @@ SELECT query_id, id, cos_sim, rank FROM s WHERE rank <= {K}
 """
 
 
-# -----------------------------------------------------------------------------
-# ann_recall_audit: recall@k of every approximate ANN path vs brute force
-# -----------------------------------------------------------------------------
-
-
-def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured retrieval quality of the two approximate ANN paths — the
-    audit every production deployment runs before trusting an index:
-    recall@k of sign-LSH (multi-probe hamming<=1) and IVF (n_probe
-    centroids) against the exact brute-force top-k, for the same query
-    vector the declared ANN queries use.  All three candidate frames are
-    k rows, so the audit joins are constant-sized; the only corpus-scale
-    work is the three scans the audited paths themselves perform.
-
-    Expected numbers on the SYNTHETIC fixtures are low (~0.1-0.2): the
-    embeddings are near-uniform random, so sign-LSH buckets and the
-    label-based IVF cells correlate weakly with true cosine neighborhoods
-    — precisely the situation the audit exists to expose before anyone
-    trusts an index.  On clustered real-corpus embeddings the same paths
-    recover high recall; the tuning levers are probe_hamming (LSH) and
-    n_probe (IVF), both of which trade read volume for recall
-    monotonically."""
-    from simsearch_spark.operators.ann import cosine_topk, ivf_topk, lsh_cosine_topk
-    from simsearch_spark.queries.pipeline import ANN_QUERY_ID, PLANES
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == ANN_QUERY_ID).first().embedding]
-    exact = cosine_topk(emb, "vec_id", "embedding", qvec, K).select(F.col("vec_id").alias("id"))
-    lsh = lsh_cosine_topk(emb, "vec_id", "embedding", qvec, K, PLANES, probe_hamming=1).select(
-        F.lit("lsh").alias("method"), F.col("vec_id").alias("id")
-    )
-    ivf = ivf_topk(
-        emb, "vec_id", "embedding", _centroids(spark, sf_dir), qvec, K,
-        n_probe=N_PROBE, assign_col="label",
-    ).select(F.lit("ivf").alias("method"), F.col("vec_id").alias("id"))
-    hits = (
-        lsh.unionByName(ivf)
-        .join(exact, "id", "left_semi")
-        .groupBy("method")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
-    return methods.join(hits, "method", "left").select(
-        "method",
-        F.lit(K).alias("k"),
-        n_hit.alias("n_hit"),
-        F.round(n_hit.cast("double") / F.lit(float(K)), 6).alias("recall"),
-    )
-
-
-def _recall_oracle() -> str:
-    from simsearch_spark.queries.pipeline import (
-        ANN_QUERY_ID,
-        lsh_bucket_sql,
-        lsh_plane_cols_sql,
-    )
-
-    cos = _cosine_sql("e.embedding", "qv")
-    return f"""
-WITH planes AS (SELECT {lsh_plane_cols_sql()}),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
-exact AS (
-  SELECT e.vec_id AS id FROM embeddings e, q
-  ORDER BY round({cos}, 6) DESC, e.vec_id LIMIT {K}
-),
-qb AS (SELECT {lsh_bucket_sql('qv')} AS qbucket FROM q, planes),
-lsh AS (
-  SELECT e.vec_id AS id FROM embeddings e, q, qb, planes
-  WHERE bit_count(xor({lsh_bucket_sql('e.embedding')}, qbucket)) <= 1
-  ORDER BY round({cos}, 6) DESC, e.vec_id LIMIT {K}
-),
-flat AS (
-  SELECT label, i, embedding[i]::DOUBLE AS v
-  FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS u(i)
-), cm AS (
-  SELECT label, i, avg(v) AS mv FROM flat GROUP BY label, i
-), cent AS (
-  SELECT label, list(mv ORDER BY i) AS c FROM cm GROUP BY label
-), probe AS (
-  SELECT label FROM cent, q ORDER BY {_l2_sql('c', 'qv')} ASC, label ASC LIMIT {N_PROBE}
-),
-ivf AS (
-  SELECT e.vec_id AS id FROM embeddings e, q
-  WHERE e.label IN (SELECT label FROM probe)
-  ORDER BY round({cos}, 6) DESC, e.vec_id LIMIT {K}
-),
-am AS (
-  SELECT 'lsh' AS method, id FROM lsh
-  UNION ALL
-  SELECT 'ivf' AS method, id FROM ivf
-),
-hits AS (
-  SELECT method, count(*)::BIGINT AS n_hit FROM am
-  WHERE id IN (SELECT id FROM exact) GROUP BY method
-)
-SELECT m.method, {K} AS k, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
-       round(coalesce(h.n_hit, 0)::DOUBLE / {K}, 6) AS recall
-FROM (VALUES ('lsh'), ('ivf')) m(method) LEFT JOIN hits h USING (method)
-"""
-
-
-SQL_ANN_RECALL_AUDIT = _recall_oracle()
-
-
 IVF_QUERIES = {
     "ann_ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embed_outliers": (q_embed_outliers, SQL_EMBED_OUTLIERS),
     "ann_multi_query_topk": (q_ann_multi_query_topk, SQL_ANN_MULTI_QUERY_TOPK),
-    "ann_recall_audit": (q_ann_recall_audit, SQL_ANN_RECALL_AUDIT),
 }

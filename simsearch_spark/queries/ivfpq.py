@@ -1,0 +1,266 @@
+"""Declared query: composed IVF-PQ ANN serving — the actual billion-scale
+retrieval shape both halves were built for (Jégou, Douze, Schmid 2011 §V;
+the FAISS ``IndexIVFPQ`` recipe): coarse IVF routing prunes the corpus to
+``N_PROBE`` cells, the PQ ADC scan ranks only those cells' codes, and an
+exact rescore of the bounded candidate set returns the true-cosine top-k.
+
+The oracle replays the ENTIRE composition in SQL: the bounded-sample PQ
+training chains (every Lloyd pass unrolled, queries/cluster.py), centroid
+training + probe selection (queries/ivf.py's shape), the cell-filtered ADC
+scan with the same left-fold LUT arithmetic, and the exact rerank — so
+routing, compression, scanning, and rescoring all hold a driver verdict
+together, not just the final ordering.
+
+This module also hosts ``ann_recall_audit`` (moved from queries/ivf.py):
+the audit now measures all THREE approximate paths — sign-LSH, IVF, and
+IVF-PQ — against the exact scan, and importing the PQ machinery here keeps
+queries/ivf.py free of a circular import (cluster.py imports ivf.py).
+
+Reference parity note: the reference engine has no quantized ANN (its
+vector path is pivot-based exact k-NN, ``pivoting/``); IVF-PQ completes
+the LLM-pipeline ANN family (SURVEY.md §8) as its scale-serving member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simsearch_spark.queries.cluster import (
+    _SQL_PQ_TRAIN_SRC,
+    _l2sq_sql,
+    _pq_sub_ctes,
+    PQ_ITERS,
+    PQ_KSUB,
+    PQ_M,
+    pq_training_sample,
+)
+from simsearch_spark.queries.core import K
+from simsearch_spark.queries.ivf import (
+    _centroids,
+    EMB_DIM,
+    IVF_QUERY_ID,
+    N_PROBE,
+    SQL_IVF_TOPK,  # noqa: F401  (re-exported context for readers)
+)
+from simsearch_spark.queries.vector import _cosine_sql, _l2_sql
+from simsearch_spark.sources.registry import load_table
+
+#: exact-rescore depth: the ADC scan keeps this many candidates for the
+#: true-cosine rerank — 3x the served k, the standard recall/read-volume
+#: trade (driver state stays O(RERANK))
+RERANK = 30
+
+_DSUB = EMB_DIM // PQ_M
+
+
+def _train_books(emb: DataFrame):
+    from simsearch_spark.operators.pq import pq_train
+
+    return pq_train(
+        pq_training_sample(emb), "vec_id", "embedding",
+        m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS,
+    )
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (operators/pq.py::ivf_pq_topk): label-mean IVF
+    centroids route the query to its ``N_PROBE`` nearest cells, the
+    bounded-sample-trained PQ codebooks ADC-scan only those cells, and the
+    best ``RERANK`` ADC candidates are exact-rescored to the true-cosine
+    top-``K``.  Bytes scanned ∝ n_probe/n_cells, never N — the predicate
+    is pushed to the parquet scan (plan-asserted, tests/test_pq.py)."""
+    from simsearch_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding]
+    out = ivf_pq_topk(
+        emb, "vec_id", "embedding",
+        _centroids(spark, sf_dir), _train_books(emb), qvec, K,
+        n_probe=N_PROBE, rerank=RERANK, assign_col="label",
+    )
+    return out.select(F.col("vec_id").alias("id"), "adc_dist", "cos_sim")
+
+
+def _ivfpq_cand_ctes(query_id: int, n_probe: int, rerank: int) -> str:
+    """WITH-fragment (no leading ``WITH``) ending in
+    ``ivfpq_cand(vec_id, embedding, adc_dist)`` — the full IVF-PQ replay up
+    to the rerank input: bounded-sample training chains, probe selection,
+    cell filter, and the ADC fold.  CTE names are prefixed (``pqq``,
+    ``pprobe``, …) so the fragment composes into the recall-audit oracle
+    without clashing with its own CTEs."""
+    chains = _SQL_PQ_TRAIN_SRC + ",\n" + ",\n".join(
+        _pq_sub_ctes(j, _DSUB, PQ_KSUB, PQ_ITERS) for j in range(PQ_M)
+    )
+    sels = ",\n".join(
+        f"sel{j} AS (SELECT vec_id, cluster_id FROM af{j} WHERE rn = 1)"
+        for j in range(PQ_M)
+    )
+    dists = ", ".join(
+        _l2sq_sql(f"pqv[{j * _DSUB + 1}:{(j + 1) * _DSUB}]", f"cb{j}.c") + f" AS d{j}"
+        for j in range(PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN sel{j} USING (vec_id) "
+        f"JOIN c{PQ_ITERS}x{j} cb{j} ON cb{j}.cluster_id = sel{j}.cluster_id"
+        for j in range(PQ_M)
+    )
+    total = " + ".join(f"d{j}" for j in range(PQ_M))
+    return f"""{chains},
+{sels},
+pqq AS (SELECT embedding AS pqv FROM embeddings WHERE vec_id = {query_id}),
+pflat AS (
+  SELECT label, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS u(i)
+),
+pcm AS (SELECT label, i, avg(v) AS mv FROM pflat GROUP BY label, i),
+pcent AS (SELECT label, list(mv ORDER BY i) AS c FROM pcm GROUP BY label),
+pprobe AS (
+  SELECT label FROM pcent, pqq ORDER BY {_l2_sql('c', 'pqv')} ASC, label ASC LIMIT {n_probe}
+),
+padc AS (
+  SELECT e.vec_id, e.embedding, {dists}
+  FROM embeddings e {joins}, pqq
+  WHERE e.label IN (SELECT label FROM pprobe)
+),
+ivfpq_cand AS (
+  SELECT vec_id, embedding, round(sqrt({total}), 6) AS adc_dist
+  FROM padc ORDER BY adc_dist ASC, vec_id ASC LIMIT {rerank}
+)"""
+
+
+SQL_ANN_IVFPQ_TOPK = f"""
+WITH {_ivfpq_cand_ctes(IVF_QUERY_ID, N_PROBE, RERANK)}
+SELECT c.vec_id AS id, c.adc_dist,
+       round({_cosine_sql('c.embedding', 'pqv')}, 6) AS cos_sim
+FROM ivfpq_cand c, pqq
+ORDER BY cos_sim DESC, c.vec_id ASC LIMIT {K}
+"""
+
+
+# -----------------------------------------------------------------------------
+# ann_recall_audit: recall@k of every approximate ANN path vs brute force
+# (moved from queries/ivf.py; the ivfpq arm is new)
+# -----------------------------------------------------------------------------
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured retrieval quality of the three approximate ANN paths — the
+    audit every production deployment runs before trusting an index:
+    recall@k of sign-LSH (multi-probe hamming<=1), IVF (n_probe
+    centroids), and composed IVF-PQ (cell-routed ADC + exact rerank)
+    against the exact brute-force top-k, for the same query vector the
+    declared ANN queries use.  All candidate frames are k rows, so the
+    audit joins are constant-sized; the only corpus-scale work is the
+    scans the audited paths themselves perform.
+
+    Expected numbers on the SYNTHETIC fixtures are low (~0.1-0.2): the
+    embeddings are near-uniform random, so LSH buckets and the label-based
+    IVF cells correlate weakly with true cosine neighborhoods — precisely
+    the situation the audit exists to expose before anyone trusts an
+    index.  On clustered real-corpus embeddings the same paths recover
+    high recall; the tuning levers are probe_hamming (LSH), n_probe (IVF,
+    IVF-PQ), and rerank depth (IVF-PQ), each trading read volume for
+    recall monotonically.  IVF-PQ's recall is capped by its IVF routing
+    (same probed cells) and approaches the IVF arm from below as rerank
+    grows — visible directly in the report."""
+    from simsearch_spark.operators.ann import cosine_topk, ivf_topk, lsh_cosine_topk
+    from simsearch_spark.operators.pq import ivf_pq_topk
+    from simsearch_spark.queries.pipeline import ANN_QUERY_ID, PLANES
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == ANN_QUERY_ID).first().embedding]
+    cents = _centroids(spark, sf_dir)
+    exact = cosine_topk(emb, "vec_id", "embedding", qvec, K).select(F.col("vec_id").alias("id"))
+    lsh = lsh_cosine_topk(emb, "vec_id", "embedding", qvec, K, PLANES, probe_hamming=1).select(
+        F.lit("lsh").alias("method"), F.col("vec_id").alias("id")
+    )
+    ivf = ivf_topk(
+        emb, "vec_id", "embedding", cents, qvec, K,
+        n_probe=N_PROBE, assign_col="label",
+    ).select(F.lit("ivf").alias("method"), F.col("vec_id").alias("id"))
+    ivfpq = ivf_pq_topk(
+        emb, "vec_id", "embedding", cents, _train_books(emb), qvec, K,
+        n_probe=N_PROBE, rerank=RERANK, assign_col="label",
+    ).select(F.lit("ivfpq").alias("method"), F.col("vec_id").alias("id"))
+    hits = (
+        lsh.unionByName(ivf).unionByName(ivfpq)
+        .join(exact, "id", "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",), ("ivfpq",)], "method string")
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0).cast("long"))
+    return methods.join(hits, "method", "left").select(
+        "method",
+        F.lit(K).alias("k"),
+        n_hit.alias("n_hit"),
+        F.round(n_hit.cast("double") / F.lit(float(K)), 6).alias("recall"),
+    )
+
+
+def _recall_oracle() -> str:
+    from simsearch_spark.queries.pipeline import (
+        ANN_QUERY_ID,
+        lsh_bucket_sql,
+        lsh_plane_cols_sql,
+    )
+
+    cos = _cosine_sql("e.embedding", "qv")
+    return f"""
+WITH planes AS (SELECT {lsh_plane_cols_sql()}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {ANN_QUERY_ID}),
+exact AS (
+  SELECT e.vec_id AS id FROM embeddings e, q
+  ORDER BY round({cos}, 6) DESC, e.vec_id LIMIT {K}
+),
+qb AS (SELECT {lsh_bucket_sql('qv')} AS qbucket FROM q, planes),
+lsh AS (
+  SELECT e.vec_id AS id FROM embeddings e, q, qb, planes
+  WHERE bit_count(xor({lsh_bucket_sql('e.embedding')}, qbucket)) <= 1
+  ORDER BY round({cos}, 6) DESC, e.vec_id LIMIT {K}
+),
+flat AS (
+  SELECT label, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS u(i)
+), cm AS (
+  SELECT label, i, avg(v) AS mv FROM flat GROUP BY label, i
+), cent AS (
+  SELECT label, list(mv ORDER BY i) AS c FROM cm GROUP BY label
+), probe AS (
+  SELECT label FROM cent, q ORDER BY {_l2_sql('c', 'qv')} ASC, label ASC LIMIT {N_PROBE}
+),
+ivf AS (
+  SELECT e.vec_id AS id FROM embeddings e, q
+  WHERE e.label IN (SELECT label FROM probe)
+  ORDER BY round({cos}, 6) DESC, e.vec_id LIMIT {K}
+),
+{_ivfpq_cand_ctes(ANN_QUERY_ID, N_PROBE, RERANK)},
+ivfpq AS (
+  SELECT c.vec_id AS id FROM ivfpq_cand c, pqq
+  ORDER BY round({_cosine_sql('c.embedding', 'pqv')}, 6) DESC, c.vec_id ASC LIMIT {K}
+),
+am AS (
+  SELECT 'lsh' AS method, id FROM lsh
+  UNION ALL
+  SELECT 'ivf' AS method, id FROM ivf
+  UNION ALL
+  SELECT 'ivfpq' AS method, id FROM ivfpq
+),
+hits AS (
+  SELECT method, count(*)::BIGINT AS n_hit FROM am
+  WHERE id IN (SELECT id FROM exact) GROUP BY method
+)
+SELECT m.method, {K} AS k, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       round(coalesce(h.n_hit, 0)::DOUBLE / {K}, 6) AS recall
+FROM (VALUES ('lsh'), ('ivf'), ('ivfpq')) m(method) LEFT JOIN hits h USING (method)
+"""
+
+
+SQL_ANN_RECALL_AUDIT = _recall_oracle()
+
+
+IVFPQ_QUERIES = {
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
+    "ann_recall_audit": (q_ann_recall_audit, SQL_ANN_RECALL_AUDIT),
+}

@@ -243,6 +243,40 @@ def _pq_encode_probe(spark, sf_dir: str) -> int:
     return int(enc.agg(F.sum("code_0") + F.count(F.lit(1))).first()[0])
 
 
+def _ivfpq_serve_probe(spark, sf_dir: str) -> int:
+    """The composed IVF-PQ serve (r10): fixed-sample PQ training + label-
+    mean centroids, then ``ivf_pq_topk`` routed to n_probe=2 of the fixture
+    cells.  Returns the ADC-SCANNED row count (the probed cells'
+    population): the scale claim is that this is N·(n_probe/n_cells) — the
+    probed FRACTION stays constant as N grows (labels replicate, so cell
+    count is fixed while cells grow ∝ N), vs the full-N scan a flat index
+    would pay.  Centroid/codebook training inside the lambda is the fixed
+    mount-time cost, same accounting as embed_pq_encode."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.operators.pq import ivf_pq_topk, pq_train
+    from simsearch_spark.queries.ivf import _centroids
+    from simsearch_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.orderBy("vec_id").limit(2000).persist()
+    books = pq_train(sample, "vec_id", "embedding", m=4, ksub=8, iters=2)
+    sample.unpersist()
+    cents = _centroids(spark, sf_dir)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    served = ivf_pq_topk(
+        emb, "vec_id", "embedding", cents, books, q, 10,
+        n_probe=2, rerank=50, assign_col="label",
+    ).collect()
+    assert len(served) == 10
+    cent = sorted(
+        [(r[0], list(r[1])) for r in cents.collect()],
+        key=lambda c: (sum((a - b) ** 2 for a, b in zip(q, c[1])), c[0]),
+    )
+    probed = [cid for cid, _ in cent[:2]]
+    return int(emb.where(F.col("label").isin(probed)).count())
+
+
 def probes(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -359,6 +393,10 @@ def probes(spark, sf_dir: str):
         # pattern — codebooks saturate long before corpus size), then
         # encode the whole corpus row-locally; cost must track the scan
         "embed_pq_encode": lambda: _pq_encode_probe(spark, sf_dir),
+        # composed IVF-PQ serving (r10): rows = ADC-scanned cell population
+        # — must stay the n_probe/n_cells FRACTION of N at every factor
+        # (the routing prunes the scan; a flat index would read N)
+        "ivfpq_serve": lambda: _ivfpq_serve_probe(spark, sf_dir),
         "semdedup_auto_k": lambda: semdedup_prune(
             emb, "vec_id", "embedding",
             k=auto_km_k(emb.count(), rows_per_cluster=500),
