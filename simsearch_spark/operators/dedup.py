@@ -22,7 +22,7 @@ every tier is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from simsearch_spark.functions import measures
@@ -204,6 +204,38 @@ def minhash_banded_frame(
     )
 
 
+#: hot-bucket guard (VERDICT r9 task 4): adaptive params keep RANDOM
+#: collisions flat, but an adversarial/skewed corpus (near-constant
+#: vectors, boilerplate shingles) can still put s >> cap members in one
+#: LSH bucket, whose s²/2 pairs would otherwise land in one quadratic
+#: task.  Each bucket therefore contributes pairs from at most this many
+#: members (its LOWEST ids — deterministic); overflow members are DROPPED
+#: from that bucket (MMDS drop-with-count practice: a cluster that large
+#: is boilerplate the exact tier owns; each member usually still pairs
+#: through its other, healthier bands).  4096 bounds a bucket task at
+#: ~8M pairs and is far above anything a healthy corpus produces; the
+#: dropped mass is one agg away (count rows ranked past the cap).
+LSH_BUCKET_CAP = 4096
+
+
+def _cap_lsh_buckets(
+    expl: DataFrame, key_cols: list[str], id_col: str, cap: int | None
+) -> DataFrame:
+    """Keep each LSH bucket's ``cap`` lowest-id member rows (the
+    deterministic drop-with-count contract above); ``cap=None`` disables.
+    One row_number window over the bucket key — the same hash partitioning
+    the band join / bucket groupBy needs anyway, so Catalyst reuses the
+    exchange."""
+    if cap is None:
+        return expl
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return (
+        expl.withColumn("_bucket_rn", F.row_number().over(w))
+        .where(F.col("_bucket_rn") <= int(cap))
+        .drop("_bucket_rn")
+    )
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup: (fingerprint, keeper=min id, group size).  Whitespace/case
     jitter collapses via the normalized fingerprint."""
@@ -222,8 +254,15 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     auto_params: bool = False,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
+
+    bucket_cap: hot-bucket guard (``LSH_BUCKET_CAP``) — each (band_idx,
+    band_hash) bucket contributes candidates from at most its ``cap``
+    lowest-id members; a boilerplate cluster can no longer turn one bucket
+    key into a quadratic join key.  The streaming dual
+    (streaming/lshdedup.py) applies the same cap to its keyed state.
 
     auto_params=True sizes (n_hashes, bands) from the corpus via
     ``operators/lshparams.py auto_minhash_params`` — the S-curve midpoint
@@ -263,6 +302,7 @@ def minhash_lsh_pairs(
     # explode to (band_idx, band_hash, id): the only shuffled relation —
     # shingle arrays stay out of the shuffle; verification re-joins by id
     expl = banded.select(F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash"))
+    expl = _cap_lsh_buckets(expl, ["band_idx", "band_hash"], id_col, bucket_cap)
     left = expl.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = expl.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     cand = (
@@ -443,8 +483,17 @@ def embedding_cosine_pairs(
     planes_seed: int = 7,
     center: bool = False,
     auto_params: bool = False,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine ≥ threshold.
+
+    bucket_cap (pruned route only): hot-bucket guard (``LSH_BUCKET_CAP``)
+    — each (band_idx, band_key) bucket scores at most its ``cap``
+    lowest-id members, so an adversarial near-constant corpus (every sign
+    bit equal → one bucket) is bounded at cap²/2 pairs in a cap-row task
+    instead of one quadratic straggler.  Overflow members are dropped from
+    that bucket (drop-with-count; see LSH_BUCKET_CAP).  The streaming dual
+    applies the same cap to its keyed state.
 
     blocked=True (default): distributed block-tiled pair join.  Rows are
     hashed into B ≈ n/block_rows blocks; each unordered block pair (p ≤ q)
@@ -554,6 +603,7 @@ def embedding_cosine_pairs(
             "nrm",
             F.posexplode("keys").alias("band_idx", "band_key"),
         )
+        banded = _cap_lsh_buckets(banded, ["band_idx", "band_key"], "rid", bucket_cap)
 
         def score_bucket(pdf):
             return _score_pair_group(pdf, loose, diagonal=True)

@@ -31,10 +31,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-from simsearch_spark.operators.dedup import minhash_banded_frame
+from simsearch_spark.operators.dedup import LSH_BUCKET_CAP, minhash_banded_frame
 
 PAIR_SCHEMA = "id_a long, id_b long"
-STATE_SCHEMA = "members array<long>"
+STATE_SCHEMA = "members array<long>, n_dropped long"
 
 
 def minhash_candidates_stream(
@@ -44,6 +44,7 @@ def minhash_candidates_stream(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs from a streaming document frame; pairs
     may repeat across buckets/batches — consumers ``dropDuplicates`` (the
@@ -53,7 +54,7 @@ def minhash_candidates_stream(
     expl = banded.select(
         F.col(id_col).alias("doc"), F.posexplode("bands").alias("band_idx", "band_hash")
     )
-    return _bucket_state_candidates(expl)
+    return _bucket_state_candidates(expl, bucket_cap)
 
 
 def embedding_candidates_stream(
@@ -65,6 +66,7 @@ def embedding_candidates_stream(
     band_bits: int = 4,
     planes_seed: int = 7,
     mean: list[float] | None = None,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Streaming sign-LSH near-dup candidates for an EMBEDDING stream — the
     incremental dual of ``embedding_cosine_pairs(pruned=True)``'s banding
@@ -96,12 +98,22 @@ def embedding_candidates_stream(
         )
         .select("doc", F.posexplode("keys").alias("band_idx", "band_hash"))
     )
-    return _bucket_state_candidates(expl)
+    return _bucket_state_candidates(expl, bucket_cap)
 
 
-def _bucket_state_candidates(expl: DataFrame) -> DataFrame:
+def _bucket_state_candidates(
+    expl: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP
+) -> DataFrame:
     """(doc, band_idx, band_hash) rows → streamed candidate pairs via keyed
-    per-bucket member state — shared by the minhash and sign-LSH fronts."""
+    per-bucket member state — shared by the minhash and sign-LSH fronts.
+
+    bucket_cap mirrors the batch guard (operators/dedup.py
+    ``LSH_BUCKET_CAP``): once a bucket holds ``cap`` members, later
+    arrivals neither emit pairs nor enter state (counted in
+    ``n_dropped``), so hot-bucket STATE and per-trigger pair emission stay
+    bounded — for an id-ordered stream the final pair set equals the batch
+    dual's lowest-id-cap rule, and for any arrival order the set is
+    invariant to micro-batch boundaries (the split-invariance contract)."""
 
     def emit(key, pdfs, state):
         import warnings
@@ -112,17 +124,22 @@ def _bucket_state_candidates(expl: DataFrame) -> DataFrame:
             "ignore", category=FutureWarning, message=".*concatenation with empty or all-NA.*"
         )
         members: list[int] = list(state.get[0]) if state.exists else []
+        n_dropped: int = int(state.get[1]) if state.exists else 0
         a_out: list[int] = []
         b_out: list[int] = []
         new_ids: list[int] = []
         for pdf in pdfs:
             new_ids.extend(int(x) for x in pdf["doc"])
         for doc in sorted(set(new_ids) - set(members)):
+            if bucket_cap is not None and len(members) >= bucket_cap:
+                # hot-bucket overflow: drop-with-count (see docstring)
+                n_dropped += 1
+                continue
             for m in members:
                 a_out.append(min(doc, m))
                 b_out.append(max(doc, m))
             members.append(doc)
-        state.update((members,))
+        state.update((members, n_dropped))
         return iter([pd.DataFrame({"id_a": a_out, "id_b": b_out})])
 
     return expl.groupBy("band_idx", "band_hash").applyInPandasWithState(

@@ -214,3 +214,137 @@ def test_stream_and_batch_agree_on_wide_auto_params(spark, tmp_path):
         for r in spark.sql("SELECT * FROM wide_lsh_cand").distinct().collect()
     }
     assert streamed == batch
+
+
+# -----------------------------------------------------------------------------
+# hot-bucket guard (r10): a planted adversarial bucket must stay bounded
+# -----------------------------------------------------------------------------
+
+
+def _hot_vectors(spark, n_hot=40, n_bg=30, dim=16):
+    """n_hot near-CONSTANT vectors (identical sign pattern in every plane →
+    one bucket per band) + decorrelated background + one planted clean
+    near-dup pair living outside the hot bucket's id range."""
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (i, [1.0 + rng.gauss(0, 1e-4) for _ in range(dim)]) for i in range(n_hot)
+    ]
+    for i in range(n_bg):
+        rows.append((10_000 + i, [rng.gauss(0, 1) for _ in range(dim)]))
+    v = [rng.gauss(0, 1) for _ in range(dim)]
+    rows.append((20_000, v))
+    rows.append((20_001, [x + rng.gauss(0, 1e-4) for x in v]))
+    return spark.createDataFrame(rows, "id long, embedding array<double>")
+
+
+def test_hot_bucket_cap_bounds_embedding_pairs(spark):
+    """Near-constant vectors put every hot row in ONE bucket per band: the
+    cap must bound that bucket's pairs to cap·(cap−1)/2 among the LOWEST
+    cap ids, drop the overflow members deterministically, and leave
+    healthy buckets (the planted clean pair) untouched."""
+    from simsearch_spark.operators.dedup import embedding_cosine_pairs
+
+    df = _hot_vectors(spark).persist()
+    cap = 10
+    capped = embedding_cosine_pairs(
+        df, "id", "embedding", 0.99, pruned=True, bucket_cap=cap
+    ).collect()
+    hot_pairs = [(r.id_a, r.id_b) for r in capped if r.id_b < 10_000]
+    # bounded volume: only the cap lowest hot ids may pair
+    assert len(hot_pairs) == cap * (cap - 1) // 2
+    assert all(b < cap for _a, b in hot_pairs)
+    # the healthy planted pair survives the guard
+    assert (20_000, 20_001) in {(r.id_a, r.id_b) for r in capped}
+    # uncapped dual: the same call without a cap is quadratic in the bucket
+    full = embedding_cosine_pairs(
+        df, "id", "embedding", 0.99, pruned=True, bucket_cap=None
+    ).where(F.col("id_b") < 10_000).count()
+    assert full == 40 * 39 // 2
+    # fixture-scale no-op: the default cap (4096) changes nothing here
+    # beyond the planted hot bucket being far below it on healthy data
+    assert embedding_cosine_pairs(
+        df.where(F.col("id") >= 10_000), "id", "embedding", 0.99, pruned=True
+    ).count() == 1
+
+
+def test_hot_bucket_cap_bounds_minhash_pairs(spark):
+    """Boilerplate documents (identical shingle sets → identical signatures
+    → one bucket per band) are bounded the same way on the text front."""
+    from simsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "terms of service apply to all users of this site without exception"
+    rows = [(i, boiler) for i in range(30)]
+    rows += [(5_000 + i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(20))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").persist()
+    cap = 5
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 0.7, bucket_cap=cap).collect()
+    }
+    assert capped == {(a, b) for a in range(cap) for b in range(a + 1, cap)}
+    full = minhash_lsh_pairs(df, "doc_id", "text", 0.7, bucket_cap=None).count()
+    assert full == 30 * 29 // 2
+
+
+def test_hot_bucket_cap_stream_batch_symmetric(spark, tmp_path):
+    """The streaming keyed state applies the SAME cap: for an id-ordered
+    stream the final candidate set equals the batch lowest-id-cap rule,
+    and the set is invariant to where the micro-batch boundaries fall."""
+    from simsearch_spark.operators.ann import lcg_hyperplanes, lsh_band_keys
+    from simsearch_spark.operators.dedup import _cap_lsh_buckets
+    from simsearch_spark.streaming.lshdedup import embedding_candidates_stream
+
+    dim = 16
+    cap = 8
+    n_planes, band_bits = 16, 4
+    df = _hot_vectors(spark).persist()
+
+    # batch candidate set under the same cap and keys
+    planes = lcg_hyperplanes(dim, n_planes, seed=7)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    expl = df.select(
+        F.col("id").alias("doc"),
+        F.posexplode(lsh_band_keys(v, planes, band_bits)).alias("band_idx", "band_hash"),
+    )
+    expl = _cap_lsh_buckets(expl, ["band_idx", "band_hash"], "doc", cap)
+    left = expl.select(F.col("doc").alias("id_a"), "band_idx", "band_hash")
+    right = expl.select(F.col("doc").alias("id_b"), "band_idx", "band_hash")
+    batch = {
+        (r.id_a, r.id_b)
+        for r in left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    # the guard really bit: hot pairs bounded at cap
+    assert len({p for p in batch if p[1] < 10_000}) == cap * (cap - 1) // 2
+
+    for splits, name in ((1, "hot_cap_s1"), (3, "hot_cap_s3")):
+        src = str(tmp_path / name)
+        ids = sorted(r.id for r in df.select("id").collect())
+        bounds = [ids[int(len(ids) * k / splits)] for k in range(1, splits)] + [ids[-1] + 1]
+        lo = None
+        for bi, hi in enumerate(bounds):
+            part = df.where(F.col("id") < hi if lo is None else (F.col("id") >= lo) & (F.col("id") < hi))
+            part.write.parquet(f"{src}/b{bi}")
+            lo = hi
+        stream = spark.readStream.schema("id long, embedding array<double>").parquet(src + "/*")
+        out = embedding_candidates_stream(
+            stream, dim, id_col="id", n_planes=n_planes, band_bits=band_bits, bucket_cap=cap
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r.id_a, r.id_b)
+            for r in spark.sql(f"SELECT * FROM {name}").distinct().collect()
+        }
+        assert streamed == batch, (name, len(streamed), len(batch))
