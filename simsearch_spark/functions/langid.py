@@ -53,11 +53,15 @@ __all__ = [
     "trigram_lang",
     "lang_id_v2",
     "profile_sql_values",
+    "train_profiles",
 ]
 
 #: fixed language order — argmax tie-break and the lane order of the
-#: packed weight vectors (must match the CASE ordering in the oracle SQL)
-LANGS = ("en", "de", "fr", "es")
+#: packed weight vectors (must match the CASE ordering in the oracle SQL;
+#: queries/corpus.py generates its lanes from this tuple).  it/pt joined
+#: in r10 — profile-only languages: the stopword pre-filter never predicts
+#: them (LANG_STOPWORDS is unchanged), the trigram scorer does.
+LANGS = ("en", "de", "fr", "es", "it", "pt")
 
 #: trigrams kept per language profile.  64 is plenty to separate four
 #: languages and keeps the oracle's VALUES table ≤256 rows.
@@ -104,6 +108,24 @@ _SEEDS = {
         "mundo y todo lo que hay en el la lluvia en espana se queda sobre "
         "todo en la llanura y el tiempo pasa rapido en el pais de la vida"
     ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro ed era il "
+        "migliore dei tempi era il peggiore dei tempi tutte le famiglie "
+        "felici si somigliano ogni famiglia infelice lo e a modo suo questo "
+        "e il giorno che abbiamo fatto e ci rallegreremo in esso per la "
+        "gente del mondo e tutto cio che vi si trova la pioggia in spagna "
+        "resta soprattutto nella pianura e il tempo passa veloce nel paese "
+        "della vita e della liberta che tutti gli uomini vogliono avere"
+    ),
+    "pt": (
+        "a rapida raposa marrom salta sobre o cao preguicoso e era o melhor "
+        "dos tempos era o pior dos tempos todas as familias felizes se "
+        "parecem cada familia infeliz o e a sua maneira este e o dia que "
+        "fizemos e nos alegraremos nele para as pessoas do mundo e tudo o "
+        "que nele existe a chuva na espanha fica principalmente na planicie "
+        "e o tempo passa depressa no pais da vida e da liberdade que todos "
+        "os homens querem ter para as suas familias"
+    ),
 }
 
 
@@ -124,25 +146,40 @@ PROFILES: dict[str, dict[str, int]] = {l: _build_profile(_SEEDS[l]) for l in LAN
 _ALL_TRIS = sorted(set().union(*[set(p) for p in PROFILES.values()]))
 
 
-def _weight_map() -> Column:
+def _langs_of(profiles: dict[str, dict[str, int]] | None) -> tuple[str, ...]:
+    """The lane order of a profile set: LANGS for the embedded default,
+    insertion order (sorted at train time) for a trained artifact."""
+    return LANGS if profiles is None else tuple(profiles)
+
+
+def _weight_map(profiles: dict[str, dict[str, int]] | None = None) -> Column:
+    prof = PROFILES if profiles is None else profiles
+    langs = _langs_of(profiles)
+    tris = _ALL_TRIS if profiles is None else sorted(
+        set().union(*[set(p) for p in prof.values()])
+    )
     entries: list[Column] = []
-    for t in _ALL_TRIS:
+    for t in tris:
         entries.append(F.lit(t))
         entries.append(
-            F.array(*[F.lit(PROFILES[l].get(t, 0)).cast("long") for l in LANGS])
+            F.array(*[F.lit(prof[l].get(t, 0)).cast("long") for l in langs])
         )
     return F.create_map(*entries)  # literal → constant-folded by Catalyst
 
 
-def trigram_scores_micro(col: Column) -> Column:
-    """array<long> of per-language trigram scores in LANGS order: the exact
-    BIGINT sum of profile micro-weights over every trigram position of
+def trigram_scores_micro(
+    col: Column, profiles: dict[str, dict[str, int]] | None = None
+) -> Column:
+    """array<long> of per-language trigram scores in lane order (LANGS for
+    the default profiles, key order for a trained set): the exact BIGINT
+    sum of profile micro-weights over every trigram position of
     ``lower(col)``.  Row-local single fold; NULL/short (<3 chars) text
-    scores [0,0,0,0]."""
+    scores all-zero."""
+    langs = _langs_of(profiles)
     s = F.lower(F.coalesce(col, F.lit("")))
     n = F.length(s)
-    m = _weight_map()
-    zero = F.array(*[F.lit(0).cast("long") for _ in LANGS])
+    m = _weight_map(profiles)
+    zero = F.array(*[F.lit(0).cast("long") for _ in langs])
     folded = F.aggregate(
         F.sequence(F.lit(1), n - 2),
         zero,
@@ -157,15 +194,17 @@ def trigram_scores_micro(col: Column) -> Column:
     return F.when(n >= 3, folded).otherwise(zero)
 
 
-def trigram_lang_from_scores(scores: Column) -> Column:
-    """argmax language from an already-computed score vector (LANGS order);
-    'und' when all zero.  Deterministic tie-break: LANGS order, strict >
-    (same contract as the stopword lang_id).  Take the vector from a
-    single ``trigram_scores_micro`` column so the fold is not re-evaluated
-    per language."""
+def trigram_lang_from_scores(
+    scores: Column, langs: tuple[str, ...] = LANGS
+) -> Column:
+    """argmax language from an already-computed score vector (lane order =
+    ``langs``); 'und' when all zero.  Deterministic tie-break: lane order,
+    strict > (same contract as the stopword lang_id).  Take the vector
+    from a single ``trigram_scores_micro`` column so the fold is not
+    re-evaluated per language."""
     best_lang = F.lit("und")
     best = F.lit(0).cast("long")
-    for i, lang in enumerate(LANGS):
+    for i, lang in enumerate(langs):
         sc = scores[i]
         take = sc > best
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
@@ -173,9 +212,13 @@ def trigram_lang_from_scores(scores: Column) -> Column:
     return best_lang
 
 
-def trigram_lang(col: Column) -> Column:
+def trigram_lang(
+    col: Column, profiles: dict[str, dict[str, int]] | None = None
+) -> Column:
     """argmax language of the trigram scores; 'und' when all zero."""
-    return trigram_lang_from_scores(trigram_scores_micro(col))
+    return trigram_lang_from_scores(
+        trigram_scores_micro(col, profiles), _langs_of(profiles)
+    )
 
 
 def lang_id_v2(col: Column) -> Column:
@@ -205,6 +248,8 @@ def langid_frame(df, id_col: str, text_col: str):
     from simsearch_spark.functions.text import LANG_STOPWORDS
 
     tri_w = {t: tuple(PROFILES[l].get(t, 0) for l in LANGS) for t in _ALL_TRIS}
+    n_langs = len(LANGS)
+    lane_idx = range(n_langs)
     stopsets = [(lang, frozenset(sw)) for lang, sw in LANG_STOPWORDS.items()]
     # Java's \s (non-UNICODE_CHARACTER_CLASS) is ASCII-only — Python's \s
     # is unicode-aware, so spell the class out to match F.split exactly
@@ -233,15 +278,13 @@ def langid_frame(df, id_col: str, text_col: str):
                     if ratio > sw_best:
                         sw_lang, sw_best = lang, ratio
                 # trigram profile scores (exact integer micro-weights)
-                sc = [0, 0, 0, 0]
+                sc = [0] * n_langs
                 get = tri_w.get
                 for i in range(len(s) - 2):
                     w = get(s[i : i + 3])
                     if w is not None:
-                        sc[0] += w[0]
-                        sc[1] += w[1]
-                        sc[2] += w[2]
-                        sc[3] += w[3]
+                        for li in lane_idx:
+                            sc[li] += w[li]
                 tri_lang, tri_best = "und", 0
                 for li, lang in enumerate(LANGS):
                     if sc[li] > tri_best:
@@ -262,12 +305,75 @@ def langid_frame(df, id_col: str, text_col: str):
     )
 
 
-def profile_sql_values() -> str:
-    """The profile as a SQL VALUES body — (lang, tri, w) rows, identical
-    constants to the Spark literal map, for the DuckDB oracle."""
+def profile_sql_values(profiles: dict[str, dict[str, int]] | None = None) -> str:
+    """A profile set as a SQL VALUES body — (lang, tri, w) rows, identical
+    constants to the Spark literal map, for the DuckDB oracle.  Works for
+    the embedded default AND any ``train_profiles`` artifact, so a trained
+    profile replays through the same oracle shape."""
+    prof = PROFILES if profiles is None else profiles
     rows = []
-    for lang in LANGS:
-        for t, w in sorted(PROFILES[lang].items()):
+    for lang in _langs_of(profiles):
+        for t, w in sorted(prof[lang].items()):
             esc = t.replace("'", "''")
             rows.append(f"('{lang}', '{esc}', {w})")
     return ", ".join(rows)
+
+
+def train_profiles(
+    df,
+    text_col: str,
+    label_col: str,
+    k: int = PROFILE_K,
+    max_langs: int = 64,
+) -> dict[str, dict[str, int]]:
+    """Build Cavnar-Trenkle integer micro-weight profiles FROM A LABELED
+    CORPUS SAMPLE — the mount-time-artifact pattern (like lm_perplexity's
+    LM or IVF centroids): run once over a labeled frame, persist the
+    returned dict, and pass it to ``trigram_scores_micro`` /
+    ``trigram_lang`` / ``profile_sql_values`` in place of the embedded
+    seed defaults.
+
+    Identical weight arithmetic to ``_build_profile``: per label, the top
+    ``k`` trigrams of the lowercased text by count (ties by trigram text
+    ascending), weighted ``count * 1e6 // total_positions``.
+
+    100 TB shape: trigram extraction is a row-local transform+explode; the
+    (label, trigram) count and per-label total are ONE map-side-combinable
+    aggregation each; top-k per label is a bounded window; only
+    ``n_langs × k`` rows ever reach the driver.  ``max_langs`` guards the
+    label column the way ``exact_grouped_quantile_cont`` guards groups —
+    profiles are per-LANGUAGE state, not per-row state."""
+    from pyspark.sql import Window
+
+    s = F.lower(F.col(text_col))
+    n = F.length(s)
+    tris = F.transform(
+        F.sequence(F.lit(1), n - 2), lambda i: F.substring(s, i, F.lit(3))
+    )
+    base = (
+        df.where(F.col(label_col).isNotNull() & F.col(text_col).isNotNull() & (n >= 3))
+        .select(F.col(label_col).alias("_lang"), F.explode(tris).alias("_tri"))
+    )
+    n_langs = int(base.agg(F.countDistinct("_lang")).first()[0])
+    if n_langs > max_langs:
+        raise ValueError(
+            f"train_profiles: {n_langs} distinct labels in {label_col!r} "
+            f"exceeds max_langs={max_langs}; pass a language label, not a "
+            "document key"
+        )
+    counts = base.groupBy("_lang", "_tri").agg(F.count(F.lit(1)).alias("c"))
+    w_total = Window.partitionBy("_lang")
+    w_rank = Window.partitionBy("_lang").orderBy(F.col("c").desc(), F.col("_tri").asc())
+    top = (
+        counts.withColumn("_total", F.sum("c").over(w_total))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") <= int(k))
+        # integral `div`, never float division: c*1e6/total as a double can
+        # round across the floor boundary; _build_profile uses exact //
+        .select("_lang", "_tri", F.expr("c * 1000000L div _total").alias("w"))
+        .collect()
+    )
+    out: dict[str, dict[str, int]] = {}
+    for r in top:
+        out.setdefault(str(r["_lang"]), {})[str(r["_tri"])] = int(r["w"])
+    return {lang: out[lang] for lang in sorted(out)}

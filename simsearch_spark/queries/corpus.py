@@ -452,8 +452,23 @@ def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_frame(docs, "doc_id", "text")
 
 
+def _sql_first_max_case(cols: dict[str, str]) -> str:
+    """First-max-wins argmax over (lang -> score SQL expr) in dict order,
+    'und' when nothing is positive — the SQL mirror of the strict-> fold
+    in functions/langid.py (lane order wins ties).  Generated from the
+    language list so added languages extend the oracle automatically."""
+    langs = list(cols)
+    allz = " AND ".join(f"{cols[l]} <= 0" for l in langs)
+    chain = f"CASE WHEN {allz} THEN 'und'"
+    for i, lang in enumerate(langs[:-1]):
+        geq = " AND ".join(f"{cols[lang]} >= {cols[j]}" for j in langs[i + 1:])
+        chain += f"\n            WHEN {geq} THEN '{lang}'"
+    chain += f"\n            ELSE '{langs[-1]}' END"
+    return chain
+
+
 def _sql_lang_id_trigram() -> str:
-    from simsearch_spark.functions.langid import profile_sql_values
+    from simsearch_spark.functions.langid import LANGS, profile_sql_values
     from simsearch_spark.functions.text import LANG_STOPWORDS
 
     ratio = {}
@@ -464,6 +479,17 @@ def _sql_lang_id_trigram() -> str:
             f"(CASE WHEN toks IS NULL OR len(toks) = 0 THEN 0.0 "
             f"ELSE {hits}::DOUBLE / len(toks)::DOUBLE END)"
         )
+    sw_case = _sql_first_max_case({l: f"r_{l}" for l in LANG_STOPWORDS})
+    ratio_sel = ", ".join(f"{ratio[l]} AS r_{l}" for l in LANG_STOPWORDS)
+    pv_sel = ",\n         ".join(
+        f"coalesce(max(CASE WHEN lang = '{l}' THEN sm END), 0)::BIGINT AS score_{l}"
+        for l in LANGS
+    )
+    j_sel = ",\n         ".join(
+        f"coalesce(pv.score_{l}, 0)::BIGINT AS score_{l}" for l in LANGS
+    )
+    score_cols = ", ".join(f"score_{l}" for l in LANGS)
+    tri_case = _sql_first_max_case({l: f"score_{l}" for l in LANGS})
     return f"""
 WITH prof(lang, tri, w) AS (VALUES {profile_sql_values()}),
 t AS (
@@ -472,14 +498,9 @@ t AS (
 ),
 sw AS (
   SELECT doc_id, s,
-         CASE WHEN r_en <= 0 AND r_de <= 0 AND r_fr <= 0 AND r_es <= 0 THEN 'und'
-              WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
-              WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
-              WHEN r_fr >= r_es THEN 'fr'
-              ELSE 'es' END AS lang_sw
+         {sw_case} AS lang_sw
   FROM (
-    SELECT doc_id, s, {ratio['en']} AS r_en, {ratio['de']} AS r_de,
-           {ratio['fr']} AS r_fr, {ratio['es']} AS r_es
+    SELECT doc_id, s, {ratio_sel}
     FROM t
   )
 ),
@@ -494,32 +515,18 @@ hit AS (
 ),
 pv AS (
   SELECT doc_id,
-         coalesce(max(CASE WHEN lang = 'en' THEN sm END), 0)::BIGINT AS score_en,
-         coalesce(max(CASE WHEN lang = 'de' THEN sm END), 0)::BIGINT AS score_de,
-         coalesce(max(CASE WHEN lang = 'fr' THEN sm END), 0)::BIGINT AS score_fr,
-         coalesce(max(CASE WHEN lang = 'es' THEN sm END), 0)::BIGINT AS score_es
+         {pv_sel}
   FROM hit GROUP BY doc_id
 ),
 j AS (
   SELECT sw.doc_id, sw.lang_sw,
-         coalesce(pv.score_en, 0)::BIGINT AS score_en,
-         coalesce(pv.score_de, 0)::BIGINT AS score_de,
-         coalesce(pv.score_fr, 0)::BIGINT AS score_fr,
-         coalesce(pv.score_es, 0)::BIGINT AS score_es
+         {j_sel}
   FROM sw LEFT JOIN pv USING (doc_id)
 )
-SELECT doc_id, lang_sw, score_en, score_de, score_fr, score_es,
-       CASE WHEN score_en <= 0 AND score_de <= 0 AND score_fr <= 0 AND score_es <= 0 THEN 'und'
-            WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
-            WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
-            WHEN score_fr >= score_es THEN 'fr'
-            ELSE 'es' END AS lang_tri,
+SELECT doc_id, lang_sw, {score_cols},
+       {tri_case} AS lang_tri,
        CASE WHEN lang_sw != 'und' THEN lang_sw
-            WHEN score_en <= 0 AND score_de <= 0 AND score_fr <= 0 AND score_es <= 0 THEN 'und'
-            WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
-            WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
-            WHEN score_fr >= score_es THEN 'fr'
-            ELSE 'es' END AS lang_pred
+            ELSE {tri_case} END AS lang_pred
 FROM j
 """
 

@@ -4,6 +4,7 @@ mutation; the trigram profile scorer must survive it, with the stopword
 path kept as the cheap pre-filter.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from simsearch_spark.functions.langid import (
@@ -171,3 +172,134 @@ def test_nfc_frame_decomposed_and_null(spark):
     # combining acute on 'q' has no composed form: normalized but unchanged
     assert rows[3].was_decomposed is False and rows[3].n_chars_nfc == 3
     assert rows[4].was_decomposed is None and rows[4].fp_nfc is None
+
+
+# -----------------------------------------------------------------------------
+# corpus-derived profiles (r10): train_profiles as a mount-time artifact
+# -----------------------------------------------------------------------------
+
+
+def _mutate(text: str, seed: int, sfx: str) -> str:
+    """Held-out mutation: rotate word order deterministically and suffix
+    every word — the stopword-defeating transformation the trigram scorer
+    exists to survive."""
+    words = text.split()
+    k = seed % len(words)
+    return " ".join(w + sfx for w in words[k:] + words[:k])
+
+
+def test_train_profiles_matches_build_profile_arithmetic(spark):
+    """Distributed training replays _build_profile exactly: same top-k
+    selection (count desc, trigram asc) and the same exact integer
+    micro-weights, for every language, when fed the seed texts themselves."""
+    from simsearch_spark.functions.langid import _SEEDS, PROFILES, train_profiles
+
+    df = spark.createDataFrame(
+        [(lang, _SEEDS[lang]) for lang in LANGS], "lang string, text string"
+    )
+    trained = train_profiles(df, "text", "lang")
+    assert set(trained) == set(LANGS)
+    for lang in LANGS:
+        assert trained[lang] == PROFILES[lang], lang
+
+
+def test_train_profiles_accuracy_on_held_out_mutations(spark):
+    """The LM/IVF artifact pattern end-to-end: train profiles on a labeled
+    sample (several mutated variants per language), classify HELD-OUT
+    differently-mutated documents — including the two new languages —
+    and demand high accuracy where the stopword heuristic scores 0."""
+    from simsearch_spark.functions.langid import (
+        _SEEDS,
+        train_profiles,
+        trigram_lang,
+    )
+    from simsearch_spark.functions.text import lang_id
+
+    train_rows = [
+        (lang, _mutate(_SEEDS[lang], s, f"_{s}")) for lang in LANGS for s in (1, 2, 3)
+    ]
+    trained = train_profiles(
+        spark.createDataFrame(train_rows, "lang string, text string"), "text", "lang"
+    )
+    held = spark.createDataFrame(
+        [(lang, _mutate(_SEEDS[lang], 7, "_7x")) for lang in LANGS],
+        "lang string, text string",
+    ).persist()
+    scored = held.select(
+        "lang",
+        trigram_lang(F.col("text"), trained).alias("pred"),
+        lang_id(F.col("text")).alias("sw"),
+    ).collect()
+    # the suffix mutation kills the stopword heuristic entirely...
+    assert all(r.sw == "und" for r in scored)
+    # ...while corpus-trained trigram profiles still classify every doc,
+    # it and pt included
+    acc = sum(1 for r in scored if r.pred == r.lang) / len(scored)
+    assert acc == 1.0, [(r.lang, r.pred) for r in scored]
+
+
+def test_trained_profiles_replay_through_sql_oracle(spark):
+    """A trained artifact replays through the SAME oracle shape as the
+    embedded defaults: DuckDB scores from profile_sql_values(trained)
+    equal the Spark literal-map scores, trigram for trigram."""
+    import duckdb
+
+    from simsearch_spark.functions.langid import (
+        _SEEDS,
+        profile_sql_values,
+        train_profiles,
+        trigram_scores_micro,
+    )
+
+    df = spark.createDataFrame(
+        [(lang, _SEEDS[lang]) for lang in ("en", "it", "pt")], "lang string, text string"
+    )
+    trained = train_profiles(df, "text", "lang")
+    langs = tuple(trained)  # sorted lane order
+    docs = [
+        (0, "la volpe salta sopra il cane pigro ogni giorno del mese"),
+        (1, "a raposa salta sobre o cao todos os dias do mes para ver"),
+        (2, "the fox jumps over the dog every single day of the month"),
+        (3, None),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: list(r.sc)
+        for r in sdf.select(
+            "doc_id", trigram_scores_micro(F.col("text"), trained).alias("sc")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    lanes = ",\n".join(
+        f"coalesce(max(CASE WHEN lang = '{l}' THEN sm END), 0)::BIGINT AS s_{l}"
+        for l in langs
+    )
+    rows = con.sql(f"""
+WITH prof(lang, tri, w) AS (VALUES {profile_sql_values(trained)}),
+t AS (SELECT doc_id, lower(coalesce(text, '')) AS s FROM d),
+pos AS (SELECT doc_id, s, unnest(range(1, length(s) - 1)) AS i FROM t WHERE length(s) >= 3),
+hit AS (
+  SELECT p.doc_id, pr.lang, sum(pr.w)::BIGINT AS sm
+  FROM pos p JOIN prof pr ON substr(p.s, p.i::INT, 3) = pr.tri GROUP BY 1, 2
+)
+SELECT t.doc_id, {lanes.replace('max(CASE', 'max(CASE')}
+FROM t LEFT JOIN hit ON t.doc_id = hit.doc_id GROUP BY t.doc_id
+""").fetchall()
+    oracle = {r[0]: [int(x) for x in r[1:]] for r in rows}
+    assert got == oracle
+    # the trained sample really classifies: it/pt/en docs argmax correctly
+    for doc_id, lang in ((0, "it"), (1, "pt"), (2, "en")):
+        sc = got[doc_id]
+        assert langs[sc.index(max(sc))] == lang
+
+
+def test_train_profiles_label_guard(spark):
+    from simsearch_spark.functions.langid import train_profiles
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("lang"), F.lit("some text here").alias("text")
+    )
+    with pytest.raises(ValueError, match="exceeds max_langs"):
+        train_profiles(df, "text", "lang", max_langs=10)
