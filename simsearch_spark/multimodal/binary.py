@@ -86,6 +86,9 @@ def _sniff_header(payload: bytes) -> tuple[str, int, int]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         w, h = struct.unpack(">II", payload[16:24])
         return ("png", int(w), int(h))
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 13:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", int(w), int(h))
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(payload):
@@ -142,9 +145,11 @@ PIXEL_STATS_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch on magic bytes to the real decoders: PNG (multimodal/png.py)
-    or baseline JPEG (multimodal/jpeg.py).  Raises ValueError for unknown
-    containers, NotImplementedError for in-family unsupported variants."""
+    """Dispatch on magic bytes to the real decoders: PNG (multimodal/png.py),
+    baseline JPEG (multimodal/jpeg.py), or GIF (multimodal/gif.py).
+    Raises ValueError for unknown containers, NotImplementedError for
+    in-family unsupported variants."""
+    from simsearch_spark.multimodal.gif import decode_gif
     from simsearch_spark.multimodal.jpeg import decode_jpeg
     from simsearch_spark.multimodal.png import decode_png
 
@@ -152,6 +157,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise ValueError("unknown image container")
 
 

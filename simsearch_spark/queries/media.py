@@ -77,15 +77,18 @@ FROM documents
 
 
 def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decode path (multimodal/png.py): each document becomes a real
-    two-tone grayscale PNG — left half value ``doc_id % 256``, right half
-    ``(doc_id*7 + 13) % 256``, width ``n_chars % 31 + 2``, height
-    ``doc_id % 7 + 1`` — encoded with scanline filter ``doc_id % 5`` (so
-    the declared pipeline exercises every PNG unfilter).  The engine must
-    recover the exact per-image pixel mean the oracle computes in closed
-    form from the synthesis parameters; the pixels themselves never exist
-    outside the Arrow batch."""
+    """Full decode path: each document becomes a real two-tone grayscale
+    image — left half value ``doc_id % 256``, right half ``(doc_id*7 +
+    13) % 256``, width ``n_chars % 31 + 2``, height ``doc_id % 7 + 1``.
+    EVEN doc_ids encode as PNG with scanline filter ``(doc_id//2) % 5``
+    (every PNG unfilter exercised); ODD doc_ids encode as GIF89a
+    (multimodal/gif.py — palette + LZW; r10), the same routing pattern
+    that sends odd audio through FLAC.  Both codecs are lossless, so the
+    closed-form oracle is codec-invariant: the engine must recover the
+    exact per-image mean from either container; the pixels themselves
+    never exist outside the Arrow batch."""
     from simsearch_spark.multimodal.binary import pixel_stats
+    from simsearch_spark.multimodal.gif import encode_gif
     from simsearch_spark.multimodal.png import encode_png
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -98,7 +101,10 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = c % 31 + 2, d % 7 + 1
                 a, b = d % 256, (d * 7 + 13) % 256
                 row = bytes([a] * (w // 2) + [b] * (w - w // 2))
-                payloads.append(encode_png(w, h, 1, row * h, filter_types=d % 5))
+                if d % 2:
+                    payloads.append(encode_gif(w, h, 1, row * h))
+                else:
+                    payloads.append(encode_png(w, h, 1, row * h, filter_types=(d // 2) % 5))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
@@ -586,9 +592,10 @@ def _img_pixels(doc_id: int) -> tuple[bytes, int]:
     """Planted-near-dup pixel synthesis shared by the declared query and the
     pytest recall fixture: docs come in groups of 3 (``grp = doc_id // 3``)
     — member 0 is the original 4x4 grayscale image, member 1 re-encodes the
-    IDENTICAL pixels with a different PNG scanline filter (byte-level
-    different payload, exact feature dup), member 2 shifts every pixel +5
-    (near dup).  Values stay in 0..250 so the shift never clips."""
+    IDENTICAL pixels in a different CONTAINER (GIF since r10; the returned
+    filter type remains the PNG-refiltering dual for tests), member 2
+    shifts every pixel +5 (near dup).  Values stay in 0..250 so the shift
+    never clips."""
     grp, mem = doc_id // 3, doc_id % 3
     shift = 5 if mem == 2 else 0
     px = bytes(_mix32(grp * 65536 + i) % 251 + shift for i in range(16))
@@ -597,19 +604,27 @@ def _img_pixels(doc_id: int) -> tuple[bytes, int]:
 
 def q_media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal-pipeline dedup step: every document becomes a real 4x4
-    grayscale PNG (each 4x4-grid feature cell is exactly ONE pixel, so the
-    oracle recovers the embedding in closed form from the synthesis
+    grayscale image (each 4x4-grid feature cell is exactly ONE pixel, so
+    the oracle recovers the embedding in closed form from the synthesis
     parameters), features come from the REAL decode path
     (``extract_pixel_features``), and near-dup pairs from the distributed
     block-tiled cosine kernel (``embedding_cosine_pairs``, the same EXACT
     path dedup_embed_cosine declared; the recall-lossy sign-LSH route over
     these image features is equality-tested in tests/test_png.py).
 
+    CROSS-CODEC recall (r10): the group's re-encode member (mem 1) now
+    stores the identical pixels as a GIF89a instead of a refiltered PNG —
+    the dup must be found across CONTAINER FORMATS, the case byte-level
+    dedup can never catch and real corpora (mirrors re-encoding images)
+    actually present.  Both codecs are lossless so the closed-form oracle
+    is unchanged.
+
     100 TB shape: synth/decode/featurize are row-local Arrow batches (no
     shuffle until the pair stage); the pair stage is the block-tiled
     BNL join with O(block²) bounded tasks — swap ``pruned=True`` for the
     banded sign-LSH candidate route when the corpus outgrows tiling."""
     from simsearch_spark.multimodal.binary import extract_pixel_features
+    from simsearch_spark.multimodal.gif import encode_gif
     from simsearch_spark.multimodal.png import encode_png
     from simsearch_spark.operators.dedup import embedding_cosine_pairs
 
@@ -620,7 +635,10 @@ def q_media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for d in pdf["doc_id"]:
                 px, ft = _img_pixels(int(d))
-                payloads.append(encode_png(4, 4, 1, px, filter_types=ft))
+                if int(d) % 3 == 1:  # the re-encode member: same pixels, GIF
+                    payloads.append(encode_gif(4, 4, 1, px))
+                else:
+                    payloads.append(encode_png(4, 4, 1, px, filter_types=ft))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
