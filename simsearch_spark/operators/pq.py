@@ -128,6 +128,18 @@ def pq_encode(
     return df.select(*out_cols)
 
 
+def _check_query_dim(
+    codebooks: list[dict[int, list[float]]], query_vec: list[float]
+) -> tuple[int, int]:
+    m = len(codebooks)
+    dsub = len(next(iter(codebooks[0].values())))
+    if len(query_vec) != m * dsub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != codebooks' {m}x{dsub}"
+        )
+    return m, dsub
+
+
 def _adc_dist_expr(
     codebooks: list[dict[int, list[float]]], query_vec: list[float]
 ):
@@ -135,12 +147,7 @@ def _adc_dist_expr(
     the query builds a ksub-entry LUT of squared subdistances driver-side
     (m·ksub floats — constant); the scan is m ``element_at`` lookups + a
     fixed-order sum, rounded to 6 (the engine-wide score contract)."""
-    m = len(codebooks)
-    dsub = len(next(iter(codebooks[0].values())))
-    if len(query_vec) != m * dsub:
-        raise ValueError(
-            f"query dim {len(query_vec)} != codebooks' {m}x{dsub}"
-        )
+    m, dsub = _check_query_dim(codebooks, query_vec)
     luts = []
     for j, cb in enumerate(codebooks):
         q = query_vec[j * dsub : (j + 1) * dsub]
@@ -191,11 +198,24 @@ def ivf_pq_topk(
     n_probe: int = 1,
     rerank: int = 32,
     assign_col: str | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ serving — the composed billion-scale ANN shape (Jégou 2011
     §V; FAISS ``IndexIVFPQ``): route the query to its ``n_probe`` nearest
     IVF cells, ADC-scan ONLY those cells' PQ codes, then exact-rescore the
     ``rerank`` best ADC candidates and return the true-cosine top-k.
+
+    residual=True is the full FAISS ``IndexIVFPQ`` semantic: the codes are
+    understood as PQ over RESIDUALS ``v − centroid(cell)`` (train the
+    codebooks on residual vectors — see ``queries/ivfpq.py``), each row is
+    encoded against its own cell's residual, and the query builds ONE LUT
+    PER PROBED CELL from ``q − centroid(cell)`` (n_probe·m·ksub driver
+    floats — still constant).  Residuals concentrate near the origin, so
+    the same codebook budget spends its centroids on a much smaller ball —
+    the recall-per-byte reason production IVF-PQ encodes residuals.  The
+    caller must pass ROUND-6-PINNED centroid vectors in residual mode (the
+    cross-engine determinism contract: an unrounded float avg folds
+    differently per plan).
 
     Plan shape (the thing that must survive 100×): the cell predicate
     ``assign_col IN probes`` is a pushable scan filter, so the bytes read
@@ -236,20 +256,46 @@ def ivf_pq_topk(
         assign_col = "__cell"
 
     cells = df.where(F.col(assign_col).isin(probe_ids))
-    # the vector rides along under a private name (pq_encode passes through
-    # everything but id/vec) so the bounded rerank needs no second scan
-    enc = pq_encode(
-        cells.select(F.col(id_col), F.col(vec_col), F.col(vec_col).alias("__v")),
-        id_col,
-        vec_col,
-        codebooks,
-    )
-    cand = (
-        enc.select(
+    cmap = {cid: [float(x) for x in vec] for cid, vec in cent}
+    if residual:
+        # per-row residual against the row's OWN cell centroid — a when
+        # chain over the n_probe surviving cells (codegen, row-local)
+        dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        # build bottom-up: the LAST probe id is the when-chain base
+        res = None
+        for cid in reversed(probe_ids):
+            sub = F.zip_with(dbl, _lit_vec(cmap[cid]), lambda x, m: x - m)
+            res = sub if res is None else F.when(
+                F.col(assign_col) == F.lit(cid), sub
+            ).otherwise(res)
+        enc_in = cells.select(
             F.col(id_col),
-            F.col("__v"),
-            _adc_dist_expr(codebooks, query_vec).alias("adc_dist"),
+            res.alias("__r"),
+            F.col(vec_col).alias("__v"),
+            F.col(assign_col).alias("__cell_id"),
         )
+        enc = pq_encode(enc_in, id_col, "__r", codebooks)
+        # one ADC expression per probed cell, selected by the row's cell
+        adc = None
+        for cid in reversed(probe_ids):
+            qres = [a - b for a, b in zip([float(x) for x in query_vec], cmap[cid])]
+            e = _adc_dist_expr(codebooks, qres)
+            adc = e if adc is None else F.when(
+                F.col("__cell_id") == F.lit(cid), e
+            ).otherwise(adc)
+    else:
+        # the vector rides along under a private name (pq_encode passes
+        # through everything but id/vec) so the bounded rerank needs no
+        # second scan
+        enc = pq_encode(
+            cells.select(F.col(id_col), F.col(vec_col), F.col(vec_col).alias("__v")),
+            id_col,
+            vec_col,
+            codebooks,
+        )
+        adc = _adc_dist_expr(codebooks, query_vec)
+    cand = (
+        enc.select(F.col(id_col), F.col("__v"), adc.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(rerank)
     )

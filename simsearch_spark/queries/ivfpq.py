@@ -27,13 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simsearch_spark.queries.cluster import (
-    _SQL_PQ_TRAIN_SRC,
     _l2sq_sql,
-    _pq_sub_ctes,
     PQ_ITERS,
     PQ_KSUB,
     PQ_M,
-    pq_training_sample,
+    PQ_TRAIN_N,
 )
 from simsearch_spark.queries.core import K
 from simsearch_spark.queries.ivf import (
@@ -54,50 +52,139 @@ RERANK = 30
 _DSUB = EMB_DIM // PQ_M
 
 
-def _train_books(emb: DataFrame):
-    from simsearch_spark.operators.pq import pq_train
-
-    return pq_train(
-        pq_training_sample(emb), "vec_id", "embedding",
-        m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS,
+def _centroids6(emb: DataFrame) -> DataFrame:
+    """Per-label centroids with every dimension ROUND-6 PINNED — the
+    residual-mode determinism contract (an unrounded float avg folds
+    differently per plan/engine; rounding pins the doubles both engines
+    subtract).  Same construction as q_embed_outliers' centroid frame."""
+    aggs = [
+        F.round(F.avg(F.col("embedding").getItem(i).cast("double")), 6).alias(f"_c{i}")
+        for i in range(EMB_DIM)
+    ]
+    return (
+        emb.groupBy("label")
+        .agg(*aggs)
+        .select(
+            F.col("label").alias("cluster_id"),
+            F.array(*[F.col(f"_c{i}") for i in range(EMB_DIM)]).alias("centroid"),
+        )
     )
 
 
+def _train_books_residual(emb: DataFrame, cents: DataFrame):
+    """PQ codebooks over RESIDUALS ``v − centroid(label)`` of the bounded
+    lowest-id sample — the FAISS IndexIVFPQ training recipe.  The sample
+    keeps its label through a broadcast centroid join; the residual is a
+    row-local zip_with."""
+    from simsearch_spark.operators.pq import pq_train
+
+    sample = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN_N).select("vec_id", "label", "embedding")
+    )
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    res = F.zip_with(dbl, F.col("centroid"), lambda x, m: x - m)
+    frame = sample.join(
+        F.broadcast(cents), sample["label"] == cents["cluster_id"]
+    ).select("vec_id", res.alias("res"))
+    return pq_train(frame, "vec_id", "res", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+
+
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ top-k (operators/pq.py::ivf_pq_topk): label-mean IVF
-    centroids route the query to its ``N_PROBE`` nearest cells, the
-    bounded-sample-trained PQ codebooks ADC-scan only those cells, and the
-    best ``RERANK`` ADC candidates are exact-rescored to the true-cosine
-    top-``K``.  Bytes scanned ∝ n_probe/n_cells, never N — the predicate
-    is pushed to the parquet scan (plan-asserted, tests/test_pq.py)."""
+    """IVF-PQ top-k with RESIDUAL encoding (operators/pq.py::ivf_pq_topk,
+    the full FAISS IndexIVFPQ semantic): round-6-pinned label-mean IVF
+    centroids route the query to its ``N_PROBE`` nearest cells; PQ
+    codebooks trained on the bounded sample's RESIDUALS ``v − centroid``
+    ADC-scan only those cells with one LUT per probed cell (built from
+    ``q − centroid(cell)``); the best ``RERANK`` ADC candidates are
+    exact-rescored to the true-cosine top-``K``.  Bytes scanned ∝
+    n_probe/n_cells, never N — the predicate is pushed to the parquet
+    scan (plan-asserted, tests/test_pq.py)."""
     from simsearch_spark.operators.pq import ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings").persist()
     qvec = [float(x) for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding]
+    cents = _centroids6(emb)
     out = ivf_pq_topk(
         emb, "vec_id", "embedding",
-        _centroids(spark, sf_dir), _train_books(emb), qvec, K,
-        n_probe=N_PROBE, rerank=RERANK, assign_col="label",
+        cents, _train_books_residual(emb, cents), qvec, K,
+        n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
     )
     return out.select(F.col("vec_id").alias("id"), "adc_dist", "cos_sim")
 
 
+def _pq_res_sub_ctes(j: int) -> str:
+    """Per-subspace unrolled Lloyd chain over RESIDUAL slices — the
+    queries/cluster.py ``_pq_sub_ctes`` construction with the slice source
+    replaced by ``embedding[i] − pcent6(label)[i]``: training reads the
+    bounded sample CTE ``tr``'s residuals (``t{j}``), the terminal
+    assignment ``af{j}`` scores EVERY row's residual slice (``e{j}``)
+    against the final codebook, exactly like the operator's
+    ``pq_encode(residuals)``."""
+    a, b = j * _DSUB + 1, (j + 1) * _DSUB
+    res = (
+        f"list_transform(range({a}, {b + 1}), "
+        f"i -> e.embedding[i]::DOUBLE - c6.c[i])"
+    )
+    sql = f"""t{j} AS (SELECT e.vec_id, {res} AS s FROM tr e JOIN pcent6 c6 ON e.label = c6.label),
+e{j} AS (SELECT e.vec_id, {res} AS s FROM embeddings e JOIN pcent6 c6 ON e.label = c6.label),
+c0x{j} AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cluster_id,
+         list_transform(s, x -> round(x::DOUBLE, 6)) AS c
+  FROM (SELECT vec_id, s FROM t{j} ORDER BY vec_id LIMIT {PQ_KSUB})
+)"""
+    prev = f"c0x{j}"
+    for it in range(1, PQ_ITERS + 1):
+        sql += f""",
+a{it}x{j} AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC) AS rn
+  FROM (SELECT e.vec_id, c.cluster_id, {_l2_sql('e.s', 'c.c')} AS dist
+        FROM t{j} e, {prev} c)
+),
+m{it}x{j} AS (
+  SELECT s.cluster_id, u.i, round(avg(e.s[u.i]::DOUBLE), 6) AS mv
+  FROM (SELECT vec_id, cluster_id FROM a{it}x{j} WHERE rn = 1) s
+  JOIN t{j} e USING (vec_id), unnest(range(1, {_DSUB + 1})) AS u(i)
+  GROUP BY s.cluster_id, u.i
+),
+cn{it}x{j} AS (SELECT cluster_id, list(mv ORDER BY i) AS c FROM m{it}x{j} GROUP BY cluster_id),
+c{it}x{j} AS (
+  SELECT p.cluster_id, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN cn{it}x{j} n USING (cluster_id)
+)"""
+        prev = f"c{it}x{j}"
+    sql += f""",
+af{j} AS (
+  SELECT vec_id, cluster_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster_id ASC) AS rn
+  FROM (SELECT e.vec_id, c.cluster_id, {_l2_sql('e.s', 'c.c')} AS dist
+        FROM e{j} e, {prev} c)
+)"""
+    return sql
+
+
 def _ivfpq_cand_ctes(query_id: int, n_probe: int, rerank: int) -> str:
     """WITH-fragment (no leading ``WITH``) ending in
-    ``ivfpq_cand(vec_id, embedding, adc_dist)`` — the full IVF-PQ replay up
-    to the rerank input: bounded-sample training chains, probe selection,
-    cell filter, and the ADC fold.  CTE names are prefixed (``pqq``,
-    ``pprobe``, …) so the fragment composes into the recall-audit oracle
-    without clashing with its own CTEs."""
-    chains = _SQL_PQ_TRAIN_SRC + ",\n" + ",\n".join(
-        _pq_sub_ctes(j, _DSUB, PQ_KSUB, PQ_ITERS) for j in range(PQ_M)
-    )
+    ``ivfpq_cand(vec_id, embedding, adc_dist)`` — the full RESIDUAL IVF-PQ
+    replay up to the rerank input: round-6 centroid training, probe
+    selection, bounded-sample residual training chains, cell filter, and
+    the per-cell ADC fold (each row's d_j measures the QUERY RESIDUAL
+    against that row's assigned residual centroid).  CTE names are
+    prefixed (``pqq``, ``pprobe``, …) so the fragment composes into the
+    recall-audit oracle without clashing with its own CTEs."""
+    chains = ",\n".join(_pq_res_sub_ctes(j) for j in range(PQ_M))
     sels = ",\n".join(
         f"sel{j} AS (SELECT vec_id, cluster_id FROM af{j} WHERE rn = 1)"
         for j in range(PQ_M)
     )
+    # query residual per row: (pqv[i] - row's cell centroid[i]) sliced
     dists = ", ".join(
-        _l2sq_sql(f"pqv[{j * _DSUB + 1}:{(j + 1) * _DSUB}]", f"cb{j}.c") + f" AS d{j}"
+        _l2sq_sql(
+            f"list_transform(range({j * _DSUB + 1}, {(j + 1) * _DSUB + 1}), "
+            f"i -> pqv[i]::DOUBLE - ct.c[i])",
+            f"cb{j}.c",
+        )
+        + f" AS d{j}"
         for j in range(PQ_M)
     )
     joins = " ".join(
@@ -106,21 +193,22 @@ def _ivfpq_cand_ctes(query_id: int, n_probe: int, rerank: int) -> str:
         for j in range(PQ_M)
     )
     total = " + ".join(f"d{j}" for j in range(PQ_M))
-    return f"""{chains},
-{sels},
-pqq AS (SELECT embedding AS pqv FROM embeddings WHERE vec_id = {query_id}),
+    return f"""tr AS (SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_TRAIN_N}),
 pflat AS (
   SELECT label, i, embedding[i]::DOUBLE AS v
   FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS u(i)
 ),
-pcm AS (SELECT label, i, avg(v) AS mv FROM pflat GROUP BY label, i),
-pcent AS (SELECT label, list(mv ORDER BY i) AS c FROM pcm GROUP BY label),
+pcm AS (SELECT label, i, round(avg(v), 6) AS mv FROM pflat GROUP BY label, i),
+pcent6 AS (SELECT label, list(mv ORDER BY i) AS c FROM pcm GROUP BY label),
+{chains},
+{sels},
+pqq AS (SELECT embedding AS pqv FROM embeddings WHERE vec_id = {query_id}),
 pprobe AS (
-  SELECT label FROM pcent, pqq ORDER BY {_l2_sql('c', 'pqv')} ASC, label ASC LIMIT {n_probe}
+  SELECT label FROM pcent6, pqq ORDER BY {_l2_sql('c', 'pqv')} ASC, label ASC LIMIT {n_probe}
 ),
 padc AS (
   SELECT e.vec_id, e.embedding, {dists}
-  FROM embeddings e {joins}, pqq
+  FROM embeddings e JOIN pcent6 ct ON e.label = ct.label {joins}, pqq
   WHERE e.label IN (SELECT label FROM pprobe)
 ),
 ivfpq_cand AS (
@@ -179,9 +267,10 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", cents, qvec, K,
         n_probe=N_PROBE, assign_col="label",
     ).select(F.lit("ivf").alias("method"), F.col("vec_id").alias("id"))
+    cents6 = _centroids6(emb)
     ivfpq = ivf_pq_topk(
-        emb, "vec_id", "embedding", cents, _train_books(emb), qvec, K,
-        n_probe=N_PROBE, rerank=RERANK, assign_col="label",
+        emb, "vec_id", "embedding", cents6, _train_books_residual(emb, cents6),
+        qvec, K, n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
     ).select(F.lit("ivfpq").alias("method"), F.col("vec_id").alias("id"))
     hits = (
         lsh.unionByName(ivf).unionByName(ivfpq)

@@ -263,3 +263,65 @@ def test_encode_passthrough_and_code_range(spark):
         F.min("code_0"), F.max("code_0"), F.min("code_1"), F.max("code_1")
     ).first()
     assert stats[0] >= 0 and stats[1] <= 3 and stats[2] >= 0 and stats[3] <= 3
+
+
+def test_ivf_pq_residual_zero_centroids_equals_plain(spark):
+    """With all-zero centroids the residual transform is the identity, so
+    residual mode must reproduce plain mode EXACTLY (codes, ADC distances,
+    ordering) — the algebraic pin for the per-cell LUT plumbing."""
+    from simsearch_spark.operators.pq import ivf_pq_topk
+
+    rng = random.Random(21)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)], i % 3) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, cell int").persist()
+    zero_cents = spark.createDataFrame(
+        [(c, [0.0] * 8) for c in range(3)], "cluster_id int, centroid array<double>"
+    )
+    books = pq_train(df, "vec_id", "embedding", m=2, ksub=4, iters=2)
+    q = [rng.gauss(0, 1) for _ in range(8)]
+    plain = ivf_pq_topk(df, "vec_id", "embedding", zero_cents, books, q, 7,
+                        n_probe=2, rerank=25, assign_col="cell").collect()
+    res = ivf_pq_topk(df, "vec_id", "embedding", zero_cents, books, q, 7,
+                      n_probe=2, rerank=25, assign_col="cell", residual=True).collect()
+    assert plain == res and len(plain) == 7
+
+
+def test_ivf_pq_residual_exact_at_full_rerank(spark, sf_dir):
+    """Residual mode keeps the exact-at-depth guarantee: with rerank equal
+    to the probed-cell population, the true-cosine top-k of the probed
+    cells comes back verbatim — and residual codes really differ from
+    plain codes (the transform is live)."""
+    from simsearch_spark.functions.measures import cosine_similarity
+    from simsearch_spark.operators.pq import ivf_pq_topk
+    from simsearch_spark.queries.ivfpq import _centroids6, _train_books_residual
+    from simsearch_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    cents = _centroids6(emb).persist()
+    books = _train_books_residual(emb, cents)
+    cent = sorted(
+        [(r[0], list(r[1])) for r in cents.collect()],
+        key=lambda c: (sum((a - b) ** 2 for a, b in zip(q, c[1])), c[0]),
+    )
+    probed = [cid for cid, _ in cent[:2]]
+    in_cells = emb.where(F.col("label").isin(probed))
+    exact = [
+        r.vec_id
+        for r in in_cells.select(
+            "vec_id", F.round(cosine_similarity(F.col("embedding"), F.lit(q)), 6).alias("c")
+        )
+        .orderBy(F.col("c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .collect()
+    ]
+    got = [
+        r.vec_id
+        for r in ivf_pq_topk(
+            emb, "vec_id", "embedding", cents, books, q, 10,
+            n_probe=2, rerank=in_cells.count(), assign_col="label", residual=True,
+        ).collect()
+    ]
+    assert got == exact

@@ -244,8 +244,9 @@ def _pq_encode_probe(spark, sf_dir: str) -> int:
 
 
 def _ivfpq_serve_probe(spark, sf_dir: str) -> int:
-    """The composed IVF-PQ serve (r10): fixed-sample PQ training + label-
-    mean centroids, then ``ivf_pq_topk`` routed to n_probe=2 of the fixture
+    """The composed RESIDUAL IVF-PQ serve (r10, the declared query's exact
+    shape): round-6 centroids + bounded-sample residual PQ training, then
+    ``ivf_pq_topk(residual=True)`` routed to n_probe=2 of the fixture
     cells.  Returns the ADC-SCANNED row count (the probed cells'
     population): the scale claim is that this is N·(n_probe/n_cells) — the
     probed FRACTION stays constant as N grows (labels replicate, so cell
@@ -254,19 +255,17 @@ def _ivfpq_serve_probe(spark, sf_dir: str) -> int:
     mount-time cost, same accounting as embed_pq_encode."""
     from pyspark.sql import functions as F
 
-    from simsearch_spark.operators.pq import ivf_pq_topk, pq_train
-    from simsearch_spark.queries.ivf import _centroids
+    from simsearch_spark.operators.pq import ivf_pq_topk
+    from simsearch_spark.queries.ivfpq import _centroids6, _train_books_residual
     from simsearch_spark.sources.registry import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sample = emb.orderBy("vec_id").limit(2000).persist()
-    books = pq_train(sample, "vec_id", "embedding", m=4, ksub=8, iters=2)
-    sample.unpersist()
-    cents = _centroids(spark, sf_dir)
+    cents = _centroids6(emb).persist()
+    books = _train_books_residual(emb, cents)
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     served = ivf_pq_topk(
         emb, "vec_id", "embedding", cents, books, q, 10,
-        n_probe=2, rerank=50, assign_col="label",
+        n_probe=2, rerank=50, assign_col="label", residual=True,
     ).collect()
     assert len(served) == 10
     cent = sorted(
