@@ -148,11 +148,20 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-crossing count (2·cycles − 1).  Samples never exist outside the
     Arrow batch.
 
-    r9: ODD doc_ids encode the same PCM as FLAC (multimodal/flac.py) —
-    the compressed-audio path runs for real through the ``decode_audio``
-    dispatcher, and because FLAC is lossless the closed-form oracle is
-    codec-invariant (the same gating pattern as media_jpeg_stats'
-    progressive rotation)."""
+    r9: doc_ids ≡ 1, 5 (mod 8) encode the same PCM as FLAC
+    (multimodal/flac.py) — the compressed-audio path runs for real through
+    the ``decode_audio`` dispatcher, and because FLAC is lossless the
+    closed-form oracle is codec-invariant (the same gating pattern as
+    media_jpeg_stats' progressive rotation).
+
+    r10: doc_ids ≡ 3 (mod 8) store G.711 μ-LAW and ≡ 7 (mod 8) A-LAW WAVs
+    (format tags 7/6, multimodal/g711.py — telephony audio).  G.711 is
+    lossy in general, so those documents' amplitudes are drawn from the
+    codec's REPRESENTABLE level set via the G.711 decode closed form
+    (m = doc_id%15+1 / doc_id%16, e = (doc_id//16)%8) — companding is
+    idempotent on those levels (exhaustively verified in
+    tests/test_g711.py), the round trip is exact, and the oracle states
+    the same amplitude in closed form."""
     from simsearch_spark.multimodal.binary import audio_stats
     from simsearch_spark.multimodal.flac import encode_flac
     from simsearch_spark.multimodal.wav import encode_wav
@@ -164,12 +173,26 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads, mimes = [], []
             for d, c in zip(pdf["doc_id"], pdf["n_chars"]):
                 d, c = int(d), int(c)
-                amp = (d % 200 + 10) * 100
+                e = (d // 16) % 8
+                if d % 8 == 3:  # μ-law representable level
+                    m = d % 15 + 1
+                    amp = ((8 * m + 132) << e) - 132
+                elif d % 8 == 7:  # A-law representable level
+                    m = d % 16
+                    amp = (16 * m + 8) if e == 0 else ((m + 16) << (e + 3)) + (1 << (e + 2))
+                else:
+                    amp = (d % 200 + 10) * 100
                 half = d % 5 + 1
                 cycles = c % 8 + 2
                 rate = 8000 + (d % 4) * 4000
                 wave = ([amp] * half + [-amp] * half) * cycles
-                if d % 2:
+                if d % 8 == 3:
+                    payloads.append(encode_wav(wave, rate, codec="ulaw"))
+                    mimes.append("audio/wav")
+                elif d % 8 == 7:
+                    payloads.append(encode_wav(wave, rate, codec="alaw"))
+                    mimes.append("audio/wav")
+                elif d % 2:
                     payloads.append(encode_flac(wave, rate))
                     mimes.append("audio/flac")
                 else:
@@ -196,7 +219,17 @@ SELECT doc_id AS media_id, 'ok' AS decoded,
        (2 * (doc_id % 5 + 1) * (n_chars % 8 + 2))::BIGINT AS n_samples,
        round((2 * (doc_id % 5 + 1) * (n_chars % 8 + 2))::DOUBLE
              / (8000 + (doc_id % 4) * 4000), 6) AS duration_s,
-       ((doc_id % 200 + 10) * 100)::DOUBLE AS rms,
+       -- G.711-routed docs use amplitudes from the codec's representable
+       -- level set (the G.711 decode closed forms), everything else the
+       -- original synthesis amplitude
+       (CASE WHEN doc_id % 8 = 3
+             THEN ((doc_id % 15 + 1) * 8 + 132) * power(2, (doc_id // 16) % 8) - 132
+             WHEN doc_id % 8 = 7 AND (doc_id // 16) % 8 = 0
+             THEN 16 * (doc_id % 16) + 8
+             WHEN doc_id % 8 = 7
+             THEN (doc_id % 16 + 16) * power(2, (doc_id // 16) % 8 + 3)
+                  + power(2, (doc_id // 16) % 8 + 2)
+             ELSE (doc_id % 200 + 10) * 100 END)::DOUBLE AS rms,
        (2 * (n_chars % 8 + 2) - 1)::BIGINT AS zero_crossings
 FROM documents
 """
