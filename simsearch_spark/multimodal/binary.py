@@ -89,6 +89,9 @@ def _sniff_header(payload: bytes) -> tuple[str, int, int]:
     if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 13:
         w, h = struct.unpack("<HH", payload[6:10])
         return ("gif", int(w), int(h))
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return ("bmp", int(w), abs(int(h)))
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(payload):
@@ -146,9 +149,11 @@ PIXEL_STATS_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch on magic bytes to the real decoders: PNG (multimodal/png.py),
-    baseline JPEG (multimodal/jpeg.py), or GIF (multimodal/gif.py).
+    baseline JPEG (multimodal/jpeg.py), GIF (multimodal/gif.py), or BMP
+    (multimodal/bmp.py).
     Raises ValueError for unknown containers, NotImplementedError for
     in-family unsupported variants."""
+    from simsearch_spark.multimodal.bmp import decode_bmp
     from simsearch_spark.multimodal.gif import decode_gif
     from simsearch_spark.multimodal.jpeg import decode_jpeg
     from simsearch_spark.multimodal.png import decode_png
@@ -159,6 +164,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise ValueError("unknown image container")
 
 

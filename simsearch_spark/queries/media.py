@@ -80,14 +80,16 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decode path: each document becomes a real two-tone grayscale
     image — left half value ``doc_id % 256``, right half ``(doc_id*7 +
     13) % 256``, width ``n_chars % 31 + 2``, height ``doc_id % 7 + 1``.
-    EVEN doc_ids encode as PNG with scanline filter ``(doc_id//2) % 5``
-    (every PNG unfilter exercised); ODD doc_ids encode as GIF89a
-    (multimodal/gif.py — palette + LZW; r10), the same routing pattern
-    that sends odd audio through FLAC.  Both codecs are lossless, so the
+    doc_id % 4 picks the container — 0: PNG with scanline filter
+    ``(doc_id//4) % 5`` (every PNG unfilter exercised), 1 and 3: GIF89a
+    (multimodal/gif.py — palette + LZW; r10), 2: 8-bit BMP
+    (multimodal/bmp.py; r10) — the same routing pattern that sends odd
+    audio through FLAC/G.711.  All three codecs are lossless, so the
     closed-form oracle is codec-invariant: the engine must recover the
-    exact per-image mean from either container; the pixels themselves
-    never exist outside the Arrow batch."""
+    exact per-image mean from any container; the pixels themselves never
+    exist outside the Arrow batch."""
     from simsearch_spark.multimodal.binary import pixel_stats
+    from simsearch_spark.multimodal.bmp import encode_bmp
     from simsearch_spark.multimodal.gif import encode_gif
     from simsearch_spark.multimodal.png import encode_png
 
@@ -103,8 +105,10 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row = bytes([a] * (w // 2) + [b] * (w - w // 2))
                 if d % 2:
                     payloads.append(encode_gif(w, h, 1, row * h))
+                elif d % 4 == 2:
+                    payloads.append(encode_bmp(w, h, 1, row * h))
                 else:
-                    payloads.append(encode_png(w, h, 1, row * h, filter_types=(d // 2) % 5))
+                    payloads.append(encode_png(w, h, 1, row * h, filter_types=(d // 4) % 5))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],

@@ -97,7 +97,16 @@ def test_kernel_equals_column_chain(spark, sf_dir):
     from simsearch_spark.functions.text import lang_id
     from simsearch_spark.sources.registry import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # bounded fixture slice: Catalyst's literal-map chain is a LINEAR scan
+    # over ~380 trigram keys per position (why the kernel exists) — 120
+    # real docs keep the equality check strong at ~1/10 the wall time the
+    # 6-language profile table would otherwise cost here
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+    )
     edge = spark.createDataFrame(
         [
             (9001, None),
