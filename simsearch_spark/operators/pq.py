@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from simsearch_spark.functions.measures import cosine_similarity, euclidean_distance
-from simsearch_spark.operators.kmeans import _lit_vec, _rounded_means, assign_clusters
+from simsearch_spark.operators.kmeans import _lit_vec
 
 __all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivf_pq_topk"]
 
@@ -62,34 +62,101 @@ def pq_train(
     ``kmeans_assign``'s contract so the oracle unrolls identically).
     Returns ``m`` codebooks of ``ksub`` centroids each.
 
+    The m subspace chains are algebraically independent but execute
+    BATCHED: one exploded (id, j, slice) frame, each Lloyd pass one Spark
+    job for ALL subspaces (per-j argmin selected by a when-chain, one
+    grouped round-6 mean collect of m·ksub·dsub rows) — 2 + iters driver
+    round-trips total instead of m·(1 + iters).  On a bounded training
+    sample the cost is pure job-scheduling latency, so this is a ~m×
+    wall-clock cut with identical per-subspace arithmetic (the declared
+    queries' oracles, which unroll each chain independently, still
+    hash-match — the cross-engine pin).
+
     Corpus-scale note: pass a bounded sample frame (PQ codebooks saturate
     long before corpus size; FAISS trains on ≤10⁶ vectors) and persist it —
-    each subspace runs ``iters`` assignment+mean passes over it.
+    training runs ``iters`` assignment+mean passes over it.
     """
     dim = _probe_dim(df, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     dsub = dim // m
-    codebooks: list[dict[int, list[float]]] = []
-    for j in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("_sub"),
+    vec = F.col(vec_col)
+
+    # one job: all m seed sets (rounded IN-ENGINE — F.round is HALF_UP;
+    # Python's round() is banker's and must never touch these values)
+    seed_rows = (
+        df.orderBy(id_col)
+        .limit(ksub)
+        .select(
+            *[
+                F.transform(
+                    F.slice(vec, j * dsub + 1, dsub),
+                    lambda x: F.round(x.cast("double"), 6),
+                ).alias(f"s{j}")
+                for j in range(m)
+            ]
         )
-        init_rows = (
-            sub.orderBy(id_col)
-            .limit(ksub)
-            .select(
-                F.transform(F.col("_sub"), lambda x: F.round(x.cast("double"), 6)).alias("c")
+        .collect()
+    )
+    codebooks: list[dict[int, list[float]]] = [
+        {i: [float(v) for v in r[f"s{j}"]] for i, r in enumerate(seed_rows)}
+        for j in range(m)
+    ]
+
+    # (id, j, slice) exploded once; every pass groups on (j, cluster, dim)
+    flat = df.select(
+        F.col(id_col),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(vec, j * dsub + 1, dsub).alias("_sub"),
+                    )
+                    for j in range(m)
+                ]
             )
+        ),
+    )
+    for _ in range(iters):
+        # per-row argmin against the row's OWN subspace codebook — the
+        # identical struct/array_min strict-< rule as assign_clusters,
+        # chosen by a when-chain on j (each distance expression once)
+        best = None
+        for j in reversed(range(m)):
+            bj = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            euclidean_distance(F.col("_sub"), _lit_vec(cvec)).alias("dist"),
+                            F.lit(int(cid)).alias("cluster_id"),
+                        )
+                        for cid, cvec in sorted(codebooks[j].items())
+                    ]
+                )
+            )
+            best = bj if best is None else F.when(F.col("j") == j, bj).otherwise(best)
+        rows = (
+            flat.withColumn("cluster_id", best["cluster_id"])
+            .select("j", "cluster_id", F.posexplode(F.col("_sub")).alias("pos", "v"))
+            .groupBy("j", "cluster_id", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mv"))
             .collect()
         )
-        cents = {i: [float(v) for v in r["c"]] for i, r in enumerate(init_rows)}
-        for _ in range(iters):
-            assigned = assign_clusters(sub, "_sub", cents)
-            means = _rounded_means(assigned, "_sub")
-            cents = {cid: means.get(cid, old) for cid, old in cents.items()}
-        codebooks.append(cents)
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((int(r["j"]), int(r["cluster_id"])), {})[int(r["pos"])] = float(r["mv"])
+        codebooks = [
+            {
+                cid: (
+                    [means[(j, cid)][p] for p in sorted(means[(j, cid)])]
+                    if (j, cid) in means
+                    else old  # empty cluster keeps its previous centroid
+                )
+                for cid, old in codebooks[j].items()
+            }
+            for j in range(m)
+        ]
     return codebooks
 
 
