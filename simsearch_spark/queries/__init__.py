@@ -231,6 +231,13 @@ DRIVER_EXCLUDED = frozenset(
         # keep-lowest selection is driver-verified at depth inside
         # corpus_clean's dedup stage; in-repo parity retained
         "dedup_exact",
+        # deterministic bottom-k quantile sketch + exact-quantile audit
+        # (r10): enters directly as parity — the exact arm IS the
+        # driver-verified histogram-narrowing machinery (surface
+        # corpus_quality_filter), the sample arm is the same char-fold
+        # hash-ordered selection family driver-verified through
+        # corpus_sample/sketch_distinct_users; full two-arm oracle replay
+        "quantile_sketch_audit",
         # real MJPEG frame-pixel decode (r7): composition of two
         # independently verified codecs — the AVI frame index behind
         # media_frame_sample and the JPEG entropy decode behind

@@ -1059,7 +1059,68 @@ ORDER BY rrf_score DESC, doc_id ASC LIMIT {HYBRID_K}
 """
 
 
+# -----------------------------------------------------------------------------
+# quantile_sketch_audit: deterministic bottom-k quantile sketch vs the exact
+# quantile — the cheap mergeable tier next to operators/quantile.py, with its
+# error measured in-query (r10)
+# -----------------------------------------------------------------------------
+
+QSKETCH_K = 256
+QSKETCH_P = 0.9
+
+
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p90 of ``n_chars`` from the DETERMINISTIC bottom-k hash
+    sample (operators/qsketch.py — k smallest char-fold doc_id hashes; one
+    TakeOrderedAndProject, O(k) driver, order/partition/arrival-invariant)
+    NEXT TO the exact distributed quantile (operators/quantile.py), with
+    the absolute error reported — the audit every sketch deployment runs.
+    The oracle replays BOTH arms: the identical ORDER BY hash LIMIT k
+    sample + quantile_cont over it, and quantile_cont over the corpus."""
+    from simsearch_spark.operators.qsketch import approx_quantile_sketch
+    from simsearch_spark.operators.quantile import exact_quantile_cont
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sketch_q, n = approx_quantile_sketch(docs, "doc_id", "n_chars", QSKETCH_P, QSKETCH_K)
+    exact_q = exact_quantile_cont(docs, "n_chars", QSKETCH_P)
+    out = spark.createDataFrame(
+        [(float(QSKETCH_P), QSKETCH_K, n, float(sketch_q), float(exact_q))],
+        "p double, k int, n_sampled long, _sq double, _eq double",
+    )
+    # rounding happens IN-ENGINE (F.round is HALF_UP; python round is
+    # banker's and must never touch oracle-compared values)
+    return out.select(
+        "p", "k", "n_sampled",
+        F.round("_sq", 6).alias("sketch_q"),
+        F.round("_eq", 6).alias("exact_q"),
+        F.round(F.abs(F.col("_sq") - F.col("_eq")), 6).alias("abs_err"),
+    )
+
+
+SQL_QUANTILE_SKETCH_AUDIT = f"""
+WITH s AS (
+  SELECT n_chars::DOUBLE AS v
+  FROM (
+    SELECT n_chars, {_charfold_sql("doc_id::VARCHAR")} AS h, doc_id::VARCHAR AS ks
+    FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+  )
+  ORDER BY h ASC, ks ASC LIMIT {QSKETCH_K}
+),
+arms AS (
+  SELECT (SELECT count(*) FROM s)::BIGINT AS n_sampled,
+         (SELECT quantile_cont(v, {QSKETCH_P}) FROM s) AS sq,
+         (SELECT quantile_cont(n_chars::DOUBLE, {QSKETCH_P})
+          FROM documents WHERE n_chars IS NOT NULL) AS eq
+)
+SELECT {QSKETCH_P}::DOUBLE AS p, {QSKETCH_K}::INT AS k, n_sampled,
+       round(sq, 6) AS sketch_q, round(eq, 6) AS exact_q,
+       round(abs(sq - eq), 6) AS abs_err
+FROM arms
+"""
+
+
 CORPUS_QUERIES = {
+    "quantile_sketch_audit": (q_quantile_sketch_audit, SQL_QUANTILE_SKETCH_AUDIT),
     "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "lang_id_trigram": (q_lang_id_trigram, _sql_lang_id_trigram()),
     "source_quality_threshold": (q_source_quality_threshold, SQL_SOURCE_QUALITY_THRESHOLD),
