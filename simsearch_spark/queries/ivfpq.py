@@ -83,10 +83,18 @@ def _train_books_residual(emb: DataFrame, cents: DataFrame):
     )
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     res = F.zip_with(dbl, F.col("centroid"), lambda x, m: x - m)
-    frame = sample.join(
-        F.broadcast(cents), sample["label"] == cents["cluster_id"]
-    ).select("vec_id", res.alias("res"))
-    return pq_train(frame, "vec_id", "res", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    # persisted: every training pass (seeds + iters means) is an action
+    # over this bounded frame — without the pin each one re-runs the
+    # centroid aggregation and the sample sort
+    frame = (
+        sample.join(F.broadcast(cents), sample["label"] == cents["cluster_id"])
+        .select("vec_id", res.alias("res"))
+        .persist()
+    )
+    try:
+        return pq_train(frame, "vec_id", "res", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+    finally:
+        frame.unpersist()
 
 
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -103,7 +111,9 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").persist()
     qvec = [float(x) for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding]
-    cents = _centroids6(emb)
+    # persisted: consumed by residual training (per-pass actions), the
+    # operator's probe collect, and the residual/ADC when-chains
+    cents = _centroids6(emb).persist()
     out = ivf_pq_topk(
         emb, "vec_id", "embedding",
         cents, _train_books_residual(emb, cents), qvec, K,
@@ -267,7 +277,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", cents, qvec, K,
         n_probe=N_PROBE, assign_col="label",
     ).select(F.lit("ivf").alias("method"), F.col("vec_id").alias("id"))
-    cents6 = _centroids6(emb)
+    cents6 = _centroids6(emb).persist()
     ivfpq = ivf_pq_topk(
         emb, "vec_id", "embedding", cents6, _train_books_residual(emb, cents6),
         qvec, K, n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
