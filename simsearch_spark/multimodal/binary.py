@@ -92,6 +92,14 @@ def _sniff_header(payload: bytes) -> tuple[str, int, int]:
     if payload[:2] == b"BM" and len(payload) >= 26:
         w, h = struct.unpack("<ii", payload[18:26])
         return ("bmp", int(w), abs(int(h)))
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from simsearch_spark.multimodal.tiff import parse_tiff_header
+
+        try:
+            w, h = parse_tiff_header(payload)
+            return ("tiff", w, h)
+        except ValueError:
+            return ("tiff", -1, -1)
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(payload):
@@ -149,14 +157,15 @@ PIXEL_STATS_SCHEMA = StructType(
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch on magic bytes to the real decoders: PNG (multimodal/png.py),
-    baseline JPEG (multimodal/jpeg.py), GIF (multimodal/gif.py), or BMP
-    (multimodal/bmp.py).
+    baseline JPEG (multimodal/jpeg.py), GIF (multimodal/gif.py), BMP
+    (multimodal/bmp.py), or baseline TIFF (multimodal/tiff.py).
     Raises ValueError for unknown containers, NotImplementedError for
     in-family unsupported variants."""
     from simsearch_spark.multimodal.bmp import decode_bmp
     from simsearch_spark.multimodal.gif import decode_gif
     from simsearch_spark.multimodal.jpeg import decode_jpeg
     from simsearch_spark.multimodal.png import decode_png
+    from simsearch_spark.multimodal.tiff import decode_tiff
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
@@ -166,6 +175,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_gif(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     raise ValueError("unknown image container")
 
 

@@ -80,18 +80,21 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decode path: each document becomes a real two-tone grayscale
     image — left half value ``doc_id % 256``, right half ``(doc_id*7 +
     13) % 256``, width ``n_chars % 31 + 2``, height ``doc_id % 7 + 1``.
-    doc_id % 4 picks the container — 0: PNG with scanline filter
-    ``(doc_id//4) % 5`` (every PNG unfilter exercised), 1 and 3: GIF89a
-    (multimodal/gif.py — palette + LZW; r10), 2: 8-bit BMP
-    (multimodal/bmp.py; r10) — the same routing pattern that sends odd
-    audio through FLAC/G.711.  All three codecs are lossless, so the
-    closed-form oracle is codec-invariant: the engine must recover the
+    doc_id picks the container — ≡0 (mod 4): PNG with scanline filter
+    ``(doc_id//4) % 5`` (every PNG unfilter exercised); ≡2 (mod 4): 8-bit
+    BMP (multimodal/bmp.py; r10); ≡1,5 (mod 8): GIF89a (multimodal/gif.py
+    — palette + LZW; r10); ≡3 (mod 8): little-endian and ≡7 (mod 8):
+    BIG-endian baseline TIFF (multimodal/tiff.py; r10 — both byte orders
+    exercised through the declared query) — the same routing pattern that
+    sends odd audio through FLAC/G.711.  All four codecs are lossless, so
+    the closed-form oracle is codec-invariant: the engine must recover the
     exact per-image mean from any container; the pixels themselves never
     exist outside the Arrow batch."""
     from simsearch_spark.multimodal.binary import pixel_stats
     from simsearch_spark.multimodal.bmp import encode_bmp
     from simsearch_spark.multimodal.gif import encode_gif
     from simsearch_spark.multimodal.png import encode_png
+    from simsearch_spark.multimodal.tiff import encode_tiff
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
@@ -103,7 +106,9 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = c % 31 + 2, d % 7 + 1
                 a, b = d % 256, (d * 7 + 13) % 256
                 row = bytes([a] * (w // 2) + [b] * (w - w // 2))
-                if d % 2:
+                if d % 8 in (3, 7):
+                    payloads.append(encode_tiff(w, h, 1, row * h, big_endian=d % 8 == 7))
+                elif d % 2:
                     payloads.append(encode_gif(w, h, 1, row * h))
                 elif d % 4 == 2:
                     payloads.append(encode_bmp(w, h, 1, row * h))
