@@ -39,19 +39,58 @@ def _png(width: int, height: int) -> bytes:
     )
 
 
+def _gif_hdr(width: int, height: int) -> bytes:
+    # GIF89a logical screen descriptor only (no color table): 13 bytes
+    return b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0)
+
+
+def _bmp_hdr(width: int, height: int) -> bytes:
+    # BITMAPFILEHEADER + the first 12 info bytes the sniff reads: 26 bytes
+    return struct.pack("<2sIHHI", b"BM", 26, 0, 0, 26) + struct.pack(
+        "<Iii", 40, width, height
+    )
+
+
+def _tiff_hdr(width: int, height: int, big_endian: bool) -> bytes:
+    # minimal IFD carrying only ImageWidth/ImageLength: 38 bytes
+    bo = ">" if big_endian else "<"
+    return (
+        (b"MM\x00*" if big_endian else b"II*\x00")
+        + struct.pack(bo + "I", 8)
+        + struct.pack(bo + "H", 2)
+        + struct.pack(bo + "HHIHH", 256, 3, 1, width, 0)
+        + struct.pack(bo + "HHIHH", 257, 3, 1, height, 0)
+        + struct.pack(bo + "I", 0)
+    )
+
+
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container metadata sniff across every image family the engine
+    dispatches: doc_id % 4 routes PNG / GIF / BMP / TIFF headers (TIFF
+    alternating byte order by doc_id % 8), each with a closed-form byte
+    count and the same (n_chars, doc_id % 480 + 1) geometry, so format
+    detection itself holds a driver verdict — not just the decoders."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            payloads = []
+            for c, d in zip(pdf["n_chars"], pdf["doc_id"]):
+                c, d = int(c), int(d)
+                h = d % 480 + 1
+                if d % 4 == 1:
+                    payloads.append(_gif_hdr(c, h))
+                elif d % 4 == 2:
+                    payloads.append(_bmp_hdr(c, h))
+                elif d % 4 == 3:
+                    payloads.append(_tiff_hdr(c, h, big_endian=d % 8 == 7))
+                else:
+                    payloads.append(_png(c, h))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
                     "kind": "image",
-                    "payload": [
-                        _png(int(c), int(d) % 480 + 1)
-                        for c, d in zip(pdf["n_chars"], pdf["doc_id"])
-                    ],
+                    "payload": payloads,
                     "mime": "image/png",
                 }
             )
@@ -64,9 +103,12 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_META = f"""
-SELECT doc_id AS media_id, {PNG_BYTES} AS n_bytes,
+SELECT doc_id AS media_id,
+       (CASE doc_id % 4 WHEN 1 THEN 13 WHEN 2 THEN 26 WHEN 3 THEN 38
+             ELSE {PNG_BYTES} END) AS n_bytes,
        n_chars::INT AS width, (doc_id % 480 + 1)::INT AS height,
-       'png' AS format
+       CASE doc_id % 4 WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' WHEN 3 THEN 'tiff'
+            ELSE 'png' END AS format
 FROM documents
 """
 
