@@ -218,22 +218,62 @@ def minhash_banded_frame(
 LSH_BUCKET_CAP = 4096
 
 
+#: driver bound on distinct oversized buckets — a corpus exceeding it is
+#: degenerate (>10⁴ buckets each holding >cap near-identical members has a
+#: quadratic ANSWER no guard can fix; the exact tier owns it)
+MAX_HOT_BUCKETS = 10_000
+
+
 def _cap_lsh_buckets(
-    expl: DataFrame, key_cols: list[str], id_col: str, cap: int | None
+    expl: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    cap: int | None,
+    max_hot: int = MAX_HOT_BUCKETS,
 ) -> DataFrame:
     """Keep each LSH bucket's ``cap`` lowest-id member rows (the
     deterministic drop-with-count contract above); ``cap=None`` disables.
-    One row_number window over the bucket key — the same hash partitioning
-    the band join / bucket groupBy needs anyway, so Catalyst reuses the
-    exchange."""
+
+    Eager two-path: bucket sizes come from ONE map-side-combinable count
+    whose over-cap keys are COLLECTED (driver-bounded by ``max_hot``; the
+    set is empty on every healthy corpus).  Empty → the input plan is
+    returned UNTOUCHED, so the guard's steady-state cost is exactly one
+    narrow count job — a first cut ran every row through a row_number
+    window (full shuffle+sort: 3× the candidate stage at 30×), a second
+    routed all rows through a static broadcast-join split (still 4× on the
+    join front).  Only when hot keys exist do their rows pay the
+    per-bucket sort; healthy buckets never do."""
     if cap is None:
         return expl
+    hot_rows = (
+        expl.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > int(cap))
+        .select(*key_cols)
+        .limit(max_hot + 1)
+        .collect()
+    )
+    if not hot_rows:
+        return expl
+    if len(hot_rows) > max_hot:
+        raise ValueError(
+            f"_cap_lsh_buckets: more than {max_hot} buckets exceed cap={cap} "
+            "— the corpus is boilerplate-degenerate; run exact dedup first"
+        )
+    keyed = F.concat_ws("\x00", *[F.col(c).cast("string") for c in key_cols])
+    hot_set = [
+        "\x00".join(str(r[c]) for c in key_cols) for r in hot_rows
+    ]
+    is_hot = keyed.isin(hot_set)
+    healthy = expl.where(~is_hot)
     w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
-    return (
-        expl.withColumn("_bucket_rn", F.row_number().over(w))
+    capped = (
+        expl.where(is_hot)
+        .withColumn("_bucket_rn", F.row_number().over(w))
         .where(F.col("_bucket_rn") <= int(cap))
         .drop("_bucket_rn")
     )
+    return healthy.unionByName(capped)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -300,8 +340,12 @@ def minhash_lsh_pairs(
     banded = minhash_banded_frame(df, id_col, text_col, n_hashes, bands, shingle_n).persist()
 
     # explode to (band_idx, band_hash, id): the only shuffled relation —
-    # shingle arrays stay out of the shuffle; verification re-joins by id
-    expl = banded.select(F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash"))
+    # shingle arrays stay out of the shuffle; verification re-joins by id.
+    # persisted: the hot-bucket count pass and BOTH join sides read this
+    # narrow triple from cache instead of re-exploding the signature table
+    expl = banded.select(
+        F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
+    ).persist()
     expl = _cap_lsh_buckets(expl, ["band_idx", "band_hash"], id_col, bucket_cap)
     left = expl.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     right = expl.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
@@ -603,9 +647,17 @@ def embedding_cosine_pairs(
             "nrm",
             F.posexplode("keys").alias("band_idx", "band_key"),
         )
-        banded = _cap_lsh_buckets(banded, ["band_idx", "band_key"], "rid", bucket_cap)
 
         def score_bucket(pdf):
+            # hot-bucket cap applied INSIDE the kernel: the groupBy already
+            # delivers the whole bucket to one task, so truncating to the
+            # cap LOWEST rids here kills the quadratic pair work with ZERO
+            # extra plan passes (a pre-pass count/window costs a full
+            # re-hash of the corpus on this front — measured 1.4×).  The
+            # residual exposure is the O(s·dim) group materialization of a
+            # pathological bucket, vs the O(s·dim + s²) task it replaces.
+            if bucket_cap is not None and len(pdf) > bucket_cap:
+                pdf = pdf.sort_values("rid").head(bucket_cap)
             return _score_pair_group(pdf, loose, diagonal=True)
 
         raw = banded.groupBy("band_idx", "band_key").applyInPandas(
