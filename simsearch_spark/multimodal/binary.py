@@ -68,6 +68,15 @@ META_SCHEMA = StructType(
     ]
 )
 
+# The bounded-exception contract: every per-row decode failure becomes a
+# named failure row (or NULL embedding), never a task failure.  The codecs
+# raise ValueError/NotImplementedError for recognized-but-unsupported input,
+# but a TRUNCATED or corrupt payload can also surface as struct.error (a
+# short struct.unpack slice in bmp/gif/tiff header parsing) or IndexError
+# (GIF sub-block byte reads past end) — ADVICE r10: those must be caught on
+# the image paths too, exactly as the audio handlers already did.
+_DECODE_ERRORS = (ValueError, NotImplementedError, TypeError, struct.error, IndexError)
+
 FEATURE_DIM = 16
 
 FEATURE_SCHEMA = StructType(
@@ -98,7 +107,7 @@ def _sniff_header(payload: bytes) -> tuple[str, int, int]:
         try:
             w, h = parse_tiff_header(payload)
             return ("tiff", w, h)
-        except ValueError:
+        except (ValueError, struct.error, IndexError):
             return ("tiff", -1, -1)
     if payload[:2] == b"\xff\xd8":
         i = 2
@@ -209,7 +218,7 @@ def pixel_stats(df: DataFrame) -> DataFrame:
                     rows["mean_c0"].append(means[0])
                     rows["mean_c1"].append(means[1])
                     rows["mean_c2"].append(means[2])
-                except (ValueError, NotImplementedError, TypeError) as e:
+                except _DECODE_ERRORS as e:
                     rows["media_id"].append(mid)
                     rows["decoded"].append(str(e)[:80] or "undecodable")
                     rows["width"].append(-1)
@@ -263,7 +272,7 @@ def extract_pixel_features(df: DataFrame, grid: int = 4) -> DataFrame:
                     embs.append(
                         [round(s / (n or 1) / 255.0, 6) for s, n in cells]
                     )
-                except (ValueError, NotImplementedError, TypeError):
+                except _DECODE_ERRORS:
                     embs.append(None)
             yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": embs})
 
@@ -338,7 +347,7 @@ def audio_stats(df: DataFrame) -> DataFrame:
                     rows["duration_s"].append(round(n / (rate * ch), 6))
                     rows["rms"].append(rms)
                     rows["zero_crossings"].append(zc)
-                except (ValueError, NotImplementedError, TypeError, struct.error) as e:
+                except _DECODE_ERRORS as e:
                     rows["media_id"].append(mid)
                     rows["decoded"].append(str(e)[:80] or "undecodable")
                     rows["sample_rate"].append(-1)
@@ -400,7 +409,7 @@ def audio_spectral(df: DataFrame) -> DataFrame:
                     rows["n_samples"].append(n)
                     rows["dominant_bin"].append(dom)
                     rows["dominant_hz"].append(round(dom * rate / n, 6))
-                except (ValueError, NotImplementedError, TypeError, struct.error) as e:
+                except _DECODE_ERRORS as e:
                     rows["media_id"].append(mid)
                     rows["decoded"].append(str(e)[:80] or "undecodable")
                     rows["n_samples"].append(-1)
@@ -464,7 +473,7 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
                 try:
                     b = bytes(p)
                     _fps, frames = parse_avi_frames(b)
-                except (ValueError, NotImplementedError, TypeError) as e:
+                except _DECODE_ERRORS as e:
                     emit(mid, str(e)[:80] or "undecodable")
                     continue
                 if not frames:
@@ -514,7 +523,7 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
                             )
                         mean = round(sum(pix[0::ch]) / (w * h), 6)
                         emit(mid, "ok", len(frames), i, w, h, ch, mean)
-                    except (ValueError, NotImplementedError, TypeError) as e:
+                    except _DECODE_ERRORS as e:
                         emit(mid, str(e)[:80] or "undecodable", len(frames), i)
             yield pd.DataFrame(rows)
 
@@ -582,7 +591,7 @@ def resize_images(df: DataFrame, max_w: int = 512, max_h: int = 512) -> DataFram
                     try:
                         p = _nn_resize(p, dw, dh)
                         tag = "resized"
-                    except (ValueError, NotImplementedError):
+                    except _DECODE_ERRORS:
                         tag = "stub"  # header-only / progressive / exotic
                 out["media_id"].append(mid)
                 out["payload"].append(p)
@@ -647,7 +656,7 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
                         rows["n_frames"].append(len(frames))
                         rows["frame_idx"].append(i)
                         rows["frame"].append(b[off : off + ln])
-                except (ValueError, NotImplementedError, TypeError) as e:
+                except _DECODE_ERRORS as e:
                     rows["media_id"].append(mid)
                     rows["decoded"].append(str(e)[:80] or "undecodable")
                     rows["fps"].append(None)

@@ -346,16 +346,28 @@ def minhash_lsh_pairs(
     expl = banded.select(
         F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
     ).persist()
-    expl = _cap_lsh_buckets(expl, ["band_idx", "band_hash"], id_col, bucket_cap)
-    left = expl.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    right = expl.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-    cand = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return verify_shingle_pairs(cand, banded, id_col, threshold)
+    try:
+        capped = _cap_lsh_buckets(expl, ["band_idx", "band_hash"], id_col, bucket_cap)
+        left = capped.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+        right = capped.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+        cand = (
+            left.join(right, ["band_idx", "band_hash"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # Materialize the (bounded) verified pair set eagerly so the two
+        # intermediate caches can be dropped HERE instead of accumulating
+        # across a multi-query session (ADVICE r10 — leaked persists also
+        # trip the CacheManager InMemoryRelation-substitution trap for
+        # later plan assertions).  The checkpointed frame is k pairs above
+        # threshold — driver-bounded by construction.
+        return verify_shingle_pairs(cand, banded, id_col, threshold).localCheckpoint(
+            eager=True
+        )
+    finally:
+        expl.unpersist()
+        banded.unpersist()
 
 
 def verify_shingle_pairs(

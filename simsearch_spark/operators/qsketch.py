@@ -42,15 +42,25 @@ __all__ = ["bottomk_sample", "sample_quantile", "approx_quantile_sketch"]
 
 def bottomk_sample(df: DataFrame, key_col: str, val_col: str, k: int) -> DataFrame:
     """The ``k`` rows with the smallest char-fold key hashes (ties by key
-    string — fully deterministic), as (_h, _k, _v double).  NULL keys and
-    NULL/NaN values are outside the sampling domain (the quantile
-    operators' shared contract)."""
+    string, then by value — fully deterministic), as (_h, _k, _v double).
+    NULL keys and NULL/NaN values are outside the sampling domain (the
+    quantile operators' shared contract).
+
+    PRECONDITION (ADVICE r10): ``key_col`` must be unique per row — the
+    engine's sampling keys are row identities (doc_id, event_id).  With
+    duplicate keys the batch sample keeps duplicate rows per key while the
+    streaming dual (streaming/qsketch.py) keeps one deduped member per
+    (hash, key), so the documented latest-view == batch-sample invariant
+    holds only on unique keys.  Both sides are still individually
+    deterministic under duplicates: this side orders by (_h, _k, _v); the
+    streaming side keeps the MINIMUM value per key (arrival-order
+    invariant), which coincides with this ordering's first row per key."""
     key = F.col(key_col).cast("string")
     v = F.col(val_col).cast("double")
     return (
         df.where(F.col(key_col).isNotNull() & v.isNotNull() & ~F.isnan(v))
         .select(char_fold_hash(key).alias("_h"), key.alias("_k"), v.alias("_v"))
-        .orderBy(F.col("_h").asc(), F.col("_k").asc())
+        .orderBy(F.col("_h").asc(), F.col("_k").asc(), F.col("_v").asc())
         .limit(int(k))
     )
 

@@ -110,16 +110,24 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simsearch_spark.operators.pq import ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings").persist()
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding]
     # persisted: consumed by residual training (per-pass actions), the
     # operator's probe collect, and the residual/ADC when-chains
     cents = _centroids6(emb).persist()
-    out = ivf_pq_topk(
-        emb, "vec_id", "embedding",
-        cents, _train_books_residual(emb, cents), qvec, K,
-        n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
-    )
-    return out.select(F.col("vec_id").alias("id"), "adc_dist", "cos_sim")
+    try:
+        qvec = [float(x) for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding]
+        out = ivf_pq_topk(
+            emb, "vec_id", "embedding",
+            cents, _train_books_residual(emb, cents), qvec, K,
+            n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
+        )
+        # K rows — materialize eagerly so the session-scoped caches can be
+        # dropped here instead of leaking across queries (ADVICE r10)
+        return out.select(
+            F.col("vec_id").alias("id"), "adc_dist", "cos_sim"
+        ).localCheckpoint(eager=True)
+    finally:
+        cents.unpersist()
+        emb.unpersist()
 
 
 def _pq_res_sub_ctes(j: int) -> str:
@@ -262,11 +270,18 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall monotonically.  IVF-PQ's recall is capped by its IVF routing
     (same probed cells) and approaches the IVF arm from below as rerank
     grows — visible directly in the report."""
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    try:
+        return _recall_audit_body(spark, sf_dir, emb).localCheckpoint(eager=True)
+    finally:
+        emb.unpersist()
+
+
+def _recall_audit_body(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     from simsearch_spark.operators.ann import cosine_topk, ivf_topk, lsh_cosine_topk
     from simsearch_spark.operators.pq import ivf_pq_topk
     from simsearch_spark.queries.pipeline import ANN_QUERY_ID, PLANES
 
-    emb = load_table(spark, sf_dir, "embeddings").persist()
     qvec = [float(x) for x in emb.where(F.col("vec_id") == ANN_QUERY_ID).first().embedding]
     cents = _centroids(spark, sf_dir)
     exact = cosine_topk(emb, "vec_id", "embedding", qvec, K).select(F.col("vec_id").alias("id"))
@@ -278,10 +293,17 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=N_PROBE, assign_col="label",
     ).select(F.lit("ivf").alias("method"), F.col("vec_id").alias("id"))
     cents6 = _centroids6(emb).persist()
-    ivfpq = ivf_pq_topk(
-        emb, "vec_id", "embedding", cents6, _train_books_residual(emb, cents6),
-        qvec, K, n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
-    ).select(F.lit("ivfpq").alias("method"), F.col("vec_id").alias("id"))
+    try:
+        ivfpq = ivf_pq_topk(
+            emb, "vec_id", "embedding", cents6, _train_books_residual(emb, cents6),
+            qvec, K, n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
+        ).select(F.lit("ivfpq").alias("method"), F.col("vec_id").alias("id"))
+        # the ivfpq arm's LUT/probe collects all run inside ivf_pq_topk, so
+        # the cents6 cache has served its purpose once the arm is built; the
+        # arm's k-row frame is pinned by the caller's eager checkpoint
+        ivfpq = ivfpq.localCheckpoint(eager=True)
+    finally:
+        cents6.unpersist()
     hits = (
         lsh.unionByName(ivf).unionByName(ivfpq)
         .join(exact, "id", "left_semi")

@@ -78,14 +78,19 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c, d in zip(pdf["n_chars"], pdf["doc_id"]):
                 c, d = int(c), int(d)
                 h = d % 480 + 1
-                if d % 4 == 1:
+                # GIF/BMP-sniff/TIFF-SHORT widths are 16-bit; a fixture doc
+                # wider than 65535 would raise struct.error inside the synth
+                # UDF and fail the whole query (ADVICE r10).  Route oversized
+                # widths to the PNG container (32-bit fields); the oracle
+                # carries the same n_chars <= 65535 condition.
+                if c > 0xFFFF or d % 4 == 0:
+                    payloads.append(_png(c, h))
+                elif d % 4 == 1:
                     payloads.append(_gif_hdr(c, h))
                 elif d % 4 == 2:
                     payloads.append(_bmp_hdr(c, h))
-                elif d % 4 == 3:
-                    payloads.append(_tiff_hdr(c, h, big_endian=d % 8 == 7))
                 else:
-                    payloads.append(_png(c, h))
+                    payloads.append(_tiff_hdr(c, h, big_endian=d % 8 == 7))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
@@ -104,11 +109,13 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_META = f"""
 SELECT doc_id AS media_id,
-       (CASE doc_id % 4 WHEN 1 THEN 13 WHEN 2 THEN 26 WHEN 3 THEN 38
-             ELSE {PNG_BYTES} END) AS n_bytes,
+       (CASE WHEN n_chars > 65535 THEN {PNG_BYTES}
+             WHEN doc_id % 4 = 1 THEN 13 WHEN doc_id % 4 = 2 THEN 26
+             WHEN doc_id % 4 = 3 THEN 38 ELSE {PNG_BYTES} END) AS n_bytes,
        n_chars::INT AS width, (doc_id % 480 + 1)::INT AS height,
-       CASE doc_id % 4 WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp' WHEN 3 THEN 'tiff'
-            ELSE 'png' END AS format
+       CASE WHEN n_chars > 65535 THEN 'png'
+            WHEN doc_id % 4 = 1 THEN 'gif' WHEN doc_id % 4 = 2 THEN 'bmp'
+            WHEN doc_id % 4 = 3 THEN 'tiff' ELSE 'png' END AS format
 FROM documents
 """
 

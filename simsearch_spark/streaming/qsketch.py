@@ -50,8 +50,19 @@ def bottomk_sample_stream(
         for pdf in pdfs:
             for h, kk, vv in zip(pdf["h"], pdf["key"], pdf["val"]):
                 members.append((int(h), str(kk), float(vv)))
-        # dedup exact (h, key) repeats, keep bottom-k by (h, key)
-        members = sorted({(h, kk): (h, kk, vv) for h, kk, vv in members}.values())[: int(k)]
+        # Dedup (h, key) repeats keeping the MINIMUM value — a pure
+        # function of the data, invariant to arrival order (ADVICE r10:
+        # last-arrival kept before, which broke determinism on duplicate
+        # keys; the batch side's (_h, _k, _v) ordering picks the same
+        # min-value row first).  Sampling keys are contractually unique
+        # per row (operators/qsketch.py), so on healthy inputs this is
+        # exact-repeat dedup only.
+        best: dict[tuple[int, str], float] = {}
+        for h, kk, vv in members:
+            cur = best.get((h, kk))
+            if cur is None or vv < cur:
+                best[(h, kk)] = vv
+        members = sorted((h, kk, vv) for (h, kk), vv in best.items())[: int(k)]
         seq = int(seq) + 1
         state.update((
             [m[0] for m in members],
