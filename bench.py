@@ -155,6 +155,63 @@ def run_layouts(spark) -> dict[str, float]:
     return out
 
 
+def run_mount(spark) -> dict[str, float]:
+    """Time the mount/serve split at bench scale: one mount (train-once —
+    IVF centroids, residual PQ codebooks, the encoded corpus, langid/LM/
+    BM25 stats) and the per-query SERVE paths against it.  The comparison
+    that matters: ``ivfpq_serve`` vs the declared ``ann_ivfpq_topk`` in the
+    main map — the declared query retrains in-query by self-containment
+    design (~80 % of its runtime); the serve path reads probed code
+    partitions + a bounded point-lookup and pays none of it.  Serve paths
+    are warmed once, then best-of-2; parity with the declared results is
+    pytest's job (tests/test_mount.py), not re-asserted here."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.functions.text import ws_tokens
+    from simsearch_spark.mount import mount, serve_bm25_topk, serve_ivfpq_topk
+    from simsearch_spark.queries.core import K
+    from simsearch_spark.queries.corpus import BM25_K, BM25_QUERY
+    from simsearch_spark.queries.ivf import IVF_QUERY_ID, N_PROBE
+    from simsearch_spark.queries.ivfpq import RERANK
+    from simsearch_spark.sources.registry import load_table
+
+    out: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="simsearch_mount_")
+    try:
+        t0 = time.perf_counter()
+        mount(spark, SF_DIR, root)
+        out["mount_build"] = round(time.perf_counter() - t0, 3)
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding
+        ]
+
+        def ivfpq_serve():
+            return serve_ivfpq_topk(
+                spark, root, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK
+            ).collect()
+
+        docs = load_table(spark, SF_DIR, "documents").withColumn(
+            "toks", ws_tokens(F.col("text"))
+        )
+
+        def bm25_serve():
+            return serve_bm25_topk(spark, root, docs, BM25_QUERY, BM25_K).collect()
+
+        ivfpq_serve()  # warm
+        out["ivfpq_serve"] = _best_of(2, ivfpq_serve)
+        bm25_serve()
+        out["bm25_serve"] = _best_of(2, bm25_serve)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="simsearch-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -172,6 +229,7 @@ def main() -> None:
     warm = {k: round(min(w[k] for w in warms), 2) for k in warms[0]}
     med = {k: round(sorted(w[k] for w in warms)[1], 2) for k in warms[0]}
     layouts = run_layouts(spark)
+    mount_times = run_mount(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver records only the LAST 2000 chars of stdout: the full
@@ -186,6 +244,7 @@ def main() -> None:
         "queries_median": med,
         "queries_cold": cold,
         "layouts": layouts,
+        "mount": mount_times,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:

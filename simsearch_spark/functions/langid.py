@@ -230,7 +230,8 @@ def lang_id_v2(col: Column) -> Column:
     return F.when(sw != F.lit("und"), sw).otherwise(trigram_lang(col))
 
 
-def langid_frame(df, id_col: str, text_col: str):
+def langid_frame(df, id_col: str, text_col: str,
+                 profiles: dict[str, dict[str, int]] | None = None):
     """(id, lang_sw, score_en..score_es, lang_tri, lang_pred) in ONE
     Arrow-batched pass — the fused kernel behind the lang_id_trigram
     surface query.  Byte-identical to the column-expression chain
@@ -240,15 +241,25 @@ def langid_frame(df, id_col: str, text_col: str):
     IEEE division.  Why: Catalyst's GetMapValue on a literal map is a
     LINEAR scan over all ~200 keys per trigram position (measured 11 s at
     sf0.1); a dict lookup per position with all four language lanes fetched
-    at once is ~6× faster.  Same shuffle-free row-local contract."""
+    at once is ~6× faster.  Same shuffle-free row-local contract.
+
+    ``profiles``: a trained/mounted profile artifact in place of the
+    embedded seed defaults (the mount-layer serve path,
+    ``mount/serve.py serve_lang_id``); lane order = key order, exactly as
+    ``trigram_scores_micro``."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from simsearch_spark.functions.text import LANG_STOPWORDS
 
-    tri_w = {t: tuple(PROFILES[l].get(t, 0) for l in LANGS) for t in _ALL_TRIS}
-    n_langs = len(LANGS)
+    prof = PROFILES if profiles is None else profiles
+    langs = _langs_of(profiles)
+    all_tris = _ALL_TRIS if profiles is None else sorted(
+        set().union(*[set(p) for p in prof.values()])
+    )
+    tri_w = {t: tuple(prof[l].get(t, 0) for l in langs) for t in all_tris}
+    n_langs = len(langs)
     lane_idx = range(n_langs)
     stopsets = [(lang, frozenset(sw)) for lang, sw in LANG_STOPWORDS.items()]
     # Java's \s (non-UNICODE_CHARACTER_CLASS) is ASCII-only — Python's \s
@@ -262,7 +273,7 @@ def langid_frame(df, id_col: str, text_col: str):
         for pdf in batches:
             cols: dict[str, list] = {
                 id_col: [], "lang_sw": [],
-                **{f"score_{l}": [] for l in LANGS},
+                **{f"score_{l}": [] for l in langs},
                 "lang_tri": [], "lang_pred": [],
             }
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
@@ -286,18 +297,18 @@ def langid_frame(df, id_col: str, text_col: str):
                         for li in lane_idx:
                             sc[li] += w[li]
                 tri_lang, tri_best = "und", 0
-                for li, lang in enumerate(LANGS):
+                for li, lang in enumerate(langs):
                     if sc[li] > tri_best:
                         tri_lang, tri_best = lang, sc[li]
                 cols[id_col].append(doc_id)
                 cols["lang_sw"].append(sw_lang)
-                for li, lang in enumerate(LANGS):
+                for li, lang in enumerate(langs):
                     cols[f"score_{lang}"].append(sc[li])
                 cols["lang_tri"].append(tri_lang)
                 cols["lang_pred"].append(sw_lang if sw_lang != "und" else tri_lang)
             yield pd.DataFrame(cols)
 
-    score_cols = ", ".join(f"score_{l} long" for l in LANGS)
+    score_cols = ", ".join(f"score_{l} long" for l in langs)
     return df.select(id_col, text_col).mapInPandas(
         proc,
         f"{id_col} {id_dtype}, lang_sw string, {score_cols}, "

@@ -1,0 +1,51 @@
+"""Mount-time artifact layer — the reference's mount/search split rebuilt
+Spark-first.
+
+The reference trains everything ONCE at mount time (``Coordinator.mount``,
+``Coordinator.java:237-800`` — ingest, index construction, embedding,
+pivot selection) and then serves many queries against the mounted instance
+(``Coordinator.search``, ``Coordinator.java:1085-1098``;
+``SimSearchController.java:315-496`` adds ``/append`` and ``/delete``
+catalog maintenance).  The declared registry queries deliberately retrain
+their artifacts in-query so one SQL oracle can replay the whole chain —
+correct, but the two heaviest bench entries are ~80 % training that a real
+deployment pays once.  This package is that deployment shape:
+
+- ``artifacts.mount(spark, sf_dir, mount_dir)`` trains and persists the
+  expensive artifacts as parquet + a JSON manifest: IVF centroids,
+  residual PQ codebooks, the PQ-ENCODED corpus, language-ID trigram
+  profiles, the bigram-LM count tables, and the BM25 corpus statistics.
+- ``serve`` loads them and answers queries WITHOUT retraining — the
+  IVF-PQ serve path reads only the probed cells' codes (pushed filter on
+  the codes table) plus a bounded point-lookup for the exact rerank.
+- ``maintain.append_rows`` / ``maintain.delete_ids`` implement the
+  reference's catalog maintenance under the frozen-artifact contract: new
+  rows are assigned to EXISTING cells and encoded with EXISTING codebooks
+  (one broadcast argmin — no retrain); deletes are tombstones the serve
+  path subtracts.
+
+Parity contract (tests/test_mount.py): every serve-side operator must
+reproduce its self-contained declared query EXACTLY (same rows, same
+values) when mounted from the same corpus — the artifacts change where the
+work happens, never the answer.
+"""
+
+from simsearch_spark.mount.artifacts import load_manifest, mount
+from simsearch_spark.mount.maintain import append_rows, delete_ids
+from simsearch_spark.mount.serve import (
+    serve_bm25_topk,
+    serve_ivfpq_topk,
+    serve_lang_id,
+    serve_lm_perplexity,
+)
+
+__all__ = [
+    "mount",
+    "load_manifest",
+    "serve_ivfpq_topk",
+    "serve_bm25_topk",
+    "serve_lang_id",
+    "serve_lm_perplexity",
+    "append_rows",
+    "delete_ids",
+]

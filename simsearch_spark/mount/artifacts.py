@@ -1,0 +1,303 @@
+"""Mount step: train every expensive artifact ONCE and persist it as
+parquet under a mount directory — the Spark analog of the reference's
+``Coordinator.mount`` (``Coordinator.java:237-800``: ingest, index
+construction, embedding, pivot selection happen at mount; queries only
+read).
+
+Artifact inventory (all sized far below the corpus; the PQ codes table is
+the one corpus-proportional artifact and it is the POINT — m small ints
+per vector instead of the raw embedding):
+
+==================  ========================================  ============
+artifact            schema                                    trains from
+==================  ========================================  ============
+ivf_centroids       (cluster_id, centroid array<double>)      label means,
+                                                              round-6 pinned
+pq_codebooks        (j, cluster_id, centroid array<double>)   residual
+                                                              Lloyd chains on
+                                                              the bounded
+                                                              lowest-id sample
+pq_codes            (vec_id, cell, code_0..code_{m-1})        full corpus,
+  [partitioned                                                encoded against
+   by cell]                                                   its own cell
+langid_profiles     (lane, lang, tri, w)                      embedded seeds
+                                                              or a labeled
+                                                              sample
+lm_bigrams/ctx/     (ngram, cb) / (ctx, cu) / (v)             corpus bigram
+  vocab                                                       counts
+bm25_df/global      (term, df) / (n_docs, avgdl)              corpus token
+                                                              stats
+tombstones          (vec_id)                                  maintain.delete
+==================  ========================================  ============
+
+``manifest.json`` records the training parameters and row counts so a
+serve process can validate compatibility before reading anything.
+
+Scale notes: ``pq_codes`` is written ``partitionBy("cell")`` so the serve
+path's cell predicate is DIRECTORY pruning — probed cells' files are the
+only ones listed, let alone read.  All other artifacts are
+driver-bounded (n_cells·dim, m·ksub·dsub, langs·k, vocab-sized LM/BM25
+tables that every real deployment maintains as tables, not driver state).
+
+The frozen-artifact contract: ``train_frame`` (default: the corpus)
+determines every trained artifact; appending rows later (maintain.py)
+reuses these artifacts unchanged, so mount(base)+append(delta) ==
+mount(base ∪ delta, train_frame=base) exactly — the parity
+tests/test_mount.py pins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_VERSION = 1
+
+__all__ = [
+    "mount",
+    "load_manifest",
+    "load_centroid_map",
+    "load_codebooks",
+    "load_profiles",
+    "encode_residual_codes",
+]
+
+
+def _residual_expr(vec_col: str, cell_col: str, cmap: dict[int, list[float]]):
+    """Row-local residual ``v − centroid(own cell)`` as a when-chain over
+    the bounded cell set (the same construction as
+    ``operators/pq.py ivf_pq_topk`` residual mode, applied corpus-wide at
+    encode time instead of probe-time)."""
+    from simsearch_spark.operators.kmeans import _lit_vec
+
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    res = None
+    for cid in sorted(cmap, reverse=True):
+        sub = F.zip_with(dbl, _lit_vec(cmap[cid]), lambda x, m: x - m)
+        res = sub if res is None else F.when(
+            F.col(cell_col) == F.lit(cid), sub
+        ).otherwise(res)
+    return res
+
+
+def encode_residual_codes(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    cmap: dict[int, list[float]],
+    codebooks: list[dict[int, list[float]]],
+) -> DataFrame:
+    """(id, cell, code_0..code_{m-1}): every vector PQ-encoded against its
+    own cell's residual.  Pure codegen column expressions (argmin over
+    ksub literal centroids per subspace), row-local, zero shuffles — the
+    corpus never moves; identical code values to the probe-time encode
+    inside ``ivf_pq_topk`` (same residual, same strict-< argmin)."""
+    from simsearch_spark.operators.pq import pq_encode
+
+    enc_in = emb.select(
+        F.col(id_col),
+        _residual_expr(vec_col, cell_col, cmap).alias("__r"),
+        F.col(cell_col).alias("cell"),
+    )
+    enc = pq_encode(enc_in, id_col, "__r", codebooks)
+    m = len(codebooks)
+    return enc.select(
+        F.col(id_col), F.col("cell"), *[F.col(f"code_{j}") for j in range(m)]
+    )
+
+
+def _write(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
+def mount(
+    spark: SparkSession,
+    sf_dir: str,
+    mount_dir: str,
+    train_frame: DataFrame | None = None,
+    profiles: dict[str, dict[str, int]] | None = None,
+    emb_frame: DataFrame | None = None,
+    docs_frame: DataFrame | None = None,
+) -> dict:
+    """Train and persist the full artifact set from the corpus at
+    ``sf_dir``; returns the manifest (also written to
+    ``mount_dir/manifest.json``).
+
+    ``train_frame``: the embeddings frame the IVF centroids and residual
+    PQ codebooks are trained on (default: the corpus itself — which makes
+    the mounted artifacts EQUAL to what the self-contained declared
+    queries train in-query, the parity contract).  ``profiles``: a
+    language-ID profile dict (e.g. ``train_profiles`` output); default is
+    the embedded seed profiles the declared queries use.  ``emb_frame`` /
+    ``docs_frame`` override the corpus frames themselves (partial mounts,
+    the frozen-artifact append parity tests)."""
+    from simsearch_spark.functions.langid import PROFILES, _langs_of
+    from simsearch_spark.queries.cluster import PQ_ITERS, PQ_KSUB, PQ_M, PQ_TRAIN_N
+    from simsearch_spark.queries.ivfpq import _centroids6, _train_books_residual
+    from simsearch_spark.queries.vocab import lm_count_tables, lm_doc_bigrams
+    from simsearch_spark.sources.registry import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings") if emb_frame is None else emb_frame
+    ).persist()
+    train = emb if train_frame is None else train_frame
+    try:
+        # --- vector artifacts -------------------------------------------
+        cents = _centroids6(train).persist()
+        try:
+            books = _train_books_residual(train, cents)
+            cent_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in cents.collect()]
+        finally:
+            cents.unpersist()
+        cmap = dict(cent_rows)
+        _write(
+            spark.createDataFrame(
+                cent_rows, "cluster_id int, centroid array<double>"
+            ),
+            os.path.join(mount_dir, "ivf_centroids"),
+        )
+        _write(
+            spark.createDataFrame(
+                [
+                    (j, int(cid), [float(x) for x in vec])
+                    for j, cb in enumerate(books)
+                    for cid, vec in sorted(cb.items())
+                ],
+                "j int, cluster_id int, centroid array<double>",
+            ),
+            os.path.join(mount_dir, "pq_codebooks"),
+        )
+        codes = encode_residual_codes(emb, "vec_id", "embedding", "label", cmap, books)
+        _write(codes, os.path.join(mount_dir, "pq_codes"), partition_by="cell")
+        n_vectors = int(emb.count())
+    finally:
+        emb.unpersist()
+
+    # --- text artifacts --------------------------------------------------
+    docs = (
+        load_table(spark, sf_dir, "documents") if docs_frame is None else docs_frame
+    ).where(F.col("text").isNotNull())
+    prof = PROFILES if profiles is None else profiles
+    langs = _langs_of(profiles)
+    _write(
+        spark.createDataFrame(
+            [
+                (lane, lang, tri, int(w))
+                for lane, lang in enumerate(langs)
+                for tri, w in sorted(prof[lang].items())
+            ],
+            "lane int, lang string, tri string, w long",
+        ),
+        os.path.join(mount_dir, "langid_profiles"),
+    )
+
+    from simsearch_spark.functions.text import ws_tokens
+
+    toks = ws_tokens(F.col("text"))
+    bgc = lm_doc_bigrams(docs).persist()
+    try:
+        cb, cu, vocab = lm_count_tables(bgc, docs)
+        _write(cb, os.path.join(mount_dir, "lm_bigrams"))
+        _write(cu, os.path.join(mount_dir, "lm_ctx"))
+        _write(vocab, os.path.join(mount_dir, "lm_vocab"))
+        # the distinct token set behind lm_vocab's count — countDistinct is
+        # not mergeable from counts alone, so appends re-derive v from the
+        # merged token set (maintain.append_rows)
+        _write(
+            docs.select(F.explode(toks).alias("tok")).distinct(),
+            os.path.join(mount_dir, "lm_tokens"),
+        )
+    finally:
+        bgc.unpersist()
+
+    tdocs = docs.select("doc_id", toks.alias("toks")).where(F.col("toks").isNotNull())
+    _write(
+        tdocs.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df")),
+        os.path.join(mount_dir, "bm25_df"),
+    )
+    _write(
+        tdocs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.size("toks").cast("double")).alias("avgdl"),
+            F.sum(F.size("toks").cast("long")).alias("sum_dl"),
+        ),
+        os.path.join(mount_dir, "bm25_global"),
+    )
+
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "source": os.path.abspath(sf_dir),
+        "params": {
+            "pq_m": PQ_M,
+            "pq_ksub": PQ_KSUB,
+            "pq_iters": PQ_ITERS,
+            "pq_train_n": PQ_TRAIN_N,
+            "n_cells": len(cmap),
+            "langs": list(langs),
+        },
+        "counts": {"n_vectors": n_vectors},
+        "artifacts": [
+            "ivf_centroids",
+            "pq_codebooks",
+            "pq_codes",
+            "langid_profiles",
+            "lm_bigrams",
+            "lm_ctx",
+            "lm_vocab",
+            "lm_tokens",
+            "bm25_df",
+            "bm25_global",
+        ],
+    }
+    os.makedirs(mount_dir, exist_ok=True)
+    with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def load_manifest(mount_dir: str) -> dict:
+    with open(os.path.join(mount_dir, "manifest.json")) as f:
+        m = json.load(f)
+    if m.get("version") != MANIFEST_VERSION:
+        raise ValueError(
+            f"mount manifest version {m.get('version')} != {MANIFEST_VERSION}"
+        )
+    return m
+
+
+def load_centroid_map(spark: SparkSession, mount_dir: str) -> dict[int, list[float]]:
+    """cluster_id -> round-6-pinned centroid (bounded: n_cells · dim)."""
+    rows = spark.read.parquet(os.path.join(mount_dir, "ivf_centroids")).collect()
+    return {int(r["cluster_id"]): [float(x) for x in r["centroid"]] for r in rows}
+
+
+def load_codebooks(spark: SparkSession, mount_dir: str) -> list[dict[int, list[float]]]:
+    """The residual PQ codebooks in ``pq_train``'s shape (bounded:
+    m · ksub · dsub)."""
+    rows = spark.read.parquet(os.path.join(mount_dir, "pq_codebooks")).collect()
+    m = 1 + max(int(r["j"]) for r in rows)
+    books: list[dict[int, list[float]]] = [{} for _ in range(m)]
+    for r in rows:
+        books[int(r["j"])][int(r["cluster_id"])] = [float(x) for x in r["centroid"]]
+    return books
+
+
+def load_profiles(spark: SparkSession, mount_dir: str) -> dict[str, dict[str, int]]:
+    """Language-ID profiles with the lane order restored (bounded:
+    langs · k rows)."""
+    rows = spark.read.parquet(os.path.join(mount_dir, "langid_profiles")).collect()
+    by_lane: dict[int, str] = {}
+    tris: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_lane[int(r["lane"])] = str(r["lang"])
+        tris.setdefault(str(r["lang"]), {})[str(r["tri"])] = int(r["w"])
+    return {by_lane[lane]: tris[by_lane[lane]] for lane in sorted(by_lane)}

@@ -1,0 +1,193 @@
+"""Catalog maintenance on a mounted instance — the Spark analog of the
+reference's ``/append`` and ``/delete`` endpoints
+(``SimSearchController.java:315-496``: a mounted instance accepts
+incremental data without a remount).
+
+The FROZEN-ARTIFACT contract: appends never retrain.  New vectors are
+assigned to the EXISTING IVF cells (one broadcast argmin when they carry
+no assignment) and PQ-encoded with the EXISTING residual codebooks — so
+``mount(base); append_rows(delta)`` is definitionally equal to
+``mount(base ∪ delta, train_frame=base)`` (tests/test_mount.py pins the
+served top-k hash-equal).  The mergeable-by-construction statistics
+(BM25 df/n_docs/Σdl, LM bigram/context counts, the distinct token set)
+merge exactly — integer sums and set unions have no order sensitivity.
+Language-ID profiles are frozen (a profile is a trained artifact, not a
+corpus statistic).
+
+Deletes are tombstones: the serve path (``serve.read_codes``) subtracts
+them with a broadcast anti-join.  Statistics tables deliberately keep the
+deleted documents' mass — matching the reference, whose delete removes
+rows from SERVING but does not re-derive global statistics until the next
+mount; a compaction remount is the honest path to reclaiming them.
+
+Rewrites are write-new-then-swap (never overwrite-in-place a table the
+new plan is reading): the merged table lands in ``<name>__tmp`` and is
+atomically swapped in — the same versioned-table discipline a 100 TB
+deployment uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simsearch_spark.mount.artifacts import (
+    encode_residual_codes,
+    load_centroid_map,
+    load_codebooks,
+    load_manifest,
+)
+
+__all__ = ["append_rows", "delete_ids"]
+
+
+def _swap_in(df: DataFrame, path: str) -> None:
+    tmp = path + "__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
+def _assign_cells(
+    emb: DataFrame, id_col: str, vec_col: str, cmap: dict[int, list[float]]
+):
+    """Nearest-centroid assignment for rows without one — the identical
+    strict-< argmin ``ivf_pq_topk`` uses inline (broadcast literal
+    centroids, codegen, row-local)."""
+    from simsearch_spark.functions.measures import euclidean_distance
+    from simsearch_spark.operators.kmeans import _lit_vec
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    euclidean_distance(F.col(vec_col), _lit_vec(vec)).alias("d"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, vec in sorted(cmap.items())
+            ]
+        )
+    )
+    return emb.withColumn("__cell", best["cid"])
+
+
+def append_rows(
+    spark: SparkSession,
+    mount_dir: str,
+    emb_delta: DataFrame | None = None,
+    docs_delta: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> dict:
+    """Append a vector delta and/or a document delta to a mounted
+    instance without retraining; returns the updated manifest."""
+    manifest = load_manifest(mount_dir)
+
+    if emb_delta is not None:
+        cmap = load_centroid_map(spark, mount_dir)
+        books = load_codebooks(spark, mount_dir)
+        if cell_col in emb_delta.columns:
+            delta, cell = emb_delta, cell_col
+        else:
+            delta, cell = _assign_cells(emb_delta, id_col, vec_col, cmap), "__cell"
+        codes = encode_residual_codes(delta, id_col, vec_col, cell, cmap, books)
+        codes.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(mount_dir, "pq_codes")
+        )
+        manifest["counts"]["n_vectors"] += int(emb_delta.count())
+
+    if docs_delta is not None:
+        from simsearch_spark.functions.text import ws_tokens
+        from simsearch_spark.queries.vocab import lm_doc_bigrams
+
+        docs = docs_delta.where(F.col("text").isNotNull())
+        toks = ws_tokens(F.col("text"))
+        tdocs = docs.select("doc_id", toks.alias("toks"))
+
+        # BM25: integer-exact merges (df sums, doc count, Σdl; avgdl is the
+        # exact integer Σdl over the exact count — identical to F.avg over
+        # the union because integer doubles below 2^53 sum exactly)
+        p_df = os.path.join(mount_dir, "bm25_df")
+        merged_df = (
+            spark.read.parquet(p_df)
+            .unionByName(
+                tdocs.select(
+                    "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+                )
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        _swap_in(merged_df, p_df)
+
+        p_g = os.path.join(mount_dir, "bm25_global")
+        g = spark.read.parquet(p_g).first()
+        d = tdocs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("toks").cast("long")).alias("s")
+        ).first()
+        n_docs = int(g["n_docs"]) + int(d["n"] or 0)
+        sum_dl = int(g["sum_dl"]) + int(d["s"] or 0)
+        _swap_in(
+            spark.createDataFrame(
+                [(n_docs, (sum_dl / n_docs) if n_docs else 0.0, sum_dl)],
+                "n_docs long, avgdl double, sum_dl long",
+            ),
+            p_g,
+        )
+
+        # LM: bigram/context count sums; vocab re-derived from the merged
+        # distinct token set (countDistinct is not mergeable from counts)
+        bgc = lm_doc_bigrams(docs).persist()
+        try:
+            p_cb = os.path.join(mount_dir, "lm_bigrams")
+            _swap_in(
+                spark.read.parquet(p_cb)
+                .unionByName(bgc.groupBy("ngram").agg(F.sum("m").alias("cb")))
+                .groupBy("ngram")
+                .agg(F.sum("cb").alias("cb")),
+                p_cb,
+            )
+            p_cu = os.path.join(mount_dir, "lm_ctx")
+            _swap_in(
+                spark.read.parquet(p_cu)
+                .unionByName(bgc.groupBy("ctx").agg(F.sum("m").alias("cu")))
+                .groupBy("ctx")
+                .agg(F.sum("cu").alias("cu")),
+                p_cu,
+            )
+        finally:
+            bgc.unpersist()
+        p_tok = os.path.join(mount_dir, "lm_tokens")
+        merged_tokens = (
+            spark.read.parquet(p_tok)
+            .unionByName(docs.select(F.explode(toks).alias("tok")))
+            .distinct()
+        )
+        _swap_in(merged_tokens, p_tok)
+        _swap_in(
+            spark.read.parquet(p_tok).agg(F.count(F.lit(1)).alias("v")),
+            os.path.join(mount_dir, "lm_vocab"),
+        )
+
+    with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def delete_ids(spark: SparkSession, mount_dir: str, vec_ids: list[int]) -> None:
+    """Tombstone vectors by id: served results exclude them immediately
+    (``serve.read_codes``); their code rows are reclaimed at the next
+    compaction remount, and statistics tables keep their mass (the
+    reference's delete semantics)."""
+    load_manifest(mount_dir)  # validate it IS a mount before writing into it
+    spark.createDataFrame(
+        [(int(i),) for i in vec_ids], "vec_id long"
+    ).write.mode("append").parquet(os.path.join(mount_dir, "tombstones"))

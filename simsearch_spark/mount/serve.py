@@ -1,0 +1,192 @@
+"""Serve step: answer queries from MOUNTED artifacts, retraining nothing —
+the Spark analog of the reference's ``Coordinator.search``
+(``Coordinator.java:1085-1098``: queries run against the instance the
+mount built).
+
+Every serve operator here must reproduce its self-contained declared
+query EXACTLY (tests/test_mount.py) — the mount changes where the work
+happens, never the answer:
+
+- ``serve_ivfpq_topk``  == ``queries/ivfpq.py q_ann_ivfpq_topk``
+- ``serve_bm25_topk``   == ``queries/corpus.py q_bm25_topk``
+- ``serve_lang_id``     == ``functions/langid.py langid_frame`` (the
+  lang_id_trigram kernel) under the mounted profile set
+- ``serve_lm_perplexity`` == ``queries/vocab.py q_lm_perplexity``
+
+The 100 TB shape this buys: the declared ``ann_ivfpq_topk`` pays ~80 %
+of its runtime training centroids + codebooks in-query (bench
+BENCH_DETAIL ``ivfpq_serve`` vs the declared query); the serve path reads
+the probed cells' code PARTITIONS (directory pruning via
+``partitionBy("cell")``), runs the m-lookup ADC fold, and point-looks-up
+``rerank`` full vectors — per-query cost ∝ n_probe/n_cells plus O(rerank),
+independent of corpus size and of training cost.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simsearch_spark.mount.artifacts import (
+    load_centroid_map,
+    load_codebooks,
+    load_profiles,
+)
+
+__all__ = [
+    "serve_ivfpq_topk",
+    "serve_bm25_topk",
+    "serve_lang_id",
+    "serve_lm_perplexity",
+    "read_codes",
+]
+
+
+def read_codes(spark: SparkSession, mount_dir: str) -> DataFrame:
+    """The encoded corpus minus tombstones (maintain.delete_ids).  The
+    tombstone subtraction is a broadcast anti-join on the bounded delete
+    set — serve plans stay scan-shaped."""
+    codes = spark.read.parquet(os.path.join(mount_dir, "pq_codes"))
+    tomb_path = os.path.join(mount_dir, "tombstones")
+    if os.path.isdir(tomb_path):
+        tomb = spark.read.parquet(tomb_path).select("vec_id").distinct()
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    return codes
+
+
+def serve_ivfpq_topk(
+    spark: SparkSession,
+    mount_dir: str,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_probe: int = 1,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k from mounted artifacts: probe selection against the
+    mounted centroids (driver-side, bounded), an ADC scan over ONLY the
+    probed cells' code partitions, and an exact rescore of the ``rerank``
+    best candidates via a point-lookup into ``emb`` (the full-vector
+    store; in production a key-value store — here the embeddings table
+    with a pushed ``IN`` filter on the bounded candidate ids).
+
+    Identical candidate and scoring arithmetic to
+    ``operators/pq.py ivf_pq_topk(residual=True)``: same probe rule
+    (L2², ties by cell id), same per-cell query-residual LUTs, same
+    round-6 ADC distance, same cosine rerank — hash-equal output, zero
+    training."""
+    from simsearch_spark.functions.measures import cosine_similarity
+    from simsearch_spark.operators.kmeans import _lit_vec
+    from simsearch_spark.operators.pq import _adc_dist_expr
+
+    cmap = load_centroid_map(spark, mount_dir)
+    books = load_codebooks(spark, mount_dir)
+    qv = [float(x) for x in query_vec]
+
+    by_dist = sorted(
+        cmap.items(),
+        key=lambda c: (sum((a - b) ** 2 for a, b in zip(qv, c[1])), c[0]),
+    )
+    probe_ids = [cid for cid, _v in by_dist[:n_probe]]
+
+    codes = read_codes(spark, mount_dir).where(F.col("cell").isin(probe_ids))
+    adc = None
+    for cid in reversed(probe_ids):
+        qres = [a - b for a, b in zip(qv, cmap[cid])]
+        e = _adc_dist_expr(books, qres)
+        adc = e if adc is None else F.when(
+            F.col("cell") == F.lit(cid), e
+        ).otherwise(adc)
+    cand = (
+        codes.select(F.col(id_col), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(rerank)
+        .collect()
+    )
+    ids = [r[id_col] for r in cand]
+    adc_of = {r[id_col]: float(r["adc_dist"]) for r in cand}
+    adc_lit = F.element_at(
+        F.create_map(
+            *[F.lit(v) for pair in adc_of.items() for v in pair]
+        ),
+        F.col(id_col),
+    ) if ids else F.lit(None).cast("double")
+
+    lookup = emb.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col),
+        adc_lit.alias("adc_dist"),
+        F.round(cosine_similarity(F.col(vec_col), _lit_vec(qv)), 6).alias("cos_sim"),
+    )
+    return (
+        lookup.select(F.col(id_col).alias("id"), "adc_dist", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def serve_bm25_topk(
+    spark: SparkSession,
+    mount_dir: str,
+    docs: DataFrame,
+    query_tokens: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+) -> DataFrame:
+    """BM25 top-k with the corpus statistics read from the mounted
+    ``bm25_global``/``bm25_df`` tables: the per-query work is the SCORE
+    scan alone (``operators/bm25.py bm25_score_topk``) — the stats pass
+    every ``bm25_topk`` call pays is the mount's job.  Per-term document
+    frequencies come from one pushed-filter read of |terms| rows; terms
+    outside the mounted vocabulary score with df = 0, exactly as the
+    one-pass operator counts them."""
+    from simsearch_spark.operators.bm25 import bm25_idf, bm25_score_topk
+
+    g = spark.read.parquet(os.path.join(mount_dir, "bm25_global")).first()
+    n_docs, avgdl = int(g["n_docs"]), float(g["avgdl"] or 0.0)
+    terms = sorted(set(query_tokens))
+    df_rows = (
+        spark.read.parquet(os.path.join(mount_dir, "bm25_df"))
+        .where(F.col("term").isin(terms))
+        .collect()
+    )
+    df_of = {str(r["term"]): int(r["df"]) for r in df_rows}
+    term_idfs = [(t, bm25_idf(n_docs, df_of.get(t, 0))) for t in terms]
+    return bm25_score_topk(docs, id_col, tokens_col, term_idfs, avgdl, k)
+
+
+def serve_lang_id(
+    spark: SparkSession,
+    mount_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The fused language-ID kernel under the MOUNTED profile artifact —
+    identical output to the embedded-profile kernel when the mount stored
+    the defaults, and the drop-in path for corpus-trained profiles
+    (``functions/langid.py train_profiles``)."""
+    from simsearch_spark.functions.langid import langid_frame
+
+    return langid_frame(docs, id_col, text_col, profiles=load_profiles(spark, mount_dir))
+
+
+def serve_lm_perplexity(
+    spark: SparkSession, mount_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Per-document bigram-LM log-perplexity against the MOUNTED LM count
+    tables: the per-query work is the scored documents' own bigram
+    fan-out + the LM joins — the corpus-wide count aggregation is the
+    mount's job.  Same arithmetic as ``q_lm_perplexity`` (micro-nat
+    integer pinning and all)."""
+    from simsearch_spark.queries.vocab import lm_doc_bigrams, lm_score
+
+    bgc = lm_doc_bigrams(docs)
+    cb = spark.read.parquet(os.path.join(mount_dir, "lm_bigrams"))
+    cu = spark.read.parquet(os.path.join(mount_dir, "lm_ctx"))
+    vocab = spark.read.parquet(os.path.join(mount_dir, "lm_vocab"))
+    return lm_score(docs, bgc, cb, cu, vocab)

@@ -33,6 +33,45 @@ def _tf(tokens: Column, term: str) -> Column:
     return F.size(F.filter(tokens, lambda t: t == F.lit(term)))
 
 
+def bm25_idf(n_docs: int, df_t: int) -> float:
+    """The (Robertson-Walker) BM25 idf both engines evaluate — driver-side
+    exact doubles, ln on bounded inputs."""
+    return math.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+
+def bm25_score_topk(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    term_idfs: list[tuple[str, float]],
+    avgdl: float,
+    k: int,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """The SCORE pass alone, given already-known per-term idfs and the
+    corpus avgdl — the serve-side half: a mounted corpus-stats artifact
+    (``mount/serve.py serve_bm25_topk``) supplies the statistics the
+    one-pass ``bm25_topk`` computes inline, and this scan is all a query
+    pays.  ``term_idfs`` must be in sorted term order (the fixed
+    left-to-right fold that keeps the float sum cross-engine
+    deterministic)."""
+    toks = F.col(tokens_col)
+    dl = F.size(toks)
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / F.lit(avgdl or 1.0))
+    score = F.lit(0.0)
+    for t, idf in term_idfs:
+        tf = _tf(toks, t).cast("double")
+        score = score + F.lit(float(idf)) * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+
+    return (
+        df.where(toks.isNotNull())
+        .select(F.col(id_col), F.round(score, 6).alias("score"), dl.alias("n_tokens"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,
@@ -57,22 +96,7 @@ def bm25_topk(
     stats = df.where(toks.isNotNull()).agg(*stats_aggs).first()
     n_docs, avgdl = int(stats.n_docs), float(stats.avgdl or 0.0)
 
-    # idf computed driver-side from the 1-row stats (exact doubles, same
-    # formula the oracle evaluates; ln on bounded inputs)
-    idfs = [
-        math.log((n_docs - int(stats[f"df_{i}"]) + 0.5) / (int(stats[f"df_{i}"]) + 0.5) + 1.0)
-        for i in range(len(terms))
+    term_idfs = [
+        (t, bm25_idf(n_docs, int(stats[f"df_{i}"]))) for i, t in enumerate(terms)
     ]
-
-    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / F.lit(avgdl or 1.0))
-    score = F.lit(0.0)
-    for t, idf in zip(terms, idfs):
-        tf = _tf(toks, t).cast("double")
-        score = score + F.lit(idf) * (tf * F.lit(k1 + 1.0)) / (tf + norm)
-
-    return (
-        df.where(toks.isNotNull())
-        .select(F.col(id_col), F.round(score, 6).alias("score"), dl.alias("n_tokens"))
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return bm25_score_topk(df, id_col, tokens_col, term_idfs, avgdl, k, k1, b)

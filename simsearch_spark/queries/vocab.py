@@ -176,6 +176,15 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF's df); V and the context counts are a 1-row broadcast and a
     vocab-sized join."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bgc = lm_doc_bigrams(docs).persist()
+    cb, cu, vocab = lm_count_tables(bgc, docs)
+    return lm_score(docs, bgc, cb, cu, vocab)
+
+
+def lm_doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, ngram, m, ctx): per-document bigram counts — the row-local
+    fan-out + one keyed map-side-combinable shuffle that both the LM
+    training tables and per-query scoring derive from."""
     toks = ws_tokens(F.col("text"))
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -183,18 +192,34 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(toks, 2, n1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    bgc = (
+    return (
         docs.select("doc_id", F.explode(bigrams).alias("ngram"))
         .groupBy("doc_id", "ngram")
         .agg(F.count(F.lit(1)).alias("m"))
         .withColumn("ctx", F.substring_index("ngram", " ", 1))
-        .persist()
     )
+
+
+def lm_count_tables(bgc: DataFrame, docs: DataFrame):
+    """The corpus-level LM artifacts — (bigram counts ``cb``, context
+    counts ``cu``, 1-row vocab size ``v``).  Mount-time output
+    (``mount/artifacts.py``): persisted once, every serve-side scoring
+    query joins them instead of re-aggregating the corpus."""
+    toks = ws_tokens(F.col("text"))
     cb = bgc.groupBy("ngram").agg(F.sum("m").alias("cb"))
     cu = bgc.groupBy("ctx").agg(F.sum("m").alias("cu"))
     vocab = docs.select(F.explode(toks).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
+    return cb, cu, vocab
+
+
+def lm_score(
+    docs: DataFrame, bgc: DataFrame, cb: DataFrame, cu: DataFrame, vocab: DataFrame
+) -> DataFrame:
+    """Per-document add-α bigram log-perplexity given the LM tables —
+    identical arithmetic whether the tables were just aggregated
+    (q_lm_perplexity) or loaded from a mount (serve_lm_perplexity)."""
     a = F.lit(float(LM_ALPHA))
     scored = (
         bgc.join(cb, "ngram")

@@ -1,0 +1,179 @@
+"""Mount/serve parity — the train-once/serve-many layer must change WHERE
+the work happens, never the answer.
+
+Reference parity: ``Coordinator.mount`` (Coordinator.java:237-800) trains
+artifacts once; ``Coordinator.search`` (:1085-1098) serves against them;
+``SimSearchController`` ``/append``+``/delete`` (:315-496) maintain a
+mounted catalog.  Every test here compares a serve-side operator against
+its self-contained declared query (which retrains in-query and carries the
+driver's SQL-oracle verdict), so the mounted path inherits the oracle
+verdict transitively.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simsearch_spark.mount import (
+    append_rows,
+    delete_ids,
+    load_manifest,
+    mount,
+    serve_bm25_topk,
+    serve_ivfpq_topk,
+    serve_lang_id,
+    serve_lm_perplexity,
+)
+from simsearch_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def mount_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("mounts") / "m0")
+    mount(spark, sf_dir, d)
+    return d
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_manifest_round_trip(mount_dir):
+    m = load_manifest(mount_dir)
+    assert m["counts"]["n_vectors"] > 0
+    assert m["params"]["n_cells"] > 0
+    assert "pq_codes" in m["artifacts"]
+
+
+def test_served_ivfpq_equals_declared(spark, sf_dir, mount_dir):
+    """The headline parity: IVF-PQ top-k from mounted artifacts hash-equals
+    the self-contained declared query (which holds the driver's full-replay
+    SQL oracle verdict) — training moved to mount time, answer unchanged."""
+    from simsearch_spark.queries.ivf import IVF_QUERY_ID, N_PROBE
+    from simsearch_spark.queries.core import K
+    from simsearch_spark.queries.ivfpq import RERANK, q_ann_ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding
+    ]
+    served = serve_ivfpq_topk(
+        spark, mount_dir, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK
+    )
+    declared = q_ann_ivfpq_topk(spark, sf_dir)
+    assert _rows(served) == _rows(declared)
+    assert len(served.collect()) == K
+
+
+def test_serve_codes_scan_prunes_partitions(spark, mount_dir):
+    """The codes table is partitioned by cell: the probe predicate must be
+    a PARTITION filter (directory pruning — files of unprobed cells are
+    never listed), the physical reason serve cost ∝ n_probe/n_cells."""
+    from simsearch_spark.mount.serve import read_codes
+
+    spark.catalog.clearCache()
+    plan = (
+        read_codes(spark, mount_dir)
+        .where(F.col("cell").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    head = plan[plan.index("PartitionFilters") :][:200]
+    assert "cell" in head, head
+
+
+def test_served_bm25_equals_declared(spark, sf_dir, mount_dir):
+    from simsearch_spark.functions.text import ws_tokens
+    from simsearch_spark.queries.corpus import BM25_K, BM25_QUERY, q_bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", ws_tokens(F.col("text"))
+    )
+    served = serve_bm25_topk(spark, mount_dir, docs, BM25_QUERY, BM25_K)
+    assert _rows(served) == _rows(q_bm25_topk(spark, sf_dir))
+
+
+def test_served_langid_equals_embedded_kernel(spark, sf_dir, mount_dir):
+    from simsearch_spark.functions.langid import PROFILES, langid_frame
+    from simsearch_spark.mount.artifacts import load_profiles
+
+    assert load_profiles(spark, mount_dir) == PROFILES  # exact round-trip
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    served = serve_lang_id(spark, mount_dir, docs)
+    assert _rows(served) == _rows(langid_frame(docs, "doc_id", "text"))
+
+
+def test_served_lm_equals_declared(spark, sf_dir, mount_dir):
+    from simsearch_spark.queries.vocab import q_lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    served = serve_lm_perplexity(spark, mount_dir, docs)
+    assert _rows(served) == _rows(q_lm_perplexity(spark, sf_dir))
+
+
+def test_append_equals_union_mount(spark, sf_dir, tmp_path):
+    """Frozen-artifact append parity: mount(base) + append(delta) serves
+    EXACTLY like mount(base ∪ delta, train_frame=base) — appends assign to
+    existing cells and encode with existing codebooks, never retrain."""
+    from simsearch_spark.queries.ivf import IVF_QUERY_ID, N_PROBE
+    from simsearch_spark.queries.core import K
+    from simsearch_spark.queries.ivfpq import RERANK
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = 300
+    base = emb.where(F.col("vec_id") < cut)
+    delta = emb.where(F.col("vec_id") >= cut)
+    docs = load_table(spark, sf_dir, "documents")
+    dbase = docs.where(F.col("doc_id") < cut)
+    ddelta = docs.where(F.col("doc_id") >= cut)
+
+    m_inc = str(tmp_path / "m_inc")
+    mount(spark, sf_dir, m_inc, emb_frame=base, docs_frame=dbase)
+    append_rows(spark, m_inc, emb_delta=delta, docs_delta=ddelta)
+
+    m_all = str(tmp_path / "m_all")
+    mount(spark, sf_dir, m_all, train_frame=base, docs_frame=docs)
+
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding
+    ]
+    a = serve_ivfpq_topk(spark, m_inc, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
+    b = serve_ivfpq_topk(spark, m_all, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
+    assert _rows(a) == _rows(b) and len(a.collect()) == K
+    assert (
+        load_manifest(m_inc)["counts"]["n_vectors"]
+        == load_manifest(m_all)["counts"]["n_vectors"]
+    )
+
+    # the mergeable statistics merged EXACTLY (integer sums / set unions)
+    for t in ("bm25_df", "bm25_global", "lm_bigrams", "lm_ctx", "lm_vocab"):
+        inc = _rows(spark.read.parquet(f"{m_inc}/{t}"))
+        full = _rows(spark.read.parquet(f"{m_all}/{t}"))
+        assert inc == full, t
+
+
+def test_delete_tombstones_exclude_from_serving(spark, sf_dir, tmp_path):
+    from simsearch_spark.queries.ivf import IVF_QUERY_ID, N_PROBE
+    from simsearch_spark.queries.core import K
+    from simsearch_spark.queries.ivfpq import RERANK
+
+    d = str(tmp_path / "m_del")
+    mount(spark, sf_dir, d)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding
+    ]
+    before = serve_ivfpq_topk(spark, d, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
+    victims = [r.id for r in before.collect()[:2]]
+    delete_ids(spark, d, victims)
+    after = serve_ivfpq_topk(spark, d, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
+    got = [r.id for r in after.collect()]
+    assert not set(victims) & set(got)
+    assert len(got) == K  # replacements surface from the candidate pool
