@@ -224,6 +224,34 @@ LSH_BUCKET_CAP = 4096
 MAX_HOT_BUCKETS = 10_000
 
 
+def _hot_bucket_rows(
+    expl: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    max_hot: int = MAX_HOT_BUCKETS,
+):
+    """The over-cap bucket keys WITH their sizes — ONE map-side-combinable
+    count, collected (driver-bounded by ``max_hot``; empty on every
+    healthy corpus)."""
+    hot_rows = (
+        expl.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .where(F.col("_bn") > int(cap))
+        .limit(max_hot + 1)
+        .collect()
+    )
+    if len(hot_rows) > max_hot:
+        raise ValueError(
+            f"_cap_lsh_buckets: more than {max_hot} buckets exceed cap={cap} "
+            "— the corpus is boilerplate-degenerate; run exact dedup first"
+        )
+    return hot_rows
+
+
+def _bucket_key_expr(key_cols: list[str]):
+    return F.concat_ws("\x00", *[F.col(c).cast("string") for c in key_cols])
+
+
 def _cap_lsh_buckets(
     expl: DataFrame,
     key_cols: list[str],
@@ -245,22 +273,10 @@ def _cap_lsh_buckets(
     per-bucket sort; healthy buckets never do."""
     if cap is None:
         return expl
-    hot_rows = (
-        expl.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .where(F.col("_bn") > int(cap))
-        .select(*key_cols)
-        .limit(max_hot + 1)
-        .collect()
-    )
+    hot_rows = _hot_bucket_rows(expl, key_cols, cap, max_hot)
     if not hot_rows:
         return expl
-    if len(hot_rows) > max_hot:
-        raise ValueError(
-            f"_cap_lsh_buckets: more than {max_hot} buckets exceed cap={cap} "
-            "— the corpus is boilerplate-degenerate; run exact dedup first"
-        )
-    keyed = F.concat_ws("\x00", *[F.col(c).cast("string") for c in key_cols])
+    keyed = _bucket_key_expr(key_cols)
     hot_set = [
         "\x00".join(str(r[c]) for c in key_cols) for r in hot_rows
     ]
@@ -274,6 +290,72 @@ def _cap_lsh_buckets(
         .drop("_bucket_rn")
     )
     return healthy.unionByName(capped)
+
+
+def _salted_hot_candidates(
+    expl: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    hot_rows,
+    cap: int,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for the HOT buckets only, via a
+    BLOCKED (salted) self-join — the recall-preserving tier above the cap
+    (VERDICT r10 task 2; the MMDS skew-join discipline).
+
+    Every member of a hot bucket is assigned a deterministic block
+    ``xxhash64(id) mod G`` with ``G = ceil(n / cap)`` (per bucket, from
+    the already-collected sizes), and the bucket's pair space is
+    enumerated block-pair by block-pair: the left side replicates each row
+    across the G right-block lanes, the right side across the G
+    left-block lanes, and the join key carries (bucket, left_block,
+    right_block).  Each unordered pair lands in EXACTLY one (bi, bj) task
+    (the ``id_a < id_b`` filter keeps one orientation), so:
+
+    - recall is TOTAL — all n²/2 true candidate pairs of the bucket are
+      generated and go on to exact Jaccard verification ("verify across
+      salts"), where the cap tier dropped members;
+    - no single task is quadratic in the bucket — each (bucket, bi, bj)
+      join key holds ~cap left × ~cap right rows, i.e. O(cap²) pairs per
+      task, G² bounded tasks per bucket, instead of one n²/2 task;
+    - the assignment is a pure function of the id — split/partition/
+      arrival invariant, like every selection rule in this module.
+
+    The honest cost statement: total verified volume for a hot bucket is
+    still its true n²/2 candidates (that IS the recall the caller asked
+    for); what the salt buys is that no executor ever materializes the
+    bucket quadratically.  Replication factor is G per side — rows touched
+    scale n·G = n²/cap, strictly bounded by the pair volume itself."""
+    keyed = _bucket_key_expr(key_cols)
+    spark = expl.sparkSession
+    g_rows = [
+        (
+            "\x00".join(str(r[c]) for c in key_cols),
+            int(-(-int(r["_bn"]) // int(cap))),  # ceil(n / cap)
+        )
+        for r in hot_rows
+    ]
+    gdf = spark.createDataFrame(g_rows, "_hkey string, _g int")
+    he = expl.withColumn("_hkey", keyed).join(F.broadcast(gdf), "_hkey")
+    own = F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int")
+    lanes = F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
+    left = he.select(
+        *key_cols,
+        F.col(id_col).alias("id_a"),
+        own.alias("_bi"),
+        lanes.alias("_bj"),
+    )
+    right = he.select(
+        *key_cols,
+        F.col(id_col).alias("id_b"),
+        lanes.alias("_bi"),
+        own.alias("_bj"),
+    )
+    return (
+        left.join(right, [*key_cols, "_bi", "_bj"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -295,6 +377,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     auto_params: bool = False,
     bucket_cap: int | None = LSH_BUCKET_CAP,
+    hot_mode: str = "cap",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact shingle Jaccard.
 
@@ -303,6 +386,18 @@ def minhash_lsh_pairs(
     lowest-id members; a boilerplate cluster can no longer turn one bucket
     key into a quadratic join key.  The streaming dual
     (streaming/lshdedup.py) applies the same cap to its keyed state.
+
+    hot_mode: what happens ABOVE the cap (VERDICT r10 task 2).
+    ``"cap"`` (default): drop-with-count — overflow members are dropped
+    from that bucket deterministically; recall inside hot buckets is
+    reduced, cost stays bounded.  ``"salt"``: the recall-preserving tier —
+    hot buckets keep EVERY member and enumerate their full pair space
+    through a blocked (salted) self-join (``_salted_hot_candidates``):
+    per-task volume O(cap²), total volume the bucket's honest n²/2
+    verified pairs.  Choose "salt" for boilerplate-heavy LEGITIMATE
+    corpora where the hot buckets' dups are wanted (web text with shared
+    templates); keep "cap" when a hot bucket is adversarial noise.
+    Batch-only — the streaming state keeps the cap contract.
 
     auto_params=True sizes (n_hashes, bands) from the corpus via
     ``operators/lshparams.py auto_minhash_params`` — the S-curve midpoint
@@ -347,15 +442,37 @@ def minhash_lsh_pairs(
         F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
     ).persist()
     try:
-        capped = _cap_lsh_buckets(expl, ["band_idx", "band_hash"], id_col, bucket_cap)
+        keys = ["band_idx", "band_hash"]
+        if hot_mode == "salt" and bucket_cap is not None:
+            # recall-preserving tier: hot buckets pay their true pair
+            # volume through the blocked self-join (no drop), healthy
+            # buckets keep the plain equi-join; one shared hot-key count
+            hot_rows = _hot_bucket_rows(expl, keys, int(bucket_cap))
+            if hot_rows:
+                hot_set = ["\x00".join(str(r[c]) for c in keys) for r in hot_rows]
+                is_hot = _bucket_key_expr(keys).isin(hot_set)
+                healthy = expl.where(~is_hot)
+                hc = _salted_hot_candidates(
+                    expl.where(is_hot), keys, id_col, hot_rows, int(bucket_cap)
+                )
+                capped = healthy
+            else:
+                hc, capped = None, expl
+        elif hot_mode == "cap":
+            hc = None
+            capped = _cap_lsh_buckets(expl, keys, id_col, bucket_cap)
+        else:
+            raise ValueError(f"hot_mode {hot_mode!r} not in ('cap', 'salt')")
         left = capped.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
         right = capped.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
         cand = (
             left.join(right, ["band_idx", "band_hash"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
         )
+        if hc is not None:
+            cand = cand.unionByName(hc)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
         # Materialize the (bounded) verified pair set eagerly so the two
         # intermediate caches can be dropped HERE instead of accumulating
         # across a multi-query session (ADVICE r10 — leaked persists also

@@ -348,3 +348,95 @@ def test_hot_bucket_cap_stream_batch_symmetric(spark, tmp_path):
             for r in spark.sql(f"SELECT * FROM {name}").distinct().collect()
         }
         assert streamed == batch, (name, len(streamed), len(batch))
+
+
+def test_salt_mode_recovers_all_hot_bucket_pairs(spark):
+    """The salt-and-verify tier (VERDICT r10 task 2): with hot_mode="salt"
+    a planted hot bucket keeps its TRUE near-dup pairs — the full uncapped
+    answer — while hot_mode="cap" (the default) drops overflow members."""
+    from simsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "terms of service apply to all users of this site without exception"
+    rows = [(i, boiler) for i in range(30)]
+    rows += [
+        (5_000 + i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(20)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").persist()
+    cap = 5
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 0.7, bucket_cap=None).collect()
+    }
+    assert len(full) == 30 * 29 // 2  # the uncapped truth
+    salted = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", 0.7, bucket_cap=cap, hot_mode="salt"
+        ).collect()
+    }
+    assert salted == full  # total recall above the cap
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", 0.7, bucket_cap=cap).collect()
+    }
+    assert capped < full  # the cap tier really drops
+
+
+def test_salt_mode_split_invariant_and_healthy_noop(spark):
+    """Salted selection is a pure function of the data (xxhash64 of the id):
+    shuffling/repartitioning the input changes nothing; and on a corpus
+    with NO hot bucket, salt mode returns the identical pair set through
+    the untouched healthy path."""
+    from simsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, boiler + (" tail" if i % 7 == 0 else "")) for i in range(24)]
+    rows += [(900 + i, f"unique doc {i} " + " ".join(f"q{i}_{j}" for j in range(15)))
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+    base = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", 0.7, bucket_cap=6, hot_mode="salt"
+        ).collect()
+    )
+    shuffled = df.orderBy(F.rand(11)).repartition(7)
+    again = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            shuffled, "doc_id", "text", 0.7, bucket_cap=6, hot_mode="salt"
+        ).collect()
+    )
+    assert base == again and base
+
+    # healthy corpus: salt mode == cap mode == uncapped (plan untouched)
+    healthy = df.where(F.col("doc_id") >= 900)
+    a = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        healthy, "doc_id", "text", 0.7, hot_mode="salt").collect()}
+    b = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(
+        healthy, "doc_id", "text", 0.7, bucket_cap=None).collect()}
+    assert a == b
+
+
+def test_salted_blocks_bound_per_task_volume(spark):
+    """Structural check on the blocked join: every unordered pair of a hot
+    bucket appears in EXACTLY one (bi, bj) block task, and each block pair
+    holds ~(n/G)² = O(cap²) candidates — the skew-killing property."""
+    from simsearch_spark.operators.dedup import (
+        _hot_bucket_rows,
+        _salted_hot_candidates,
+    )
+
+    n, cap = 40, 8
+    expl = spark.createDataFrame(
+        [(i, 0, 12345) for i in range(n)], "doc_id long, band_idx int, band_hash long"
+    )
+    keys = ["band_idx", "band_hash"]
+    hot = _hot_bucket_rows(expl, keys, cap)
+    assert len(hot) == 1 and int(hot[0]["_bn"]) == n
+    pairs = _salted_hot_candidates(expl, keys, "doc_id", hot, cap).collect()
+    got = [(r.id_a, r.id_b) for r in pairs]
+    assert sorted(got) == sorted(set(got)), "a pair must land in exactly one block"
+    assert set(got) == {(a, b) for a in range(n) for b in range(a + 1, n)}
