@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 from simsearch_spark.functions.measures import cosine_similarity, euclidean_distance
 from simsearch_spark.operators.kmeans import _lit_vec
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "ivf_pq_topk"]
+__all__ = [
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivf_pq_topk",
+    "ivf_pq_multi_topk",
+]
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int:
@@ -375,4 +381,142 @@ def ivf_pq_topk(
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_pq_multi_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    codebooks: list[dict[int, list[float]]],
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    n_probe: int = 1,
+    rerank: int = 32,
+    assign_col: str | None = None,
+) -> DataFrame:
+    """BATCH IVF-PQ serving — Q queries against ONE cell-routed scan (the
+    shape a real retrieval pipeline runs: thousands of queries per batch;
+    VERDICT r10 task 4).  Composes ``ann_multi_query_topk``'s
+    Q-queries-one-scan pattern with ``ivf_pq_topk``'s residual ADC scan:
+
+    1. every query routes to its ``n_probe`` nearest cells driver-side
+       (same L2²/ties-by-cell rule as the single-query path); the scan
+       predicate is the UNION of all probed cells — one pushed ``IN``
+       filter, bytes read ∝ |∪ probed cells| / n_cells, paid ONCE for the
+       whole batch instead of once per query;
+    2. each surviving row residual-encodes ONCE against its own cell
+       (when-chain over the union cells — identical codes to the
+       single-query path);
+    3. per (row, query): the query's per-cell residual LUT fold, NULL when
+       the row's cell is outside that query's probes — emitted as an
+       exploded (query_id, adc_dist) pair list, so the scan stays single;
+    4. per-query rerank selection is a rank-limit window
+       (``row_number ≤ rerank`` — Spark's WindowGroupLimit keeps
+       per-partition top-r heaps map-side, so the shuffle carries
+       O(Q · rerank) rows per map partition, not the candidate set);
+    5. exact cosine rescore per query (literal query vector selected by
+       query_id) and a final per-query top-k rank window.
+
+    Returns (query_id, id_col, adc_dist, cos_sim, rank), rank ≤ k per
+    query.  Residual mode only — it IS the IndexIVFPQ semantic; the
+    ``queries`` list must be sorted by query_id (determinism contract).
+    """
+    from pyspark.sql.window import Window
+
+    from simsearch_spark.operators.kmeans import _lit_vec
+
+    cent = [(r[0], list(r[1])) for r in centroids.collect()]
+    cmap = {cid: [float(x) for x in vec] for cid, vec in cent}
+    qs = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]
+    probes: dict[int, list[int]] = {}
+    for qid, qv in qs:
+        by_dist = sorted(
+            cent, key=lambda c: (sum((a - b) ** 2 for a, b in zip(qv, c[1])), c[0])
+        )
+        probes[qid] = [cid for cid, _v in by_dist[:n_probe]]
+    union_cells = sorted({c for ps in probes.values() for c in ps})
+
+    if assign_col is None:
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        euclidean_distance(F.col(vec_col), _lit_vec(vec)).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, vec in sorted(cent)
+                ]
+            )
+        )
+        df = df.withColumn("__cell", best["cid"])
+        assign_col = "__cell"
+
+    cells = df.where(F.col(assign_col).isin(union_cells))
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    res = None
+    for cid in reversed(union_cells):
+        sub = F.zip_with(dbl, _lit_vec(cmap[cid]), lambda x, m: x - m)
+        res = sub if res is None else F.when(
+            F.col(assign_col) == F.lit(cid), sub
+        ).otherwise(res)
+    enc = pq_encode(
+        cells.select(
+            F.col(id_col),
+            res.alias("__r"),
+            F.col(vec_col).alias("__v"),
+            F.col(assign_col).alias("__cell_id"),
+        ),
+        id_col,
+        "__r",
+        codebooks,
+    )
+
+    entries = []
+    for qid, qv in qs:
+        adc = F.lit(None).cast("double")
+        for cid in probes[qid]:
+            qres = [a - b for a, b in zip(qv, cmap[cid])]
+            adc = F.when(
+                F.col("__cell_id") == F.lit(cid), _adc_dist_expr(codebooks, qres)
+            ).otherwise(adc)
+        entries.append(
+            F.struct(F.lit(qid).alias("query_id"), adc.alias("adc_dist"))
+        )
+    cand = (
+        enc.select(
+            F.col(id_col), F.col("__v"), F.explode(F.array(*entries)).alias("q")
+        )
+        .select(
+            id_col,
+            "__v",
+            F.col("q.query_id").alias("query_id"),
+            F.col("q.adc_dist").alias("adc_dist"),
+        )
+        .where(F.col("adc_dist").isNotNull())
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        cand.withColumn("_rn", F.row_number().over(w_adc))
+        .where(F.col("_rn") <= int(rerank))
+        .drop("_rn")
+    )
+
+    cos = None
+    for qid, qv in reversed(qs):
+        c = cosine_similarity(F.col("__v"), _lit_vec(qv))
+        cos = c if cos is None else F.when(
+            F.col("query_id") == F.lit(qid), c
+        ).otherwise(cos)
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", id_col, "adc_dist", "cos_sim", "rank")
     )

@@ -119,6 +119,12 @@ DRIVER_EXCLUDED = frozenset(
         # brute / ann_lsh_topk / the IVF+IVF-PQ routing inside surface
         # ann_ivfpq_topk); the oracle replays all four end-to-end in-repo
         "ann_recall_audit",
+        # batch IVF-PQ serving (r11): the single-query residual path is
+        # the driver surface (ann_ivfpq_topk); the batch query composes it
+        # with ann_multi_query_topk's Q-in-one-scan pattern (also surface)
+        # — the oracle replays the SAME training prefix once plus each
+        # query's probe/ADC/rerank fragment; full in-repo parity
+        "ann_ivfpq_multi_topk",
         # IVF cell routing (r10 rotation, seating ann_ivfpq_topk): the
         # IDENTICAL centroid training + L2 probe selection + cell filter
         # run at greater depth inside surface ann_ivfpq_topk (whose oracle

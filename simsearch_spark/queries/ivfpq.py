@@ -181,21 +181,34 @@ af{j} AS (
     return sql
 
 
-def _ivfpq_cand_ctes(query_id: int, n_probe: int, rerank: int) -> str:
-    """WITH-fragment (no leading ``WITH``) ending in
-    ``ivfpq_cand(vec_id, embedding, adc_dist)`` — the full RESIDUAL IVF-PQ
-    replay up to the rerank input: round-6 centroid training, probe
-    selection, bounded-sample residual training chains, cell filter, and
-    the per-cell ADC fold (each row's d_j measures the QUERY RESIDUAL
-    against that row's assigned residual centroid).  CTE names are
-    prefixed (``pqq``, ``pprobe``, …) so the fragment composes into the
-    recall-audit oracle without clashing with its own CTEs."""
+def _ivfpq_train_ctes() -> str:
+    """The query-INDEPENDENT training prefix (no leading ``WITH``): the
+    bounded lowest-id sample, round-6 centroid training, and all m
+    residual Lloyd chains with their terminal corpus assignments — shared
+    verbatim by the single-query oracle, the recall audit, and the batch
+    multi-query oracle (one training, Q serving fragments, exactly like
+    the engine)."""
     chains = ",\n".join(_pq_res_sub_ctes(j) for j in range(PQ_M))
     sels = ",\n".join(
         f"sel{j} AS (SELECT vec_id, cluster_id FROM af{j} WHERE rn = 1)"
         for j in range(PQ_M)
     )
-    # query residual per row: (pqv[i] - row's cell centroid[i]) sliced
+    return f"""tr AS (SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_TRAIN_N}),
+pflat AS (
+  SELECT label, i, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS u(i)
+),
+pcm AS (SELECT label, i, round(avg(v), 6) AS mv FROM pflat GROUP BY label, i),
+pcent6 AS (SELECT label, list(mv ORDER BY i) AS c FROM pcm GROUP BY label),
+{chains},
+{sels}"""
+
+
+def _ivfpq_query_frag(query_id: int, n_probe: int, rerank: int, tag: str = "") -> str:
+    """The per-QUERY serving fragment: probe selection, the probed-cell
+    ADC scan (each row's d_j measures the QUERY RESIDUAL against that
+    row's assigned residual centroid), and the rerank cut.  CTE names take
+    a ``tag`` suffix so Q fragments compose into one batch oracle."""
     dists = ", ".join(
         _l2sq_sql(
             f"list_transform(range({j * _DSUB + 1}, {(j + 1) * _DSUB + 1}), "
@@ -211,28 +224,34 @@ def _ivfpq_cand_ctes(query_id: int, n_probe: int, rerank: int) -> str:
         for j in range(PQ_M)
     )
     total = " + ".join(f"d{j}" for j in range(PQ_M))
-    return f"""tr AS (SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id LIMIT {PQ_TRAIN_N}),
-pflat AS (
-  SELECT label, i, embedding[i]::DOUBLE AS v
-  FROM embeddings, unnest(range(1, {EMB_DIM + 1})) AS u(i)
+    return f"""pqq{tag} AS (SELECT embedding AS pqv FROM embeddings WHERE vec_id = {query_id}),
+pprobe{tag} AS (
+  SELECT label FROM pcent6, pqq{tag} ORDER BY {_l2_sql('c', 'pqv')} ASC, label ASC LIMIT {n_probe}
 ),
-pcm AS (SELECT label, i, round(avg(v), 6) AS mv FROM pflat GROUP BY label, i),
-pcent6 AS (SELECT label, list(mv ORDER BY i) AS c FROM pcm GROUP BY label),
-{chains},
-{sels},
-pqq AS (SELECT embedding AS pqv FROM embeddings WHERE vec_id = {query_id}),
-pprobe AS (
-  SELECT label FROM pcent6, pqq ORDER BY {_l2_sql('c', 'pqv')} ASC, label ASC LIMIT {n_probe}
-),
-padc AS (
+padc{tag} AS (
   SELECT e.vec_id, e.embedding, {dists}
-  FROM embeddings e JOIN pcent6 ct ON e.label = ct.label {joins}, pqq
-  WHERE e.label IN (SELECT label FROM pprobe)
+  FROM embeddings e JOIN pcent6 ct ON e.label = ct.label {joins}, pqq{tag}
+  WHERE e.label IN (SELECT label FROM pprobe{tag})
 ),
-ivfpq_cand AS (
+ivfpq_cand{tag} AS (
   SELECT vec_id, embedding, round(sqrt({total}), 6) AS adc_dist
-  FROM padc ORDER BY adc_dist ASC, vec_id ASC LIMIT {rerank}
+  FROM padc{tag} ORDER BY adc_dist ASC, vec_id ASC LIMIT {rerank}
 )"""
+
+
+def _ivfpq_cand_ctes(query_id: int, n_probe: int, rerank: int) -> str:
+    """WITH-fragment (no leading ``WITH``) ending in
+    ``ivfpq_cand(vec_id, embedding, adc_dist)`` — the full RESIDUAL IVF-PQ
+    replay up to the rerank input: round-6 centroid training, probe
+    selection, bounded-sample residual training chains, cell filter, and
+    the per-cell ADC fold.  CTE names are prefixed (``pqq``, ``pprobe``,
+    …) so the fragment composes into the recall-audit oracle without
+    clashing with its own CTEs."""
+    return (
+        _ivfpq_train_ctes()
+        + ",\n"
+        + _ivfpq_query_frag(query_id, n_probe, rerank)
+    )
 
 
 SQL_ANN_IVFPQ_TOPK = f"""
@@ -242,6 +261,75 @@ SELECT c.vec_id AS id, c.adc_dist,
 FROM ivfpq_cand c, pqq
 ORDER BY cos_sim DESC, c.vec_id ASC LIMIT {K}
 """
+
+
+# -----------------------------------------------------------------------------
+# ann_ivfpq_multi_topk: BATCH IVF-PQ serving — Q queries, one cell-routed scan
+# -----------------------------------------------------------------------------
+
+
+def q_ann_ivfpq_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch residual IVF-PQ (operators/pq.py::ivf_pq_multi_topk): the
+    MULTI_QUERY_IDS batch routes to the UNION of its probed cells and is
+    served by ONE pushed-filter scan — Q query-residual LUT folds share
+    the per-row encode; per-query rerank + exact cosine rescore follow.
+    The oracle replays the shared training ONCE and each query's probe/
+    ADC/rerank fragment verbatim (the same train-once/serve-Q split the
+    engine executes)."""
+    from simsearch_spark.operators.pq import ivf_pq_multi_topk
+    from simsearch_spark.queries.ivf import MULTI_QUERY_IDS
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    cents = _centroids6(emb).persist()
+    try:
+        qrows = (
+            emb.where(F.col("vec_id").isin(*MULTI_QUERY_IDS))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        qs = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows)
+        out = ivf_pq_multi_topk(
+            emb, "vec_id", "embedding", cents, _train_books_residual(emb, cents),
+            qs, K, n_probe=N_PROBE, rerank=RERANK, assign_col="label",
+        )
+        return out.select(
+            "query_id", F.col("vec_id").alias("id"), "adc_dist", "cos_sim", "rank"
+        ).localCheckpoint(eager=True)
+    finally:
+        cents.unpersist()
+        emb.unpersist()
+
+
+def _multi_oracle() -> str:
+    from simsearch_spark.queries.ivf import MULTI_QUERY_IDS
+
+    frags = ",\n".join(
+        _ivfpq_query_frag(qid, N_PROBE, RERANK, tag=f"_q{qid}")
+        for qid in sorted(MULTI_QUERY_IDS)
+    )
+    arms = "\n  UNION ALL\n".join(
+        f"""  SELECT {qid} AS query_id, c.vec_id AS id, c.adc_dist,
+         round({_cosine_sql('c.embedding', 'pqv')}, 6) AS cos_sim
+  FROM ivfpq_cand_q{qid} c, pqq_q{qid}"""
+        for qid in sorted(MULTI_QUERY_IDS)
+    )
+    return f"""
+WITH {_ivfpq_train_ctes()},
+{frags},
+am AS (
+{arms}
+)
+SELECT query_id, id, adc_dist, cos_sim,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY cos_sim DESC, id ASC
+       )::INT AS rank
+FROM am
+QUALIFY rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+SQL_ANN_IVFPQ_MULTI_TOPK = _multi_oracle()
 
 
 # -----------------------------------------------------------------------------
@@ -383,5 +471,6 @@ SQL_ANN_RECALL_AUDIT = _recall_oracle()
 
 IVFPQ_QUERIES = {
     "ann_ivfpq_topk": (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK),
+    "ann_ivfpq_multi_topk": (q_ann_ivfpq_multi_topk, SQL_ANN_IVFPQ_MULTI_TOPK),
     "ann_recall_audit": (q_ann_recall_audit, SQL_ANN_RECALL_AUDIT),
 }

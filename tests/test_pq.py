@@ -325,3 +325,54 @@ def test_ivf_pq_residual_exact_at_full_rerank(spark, sf_dir):
         ).collect()
     ]
     assert got == exact
+
+
+def test_multi_query_ivfpq_single_union_scan(spark, sf_dir):
+    """Batch IVF-PQ (r11): the Q-query batch must be served by ONE parquet
+    scan whose pushed cell predicate is the UNION of every query's probed
+    cells — and per-query results must equal the single-query operator run
+    Q times (the batch changes the scan count, never the answer)."""
+    from simsearch_spark.operators.pq import ivf_pq_multi_topk, ivf_pq_topk
+    from simsearch_spark.queries.cluster import pq_training_sample
+    from simsearch_spark.queries.ivf import _centroids
+    from simsearch_spark.sources.registry import load_table
+
+    spark.catalog.clearCache()
+    emb = load_table(spark, sf_dir, "embeddings")  # NOT persisted: real scan
+    qrows = emb.where(F.col("vec_id").isin(3, 7, 11)).select("vec_id", "embedding").collect()
+    qs = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows)
+    books = pq_train(pq_training_sample(emb), "vec_id", "embedding", m=4, ksub=8, iters=1)
+    cents = _centroids(spark, sf_dir)
+    out = ivf_pq_multi_topk(
+        emb, "vec_id", "embedding", cents, books, qs, 10,
+        n_probe=2, rerank=30, assign_col="label",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE embeddings scan, with the union cell predicate pushed
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "PushedFilters" in plan and "In(label" in plan, plan
+
+    # union membership: the pushed set is the union of per-query probes
+    cent = [(r[0], list(r[1])) for r in cents.collect()]
+    union = set()
+    for _qid, qv in qs:
+        by = sorted(cent, key=lambda c: (sum((a - b) ** 2 for a, b in zip(qv, c[1])), c[0]))
+        union |= {cid for cid, _ in by[:2]}
+    import re
+
+    pushed = re.search(r"In\(label, \[([^\]]*)\]", plan)
+    assert pushed and {int(x) for x in pushed.group(1).split(",")} == union, plan
+
+    # answer parity with Q single-query runs
+    got = {
+        qid: [(r.vec_id, r.adc_dist, r.cos_sim) for r in rows]
+        for qid, rows in (
+            (qid, [r for r in out.collect() if r.query_id == qid]) for qid, _ in qs
+        )
+    }
+    for qid, qv in qs:
+        single = ivf_pq_topk(
+            emb, "vec_id", "embedding", cents, books, qv, 10,
+            n_probe=2, rerank=30, assign_col="label", residual=True,
+        ).collect()
+        assert got[qid] == [(r.vec_id, r.adc_dist, r.cos_sim) for r in single], qid

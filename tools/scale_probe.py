@@ -276,6 +276,38 @@ def _ivfpq_serve_probe(spark, sf_dir: str) -> int:
     return int(emb.where(F.col("label").isin(probed)).count())
 
 
+def _ivfpq_multi_serve_probe(spark, sf_dir: str) -> int:
+    """Batch IVF-PQ serving (r11): Q queries, ONE union-cell scan.
+    Returns the UNION-scanned row count — the scale claim is twofold:
+    the scanned fraction is |∪ probed cells| / n_cells of N (flat as N
+    grows), and the batch pays it ONCE where Q single-query serves would
+    re-scan their (overlapping) cells Q times."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.operators.pq import ivf_pq_multi_topk
+    from simsearch_spark.queries.ivfpq import _centroids6, _train_books_residual
+    from simsearch_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids6(emb).persist()
+    books = _train_books_residual(emb, cents)
+    qrows = (
+        emb.where(F.col("vec_id").isin(3, 7, 11)).select("vec_id", "embedding").collect()
+    )
+    qs = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows)
+    served = ivf_pq_multi_topk(
+        emb, "vec_id", "embedding", cents, books, qs, 10,
+        n_probe=2, rerank=50, assign_col="label",
+    ).collect()
+    assert len(served) == 10 * len(qs)
+    cent = [(r[0], list(r[1])) for r in cents.collect()]
+    union = set()
+    for _qid, qv in qs:
+        by = sorted(cent, key=lambda c: (sum((a - b) ** 2 for a, b in zip(qv, c[1])), c[0]))
+        union |= {cid for cid, _ in by[:2]}
+    return int(emb.where(F.col("label").isin(sorted(union))).count())
+
+
 def probes(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -396,6 +428,7 @@ def probes(spark, sf_dir: str):
         # — must stay the n_probe/n_cells FRACTION of N at every factor
         # (the routing prunes the scan; a flat index would read N)
         "ivfpq_serve": lambda: _ivfpq_serve_probe(spark, sf_dir),
+        "ivfpq_multi_serve": lambda: _ivfpq_multi_serve_probe(spark, sf_dir),
         "semdedup_auto_k": lambda: semdedup_prune(
             emb, "vec_id", "embedding",
             k=auto_km_k(emb.count(), rows_per_cluster=500),
