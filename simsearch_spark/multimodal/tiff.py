@@ -1,19 +1,35 @@
-"""Baseline TIFF 6.0 codec — uncompressed grayscale/RGB strips, both byte
-orders.  From scratch, dependency-free, like the sibling codecs (no
-reference-engine counterpart — LLM-pipeline surface, SURVEY.md §6).
-Public spec: Adobe TIFF 6.0 (1992), Part 1 (Baseline).
+"""TIFF 6.0 codec — grayscale/RGB strips, both byte orders, uncompressed /
+PackBits / LZW (with the horizontal-differencing predictor).  From
+scratch, dependency-free, like the sibling codecs (no reference-engine
+counterpart — LLM-pipeline surface, SURVEY.md §6).  Public specs: Adobe
+TIFF 6.0 (1992) Part 1 (Baseline) + §9 (PackBits) + §13 (LZW); the
+PackBits byte semantics are Apple's TN1023 scheme the TIFF spec adopts.
 
 Scope:
 - DECODE: II (little-endian) and MM (big-endian) headers, one IFD,
-  SHORT/LONG tag values (inline or offset), multi-strip assembly,
+  SHORT/LONG tag values (inline or offset), multi-strip assembly (each
+  strip decompresses independently, per spec), Compression 1
+  (uncompressed), 5 (LZW — MSB-first bit packing, EARLY code-width
+  change, 12-bit ceiling, per TIFF 6.0 §13) and 32773 (PackBits),
+  Predictor 2 (horizontal differencing) for LZW strips,
   PhotometricInterpretation 1 (BlackIsZero, 8-bit gray) and 2 (RGB,
   8-bit/sample), PlanarConfiguration 1 (chunky).  TIFF rows are top-down
   — no flip, unlike BMP/DIB.
-- Named NotImplementedError seams: any Compression != 1 (LZW/PackBits/
-  JPEG-in-TIFF), tiled images, planar separation, WhiteIsZero/palette
-  photometrics, other bit depths, multi-page (a second IFD).
-- ENCODE: little-endian, single strip, BlackIsZero gray or chunky RGB.
-  Lossless, so closed-form pixel oracles stay codec-invariant.
+- Named NotImplementedError seams: CCITT/JPEG-in-TIFF compression, tiled
+  images, planar separation, WhiteIsZero/palette photometrics, other bit
+  depths, multi-page (a second IFD).
+- ENCODE: little-endian, single strip, BlackIsZero gray or chunky RGB,
+  compression None/"packbits"/"lzw" (+ predictor 2 for LZW).  All
+  lossless, so closed-form pixel oracles stay codec-invariant.
+
+The TIFF LZW variant vs the GIF one (multimodal/gif.py): bits pack
+MSB-FIRST (GIF: LSB-first), code width starts at 9 with an 8-bit symbol
+alphabet fixed by the spec (GIF: palette-sized), and the width grows one
+code EARLY — when the next code to assign reaches 2^width − 1, not
+2^width — because the spec reserves the all-ones code boundary.  Distinct
+enough that sharing the GIF core would need flags on every line; each
+codec keeps its own ~50-line loop, pinned by a hand-derived bit-exact
+vector in tests/test_tiff.py.
 """
 
 from __future__ import annotations
@@ -21,6 +37,198 @@ from __future__ import annotations
 import struct
 
 __all__ = ["encode_tiff", "decode_tiff", "parse_tiff_header"]
+
+
+# -----------------------------------------------------------------------------
+# PackBits (TIFF 6.0 §9 / Apple TN1023)
+# -----------------------------------------------------------------------------
+
+
+def unpackbits(data: bytes, expected: int) -> bytes:
+    """Decode one PackBits-compressed strip to exactly ``expected`` bytes."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected and pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n < 128:  # 0..127: copy n+1 literal bytes
+            if pos + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # 129..255 = -127..-1: repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op, per spec
+    if len(out) < expected:
+        raise ValueError(f"PackBits strip yields {len(out)} B < {expected} B")
+    return bytes(out[:expected])
+
+
+def packbits(data: bytes) -> bytes:
+    """Encode one strip: maximal repeat runs (≥3), literals otherwise."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+# -----------------------------------------------------------------------------
+# LZW (TIFF 6.0 §13: MSB-first, 9→12-bit codes, EARLY change)
+# -----------------------------------------------------------------------------
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+_LZW_MAX_WIDTH = 12
+#: encoders must emit a Clear before the table would outgrow 12 bits; the
+#: spec's own pseudo-code resets at 4094 (one short of the early-change
+#: all-ones boundary at width 12)
+_LZW_RESET_AT = 4094
+
+
+def lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """Decode one TIFF-LZW strip to exactly ``expected`` bytes."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return -1
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        v = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        return v
+
+    def reset():
+        table: list[bytes | None] = [bytes([i]) for i in range(256)]
+        table += [None, None]  # CLEAR, EOI
+        return table, _LZW_EOI + 1, 9
+
+    table, next_code, width = reset()
+    prev: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == -1 or code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table, next_code, width = reset()
+            prev = None
+            continue
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt TIFF-LZW stream: code {code} before definition")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_code += 1
+            # EARLY change: the width grows when the next code to assign
+            # reaches 2^width − 1 (GIF waits for 2^width)
+            if next_code == (1 << width) - 1 and width < _LZW_MAX_WIDTH:
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(f"TIFF-LZW strip yields {len(out)} B < {expected} B")
+    return bytes(out[:expected])
+
+
+def lzw_encode_tiff(data: bytes) -> bytes:
+    """Encode one strip as a TIFF-LZW stream (Clear first, reset at 4094,
+    EOI last) — the exact dual of ``lzw_decode_tiff``."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def reset():
+        return {bytes([i]): i for i in range(256)}, _LZW_EOI + 1, 9
+
+    table, next_code, width = reset()
+    emit(_LZW_CLEAR, width)
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        # EARLY change, encoder side: widen when the JUST-ASSIGNED code is
+        # 2^width − 1 — the decoder (which lags the table by one entry)
+        # then switches exactly one read earlier, before the first code
+        # that needs the wider field
+        if next_code == (1 << width) - 1 and width < _LZW_MAX_WIDTH:
+            width += 1
+        next_code += 1
+        prev = bytes([b])
+        if next_code == _LZW_RESET_AT:
+            emit(table[prev], width)
+            emit(_LZW_CLEAR, width)
+            table, next_code, width = reset()
+            prev = b""
+    if prev:
+        emit(table[prev], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _undiff_rows(body: bytearray, w: int, rows: int, spp: int) -> None:
+    """Predictor 2 decode in place: each sample adds its left neighbor of
+    the same channel (per row), mod 256."""
+    stride = w * spp
+    for r in range(rows):
+        base = r * stride
+        for i in range(spp, stride):
+            body[base + i] = (body[base + i] + body[base + i - spp]) & 0xFF
+
+
+def _diff_rows(pixels: bytes, w: int, rows: int, spp: int) -> bytes:
+    """Predictor 2 encode: each sample minus its left same-channel
+    neighbor (per row), mod 256."""
+    out = bytearray(pixels)
+    stride = w * spp
+    for r in range(rows):
+        base = r * stride
+        for i in range(stride - 1, spp - 1, -1):
+            out[base + i] = (out[base + i] - out[base + i - spp]) & 0xFF
+    return bytes(out)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
 
@@ -88,10 +296,15 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF not supported")
     comp = tags.get(259, [1])[0]
-    if comp != 1:
-        raise NotImplementedError(f"TIFF compression {comp} (uncompressed only)")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (uncompressed/LZW/PackBits implemented)"
+        )
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF not supported")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     photo = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8] * spp)
@@ -112,12 +325,33 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     counts = tags.get(279)
     if not offs or not counts or len(offs) != len(counts):
         raise ValueError("TIFF without consistent strip offsets/byte counts")
+    rps = int(tags.get(278, [h])[0]) or h
     body = bytearray()
-    for o, c in zip(offs, counts):
+    for si, (o, c) in enumerate(zip(offs, counts)):
         chunk = data[o : o + c]
         if len(chunk) != c:
             raise ValueError("truncated TIFF strip")
-        body += chunk
+        if comp == 1:
+            # uncompressed strips need no row accounting — concatenate
+            # (lenient to writers whose RowsPerStrip disagrees with the
+            # strip arrays, which the compressed paths cannot be)
+            body += chunk
+            continue
+        rows = min(rps, h - si * rps)
+        if rows <= 0:
+            raise ValueError("TIFF strip past image height")
+        need_s = rows * w * channels
+        # each strip decompresses INDEPENDENTLY (spec: compression state
+        # never crosses strip boundaries), and the predictor undoes per row
+        if comp == 5:
+            strip = bytearray(lzw_decode_tiff(chunk, need_s))
+            if predictor == 2:
+                _undiff_rows(strip, w, rows, channels)
+            body += strip
+        else:  # 32773
+            if predictor == 2:
+                raise NotImplementedError("predictor 2 with PackBits not supported")
+            body += unpackbits(chunk, need_s)
     need = w * h * channels
     if len(body) < need:
         raise ValueError(f"TIFF strips hold {len(body)} B < {need} B of pixels")
@@ -125,14 +359,36 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def encode_tiff(
-    width: int, height: int, channels: int, pixels: bytes, big_endian: bool = False
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    big_endian: bool = False,
+    compression: str | None = None,
+    predictor: int = 1,
 ) -> bytes:
-    """Top-down row-major pixels → single-strip baseline TIFF (gray
-    BlackIsZero or chunky RGB), little-endian by default."""
+    """Top-down row-major pixels → single-strip TIFF (gray BlackIsZero or
+    chunky RGB), little-endian by default.  ``compression``: None
+    (baseline), ``"packbits"``, or ``"lzw"``; ``predictor=2`` (horizontal
+    differencing) is valid with LZW only.  All modes lossless."""
     if channels not in (1, 3):
         raise ValueError(f"TIFF encode supports 1 or 3 channels, got {channels}")
     if len(pixels) != width * height * channels:
         raise ValueError(f"pixel buffer {len(pixels)} != {width}x{height}x{channels}")
+    if compression not in (None, "packbits", "lzw"):
+        raise ValueError(f"TIFF compression {compression!r} not supported")
+    if predictor == 2 and compression != "lzw":
+        raise ValueError("predictor 2 requires LZW compression")
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} not supported")
+    body = pixels
+    if predictor == 2:
+        body = _diff_rows(body, width, height, channels)
+    comp_tag = 1
+    if compression == "packbits":
+        body, comp_tag = packbits(body), 32773
+    elif compression == "lzw":
+        body, comp_tag = lzw_encode_tiff(body), 5
     bo = ">" if big_endian else "<"
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, 4B value)
 
@@ -144,7 +400,7 @@ def encode_tiff(
         return struct.pack(bo + "I", v)
 
     # layout: header(8) + IFD + bps-array (rgb only) + strip
-    n_entries = 9
+    n_entries = 9 + (1 if predictor == 2 else 0)
     ifd_size = 2 + 12 * n_entries + 4
     bps_off = 8 + ifd_size
     bps_extra = 6 if channels == 3 else 0
@@ -155,12 +411,14 @@ def encode_tiff(
         entries.append((258, 3, 3, long_(bps_off)))
     else:
         entries.append((258, 3, 1, short(8)))
-    entries.append((259, 3, 1, short(1)))               # uncompressed
+    entries.append((259, 3, 1, short(comp_tag)))
     entries.append((262, 3, 1, short(2 if channels == 3 else 1)))
     entries.append((273, 4, 1, long_(strip_off)))       # one strip
     entries.append((277, 3, 1, short(channels)))
     entries.append((278, 3, 1, short(height)))          # rows per strip
-    entries.append((279, 4, 1, long_(len(pixels))))
+    entries.append((279, 4, 1, long_(len(body))))
+    if predictor == 2:
+        entries.append((317, 3, 1, short(2)))
     out = bytearray()
     out += (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(bo + "I", 8)
     out += struct.pack(bo + "H", n_entries)
@@ -169,5 +427,5 @@ def encode_tiff(
     out += struct.pack(bo + "I", 0)                     # no next IFD
     if channels == 3:
         out += struct.pack(bo + "HHH", 8, 8, 8)
-    out += pixels
+    out += body
     return bytes(out)

@@ -133,8 +133,10 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(doc_id//4) % 5`` (every PNG unfilter exercised); ≡2 (mod 4): 8-bit
     BMP (multimodal/bmp.py; r10); ≡1,5 (mod 8): GIF89a (multimodal/gif.py
     — palette + LZW; r10); ≡3 (mod 8): little-endian and ≡7 (mod 8):
-    BIG-endian baseline TIFF (multimodal/tiff.py; r10 — both byte orders
-    exercised through the declared query) — the same routing pattern that
+    BIG-endian TIFF (multimodal/tiff.py; r10 — both byte orders; r11 —
+    COMPRESSED lanes: d%16==3 LZW+predictor-2, ==11 PackBits, ==7 LZW,
+    ==15 uncompressed, so real-world TIFF compression holds a driver
+    verdict too) — the same routing pattern that
     sends odd audio through FLAC/G.711.  All four codecs are lossless, so
     the closed-form oracle is codec-invariant: the engine must recover the
     exact per-image mean from any container; the pixels themselves never
@@ -156,7 +158,23 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 a, b = d % 256, (d * 7 + 13) % 256
                 row = bytes([a] * (w // 2) + [b] * (w - w // 2))
                 if d % 8 in (3, 7):
-                    payloads.append(encode_tiff(w, h, 1, row * h, big_endian=d % 8 == 7))
+                    # r11: the four TIFF lanes spread compression too —
+                    # d%16==3: LE LZW + horizontal-differencing predictor,
+                    # d%16==11: LE PackBits, d%16==7: BE LZW, d%16==15:
+                    # BE uncompressed.  All lossless; the oracle is
+                    # codec-invariant either way.
+                    comp, pred = {
+                        3: ("lzw", 2),
+                        11: ("packbits", 1),
+                        7: ("lzw", 1),
+                        15: (None, 1),
+                    }[d % 16]
+                    payloads.append(
+                        encode_tiff(
+                            w, h, 1, row * h, big_endian=d % 8 == 7,
+                            compression=comp, predictor=pred,
+                        )
+                    )
                 elif d % 2:
                     payloads.append(encode_gif(w, h, 1, row * h))
                 elif d % 4 == 2:

@@ -63,8 +63,8 @@ def test_named_seams():
         raise KeyError(tag)
 
     b = bytearray(t)
-    set_tag(b, 259, 3, 1, struct.pack(bo + "HH", 5, 0))  # LZW
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    set_tag(b, 259, 3, 1, struct.pack(bo + "HH", 4, 0))  # CCITT G4: still a seam
+    with pytest.raises(NotImplementedError, match="compression 4"):
         decode_tiff(bytes(b))
     b = bytearray(t)
     set_tag(b, 262, 3, 1, struct.pack(bo + "HH", 0, 0))  # WhiteIsZero
@@ -113,3 +113,133 @@ def test_sniff_dispatch_and_query_routing(spark, sf_dir):
         d, w = int(r.media_id), r.width
         a, b = d % 256, (d * 7 + 13) % 256
         assert r.mean_c0 == round((a * (w // 2) + b * (w - w // 2)) / w, 6)
+
+
+# -----------------------------------------------------------------------------
+# r11: PackBits + LZW (+ predictor 2)
+# -----------------------------------------------------------------------------
+
+
+def test_packbits_spec_vector():
+    """The TN1023/TIFF-spec worked example, both directions."""
+    from simsearch_spark.multimodal.tiff import packbits, unpackbits
+
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22") + b"\xaa" * 10
+    assert unpackbits(packed, len(unpacked)) == unpacked
+    assert packbits(unpacked) == packed  # maximal-run packer reproduces it
+    # no-op byte (0x80) is skipped
+    assert unpackbits(b"\x80\x00A", 1) == b"A"
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        unpackbits(b"\x05AB", 6)
+
+
+def test_packbits_roundtrip_stress():
+    from simsearch_spark.multimodal.tiff import packbits, unpackbits
+
+    rng = random.Random(17)
+    for trial in range(30):
+        n = rng.randrange(1, 700)
+        # runs-heavy data: pick from a tiny alphabet with repeat stretches
+        data = bytearray()
+        while len(data) < n:
+            data += bytes([rng.randrange(4)]) * rng.randrange(1, 200)
+        data = bytes(data[:n])
+        assert unpackbits(packbits(data), n) == data, trial
+
+
+def test_tiff_lzw_hand_vector():
+    """Hand-derived bit-exact stream for input 07 07 07 08: codes
+    [Clear=256, 7, 258, 8, EOI=257], all 9 bits wide, MSB-first —
+    100000000 000000111 100000010 000001000 100000001 packed to bytes.
+    Pins the TIFF bit order (GIF packs LSB-first) and code numbering."""
+    from simsearch_spark.multimodal.tiff import lzw_decode_tiff, lzw_encode_tiff
+
+    bits = "".join(format(c, "09b") for c in (256, 7, 258, 8, 257))
+    bits += "0" * (-len(bits) % 8)
+    expect = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert lzw_encode_tiff(b"\x07\x07\x07\x08") == expect
+    assert lzw_decode_tiff(expect, 4) == b"\x07\x07\x07\x08"
+
+
+def test_tiff_lzw_roundtrip_crosses_width_boundaries_and_reset():
+    """Inputs large/diverse enough to cross the 510/1022/2046 EARLY width
+    changes and the 4094 table reset."""
+    from simsearch_spark.multimodal.tiff import lzw_decode_tiff, lzw_encode_tiff
+
+    rng = random.Random(23)
+    big = bytes(rng.randrange(256) for _ in range(30_000))  # ~incompressible
+    assert lzw_decode_tiff(lzw_encode_tiff(big), len(big)) == big
+    runs = b"".join(bytes([i & 0xFF]) * (i % 37 + 1) for i in range(1500))
+    assert lzw_decode_tiff(lzw_encode_tiff(runs), len(runs)) == runs
+    for n in (0, 1, 2, 509, 510, 511, 1023, 2047):
+        d = bytes((i * 7) & 0xFF for i in range(n))
+        assert lzw_decode_tiff(lzw_encode_tiff(d), n) == d, n
+
+
+def test_compressed_tiff_roundtrips_all_modes():
+    rng = random.Random(29)
+    for w, h in [(1, 1), (9, 4), (33, 17)]:
+        for ch in (1, 3):
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            for be in (False, True):
+                for kw in (
+                    {"compression": "packbits"},
+                    {"compression": "lzw"},
+                    {"compression": "lzw", "predictor": 2},
+                ):
+                    t = encode_tiff(w, h, ch, px, big_endian=be, **kw)
+                    assert decode_tiff(t) == (w, h, ch, px), (w, h, ch, be, kw)
+    # predictor 2 really pays on smooth data (the reason it exists)
+    smooth = bytes(min(255, i // 3) for i in range(96 * 32))
+    plain = encode_tiff(96, 32, 1, smooth, compression="lzw")
+    pred = encode_tiff(96, 32, 1, smooth, compression="lzw", predictor=2)
+    assert len(pred) < len(plain)
+    with pytest.raises(ValueError, match="predictor 2 requires"):
+        encode_tiff(2, 2, 1, bytes(4), compression="packbits", predictor=2)
+
+
+def test_multi_strip_lzw_strips_decompress_independently():
+    """Per spec, compression state never crosses strip boundaries: a
+    hand-built 2-strip LZW file (each strip its own LZW stream) must
+    decode; concatenating the streams as one strip must NOT."""
+    from simsearch_spark.multimodal.tiff import lzw_encode_tiff
+
+    w, h = 6, 4
+    px = bytes((i * 11) & 0xFF for i in range(w * h))
+    top, bottom = px[: w * 2], px[w * 2 :]
+    s1, s2 = lzw_encode_tiff(top), lzw_encode_tiff(bottom)
+    bo = "<"
+    entries = []
+    n_entries = 10
+    ifd_size = 2 + 12 * n_entries + 4
+    arr_off = 8 + ifd_size
+    strip1_off = arr_off + 16
+    strip2_off = strip1_off + len(s1)
+
+    def short(v):
+        return struct.pack(bo + "HH", v, 0)
+
+    def long_(v):
+        return struct.pack(bo + "I", v)
+
+    entries.append((256, 3, 1, short(w)))
+    entries.append((257, 3, 1, short(h)))
+    entries.append((258, 3, 1, short(8)))
+    entries.append((259, 3, 1, short(5)))
+    entries.append((262, 3, 1, short(1)))
+    entries.append((273, 4, 2, long_(arr_off)))
+    entries.append((277, 3, 1, short(1)))
+    entries.append((278, 3, 1, short(2)))  # 2 rows per strip
+    entries.append((279, 4, 2, long_(arr_off + 8)))
+    entries.append((317, 3, 1, short(1)))
+    t = bytearray()
+    t += b"II*\x00" + struct.pack(bo + "I", 8)
+    t += struct.pack(bo + "H", n_entries)
+    for tag, typ, cnt, val in sorted(entries):
+        t += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    t += struct.pack(bo + "I", 0)
+    t += struct.pack(bo + "II", strip1_off, strip2_off)
+    t += struct.pack(bo + "II", len(s1), len(s2))
+    t += s1 + s2
+    assert decode_tiff(bytes(t)) == (w, h, 1, px)
