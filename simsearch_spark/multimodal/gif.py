@@ -8,19 +8,21 @@ Scope (the bounded-failure contract of multimodal/binary.py):
 
 - DECODE: logical screen descriptor, global AND local color tables, all
   extension blocks skipped structurally (GCE/comment/application/plain
-  text), one non-interlaced image, full variable-width LZW with CLEAR /
-  EOI handling and 12-bit dictionary growth.  Palette-indexed pixels
-  expand through the active color table; when every REFERENCED palette
-  entry is gray (r==g==b) the image decodes to 1 channel (the synthesized
-  grayscale round-trip shape), otherwise to 3-channel RGB.
-- Named NotImplementedError seams (never silent): interlaced images,
-  animations (a second image descriptor).
+  text), one image — interlaced (GIF89a appendix E four-pass row order,
+  r11) or not — full variable-width LZW with CLEAR / EOI handling and
+  12-bit dictionary growth.  Palette-indexed pixels expand through the
+  active color table; when every REFERENCED palette entry is gray
+  (r==g==b) the image decodes to 1 channel (the synthesized grayscale
+  round-trip shape), otherwise to 3-channel RGB.
+- Named NotImplementedError seams (never silent): animations (a second
+  image descriptor).
 - ENCODE: GIF89a with a global color table built from the image's
   distinct colors (> 256 distinct raises ValueError — that image needs a
   quantizer, which is out of scope), LZW-compressed index stream with
-  dictionary resets at the 4096-code ceiling.  Lossless for any image
-  that fits a palette, so closed-form pixel oracles are codec-invariant
-  (the same property FLAC gives the audio queries).
+  dictionary resets at the 4096-code ceiling, optional interlaced row
+  order.  Lossless for any image that fits a palette, so closed-form
+  pixel oracles are codec-invariant (the same property FLAC gives the
+  audio queries).
 
 Pipeline shape: both directions are row-local byte work inside Arrow
 batches (multimodal/binary.py) — no shuffle, no UDF-per-row.
@@ -186,8 +188,34 @@ def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += ln
 
 
+#: GIF89a appendix E interlace passes: (first row, row step)
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """Reorder LZW-output rows from interlace pass order (rows 0,8,16…,
+    then 4,12…, then 2,6…, then odd rows) to top-down raster order."""
+    out = bytearray(w * h)
+    src = 0
+    for start, step in _INTERLACE_PASSES:
+        for y in range(start, h, step):
+            out[y * w : (y + 1) * w] = idx[src * w : (src + 1) * w]
+            src += 1
+    return bytes(out)
+
+
+def _interlace(idx: bytes, w: int, h: int) -> bytes:
+    """Raster order → interlace pass order (the encoder dual)."""
+    out = bytearray()
+    for start, step in _INTERLACE_PASSES:
+        for y in range(start, h, step):
+            out += idx[y * w : (y + 1) * w]
+    return bytes(out)
+
+
 def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
-    """(width, height, channels, pixels) of the first (only) image.
+    """(width, height, channels, pixels) of the first (only) image,
+    interlaced or not (GIF89a appendix E four-pass row order).
     Channels is 1 when every referenced palette entry is gray, else 3."""
     sw, sh = parse_gif_header(data)
     packed = data[10]
@@ -216,8 +244,7 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError("animated GIF (multiple images) not supported")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
+        interlaced = bool(ipacked & 0x40)
         table = gct
         if ipacked & 0x80:
             n = 2 ** ((ipacked & 0x07) + 1)
@@ -237,7 +264,10 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(
                 f"LZW stream ended after {len(idx)} of {w * h} pixels"
             )
-        image = (int(w), int(h), bytes(idx[: w * h]), table)
+        idx = bytes(idx[: w * h])
+        if interlaced:
+            idx = _deinterlace(idx, int(w), int(h))
+        image = (int(w), int(h), idx, table)
 
     if image is None:
         raise ValueError("GIF with no image descriptor")
@@ -259,11 +289,15 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, bytes(out)
 
 
-def encode_gif(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+def encode_gif(
+    width: int, height: int, channels: int, pixels: bytes, interlace: bool = False
+) -> bytes:
     """GIF89a bytes for a 1- (grayscale) or 3-channel (RGB) image.  The
     global color table is the image's distinct colors in first-seen order;
     more than 256 distinct colors raises ValueError (palette images only —
-    quantization is a separate concern)."""
+    quantization is a separate concern).  ``interlace=True`` writes the
+    four-pass row order with the descriptor flag set (lossless either
+    way)."""
     if channels not in (1, 3):
         raise ValueError(f"GIF encode supports 1 or 3 channels, got {channels}")
     if len(pixels) != width * height * channels:
@@ -298,8 +332,12 @@ def encode_gif(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     out += b"GIF89a"
     out += struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) & 0x07), 0, 0)
     out += table
-    out += struct.pack("<BHHHHB", _IMAGE, 0, 0, width, height, 0)
+    out += struct.pack(
+        "<BHHHHB", _IMAGE, 0, 0, width, height, 0x40 if interlace else 0
+    )
     out.append(mcs)
+    if interlace:
+        idx = bytearray(_interlace(bytes(idx), width, height))
     stream = _lzw_encode(bytes(idx), mcs)
     for i in range(0, len(stream), 255):
         chunk = stream[i : i + 255]

@@ -12,11 +12,13 @@ Scope:
   (uncompressed), 5 (LZW — MSB-first bit packing, EARLY code-width
   change, 12-bit ceiling, per TIFF 6.0 §13) and 32773 (PackBits),
   Predictor 2 (horizontal differencing) for LZW strips,
-  PhotometricInterpretation 1 (BlackIsZero, 8-bit gray) and 2 (RGB,
-  8-bit/sample), PlanarConfiguration 1 (chunky).  TIFF rows are top-down
-  — no flip, unlike BMP/DIB.
+  PhotometricInterpretation 0 (WhiteIsZero — inverted to gray), 1
+  (BlackIsZero, 8-bit gray), 2 (RGB, 8-bit/sample) and 3 (palette via the
+  16-bit ColorMap, gray-collapse convention shared with GIF/BMP),
+  PlanarConfiguration 1 (chunky).  TIFF rows are top-down — no flip,
+  unlike BMP/DIB.
 - Named NotImplementedError seams: CCITT/JPEG-in-TIFF compression, tiled
-  images, planar separation, WhiteIsZero/palette photometrics, other bit
+  images, planar separation, mask/CMYK/YCbCr photometrics, other bit
   depths, multi-page (a second IFD).
 - ENCODE: little-endian, single strip, BlackIsZero gray or chunky RGB,
   compression None/"packbits"/"lzw" (+ predictor 2 for LZW).  All
@@ -312,12 +314,18 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(f"TIFF bits-per-sample {bps} (8 only)")
     if photo == 2 and spp == 3:
         channels = 3
-    elif photo == 1 and spp == 1:
+    elif photo in (0, 1, 3) and spp == 1:
+        # BlackIsZero / WhiteIsZero (inverted at the end) / palette
         channels = 1
     else:
         raise NotImplementedError(
             f"TIFF photometric {photo} with {spp} samples not supported"
         )
+    cmap = None
+    if photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF without a 3x256 ColorMap")
     w, h = int(tags[256][0]), int(tags[257][0])
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate TIFF geometry {w}x{h}")
@@ -355,7 +363,28 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     need = w * h * channels
     if len(body) < need:
         raise ValueError(f"TIFF strips hold {len(body)} B < {need} B of pixels")
-    return w, h, channels, bytes(body[:need])  # rows are already top-down
+    body = bytes(body[:need])  # rows are already top-down
+    if photo == 0:  # WhiteIsZero: 0 is white — invert to BlackIsZero gray
+        body = bytes(255 - v for v in body)
+    elif photo == 3:
+        # ColorMap entries are 16-bit (0 = black, 65535 = max) in plane
+        # order R[256] G[256] B[256]; >>8 is the spec's 8-bit reduction.
+        # Same gray-collapse convention as the GIF/BMP palette decoders.
+        r = [v >> 8 for v in cmap[0:256]]
+        g = [v >> 8 for v in cmap[256:512]]
+        b = [v >> 8 for v in cmap[512:768]]
+        used = set(body)
+        if all(r[i] == g[i] == b[i] for i in used):
+            lut = bytes(r)
+            body = bytes(lut[i] for i in body)
+        else:
+            out = bytearray(3 * len(body))
+            for p, i in enumerate(body):
+                out[3 * p] = r[i]
+                out[3 * p + 1] = g[i]
+                out[3 * p + 2] = b[i]
+            return w, h, 3, bytes(out)
+    return w, h, channels, body
 
 
 def encode_tiff(

@@ -66,10 +66,14 @@ def _patch_image_packed(g: bytes, or_bits: int) -> bytes:
     return bytes(b)
 
 
-def test_interlace_and_animation_are_named_seams():
+def test_animation_is_a_named_seam_and_interlace_flag_reorders():
     g = encode_gif(4, 4, 1, bytes(range(16)))
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_gif(_patch_image_packed(g, 0x40))
+    # r11: interlace is implemented — flipping the flag on raster-order
+    # data decodes (a row PERMUTATION, since the stream wasn't written in
+    # pass order); the proper write-side round-trip is
+    # test_interlaced_gif_roundtrip
+    w, h, ch, px = decode_gif(_patch_image_packed(g, 0x40))
+    assert (w, h, ch) == (4, 4, 1) and sorted(px) == list(range(16)) and px != bytes(range(16))
     # animation: splice a second image block before the trailer
     body = bytearray(g)
     assert body[-1] == 0x3B
@@ -127,3 +131,21 @@ def test_media_pixel_stats_routes_odd_ids_through_gif(spark, sf_dir):
         a, b = d % 256, (d * 7 + 13) % 256
         expect = round((a * (w // 2) + b * (w - w // 2)) / w, 6)
         assert r.mean_c0 == expect
+
+
+def test_interlaced_gif_roundtrip():
+    """GIF89a appendix E four-pass interlace: encode with the flag, decode
+    back to raster order — byte-identical across heights that exercise
+    every pass boundary (h < 2, < 4, < 8, multi-pass)."""
+    import random
+
+    from simsearch_spark.multimodal.gif import decode_gif, encode_gif
+
+    rng = random.Random(31)
+    for w, h in [(5, 1), (4, 2), (3, 3), (7, 5), (6, 8), (9, 23), (16, 64)]:
+        px = bytes(rng.randrange(4) * 80 for _ in range(w * h))
+        g = encode_gif(w, h, 1, px, interlace=True)
+        assert decode_gif(g) == (w, h, 1, px), (w, h)
+        # the flag is really set (descriptor follows the 4-entry GCT)
+        assert decode_gif(encode_gif(w, h, 1, px)) == (w, h, 1, px)
+        assert g != encode_gif(w, h, 1, px) or h == 1

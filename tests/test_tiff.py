@@ -67,8 +67,8 @@ def test_named_seams():
     with pytest.raises(NotImplementedError, match="compression 4"):
         decode_tiff(bytes(b))
     b = bytearray(t)
-    set_tag(b, 262, 3, 1, struct.pack(bo + "HH", 0, 0))  # WhiteIsZero
-    with pytest.raises(NotImplementedError, match="photometric 0"):
+    set_tag(b, 262, 3, 1, struct.pack(bo + "HH", 5, 0))  # CMYK: still a seam
+    with pytest.raises(NotImplementedError, match="photometric 5"):
         decode_tiff(bytes(b))
     b = bytearray(t)
     # repurpose the RowsPerStrip entry (unused by strip assembly) as 284
@@ -243,3 +243,81 @@ def test_multi_strip_lzw_strips_decompress_independently():
     t += struct.pack(bo + "II", len(s1), len(s2))
     t += s1 + s2
     assert decode_tiff(bytes(t)) == (w, h, 1, px)
+
+
+def _build_tiff(entries_extra, body, w, h, comp=1):
+    """Minimal hand-built little-endian TIFF with caller-supplied extra
+    tag entries (each (tag, typ, cnt, payload_bytes) — payload appended
+    after the IFD when > 4 bytes)."""
+    bo = "<"
+    base = [
+        (256, 3, 1, struct.pack(bo + "HH", w, 0)),
+        (257, 3, 1, struct.pack(bo + "HH", h, 0)),
+        (258, 3, 1, struct.pack(bo + "HH", 8, 0)),
+        (259, 3, 1, struct.pack(bo + "HH", comp, 0)),
+        (277, 3, 1, struct.pack(bo + "HH", 1, 0)),
+        (278, 3, 1, struct.pack(bo + "HH", h, 0)),
+        (279, 4, 1, struct.pack(bo + "I", len(body))),
+    ]
+    inline = [(t, ty, c, p) for t, ty, c, p in entries_extra if len(p) <= 4]
+    offsite = [(t, ty, c, p) for t, ty, c, p in entries_extra if len(p) > 4]
+    n = len(base) + len(inline) + len(offsite) + 1  # +1 for StripOffsets
+    ifd_size = 2 + 12 * n + 4
+    pos = 8 + ifd_size
+    rendered = []
+    for t_, ty, c, p in offsite:
+        rendered.append((t_, ty, c, struct.pack(bo + "I", pos)))
+        pos += len(p)
+    strip_off = pos
+    all_entries = base + inline + rendered + [
+        (273, 4, 1, struct.pack(bo + "I", strip_off))
+    ]
+    out = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
+    out += struct.pack(bo + "H", n)
+    for t_, ty, c, p in sorted(all_entries):
+        out += struct.pack(bo + "HHI", t_, ty, c) + (p + b"\x00" * 4)[:4]
+    out += struct.pack(bo + "I", 0)
+    for _t, _ty, _c, p in offsite:
+        out += p
+    out += body
+    return bytes(out)
+
+
+def test_white_is_zero_inverts():
+    px = bytes([0, 10, 128, 255, 7, 200])
+    t = _build_tiff([(262, 3, 1, struct.pack("<HH", 0, 0))], px, 3, 2)
+    assert decode_tiff(t) == (3, 2, 1, bytes(255 - v for v in px))
+
+
+def test_palette_tiff_gray_and_rgb():
+    # ColorMap: 16-bit planes R[256] G[256] B[256]; >>8 reduces to 8-bit
+    idx = bytes([0, 1, 2, 1, 0, 2])
+    gray_map = list(range(256)) * 3  # r==g==b after >>8? need 16-bit values
+    cm = b"".join(
+        struct.pack("<256H", *[v << 8 for v in range(256)]) for _ in range(3)
+    )
+    t = _build_tiff(
+        [(262, 3, 1, struct.pack("<HH", 3, 0)), (320, 3, 768, cm)], idx, 3, 2
+    )
+    assert decode_tiff(t) == (3, 2, 1, idx)  # identity gray palette
+
+    # a colored entry forces RGB expansion
+    r = [v << 8 for v in range(256)]
+    g = list(r)
+    b = list(r)
+    g[2] = 0  # entry 2 is not gray
+    cm2 = (
+        struct.pack("<256H", *r) + struct.pack("<256H", *g) + struct.pack("<256H", *b)
+    )
+    t2 = _build_tiff(
+        [(262, 3, 1, struct.pack("<HH", 3, 0)), (320, 3, 768, cm2)], idx, 3, 2
+    )
+    w, h, ch, px = decode_tiff(t2)
+    assert (w, h, ch) == (3, 2, 3)
+    assert px[3 * 2 : 3 * 2 + 3] == bytes([2, 0, 2])  # the colored entry
+    assert px[0:3] == bytes([0, 0, 0])
+
+    # palette without a ColorMap is malformed
+    t3 = _build_tiff([(262, 3, 1, struct.pack("<HH", 3, 0))], idx, 3, 2)
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(t3)
