@@ -470,8 +470,23 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
 
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 mid = int(mid)
+                b = bytes(p)
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF route (r11): composited frames from
+                    # multimodal/gif.py decode_gif_frames — same sampling,
+                    # same bounded-failure contract as the AVI route
+                    from simsearch_spark.multimodal.gif import decode_gif_frames
+
+                    try:
+                        gw, gh, gch, gframes = decode_gif_frames(b)
+                        for i in range(0, len(gframes), every_n):
+                            _delay, pix = gframes[i]
+                            gmean = round(sum(pix[0::gch]) / (gw * gh), 6)
+                            emit(mid, "ok", len(gframes), i, gw, gh, gch, gmean)
+                    except _DECODE_ERRORS as e:
+                        emit(mid, str(e)[:80] or "undecodable")
+                    continue
                 try:
-                    b = bytes(p)
                     _fps, frames = parse_avi_frames(b)
                 except _DECODE_ERRORS as e:
                     emit(mid, str(e)[:80] or "undecodable")

@@ -14,8 +14,13 @@ Scope (the bounded-failure contract of multimodal/binary.py):
   active color table; when every REFERENCED palette entry is gray
   (r==g==b) the image decodes to 1 channel (the synthesized grayscale
   round-trip shape), otherwise to 3-channel RGB.
-- Named NotImplementedError seams (never silent): animations (a second
-  image descriptor).
+- ANIMATION (r11): ``decode_gif_frames`` composites multi-image GIFs
+  with full GCE semantics — per-frame sub-rects at their offsets,
+  transparency-index skip, disposal 0/1 (keep) / 2 (restore rect to
+  background) / 3 (restore previous canvas) — and
+  ``encode_gif_animation`` writes the NETSCAPE2.0-looped dual.  The
+  single-image ``decode_gif`` keeps its strict contract (a second image
+  descriptor raises — callers wanting frames use the frames API).
 - ENCODE: GIF89a with a global color table built from the image's
   distinct colors (> 256 distinct raises ValueError — that image needs a
   quantizer, which is out of scope), LZW-compressed index stream with
@@ -32,7 +37,13 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["encode_gif", "decode_gif", "parse_gif_header"]
+__all__ = [
+    "encode_gif",
+    "decode_gif",
+    "parse_gif_header",
+    "decode_gif_frames",
+    "encode_gif_animation",
+]
 
 _TRAILER = 0x3B
 _EXTENSION = 0x21
@@ -344,5 +355,182 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out.append(0)
+    out.append(_TRAILER)
+    return bytes(out)
+
+
+# -----------------------------------------------------------------------------
+# animation (r11): multi-image GIFs with GCE compositing
+# -----------------------------------------------------------------------------
+
+
+def decode_gif_frames(data: bytes) -> tuple[int, int, int, list[tuple[int, bytes]]]:
+    """(screen_w, screen_h, channels, [(delay_cs, pixels), …]) — ANIMATED
+    GIF decode with full Graphic-Control-Extension compositing: each
+    returned frame is the logical screen AFTER drawing image n (sub-rects
+    composited at their left/top offsets, transparent-index pixels leave
+    the canvas untouched), and disposal methods 0/1 (keep), 2 (restore
+    the rect to the background color) and 3 (restore the pre-draw canvas)
+    apply between frames.  ``channels`` follows the module's gray-collapse
+    convention over the WHOLE animation (1 when every drawn palette entry
+    and the background are gray, else 3); delays are in centiseconds.
+    Works on single-image GIFs too (one frame, delay 0)."""
+    sw, sh = parse_gif_header(data)
+    packed = data[10]
+    bg_idx = data[11]
+    pos = 13
+    gct: bytes | None = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) != 3 * n:
+            raise ValueError("truncated global color table")
+        pos += 3 * n
+    if gct is not None and bg_idx < len(gct) // 3:
+        bg = gct[3 * bg_idx : 3 * bg_idx + 3]
+    else:
+        bg = b"\x00\x00\x00"
+    canvas = bytearray(bg * (sw * sh))
+    frames: list[tuple[int, bytes]] = []
+    used_rgb: set[bytes] = {bytes(bg)}
+
+    disposal, transparent, delay = 0, None, 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == _TRAILER:
+            break
+        if block == _EXTENSION:
+            label = data[pos]
+            pos += 1
+            body, pos = _sub_blocks(data, pos)
+            if label == 0xF9 and len(body) >= 4:  # Graphic Control Extension
+                flags = body[0]
+                disposal = (flags >> 2) & 0x07
+                delay = body[1] | (body[2] << 8)
+                transparent = body[3] if flags & 0x01 else None
+            continue
+        if block != _IMAGE:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 0x07) + 1)
+            table = data[pos : pos + 3 * n]
+            if len(table) != 3 * n:
+                raise ValueError("truncated local color table")
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        mcs = data[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"invalid LZW min code size {mcs}")
+        stream, pos = _sub_blocks(data, pos)
+        idx = _lzw_decode(stream, mcs, w * h)
+        if len(idx) < w * h:
+            raise ValueError(f"LZW stream ended after {len(idx)} of {w * h} pixels")
+        idx = bytes(idx[: w * h])
+        if ipacked & 0x40:
+            idx = _deinterlace(idx, int(w), int(h))
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect outside the logical screen")
+        n_entries = len(table) // 3
+        before = bytes(canvas) if disposal == 3 else None
+        for y in range(h):
+            crow = 3 * ((top + y) * sw + left)
+            srow = y * w
+            for x in range(w):
+                i = idx[srow + x]
+                if i == transparent:
+                    continue
+                if i >= n_entries:
+                    raise ValueError(
+                        f"palette index {i} outside {n_entries}-entry table"
+                    )
+                rgb = table[3 * i : 3 * i + 3]
+                canvas[crow + 3 * x : crow + 3 * x + 3] = rgb
+                used_rgb.add(bytes(rgb))
+        frames.append((delay, bytes(canvas)))
+        if disposal == 2:
+            for y in range(h):
+                crow = 3 * ((top + y) * sw + left)
+                canvas[crow : crow + 3 * w] = bg * w
+        elif disposal == 3 and before is not None:
+            canvas = bytearray(before)
+        disposal, transparent, delay = 0, None, 0
+
+    if not frames:
+        raise ValueError("GIF with no image descriptor")
+    gray = all(c[0] == c[1] == c[2] for c in used_rgb)
+    if gray:
+        return sw, sh, 1, [(d, f[0::3]) for d, f in frames]
+    return sw, sh, 3, frames
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    channels: int,
+    frames: list[bytes],
+    delay_cs: int = 4,
+) -> bytes:
+    """GIF89a animation: full-screen frames sharing one global color
+    table built from the union of all frames' distinct colors (> 256
+    raises — quantization is out of scope), a NETSCAPE2.0 loop block, and
+    one GCE (disposal 1 = keep, no transparency) per frame."""
+    if channels not in (1, 3):
+        raise ValueError(f"GIF encode supports 1 or 3 channels, got {channels}")
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    colors: dict[bytes, int] = {}
+    idx_frames: list[bytes] = []
+    for pixels in frames:
+        if len(pixels) != width * height * channels:
+            raise ValueError(
+                f"frame buffer {len(pixels)} != {width}x{height}x{channels}"
+            )
+        idx = bytearray(width * height)
+        for p in range(width * height):
+            c = (
+                bytes([pixels[p]] * 3)
+                if channels == 1
+                else bytes(pixels[3 * p : 3 * p + 3])
+            )
+            code = colors.get(c)
+            if code is None:
+                if len(colors) == 256:
+                    raise ValueError(
+                        "more than 256 distinct colors: GIF needs a quantizer"
+                    )
+                code = len(colors)
+                colors[c] = code
+            idx[p] = code
+        idx_frames.append(bytes(idx))
+    n = max(2, len(colors))
+    bits = max(1, (n - 1).bit_length())
+    table = bytearray()
+    for c in colors:
+        table += c
+    table += b"\x00" * (3 * (2**bits) - len(table))
+    mcs = max(2, bits)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += table
+    # NETSCAPE2.0 application extension: loop forever (the conventional
+    # marker every animated-GIF writer emits)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for idx in idx_frames:
+        out += struct.pack("<BBBBHB", 0x21, 0xF9, 4, 0x04, delay_cs, 0) + b"\x00"
+        out += struct.pack("<BHHHHB", _IMAGE, 0, 0, width, height, 0)
+        out.append(mcs)
+        stream = _lzw_encode(idx, mcs)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
     out.append(_TRAILER)
     return bytes(out)

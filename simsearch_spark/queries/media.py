@@ -456,9 +456,16 @@ def q_media_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9: ODD doc_ids carry the same uniform frames as UNCOMPRESSED BI_RGB
     DIB video (``encode_avi_raw`` — bottom-up BGR, 4-byte stride), so the
     raw-video decode route runs for real; lossless, so mean_c0 keeps the
-    same closed form (channels become 3)."""
+    same closed form (channels become 3).
+
+    r11: doc_ids ≡ 2 (mod 4) carry the same uniform frames as an ANIMATED
+    GIF (``encode_gif_animation`` — GCE per frame, NETSCAPE loop block;
+    decoded by ``decode_gif_frames``'s full compositing), so the
+    animation route runs for real; palette-lossless gray, same closed
+    form (channels 1, like the MJPEG lane)."""
     from simsearch_spark.multimodal.avi import encode_avi_mjpeg, encode_avi_raw
     from simsearch_spark.multimodal.binary import frame_pixel_stats
+    from simsearch_spark.multimodal.gif import encode_gif_animation
     from simsearch_spark.multimodal.jpeg import encode_jpeg
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -475,6 +482,13 @@ def q_media_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for i in range(d % 4 + 1)
                     ]
                     payloads.append(encode_avi_raw(frames, w, h, fps=25))
+                    continue
+                if d % 4 == 2:
+                    gray = [
+                        bytes([(d * 13 + i * 37) % 256]) * (w * h)
+                        for i in range(d % 4 + 1)
+                    ]
+                    payloads.append(encode_gif_animation(w, h, 1, gray))
                     continue
                 frames = [
                     encode_jpeg(

@@ -149,3 +149,74 @@ def test_interlaced_gif_roundtrip():
         # the flag is really set (descriptor follows the 4-entry GCT)
         assert decode_gif(encode_gif(w, h, 1, px)) == (w, h, 1, px)
         assert g != encode_gif(w, h, 1, px) or h == 1
+
+
+def test_animation_roundtrip_and_delays():
+    from simsearch_spark.multimodal.gif import decode_gif_frames, encode_gif_animation
+
+    frames = [bytes([v]) * 20 for v in (10, 200, 33, 7)]
+    g = encode_gif_animation(5, 4, 1, frames, delay_cs=7)
+    w, h, ch, out = decode_gif_frames(g)
+    assert (w, h, ch) == (5, 4, 1)
+    assert [d for d, _f in out] == [7, 7, 7, 7]
+    assert [f for _d, f in out] == frames
+    # RGB animation stays 3-channel
+    rgb = [bytes([v, 0, v]) * 6 for v in (10, 20)]
+    w, h, ch, out = decode_gif_frames(encode_gif_animation(3, 2, 3, rgb))
+    assert ch == 3 and [f for _d, f in out] == rgb
+    # single-image GIFs decode as a 1-frame animation
+    g1 = encode_gif(3, 2, 1, bytes(range(6)))
+    assert decode_gif_frames(g1)[3] == [(0, bytes(range(6)))]
+
+
+def _gce(disposal, delay=0, transparent=None):
+    flags = (disposal & 7) << 2 | (1 if transparent is not None else 0)
+    import struct as _s
+
+    return _s.pack("<BBBBHB", 0x21, 0xF9, 4, flags, delay, transparent or 0) + b"\x00"
+
+
+def test_animation_compositing_disposal_and_transparency():
+    """Hand-built 2-frame animation: a 1x1 sub-rect frame with a
+    transparent pixel + disposal semantics — the GCE paths an encoder of
+    full-screen frames never exercises."""
+    import struct as _s
+
+    from simsearch_spark.multimodal.gif import _lzw_encode, decode_gif_frames
+
+    # screen 2x2, GCT: 0=black 1=white 2=red, bg index 0
+    gct = bytes([0, 0, 0, 255, 255, 255, 255, 0, 0]) + bytes(3)
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", 2, 2, 0x81, 0, 0)  # GCT present, 4 entries
+    out += gct
+
+    def img(left, top, w, h, idx):
+        b = bytearray(_s.pack("<BHHHHB", 0x2C, left, top, w, h, 0))
+        b.append(2)  # min code size
+        stream = _lzw_encode(bytes(idx), 2)
+        for i in range(0, len(stream), 255):
+            b.append(len(stream[i : i + 255]))
+            b += stream[i : i + 255]
+        b.append(0)
+        return bytes(b)
+
+    # frame 1: full screen all-white, disposal 3 (restore previous)
+    out += _gce(3)
+    out += img(0, 0, 2, 2, [1, 1, 1, 1])
+    # frame 2: 1x1 red at (1,1), disposal 2, then a transparent 1x1 at (0,0)
+    out += _gce(2)
+    out += img(1, 1, 1, 1, [2])
+    out += _gce(0, transparent=1)
+    out += img(0, 0, 1, 1, [1])  # index 1 == transparent: leaves canvas
+    out += b"\x3b"
+
+    w, h, ch, frames = decode_gif_frames(bytes(out))
+    assert (w, h, ch) == (2, 2, 3)
+    f1, f2, f3 = [f for _d, f in frames]
+    W, K, R = bytes([255] * 3), bytes(3), bytes([255, 0, 0])
+    assert f1 == W * 4
+    # disposal 3 after frame 1 restored the black canvas; red drawn at (1,1)
+    assert f2 == K + K + K + R
+    # disposal 2 after frame 2 restored (1,1) to bg; frame 3's transparent
+    # pixel leaves (0,0) black
+    assert f3 == K * 4
