@@ -17,9 +17,12 @@ Scope:
   16-bit ColorMap, gray-collapse convention shared with GIF/BMP),
   PlanarConfiguration 1 (chunky).  TIFF rows are top-down — no flip,
   unlike BMP/DIB.
-- Named NotImplementedError seams: CCITT/JPEG-in-TIFF compression, tiled
-  images, planar separation, mask/CMYK/YCbCr photometrics, other bit
-  depths, multi-page (a second IFD).
+- TILED images (TIFF 6.0 §15, r11): full tw×tl blocks in row-major tile
+  order, any of the three compressions per tile, predictor per tile row,
+  edge padding clipped at the blit.
+- Named NotImplementedError seams: CCITT/JPEG-in-TIFF compression,
+  planar separation, mask/CMYK/YCbCr photometrics, other bit depths,
+  multi-page (a second IFD).
 - ENCODE: little-endian, single strip, BlackIsZero gray or chunky RGB,
   compression None/"packbits"/"lzw" (+ predictor 2 for LZW).  All
   lossless, so closed-form pixel oracles stay codec-invariant.
@@ -295,8 +298,6 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     tags, nxt = _read_ifd(data, bo)
     if nxt != 0:
         raise NotImplementedError("multi-page TIFF not supported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported")
     comp = tags.get(259, [1])[0]
     if comp not in (1, 5, 32773):
         raise NotImplementedError(
@@ -329,6 +330,9 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     w, h = int(tags[256][0]), int(tags[257][0])
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate TIFF geometry {w}x{h}")
+    if 322 in tags or 324 in tags:
+        body = _assemble_tiles(data, tags, w, h, channels, comp, predictor)
+        return (w, h, *_apply_photometric(body, photo, cmap))
     offs = tags.get(273)
     counts = tags.get(279)
     if not offs or not counts or len(offs) != len(counts):
@@ -363,28 +367,90 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     need = w * h * channels
     if len(body) < need:
         raise ValueError(f"TIFF strips hold {len(body)} B < {need} B of pixels")
-    body = bytes(body[:need])  # rows are already top-down
+    return (w, h, *_apply_photometric(bytes(body[:need]), photo, cmap))
+
+
+def _apply_photometric(
+    body: bytes, photo: int, cmap: list[int] | None
+) -> tuple[int, bytes]:
+    """(channels, pixels) after photometric post-processing: WhiteIsZero
+    inversion or the 16-bit-ColorMap palette expansion (gray-collapse
+    convention shared with the GIF/BMP decoders).  ``body`` is the
+    assembled sample plane (1 B/sample gray or chunky RGB)."""
     if photo == 0:  # WhiteIsZero: 0 is white — invert to BlackIsZero gray
-        body = bytes(255 - v for v in body)
-    elif photo == 3:
+        return 1, bytes(255 - v for v in body)
+    if photo == 3:
         # ColorMap entries are 16-bit (0 = black, 65535 = max) in plane
         # order R[256] G[256] B[256]; >>8 is the spec's 8-bit reduction.
-        # Same gray-collapse convention as the GIF/BMP palette decoders.
         r = [v >> 8 for v in cmap[0:256]]
         g = [v >> 8 for v in cmap[256:512]]
         b = [v >> 8 for v in cmap[512:768]]
         used = set(body)
         if all(r[i] == g[i] == b[i] for i in used):
             lut = bytes(r)
-            body = bytes(lut[i] for i in body)
+            return 1, bytes(lut[i] for i in body)
+        out = bytearray(3 * len(body))
+        for p, i in enumerate(body):
+            out[3 * p] = r[i]
+            out[3 * p + 1] = g[i]
+            out[3 * p + 2] = b[i]
+        return 3, bytes(out)
+    return (3 if photo == 2 else 1), body
+
+
+def _assemble_tiles(
+    data: bytes,
+    tags: dict[int, list[int]],
+    w: int,
+    h: int,
+    channels: int,
+    comp: int,
+    predictor: int,
+) -> bytes:
+    """Tiled TIFF assembly (TIFF 6.0 §15): TileWidth/TileLength (322/323,
+    multiples of 16 per spec — not enforced, writers vary), offsets/byte
+    counts (324/325) in row-major tile order.  Every tile is a FULL
+    tw×tl block (edge tiles padded); each decompresses independently and
+    the predictor undoes per TILE row before the blit clips the padding.
+    """
+    if 322 not in tags or 323 not in tags or 324 not in tags or 325 not in tags:
+        raise ValueError("tiled TIFF without TileWidth/TileLength/Offsets/ByteCounts")
+    tw, tl = int(tags[322][0]), int(tags[323][0])
+    if tw <= 0 or tl <= 0:
+        raise ValueError(f"degenerate TIFF tile geometry {tw}x{tl}")
+    offs, counts = tags[324], tags[325]
+    across = -(-w // tw)
+    down = -(-h // tl)
+    if len(offs) != across * down or len(counts) != len(offs):
+        raise ValueError(
+            f"tiled TIFF expects {across * down} tiles, has {len(offs)} offsets"
+        )
+    tile_bytes = tw * tl * channels
+    body = bytearray(w * h * channels)
+    for ti, (o, c) in enumerate(zip(offs, counts)):
+        chunk = data[o : o + c]
+        if len(chunk) != c:
+            raise ValueError("truncated TIFF tile")
+        if comp == 5:
+            tile = bytearray(lzw_decode_tiff(chunk, tile_bytes))
+            if predictor == 2:
+                _undiff_rows(tile, tw, tl, channels)
+        elif comp == 32773:
+            if predictor == 2:
+                raise NotImplementedError("predictor 2 with PackBits not supported")
+            tile = bytearray(unpackbits(chunk, tile_bytes))
         else:
-            out = bytearray(3 * len(body))
-            for p, i in enumerate(body):
-                out[3 * p] = r[i]
-                out[3 * p + 1] = g[i]
-                out[3 * p + 2] = b[i]
-            return w, h, 3, bytes(out)
-    return w, h, channels, body
+            if len(chunk) < tile_bytes:
+                raise ValueError("truncated uncompressed TIFF tile")
+            tile = bytearray(chunk[:tile_bytes])
+        ty, tx = divmod(ti, across)
+        x0, y0 = tx * tw, ty * tl
+        cols = min(tw, w - x0)
+        for row in range(min(tl, h - y0)):
+            src = row * tw * channels
+            dst = ((y0 + row) * w + x0) * channels
+            body[dst : dst + cols * channels] = tile[src : src + cols * channels]
+    return bytes(body)
 
 
 def encode_tiff(

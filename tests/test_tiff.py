@@ -321,3 +321,80 @@ def test_palette_tiff_gray_and_rgb():
     t3 = _build_tiff([(262, 3, 1, struct.pack("<HH", 3, 0))], idx, 3, 2)
     with pytest.raises(ValueError, match="ColorMap"):
         decode_tiff(t3)
+
+
+def test_tiled_tiff_all_compressions():
+    """Hand-built tiled TIFFs (TIFF 6.0 s15): 2x2 tile grid with edge
+    padding, per-tile compression, row-major tile order — assembled canvas
+    must equal the raster image for none/PackBits/LZW(+predictor 2)."""
+    from simsearch_spark.multimodal.tiff import (
+        _diff_rows,
+        lzw_encode_tiff,
+        packbits,
+    )
+
+    bo = "<"
+    w, h, tw, tl = 7, 5, 4, 4  # 2x2 tiles, right/bottom padding
+    px = bytes((i * 29) & 0xFF for i in range(w * h))
+
+    def tile_block(tx, ty):
+        """Full tw x tl block with zero padding outside the image."""
+        out = bytearray(tw * tl)
+        for r in range(tl):
+            y = ty * tl + r
+            if y >= h:
+                break
+            for cidx in range(tw):
+                x = tx * tw + cidx
+                if x >= w:
+                    break
+                out[r * tw + cidx] = px[y * w + x]
+        return bytes(out)
+
+    for comp, pred, pack in (
+        (1, 1, lambda t: t),
+        (32773, 1, packbits),
+        (5, 1, lzw_encode_tiff),
+        (5, 2, lambda t: lzw_encode_tiff(_diff_rows(t, tw, tl, 1))),
+    ):
+        tiles = [pack(tile_block(tx, ty)) for ty in range(2) for tx in range(2)]
+        n = 10
+        ifd_size = 2 + 12 * n + 4
+        arr_off = 8 + ifd_size
+        data_off = arr_off + 8 * 4  # two LONG[4] arrays
+        offs, pos = [], data_off
+        for t in tiles:
+            offs.append(pos)
+            pos += len(t)
+        entries = [
+            (256, 3, 1, struct.pack(bo + "HH", w, 0)),
+            (257, 3, 1, struct.pack(bo + "HH", h, 0)),
+            (258, 3, 1, struct.pack(bo + "HH", 8, 0)),
+            (259, 3, 1, struct.pack(bo + "HH", comp, 0)),
+            (262, 3, 1, struct.pack(bo + "HH", 1, 0)),
+            (277, 3, 1, struct.pack(bo + "HH", 1, 0)),
+            (317, 3, 1, struct.pack(bo + "HH", pred, 0)),
+            (322, 3, 1, struct.pack(bo + "HH", tw, 0)),
+            (323, 3, 1, struct.pack(bo + "HH", tl, 0)),
+            (324, 4, 4, struct.pack(bo + "I", arr_off)),
+        ]
+        # 325 replaces the 317 slot when pred==1? keep both: n=11 then
+        entries.append((325, 4, 4, struct.pack(bo + "I", arr_off + 16)))
+        n = len(entries)
+        ifd_size = 2 + 12 * n + 4
+        shift = (8 + ifd_size) - arr_off
+        arr_off += shift
+        data_off += shift
+        offs = [o + shift for o in offs]
+        entries[-2] = (324, 4, 4, struct.pack(bo + "I", arr_off))
+        entries[-1] = (325, 4, 4, struct.pack(bo + "I", arr_off + 16))
+        t = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
+        t += struct.pack(bo + "H", n)
+        for tag, typ, cnt, val in sorted(entries):
+            t += struct.pack(bo + "HHI", tag, typ, cnt) + val
+        t += struct.pack(bo + "I", 0)
+        t += struct.pack(bo + "4I", *offs)
+        t += struct.pack(bo + "4I", *[len(x) for x in tiles])
+        for x in tiles:
+            t += x
+        assert decode_tiff(bytes(t)) == (w, h, 1, px), (comp, pred)
