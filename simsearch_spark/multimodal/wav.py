@@ -3,12 +3,15 @@ multimodal surface using only stdlib ``struct``.
 
 Scope: PCM 16-bit little-endian (format tag 1), μ-law (tag 7) and A-law
 (tag 6) telephony bytes via the G.711 companding module
-(multimodal/g711.py, r10) — any sample rate / channel count.  Other
-format tags and PCM bit depths raise ``NotImplementedError`` — the
-explicit-seam contract shared with ``multimodal/png.py``.  Companded
-streams decode to int16 samples, so downstream consumers (``audio_stats``
-in ``multimodal/binary.py``) are codec-blind.  The reference engine has
-no audio operators (LLM-pipeline extension surface).
+(multimodal/g711.py, r10) — any sample rate / channel count — and MONO
+IMA ADPCM (tag 0x11, multimodal/adpcm.py, r11 — the coder verified
+byte-exactly against CPython's audioop; the block layer honors the fact
+chunk's sample count).  Other format tags, PCM bit depths, and stereo
+ADPCM raise ``NotImplementedError`` — the explicit-seam contract shared
+with ``multimodal/png.py``.  Companded/compressed streams decode to
+int16 samples, so downstream consumers (``audio_stats`` in
+``multimodal/binary.py``) are codec-blind.  The reference engine has no
+audio operators (LLM-pipeline extension surface).
 """
 
 from __future__ import annotations
@@ -18,6 +21,7 @@ import struct
 _TAG_PCM = 1
 _TAG_ALAW = 6
 _TAG_ULAW = 7
+_TAG_IMA_ADPCM = 0x11
 
 
 def encode_wav(
@@ -39,6 +43,38 @@ def encode_wav(
 
         tag, width = _TAG_ALAW, 1
         data = bytes(alaw_encode(int(s)) for s in samples)
+    elif codec == "ima_adpcm":
+        from simsearch_spark.multimodal.adpcm import ima_wav_encode_block
+
+        if channels != 1:
+            raise NotImplementedError("IMA ADPCM WAV: mono only")
+        tag = _TAG_IMA_ADPCM
+        block_align = 256
+        spb = (block_align - 4) * 2 + 1  # samples per block
+        chunks, index = [], 0
+        for i in range(0, len(samples), spb):
+            blk = [int(s) for s in samples[i : i + spb]]
+            if len(blk) > 1 and (len(blk) - 1) & 1:
+                blk.append(blk[-1])  # pad to whole bytes; fact chunk trims
+            block, index = ima_wav_encode_block(blk, index)
+            chunks.append(block)
+        data = b"".join(chunks)
+        fmt = struct.pack(
+            "<HHIIHHHH",
+            tag, 1, sample_rate,
+            sample_rate * block_align // spb,  # nominal byte rate
+            block_align, 4,  # bits per (compressed) sample
+            2, spb,          # cbSize, wSamplesPerBlock
+        )
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, len(samples))
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        if len(data) & 1:
+            body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
     else:
         raise ValueError(f"unknown WAV codec {codec!r}")
     byte_rate = sample_rate * channels * width
@@ -65,6 +101,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     pos = 12
     rate = channels = tag = None
     data = None
+    block_align = 0
+    n_fact = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -72,17 +110,26 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if cid == b"fmt ":
             try:
-                tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+                tag, channels, rate, _br, block_align, bits = struct.unpack(
+                    "<HHIIHH", body[:16]
+                )
             except struct.error as e:  # truncated fmt chunk
                 raise ValueError(f"malformed fmt chunk: {e}") from e
-            if tag not in (_TAG_PCM, _TAG_ALAW, _TAG_ULAW):
+            if tag not in (_TAG_PCM, _TAG_ALAW, _TAG_ULAW, _TAG_IMA_ADPCM):
                 raise NotImplementedError(
-                    f"WAV format tag {tag} (PCM / G.711 a-law / u-law only)"
+                    f"WAV format tag {tag} (PCM / G.711 / IMA ADPCM only)"
                 )
             if tag == _TAG_PCM and bits != 16:
                 raise NotImplementedError(f"WAV bit depth {bits} (16-bit PCM only)")
             if tag in (_TAG_ALAW, _TAG_ULAW) and bits != 8:
                 raise ValueError(f"G.711 WAV with bit depth {bits} (must be 8)")
+            if tag == _TAG_IMA_ADPCM:
+                if channels != 1:
+                    raise NotImplementedError("IMA ADPCM WAV: mono only")
+                if bits != 4:
+                    raise ValueError(f"IMA ADPCM WAV with bit depth {bits} (must be 4)")
+                if block_align < 5:
+                    raise ValueError(f"IMA ADPCM block align {block_align} < 5")
             # a parseable-but-degenerate fmt chunk must surface as a normal
             # decode failure (callers' bounded-exception contract), not as a
             # ZeroDivisionError in downstream duration math (ADVICE r6)
@@ -90,10 +137,21 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
                 raise ValueError(
                     f"degenerate fmt chunk: sample_rate={rate} channels={channels}"
                 )
+        elif cid == b"fact" and ln >= 4:
+            (n_fact,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
     if rate is None or data is None:
         raise ValueError("WAV without fmt/data chunk")
+    if tag == _TAG_IMA_ADPCM:
+        from simsearch_spark.multimodal.adpcm import ima_wav_decode_block
+
+        samples: list[int] = []
+        for i in range(0, len(data), block_align):
+            samples += ima_wav_decode_block(data[i : i + block_align])
+        if n_fact is not None:
+            samples = samples[:n_fact]  # trim block padding
+        return rate, channels, samples
     if tag == _TAG_ULAW:
         from simsearch_spark.multimodal.g711 import ulaw_decode
 

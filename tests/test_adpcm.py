@@ -1,0 +1,111 @@
+"""IMA/DVI ADPCM (multimodal/adpcm.py + the WAV tag-0x11 layer).
+
+The verification anchor is CPython's ``audioop`` — an independent
+implementation of the exact Intel/DVI coder — checked for BYTE-IDENTICAL
+encode streams and SAMPLE-IDENTICAL decode output plus final coder state
+across three signal families (the G.711 verification pattern; found the
+classic step-table typo 158-for-157 at index 32 during bring-up)."""
+
+from __future__ import annotations
+
+import math
+import random
+import struct
+
+import pytest
+
+from simsearch_spark.multimodal.adpcm import (
+    INDEX_TABLE,
+    STEP_TABLE,
+    ima_raw_decode,
+    ima_raw_encode,
+    ima_wav_decode_block,
+    ima_wav_encode_block,
+)
+
+audioop = pytest.importorskip("audioop")  # deprecated; present on this 3.11
+
+
+def _signals(rng, n, kind):
+    if kind == 0:
+        return [rng.randrange(-32768, 32768) for _ in range(n)]
+    if kind == 1:
+        return [int(20000 * math.sin(i / 7)) for i in range(n)]
+    return [(-32768 if i % 9 == 0 else 32767) for i in range(n)]
+
+
+def test_tables_match_audioop_exactly():
+    """Recover audioop's step table empirically (diff of nibble 4 and
+    nibble 0 reconstructions from a non-clamping base) — all 89 entries
+    must equal ours; same for the index table via state deltas."""
+    for idx in range(89):
+        base = -32768
+        d0 = struct.unpack("<h", audioop.adpcm2lin(b"\x00", 2, (base, idx))[0][:2])[0] - base
+        d4 = struct.unpack("<h", audioop.adpcm2lin(b"\x40", 2, (base, idx))[0][:2])[0] - base
+        assert d4 - d0 == STEP_TABLE[idx], idx
+    for mag in range(8):
+        # the byte carries TWO nibbles: mag then 0 (0 adjusts by −1)
+        _dec, (_p, new_idx) = audioop.adpcm2lin(bytes([mag << 4]), 2, (0, 44))
+        assert new_idx == 44 + INDEX_TABLE[mag] + INDEX_TABLE[0], mag
+
+
+def test_raw_stream_equals_audioop_bytes_and_samples():
+    rng = random.Random(41)
+    for trial in range(45):
+        n = rng.randrange(1, 500) * 2
+        samples = _signals(rng, n, trial % 3)
+        frag = struct.pack(f"<{n}h", *samples)
+        a_enc, a_state = audioop.lin2adpcm(frag, 2, None)
+        m_enc, m_state = ima_raw_encode(samples)
+        assert a_enc == m_enc and a_state == m_state, trial
+        a_dec, a_dst = audioop.adpcm2lin(a_enc, 2, None)
+        m_dec, m_dst = ima_raw_decode(a_enc)
+        assert list(struct.unpack(f"<{n}h", a_dec)) == m_dec and a_dst == m_dst, trial
+
+
+def test_wav_block_roundtrip_error_bound():
+    """The tag-0x11 block layer: lossy, but reconstruction error is
+    bounded by ~1.5 steps of the running step size; a slowly-varying
+    signal reconstructs within a small absolute error."""
+    rng = random.Random(43)
+    smooth = [int(8000 * math.sin(i / 40)) for i in range(1005)]
+    block, _idx = ima_wav_encode_block(smooth)
+    out = ima_wav_decode_block(block)
+    assert out[0] == smooth[0]  # header predictor is verbatim
+    assert len(out) == len(smooth)
+    # error tracks the running step (~2 steps worst-case near direction
+    # changes; the step adapts to the ~200/sample slope)
+    errs = [abs(a - b) for a, b in zip(out, smooth)]
+    assert max(errs) <= 1024 and sum(errs) / len(errs) <= 150, max(errs)
+    # arbitrary signals still round-trip structurally
+    wild = _signals(rng, 101, 0)
+    assert len(ima_wav_decode_block(ima_wav_encode_block(wild)[0])) == 101
+    with pytest.raises(ValueError, match="odd sample count"):
+        ima_wav_encode_block([1, 2])
+    with pytest.raises(ValueError, match="truncated"):
+        ima_wav_decode_block(b"\x00\x00")
+
+
+def test_wav_container_tag11_roundtrip_and_dispatch(spark):
+    from simsearch_spark.multimodal.binary import audio_stats
+    from simsearch_spark.multimodal.wav import decode_wav, encode_wav
+
+    n = 700  # crosses one 505-sample block boundary
+    samples = [int(6000 * math.sin(i / 11)) for i in range(n)]
+    w = encode_wav(samples, 8000, channels=1, codec="ima_adpcm")
+    rate, ch, out = decode_wav(w)
+    assert (rate, ch, len(out)) == (8000, 1, n)  # fact chunk trims padding
+    # coder EXACTNESS is pinned against audioop above; here we check the
+    # container: the reconstruction must track the signal (the coder
+    # starts cold at step 7, so the first steep cycle overshoots)
+    errs = [abs(a - b) for a, b in zip(out, samples)]
+    assert sum(errs) / len(errs) <= 300 and max(errs) <= 4096
+    # the Spark audio path decodes it like any other WAV
+    df = spark.createDataFrame(
+        [(1, bytearray(w))], "media_id long, payload binary"
+    )
+    (row,) = audio_stats(df).collect()
+    assert row.decoded == "ok" and row.n_samples == n and row.sample_rate == 8000
+
+    with pytest.raises(NotImplementedError, match="mono only"):
+        encode_wav(samples, 8000, channels=2, codec="ima_adpcm")
