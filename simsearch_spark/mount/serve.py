@@ -37,6 +37,7 @@ from simsearch_spark.mount.artifacts import (
 
 __all__ = [
     "serve_ivfpq_topk",
+    "serve_ivfpq_multi_topk",
     "serve_bm25_topk",
     "serve_lang_id",
     "serve_lm_perplexity",
@@ -125,6 +126,118 @@ def serve_ivfpq_topk(
         lookup.select(F.col(id_col).alias("id"), "adc_dist", "cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col("id").asc())
         .limit(k)
+    )
+
+
+def serve_ivfpq_multi_topk(
+    spark: SparkSession,
+    mount_dir: str,
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int,
+    n_probe: int = 1,
+    rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BATCH serving from mounted artifacts — the full production shape:
+    Q queries route driver-side against the mounted centroids, ONE scan
+    over the union of probed code partitions computes every query's ADC
+    (per-cell residual LUT when-chains, exploded per-query pair list),
+    per-query rerank is a rank-limit window, and one point-lookup into
+    ``emb`` rescores the ≤ Q·rerank candidate union exactly.  Per-query
+    results equal ``operators/pq.py ivf_pq_multi_topk`` (and therefore Q
+    single-query serves) — tests/test_mount.py."""
+    from pyspark.sql.window import Window
+
+    from simsearch_spark.functions.measures import cosine_similarity
+    from simsearch_spark.operators.kmeans import _lit_vec
+    from simsearch_spark.operators.pq import _adc_dist_expr
+
+    cmap = load_centroid_map(spark, mount_dir)
+    books = load_codebooks(spark, mount_dir)
+    qs = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]
+    probes: dict[int, list[int]] = {}
+    for qid, qv in qs:
+        by_dist = sorted(
+            cmap.items(),
+            key=lambda c: (sum((a - b) ** 2 for a, b in zip(qv, c[1])), c[0]),
+        )
+        probes[qid] = [cid for cid, _v in by_dist[:n_probe]]
+    union_cells = sorted({c for ps in probes.values() for c in ps})
+
+    codes = read_codes(spark, mount_dir).where(F.col("cell").isin(union_cells))
+    entries = []
+    for qid, qv in qs:
+        adc = F.lit(None).cast("double")
+        for cid in probes[qid]:
+            qres = [a - b for a, b in zip(qv, cmap[cid])]
+            adc = F.when(
+                F.col("cell") == F.lit(cid), _adc_dist_expr(books, qres)
+            ).otherwise(adc)
+        entries.append(F.struct(F.lit(qid).alias("query_id"), adc.alias("adc_dist")))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        codes.select(F.col(id_col), F.explode(F.array(*entries)).alias("q"))
+        .select(
+            id_col,
+            F.col("q.query_id").alias("query_id"),
+            F.col("q.adc_dist").alias("adc_dist"),
+        )
+        .where(F.col("adc_dist").isNotNull())
+        .withColumn("_rn", F.row_number().over(w_adc))
+        .where(F.col("_rn") <= int(rerank))
+        .drop("_rn")
+        .collect()
+    )
+    ids = sorted({r[id_col] for r in cand})
+    adc_of = {(r["query_id"], r[id_col]): float(r["adc_dist"]) for r in cand}
+    by_q: dict[int, list] = {}
+    for r in cand:
+        by_q.setdefault(int(r["query_id"]), []).append(r[id_col])
+
+    # ONE point-lookup for the candidate union; per-query cosine against
+    # the query literal, ranked per query (bounded frame: ≤ Q·rerank rows)
+    lookup = emb.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col),
+        *[
+            F.round(cosine_similarity(F.col(vec_col), _lit_vec(qv)), 6).alias(
+                f"_cos_{qid}"
+            )
+            for qid, qv in qs
+        ],
+    )
+    arms = []
+    for qid, _qv in qs:
+        qmap = F.create_map(
+            *[
+                F.lit(v)
+                for i in by_q.get(qid, [])
+                for v in (i, adc_of[(qid, i)])
+            ]
+        ) if by_q.get(qid) else None
+        if qmap is None:
+            continue
+        arms.append(
+            lookup.where(F.col(id_col).isin(by_q[qid])).select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col),
+                F.element_at(qmap, F.col(id_col)).alias("adc_dist"),
+                F.col(f"_cos_{qid}").alias("cos_sim"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w_cos))
+        .where(F.col("rank") <= int(k))
+        .select("query_id", id_col, "adc_dist", "cos_sim", "rank")
     )
 
 

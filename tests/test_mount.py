@@ -177,3 +177,36 @@ def test_delete_tombstones_exclude_from_serving(spark, sf_dir, tmp_path):
     got = [r.id for r in after.collect()]
     assert not set(victims) & set(got)
     assert len(got) == K  # replacements surface from the candidate pool
+
+
+def test_served_multi_query_equals_operator(spark, sf_dir, mount_dir):
+    """Batch serving from artifacts == the in-query batch operator (which
+    itself equals Q single-query runs, tests/test_pq.py) — the full
+    train-once/serve-many production shape for a query batch."""
+    from simsearch_spark.mount.serve import serve_ivfpq_multi_topk
+    from simsearch_spark.operators.pq import ivf_pq_multi_topk
+    from simsearch_spark.queries.core import K
+    from simsearch_spark.queries.ivf import MULTI_QUERY_IDS, N_PROBE
+    from simsearch_spark.queries.ivfpq import (
+        RERANK,
+        _centroids6,
+        _train_books_residual,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.where(F.col("vec_id").isin(*MULTI_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows)
+    served = serve_ivfpq_multi_topk(
+        spark, mount_dir, emb, qs, K, n_probe=N_PROBE, rerank=RERANK
+    )
+    cents = _centroids6(emb)
+    declared = ivf_pq_multi_topk(
+        emb, "vec_id", "embedding", cents, _train_books_residual(emb, cents),
+        qs, K, n_probe=N_PROBE, rerank=RERANK, assign_col="label",
+    )
+    assert _rows(served) == _rows(declared)
+    assert len(served.collect()) == K * len(qs)
