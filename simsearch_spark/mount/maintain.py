@@ -42,7 +42,7 @@ from simsearch_spark.mount.artifacts import (
     load_manifest,
 )
 
-__all__ = ["append_rows", "delete_ids"]
+__all__ = ["append_rows", "delete_ids", "compact_codes"]
 
 
 def _swap_in(df: DataFrame, path: str) -> None:
@@ -184,10 +184,38 @@ def append_rows(
 
 def delete_ids(spark: SparkSession, mount_dir: str, vec_ids: list[int]) -> None:
     """Tombstone vectors by id: served results exclude them immediately
-    (``serve.read_codes``); their code rows are reclaimed at the next
-    compaction remount, and statistics tables keep their mass (the
+    (``serve.read_codes``); their code rows are reclaimed by
+    ``compact_codes``, and statistics tables keep their mass (the
     reference's delete semantics)."""
     load_manifest(mount_dir)  # validate it IS a mount before writing into it
     spark.createDataFrame(
         [(int(i),) for i in vec_ids], "vec_id long"
     ).write.mode("append").parquet(os.path.join(mount_dir, "tombstones"))
+
+
+def compact_codes(spark: SparkSession, mount_dir: str) -> int:
+    """Reclaim tombstoned rows: rewrite the codes table minus the
+    tombstone set (write-new-then-swap, still ``partitionBy(cell)``) and
+    clear the tombstones.  Served results are unchanged by construction
+    (``read_codes`` subtracted the set already) — compaction only stops
+    every future scan from re-paying the anti-join and the dead bytes.
+    Returns the number of rows reclaimed."""
+    manifest = load_manifest(mount_dir)
+    tomb_path = os.path.join(mount_dir, "tombstones")
+    if not os.path.isdir(tomb_path):
+        return 0
+    codes_path = os.path.join(mount_dir, "pq_codes")
+    tomb = spark.read.parquet(tomb_path).select("vec_id").distinct()
+    codes = spark.read.parquet(codes_path)
+    live = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    before = int(codes.count())
+    tmp = codes_path + "__tmp"
+    live.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    shutil.rmtree(codes_path)
+    shutil.move(tmp, codes_path)
+    after = int(spark.read.parquet(codes_path).count())
+    shutil.rmtree(tomb_path)
+    manifest["counts"]["n_vectors"] = after
+    with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return before - after

@@ -210,3 +210,36 @@ def test_served_multi_query_equals_operator(spark, sf_dir, mount_dir):
     )
     assert _rows(served) == _rows(declared)
     assert len(served.collect()) == K * len(qs)
+
+
+def test_compaction_reclaims_tombstones_serving_unchanged(spark, sf_dir, tmp_path):
+    from simsearch_spark.mount.maintain import compact_codes
+    from simsearch_spark.queries.ivf import IVF_QUERY_ID, N_PROBE
+    from simsearch_spark.queries.core import K
+    from simsearch_spark.queries.ivfpq import RERANK
+
+    d = str(tmp_path / "m_compact")
+    mount(spark, sf_dir, d)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding
+    ]
+    before = serve_ivfpq_topk(spark, d, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
+    victims = [r.id for r in before.collect()[:2]]
+    delete_ids(spark, d, victims)
+    tombstoned = _rows(
+        serve_ivfpq_topk(spark, d, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
+    )
+    n0 = load_manifest(d)["counts"]["n_vectors"]
+    assert compact_codes(spark, d) == len(victims)
+    assert load_manifest(d)["counts"]["n_vectors"] == n0 - len(victims)
+    import os
+
+    assert not os.path.isdir(f"{d}/tombstones")
+    # serving is unchanged by construction; the anti-join just disappears
+    compacted = _rows(
+        serve_ivfpq_topk(spark, d, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
+    )
+    assert compacted == tombstoned
+    assert compact_codes(spark, d) == 0  # idempotent on a clean mount
