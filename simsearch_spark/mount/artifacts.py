@@ -56,12 +56,17 @@ from pyspark.sql import functions as F
 
 MANIFEST_VERSION = 1
 
+#: pivots selected at mount (the reference defaults to a handful per
+#: attribute; 8 matches the operators/pivot.py test contract)
+N_PIVOTS = 8
+
 __all__ = [
     "mount",
     "load_manifest",
     "load_centroid_map",
     "load_codebooks",
     "load_profiles",
+    "load_pivots",
     "encode_residual_codes",
 ]
 
@@ -176,6 +181,35 @@ def mount(
         )
         codes = encode_residual_codes(emb, "vec_id", "embedding", "label", cmap, books)
         _write(codes, os.path.join(mount_dir, "pq_codes"), partition_by="cell")
+
+        # pivot artifacts — the reference's own mount-time V-path
+        # (Coordinator.java:760-788: allocate/select pivots, embed): the
+        # deterministic farthest-point pivots and the per-row distance
+        # embedding, persisted so serve-side pruned k-NN reads narrow
+        # emb_* columns (and, at scale, skips row groups via their
+        # min/max stats) instead of re-embedding the corpus per query
+        from simsearch_spark.operators.pivot import (
+            embed_distances,
+            select_pivots_farthest_point,
+        )
+
+        pivots = select_pivots_farthest_point(train, "vec_id", "embedding", N_PIVOTS)
+        _write(
+            spark.createDataFrame(
+                [
+                    (pos, int(pid), [float(x) for x in vec])
+                    for pos, (pid, vec) in enumerate(pivots)
+                ],
+                "pos int, pivot_id long, vector array<double>",
+            ),
+            os.path.join(mount_dir, "pivots"),
+        )
+        _write(
+            embed_distances(emb, "embedding", pivots).select(
+                "vec_id", *[f"emb_{i}" for i in range(len(pivots))]
+            ),
+            os.path.join(mount_dir, "pivot_embedded"),
+        )
         n_vectors = int(emb.count())
     finally:
         emb.unpersist()
@@ -249,6 +283,8 @@ def mount(
             "ivf_centroids",
             "pq_codebooks",
             "pq_codes",
+            "pivots",
+            "pivot_embedded",
             "langid_profiles",
             "lm_bigrams",
             "lm_ctx",
@@ -289,6 +325,16 @@ def load_codebooks(spark: SparkSession, mount_dir: str) -> list[dict[int, list[f
     for r in rows:
         books[int(r["j"])][int(r["cluster_id"])] = [float(x) for x in r["centroid"]]
     return books
+
+
+def load_pivots(spark: SparkSession, mount_dir: str) -> list:
+    """The mounted pivot set in ``select_pivots_farthest_point``'s
+    [(id, vector)] shape, selection order restored (bounded: p · dim)."""
+    rows = spark.read.parquet(os.path.join(mount_dir, "pivots")).collect()
+    return [
+        (int(r["pivot_id"]), [float(x) for x in r["vector"]])
+        for r in sorted(rows, key=lambda r: int(r["pos"]))
+    ]
 
 
 def load_profiles(spark: SparkSession, mount_dir: str) -> dict[str, dict[str, int]]:

@@ -32,12 +32,14 @@ from pyspark.sql import functions as F
 from simsearch_spark.mount.artifacts import (
     load_centroid_map,
     load_codebooks,
+    load_pivots,
     load_profiles,
 )
 
 __all__ = [
     "serve_ivfpq_topk",
     "serve_ivfpq_multi_topk",
+    "serve_pivot_knn",
     "serve_bm25_topk",
     "serve_lang_id",
     "serve_lm_perplexity",
@@ -238,6 +240,67 @@ def serve_ivfpq_multi_topk(
         out.withColumn("rank", F.row_number().over(w_cos))
         .where(F.col("rank") <= int(k))
         .select("query_id", id_col, "adc_dist", "cos_sim", "rank")
+    )
+
+
+def serve_pivot_knn(
+    spark: SparkSession,
+    mount_dir: str,
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT euclidean k-NN from the mounted pivot embedding — the
+    reference's own mount-time V-path served (Coordinator.java:760-788
+    selects pivots and embeds at mount; MultiMetricSimilaritySearch prunes
+    at query time).  The two pruning passes read the PERSISTED narrow
+    ``emb_*`` table (at scale: row groups skipped via min/max stats on
+    those columns) instead of re-embedding the corpus; the exact rescore
+    joins the survivors back to the vector store by id.  Identical answer
+    to ``operators/pivot.py pivot_knn`` (pruned or brute — the bound never
+    overestimates) — tests/test_mount.py."""
+    from simsearch_spark.functions.measures import euclidean_distance
+    from simsearch_spark.operators.kmeans import _lit_vec
+    from simsearch_spark.operators.pivot import embedding_lower_bound
+
+    pivots = load_pivots(spark, mount_dir)
+    qv = [float(x) for x in query_vec]
+    q_emb = [
+        float(sum((a - b) ** 2 for a, b in zip(qv, vec)) ** 0.5)
+        for _pid, vec in pivots
+    ]
+    embd = spark.read.parquet(os.path.join(mount_dir, "pivot_embedded"))
+    with_lb = embd.withColumn("lb", embedding_lower_bound(len(pivots), q_emb))
+
+    exact_dist = euclidean_distance(F.col(vec_col), _lit_vec(qv))
+    # pass 1: radius = exact k-th distance among the k best lb rows — the
+    # k seed vectors come from one pushed-IN point-lookup
+    seed_ids = [
+        r[id_col]
+        for r in with_lb.orderBy(F.col("lb").asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    ]
+    radius_df = (
+        emb.where(F.col(id_col).isin(seed_ids))
+        .select(exact_dist.alias("dist"))
+        .agg(F.max("dist").alias("radius"))
+    )
+    # pass 2: lb ≤ radius over the narrow embedded table, exact rescore of
+    # the survivors via an id join against the vector store
+    survivors = (
+        with_lb.crossJoin(F.broadcast(radius_df))
+        .where(F.col("lb") <= F.col("radius"))
+        .select(id_col)
+    )
+    return (
+        emb.join(survivors, id_col, "left_semi")
+        .withColumn("dist", exact_dist)
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "dist")
     )
 
 

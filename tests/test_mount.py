@@ -243,3 +243,37 @@ def test_compaction_reclaims_tombstones_serving_unchanged(spark, sf_dir, tmp_pat
     )
     assert compacted == tombstoned
     assert compact_codes(spark, d) == 0  # idempotent on a clean mount
+
+
+def test_served_pivot_knn_equals_operator_and_brute(spark, sf_dir, mount_dir):
+    """The reference's own mount-time artifact (pivot selection +
+    distance embedding, Coordinator.java:760-788) served: pruned k-NN
+    over the persisted emb_* table equals the in-query pruned operator
+    AND the brute-force scan (the bound never overestimates)."""
+    from simsearch_spark.mount.artifacts import load_pivots
+    from simsearch_spark.mount.serve import serve_pivot_knn
+    from simsearch_spark.operators.pivot import (
+        pivot_knn,
+        select_pivots_farthest_point,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 7).first().embedding]
+    k = 12
+    served = [
+        (r.vec_id, round(r.dist, 9))
+        for r in serve_pivot_knn(spark, mount_dir, emb, qvec, k).collect()
+    ]
+    pivots = select_pivots_farthest_point(emb, "vec_id", "embedding", 8)
+    assert load_pivots(spark, mount_dir) == [
+        (pid, [float(x) for x in vec]) for pid, vec in pivots
+    ]
+    pruned = [
+        (r.vec_id, round(r.dist, 9))
+        for r in pivot_knn(emb, "vec_id", "embedding", qvec, k, pivots=pivots).collect()
+    ]
+    brute = [
+        (r.vec_id, round(r.dist, 9))
+        for r in pivot_knn(emb, "vec_id", "embedding", qvec, k, prune=False).collect()
+    ]
+    assert served == pruned == brute and len(served) == k
