@@ -20,9 +20,9 @@ Scope:
 - TILED images (TIFF 6.0 §15, r11): full tw×tl blocks in row-major tile
   order, any of the three compressions per tile, predictor per tile row,
   edge padding clipped at the blit.
-- Named NotImplementedError seams: CCITT/JPEG-in-TIFF compression,
-  planar separation, mask/CMYK/YCbCr photometrics, other bit depths,
-  multi-page (a second IFD).
+- Named NotImplementedError seams: CCITT compression, JPEGTables-form
+  JPEG-in-TIFF, planar separation, mask/CMYK/YCbCr photometrics, other
+  bit depths, multi-page (a second IFD).
 - ENCODE: little-endian, single strip, BlackIsZero gray or chunky RGB,
   compression None/"packbits"/"lzw" (+ predictor 2 for LZW).  All
   lossless, so closed-form pixel oracles stay codec-invariant.
@@ -235,7 +235,8 @@ def _diff_rows(pixels: bytes, w: int, rows: int, spp: int) -> bytes:
             out[base + i] = (out[base + i] - out[base + i - spp]) & 0xFF
     return bytes(out)
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+#: BYTE ASCII SHORT LONG RATIONAL … UNDEFINED (7: raw bytes — JPEGTables)
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def _read_ifd(data: bytes, bo: str) -> tuple[dict[int, list[int]], int]:
@@ -265,7 +266,7 @@ def _read_ifd(data: bytes, bo: str) -> tuple[dict[int, list[int]], int]:
             vals = list(struct.unpack(bo + f"{cnt}H", raw))
         elif typ == 4:
             vals = list(struct.unpack(bo + f"{cnt}I", raw))
-        elif typ in (1, 2):
+        elif typ in (1, 2, 7):
             vals = list(raw)
         else:  # RATIONAL: keep numerators; no baseline tag we read uses it
             vals = list(struct.unpack(bo + f"{2 * cnt}I", raw))[::2]
@@ -299,9 +300,14 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     if nxt != 0:
         raise NotImplementedError("multi-page TIFF not supported")
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 7, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} (uncompressed/LZW/PackBits implemented)"
+            f"TIFF compression {comp} (uncompressed/LZW/JPEG/PackBits implemented)"
+        )
+    if comp == 7 and 347 in tags:
+        raise NotImplementedError(
+            "JPEG-in-TIFF with a separate JPEGTables stream not supported "
+            "(self-contained per-strip streams only)"
         )
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF not supported")
@@ -355,7 +361,19 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         need_s = rows * w * channels
         # each strip decompresses INDEPENDENTLY (spec: compression state
         # never crosses strip boundaries), and the predictor undoes per row
-        if comp == 5:
+        if comp == 7:
+            # new-style JPEG-in-TIFF (tag 7): each strip is a complete
+            # JPEG stream — route to the in-repo baseline/progressive
+            # decoder.  Channel count must agree with the IFD's contract.
+            from simsearch_spark.multimodal.jpeg import decode_jpeg
+
+            jw, jh, jch, jpix = decode_jpeg(chunk)
+            if (jw, jch) != (w, channels) or jh != rows:
+                raise ValueError(
+                    f"JPEG strip geometry {jw}x{jh}x{jch} != IFD {w}x{rows}x{channels}"
+                )
+            body += jpix
+        elif comp == 5:
             strip = bytearray(lzw_decode_tiff(chunk, need_s))
             if predictor == 2:
                 _undiff_rows(strip, w, rows, channels)

@@ -398,3 +398,74 @@ def test_tiled_tiff_all_compressions():
         for x in tiles:
             t += x
         assert decode_tiff(bytes(t)) == (w, h, 1, px), (comp, pred)
+
+
+def test_jpeg_in_tiff_strips():
+    """New-style JPEG-in-TIFF (compression 7): strips are self-contained
+    JPEG streams decoded by the in-repo codec.  Uniform strips decode
+    exactly at q85 (the block-constant exactness property), so the whole
+    container round-trips bit-for-bit; a JPEGTables-form file is a named
+    seam; geometry disagreement between strip and IFD is a ValueError."""
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+
+    bo = "<"
+
+    def build(w, h, rps, strips, extra=()):
+        offs, counts = [], []
+        entries = [
+            (256, 3, 1, struct.pack(bo + "HH", w, 0)),
+            (257, 3, 1, struct.pack(bo + "HH", h, 0)),
+            (258, 3, 1, struct.pack(bo + "HH", 8, 0)),
+            (259, 3, 1, struct.pack(bo + "HH", 7, 0)),
+            (262, 3, 1, struct.pack(bo + "HH", 1, 0)),
+            (277, 3, 1, struct.pack(bo + "HH", 1, 0)),
+            (278, 3, 1, struct.pack(bo + "HH", rps, 0)),
+        ] + list(extra)
+        multi = len(strips) > 1
+        n = len(entries) + 2
+        ifd = 2 + 12 * n + 4
+        arr = 8 + ifd
+        data_off = arr + (8 * len(strips) if multi else 0)
+        pos = data_off
+        for s_ in strips:
+            offs.append(pos)
+            pos += len(s_)
+        if multi:
+            entries.append((273, 4, len(strips), struct.pack(bo + "I", arr)))
+            entries.append(
+                (279, 4, len(strips), struct.pack(bo + "I", arr + 4 * len(strips)))
+            )
+        else:
+            entries.append((273, 4, 1, struct.pack(bo + "I", offs[0])))
+            entries.append((279, 4, 1, struct.pack(bo + "I", len(strips[0]))))
+        t = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
+        t += struct.pack(bo + "H", n)
+        for tag, typ, cnt, val in sorted(entries):
+            t += struct.pack(bo + "HHI", tag, typ, cnt) + val
+        t += struct.pack(bo + "I", 0)
+        if multi:
+            t += struct.pack(bo + f"{len(strips)}I", *offs)
+            t += struct.pack(bo + f"{len(strips)}I", *[len(s_) for s_ in strips])
+        for s_ in strips:
+            t += s_
+        return bytes(t)
+
+    w, h = 16, 16
+    top = bytes([40] * (w * 8))
+    bottom = bytes([200] * (w * 8))
+    two = build(
+        w, h, 8,
+        [encode_jpeg(w, 8, 1, top, quality=85), encode_jpeg(w, 8, 1, bottom, quality=85)],
+    )
+    assert decode_tiff(two) == (w, h, 1, top + bottom)
+
+    # JPEGTables (tag 347) form: named seam
+    tables = build(w, 8, 8, [encode_jpeg(w, 8, 1, top, quality=85)],
+                   extra=[(347, 7, 2, b"\xff\xd8\x00\x00")])
+    with pytest.raises(NotImplementedError, match="JPEGTables"):
+        decode_tiff(tables)
+
+    # strip/IFD geometry disagreement
+    bad = build(w, 8, 8, [encode_jpeg(8, 8, 1, bytes([40] * 64), quality=85)])
+    with pytest.raises(ValueError, match="geometry"):
+        decode_tiff(bad)
