@@ -42,7 +42,7 @@ from simsearch_spark.mount.artifacts import (
     load_manifest,
 )
 
-__all__ = ["append_rows", "delete_ids", "compact_codes"]
+__all__ = ["append_rows", "delete_ids", "compact_codes", "stream_append_codes"]
 
 
 def _swap_in(df: DataFrame, path: str) -> None:
@@ -219,3 +219,55 @@ def compact_codes(spark: SparkSession, mount_dir: str) -> int:
     with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return before - after
+
+
+def stream_append_codes(
+    spark: SparkSession,
+    mount_dir: str,
+    stream_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    checkpoint_dir: str | None = None,
+):
+    """Continuous catalog ingestion: a STREAMING embeddings frame appends
+    into the mounted codes table under the frozen-artifact contract — the
+    Structured-Streaming dual of ``append_rows``.
+
+    The artifacts load ONCE at query start (centroids + codebooks are
+    driver-bounded and frozen by contract, so no per-batch reload); each
+    micro-batch assigns/encodes with the same codegen expressions as the
+    batch path and appends its partitioned code rows.  Because encoding is
+    a pure row-local function of the frozen artifacts, the final codes
+    table is IDENTICAL for any micro-batch split of any arrival order —
+    the same split-invariance the LSH/qsketch streaming fronts guarantee
+    (pinned in tests/test_mount.py).  The manifest count is refreshed on
+    each batch commit.
+
+    Returns the started ``StreamingQuery``; pass ``availableNow`` triggers
+    through the caller's ``writeStream`` conventions by awaiting it.
+    """
+    manifest = load_manifest(mount_dir)
+    cmap = load_centroid_map(spark, mount_dir)
+    books = load_codebooks(spark, mount_dir)
+    codes_path = os.path.join(mount_dir, "pq_codes")
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if cell_col in batch_df.columns:
+            delta, cell = batch_df, cell_col
+        else:
+            delta, cell = _assign_cells(batch_df, id_col, vec_col, cmap), "__cell"
+        n = int(batch_df.count())
+        if n == 0:
+            return
+        encode_residual_codes(delta, id_col, vec_col, cell, cmap, books).write.mode(
+            "append"
+        ).partitionBy("cell").parquet(codes_path)
+        manifest["counts"]["n_vectors"] += n
+        with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+
+    writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

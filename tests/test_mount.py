@@ -277,3 +277,55 @@ def test_served_pivot_knn_equals_operator_and_brute(spark, sf_dir, mount_dir):
         for r in pivot_knn(emb, "vec_id", "embedding", qvec, k, prune=False).collect()
     ]
     assert served == pruned == brute and len(served) == k
+
+
+def test_stream_append_equals_batch_append(spark, sf_dir, tmp_path):
+    """Continuous ingestion parity: streaming a delta into the mount (any
+    micro-batch split) yields the IDENTICAL codes table and served top-k
+    as one batch append_rows call — encoding is a pure row-local function
+    of the frozen artifacts."""
+    from simsearch_spark.mount.maintain import stream_append_codes
+    from simsearch_spark.queries.ivf import IVF_QUERY_ID, N_PROBE
+    from simsearch_spark.queries.core import K
+    from simsearch_spark.queries.ivfpq import RERANK
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = 300
+    base = emb.where(F.col("vec_id") < cut)
+    delta = emb.where(F.col("vec_id") >= cut)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < cut)
+
+    m_batch = str(tmp_path / "m_batch")
+    mount(spark, sf_dir, m_batch, emb_frame=base, docs_frame=docs)
+    append_rows(spark, m_batch, emb_delta=delta)
+
+    m_stream = str(tmp_path / "m_stream")
+    mount(spark, sf_dir, m_stream, emb_frame=base, docs_frame=docs)
+    src = str(tmp_path / "delta_src")
+    for bi in range(3):  # 3-way split by id residue
+        delta.where(F.pmod(F.col("vec_id"), F.lit(3)) == bi).write.parquet(
+            f"{src}/b{bi}"
+        )
+    stream = spark.readStream.schema(
+        "vec_id long, label int, embedding array<double>"
+    ).parquet(src + "/*")
+    q = stream_append_codes(
+        spark, m_stream, stream.select("vec_id", "label", "embedding"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    a = _rows(spark.read.parquet(f"{m_batch}/pq_codes"))
+    b = _rows(spark.read.parquet(f"{m_stream}/pq_codes"))
+    assert a == b and len(a) == emb.count()
+    assert (
+        load_manifest(m_stream)["counts"]["n_vectors"]
+        == load_manifest(m_batch)["counts"]["n_vectors"]
+    )
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding
+    ]
+    sa = serve_ivfpq_topk(spark, m_batch, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
+    sb = serve_ivfpq_topk(spark, m_stream, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
+    assert _rows(sa) == _rows(sb)
