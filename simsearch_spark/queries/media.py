@@ -237,7 +237,13 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m = doc_id%15+1 / doc_id%16, e = (doc_id//16)%8) — companding is
     idempotent on those levels (exhaustively verified in
     tests/test_g711.py), the round trip is exact, and the oracle states
-    the same amplitude in closed form."""
+    the same amplitude in closed form.
+
+    r11: doc_ids ≡ 9 (mod 16) store IMA ADPCM WAVs (tag 0x11,
+    multimodal/adpcm.py — verified byte-exactly against CPython audioop)
+    carrying the coder's exactly-representable shape: a CONSTANT wave,
+    whose rms is the amplitude and whose zero-crossing count is 0 — both
+    stated in closed form by the oracle."""
     from simsearch_spark.multimodal.binary import audio_stats
     from simsearch_spark.multimodal.flac import encode_flac
     from simsearch_spark.multimodal.wav import encode_wav
@@ -267,6 +273,16 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     mimes.append("audio/wav")
                 elif d % 8 == 7:
                     payloads.append(encode_wav(wave, rate, codec="alaw"))
+                    mimes.append("audio/wav")
+                elif d % 16 == 9:
+                    # r11: IMA ADPCM lane (tag 0x11).  The coder is lossy
+                    # in general, but a CONSTANT signal round-trips
+                    # EXACTLY: the block header carries the first sample
+                    # verbatim and every zero-magnitude nibble reconstructs
+                    # +step>>3 = 0 at the floor step of 7 — so rms = amp
+                    # and zero_crossings = 0 hold in closed form.
+                    const = [amp] * (2 * half * cycles)
+                    payloads.append(encode_wav(const, rate, codec="ima_adpcm"))
                     mimes.append("audio/wav")
                 elif d % 2:
                     payloads.append(encode_flac(wave, rate))
@@ -306,7 +322,10 @@ SELECT doc_id AS media_id, 'ok' AS decoded,
              THEN (doc_id % 16 + 16) * power(2, (doc_id // 16) % 8 + 3)
                   + power(2, (doc_id // 16) % 8 + 2)
              ELSE (doc_id % 200 + 10) * 100 END)::DOUBLE AS rms,
-       (2 * (n_chars % 8 + 2) - 1)::BIGINT AS zero_crossings
+       -- the ADPCM lane (doc_id % 16 = 9) carries a CONSTANT wave (the
+       -- coder's exactly-representable shape): no crossings
+       (CASE WHEN doc_id % 16 = 9 THEN 0
+             ELSE 2 * (n_chars % 8 + 2) - 1 END)::BIGINT AS zero_crossings
 FROM documents
 """
 
