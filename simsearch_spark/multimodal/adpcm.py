@@ -20,8 +20,11 @@ G.711-at-representable-levels it cannot sit under a closed-form SQL
 oracle; its guarantees live in pytest (exact cross-implementation
 equality + reconstruction-error bounds).
 
-Scope: mono (the fixture shape).  Stereo tag-0x11 interleaves 4-byte
-nibble groups per channel — a named NotImplementedError seam.
+Block layouts (Microsoft tag-0x11 registration): MONO — one 4-byte
+header (int16 predictor, step index, reserved) then nibble pairs packed
+low-first; STEREO (r11) — one header per channel, then the data
+interleaves 4-BYTE GROUPS per channel (8 samples of the left channel,
+8 of the right, repeating), de-interleaved to L/R/L/R sample order.
 """
 
 from __future__ import annotations
@@ -183,4 +186,67 @@ def ima_wav_decode_block(block: bytes) -> list[int]:
         for nib in (byte & 0xF, (byte >> 4) & 0xF):
             pred, index = decode_nibble(nib, pred, index)
             out.append(pred)
+    return out
+
+
+def ima_wav_encode_block_stereo(
+    samples: list[int], indexes: tuple[int, int] = (0, 0)
+) -> tuple[bytes, tuple[int, int]]:
+    """One stereo block from INTERLEAVED L/R samples: per-channel 4-byte
+    headers, then alternating 4-byte nibble groups (8 samples per channel
+    per group).  ``len(samples)/2 - 1`` must be a multiple of 8 (whole
+    groups); returns (block, final per-channel step indexes)."""
+    if len(samples) < 2 or len(samples) & 1:
+        raise ValueError("stereo ADPCM block needs interleaved L/R samples")
+    chans = [samples[0::2], samples[1::2]]
+    n = len(chans[0])
+    if (n - 1) % 8:
+        raise ValueError("stereo tag-0x11 block needs 1 + 8k samples per channel")
+    out = bytearray()
+    states = []
+    for ch, idx in zip(chans, indexes):
+        pred = _clamp16(int(ch[0]))
+        out += struct.pack("<hBB", pred, _clamp_index(int(idx)), 0)
+        states.append((pred, _clamp_index(int(idx))))
+    for g in range((n - 1) // 8):
+        for c in (0, 1):
+            pred, idx = states[c]
+            lo = None
+            for s in chans[c][1 + 8 * g : 1 + 8 * (g + 1)]:
+                nib, pred, idx = encode_sample(int(s), pred, idx)
+                if lo is None:
+                    lo = nib
+                else:
+                    out.append(lo | (nib << 4))
+                    lo = None
+            states[c] = (pred, idx)
+    return bytes(out), (states[0][1], states[1][1])
+
+
+def ima_wav_decode_block_stereo(block: bytes) -> list[int]:
+    """One stereo block → INTERLEAVED L/R int16 samples (the two header
+    predictors first)."""
+    if len(block) < 8:
+        raise ValueError("truncated stereo ADPCM block header")
+    states = []
+    for c in (0, 1):
+        pred, index, _r = struct.unpack("<hBB", block[4 * c : 4 * c + 4])
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} > 88")
+        states.append((pred, index))
+    body = block[8:]
+    if len(body) % 8:
+        raise ValueError("stereo ADPCM data must be whole 4-byte channel groups")
+    chans: list[list[int]] = [[states[0][0]], [states[1][0]]]
+    for g in range(len(body) // 8):
+        for c in (0, 1):
+            pred, idx = states[c]
+            for byte in body[8 * g + 4 * c : 8 * g + 4 * (c + 1)]:
+                for nib in (byte & 0xF, (byte >> 4) & 0xF):
+                    pred, idx = decode_nibble(nib, pred, idx)
+                    chans[c].append(pred)
+            states[c] = (pred, idx)
+    out: list[int] = []
+    for left, right in zip(chans[0], chans[1]):
+        out += [left, right]
     return out

@@ -44,24 +44,43 @@ def encode_wav(
         tag, width = _TAG_ALAW, 1
         data = bytes(alaw_encode(int(s)) for s in samples)
     elif codec == "ima_adpcm":
-        from simsearch_spark.multimodal.adpcm import ima_wav_encode_block
+        from simsearch_spark.multimodal.adpcm import (
+            ima_wav_encode_block,
+            ima_wav_encode_block_stereo,
+        )
 
-        if channels != 1:
-            raise NotImplementedError("IMA ADPCM WAV: mono only")
+        if channels not in (1, 2):
+            raise NotImplementedError("IMA ADPCM WAV: mono or stereo only")
         tag = _TAG_IMA_ADPCM
-        block_align = 256
-        spb = (block_align - 4) * 2 + 1  # samples per block
-        chunks, index = [], 0
-        for i in range(0, len(samples), spb):
-            blk = [int(s) for s in samples[i : i + spb]]
-            if len(blk) > 1 and (len(blk) - 1) & 1:
-                blk.append(blk[-1])  # pad to whole bytes; fact chunk trims
-            block, index = ima_wav_encode_block(blk, index)
-            chunks.append(block)
+        if channels == 1:
+            block_align = 256
+            spb = (block_align - 4) * 2 + 1  # samples per block
+            chunks, index = [], 0
+            for i in range(0, len(samples), spb):
+                blk = [int(s) for s in samples[i : i + spb]]
+                if len(blk) > 1 and (len(blk) - 1) & 1:
+                    blk.append(blk[-1])  # pad to whole bytes; fact chunk trims
+                block, index = ima_wav_encode_block(blk, index)
+                chunks.append(block)
+            n_frames = len(samples)
+        else:
+            block_align = 512
+            spb = (block_align - 8) // 8 * 8 + 1  # 505 frames per block
+            if len(samples) & 1:
+                raise ValueError("stereo samples must interleave L/R pairs")
+            chunks, idxs = [], (0, 0)
+            for i in range(0, len(samples), 2 * spb):
+                blk = [int(s) for s in samples[i : i + 2 * spb]]
+                frames = len(blk) // 2
+                pad = (-(frames - 1)) % 8  # whole 8-frame groups; fact trims
+                blk = blk + blk[-2:] * pad
+                block, idxs = ima_wav_encode_block_stereo(blk, idxs)
+                chunks.append(block)
+            n_frames = len(samples) // 2
         data = b"".join(chunks)
         fmt = struct.pack(
             "<HHIIHHHH",
-            tag, 1, sample_rate,
+            tag, channels, sample_rate,
             sample_rate * block_align // spb,  # nominal byte rate
             block_align, 4,  # bits per (compressed) sample
             2, spb,          # cbSize, wSamplesPerBlock
@@ -69,7 +88,7 @@ def encode_wav(
         body = (
             b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"fact" + struct.pack("<II", 4, len(samples))
+            + b"fact" + struct.pack("<II", 4, n_frames)
             + b"data" + struct.pack("<I", len(data)) + data
         )
         if len(data) & 1:
@@ -124,12 +143,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
             if tag in (_TAG_ALAW, _TAG_ULAW) and bits != 8:
                 raise ValueError(f"G.711 WAV with bit depth {bits} (must be 8)")
             if tag == _TAG_IMA_ADPCM:
-                if channels != 1:
-                    raise NotImplementedError("IMA ADPCM WAV: mono only")
+                if channels not in (1, 2):
+                    raise NotImplementedError("IMA ADPCM WAV: mono or stereo only")
                 if bits != 4:
                     raise ValueError(f"IMA ADPCM WAV with bit depth {bits} (must be 4)")
-                if block_align < 5:
-                    raise ValueError(f"IMA ADPCM block align {block_align} < 5")
+                if block_align < 4 * channels + 1:
+                    raise ValueError(f"IMA ADPCM block align {block_align} too small")
             # a parseable-but-degenerate fmt chunk must surface as a normal
             # decode failure (callers' bounded-exception contract), not as a
             # ZeroDivisionError in downstream duration math (ADVICE r6)
@@ -144,13 +163,17 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     if rate is None or data is None:
         raise ValueError("WAV without fmt/data chunk")
     if tag == _TAG_IMA_ADPCM:
-        from simsearch_spark.multimodal.adpcm import ima_wav_decode_block
+        from simsearch_spark.multimodal.adpcm import (
+            ima_wav_decode_block,
+            ima_wav_decode_block_stereo,
+        )
 
+        dec = ima_wav_decode_block if channels == 1 else ima_wav_decode_block_stereo
         samples: list[int] = []
         for i in range(0, len(data), block_align):
-            samples += ima_wav_decode_block(data[i : i + block_align])
+            samples += dec(data[i : i + block_align])
         if n_fact is not None:
-            samples = samples[:n_fact]  # trim block padding
+            samples = samples[: n_fact * channels]  # trim block padding
         return rate, channels, samples
     if tag == _TAG_ULAW:
         from simsearch_spark.multimodal.g711 import ulaw_decode

@@ -107,5 +107,23 @@ def test_wav_container_tag11_roundtrip_and_dispatch(spark):
     (row,) = audio_stats(df).collect()
     assert row.decoded == "ok" and row.n_samples == n and row.sample_rate == 8000
 
-    with pytest.raises(NotImplementedError, match="mono only"):
-        encode_wav(samples, 8000, channels=2, codec="ima_adpcm")
+    # stereo (r11): per-channel headers + alternating 4-byte groups;
+    # channel separation is EXACT (each channel's nibble stream equals
+    # its mono encoding)
+    L = [int(5000 * math.sin(i / 9)) for i in range(600)]
+    R = [int(3000 * math.sin(i / 5 + 1)) for i in range(600)]
+    inter = [s2 for pair in zip(L, R) for s2 in pair]
+    ws = encode_wav(inter, 16000, channels=2, codec="ima_adpcm")
+    rate2, ch2, out2 = decode_wav(ws)
+    assert (rate2, ch2, len(out2)) == (16000, 2, 1200)
+    from simsearch_spark.multimodal.adpcm import (
+        ima_wav_decode_block,
+        ima_wav_encode_block,
+    )
+    # the left channel of block 1 equals its mono dual (505-frame block)
+    mono_l, _ = ima_wav_encode_block([int(s2) for s2 in L[:505]])
+    assert out2[0:2 * 505:2] == ima_wav_decode_block(mono_l)
+    errs2 = [abs(a - b) for a, b in zip(out2, inter)]
+    assert sum(errs2) / len(errs2) <= 300
+    with pytest.raises(NotImplementedError, match="mono or stereo"):
+        encode_wav(samples, 8000, channels=3, codec="ima_adpcm")
