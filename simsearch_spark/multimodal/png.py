@@ -2,8 +2,9 @@
 REAL for PNG payloads using only stdlib ``zlib``/``struct``.
 
 Scope: 8-bit depth, color types greyscale(0) / RGB(2) / palette(3) /
-grey+alpha(4) / RGBA(6), non-interlaced, all five scanline filters
-(None/Sub/Up/Average/Paeth).  Anything else raises ``NotImplementedError``
+grey+alpha(4) / RGBA(6), non-interlaced AND Adam7-interlaced (r11 —
+seven independently-filtered passes, RFC 2083 §2.6), all five scanline
+filters (None/Sub/Up/Average/Paeth).  Anything else raises ``NotImplementedError``
 with the offending parameter — the same explicit-seam contract the rest of
 ``multimodal/`` uses.  The encoder can apply any filter type per scanline,
 which is how the tests drive every unfilter branch through round-trips.
@@ -20,6 +21,28 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CT_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass grid (RFC 2083 §2.6): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(width: int, height: int):
+    """Per-pass (w, h) sub-image dimensions (0 for empty passes)."""
+    return [
+        (
+            max(0, (width - x0 + dx - 1) // dx),
+            max(0, (height - y0 + dy - 1) // dy),
+        )
+        for x0, y0, dx, dy in _ADAM7
+    ]
 
 
 def _chunk(typ: bytes, payload: bytes) -> bytes:
@@ -89,23 +112,46 @@ def encode_png(
     channels: int,
     pixels: bytes,
     filter_types: list[int] | int = 0,
+    interlace: bool = False,
 ) -> bytes:
     """Encode row-major 8-bit ``pixels`` (len = width*height*channels) as a
-    valid non-interlaced PNG.  ``filter_types`` is one type for every
-    scanline or a per-row list — used by tests to exercise each unfilter."""
+    valid PNG.  ``filter_types`` is one type for every scanline or a
+    per-row list — used by tests to exercise each unfilter;
+    ``interlace=True`` writes the Adam7 seven-pass layout (each pass
+    filtered independently)."""
     ct = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError(f"pixel buffer {len(pixels)} != {stride}*{height}")
-    fts = [filter_types] * height if isinstance(filter_types, int) else list(filter_types)
     raw = bytearray()
-    prev = bytes(stride)
-    for row in range(height):
-        line = pixels[row * stride : (row + 1) * stride]
-        raw.append(fts[row])
-        raw += _filter_line(fts[row], line, prev, channels)
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 0)
+    if interlace:
+        ftype = filter_types if isinstance(filter_types, int) else 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(width, height)):
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * channels
+            prev = bytes(pstride)
+            for j in range(ph):
+                y = y0 + j * dy
+                line = b"".join(
+                    pixels[
+                        (y * width + x0 + i * dx) * channels
+                        : (y * width + x0 + i * dx + 1) * channels
+                    ]
+                    for i in range(pw)
+                )
+                raw.append(ftype)
+                raw += _filter_line(ftype, line, prev, channels)
+                prev = line
+    else:
+        fts = [filter_types] * height if isinstance(filter_types, int) else list(filter_types)
+        prev = bytes(stride)
+        for row in range(height):
+            line = pixels[row * stride : (row + 1) * stride]
+            raw.append(fts[row])
+            raw += _filter_line(fts[row], line, prev, channels)
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ct, 0, 0, 1 if interlace else 0)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)
@@ -140,8 +186,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"malformed IHDR: {e}") from e
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth}")
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace}")
             if ct not in _CT_CHANNELS:
                 raise ValueError(f"PNG color type {ct}")
         elif typ == b"PLTE":
@@ -160,18 +206,51 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # corrupt deflate stream must not escape as
         raise ValueError(f"malformed IDAT: {e}") from e  # a zlib.error
-    if len(raw) != (stride + 1) * height:
-        raise ValueError(f"IDAT stream {len(raw)} != {(stride + 1) * height}")
-    out = bytearray()
-    prev: bytes = bytes(stride)
-    p = 0
-    for _row in range(height):
-        ft = raw[p]
-        line = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
-        line = _unfilter_line(ft, line, prev, channels)
-        out += line
-        prev = bytes(line)
+    if interlace == 1:
+        # Adam7 (r11): seven independently-filtered sub-images, each
+        # scanline carrying its own filter byte with the filter history
+        # reset per pass; pixels scatter back onto the (x0+i·dx, y0+j·dy)
+        # grid.  RFC 2083 §2.6 / §6.
+        # a pass with zero width OR height has no scanlines at all (spec:
+        # empty passes are completely absent from the stream)
+        expect = sum(
+            (pw * channels + 1) * ph
+            for pw, ph in _adam7_dims(width, height)
+            if pw and ph
+        )
+        if len(raw) != expect:
+            raise ValueError(f"IDAT stream {len(raw)} != {expect} (Adam7)")
+        out = bytearray(stride * height)
+        p = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(width, height)):
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * channels
+            prev = bytes(pstride)
+            for j in range(ph):
+                ft = raw[p]
+                line = bytearray(raw[p + 1 : p + 1 + pstride])
+                p += 1 + pstride
+                line = _unfilter_line(ft, line, prev, channels)
+                y = y0 + j * dy
+                for i in range(pw):
+                    x = x0 + i * dx
+                    out[(y * width + x) * channels : (y * width + x + 1) * channels] = \
+                        line[i * channels : (i + 1) * channels]
+                prev = bytes(line)
+    else:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError(f"IDAT stream {len(raw)} != {(stride + 1) * height}")
+        out = bytearray()
+        prev = bytes(stride)
+        p = 0
+        for _row in range(height):
+            ft = raw[p]
+            line = bytearray(raw[p + 1 : p + 1 + stride])
+            p += 1 + stride
+            line = _unfilter_line(ft, line, prev, channels)
+            out += line
+            prev = bytes(line)
     if ct == 3:  # palette → RGB expansion
         rgb = bytearray()
         for idx in out:
