@@ -130,7 +130,8 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     image — left half value ``doc_id % 256``, right half ``(doc_id*7 +
     13) % 256``, width ``n_chars % 31 + 2``, height ``doc_id % 7 + 1``.
     doc_id picks the container — ≡0 (mod 4): PNG with scanline filter
-    ``(doc_id//4) % 5`` (every PNG unfilter exercised); ≡2 (mod 4): 8-bit
+    ``(doc_id//4) % 5`` (every PNG unfilter exercised; (doc_id//4)%10 ≥ 5
+    writes the Adam7 INTERLACED layout, r11); ≡2 (mod 4): 8-bit
     BMP (multimodal/bmp.py; r10); ≡1,5 (mod 8): GIF89a (multimodal/gif.py
     — palette + LZW; r10); ≡3 (mod 8): little-endian and ≡7 (mod 8):
     BIG-endian TIFF (multimodal/tiff.py; r10 — both byte orders; r11 —
@@ -180,7 +181,16 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif d % 4 == 2:
                     payloads.append(encode_bmp(w, h, 1, row * h))
                 else:
-                    payloads.append(encode_png(w, h, 1, row * h, filter_types=(d // 4) % 5))
+                    # r11: (d//4) % 10 in 5..9 writes the Adam7 interlaced
+                    # layout (same filter cycle); lossless either way, so
+                    # the closed-form oracle is layout-invariant
+                    payloads.append(
+                        encode_png(
+                            w, h, 1, row * h,
+                            filter_types=(d // 4) % 5,
+                            interlace=(d // 4) % 10 >= 5,
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
