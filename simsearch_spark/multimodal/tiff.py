@@ -20,9 +20,12 @@ Scope:
 - TILED images (TIFF 6.0 §15, r11): full tw×tl blocks in row-major tile
   order, any of the three compressions per tile, predictor per tile row,
   edge padding clipped at the blit.
+- PLANAR separation (PlanarConfiguration 2, r11): per-plane strip runs
+  (all plane-0 strips, then plane 1, …), each plane decoding like an
+  independent grayscale image, interleaved to chunky RGB.
 - Named NotImplementedError seams: CCITT compression, JPEGTables-form
-  JPEG-in-TIFF, planar separation, mask/CMYK/YCbCr photometrics, other
-  bit depths, multi-page (a second IFD).
+  JPEG-in-TIFF, planar tiles / planar JPEG, mask/CMYK/YCbCr
+  photometrics, other bit depths, multi-page (a second IFD).
 - ENCODE: little-endian, single strip, BlackIsZero gray or chunky RGB,
   compression None/"packbits"/"lzw" (+ predictor 2 for LZW).  All
   lossless, so closed-form pixel oracles stay codec-invariant.
@@ -309,8 +312,9 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
             "JPEG-in-TIFF with a separate JPEGTables stream not supported "
             "(self-contained per-strip streams only)"
         )
-    if tags.get(284, [1])[0] != 1:
-        raise NotImplementedError("planar TIFF not supported")
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar} not supported")
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
@@ -337,6 +341,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate TIFF geometry {w}x{h}")
     if 322 in tags or 324 in tags:
+        if planar == 2:
+            raise NotImplementedError("planar tiled TIFF not supported")
         body = _assemble_tiles(data, tags, w, h, channels, comp, predictor)
         return (w, h, *_apply_photometric(body, photo, cmap))
     offs = tags.get(273)
@@ -344,6 +350,44 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     if not offs or not counts or len(offs) != len(counts):
         raise ValueError("TIFF without consistent strip offsets/byte counts")
     rps = int(tags.get(278, [h])[0]) or h
+    if planar == 2:
+        # PlanarConfiguration 2 (r11): each sample plane stores its OWN
+        # strip run (all plane-0 strips, then plane 1, then plane 2); each
+        # plane decodes like an independent grayscale image (predictor
+        # with spp=1 semantics) and the planes interleave to chunky RGB.
+        spl = -(-h // rps)  # strips per plane
+        if len(offs) != spl * channels:
+            raise ValueError(
+                f"planar TIFF expects {spl * channels} strips, has {len(offs)}"
+            )
+        planes = []
+        for p in range(channels):
+            plane = bytearray()
+            for si in range(spl):
+                o, c = offs[p * spl + si], counts[p * spl + si]
+                chunk = data[o : o + c]
+                if len(chunk) != c:
+                    raise ValueError("truncated TIFF strip")
+                rows = min(rps, h - si * rps)
+                need_s = rows * w
+                if comp == 5:
+                    strip = bytearray(lzw_decode_tiff(chunk, need_s))
+                    if predictor == 2:
+                        _undiff_rows(strip, w, rows, 1)
+                    plane += strip
+                elif comp == 32773:
+                    plane += unpackbits(chunk, need_s)
+                elif comp == 1:
+                    if len(chunk) < need_s:
+                        raise ValueError("truncated uncompressed planar strip")
+                    plane += chunk[:need_s]
+                else:
+                    raise NotImplementedError("planar JPEG-in-TIFF not supported")
+            planes.append(plane)
+        inter = bytearray(w * h * channels)
+        for p, plane in enumerate(planes):
+            inter[p::channels] = plane
+        return (w, h, *_apply_photometric(bytes(inter), photo, cmap))
     body = bytearray()
     for si, (o, c) in enumerate(zip(offs, counts)):
         chunk = data[o : o + c]

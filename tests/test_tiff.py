@@ -71,9 +71,10 @@ def test_named_seams():
     with pytest.raises(NotImplementedError, match="photometric 5"):
         decode_tiff(bytes(b))
     b = bytearray(t)
-    # repurpose the RowsPerStrip entry (unused by strip assembly) as 284
-    set_tag(b, 284, 3, 1, struct.pack(bo + "HH", 2, 0), repurpose=278)
-    with pytest.raises(NotImplementedError, match="planar"):
+    # repurpose the RowsPerStrip entry (unused by strip assembly) as 284;
+    # r11: planar config 2 is implemented — an INVALID config still raises
+    set_tag(b, 284, 3, 1, struct.pack(bo + "HH", 3, 0), repurpose=278)
+    with pytest.raises(NotImplementedError, match="planar configuration 3"):
         decode_tiff(bytes(b))
     b = bytearray(t)
     b[-2:] = b""  # truncate the strip
@@ -469,3 +470,67 @@ def test_jpeg_in_tiff_strips():
     bad = build(w, 8, 8, [encode_jpeg(8, 8, 1, bytes([40] * 64), quality=85)])
     with pytest.raises(ValueError, match="geometry"):
         decode_tiff(bad)
+
+
+def test_planar_tiff_rgb_all_compressions():
+    """PlanarConfiguration 2 (r11): per-plane strip runs (R strips, then
+    G, then B), each plane decoding like an independent gray image
+    (predictor spp=1), interleaved to chunky RGB — for every compression
+    and a 2-strips-per-plane split."""
+    from simsearch_spark.multimodal.tiff import (
+        _diff_rows,
+        lzw_encode_tiff,
+        packbits,
+    )
+
+    bo = "<"
+    w, h, rps = 5, 4, 2  # 2 strips per plane
+    px = bytes((i * 23) & 0xFF for i in range(w * h * 3))
+    planes = [px[c::3] for c in range(3)]
+
+    for comp, pred, pack in (
+        (1, 1, lambda t: t),
+        (32773, 1, packbits),
+        (5, 1, lzw_encode_tiff),
+        (5, 2, lambda t: lzw_encode_tiff(_diff_rows(t, w, 2, 1))),
+    ):
+        strips = [
+            pack(pl[s * rps * w : (s + 1) * rps * w])
+            for pl in planes
+            for s in range(2)
+        ]
+        n = 11
+        ifd = 2 + 12 * n + 4
+        arr = 8 + ifd
+        data_off = arr + 2 * 4 * len(strips)
+        offs, pos = [], data_off
+        for s_ in strips:
+            offs.append(pos)
+            pos += len(s_)
+        entries = [
+            (256, 3, 1, struct.pack(bo + "HH", w, 0)),
+            (257, 3, 1, struct.pack(bo + "HH", h, 0)),
+            (258, 3, 3, struct.pack(bo + "I", 0)),  # placeholder; fix below
+            (259, 3, 1, struct.pack(bo + "HH", comp, 0)),
+            (262, 3, 1, struct.pack(bo + "HH", 2, 0)),
+            (273, 4, len(strips), struct.pack(bo + "I", arr)),
+            (277, 3, 1, struct.pack(bo + "HH", 3, 0)),
+            (278, 3, 1, struct.pack(bo + "HH", rps, 0)),
+            (279, 4, len(strips), struct.pack(bo + "I", arr + 4 * len(strips))),
+            (284, 3, 1, struct.pack(bo + "HH", 2, 0)),
+            (317, 3, 1, struct.pack(bo + "HH", pred, 0)),
+        ]
+        # bits-per-sample [8,8,8] needs an offsite array: append after data
+        bps_off = pos
+        entries[2] = (258, 3, 3, struct.pack(bo + "I", bps_off))
+        t = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
+        t += struct.pack(bo + "H", n)
+        for tag, typ, cnt, val in sorted(entries):
+            t += struct.pack(bo + "HHI", tag, typ, cnt) + val
+        t += struct.pack(bo + "I", 0)
+        t += struct.pack(bo + f"{len(strips)}I", *offs)
+        t += struct.pack(bo + f"{len(strips)}I", *[len(s_) for s_ in strips])
+        for s_ in strips:
+            t += s_
+        t += struct.pack(bo + "HHH", 8, 8, 8)
+        assert decode_tiff(bytes(t)) == (w, h, 3, px), (comp, pred)
