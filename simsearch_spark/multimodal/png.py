@@ -1,7 +1,8 @@
 """Dependency-free PNG codec (RFC 2083) — makes the multimodal decode seam
 REAL for PNG payloads using only stdlib ``zlib``/``struct``.
 
-Scope: 8-bit depth, color types greyscale(0) / RGB(2) / palette(3) /
+Scope: 8-bit depth (16-bit decodes via the high-byte reduction, the
+TIFF-ColorMap convention), color types greyscale(0) / RGB(2) / palette(3) /
 grey+alpha(4) / RGBA(6), non-interlaced AND Adam7-interlaced (r11 —
 seven independently-filtered passes, RFC 2083 §2.6), all five scanline
 filters (None/Sub/Up/Average/Paeth).  Anything else raises ``NotImplementedError``
@@ -162,9 +163,9 @@ def encode_png(
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a PNG payload to (width, height, channels, row-major 8-bit
-    pixels).  Palette images are expanded to RGB.  Raises
-    ``NotImplementedError`` for bit depths != 8 or interlaced images,
-    ``ValueError`` for malformed containers."""
+    pixels).  Palette images are expanded to RGB; 16-bit samples reduce
+    to their high byte.  Raises ``NotImplementedError`` for unsupported
+    bit depths, ``ValueError`` for malformed containers."""
     if data[:8] != _SIGNATURE:
         raise ValueError("not a PNG payload")
     pos = 8
@@ -184,7 +185,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             except struct.error as e:  # truncated chunk
                 raise ValueError(f"malformed IHDR: {e}") from e
-            if depth != 8:
+            if depth == 16 and ct == 3:
+                raise ValueError("16-bit palette PNG is invalid (PLTE is 8-bit)")
+            if depth not in (8, 16):
                 raise NotImplementedError(f"PNG bit depth {depth}")
             if interlace not in (0, 1):
                 raise ValueError(f"PNG interlace method {interlace}")
@@ -201,7 +204,9 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if not idat:
         raise ValueError("PNG without IDAT (header-only payload)")
     channels = _CT_CHANNELS[ct]
-    stride = width * channels
+    bsamp = 2 if depth == 16 else 1  # bytes per sample on the wire
+    bpp = channels * bsamp           # filter distance (RFC 2083 §6.2)
+    stride = width * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # corrupt deflate stream must not escape as
@@ -214,7 +219,7 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         # a pass with zero width OR height has no scanlines at all (spec:
         # empty passes are completely absent from the stream)
         expect = sum(
-            (pw * channels + 1) * ph
+            (pw * bpp + 1) * ph
             for pw, ph in _adam7_dims(width, height)
             if pw and ph
         )
@@ -225,18 +230,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(width, height)):
             if pw == 0 or ph == 0:
                 continue
-            pstride = pw * channels
+            pstride = pw * bpp
             prev = bytes(pstride)
             for j in range(ph):
                 ft = raw[p]
                 line = bytearray(raw[p + 1 : p + 1 + pstride])
                 p += 1 + pstride
-                line = _unfilter_line(ft, line, prev, channels)
+                line = _unfilter_line(ft, line, prev, bpp)
                 y = y0 + j * dy
                 for i in range(pw):
                     x = x0 + i * dx
-                    out[(y * width + x) * channels : (y * width + x + 1) * channels] = \
-                        line[i * channels : (i + 1) * channels]
+                    out[(y * width + x) * bpp : (y * width + x + 1) * bpp] = \
+                        line[i * bpp : (i + 1) * bpp]
                 prev = bytes(line)
     else:
         if len(raw) != (stride + 1) * height:
@@ -248,9 +253,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
             ft = raw[p]
             line = bytearray(raw[p + 1 : p + 1 + stride])
             p += 1 + stride
-            line = _unfilter_line(ft, line, prev, channels)
+            line = _unfilter_line(ft, line, prev, bpp)
             out += line
             prev = bytes(line)
+    if depth == 16:
+        # 16-bit samples reduce to their HIGH byte — the same 8-bit
+        # reduction convention as the TIFF ColorMap's >>8 (the module's
+        # pixel surface is 8-bit by contract; samples are big-endian)
+        out = out[0::2]
     if ct == 3:  # palette → RGB expansion
         rgb = bytearray()
         for idx in out:

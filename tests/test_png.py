@@ -705,3 +705,77 @@ def test_avi_pre_r9_mjpeg_header_routes_to_jpeg(spark):
     df = spark.createDataFrame([(1, bytearray(bytes(avi)))], "media_id long, payload binary")
     (row,) = frame_pixel_stats(df, every_n=1).collect()
     assert row.decoded == "ok" and row.channels == 1 and row.mean_c0 == 99.0
+
+
+def test_16bit_png_decodes_via_high_byte_reduction():
+    """16-bit PNGs decode with the correct DOUBLED filter distance
+    (RFC 2083 §6.2: bpp is bytes per pixel) and reduce each big-endian
+    sample to its high byte — the TIFF-ColorMap 8-bit-reduction
+    convention — for every filter, gray and RGB, sequential and Adam7.
+    16-bit palette is invalid per spec."""
+    import random
+    import struct as _s
+    import zlib as _z
+
+    from simsearch_spark.multimodal.png import (
+        _ADAM7,
+        _adam7_dims,
+        _chunk,
+        _filter_line,
+        decode_png,
+    )
+
+    rng = random.Random(53)
+
+    def build16(w, h, ch, samples16, ft, interlace=False):
+        ct = {1: 0, 3: 2}[ch]
+
+        def raw_for(pixels, pw, phh):
+            stride = pw * ch * 2
+            out = bytearray()
+            prev = bytes(stride)
+            for r in range(phh):
+                line = pixels[r * stride : (r + 1) * stride]
+                out.append(ft)
+                out += _filter_line(ft, line, prev, ch * 2)
+                prev = line
+            return out
+
+        be = b"".join(_s.pack(">H", v) for v in samples16)
+        if not interlace:
+            raw = raw_for(be, w, h)
+        else:
+            raw = bytearray()
+            for (x0, y0, dx, dy), (pw, phh) in zip(_ADAM7, _adam7_dims(w, h)):
+                if not pw or not phh:
+                    continue
+                sub = bytearray()
+                for j in range(phh):
+                    y = y0 + j * dy
+                    for i in range(pw):
+                        x = x0 + i * dx
+                        for c in range(ch):
+                            o = ((y * w + x) * ch + c) * 2
+                            sub += be[o : o + 2]
+                raw += raw_for(bytes(sub), pw, phh)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 16, ct, 0, 0, int(interlace)))
+            + _chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+
+    for w, h, ch in [(5, 3, 1), (4, 4, 3), (9, 2, 1), (1, 1, 3)]:
+        samples = [rng.randrange(65536) for _ in range(w * h * ch)]
+        want = bytes(v >> 8 for v in samples)
+        for ft in range(5):
+            for il in (False, True):
+                assert decode_png(build16(w, h, ch, samples, ft, il)) == (
+                    w, h, ch, want,
+                ), (w, h, ch, ft, il)
+
+    bad = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="16-bit palette"):
+        decode_png(bad)
