@@ -73,8 +73,10 @@ def test_explicit_failures():
     header_only = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     with pytest.raises(ValueError, match="IDAT"):
         decode_png(header_only)
+    # r11: depth 16 is implemented (high-byte reduction); sub-byte depths
+    # remain the named seam
     deep = b"\x89PNG\r\n\x1a\n" + _chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     )
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png(deep)
