@@ -187,8 +187,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError(f"malformed IHDR: {e}") from e
             if depth == 16 and ct == 3:
                 raise ValueError("16-bit palette PNG is invalid (PLTE is 8-bit)")
-            if depth not in (8, 16):
-                raise NotImplementedError(f"PNG bit depth {depth}")
+            if depth in (1, 2, 4) and ct not in (0, 3):
+                raise ValueError(f"PNG depth {depth} is gray/palette-only")
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"invalid PNG bit depth {depth}")
             if interlace not in (0, 1):
                 raise ValueError(f"PNG interlace method {interlace}")
             if ct not in _CT_CHANNELS:
@@ -204,9 +206,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if not idat:
         raise ValueError("PNG without IDAT (header-only payload)")
     channels = _CT_CHANNELS[ct]
-    bsamp = 2 if depth == 16 else 1  # bytes per sample on the wire
-    bpp = channels * bsamp           # filter distance (RFC 2083 §6.2)
-    stride = width * bpp
+    # filter distance is bytes per pixel, FLOOR 1 for sub-byte depths
+    # (RFC 2083 §6.2); scanline byte width packs bits for depth < 8
+    bpp = max(1, channels * depth // 8)
+    stride = (width * channels * depth + 7) // 8
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:  # corrupt deflate stream must not escape as
@@ -261,6 +264,23 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         # reduction convention as the TIFF ColorMap's >>8 (the module's
         # pixel surface is 8-bit by contract; samples are big-endian)
         out = out[0::2]
+    elif depth < 8:
+        # unpack MSB-first bit groups per SCANLINE (row padding bits are
+        # discarded); gray scales by bit replication (1→×255, 2→×85,
+        # 4→×17 — the spec's sample-depth scaling), palette keeps indices
+        if interlace == 1:
+            raise NotImplementedError(f"interlaced sub-byte PNG (depth {depth})")
+        scale = 1 if ct == 3 else 255 // ((1 << depth) - 1)
+        mask = (1 << depth) - 1
+        per_byte = 8 // depth
+        unpacked = bytearray(width * height)
+        for y in range(height):
+            base = y * stride
+            for x in range(width):
+                byte = out[base + x // per_byte]
+                shift = 8 - depth * (x % per_byte + 1)
+                unpacked[y * width + x] = ((byte >> shift) & mask) * scale
+        out = unpacked
     if ct == 3:  # palette → RGB expansion
         rgb = bytearray()
         for idx in out:

@@ -73,12 +73,12 @@ def test_explicit_failures():
     header_only = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     with pytest.raises(ValueError, match="IDAT"):
         decode_png(header_only)
-    # r11: depth 16 is implemented (high-byte reduction); sub-byte depths
-    # remain the named seam
+    # r11: every LEGAL depth (1/2/4/8/16) decodes; an illegal depth is a
+    # malformed file, and sub-byte RGB is spec-invalid
     deep = b"\x89PNG\r\n\x1a\n" + _chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
     )
-    with pytest.raises(NotImplementedError, match="depth"):
+    with pytest.raises(ValueError, match="bit depth 3"):
         decode_png(deep)
     # r11: Adam7 is implemented — a header-only interlaced file now fails
     # on the missing IDAT like any other, and an unknown interlace method
@@ -780,4 +780,59 @@ def test_16bit_png_decodes_via_high_byte_reduction():
         b"IHDR", _s.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     )
     with pytest.raises(ValueError, match="16-bit palette"):
+        decode_png(bad)
+
+
+def test_sub_byte_png_depths():
+    """1/2/4-bit PNGs (gray + palette): MSB-first bit groups unpack per
+    scanline (row padding discarded), filters run on the PACKED bytes with
+    bpp = 1 (RFC 2083 §6.2 floor), gray scales by bit replication
+    (1→×255, 2→×85, 4→×17), palette keeps indices for PLTE lookup."""
+    import random
+    import struct as _s
+    import zlib as _z
+
+    from simsearch_spark.multimodal.png import _chunk, _filter_line, decode_png
+
+    rng = random.Random(13)
+
+    def build(w, h, depth, vals, ct=0, plte=b"", ft=0):
+        per = 8 // depth
+        stride = (w * depth + 7) // 8
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(h):
+            line = bytearray(stride)
+            for x in range(w):
+                line[x // per] |= vals[y * w + x] << (8 - depth * (x % per + 1))
+            raw.append(ft)
+            raw += _filter_line(ft, bytes(line), prev, 1)
+            prev = bytes(line)
+        body = _chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0))
+        if plte:
+            body += _chunk(b"PLTE", plte)
+        return (
+            b"\x89PNG\r\n\x1a\n" + body
+            + _chunk(b"IDAT", _z.compress(bytes(raw))) + _chunk(b"IEND", b"")
+        )
+
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for w, h in [(1, 1), (7, 3), (8, 2), (9, 5)]:
+            vals = [rng.randrange(1 << depth) for _ in range(w * h)]
+            for ft in range(5):
+                assert decode_png(build(w, h, depth, vals, ft=ft)) == (
+                    w, h, 1, bytes(v * scale for v in vals),
+                ), (depth, w, h, ft)
+
+    plte = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 7, 7, 7])
+    vals = [0, 1, 2, 3, 3, 2, 1, 0]
+    want = b"".join(plte[3 * v : 3 * v + 3] for v in vals)
+    assert decode_png(build(4, 2, 2, vals, ct=3, plte=plte)) == (4, 2, 3, want)
+
+    # sub-byte RGB is invalid per spec
+    bad = b"\x89PNG\r\n\x1a\n" + _chunk(
+        b"IHDR", _s.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    )
+    with pytest.raises(ValueError, match="gray/palette-only"):
         decode_png(bad)
