@@ -76,6 +76,23 @@ def _assign_cells(
     return emb.withColumn("__cell", best["cid"])
 
 
+def _drop_existing_ids(
+    spark: SparkSession, mount_dir: str, delta: DataFrame, id_col: str
+) -> DataFrame:
+    """Anti-join a delta against the ids already in the codes table, so a
+    re-submitted row can never land twice (duplicate code rows would be
+    returned twice in ADC candidates).  Reads ONLY the id column of the
+    codes parquet (column-pruned scan) and broadcasts nothing — the codes
+    side is the big side, so the delta probes it as a left-anti join."""
+    codes_path = os.path.join(mount_dir, "pq_codes")
+    if not os.path.isdir(codes_path):
+        return delta
+    existing = spark.read.parquet(codes_path).select(
+        F.col("vec_id").alias(id_col)
+    )
+    return delta.join(existing, id_col, "left_anti")
+
+
 def append_rows(
     spark: SparkSession,
     mount_dir: str,
@@ -84,23 +101,39 @@ def append_rows(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "label",
+    dedup_ids: bool = True,
 ) -> dict:
     """Append a vector delta and/or a document delta to a mounted
-    instance without retraining; returns the updated manifest."""
+    instance without retraining; returns the updated manifest.
+
+    ``dedup_ids`` (default on) silently drops delta rows whose id already
+    exists in the codes table — re-submitting a delta is then a no-op
+    instead of creating duplicate code rows (ADVICE r11).  Disjoint-id
+    appends are unaffected."""
     manifest = load_manifest(mount_dir)
 
     if emb_delta is not None:
         cmap = load_centroid_map(spark, mount_dir)
         books = load_codebooks(spark, mount_dir)
-        if cell_col in emb_delta.columns:
-            delta, cell = emb_delta, cell_col
-        else:
-            delta, cell = _assign_cells(emb_delta, id_col, vec_col, cmap), "__cell"
-        codes = encode_residual_codes(delta, id_col, vec_col, cell, cmap, books)
-        codes.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(mount_dir, "pq_codes")
-        )
-        manifest["counts"]["n_vectors"] += int(emb_delta.count())
+        if dedup_ids:
+            emb_delta = _drop_existing_ids(spark, mount_dir, emb_delta, id_col)
+        # count BEFORE the append — the anti-join plan reads the codes
+        # parquet, so evaluating it after the write would see (and drop)
+        # the rows this call just appended
+        n_new = int(emb_delta.count())
+        if n_new > 0:  # a fully-duplicate delta dedupes to empty: no-op
+            if cell_col in emb_delta.columns:
+                delta, cell = emb_delta, cell_col
+            else:
+                delta, cell = (
+                    _assign_cells(emb_delta, id_col, vec_col, cmap),
+                    "__cell",
+                )
+            codes = encode_residual_codes(delta, id_col, vec_col, cell, cmap, books)
+            codes.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(mount_dir, "pq_codes")
+            )
+        manifest["counts"]["n_vectors"] += n_new
 
     if docs_delta is not None:
         from simsearch_spark.functions.text import ws_tokens
@@ -244,6 +277,20 @@ def stream_append_codes(
     (pinned in tests/test_mount.py).  The manifest count is refreshed on
     each batch commit.
 
+    REPLAY SAFETY (ADVICE r11): ``foreachBatch`` is at-least-once — a
+    batch retried after a crash arrives again (same batch_id), and a
+    crash can land BETWEEN the code-row write and the manifest commit.
+    The sink makes the whole commit idempotent by anti-joining the
+    batch's ids against the codes table (id-column-pruned scan) before
+    encoding: a replayed batch dedupes to an EMPTY delta, so it appends
+    no rows and bumps no count, whatever the failure point.  A batch-id
+    watermark would be redundant for correctness and could falsely skip
+    NEW data if a checkpoint path were recycled, so the last seen batch
+    id is only RECORDED per checkpoint (``manifest["stream_state"]``)
+    for observability, never used to skip work.  The same anti-join also
+    drops duplicate vec_ids a producer re-submits (they would otherwise
+    surface twice in ADC candidates).
+
     Returns the started ``StreamingQuery``; pass ``availableNow`` triggers
     through the caller's ``writeStream`` conventions by awaiting it.
     """
@@ -251,19 +298,25 @@ def stream_append_codes(
     cmap = load_centroid_map(spark, mount_dir)
     books = load_codebooks(spark, mount_dir)
     codes_path = os.path.join(mount_dir, "pq_codes")
+    ck_key = (
+        os.path.basename(os.path.normpath(checkpoint_dir))
+        if checkpoint_dir
+        else "_default"
+    )
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
         if cell_col in batch_df.columns:
             delta, cell = batch_df, cell_col
         else:
             delta, cell = _assign_cells(batch_df, id_col, vec_col, cmap), "__cell"
-        n = int(batch_df.count())
-        if n == 0:
-            return
-        encode_residual_codes(delta, id_col, vec_col, cell, cmap, books).write.mode(
-            "append"
-        ).partitionBy("cell").parquet(codes_path)
+        delta = _drop_existing_ids(spark, mount_dir, delta, id_col)
+        n = int(delta.count())  # count BEFORE the append (see append_rows)
+        if n > 0:
+            encode_residual_codes(
+                delta, id_col, vec_col, cell, cmap, books
+            ).write.mode("append").partitionBy("cell").parquet(codes_path)
         manifest["counts"]["n_vectors"] += n
+        manifest.setdefault("stream_state", {})[ck_key] = int(batch_id)
         with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
 

@@ -230,6 +230,14 @@ def serve_ivfpq_multi_topk(
                 F.col(f"_cos_{qid}").alias("cos_sim"),
             )
         )
+    if not arms:
+        # every probed partition empty or fully tombstoned — empty result
+        # with the contract schema, like the single-query serve path
+        return spark.createDataFrame(
+            [],
+            f"query_id int, {id_col} bigint, adc_dist double, "
+            "cos_sim double, rank int",
+        )
     out = arms[0]
     for a in arms[1:]:
         out = out.unionByName(a)

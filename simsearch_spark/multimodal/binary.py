@@ -65,6 +65,9 @@ META_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("format", StringType()),
+        # r12: IFD-chain length for TIFF (multi-page), 1 for the other
+        # single-image containers, 0 when the container is unknown/broken
+        StructField("n_pages", IntegerType()),
     ]
 )
 
@@ -125,6 +128,22 @@ def _sniff_header(payload: bytes) -> tuple[str, int, int]:
     return ("unknown", -1, -1)
 
 
+def _page_count(fmt: str, w: int, payload: bytes) -> int:
+    """Container page count for the meta sniff: the TIFF IFD-chain length
+    (multi-page, r12), 1 for recognized single-image containers, 0 for
+    unknown or unwalkable payloads."""
+    if fmt == "unknown" or w < 0:
+        return 0
+    if fmt != "tiff":
+        return 1
+    from simsearch_spark.multimodal.tiff import tiff_page_count
+
+    try:
+        return tiff_page_count(payload)
+    except _DECODE_ERRORS:
+        return 0
+
+
 def decode_image_meta(df: DataFrame) -> DataFrame:
     """Extract typed metadata from binary payloads via mapInPandas (Arrow
     batches; pure-Python header sniff, no decode)."""
@@ -141,6 +160,10 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
                     "width": [w for _f, w, _h in fmt_w_h],
                     "height": [h for _f, _w, h in fmt_w_h],
                     "format": [f for f, _w, _h in fmt_w_h],
+                    "n_pages": [
+                        _page_count(f, w, p)
+                        for (f, w, _h), p in zip(fmt_w_h, pdf["payload"])
+                    ],
                 }
             )
 

@@ -1,10 +1,13 @@
 """Dependency-free PNG codec (RFC 2083) — makes the multimodal decode seam
 REAL for PNG payloads using only stdlib ``zlib``/``struct``.
 
-Scope: 8-bit depth (16-bit decodes via the high-byte reduction, the
-TIFF-ColorMap convention), color types greyscale(0) / RGB(2) / palette(3) /
-grey+alpha(4) / RGBA(6), non-interlaced AND Adam7-interlaced (r11 —
-seven independently-filtered passes, RFC 2083 §2.6), all five scanline
+Scope: every legal bit depth — 8-bit natively, 16-bit via the high-byte
+reduction (the TIFF-ColorMap convention), sub-byte 1/2/4 (MSB-first
+packed, gray bit-replication scaling / palette indices) — for color types
+greyscale(0) / RGB(2) / palette(3) / grey+alpha(4) / RGBA(6),
+non-interlaced AND Adam7-interlaced (seven independently-filtered passes,
+RFC 2083 §2.6; r12 closes the interlaced×sub-byte cell, so every legal
+(depth × layout) combination decodes), all five scanline
 filters (None/Sub/Up/Average/Paeth).  Anything else raises ``NotImplementedError``
 with the offending parameter — the same explicit-seam contract the rest of
 ``multimodal/`` uses.  The encoder can apply any filter type per scanline,
@@ -220,32 +223,64 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         # reset per pass; pixels scatter back onto the (x0+i·dx, y0+j·dy)
         # grid.  RFC 2083 §2.6 / §6.
         # a pass with zero width OR height has no scanlines at all (spec:
-        # empty passes are completely absent from the stream)
+        # empty passes are completely absent from the stream); pass
+        # scanlines PACK sub-byte samples (ceil(pw·depth/8) bytes,
+        # pass-local padding bits)
+        dims = _adam7_dims(width, height)
         expect = sum(
-            (pw * bpp + 1) * ph
-            for pw, ph in _adam7_dims(width, height)
+            ((pw * channels * depth + 7) // 8 + 1) * ph
+            for pw, ph in dims
             if pw and ph
         )
         if len(raw) != expect:
             raise ValueError(f"IDAT stream {len(raw)} != {expect} (Adam7)")
-        out = bytearray(stride * height)
-        p = 0
-        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(width, height)):
-            if pw == 0 or ph == 0:
-                continue
-            pstride = pw * bpp
-            prev = bytes(pstride)
-            for j in range(ph):
-                ft = raw[p]
-                line = bytearray(raw[p + 1 : p + 1 + pstride])
-                p += 1 + pstride
-                line = _unfilter_line(ft, line, prev, bpp)
-                y = y0 + j * dy
-                for i in range(pw):
-                    x = x0 + i * dx
-                    out[(y * width + x) * bpp : (y * width + x + 1) * bpp] = \
-                        line[i * bpp : (i + 1) * bpp]
-                prev = bytes(line)
+        if depth < 8:
+            # interlaced sub-byte (r12): unfilter each pass's PACKED
+            # scanline with the 1-byte filter distance, unpack MSB-first
+            # bit groups per pass line, scatter 8-bit SAMPLES (gray by
+            # bit replication, palette keeps indices — expanded below)
+            scale = 1 if ct == 3 else 255 // ((1 << depth) - 1)
+            mask = (1 << depth) - 1
+            per_byte = 8 // depth
+            out = bytearray(width * height)
+            p = 0
+            for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+                if pw == 0 or ph == 0:
+                    continue
+                pstride = (pw * depth + 7) // 8
+                prev = bytes(pstride)
+                for j in range(ph):
+                    ft = raw[p]
+                    line = bytearray(raw[p + 1 : p + 1 + pstride])
+                    p += 1 + pstride
+                    line = _unfilter_line(ft, line, prev, 1)
+                    y = y0 + j * dy
+                    for i in range(pw):
+                        byte = line[i // per_byte]
+                        shift = 8 - depth * (i % per_byte + 1)
+                        out[y * width + x0 + i * dx] = ((byte >> shift) & mask) * scale
+                    prev = bytes(line)
+            depth = 8  # samples now unpacked to one byte each — the
+            # depth-16/<8 post-processing below must not run again
+        else:
+            out = bytearray(stride * height)
+            p = 0
+            for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+                if pw == 0 or ph == 0:
+                    continue
+                pstride = pw * bpp
+                prev = bytes(pstride)
+                for j in range(ph):
+                    ft = raw[p]
+                    line = bytearray(raw[p + 1 : p + 1 + pstride])
+                    p += 1 + pstride
+                    line = _unfilter_line(ft, line, prev, bpp)
+                    y = y0 + j * dy
+                    for i in range(pw):
+                        x = x0 + i * dx
+                        out[(y * width + x) * bpp : (y * width + x + 1) * bpp] = \
+                            line[i * bpp : (i + 1) * bpp]
+                    prev = bytes(line)
     else:
         if len(raw) != (stride + 1) * height:
             raise ValueError(f"IDAT stream {len(raw)} != {(stride + 1) * height}")
@@ -268,8 +303,6 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         # unpack MSB-first bit groups per SCANLINE (row padding bits are
         # discarded); gray scales by bit replication (1→×255, 2→×85,
         # 4→×17 — the spec's sample-depth scaling), palette keeps indices
-        if interlace == 1:
-            raise NotImplementedError(f"interlaced sub-byte PNG (depth {depth})")
         scale = 1 if ct == 3 else 255 // ((1 << depth) - 1)
         mask = (1 << depth) - 1
         per_byte = 8 // depth

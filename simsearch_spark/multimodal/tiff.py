@@ -18,14 +18,20 @@ Scope:
   PlanarConfiguration 1 (chunky).  TIFF rows are top-down — no flip,
   unlike BMP/DIB.
 - TILED images (TIFF 6.0 §15, r11): full tw×tl blocks in row-major tile
-  order, any of the three compressions per tile, predictor per tile row,
-  edge padding clipped at the blit.
+  order, any supported compression per tile (incl. JPEG tiles, r12),
+  predictor per tile row, edge padding clipped at the blit.
+- MULTI-PAGE (r12): the IFD chain walks via next-IFD offsets —
+  ``decode_tiff(data, page=N)``, ``tiff_page_count``, and a relocating
+  multi-page encoder (``encode_tiff_multipage``).
 - PLANAR separation (PlanarConfiguration 2, r11): per-plane strip runs
   (all plane-0 strips, then plane 1, …), each plane decoding like an
   independent grayscale image, interleaved to chunky RGB.
-- Named NotImplementedError seams: CCITT compression, JPEGTables-form
-  JPEG-in-TIFF, planar tiles / planar JPEG, mask/CMYK/YCbCr
-  photometrics, other bit depths, multi-page (a second IFD).
+- JPEG-in-TIFF (compression 7): self-contained per-strip/per-tile
+  streams AND the JPEGTables form (TIFF/EP tag 347 — shared abbreviated
+  tables spliced after each stream's SOI, r12), via the in-repo
+  baseline/progressive JPEG decoder.
+- Named NotImplementedError seams: CCITT compression, planar tiles /
+  planar JPEG, mask/CMYK/YCbCr photometrics, other bit depths.
 - ENCODE: little-endian, single strip, BlackIsZero gray or chunky RGB,
   compression None/"packbits"/"lzw" (+ predictor 2 for LZW).  All
   lossless, so closed-form pixel oracles stay codec-invariant.
@@ -44,7 +50,14 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["encode_tiff", "decode_tiff", "parse_tiff_header"]
+__all__ = [
+    "encode_tiff",
+    "encode_tiff_jpeg",
+    "encode_tiff_multipage",
+    "decode_tiff",
+    "parse_tiff_header",
+    "tiff_page_count",
+]
 
 
 # -----------------------------------------------------------------------------
@@ -242,9 +255,13 @@ def _diff_rows(pixels: bytes, w: int, rows: int, spp: int) -> bytes:
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
-def _read_ifd(data: bytes, bo: str) -> tuple[dict[int, list[int]], int]:
-    """First IFD as {tag: [values…]} plus the next-IFD offset."""
-    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+def _read_ifd(
+    data: bytes, bo: str, ifd_off: int | None = None
+) -> tuple[dict[int, list[int]], int]:
+    """One IFD as {tag: [values…]} plus the next-IFD offset; reads the
+    first IFD (header pointer) unless ``ifd_off`` names another."""
+    if ifd_off is None:
+        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
     if ifd_off + 2 > len(data):
         raise ValueError("truncated TIFF: IFD offset outside file")
     (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
@@ -296,22 +313,40 @@ def parse_tiff_header(data: bytes) -> tuple[int, int]:
     return int(tags[256][0]), int(tags[257][0])
 
 
-def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
-    """(width, height, channels, pixels) of a baseline uncompressed TIFF."""
+def tiff_page_count(data: bytes) -> int:
+    """Number of IFDs in the chain (multi-page TIFF, r12); loop-guarded
+    so a malformed circular chain is a ValueError, not a hang."""
+    bo = _byte_order(data)
+    (off,) = struct.unpack(bo + "I", data[4:8])
+    n = 0
+    seen: set[int] = set()
+    while off:
+        if off in seen:
+            raise ValueError("TIFF IFD chain loops")
+        seen.add(off)
+        _tags, off = _read_ifd(data, bo, off)
+        n += 1
+    return n
+
+
+def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, pixels) of IFD ``page`` (default: the
+    first — single-page files are the page-0 special case)."""
     bo = _byte_order(data)
     tags, nxt = _read_ifd(data, bo)
-    if nxt != 0:
-        raise NotImplementedError("multi-page TIFF not supported")
+    for idx in range(int(page)):
+        if nxt == 0:
+            raise ValueError(f"TIFF has {idx + 1} page(s), page {page} requested")
+        tags, nxt = _read_ifd(data, bo, nxt)
     comp = tags.get(259, [1])[0]
     if comp not in (1, 5, 7, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} (uncompressed/LZW/JPEG/PackBits implemented)"
         )
-    if comp == 7 and 347 in tags:
-        raise NotImplementedError(
-            "JPEG-in-TIFF with a separate JPEGTables stream not supported "
-            "(self-contained per-strip streams only)"
-        )
+    # JPEGTables form (TIFF/EP tag 347, r12): one abbreviated
+    # tables-only stream (SOI, DQT/DHT…, EOI) shared by every strip/tile,
+    # merged into each abbreviated-image stream before decoding
+    jpeg_tables = bytes(tags[347]) if (comp == 7 and 347 in tags) else None
     planar = tags.get(284, [1])[0]
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF planar configuration {planar} not supported")
@@ -343,7 +378,9 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     if 322 in tags or 324 in tags:
         if planar == 2:
             raise NotImplementedError("planar tiled TIFF not supported")
-        body = _assemble_tiles(data, tags, w, h, channels, comp, predictor)
+        body = _assemble_tiles(
+            data, tags, w, h, channels, comp, predictor, jpeg_tables
+        )
         return (w, h, *_apply_photometric(body, photo, cmap))
     offs = tags.get(273)
     counts = tags.get(279)
@@ -407,11 +444,14 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         # never crosses strip boundaries), and the predictor undoes per row
         if comp == 7:
             # new-style JPEG-in-TIFF (tag 7): each strip is a complete
-            # JPEG stream — route to the in-repo baseline/progressive
-            # decoder.  Channel count must agree with the IFD's contract.
+            # JPEG stream — or, with tag 347, an abbreviated-image stream
+            # spliced with the shared tables — routed to the in-repo
+            # baseline/progressive decoder.  Channel count must agree
+            # with the IFD's contract.
             from simsearch_spark.multimodal.jpeg import decode_jpeg
 
-            jw, jh, jch, jpix = decode_jpeg(chunk)
+            stream = _merge_jpegtables(jpeg_tables, chunk) if jpeg_tables else chunk
+            jw, jh, jch, jpix = decode_jpeg(stream)
             if (jw, jch) != (w, channels) or jh != rows:
                 raise ValueError(
                     f"JPEG strip geometry {jw}x{jh}x{jch} != IFD {w}x{rows}x{channels}"
@@ -460,6 +500,20 @@ def _apply_photometric(
     return (3 if photo == 2 else 1), body
 
 
+def _merge_jpegtables(tables: bytes, stream: bytes) -> bytes:
+    """TIFF/EP tag 347: splice the shared abbreviated-tables stream
+    (SOI, table segments, EOI) into one strip/tile's abbreviated-image
+    stream right after its SOI.  Tables repeated inside the image stream
+    legitimately override — our sequential JPEG parser applies segments
+    in order, which is exactly the spec's override rule."""
+    t = tables.rstrip(b"\x00")  # writers may pad after EOI
+    if len(t) < 4 or t[:2] != b"\xff\xd8" or t[-2:] != b"\xff\xd9":
+        raise ValueError("JPEGTables stream must be SOI .. EOI")
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("JPEG strip/tile without SOI")
+    return stream[:2] + t[2:-2] + stream[2:]
+
+
 def _assemble_tiles(
     data: bytes,
     tags: dict[int, list[int]],
@@ -468,6 +522,7 @@ def _assemble_tiles(
     channels: int,
     comp: int,
     predictor: int,
+    jpeg_tables: bytes | None = None,
 ) -> bytes:
     """Tiled TIFF assembly (TIFF 6.0 §15): TileWidth/TileLength (322/323,
     multiples of 16 per spec — not enforced, writers vary), offsets/byte
@@ -501,6 +556,20 @@ def _assemble_tiles(
             if predictor == 2:
                 raise NotImplementedError("predictor 2 with PackBits not supported")
             tile = bytearray(unpackbits(chunk, tile_bytes))
+        elif comp == 7:
+            # tiled JPEG-in-TIFF (r12): every tile is a complete (or
+            # JPEGTables-abbreviated) JPEG stream of the FULL tile
+            # geometry — edge tiles included, per §15
+            from simsearch_spark.multimodal.jpeg import decode_jpeg
+
+            stream = _merge_jpegtables(jpeg_tables, chunk) if jpeg_tables else chunk
+            jw, jh, jch, jpix = decode_jpeg(stream)
+            if (jw, jh, jch) != (tw, tl, channels):
+                raise ValueError(
+                    f"JPEG tile geometry {jw}x{jh}x{jch} != "
+                    f"tile contract {tw}x{tl}x{channels}"
+                )
+            tile = bytearray(jpix)
         else:
             if len(chunk) < tile_bytes:
                 raise ValueError("truncated uncompressed TIFF tile")
@@ -585,4 +654,171 @@ def encode_tiff(
     if channels == 3:
         out += struct.pack(bo + "HHH", 8, 8, 8)
     out += body
+    return bytes(out)
+
+
+def _extract_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a complete JPEG stream into the TIFF/EP pair: the
+    abbreviated-tables stream (SOI + every DQT/DHT + EOI — the tag-347
+    payload) and the abbreviated-image stream (SOI + the rest).  Inverse
+    of ``_merge_jpegtables`` up to segment order, to which a sequential
+    JPEG parser is insensitive."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("JPEG segment desync while splitting tables")
+        m = stream[pos + 1]
+        if m == 0xDA:  # SOS header + entropy + EOI all stay image-side
+            image += stream[pos:]
+            break
+        (ln,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + ln]
+        if m in (0xDB, 0xC4):
+            tables += seg
+        else:
+            image += seg
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(image)
+
+
+def encode_tiff_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 85,
+    rows_per_strip: int | None = None,
+    jpegtables: bool = False,
+) -> bytes:
+    """Compression-7 (new-style JPEG-in-TIFF) writer, r12: each strip is
+    an independent JPEG stream from the in-repo encoder.  With
+    ``jpegtables=True`` the shared DQT/DHT segments are factored into ONE
+    tag-347 payload (the TIFF/EP abbreviated form real writers emit —
+    identical tables per strip since quality is constant) and the strips
+    store abbreviated image streams.  Gray (photometric 1) or chunky RGB.
+    JPEG is lossy in general; callers wanting closed-form oracles use
+    block-constant pixels (the q85 exactness property)."""
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+
+    if channels not in (1, 3):
+        raise ValueError(f"TIFF-JPEG encode supports 1 or 3 channels, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(f"pixel buffer {len(pixels)} != {width}x{height}x{channels}")
+    rps = int(rows_per_strip or height)
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = min(rps, height - y0)
+        strips.append(
+            encode_jpeg(
+                width,
+                rows,
+                channels,
+                pixels[y0 * width * channels : (y0 + rows) * width * channels],
+                quality=quality,
+            )
+        )
+    tables = None
+    if jpegtables:
+        pairs = [_extract_jpeg_tables(s) for s in strips]
+        tables = pairs[0][0]  # constant quality → identical DQT/DHT per strip
+        strips = [im for _t, im in pairs]
+
+    bo = "<"
+    entries: list[tuple[int, int, int, bytes]] = []
+    n_strips = len(strips)
+    multi = n_strips > 1
+    n_entries = 9 + (1 if tables is not None else 0)
+    ifd_size = 2 + 12 * n_entries + 4
+    bps_off = 8 + ifd_size
+    bps_extra = 6 if channels == 3 else 0
+    arr_off = bps_off + bps_extra
+    arr_extra = 8 * n_strips if multi else 0
+    data_off = arr_off + arr_extra
+    offs, pos = [], data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    entries.append((256, 3, 1, struct.pack(bo + "HH", width, 0)))
+    entries.append((257, 3, 1, struct.pack(bo + "HH", height, 0)))
+    if channels == 3:
+        entries.append((258, 3, 3, struct.pack(bo + "I", bps_off)))
+    else:
+        entries.append((258, 3, 1, struct.pack(bo + "HH", 8, 0)))
+    entries.append((259, 3, 1, struct.pack(bo + "HH", 7, 0)))
+    entries.append((262, 3, 1, struct.pack(bo + "HH", 2 if channels == 3 else 1, 0)))
+    entries.append((277, 3, 1, struct.pack(bo + "HH", channels, 0)))
+    entries.append((278, 3, 1, struct.pack(bo + "HH", rps, 0)))
+    if multi:
+        entries.append((273, 4, n_strips, struct.pack(bo + "I", arr_off)))
+        entries.append(
+            (279, 4, n_strips, struct.pack(bo + "I", arr_off + 4 * n_strips))
+        )
+    else:
+        entries.append((273, 4, 1, struct.pack(bo + "I", offs[0])))
+        entries.append((279, 4, 1, struct.pack(bo + "I", len(strips[0]))))
+    if tables is not None:
+        if len(tables) <= 4:
+            entries.append((347, 7, len(tables), tables.ljust(4, b"\x00")))
+        else:
+            entries.append((347, 7, len(tables), struct.pack(bo + "I", pos)))
+    out = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
+    out += struct.pack(bo + "H", n_entries)
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    out += struct.pack(bo + "I", 0)
+    if channels == 3:
+        out += struct.pack(bo + "HHH", 8, 8, 8)
+    if multi:
+        out += struct.pack(bo + f"{n_strips}I", *offs)
+        out += struct.pack(bo + f"{n_strips}I", *[len(s) for s in strips])
+    for s in strips:
+        out += s
+    if tables is not None and len(tables) > 4:
+        out += tables
+    return bytes(out)
+
+
+def encode_tiff_multipage(
+    pages: list[tuple[int, int, int, bytes]],
+    big_endian: bool = False,
+    compression: str | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """Multi-page TIFF (r12): each ``(width, height, channels, pixels)``
+    page is encoded with the single-page layout, relocated, and chained
+    through the next-IFD pointers.  Page blocks after the first drop the
+    8-byte header; their two offset-valued IFD entries (273 StripOffsets
+    always, 258 BitsPerSample when RGB stores the 3-SHORT array
+    out-of-line) shift by the block's displacement."""
+    if not pages:
+        raise ValueError("multi-page TIFF needs at least one page")
+    bo = ">" if big_endian else "<"
+    out = bytearray()
+    next_ptr_pos = 0
+    for i, (w, h, c, pix) in enumerate(pages):
+        blob = bytearray(encode_tiff(w, h, c, pix, big_endian, compression, predictor))
+        n_entries = 9 + (1 if predictor == 2 else 0)
+        tags_sorted = sorted(
+            [256, 257, 258, 259, 262, 273, 277, 278, 279]
+            + ([317] if predictor == 2 else [])
+        )
+        if i == 0:
+            base = 8  # page-0 IFD position (right after the header)
+            out += blob
+        else:
+            base = len(out)
+            delta = base - 8
+            for k, tag in enumerate(tags_sorted):
+                if tag == 273 or (tag == 258 and c == 3):
+                    vpos = 8 + 2 + 12 * k + 8
+                    (v,) = struct.unpack(bo + "I", blob[vpos : vpos + 4])
+                    struct.pack_into(bo + "I", blob, vpos, v + delta)
+            out += blob[8:]
+            struct.pack_into(bo + "I", out, next_ptr_pos, base)
+        next_ptr_pos = base + 2 + 12 * n_entries
     return bytes(out)

@@ -51,17 +51,22 @@ def _bmp_hdr(width: int, height: int) -> bytes:
     )
 
 
-def _tiff_hdr(width: int, height: int, big_endian: bool) -> bytes:
-    # minimal IFD carrying only ImageWidth/ImageLength: 38 bytes
+def _tiff_hdr(width: int, height: int, big_endian: bool, n_pages: int = 1) -> bytes:
+    # minimal IFD(s) carrying only ImageWidth/ImageLength: 8 + 30·n_pages
+    # bytes — r12 chains n_pages identical IFDs through next-IFD offsets
     bo = ">" if big_endian else "<"
-    return (
-        (b"MM\x00*" if big_endian else b"II*\x00")
-        + struct.pack(bo + "I", 8)
-        + struct.pack(bo + "H", 2)
-        + struct.pack(bo + "HHIHH", 256, 3, 1, width, 0)
-        + struct.pack(bo + "HHIHH", 257, 3, 1, height, 0)
-        + struct.pack(bo + "I", 0)
+    out = bytearray(
+        (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(bo + "I", 8)
     )
+    for k in range(n_pages):
+        nxt = 8 + 30 * (k + 1) if k + 1 < n_pages else 0
+        out += (
+            struct.pack(bo + "H", 2)
+            + struct.pack(bo + "HHIHH", 256, 3, 1, width, 0)
+            + struct.pack(bo + "HHIHH", 257, 3, 1, height, 0)
+            + struct.pack(bo + "I", nxt)
+        )
+    return bytes(out)
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +74,10 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatches: doc_id % 4 routes PNG / GIF / BMP / TIFF headers (TIFF
     alternating byte order by doc_id % 8), each with a closed-form byte
     count and the same (n_chars, doc_id % 480 + 1) geometry, so format
-    detection itself holds a driver verdict — not just the decoders."""
+    detection itself holds a driver verdict — not just the decoders.
+    r12: the TIFF lane chains ``doc_id % 3 + 1`` IFDs and the sniff must
+    report the multi-page count (``n_pages``; single-image containers
+    report 1) — byte count becomes 8 + 30·n_pages."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -90,7 +98,9 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif d % 4 == 2:
                     payloads.append(_bmp_hdr(c, h))
                 else:
-                    payloads.append(_tiff_hdr(c, h, big_endian=d % 8 == 7))
+                    payloads.append(
+                        _tiff_hdr(c, h, big_endian=d % 8 == 7, n_pages=d % 3 + 1)
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
@@ -104,18 +114,23 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, "media_id long, kind string, payload binary, mime string"
     )
     meta = decode_image_meta(media)
-    return meta.select("media_id", "n_bytes", "width", "height", "format")
+    return meta.select(
+        "media_id", "n_bytes", "width", "height", "format", "n_pages"
+    )
 
 
 SQL_MEDIA_META = f"""
 SELECT doc_id AS media_id,
        (CASE WHEN n_chars > 65535 THEN {PNG_BYTES}
              WHEN doc_id % 4 = 1 THEN 13 WHEN doc_id % 4 = 2 THEN 26
-             WHEN doc_id % 4 = 3 THEN 38 ELSE {PNG_BYTES} END) AS n_bytes,
+             WHEN doc_id % 4 = 3 THEN 8 + 30 * (doc_id % 3 + 1)
+             ELSE {PNG_BYTES} END) AS n_bytes,
        n_chars::INT AS width, (doc_id % 480 + 1)::INT AS height,
        CASE WHEN n_chars > 65535 THEN 'png'
             WHEN doc_id % 4 = 1 THEN 'gif' WHEN doc_id % 4 = 2 THEN 'bmp'
-            WHEN doc_id % 4 = 3 THEN 'tiff' ELSE 'png' END AS format
+            WHEN doc_id % 4 = 3 THEN 'tiff' ELSE 'png' END AS format,
+       (CASE WHEN n_chars <= 65535 AND doc_id % 4 = 3 THEN doc_id % 3 + 1
+             ELSE 1 END)::INT AS n_pages
 FROM documents
 """
 
@@ -136,8 +151,9 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     — palette + LZW; r10); ≡3 (mod 8): little-endian and ≡7 (mod 8):
     BIG-endian TIFF (multimodal/tiff.py; r10 — both byte orders; r11 —
     COMPRESSED lanes: d%16==3 LZW+predictor-2, ==11 PackBits, ==7 LZW,
-    ==15 uncompressed, so real-world TIFF compression holds a driver
-    verdict too) — the same routing pattern that
+    ==15 uncompressed (d%32==15: wrapped as a MULTI-PAGE chain whose
+    page 0 is the real image — r12), so real-world TIFF compression and
+    paging hold a driver verdict too) — the same routing pattern that
     sends odd audio through FLAC/G.711.  All four codecs are lossless, so
     the closed-form oracle is codec-invariant: the engine must recover the
     exact per-image mean from any container; the pixels themselves never
@@ -170,6 +186,22 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         7: ("lzw", 1),
                         15: (None, 1),
                     }[d % 16]
+                    if d % 32 == 15:
+                        # r12: MULTI-PAGE lane — the real image is page 0
+                        # and a decoy second page follows in the IFD
+                        # chain; the decoder must stay on page 0, so the
+                        # closed-form oracle is chain-invariant
+                        from simsearch_spark.multimodal.tiff import (
+                            encode_tiff_multipage,
+                        )
+
+                        payloads.append(
+                            encode_tiff_multipage(
+                                [(w, h, 1, row * h), (2, 1, 1, b"\x00\xff")],
+                                big_endian=True,
+                            )
+                        )
+                        continue
                     payloads.append(
                         encode_tiff(
                             w, h, 1, row * h, big_endian=d % 8 == 7,
@@ -418,9 +450,17 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Odd doc_ids encode PROGRESSIVE (SOF2, r8) instead of baseline: the
     shared quantizer makes reconstruction bit-identical, so one oracle
     covers both entropy layouts and the multi-scan decode path runs on
-    half the declared corpus."""
+    half the declared corpus.
+
+    r12: doc_ids ≡ 4 (mod 16) wrap the same baseline entropy data in a
+    self-contained JPEG-in-TIFF container (compression 7) and ≡ 12
+    (mod 16) in the JPEGTables form (tag 347, 8-row strips — shared
+    abbreviated tables spliced per strip), so both real-world TIFF-JPEG
+    layouts hold a driver verdict; the shared quantizer keeps the oracle
+    codec-invariant."""
     from simsearch_spark.multimodal.binary import pixel_stats
     from simsearch_spark.multimodal.jpeg import encode_jpeg, encode_jpeg_progressive
+    from simsearch_spark.multimodal.tiff import encode_tiff_jpeg
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
@@ -434,6 +474,17 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = d % 9 + 4
                 a, b = d % 256, (d * 11 + 29) % 256
                 row = bytes([a] * half + [b] * (w - half))
+                if d % 16 == 4:
+                    payloads.append(encode_tiff_jpeg(w, h, 1, row * h, quality=85))
+                    continue
+                if d % 16 == 12:
+                    payloads.append(
+                        encode_tiff_jpeg(
+                            w, h, 1, row * h, quality=85,
+                            rows_per_strip=8, jpegtables=True,
+                        )
+                    )
+                    continue
                 enc = encode_jpeg_progressive if d % 2 else encode_jpeg
                 payloads.append(enc(w, h, 1, row * h, quality=85))
             yield pd.DataFrame(

@@ -153,7 +153,9 @@ def test_media_meta_oversized_width_routes_png(spark, tmp_path):
     }
     for d in range(16):
         g = got[d]
-        assert oracle[d] == (d, g.n_bytes, g.width, g.height, g.format), d
+        assert oracle[d] == (
+            d, g.n_bytes, g.width, g.height, g.format, g.n_pages,
+        ), d
 
 
 def test_minhash_lsh_pairs_unpersists_its_frames(spark):

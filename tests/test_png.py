@@ -836,3 +836,101 @@ def test_sub_byte_png_depths():
     )
     with pytest.raises(ValueError, match="gray/palette-only"):
         decode_png(bad)
+
+
+def test_sub_byte_interlaced_png():
+    """Adam7 × sub-byte (r12 — the last (depth × layout) cell): each pass
+    scanline PACKS its own pw samples (ceil(pw·depth/8) bytes, pass-local
+    padding), filters run on the packed bytes with the 1-byte distance,
+    and the scattered result equals the non-interlaced decode of the same
+    sample grid — for every depth, every filter type, gray AND palette,
+    and geometries that exercise empty passes (1x1) and pass-padding
+    boundaries."""
+    import random
+    import struct as _s
+    import zlib as _z
+
+    from simsearch_spark.multimodal.png import (
+        _ADAM7,
+        _adam7_dims,
+        _chunk,
+        _filter_line,
+        decode_png,
+    )
+
+    rng = random.Random(29)
+
+    def pack_line(vals, depth):
+        per = 8 // depth
+        line = bytearray((len(vals) * depth + 7) // 8)
+        for x, v in enumerate(vals):
+            line[x // per] |= v << (8 - depth * (x % per + 1))
+        return bytes(line)
+
+    def build(w, h, depth, vals, ct=0, plte=b"", ft=0, interlace=True):
+        raw = bytearray()
+        if interlace:
+            for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(w, h)):
+                if not pw or not ph:
+                    continue
+                prev = bytes((pw * depth + 7) // 8)
+                for j in range(ph):
+                    y = y0 + j * dy
+                    line = pack_line(
+                        [vals[y * w + x0 + i * dx] for i in range(pw)], depth
+                    )
+                    raw.append(ft)
+                    raw += _filter_line(ft, line, prev, 1)
+                    prev = line
+        else:
+            prev = bytes((w * depth + 7) // 8)
+            for y in range(h):
+                line = pack_line(vals[y * w : (y + 1) * w], depth)
+                raw.append(ft)
+                raw += _filter_line(ft, line, prev, 1)
+                prev = line
+        body = _chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, depth, ct, 0, 0, int(interlace)))
+        if plte:
+            body += _chunk(b"PLTE", plte)
+        return (
+            b"\x89PNG\r\n\x1a\n" + body
+            + _chunk(b"IDAT", _z.compress(bytes(raw))) + _chunk(b"IEND", b"")
+        )
+
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for w, h in [(1, 1), (3, 2), (7, 3), (8, 8), (9, 5), (17, 10)]:
+            vals = [rng.randrange(1 << depth) for _ in range(w * h)]
+            want = (w, h, 1, bytes(v * scale for v in vals))
+            for ft in range(5):
+                got = decode_png(build(w, h, depth, vals, ft=ft))
+                assert got == want, (depth, w, h, ft)
+                # interlaced == non-interlaced, the layout-invariance pin
+                assert got == decode_png(
+                    build(w, h, depth, vals, ft=ft, interlace=False)
+                ), (depth, w, h, ft)
+
+    # interlaced sub-byte PALETTE: indices survive scatter, PLTE expands
+    plte = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 7, 7, 7])
+    vals = [rng.randrange(4) for _ in range(9 * 5)]
+    want = b"".join(plte[3 * v : 3 * v + 3] for v in vals)
+    assert decode_png(build(9, 5, 2, vals, ct=3, plte=plte)) == (9, 5, 3, want)
+
+    # truncated interlaced sub-byte stream is malformed, not a crash
+    raw = bytearray()
+    for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, _adam7_dims(7, 3)):
+        if not pw or not ph:
+            continue
+        prev = bytes((pw * 4 + 7) // 8)
+        for j in range(ph):
+            line = pack_line([1] * pw, 4)
+            raw.append(0)
+            raw += line
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", _s.pack(">IIBBBBB", 7, 3, 4, 0, 0, 0, 1))
+        + _chunk(b"IDAT", _z.compress(bytes(raw[:-1])))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(bad)

@@ -80,13 +80,13 @@ def test_named_seams():
     b[-2:] = b""  # truncate the strip
     with pytest.raises(ValueError, match="strip"):
         decode_tiff(bytes(b))
-    # multi-page: point the next-IFD offset back at the first IFD
+    # r12: a second IFD no longer raises — page 0 still decodes even when
+    # the chain continues (here: degenerately, back onto itself)
     b = bytearray(t)
     (n,) = struct.unpack(bo + "H", b[8:10])
     nxt_pos = 10 + 12 * n
     b[nxt_pos : nxt_pos + 4] = struct.pack(bo + "I", 8)
-    with pytest.raises(NotImplementedError, match="multi-page"):
-        decode_tiff(bytes(b))
+    assert decode_tiff(bytes(b)) == decode_tiff(t)
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"II+\x00")
 
@@ -401,18 +401,154 @@ def test_tiled_tiff_all_compressions():
         assert decode_tiff(bytes(t)) == (w, h, 1, px), (comp, pred)
 
 
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split one complete JPEG stream into the TIFF/EP pair: an
+    abbreviated-TABLES stream (SOI, every DQT/DHT, EOI — the tag-347
+    payload) and an abbreviated-IMAGE stream (SOI, everything else).
+    Inverse of ``tiff._merge_jpegtables`` up to segment order, which a
+    sequential JPEG parser is insensitive to."""
+    assert stream[:2] == b"\xff\xd8"
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        m = stream[pos + 1]
+        if m == 0xDA:  # SOS: header + entropy + EOI all stay image-side
+            image += stream[pos:]
+            break
+        (ln,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + ln]
+        (tables if m in (0xDB, 0xC4) else image).__iadd__(seg)
+        pos += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(image)
+
+
+def _build_jpeg_tiff(w, h, rps, strips, tables=None):
+    """Minimal compression-7 TIFF: gray, little-endian, optional tag-347
+    JPEGTables payload appended after the strip data."""
+    bo = "<"
+    entries = [
+        (256, 3, 1, struct.pack(bo + "HH", w, 0)),
+        (257, 3, 1, struct.pack(bo + "HH", h, 0)),
+        (258, 3, 1, struct.pack(bo + "HH", 8, 0)),
+        (259, 3, 1, struct.pack(bo + "HH", 7, 0)),
+        (262, 3, 1, struct.pack(bo + "HH", 1, 0)),
+        (277, 3, 1, struct.pack(bo + "HH", 1, 0)),
+        (278, 3, 1, struct.pack(bo + "HH", rps, 0)),
+    ]
+    multi = len(strips) > 1
+    n = len(entries) + 2 + (1 if tables is not None else 0)
+    arr = 8 + 2 + 12 * n + 4
+    data_off = arr + (8 * len(strips) if multi else 0)
+    offs, pos = [], data_off
+    for s_ in strips:
+        offs.append(pos)
+        pos += len(s_)
+    if multi:
+        entries.append((273, 4, len(strips), struct.pack(bo + "I", arr)))
+        entries.append(
+            (279, 4, len(strips), struct.pack(bo + "I", arr + 4 * len(strips)))
+        )
+    else:
+        entries.append((273, 4, 1, struct.pack(bo + "I", offs[0])))
+        entries.append((279, 4, 1, struct.pack(bo + "I", len(strips[0]))))
+    if tables is not None:
+        if len(tables) <= 4:
+            entries.append((347, 7, len(tables), tables.ljust(4, b"\x00")))
+        else:
+            entries.append((347, 7, len(tables), struct.pack(bo + "I", pos)))
+    t = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
+    t += struct.pack(bo + "H", n)
+    for tag, typ, cnt, val in sorted(entries):
+        t += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    t += struct.pack(bo + "I", 0)
+    if multi:
+        t += struct.pack(bo + f"{len(strips)}I", *offs)
+        t += struct.pack(bo + f"{len(strips)}I", *[len(s_) for s_ in strips])
+    for s_ in strips:
+        t += s_
+    if tables is not None and len(tables) > 4:
+        t += tables
+    return bytes(t)
+
+
 def test_jpeg_in_tiff_strips():
     """New-style JPEG-in-TIFF (compression 7): strips are self-contained
     JPEG streams decoded by the in-repo codec.  Uniform strips decode
     exactly at q85 (the block-constant exactness property), so the whole
-    container round-trips bit-for-bit; a JPEGTables-form file is a named
-    seam; geometry disagreement between strip and IFD is a ValueError."""
+    container round-trips bit-for-bit; geometry disagreement between
+    strip and IFD is a ValueError."""
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+
+    w, h = 16, 16
+    top = bytes([40] * (w * 8))
+    bottom = bytes([200] * (w * 8))
+    two = _build_jpeg_tiff(
+        w, h, 8,
+        [encode_jpeg(w, 8, 1, top, quality=85), encode_jpeg(w, 8, 1, bottom, quality=85)],
+    )
+    assert decode_tiff(two) == (w, h, 1, top + bottom)
+
+    # strip/IFD geometry disagreement
+    bad = _build_jpeg_tiff(w, 8, 8, [encode_jpeg(8, 8, 1, bytes([40] * 64), quality=85)])
+    with pytest.raises(ValueError, match="geometry"):
+        decode_tiff(bad)
+
+
+def test_jpeg_in_tiff_jpegtables():
+    """JPEGTables form (TIFF/EP tag 347, r12): the shared abbreviated
+    tables stream splices into each strip's abbreviated image stream and
+    decodes EXACTLY like the self-contained form.  A malformed tables
+    payload (no SOI/EOI) is a ValueError, and a tables stream with
+    trailing zero padding is accepted (writers pad)."""
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+
+    w, h = 16, 16
+    top = bytes([40] * (w * 8))
+    bottom = bytes([200] * (w * 8))
+    s1, s2 = encode_jpeg(w, 8, 1, top, quality=85), encode_jpeg(w, 8, 1, bottom, quality=85)
+    t1, i1 = _split_jpeg_tables(s1)
+    t2, i2 = _split_jpeg_tables(s2)
+    assert t1 == t2  # same quality → same DQT/DHT, the form's whole point
+    assert len(i1) < len(s1)  # the split actually moved segments out
+
+    abbrev = _build_jpeg_tiff(w, h, 8, [i1, i2], tables=t1)
+    full = _build_jpeg_tiff(w, h, 8, [s1, s2])
+    assert decode_tiff(abbrev) == decode_tiff(full) == (w, h, 1, top + bottom)
+
+    # padded tables accepted
+    padded = _build_jpeg_tiff(w, h, 8, [i1, i2], tables=t1 + b"\x00\x00")
+    assert decode_tiff(padded) == (w, h, 1, top + bottom)
+
+    # malformed tables payload
+    with pytest.raises(ValueError, match="SOI"):
+        decode_tiff(_build_jpeg_tiff(w, 8, 8, [i1], tables=b"\xff\xd8\x00\x00"))
+
+
+def test_jpeg_in_tiff_tiled():
+    """Tiled JPEG-in-TIFF (r12, closes the r11 ADVICE hole where JPEG
+    tiles fell into the raw path): each tile is a complete — or
+    JPEGTables-abbreviated — JPEG stream of the FULL tile geometry;
+    uniform tiles decode exactly at q85.  A tile whose JPEG geometry
+    disagrees with the tile contract is a ValueError, never garbage
+    pixels reported as ok."""
     from simsearch_spark.multimodal.jpeg import encode_jpeg
 
     bo = "<"
+    w = h = 32
+    tw = tl = 16
+    vals = [40, 90, 160, 220]
+    tiles_px = [bytes([v] * (tw * tl)) for v in vals]
+    want = bytearray(w * h)
+    for ti, px in enumerate(tiles_px):
+        ty, tx = divmod(ti, 2)
+        for r in range(tl):
+            dst = (ty * tl + r) * w + tx * tw
+            want[dst : dst + tw] = px[r * tw : (r + 1) * tw]
 
-    def build(w, h, rps, strips, extra=()):
-        offs, counts = [], []
+    def build_tiled(tiles, tables=None):
         entries = [
             (256, 3, 1, struct.pack(bo + "HH", w, 0)),
             (257, 3, 1, struct.pack(bo + "HH", h, 0)),
@@ -420,56 +556,88 @@ def test_jpeg_in_tiff_strips():
             (259, 3, 1, struct.pack(bo + "HH", 7, 0)),
             (262, 3, 1, struct.pack(bo + "HH", 1, 0)),
             (277, 3, 1, struct.pack(bo + "HH", 1, 0)),
-            (278, 3, 1, struct.pack(bo + "HH", rps, 0)),
-        ] + list(extra)
-        multi = len(strips) > 1
-        n = len(entries) + 2
-        ifd = 2 + 12 * n + 4
-        arr = 8 + ifd
-        data_off = arr + (8 * len(strips) if multi else 0)
-        pos = data_off
-        for s_ in strips:
+            (322, 3, 1, struct.pack(bo + "HH", tw, 0)),
+            (323, 3, 1, struct.pack(bo + "HH", tl, 0)),
+        ]
+        n = len(entries) + 2 + (1 if tables is not None else 0)
+        arr = 8 + 2 + 12 * n + 4
+        data_off = arr + 8 * len(tiles)
+        offs, pos = [], data_off
+        for x in tiles:
             offs.append(pos)
-            pos += len(s_)
-        if multi:
-            entries.append((273, 4, len(strips), struct.pack(bo + "I", arr)))
-            entries.append(
-                (279, 4, len(strips), struct.pack(bo + "I", arr + 4 * len(strips)))
-            )
-        else:
-            entries.append((273, 4, 1, struct.pack(bo + "I", offs[0])))
-            entries.append((279, 4, 1, struct.pack(bo + "I", len(strips[0]))))
+            pos += len(x)
+        entries.append((324, 4, len(tiles), struct.pack(bo + "I", arr)))
+        entries.append((325, 4, len(tiles), struct.pack(bo + "I", arr + 4 * len(tiles))))
+        if tables is not None:
+            entries.append((347, 7, len(tables), struct.pack(bo + "I", pos)))
         t = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
         t += struct.pack(bo + "H", n)
         for tag, typ, cnt, val in sorted(entries):
             t += struct.pack(bo + "HHI", tag, typ, cnt) + val
         t += struct.pack(bo + "I", 0)
-        if multi:
-            t += struct.pack(bo + f"{len(strips)}I", *offs)
-            t += struct.pack(bo + f"{len(strips)}I", *[len(s_) for s_ in strips])
-        for s_ in strips:
-            t += s_
+        t += struct.pack(bo + f"{len(tiles)}I", *offs)
+        t += struct.pack(bo + f"{len(tiles)}I", *[len(x) for x in tiles])
+        for x in tiles:
+            t += x
+        if tables is not None:
+            t += tables
         return bytes(t)
 
-    w, h = 16, 16
-    top = bytes([40] * (w * 8))
-    bottom = bytes([200] * (w * 8))
-    two = build(
-        w, h, 8,
-        [encode_jpeg(w, 8, 1, top, quality=85), encode_jpeg(w, 8, 1, bottom, quality=85)],
+    streams = [encode_jpeg(tw, tl, 1, px, quality=85) for px in tiles_px]
+    assert decode_tiff(build_tiled(streams)) == (w, h, 1, bytes(want))
+
+    # JPEGTables-abbreviated tiles decode identically
+    pairs = [_split_jpeg_tables(s_) for s_ in streams]
+    assert len({p[0] for p in pairs}) == 1
+    abbrev = build_tiled([p[1] for p in pairs], tables=pairs[0][0])
+    assert decode_tiff(abbrev) == (w, h, 1, bytes(want))
+
+    # wrong-geometry tile: explicit error, not raw-path garbage
+    bad = [encode_jpeg(8, 8, 1, bytes([40] * 64), quality=85)] + streams[1:]
+    with pytest.raises(ValueError, match="tile"):
+        decode_tiff(build_tiled(bad))
+
+
+def test_multipage_tiff():
+    """Multi-page TIFF (r12): the IFD chain decodes per page — every page
+    round-trips under its own geometry/compression, ``tiff_page_count``
+    walks the chain, page-out-of-range is a ValueError, and a circular
+    chain is loop-guarded."""
+    import random
+
+    from simsearch_spark.multimodal.tiff import (
+        encode_tiff_multipage,
+        tiff_page_count,
     )
-    assert decode_tiff(two) == (w, h, 1, top + bottom)
 
-    # JPEGTables (tag 347) form: named seam
-    tables = build(w, 8, 8, [encode_jpeg(w, 8, 1, top, quality=85)],
-                   extra=[(347, 7, 2, b"\xff\xd8\x00\x00")])
-    with pytest.raises(NotImplementedError, match="JPEGTables"):
-        decode_tiff(tables)
+    rng = random.Random(7)
+    pages = [
+        (9, 4, 1, bytes(rng.randrange(256) for _ in range(9 * 4))),
+        (5, 7, 3, bytes(rng.randrange(256) for _ in range(5 * 7 * 3))),
+        (16, 2, 1, bytes(rng.randrange(256) for _ in range(16 * 2))),
+    ]
+    for comp, pred in [(None, 1), ("packbits", 1), ("lzw", 1), ("lzw", 2)]:
+        blob = encode_tiff_multipage(pages, compression=comp, predictor=pred)
+        assert tiff_page_count(blob) == 3, (comp, pred)
+        for i, (w, h, c, px) in enumerate(pages):
+            assert decode_tiff(blob, page=i) == (w, h, c, px), (comp, pred, i)
+        # page 0 is the single-page default — existing callers unchanged
+        assert decode_tiff(blob) == decode_tiff(blob, page=0)
+        with pytest.raises(ValueError, match="page"):
+            decode_tiff(blob, page=3)
 
-    # strip/IFD geometry disagreement
-    bad = build(w, 8, 8, [encode_jpeg(8, 8, 1, bytes([40] * 64), quality=85)])
-    with pytest.raises(ValueError, match="geometry"):
-        decode_tiff(bad)
+    # big-endian chain walks too
+    blob_be = encode_tiff_multipage(pages, big_endian=True)
+    assert tiff_page_count(blob_be) == 3
+    assert decode_tiff(blob_be, page=2) == pages[2]
+
+    # circular chain: patch page-0's next-IFD pointer back to itself
+    blob = bytearray(encode_tiff_multipage(pages[:2]))
+    n_entries = 9
+    ptr = 8 + 2 + 12 * n_entries
+    struct.pack_into("<I", blob, ptr, 8)
+    with pytest.raises(ValueError, match="loop"):
+        tiff_page_count(bytes(blob))
 
 
 def test_planar_tiff_rgb_all_compressions():
