@@ -22,7 +22,19 @@ deployment pays once.  This package is that deployment shape:
   reference's catalog maintenance under the frozen-artifact contract: new
   rows are assigned to EXISTING cells and encoded with EXISTING codebooks
   (one broadcast argmin — no retrain); deletes are tombstones the serve
-  path subtracts.
+  path subtracts.  Duplicate ids and replayed micro-batches are exact
+  no-ops (id anti-join, r12).
+- ``dedup.mount_dedup`` / ``dedup.dedup_append`` (r12) persist the
+  MinHash signature/band index and join each crawl delta against it at
+  cost ∝ |delta| — (delta ↔ corpus) + (delta ↔ delta) near-dup pairs,
+  parity-equal to the batch operator on the union corpus restricted to
+  delta-touching pairs, hot-bucket cap/salt policy intact across the
+  mounted boundary.
+- ``audit.audit_drift`` / ``audit.refresh`` (r12) close the frozen-
+  artifact drift loop: measured recall@k of the mounted index on the
+  most recent rows vs a brute-force arm, and a retrain-and-swap that
+  atomically replaces the artifact generation without interrupting
+  serving.
 
 Parity contract (tests/test_mount.py): every serve-side operator must
 reproduce its self-contained declared query EXACTLY (same rows, same
@@ -31,6 +43,8 @@ work happens, never the answer.
 """
 
 from simsearch_spark.mount.artifacts import load_manifest, mount
+from simsearch_spark.mount.audit import audit_drift, refresh
+from simsearch_spark.mount.dedup import dedup_append, mount_dedup
 from simsearch_spark.mount.maintain import append_rows, delete_ids
 from simsearch_spark.mount.serve import (
     serve_bm25_topk,
@@ -48,4 +62,8 @@ __all__ = [
     "serve_lm_perplexity",
     "append_rows",
     "delete_ids",
+    "mount_dedup",
+    "dedup_append",
+    "audit_drift",
+    "refresh",
 ]

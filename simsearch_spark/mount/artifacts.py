@@ -115,10 +115,13 @@ def encode_residual_codes(
     )
 
 
-def _write(df: DataFrame, path: str, partition_by: str | None = None) -> None:
+def _write(
+    df: DataFrame, path: str, partition_by: str | list[str] | None = None
+) -> None:
     w = df.write.mode("overwrite")
     if partition_by:
-        w = w.partitionBy(partition_by)
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        w = w.partitionBy(*cols)
     w.parquet(path)
 
 
@@ -130,6 +133,7 @@ def mount(
     profiles: dict[str, dict[str, int]] | None = None,
     emb_frame: DataFrame | None = None,
     docs_frame: DataFrame | None = None,
+    dedup: bool = True,
 ) -> dict:
     """Train and persist the full artifact set from the corpus at
     ``sf_dir``; returns the manifest (also written to
@@ -297,6 +301,18 @@ def mount(
     os.makedirs(mount_dir, exist_ok=True)
     with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
+
+    if dedup:
+        # the persisted MinHash signature/band index (mount/dedup.py) —
+        # frozen hash family matching the declared dedup queries, so
+        # dedup_append deltas stay parity-equal to the batch operator
+        from simsearch_spark.mount.dedup import mount_dedup
+        from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES
+
+        manifest = mount_dedup(
+            spark, mount_dir, docs,
+            threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS,
+        )
     return manifest
 
 

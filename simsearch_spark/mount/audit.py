@@ -1,0 +1,164 @@
+"""Artifact drift audit + retrain-and-swap refresh (VERDICT r11 task 2).
+
+The frozen-artifact contract (``maintain.append_rows``) assigns appended
+vectors to the EXISTING IVF cells and encodes them with the EXISTING
+residual codebooks — correct by contract, but ANN recall degrades as the
+appended distribution drifts away from the training corpus (centroids no
+longer tessellate the data; residual codebooks quantize the wrong cloud).
+This module closes the operational loop:
+
+- ``audit_drift``: measured recall@k of the mounted index against a
+  brute-force arm over a RECENT sample (highest-id vectors — the ones
+  appended last, where drift lives).  One bounded batch serve + one
+  multi-query brute scan; returns the recall and the per-query hit
+  counts.  At 100 TB the brute arm runs against a corpus sample; here the
+  corpus IS probe-sized.
+- ``refresh``: retrain every artifact from the CURRENT corpus into a
+  sibling ``<mount>__next`` directory and atomically swap it in
+  (write-new-then-swap, the ``compact_codes`` discipline lifted to the
+  whole mount) with a manifest ``generation`` bump.  Serving is never
+  interrupted: a serve that loaded artifacts before the swap finishes on
+  the old generation (loads are bounded collects), the next serve sees
+  the new one.  On an object store this is a manifest-pointer swap; on a
+  local filesystem it is two directory renames.
+
+The degradation→refresh→recovery loop is pinned by
+tests/test_mount_audit.py on a planted drifted delta (the
+mixture-of-Gaussians machinery from tests/test_ann_recall.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simsearch_spark.mount.artifacts import load_manifest, mount
+
+__all__ = ["audit_drift", "refresh"]
+
+
+def _brute_multi_topk(
+    emb: DataFrame,
+    qs: list[tuple[int, list[float]]],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> dict[int, list[int]]:
+    """Exact cosine top-k ids per query, ONE corpus scan for all queries
+    (per-row cosine against each query literal, per-query rank window) —
+    the ground-truth arm."""
+    from simsearch_spark.functions.measures import cosine_similarity
+    from simsearch_spark.operators.kmeans import _lit_vec
+
+    entries = [
+        F.struct(
+            F.lit(qid).alias("qid"),
+            F.round(cosine_similarity(F.col(vec_col), _lit_vec(qv)), 6).alias("cos"),
+        )
+        for qid, qv in qs
+    ]
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    rows = (
+        emb.select(F.col(id_col), F.explode(F.array(*entries)).alias("q"))
+        .select(id_col, F.col("q.qid").alias("qid"), F.col("q.cos").alias("cos"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(k))
+        .collect()
+    )
+    out: dict[int, list[int]] = {}
+    for r in rows:
+        out.setdefault(int(r["qid"]), []).append(int(r[id_col]))
+    return out
+
+
+def audit_drift(
+    spark: SparkSession,
+    mount_dir: str,
+    emb: DataFrame,
+    sample_n: int = 32,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Recall@k of the mounted IVF-PQ index on the ``sample_n``
+    HIGHEST-id vectors (the most recently appended — where the frozen
+    artifacts drift first), against the exact brute-force arm.  Returns
+    ``{"recall_at_k": float, "k", "sample_n", "per_query": {qid: hits}}``.
+    """
+    from simsearch_spark.mount.serve import serve_ivfpq_multi_topk
+
+    qrows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.col(id_col).desc())
+        .limit(int(sample_n))
+        .collect()
+    )
+    qs = sorted((int(r[id_col]), [float(x) for x in r[vec_col]]) for r in qrows)
+    if not qs:
+        raise ValueError("audit_drift: empty embeddings frame")
+
+    truth = _brute_multi_topk(emb, qs, k, id_col, vec_col)
+    served = serve_ivfpq_multi_topk(
+        spark, mount_dir, emb, qs, k, n_probe=n_probe, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
+    ).collect()
+    got: dict[int, set[int]] = {}
+    for r in served:
+        got.setdefault(int(r["query_id"]), set()).add(int(r[id_col]))
+
+    per_query = {
+        qid: len(set(truth.get(qid, [])) & got.get(qid, set())) for qid, _ in qs
+    }
+    total = sum(per_query.values())
+    return {
+        "recall_at_k": round(total / (len(qs) * k), 6),
+        "k": int(k),
+        "sample_n": len(qs),
+        "n_probe": int(n_probe),
+        "rerank": int(rerank),
+        "per_query": per_query,
+    }
+
+
+def refresh(
+    spark: SparkSession,
+    mount_dir: str,
+    sf_dir: str | None = None,
+    emb_frame: DataFrame | None = None,
+    docs_frame: DataFrame | None = None,
+    **mount_kwargs,
+) -> dict:
+    """Retrain every artifact from the CURRENT corpus and atomically swap
+    the new generation in.  ``emb_frame``/``docs_frame`` name the current
+    corpus (base + all appended rows — the mount stores codes, not raw
+    vectors); default re-reads the manifest's source tables.  Returns the
+    new manifest (``generation`` incremented; tombstones do not carry
+    over — a retrain IS the compaction horizon)."""
+    old_manifest = load_manifest(mount_dir)
+    src = sf_dir if sf_dir is not None else old_manifest["source"]
+    nxt = mount_dir.rstrip("/") + "__next"
+    if os.path.isdir(nxt):
+        shutil.rmtree(nxt)  # a crashed earlier refresh left debris
+    mount(
+        spark, src, nxt,
+        emb_frame=emb_frame, docs_frame=docs_frame, **mount_kwargs,
+    )
+    manifest = load_manifest(nxt)
+    manifest["generation"] = int(old_manifest.get("generation", 0)) + 1
+    with open(os.path.join(nxt, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+    old = mount_dir.rstrip("/") + "__old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(mount_dir, old)
+    os.rename(nxt, mount_dir)
+    shutil.rmtree(old)
+    return manifest

@@ -1,0 +1,424 @@
+"""Incremental dedup against a mounted corpus — the production shape of
+the pipeline's most important operator (VERDICT r11 task 1).
+
+A 100 TB deployment never re-deduplicates its whole corpus when a crawl
+delta arrives: it persists the MinHash SIGNATURE/BAND INDEX once at mount
+(the same frozen-artifact discipline as ``pq_codes``,
+``mount/artifacts.py``) and joins each delta against it at cost ∝ |delta|.
+The reference engine has no dedup (SURVEY.md §6 — LLM-pipeline surface);
+the batch semantics being made incremental are exactly
+``operators/dedup.py minhash_lsh_pairs``.
+
+Artifacts (written by ``mount_dedup``, appended by ``dedup_append``):
+
+==============  ===========================================  ==============
+artifact        schema                                       partitioning
+==============  ===========================================  ==============
+dedup_bands     (band_hash long, <id>, band_idx, bkt)        band_idx, bkt
+dedup_shingles  (<id>, shingles array<string>, sbkt)         sbkt
+==============  ===========================================  ==============
+
+``bkt = pmod(band_hash, N_BKT)`` and ``sbkt = pmod(xxhash64(id),
+N_SBKT)`` are HASH-RANGE partition columns: a delta append reads only the
+band directories whose buckets its own hashes land in and only the
+shingle directories its candidate ids land in — DIRECTORY pruning, the
+``pq_codes`` pattern, so base-side scan cost tracks the delta's hash
+footprint, not the corpus.  Within the pruned scan the delta's distinct
+(band_idx, band_hash) keys join BROADCAST (driver-bounded: |delta|·bands
+keys), so the base table never shuffles.
+
+The FROZEN-HASH contract: the manifest records (n_hashes, bands,
+shingle_n, seed, threshold, bucket_cap, hot_mode) at mount; every delta
+computes signatures with the SAME family, which makes the parity pin
+exact: ``minhash_lsh_pairs(base ∪ delta)`` restricted to pairs touching a
+delta id == ``mount_dedup(base)`` + ``dedup_append(delta)``
+(tests/test_mount_dedup.py), split-invariant across delta batches, and
+the hot-bucket cap/salt policy holds ACROSS the mounted boundary (bucket
+size = base members + delta members, lowest-id selection identical to the
+batch operator's).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simsearch_spark.mount.artifacts import _write, load_manifest
+from simsearch_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
+    _bucket_key_expr,
+    _cap_lsh_buckets,
+    _hot_bucket_rows,
+    minhash_banded_frame,
+    verify_shingle_pairs,
+)
+
+__all__ = ["mount_dedup", "dedup_append", "N_BKT", "N_SBKT"]
+
+#: hash-range partition fan-out for the band table (band_idx × N_BKT
+#: directories) and the shingle table.  32/64 keeps local-test directory
+#: counts sane; a 100 TB deployment raises both so a daily delta's hash
+#: footprint prunes to a small directory fraction — the constants are
+#: partitioning layout, not semantics (results are N-invariant).
+N_BKT = 32
+N_SBKT = 256
+
+#: broadcast the delta's distinct band keys only below this count —
+#: above it (a delta so large its key set would strain the driver) the
+#: probe falls back to a shuffle join, which is the right plan anyway
+#: when |delta| approaches |base|
+MAX_BROADCAST_KEYS = 1_000_000
+
+
+def _text_ok(text_col: str):
+    return F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+
+
+def _expl_frame(banded: DataFrame, id_col: str) -> DataFrame:
+    """(band_idx, band_hash, bkt, id): the exploded band-index rows — the
+    shape the persisted band table stores."""
+    return banded.select(
+        F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
+    ).withColumn("bkt", F.pmod(F.col("band_hash"), F.lit(N_BKT)).cast("int"))
+
+
+def mount_dedup(
+    spark: SparkSession,
+    mount_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+    hot_mode: str = "cap",
+) -> dict:
+    """Build the persisted MinHash signature/band index for ``docs`` and
+    record the frozen hash family in the mount manifest.  NULL/empty
+    texts are excluded — the same candidate-universe contract as
+    ``minhash_lsh_pairs``."""
+    if hot_mode not in ("cap", "salt"):
+        raise ValueError(f"hot_mode {hot_mode!r} not in ('cap', 'salt')")
+    os.makedirs(mount_dir, exist_ok=True)
+    docs = docs.where(_text_ok(text_col))
+    banded = minhash_banded_frame(
+        docs, id_col, text_col, n_hashes, bands, shingle_n, seed
+    ).persist()
+    try:
+        # repartition ON the partition columns → exactly one file per
+        # directory (no 32-files-per-dir shuffle spray; the probe-side
+        # cost was file-open overhead, measured 3× at 30×);
+        # sortWithinPartitions gives every parquet row group a TIGHT
+        # band_hash / id range, so the append path's pushed point
+        # predicates (In filters) skip row groups — the file-level
+        # index-lookup approximation that keeps base-side read cost
+        # tracking the delta's key footprint instead of the corpus
+        _write(
+            _expl_frame(banded, id_col)
+            .repartition("band_idx", "bkt")
+            .sortWithinPartitions("band_hash"),
+            os.path.join(mount_dir, "dedup_bands"),
+            partition_by=["band_idx", "bkt"],
+        )
+        _write(
+            banded.select(
+                F.col(id_col), F.col("shingles")
+            ).withColumn(
+                "sbkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT)).cast("int")
+            ).repartition("sbkt").sortWithinPartitions(id_col),
+            os.path.join(mount_dir, "dedup_shingles"),
+            partition_by="sbkt",
+        )
+        n_docs = int(banded.count())
+    finally:
+        banded.unpersist()
+
+    # a dedup-only mount (text corpus without vector artifacts) is a
+    # legitimate deployment — start a fresh manifest when none exists
+    try:
+        manifest = load_manifest(mount_dir)
+    except FileNotFoundError:
+        from simsearch_spark.mount.artifacts import MANIFEST_VERSION
+
+        manifest = {
+            "version": MANIFEST_VERSION,
+            "source": None,
+            "params": {},
+            "counts": {},
+            "artifacts": [],
+        }
+    manifest["dedup"] = {
+        "id_col": id_col,
+        "text_col": text_col,
+        "threshold": float(threshold),
+        "n_hashes": int(n_hashes),
+        "bands": int(bands),
+        "shingle_n": int(shingle_n),
+        "seed": int(seed),
+        "bucket_cap": None if bucket_cap is None else int(bucket_cap),
+        "hot_mode": hot_mode,
+        "n_docs": n_docs,
+    }
+    for a in ("dedup_bands", "dedup_shingles"):
+        if a not in manifest["artifacts"]:
+            manifest["artifacts"].append(a)
+    with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def _delta_touching_candidates(
+    union_expl: DataFrame,
+    id_col: str,
+    cap: int | None,
+    hot_mode: str,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs with at least one NEW (delta) member,
+    over the union membership of the delta-touched buckets, under the
+    batch operator's hot-bucket policy.
+
+    ``union_expl`` carries (band_idx, band_hash, id, _new); bucket sizes
+    computed here equal the batch-on-union sizes because the base side
+    pulled EVERY base row of each touched bucket.  Pair generation is
+    asymmetric — delta rows on one side, the full (policy-filtered)
+    membership on the other — so volume tracks |delta|·bucket-size, never
+    bucket-size²; ``least/greatest`` + distinct restores the batch
+    operator's unordered-pair identity (delta-delta pairs generate twice,
+    once per orientation)."""
+    keys = ["band_idx", "band_hash"]
+    extra = None
+    if hot_mode == "salt" and cap is not None:
+        hot_rows = _hot_bucket_rows(union_expl, keys, int(cap))
+        if hot_rows:
+            hot_set = [
+                "\x00".join(str(r[c]) for c in keys) for r in hot_rows
+            ]
+            is_hot = _bucket_key_expr(keys).isin(hot_set)
+            hot = union_expl.where(is_hot)
+            union_expl = union_expl.where(~is_hot)
+            # blocked (salted) lane for hot buckets, delta-asymmetric:
+            # right side keeps its own xxhash64 block (≈cap rows per
+            # block), the delta left side replicates across the G right
+            # blocks — per-(bucket, block) task volume is |delta∩bucket|
+            # × O(cap), total the honest |delta|·n delta-touching pair
+            # volume, and no task is quadratic in the bucket
+            spark = union_expl.sparkSession
+            g_rows = [
+                (
+                    "\x00".join(str(r[c]) for c in keys),
+                    int(-(-int(r["_bn"]) // int(cap))),
+                )
+                for r in hot_rows
+            ]
+            gdf = spark.createDataFrame(g_rows, "_hkey string, _g int")
+            keyed = _bucket_key_expr(keys)
+            hg = hot.withColumn("_hkey", keyed).join(F.broadcast(gdf), "_hkey")
+            right = hg.select(
+                *keys,
+                F.col(id_col).alias("_id_o"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_g"))
+                .cast("int")
+                .alias("_br"),
+            )
+            left = hg.where(F.col("_new")).select(
+                *keys,
+                F.col(id_col).alias("_id_n"),
+                F.explode(F.sequence(F.lit(0), F.col("_g") - 1)).alias("_br"),
+            )
+            extra = (
+                left.join(right, [*keys, "_br"])
+                .where(F.col("_id_n") != F.col("_id_o"))
+                .select(
+                    F.least("_id_n", "_id_o").alias("id_a"),
+                    F.greatest("_id_n", "_id_o").alias("id_b"),
+                )
+            )
+    elif hot_mode == "cap":
+        union_expl = _cap_lsh_buckets(union_expl, keys, id_col, cap)
+    else:
+        raise ValueError(f"hot_mode {hot_mode!r} not in ('cap', 'salt')")
+
+    new_side = union_expl.where(F.col("_new")).select(
+        *keys, F.col(id_col).alias("_id_n")
+    )
+    all_side = union_expl.select(*keys, F.col(id_col).alias("_id_o"))
+    cand = (
+        new_side.join(all_side, keys)
+        .where(F.col("_id_n") != F.col("_id_o"))
+        .select(
+            F.least("_id_n", "_id_o").alias("id_a"),
+            F.greatest("_id_n", "_id_o").alias("id_b"),
+        )
+    )
+    if extra is not None:
+        cand = cand.unionByName(extra)
+    return cand.dropDuplicates(["id_a", "id_b"])
+
+
+def dedup_append(
+    spark: SparkSession,
+    mount_dir: str,
+    docs_delta: DataFrame,
+    update: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs introduced by a delta — (delta ↔ corpus) and
+    (delta ↔ delta) — at cost ∝ |delta|, never re-scanning the base
+    corpus text.  Returns (id_a, id_b, jaccard) exactly as the batch
+    operator would for the union corpus restricted to delta-touching
+    pairs (the parity pin), and with ``update=True`` (default) appends
+    the delta's band/shingle rows into the mounted index so the NEXT
+    delta sees base ∪ this one — which is what makes the result
+    split-invariant across delta batches.
+
+    Replay safety: delta ids already present in the mounted index are
+    dropped (anti-join against the pruned shingle table), so
+    re-submitting a delta returns no pairs and appends nothing — the
+    ``maintain.append_rows`` discipline."""
+    manifest = load_manifest(mount_dir)
+    dd = manifest.get("dedup")
+    if not dd:
+        raise ValueError("mount has no dedup artifacts — run mount_dedup first")
+    id_col, text_col = dd["id_col"], dd["text_col"]
+    cap = dd["bucket_cap"]
+    bands_path = os.path.join(mount_dir, "dedup_bands")
+    sh_path = os.path.join(mount_dir, "dedup_shingles")
+
+    delta = docs_delta.where(_text_ok(text_col))
+    banded_d = minhash_banded_frame(
+        delta, id_col, text_col,
+        dd["n_hashes"], dd["bands"], dd["shingle_n"], dd["seed"],
+    )
+    # idempotency: drop ids already mounted (prune the probe by the
+    # delta's own id-hash buckets before the anti-join)
+    dbkts = [
+        r[0]
+        for r in banded_d.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT)).cast("int")
+        )
+        .distinct()
+        .collect()
+    ]
+    existing = (
+        spark.read.parquet(sh_path)
+        .where(F.col("sbkt").isin(dbkts))
+        .select(id_col)
+    )
+    banded_d = banded_d.join(existing, id_col, "left_anti").persist()
+    try:
+        n_new = int(banded_d.count())
+        if n_new == 0:
+            return spark.createDataFrame(
+                [], f"id_a {dict(docs_delta.dtypes)[id_col]}, "
+                f"id_b {dict(docs_delta.dtypes)[id_col]}, jaccard double"
+            )
+        expl_d = _expl_frame(banded_d, id_col).persist()
+        try:
+            # the delta's distinct band keys, broadcast against the
+            # DIRECTORY-PRUNED base band scan: base never shuffles, and
+            # only the delta's hash-range partitions are even listed
+            keys_d = expl_d.select("band_idx", "band_hash").distinct().persist()
+            try:
+                n_keys = int(keys_d.count())
+                bkts = sorted(
+                    {r[0] for r in expl_d.select("bkt").distinct().collect()}
+                )
+                base = spark.read.parquet(bands_path).where(
+                    F.col("bkt").isin(bkts)
+                )
+                if n_keys <= MAX_BROADCAST_KEYS:
+                    # push the delta's band-hash set INTO the scan: with
+                    # the table sorted by band_hash per directory, the In
+                    # filter skips non-matching row groups (deployments
+                    # raise spark.sql.parquet.pushdown.inFilterThreshold
+                    # so large key sets stay OR-of-eq instead of a
+                    # min/max range; correctness never depends on it)
+                    hashes = [int(r[0]) for r in keys_d.select("band_hash").distinct().collect()]
+                    base = base.where(F.col("band_hash").isin(hashes))
+                probe = (
+                    F.broadcast(keys_d) if n_keys <= MAX_BROADCAST_KEYS else keys_d
+                )
+                base_matched = base.join(probe, ["band_idx", "band_hash"]).select(
+                    "band_idx", "band_hash", id_col, F.lit(False).alias("_new")
+                )
+                union_expl = base_matched.unionByName(
+                    expl_d.select(
+                        "band_idx", "band_hash", id_col, F.lit(True).alias("_new")
+                    )
+                )
+                cand = _delta_touching_candidates(
+                    union_expl, id_col, cap, dd["hot_mode"]
+                ).localCheckpoint(eager=True)
+            finally:
+                keys_d.unpersist()
+
+            # verification: shingles for the candidates' BASE-side ids
+            # come from the sbkt-pruned shingle directories (delta ids
+            # resolve from the in-flight delta frame, so only genuinely
+            # base ids drive the pruning — directories touched track the
+            # candidate count, not the corpus); the pair set is
+            # checkpointed and verification-sized, so both collects are
+            # bounded by the work the verify stage does anyway
+            cids = {
+                r[0]
+                for r in cand.select(
+                    F.explode(F.array("id_a", "id_b")).alias("i")
+                )
+                .distinct()
+                .collect()
+            }
+            delta_ids = {
+                r[0] for r in banded_d.select(id_col).collect()
+            }
+            base_ids = sorted(cids - delta_ids)
+            if base_ids:
+                base_sh = spark.read.parquet(sh_path)
+                if len(base_ids) <= MAX_BROADCAST_KEYS:
+                    # sbkt values must match Spark's xxhash64 — derive them
+                    # with the engine itself on a tiny local frame
+                    bdf = spark.createDataFrame(
+                        [(i,) for i in base_ids],
+                        f"{id_col} {dict(docs_delta.dtypes)[id_col]}",
+                    ).select(
+                        F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT))
+                        .cast("int")
+                        .alias("b")
+                    )
+                    cbkts = sorted({int(r[0]) for r in bdf.distinct().collect()})
+                    base_sh = base_sh.where(
+                        F.col("sbkt").isin(cbkts)
+                    ).where(F.col(id_col).isin(base_ids))
+                sh = base_sh.select(id_col, "shingles").unionByName(
+                    banded_d.select(id_col, "shingles")
+                )
+            else:
+                sh = banded_d.select(id_col, "shingles")
+            pairs = verify_shingle_pairs(
+                cand, sh, id_col, dd["threshold"]
+            ).localCheckpoint(eager=True)
+
+            if update:
+                expl_d.repartition("band_idx", "bkt").sortWithinPartitions(
+                    "band_hash"
+                ).write.mode("append").partitionBy("band_idx", "bkt").parquet(
+                    bands_path
+                )
+                banded_d.select(F.col(id_col), F.col("shingles")).withColumn(
+                    "sbkt",
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT)).cast("int"),
+                ).repartition("sbkt").sortWithinPartitions(id_col).write.mode(
+                    "append"
+                ).partitionBy("sbkt").parquet(sh_path)
+                manifest["dedup"]["n_docs"] = int(dd["n_docs"]) + n_new
+                with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+                    json.dump(manifest, f, indent=1, sort_keys=True)
+            return pairs
+        finally:
+            expl_d.unpersist()
+    finally:
+        banded_d.unpersist()

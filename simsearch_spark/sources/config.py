@@ -171,6 +171,55 @@ def mount_reference_sources(
     return ConfiguredCatalog(frame=frame, key_column=key_column, mounts=mounts)
 
 
+def persist_catalog(cat: ConfiguredCatalog, mount_dir: str) -> None:
+    """Persist a configured catalog as mount artifacts (r12 — the full
+    §3.1+§3.3 lifecycle on the reference's own config fixtures): the
+    ingested frame WITH its mount-time derived columns (token sets,
+    parsed timestamps, cast coordinates) lands as parquet, the facet
+    specs as ``reference_catalog.json``.  A later serve process loads
+    both (``load_catalog``) and answers ``search.json`` requests without
+    re-ingesting or re-deriving anything — the golden outputs reproduce
+    from the artifacts alone (tests/test_gdelt_golden.py)."""
+    os.makedirs(mount_dir, exist_ok=True)
+    cat.frame.write.mode("overwrite").parquet(
+        os.path.join(mount_dir, "catalog_frame")
+    )
+    meta = {
+        "key_column": cat.key_column,
+        "mounts": [
+            {
+                "name": m.name,
+                "kind": m.kind,
+                "value_cols": list(m.value_cols),
+                "key_column": m.key_column,
+            }
+            for m in cat.mounts.values()
+        ],
+    }
+    with open(os.path.join(mount_dir, "reference_catalog.json"), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+
+def load_catalog(spark: SparkSession, mount_dir: str) -> ConfiguredCatalog:
+    """Rehydrate a ``persist_catalog`` mount: same frame (derived columns
+    included), same facet specs — the serve half of the lifecycle."""
+    with open(os.path.join(mount_dir, "reference_catalog.json")) as f:
+        meta = json.load(f)
+    frame = spark.read.parquet(os.path.join(mount_dir, "catalog_frame"))
+    mounts = {
+        m["name"]: ConfiguredMount(
+            name=m["name"],
+            kind=m["kind"],
+            value_cols=list(m["value_cols"]),
+            key_column=m["key_column"],
+        )
+        for m in meta["mounts"]
+    }
+    return ConfiguredCatalog(
+        frame=frame, key_column=meta["key_column"], mounts=mounts
+    )
+
+
 def _bind_query_value(kind: str, value):
     if kind == "spatial" and isinstance(value, str):
         m = _POINT_RE.match(value.strip())

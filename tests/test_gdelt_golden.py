@@ -271,6 +271,58 @@ def test_reference_config_files_drive_engine_to_golden(spark):
 
 
 @needs_fixture
+def test_golden_reproduces_from_persisted_mount(spark, tmp_path):
+    """The full mount/search lifecycle (§3.1 + §3.3, r12): mount from the
+    reference's sources.json, PERSIST the catalog as artifacts, reload it
+    in a separate serve step (no re-ingest, no re-derive), execute the
+    reference's search.json — and the committed golden reproduces
+    byte-for-byte (same ids, same ranks, scores to 1e-9)."""
+    from simsearch_spark.sources.config import (
+        load_catalog,
+        mount_reference_sources,
+        persist_catalog,
+        search_reference_request,
+    )
+
+    d = str(tmp_path / "ref_mount")
+    persist_catalog(
+        mount_reference_sources(
+            spark, f"{GDELT_DIR}/standalone/sources.json", base_dir=GDELT_DIR
+        ),
+        d,
+    )
+    served = load_catalog(spark, d)  # the serve process's view
+    assert set(served.mounts) == {
+        "persons", "timestamp", "position", "positive_sentiment", "negative_sentiment",
+    }
+    out = search_reference_request(
+        served,
+        f"{GDELT_DIR}/standalone/search.json",
+        scales={
+            "persons": SCALE_PERSONS,
+            "timestamp": SCALE_TIMESTAMP,
+            "position": SCALE_POSITION,
+        },
+        round_digits=None,
+    ).collect()
+
+    golden = json.load(open(GOLDEN))
+    by_combo = {}
+    for r in out:
+        by_combo.setdefault(r.combo, []).append(r)
+    for combo_idx, resp in enumerate(golden):
+        got = sorted(by_combo[combo_idx], key=lambda r: -r.score)
+        want = resp["rankedResults"]
+        assert [g.article_id for g in got] == [w["id"] for w in want]
+        for g, w in zip(got, want):
+            assert math.isclose(g.score, w["score"], abs_tol=1e-9), (w["id"], g.score)
+            want_attr = {a["name"]: a["score"] for a in w["attributes"]}
+            assert math.isclose(g.persons_sim, want_attr["persons"], abs_tol=1e-9)
+            assert math.isclose(g.timestamp_sim, want_attr["timestamp"], abs_tol=1e-9)
+            assert math.isclose(g.position_sim, want_attr["position"], abs_tol=1e-9)
+
+
+@needs_fixture
 def test_reference_pivot_config_mounts_and_searches(spark):
     """The pivot deployment's config files: every attribute mounts as
     pivot_based with its metric inferred from column shape (the DataIngestor

@@ -1,0 +1,187 @@
+"""Incremental dedup against a mounted corpus (VERDICT r11 task 1).
+
+The contract under test: ``mount_dedup(base)`` + ``dedup_append(delta)``
+emits EXACTLY the pairs ``minhash_lsh_pairs(base ∪ delta)`` (the batch
+operator, which holds the driver's SQL-oracle verdict through the
+dedup_minhash_lsh surface query) would emit restricted to pairs touching
+a delta id — same ids, same verified jaccard values — at cost ∝ |delta|,
+split-invariant across delta batches, with the hot-bucket cap/salt policy
+holding ACROSS the mounted boundary, and idempotent under re-submission.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from simsearch_spark.mount.dedup import dedup_append, mount_dedup
+from simsearch_spark.operators.dedup import minhash_lsh_pairs
+from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES
+from simsearch_spark.sources.registry import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("id_a", "id_b", "jaccard").collect())
+
+
+def _batch_restricted(docs, delta_ids, **kw):
+    """The batch operator on the union corpus, restricted to pairs with at
+    least one delta member — the definitional right answer."""
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", MINHASH_T, N_HASHES, N_BANDS, **kw)
+    ids = list(delta_ids)
+    return pairs.where(F.col("id_a").isin(ids) | F.col("id_b").isin(ids))
+
+
+def test_dedup_append_equals_batch_union_restricted(spark, sf_dir, tmp_path):
+    """The headline parity pin on the real fixture corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = 300
+    base = docs.where(F.col("doc_id") < cut)
+    delta = docs.where(F.col("doc_id") >= cut)
+    delta_ids = [r.doc_id for r in delta.select("doc_id").collect()]
+
+    d = str(tmp_path / "m_dedup")
+    mount_dedup(spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+    got = dedup_append(spark, d, delta)
+    want = _batch_restricted(docs, delta_ids)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0  # the fixture corpus plants near-dups
+
+
+def test_dedup_append_split_invariant(spark, sf_dir, tmp_path):
+    """append(d1); append(d2) accumulates the SAME pair set as one
+    append(d1 ∪ d2) and as the batch union restricted — the mounted index
+    grows between batches, so d2 is compared against base ∪ d1."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 250)
+    d1 = docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") % 2 == 0))
+    d2 = docs.where((F.col("doc_id") >= 250) & (F.col("doc_id") % 2 == 1))
+    delta_ids = [r.doc_id for r in docs.where(F.col("doc_id") >= 250).select("doc_id").collect()]
+
+    m_split = str(tmp_path / "m_split")
+    mount_dedup(spark, m_split, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+    p1 = _rows(dedup_append(spark, m_split, d1))
+    p2 = _rows(dedup_append(spark, m_split, d2))
+    assert not set(p1) & set(p2)  # batches never re-emit earlier pairs
+
+    m_one = str(tmp_path / "m_one")
+    mount_dedup(spark, m_one, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+    p_one = _rows(dedup_append(spark, m_one, d1.unionByName(d2)))
+
+    want = _rows(_batch_restricted(docs, delta_ids))
+    assert sorted(p1 + p2) == p_one == want
+
+
+def test_dedup_append_idempotent(spark, sf_dir, tmp_path):
+    """Re-submitting a delta returns NO pairs and appends nothing — the
+    maintain.append_rows replay discipline."""
+    from simsearch_spark.mount.artifacts import load_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 300)
+    delta = docs.where(F.col("doc_id") >= 300)
+
+    d = str(tmp_path / "m_idem")
+    mount_dedup(spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+    first = _rows(dedup_append(spark, d, delta))
+    n1 = load_manifest(d)["dedup"]["n_docs"]
+    bands_rows = spark.read.parquet(f"{d}/dedup_bands").count()
+
+    again = dedup_append(spark, d, delta)
+    assert again.count() == 0
+    assert load_manifest(d)["dedup"]["n_docs"] == n1
+    assert spark.read.parquet(f"{d}/dedup_bands").count() == bands_rows
+    assert len(first) > 0
+
+
+@pytest.mark.parametrize("hot_mode", ["cap", "salt"])
+def test_hot_bucket_policy_across_mounted_boundary(spark, tmp_path, hot_mode):
+    """A boilerplate cluster SPANNING base and delta: bucket size is the
+    base+delta membership, and the cap (lowest-id keep) / salt (blocked
+    full recall) policies match the batch operator on the union exactly.
+
+    With cap=6 and a 10-member cluster (6 base + 4 delta), cap keeps each
+    over-cap bucket's six lowest ids — recall drops wherever a bucket
+    overflowed (members can still pair through their under-cap bands,
+    the documented drop-with-count semantics) — while salt keeps every
+    member and recovers ALL 6·4 + C(4,2) delta-touching cluster pairs.
+    Either way the incremental result must equal the batch-on-union
+    operator under the SAME policy.  Distinct tail words keep the planted
+    cluster's jaccard above threshold while unrelated filler stays
+    below."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again "
+    rows = []
+    for i in range(10):  # planted cluster: ids 0..5 base, 6..9 delta
+        rows.append((i, boiler + f"tail{i}"))
+    for i in range(10, 40):  # unrelated filler, half base half delta
+        rows.append((i, f"unrelated document number {i} " * 4 + f"word{i} " * 6))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.where((F.col("doc_id") < 6) | ((F.col("doc_id") >= 10) & (F.col("doc_id") % 2 == 0)))
+    delta = docs.join(base, "doc_id", "left_anti")
+    delta_ids = [r.doc_id for r in delta.select("doc_id").collect()]
+
+    cap = 6
+    d = str(tmp_path / f"m_hot_{hot_mode}")
+    mount_dedup(
+        spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS,
+        bucket_cap=cap, hot_mode=hot_mode,
+    )
+    got = _rows(dedup_append(spark, d, delta))
+    want = _rows(
+        _batch_restricted(docs, delta_ids, bucket_cap=cap, hot_mode=hot_mode)
+    )
+    assert got == want
+    cluster_pairs = [
+        (a, b) for a, b, _j in got if a < 10 and b < 10
+    ]
+    if hot_mode == "salt":
+        # full recall: every delta-touching pair of the 10-member cluster
+        assert len(cluster_pairs) == 6 * 4 + 6  # cross + C(4,2)
+    else:
+        # cap: recall inside over-cap buckets is reduced, never increased
+        assert 0 < len(cluster_pairs) < 6 * 4 + 6
+
+
+def test_mount_builds_dedup_artifacts_by_default(spark, sf_dir, tmp_path):
+    """mount() ships the dedup index alongside the vector/text artifacts,
+    under the declared queries' frozen hash family."""
+    from simsearch_spark.mount import mount
+    from simsearch_spark.mount.artifacts import load_manifest
+
+    d = str(tmp_path / "m_full")
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    mount(spark, sf_dir, d, emb_frame=emb, docs_frame=docs)
+    m = load_manifest(d)
+    assert m["dedup"]["n_hashes"] == N_HASHES and m["dedup"]["bands"] == N_BANDS
+    assert "dedup_bands" in m["artifacts"] and "dedup_shingles" in m["artifacts"]
+    got = dedup_append(
+        spark, d, load_table(spark, sf_dir, "documents").where(F.col("doc_id") >= 150)
+    )
+    assert got.columns == ["id_a", "id_b", "jaccard"]
+
+
+def test_dedup_append_base_scan_is_directory_pruned(spark, sf_dir, tmp_path):
+    """The physical 100 TB claim: the base band table is read through
+    PartitionFilters on (bkt) — hash-range DIRECTORY pruning, the
+    pq_codes pattern — and the probe join against the delta's key set is
+    a broadcast, so the base side never shuffles."""
+    from simsearch_spark.mount.dedup import N_BKT
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400)
+    d = str(tmp_path / "m_plan")
+    mount_dedup(spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+
+    spark.catalog.clearCache()
+    plan = (
+        spark.read.parquet(f"{d}/dedup_bands")
+        .where(F.col("bkt").isin([0, 1, 2]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    head = plan[plan.index("PartitionFilters"):][:200]
+    assert "bkt" in head, head
+    assert N_BKT >= 16  # enough fan-out for the pruning to mean something

@@ -308,6 +308,64 @@ def _ivfpq_multi_serve_probe(spark, sf_dir: str) -> int:
     return int(emb.where(F.col("label").isin(sorted(union))).count())
 
 
+#: fixed-size crawl delta for the incremental-dedup probe — constant
+#: across factors so the curve isolates base-corpus-size sensitivity
+DEDUP_DELTA_N = 300
+
+
+def _dedup_mount_prepare(spark, sf_dir: str) -> str:
+    """Build (once per factor dir, UNTIMED — registered in PREPARES) the
+    mounted dedup index over everything except the fixed probe delta."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.mount.dedup import mount_dedup
+    from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES
+    from simsearch_spark.sources.registry import load_table
+
+    d = os.path.join(sf_dir, "_dedup_mount")
+    if os.path.isdir(os.path.join(d, "dedup_bands")):
+        return d
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.select("doc_id").orderBy("doc_id").limit(DEDUP_DELTA_N).agg(
+        F.max("doc_id")
+    ).first()[0]
+    base = docs.where(F.col("doc_id") > cutoff)
+    mount_dedup(spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+    return d
+
+
+def _dedup_append_probe(spark, sf_dir: str) -> int:
+    """Incremental dedup against the mounted base (r12): a FIXED-size
+    delta joins the persisted band index — delta shingling/banding,
+    broadcast key probe into the directory-pruned + In-filtered base
+    scan, candidate generation over touched buckets only, verification
+    against point-looked-up base shingles.  The scale claim: this cost is
+    governed by |delta| (constant here) plus a narrow-int index probe —
+    compare its curve against the ``dedup_minhash_lsh`` probe, which is
+    what a deployment WITHOUT the mounted index re-pays per delta (full
+    re-shingle + full self-join of base ∪ delta).  ``update=False`` keeps
+    the prepared mount reusable across the warmup and timed runs."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.mount.dedup import dedup_append
+    from simsearch_spark.sources.registry import load_table
+
+    d = _dedup_mount_prepare(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = docs.select("doc_id").orderBy("doc_id").limit(DEDUP_DELTA_N).agg(
+        F.max("doc_id")
+    ).first()[0]
+    delta = docs.where(F.col("doc_id") <= cutoff)
+    return int(dedup_append(spark, d, delta, update=False).count())
+
+
+#: per-probe UNTIMED setup, run before the timed lambda at each factor
+#: (mount construction is the train-once cost, not the per-delta cost)
+PREPARES = {
+    "dedup_append": _dedup_mount_prepare,
+}
+
+
 def probes(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -327,6 +385,7 @@ def probes(spark, sf_dir: str):
     return {
         "dedup_exact": lambda: exact_dedup_groups(docs, "doc_id", "text").count(),
         "dedup_minhash_lsh": lambda: minhash_lsh_pairs(docs, "doc_id", "text").count(),
+        "dedup_append": lambda: _dedup_append_probe(spark, sf_dir),
         "events_sessionize": lambda: PIPELINE_QUERIES["events_sessionize"][0](spark, sf_dir).count(),
         "ngram_vocab": lambda: q_ngram_vocab(spark, sf_dir).count(),
         "ann_brute_topk": lambda: cosine_topk(
@@ -457,6 +516,8 @@ def main() -> None:
             for name, fn in probes(spark, dirs[f]).items():
                 if only and name not in only:
                     continue
+                if name in PREPARES:  # untimed train-once setup
+                    PREPARES[name](spark, dirs[f])
                 t0 = time.perf_counter()
                 n = fn()
                 results.setdefault(name, {})[f] = {
