@@ -207,6 +207,37 @@ def run_mount(spark) -> dict[str, float]:
         out["ivfpq_serve"] = _best_of(2, ivfpq_serve)
         bm25_serve()
         out["bm25_serve"] = _best_of(2, bm25_serve)
+
+        # the drift audit (r12): recall@k of the mounted index on the
+        # most recent rows vs the exact brute arm — the operational
+        # health check a deployment schedules; its cost is one bounded
+        # batch serve + one multi-query brute scan
+        from simsearch_spark.mount import audit_drift
+
+        t0 = time.perf_counter()
+        audit = audit_drift(spark, root, emb, sample_n=16, k=10,
+                            n_probe=N_PROBE, rerank=RERANK)
+        out["drift_audit"] = round(time.perf_counter() - t0, 3)
+        out["drift_audit_recall"] = audit["recall_at_k"]
+
+        # incremental dedup serve cost (r12): one fixed 200-doc delta
+        # against the mounted band index (update=False keeps it pure)
+        from simsearch_spark.mount.dedup import dedup_append
+
+        full_docs = load_table(spark, SF_DIR, "documents")
+        cut = full_docs.select(F.max("doc_id")).first()[0]
+        # a re-crawl delta: 200 existing texts under FRESH ids — every one
+        # is a true near-dup of its mounted original, so the candidate +
+        # verify stages do real work
+        delta = full_docs.where(F.col("doc_id") > cut - 200).select(
+            (F.col("doc_id") + cut + 1).alias("doc_id"), "text"
+        )
+
+        def dedup_serve():
+            return dedup_append(spark, root, delta, update=False).collect()
+
+        dedup_serve()  # warm
+        out["dedup_append"] = _best_of(2, dedup_serve)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -44,7 +44,11 @@ work happens, never the answer.
 
 from simsearch_spark.mount.artifacts import load_manifest, mount
 from simsearch_spark.mount.audit import audit_drift, refresh
-from simsearch_spark.mount.dedup import dedup_append, mount_dedup
+from simsearch_spark.mount.dedup import (
+    dedup_append,
+    mount_dedup,
+    stream_dedup_append,
+)
 from simsearch_spark.mount.maintain import append_rows, delete_ids
 from simsearch_spark.mount.serve import (
     serve_bm25_topk,
@@ -64,6 +68,7 @@ __all__ = [
     "delete_ids",
     "mount_dedup",
     "dedup_append",
+    "stream_dedup_append",
     "audit_drift",
     "refresh",
 ]

@@ -184,7 +184,16 @@ def mount(
             os.path.join(mount_dir, "pq_codebooks"),
         )
         codes = encode_residual_codes(emb, "vec_id", "embedding", "label", cmap, books)
-        _write(codes, os.path.join(mount_dir, "pq_codes"), partition_by="cell")
+        # repartition ON the partition column: a fresh mount starts at one
+        # file per cell (the same layout compact_codes restores), so the
+        # COMPACT_FILES_PER_CELL trigger measures append debris, not the
+        # writer's shuffle spray; a petabyte mount would repartition(n,
+        # "cell") to keep intra-cell file parallelism
+        _write(
+            codes.repartition("cell"),
+            os.path.join(mount_dir, "pq_codes"),
+            partition_by="cell",
+        )
 
         # pivot artifacts — the reference's own mount-time V-path
         # (Coordinator.java:760-788: allocate/select pivots, embed): the

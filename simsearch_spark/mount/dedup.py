@@ -56,7 +56,13 @@ from simsearch_spark.operators.dedup import (
     verify_shingle_pairs,
 )
 
-__all__ = ["mount_dedup", "dedup_append", "N_BKT", "N_SBKT"]
+__all__ = [
+    "mount_dedup",
+    "dedup_append",
+    "stream_dedup_append",
+    "N_BKT",
+    "N_SBKT",
+]
 
 #: hash-range partition fan-out for the band table (band_idx × N_BKT
 #: directories) and the shingle table.  32/64 keeps local-test directory
@@ -266,6 +272,7 @@ def dedup_append(
     mount_dir: str,
     docs_delta: DataFrame,
     update: bool = True,
+    on_pairs=None,
 ) -> DataFrame:
     """Near-duplicate pairs introduced by a delta — (delta ↔ corpus) and
     (delta ↔ delta) — at cost ∝ |delta|, never re-scanning the base
@@ -279,7 +286,10 @@ def dedup_append(
     Replay safety: delta ids already present in the mounted index are
     dropped (anti-join against the pruned shingle table), so
     re-submitting a delta returns no pairs and appends nothing — the
-    ``maintain.append_rows`` discipline."""
+    ``maintain.append_rows`` discipline.  ``on_pairs`` (used by the
+    streaming sink) is invoked with the materialized pair frame AFTER
+    verification but BEFORE the index updates, so a sink can commit the
+    pairs idempotently before the batch's ids become "already mounted"."""
     manifest = load_manifest(mount_dir)
     dd = manifest.get("dedup")
     if not dd:
@@ -313,6 +323,10 @@ def dedup_append(
     try:
         n_new = int(banded_d.count())
         if n_new == 0:
+            # deliberately does NOT invoke on_pairs: an all-duplicate
+            # delta is a REPLAY, and overwriting the sink's batch
+            # directory with an empty frame would destroy the pairs the
+            # original (crashed-after-index-update) run already committed
             return spark.createDataFrame(
                 [], f"id_a {dict(docs_delta.dtypes)[id_col]}, "
                 f"id_b {dict(docs_delta.dtypes)[id_col]}, jaccard double"
@@ -401,6 +415,8 @@ def dedup_append(
             pairs = verify_shingle_pairs(
                 cand, sh, id_col, dd["threshold"]
             ).localCheckpoint(eager=True)
+            if on_pairs is not None:
+                on_pairs(pairs)
 
             if update:
                 expl_d.repartition("band_idx", "bkt").sortWithinPartitions(
@@ -422,3 +438,51 @@ def dedup_append(
             expl_d.unpersist()
     finally:
         banded_d.unpersist()
+
+
+def stream_dedup_append(
+    spark: SparkSession,
+    mount_dir: str,
+    stream_docs: DataFrame,
+    pairs_dir: str,
+    checkpoint_dir: str | None = None,
+):
+    """Continuous crawl dedup against a mounted corpus — the Structured-
+    Streaming dual of ``dedup_append`` (the ``stream_append_codes``
+    pattern): each micro-batch's near-dup pairs (batch ↔ corpus-so-far +
+    batch ↔ batch) land under ``pairs_dir/batch_id=N`` and the batch's
+    band/shingle rows join the mounted index, so LATER batches dedup
+    against earlier ones.  Because ``dedup_append`` is split-invariant
+    and updates the index between batches, the union of all batch pair
+    sets equals one batch call on the concatenated delta
+    (tests/test_mount_dedup.py pins it).
+
+    Replay discipline (at-least-once ``foreachBatch``): pairs write to a
+    BATCH-KEYED directory with overwrite (re-running a batch rewrites
+    identical content), the index updates are id-anti-joined (re-appends
+    are no-ops), and the ``on_pairs`` hook commits the pairs BEFORE the
+    ids become "already mounted" — so a replay after a crash either
+    recomputes identical pairs (index not yet updated) or skips as an
+    all-duplicate delta without touching the committed pairs.  A crash
+    INSIDE the two index appends can leave duplicate band rows for the
+    half-written batch; their only effect is redundant candidates that
+    ``dropDuplicates`` absorbs — pair correctness is unaffected.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger)."""
+    load_manifest(mount_dir)  # fail fast if not a dedup mount
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_append(
+            spark,
+            mount_dir,
+            batch_df,
+            update=True,
+            on_pairs=lambda p: p.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"batch_id={int(batch_id)}")
+            ),
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -42,7 +42,61 @@ from simsearch_spark.mount.artifacts import (
     load_manifest,
 )
 
-__all__ = ["append_rows", "delete_ids", "compact_codes", "stream_append_codes"]
+__all__ = [
+    "append_rows",
+    "delete_ids",
+    "compact_codes",
+    "stream_append_codes",
+    "maintenance_stats",
+    "should_compact",
+    "COMPACT_TOMBSTONE_FRACTION",
+    "COMPACT_FILES_PER_CELL",
+]
+
+#: compaction trigger policy (r12, derived from tools/maintain_probe.py —
+#: numbers in SCALE.md §r12): serve cost is insensitive to tombstone
+#: fraction until the anti-join's broadcast build and the dead-row decode
+#: become visible (~20 % dead), and file-count growth from many small
+#: appends degrades the probed-partition scan roughly linearly in files
+#: opened.  Compact when EITHER budget is exceeded.
+COMPACT_TOMBSTONE_FRACTION = 0.2
+COMPACT_FILES_PER_CELL = 16
+
+
+def maintenance_stats(spark: SparkSession, mount_dir: str) -> dict:
+    """Bounded maintenance counters: live/tombstoned row counts from the
+    manifest + one tombstone count, and the parquet file census of the
+    codes table (os.walk — no Spark job)."""
+    manifest = load_manifest(mount_dir)
+    n_vectors = int(manifest["counts"]["n_vectors"])
+    tomb_path = os.path.join(mount_dir, "tombstones")
+    n_tomb = (
+        int(spark.read.parquet(tomb_path).select("vec_id").distinct().count())
+        if os.path.isdir(tomb_path)
+        else 0
+    )
+    codes_path = os.path.join(mount_dir, "pq_codes")
+    per_cell: dict[str, int] = {}
+    for root, _dirs, files in os.walk(codes_path):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n and os.path.basename(root).startswith("cell="):
+            per_cell[os.path.basename(root)] = n
+    return {
+        "n_vectors": n_vectors,
+        "n_tombstones": n_tomb,
+        "tombstone_fraction": (n_tomb / n_vectors) if n_vectors else 0.0,
+        "n_cells": len(per_cell),
+        "max_files_per_cell": max(per_cell.values(), default=0),
+    }
+
+
+def should_compact(spark: SparkSession, mount_dir: str) -> bool:
+    """The r12 trigger: tombstone mass or per-cell file count over budget."""
+    s = maintenance_stats(spark, mount_dir)
+    return (
+        s["tombstone_fraction"] >= COMPACT_TOMBSTONE_FRACTION
+        or s["max_files_per_cell"] > COMPACT_FILES_PER_CELL
+    )
 
 
 def _swap_in(df: DataFrame, path: str) -> None:
@@ -235,19 +289,31 @@ def compact_codes(spark: SparkSession, mount_dir: str) -> int:
     Returns the number of rows reclaimed."""
     manifest = load_manifest(mount_dir)
     tomb_path = os.path.join(mount_dir, "tombstones")
-    if not os.path.isdir(tomb_path):
-        return 0
+    has_tombstones = os.path.isdir(tomb_path)
+    if not has_tombstones:
+        # no dead rows — rewrite only if append debris fragmented the
+        # table (file compaction is the trigger's other budget, r12)
+        if maintenance_stats(spark, mount_dir)["max_files_per_cell"] <= 1:
+            return 0
     codes_path = os.path.join(mount_dir, "pq_codes")
-    tomb = spark.read.parquet(tomb_path).select("vec_id").distinct()
     codes = spark.read.parquet(codes_path)
-    live = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    if has_tombstones:
+        tomb = spark.read.parquet(tomb_path).select("vec_id").distinct()
+        live = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
+    else:
+        live = codes
     before = int(codes.count())
     tmp = codes_path + "__tmp"
-    live.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    # repartition ON the partition column: compaction also collapses the
+    # file debris many small appends left behind (one file per cell —
+    # a petabyte deployment would repartition(n, "cell") to keep
+    # intra-cell parallelism; the trigger is COMPACT_FILES_PER_CELL)
+    live.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
     shutil.rmtree(codes_path)
     shutil.move(tmp, codes_path)
     after = int(spark.read.parquet(codes_path).count())
-    shutil.rmtree(tomb_path)
+    if has_tombstones:
+        shutil.rmtree(tomb_path)
     manifest["counts"]["n_vectors"] = after
     with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

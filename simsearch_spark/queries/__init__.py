@@ -244,6 +244,15 @@ DRIVER_EXCLUDED = frozenset(
         # hash-ordered selection family driver-verified through
         # corpus_sample/sketch_distinct_users; full two-arm oracle replay
         "quantile_sketch_audit",
+        # incremental dedup against a mounted corpus (r12): the batch
+        # operator it is definitionally a restriction of holds the
+        # surface verdict (dedup_minhash_lsh — identical hash family,
+        # banding, verification); the oracle replays that surface SQL
+        # verbatim plus the delta-touching WHERE, and the mount/append
+        # machinery itself is parity-pinned against the batch operator in
+        # tests/test_mount_dedup.py (split-invariance, hot-bucket policy
+        # across the boundary, idempotent replay); full in-repo parity
+        "dedup_append_mounted",
         # real MJPEG frame-pixel decode (r7): composition of two
         # independently verified codecs — the AVI frame index behind
         # media_frame_sample and the JPEG entropy decode behind

@@ -146,6 +146,55 @@ SQL_DEDUP_MINHASH_LSH = _minhash_oracle()
 
 
 # -----------------------------------------------------------------------------
+# dedup_append_mounted: the PRODUCTION dedup shape (r12) — mount a base
+# corpus' MinHash band index once, join a crawl delta against it
+# -----------------------------------------------------------------------------
+
+#: base/delta split for the mounted-append parity query (fixture doc_ids
+#: are dense from 0, so the cut holds a non-trivial base at sf0.01+)
+DEDUP_APPEND_CUT = 400
+
+
+def q_dedup_append_mounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a mounted corpus (mount/dedup.py): docs
+    below ``DEDUP_APPEND_CUT`` mount as the persisted signature/band
+    index; the rest arrive as a delta whose (delta ↔ corpus) and
+    (delta ↔ delta) near-dup pairs come from joining the FROZEN-hash
+    delta bands against the index — never re-scanning the base text.
+    Definitionally equal to ``minhash_lsh_pairs(base ∪ delta)`` restricted
+    to delta-touching pairs, which is exactly what the oracle states.
+
+    100 TB shape: the base side is a directory-pruned, In-filtered,
+    broadcast-probed scan of the narrow band index (SCALE.md §r12 —
+    probe flat at 1×/10×/30× base with a fixed delta); delta work is
+    ∝ |delta|.  The mount is built in a temp dir and removed before
+    returning — the result frame is eagerly checkpointed."""
+    import shutil
+    import tempfile
+
+    from simsearch_spark.mount.dedup import dedup_append, mount_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < DEDUP_APPEND_CUT)
+    delta = docs.where(F.col("doc_id") >= DEDUP_APPEND_CUT)
+    d = tempfile.mkdtemp(prefix="simsearch_dedup_mount_")
+    try:
+        mount_dedup(
+            spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS
+        )
+        return dedup_append(spark, d, delta)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+SQL_DEDUP_APPEND_MOUNTED = f"""
+WITH p AS ({_minhash_oracle()})
+SELECT id_a, id_b, jaccard FROM p
+WHERE id_a >= {DEDUP_APPEND_CUT} OR id_b >= {DEDUP_APPEND_CUT}
+"""
+
+
+# -----------------------------------------------------------------------------
 # dedup_clusters: transitive near-dup groups over the minhash pair graph
 # -----------------------------------------------------------------------------
 
@@ -983,6 +1032,7 @@ FROM flagged GROUP BY user_id
 PIPELINE_QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_append_mounted": (q_dedup_append_mounted, SQL_DEDUP_APPEND_MOUNTED),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_apply": (q_dedup_apply, SQL_DEDUP_APPLY),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),

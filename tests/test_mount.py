@@ -329,3 +329,50 @@ def test_stream_append_equals_batch_append(spark, sf_dir, tmp_path):
     sa = serve_ivfpq_topk(spark, m_batch, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
     sb = serve_ivfpq_topk(spark, m_stream, emb, qvec, K, n_probe=N_PROBE, rerank=RERANK)
     assert _rows(sa) == _rows(sb)
+
+
+def test_compaction_trigger_policy(spark, sf_dir, tmp_path):
+    """The r12 trigger (COMPACT_TOMBSTONE_FRACTION / COMPACT_FILES_PER_CELL,
+    derived from tools/maintain_probe.py — SCALE.md §r12): a clean mount
+    does not trigger; tombstoning past the fraction budget does;
+    fragmenting past the per-cell file budget does; compaction clears both
+    and collapses the file debris to one file per cell."""
+    from simsearch_spark.mount.maintain import (
+        COMPACT_FILES_PER_CELL,
+        COMPACT_TOMBSTONE_FRACTION,
+        compact_codes,
+        maintenance_stats,
+        should_compact,
+    )
+
+    d = str(tmp_path / "m_trig")
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    from simsearch_spark.mount import mount as _mount
+
+    _mount(spark, sf_dir, d, emb_frame=emb, docs_frame=docs, dedup=False)
+    assert not should_compact(spark, d)
+
+    # tombstone budget: just under stays quiet, just over triggers
+    n = int(load_manifest(d)["counts"]["n_vectors"])
+    under = int(n * COMPACT_TOMBSTONE_FRACTION) - 1
+    delete_ids(spark, d, list(range(under)))
+    assert not should_compact(spark, d)
+    delete_ids(spark, d, [under, under + 1])
+    assert should_compact(spark, d)
+    assert compact_codes(spark, d) == under + 2
+    assert not should_compact(spark, d)
+
+    # file budget: many small appends fragment past the per-cell cap
+    a = 0
+    while maintenance_stats(spark, d)["max_files_per_cell"] <= COMPACT_FILES_PER_CELL:
+        delta = emb.limit(30).select(
+            (F.col("vec_id") + 10_000 + a * 30).alias("vec_id"), "embedding"
+        )
+        append_rows(spark, d, emb_delta=delta)
+        a += 1
+        assert a <= 3 * COMPACT_FILES_PER_CELL  # must fragment eventually
+    assert should_compact(spark, d)
+    compact_codes(spark, d)
+    s = maintenance_stats(spark, d)
+    assert s["max_files_per_cell"] == 1 and not should_compact(spark, d)

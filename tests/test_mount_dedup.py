@@ -185,3 +185,65 @@ def test_dedup_append_base_scan_is_directory_pruned(spark, sf_dir, tmp_path):
     head = plan[plan.index("PartitionFilters"):][:200]
     assert "bkt" in head, head
     assert N_BKT >= 16  # enough fan-out for the pruning to mean something
+
+
+def test_stream_dedup_append_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming dual: a 3-way micro-batch split streamed into the
+    mounted index yields the SAME union of pairs as one batch
+    dedup_append of the whole delta (later batches dedup against earlier
+    ones because the index grows between batches), and a full replay
+    (checkpoint wiped) adds nothing — index rows and committed pairs
+    unchanged."""
+    import shutil
+
+    from simsearch_spark.mount.artifacts import load_manifest
+    from simsearch_spark.mount.dedup import stream_dedup_append
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 250)
+    delta = docs.where(F.col("doc_id") >= 250)
+
+    m_one = str(tmp_path / "m_one")
+    mount_dedup(spark, m_one, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+    want = _rows(dedup_append(spark, m_one, delta))
+
+    m_s = str(tmp_path / "m_stream")
+    mount_dedup(spark, m_s, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+    src = str(tmp_path / "delta_src")
+    for bi in range(3):
+        delta.where(F.pmod(F.col("doc_id"), F.lit(3)) == bi).select(
+            "doc_id", "text"
+        ).write.parquet(f"{src}/b{bi}")
+    pairs_dir = str(tmp_path / "pairs")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+        q = stream_dedup_append(
+            spark, m_s, stream, pairs_dir, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(180)
+
+    run()
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(pairs_dir)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    assert got == want and len(want) > 0
+    n1 = load_manifest(m_s)["dedup"]["n_docs"]
+    assert n1 == load_manifest(m_one)["dedup"]["n_docs"]
+    bands_rows = spark.read.parquet(f"{m_s}/dedup_bands").count()
+
+    # full replay: wipe the checkpoint, stream the same source again
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+    got2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(pairs_dir)
+        .select("id_a", "id_b", "jaccard")
+        .collect()
+    )
+    assert got2 == want
+    assert load_manifest(m_s)["dedup"]["n_docs"] == n1
+    assert spark.read.parquet(f"{m_s}/dedup_bands").count() == bands_rows
