@@ -78,6 +78,13 @@ N_SBKT = 256
 #: when |delta| approaches |base|
 MAX_BROADCAST_KEYS = 1_000_000
 
+#: push a literal In(...) filter into a parquet scan only below this
+#: many values — a Catalyst In with tens of thousands of literals costs
+#: more to plan/codegen than the scan it prunes (measured: an 18k-hash
+#: delta took the append from ~6 s to ~30 s).  Above it the broadcast
+#: join alone bounds the work.
+MAX_IN_LITERALS = 2048
+
 
 def _text_ok(text_col: str):
     return F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
@@ -338,24 +345,39 @@ def dedup_append(
             # only the delta's hash-range partitions are even listed
             keys_d = expl_d.select("band_idx", "band_hash").distinct().persist()
             try:
-                n_keys = int(keys_d.count())
-                bkts = sorted(
-                    {r[0] for r in expl_d.select("bkt").distinct().collect()}
-                )
+                # n_new·bands bounds the distinct key count exactly, so
+                # the small-delta fast path needs ONE collect for hashes
+                # AND touched buckets (bkt = hash % N_BKT is driver-
+                # computable: band hashes are non-negative by
+                # construction) instead of three separate driver jobs
+                n_keys_bound = n_new * int(dd["bands"])
+                if n_keys_bound <= MAX_IN_LITERALS:
+                    hashes = sorted(
+                        {int(r[0]) for r in keys_d.select("band_hash").collect()}
+                    )
+                    bkts = sorted({h % N_BKT for h in hashes})
+                else:
+                    hashes = None
+                    bkts = sorted(
+                        {r[0] for r in expl_d.select("bkt").distinct().collect()}
+                    )
                 base = spark.read.parquet(bands_path).where(
                     F.col("bkt").isin(bkts)
                 )
-                if n_keys <= MAX_BROADCAST_KEYS:
+                if hashes is not None:
                     # push the delta's band-hash set INTO the scan: with
                     # the table sorted by band_hash per directory, the In
                     # filter skips non-matching row groups (deployments
                     # raise spark.sql.parquet.pushdown.inFilterThreshold
                     # so large key sets stay OR-of-eq instead of a
-                    # min/max range; correctness never depends on it)
-                    hashes = [int(r[0]) for r in keys_d.select("band_hash").distinct().collect()]
+                    # min/max range; correctness never depends on it).
+                    # Bounded by MAX_IN_LITERALS — a giant literal In
+                    # costs more in planning than it prunes
                     base = base.where(F.col("band_hash").isin(hashes))
                 probe = (
-                    F.broadcast(keys_d) if n_keys <= MAX_BROADCAST_KEYS else keys_d
+                    F.broadcast(keys_d)
+                    if n_keys_bound <= MAX_BROADCAST_KEYS
+                    else keys_d
                 )
                 base_matched = base.join(probe, ["band_idx", "band_hash"]).select(
                     "band_idx", "band_hash", id_col, F.lit(False).alias("_new")
@@ -392,7 +414,7 @@ def dedup_append(
             base_ids = sorted(cids - delta_ids)
             if base_ids:
                 base_sh = spark.read.parquet(sh_path)
-                if len(base_ids) <= MAX_BROADCAST_KEYS:
+                if len(base_ids) <= MAX_IN_LITERALS:
                     # sbkt values must match Spark's xxhash64 — derive them
                     # with the engine itself on a tiny local frame
                     bdf = spark.createDataFrame(

@@ -30,8 +30,10 @@ Scope:
   streams AND the JPEGTables form (TIFF/EP tag 347 — shared abbreviated
   tables spliced after each stream's SOI, r12), via the in-repo
   baseline/progressive JPEG decoder.
-- Named NotImplementedError seams: CCITT compression, planar tiles /
-  planar JPEG, mask/CMYK/YCbCr photometrics, other bit depths.
+- PLANAR TILED (r12): per-plane tile runs (all plane-0 tiles row-major,
+  then plane 1, …), each plane assembling like a 1-sample tiled image.
+- Named NotImplementedError seams: CCITT compression, planar
+  JPEG-in-TIFF strips, mask/CMYK/YCbCr photometrics, other bit depths.
 - ENCODE: little-endian, single strip, BlackIsZero gray or chunky RGB,
   compression None/"packbits"/"lzw" (+ predictor 2 for LZW).  All
   lossless, so closed-form pixel oracles stay codec-invariant.
@@ -377,7 +379,29 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         raise ValueError(f"degenerate TIFF geometry {w}x{h}")
     if 322 in tags or 324 in tags:
         if planar == 2:
-            raise NotImplementedError("planar tiled TIFF not supported")
+            # planar TILED (r12): the tile arrays hold all plane-0 tiles
+            # row-major, then plane 1, … — each plane assembles like an
+            # independent 1-sample tiled image and the planes interleave
+            # to chunky, the same shape as the planar strip path below
+            offs, counts = tags.get(324, []), tags.get(325, [])
+            if len(offs) % channels:
+                raise ValueError(
+                    f"planar tiled TIFF: {len(offs)} tiles not divisible "
+                    f"by {channels} planes"
+                )
+            tpp = len(offs) // channels
+            planes = [
+                _assemble_tiles(
+                    data, tags, w, h, 1, comp, predictor, jpeg_tables,
+                    offs=offs[p * tpp : (p + 1) * tpp],
+                    counts=counts[p * tpp : (p + 1) * tpp],
+                )
+                for p in range(channels)
+            ]
+            inter = bytearray(w * h * channels)
+            for p, plane in enumerate(planes):
+                inter[p::channels] = plane
+            return (w, h, *_apply_photometric(bytes(inter), photo, cmap))
         body = _assemble_tiles(
             data, tags, w, h, channels, comp, predictor, jpeg_tables
         )
@@ -523,19 +547,24 @@ def _assemble_tiles(
     comp: int,
     predictor: int,
     jpeg_tables: bytes | None = None,
+    offs: list[int] | None = None,
+    counts: list[int] | None = None,
 ) -> bytes:
     """Tiled TIFF assembly (TIFF 6.0 §15): TileWidth/TileLength (322/323,
     multiples of 16 per spec — not enforced, writers vary), offsets/byte
     counts (324/325) in row-major tile order.  Every tile is a FULL
     tw×tl block (edge tiles padded); each decompresses independently and
     the predictor undoes per TILE row before the blit clips the padding.
+    ``offs``/``counts`` override the tags (the planar path passes one
+    plane's slice of the tile arrays, r12).
     """
     if 322 not in tags or 323 not in tags or 324 not in tags or 325 not in tags:
         raise ValueError("tiled TIFF without TileWidth/TileLength/Offsets/ByteCounts")
     tw, tl = int(tags[322][0]), int(tags[323][0])
     if tw <= 0 or tl <= 0:
         raise ValueError(f"degenerate TIFF tile geometry {tw}x{tl}")
-    offs, counts = tags[324], tags[325]
+    if offs is None:
+        offs, counts = tags[324], tags[325]
     across = -(-w // tw)
     down = -(-h // tl)
     if len(offs) != across * down or len(counts) != len(offs):

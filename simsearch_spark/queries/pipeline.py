@@ -150,15 +150,19 @@ SQL_DEDUP_MINHASH_LSH = _minhash_oracle()
 # corpus' MinHash band index once, join a crawl delta against it
 # -----------------------------------------------------------------------------
 
-#: base/delta split for the mounted-append parity query (fixture doc_ids
-#: are dense from 0, so the cut holds a non-trivial base at sf0.01+)
-DEDUP_APPEND_CUT = 400
+#: base/delta split for the mounted-append parity query: docs with
+#: doc_id ≡ DEDUP_APPEND_RESIDUE (mod DEDUP_APPEND_MOD) are the crawl
+#: delta (~10 % of the corpus at ANY scale factor — the production shape
+#: where |delta| ≪ |base|; a fixed id cut made the delta 92 % of the
+#: corpus at sf0.1 and the append cost meaningless)
+DEDUP_APPEND_MOD = 10
+DEDUP_APPEND_RESIDUE = 7
 
 
 def q_dedup_append_mounted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup against a mounted corpus (mount/dedup.py): docs
-    below ``DEDUP_APPEND_CUT`` mount as the persisted signature/band
-    index; the rest arrive as a delta whose (delta ↔ corpus) and
+    """Incremental dedup against a mounted corpus (mount/dedup.py): ~90 %
+    of the documents mount as the persisted signature/band index; the
+    remaining ~10 % arrive as a crawl delta whose (delta ↔ corpus) and
     (delta ↔ delta) near-dup pairs come from joining the FROZEN-hash
     delta bands against the index — never re-scanning the base text.
     Definitionally equal to ``minhash_lsh_pairs(base ∪ delta)`` restricted
@@ -175,14 +179,18 @@ def q_dedup_append_mounted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simsearch_spark.mount.dedup import dedup_append, mount_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.where(F.col("doc_id") < DEDUP_APPEND_CUT)
-    delta = docs.where(F.col("doc_id") >= DEDUP_APPEND_CUT)
+    is_delta = F.pmod(F.col("doc_id"), F.lit(DEDUP_APPEND_MOD)) == DEDUP_APPEND_RESIDUE
+    base = docs.where(~is_delta)
+    delta = docs.where(is_delta)
     d = tempfile.mkdtemp(prefix="simsearch_dedup_mount_")
     try:
         mount_dedup(
             spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS
         )
-        return dedup_append(spark, d, delta)
+        # update=False: the temp mount is discarded below, so paying the
+        # two partitioned index-append writes would be pure overhead (the
+        # update path is parity-pinned in tests/test_mount_dedup.py)
+        return dedup_append(spark, d, delta, update=False)
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -190,7 +198,8 @@ def q_dedup_append_mounted(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_APPEND_MOUNTED = f"""
 WITH p AS ({_minhash_oracle()})
 SELECT id_a, id_b, jaccard FROM p
-WHERE id_a >= {DEDUP_APPEND_CUT} OR id_b >= {DEDUP_APPEND_CUT}
+WHERE id_a % {DEDUP_APPEND_MOD} = {DEDUP_APPEND_RESIDUE}
+   OR id_b % {DEDUP_APPEND_MOD} = {DEDUP_APPEND_RESIDUE}
 """
 
 

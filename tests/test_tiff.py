@@ -401,6 +401,110 @@ def test_tiled_tiff_all_compressions():
         assert decode_tiff(bytes(t)) == (w, h, 1, px), (comp, pred)
 
 
+def test_planar_tiled_tiff_rgb():
+    """Planar TILED TIFF (r12 — closes the planar×tiled seam): the tile
+    arrays hold all plane-0 tiles row-major, then plane 1, then plane 2;
+    each plane assembles like an independent gray tiled image (predictor
+    spp=1 per tile row) and the planes interleave to chunky RGB — for
+    every compression, with edge padding clipped."""
+    import random
+
+    from simsearch_spark.multimodal.tiff import (
+        _diff_rows,
+        lzw_encode_tiff,
+        packbits,
+    )
+
+    bo = "<"
+    w, h, tw, tl = 7, 5, 4, 4  # 2x2 tiles per plane, right/bottom padding
+    rng = random.Random(31)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    planes = [rgb[p::3] for p in range(3)]
+
+    def tile_block(plane, tx, ty):
+        out = bytearray(tw * tl)
+        for r in range(tl):
+            y = ty * tl + r
+            if y >= h:
+                break
+            for cidx in range(tw):
+                x = tx * tw + cidx
+                if x >= w:
+                    break
+                out[r * tw + cidx] = plane[y * w + x]
+        return bytes(out)
+
+    for comp, pred, pack in (
+        (1, 1, lambda t: t),
+        (32773, 1, packbits),
+        (5, 1, lzw_encode_tiff),
+        (5, 2, lambda t: lzw_encode_tiff(_diff_rows(t, tw, tl, 1))),
+    ):
+        tiles = [
+            pack(tile_block(pl, tx, ty))
+            for pl in planes
+            for ty in range(2)
+            for tx in range(2)
+        ]
+        nt = len(tiles)  # 12 = 3 planes x 4 tiles
+        entries = [
+            (256, 3, 1, struct.pack(bo + "HH", w, 0)),
+            (257, 3, 1, struct.pack(bo + "HH", h, 0)),
+            (259, 3, 1, struct.pack(bo + "HH", comp, 0)),
+            (262, 3, 1, struct.pack(bo + "HH", 2, 0)),
+            (277, 3, 1, struct.pack(bo + "HH", 3, 0)),
+            (284, 3, 1, struct.pack(bo + "HH", 2, 0)),
+            (317, 3, 1, struct.pack(bo + "HH", pred, 0)),
+            (322, 3, 1, struct.pack(bo + "HH", tw, 0)),
+            (323, 3, 1, struct.pack(bo + "HH", tl, 0)),
+        ]
+        n = len(entries) + 3  # + 258(array) + 324 + 325
+        ifd_size = 2 + 12 * n + 4
+        bps_off = 8 + ifd_size
+        arr_off = bps_off + 6
+        data_off = arr_off + 8 * nt
+        offs, pos = [], data_off
+        for x in tiles:
+            offs.append(pos)
+            pos += len(x)
+        entries.append((258, 3, 3, struct.pack(bo + "I", bps_off)))
+        entries.append((324, 4, nt, struct.pack(bo + "I", arr_off)))
+        entries.append((325, 4, nt, struct.pack(bo + "I", arr_off + 4 * nt)))
+        t = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
+        t += struct.pack(bo + "H", n)
+        for tag, typ, cnt, val in sorted(entries):
+            t += struct.pack(bo + "HHI", tag, typ, cnt) + val
+        t += struct.pack(bo + "I", 0)
+        t += struct.pack(bo + "HHH", 8, 8, 8)
+        t += struct.pack(bo + f"{nt}I", *offs)
+        t += struct.pack(bo + f"{nt}I", *[len(x) for x in tiles])
+        for x in tiles:
+            t += x
+        assert decode_tiff(bytes(t)) == (w, h, 3, rgb), (comp, pred)
+
+    # a tile count not divisible by the plane count is malformed
+    bad_entries = [
+        (256, 3, 1, struct.pack(bo + "HH", 4, 0)),
+        (257, 3, 1, struct.pack(bo + "HH", 4, 0)),
+        (258, 3, 1, struct.pack(bo + "HH", 8, 0)),
+        (262, 3, 1, struct.pack(bo + "HH", 2, 0)),
+        (277, 3, 1, struct.pack(bo + "HH", 3, 0)),
+        (284, 3, 1, struct.pack(bo + "HH", 2, 0)),
+        (322, 3, 1, struct.pack(bo + "HH", 4, 0)),
+        (323, 3, 1, struct.pack(bo + "HH", 4, 0)),
+        (324, 4, 1, struct.pack(bo + "I", 200)),
+        (325, 4, 1, struct.pack(bo + "I", 16)),
+    ]
+    t = bytearray(b"II*\x00" + struct.pack(bo + "I", 8))
+    t += struct.pack(bo + "H", len(bad_entries))
+    for tag, typ, cnt, val in sorted(bad_entries):
+        t += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    t += struct.pack(bo + "I", 0)
+    t += bytes(300)
+    with pytest.raises(ValueError, match="not divisible"):
+        decode_tiff(bytes(t))
+
+
 def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
     """Split one complete JPEG stream into the TIFF/EP pair: an
     abbreviated-TABLES stream (SOI, every DQT/DHT, EOI — the tag-347
