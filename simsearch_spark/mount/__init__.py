@@ -46,6 +46,7 @@ from simsearch_spark.mount.artifacts import load_manifest, mount
 from simsearch_spark.mount.audit import audit_drift, refresh
 from simsearch_spark.mount.dedup import (
     dedup_append,
+    dedup_embed_append,
     mount_dedup,
     stream_dedup_append,
 )
@@ -69,6 +70,7 @@ __all__ = [
     "mount_dedup",
     "dedup_append",
     "stream_dedup_append",
+    "dedup_embed_append",
     "audit_drift",
     "refresh",
 ]

@@ -36,6 +36,13 @@ delta id == ``mount_dedup(base)`` + ``dedup_append(delta)``
 the hot-bucket cap/salt policy holds ACROSS the mounted boundary (bucket
 size = base members + delta members, lowest-id selection identical to the
 batch operator's).
+
+The EMBEDDING front (``dedup_embed_append``) needs no extra artifact:
+the mounted IVF codes table is already a cell-blocking index — delta
+vectors assign to the frozen cells and pair same-cell against the
+mounted membership by exact cosine, the SemDeDup within-cluster scope
+made incremental.  ``stream_dedup_append`` is the Structured-Streaming
+ingestion dual of the text front.
 """
 
 from __future__ import annotations
@@ -60,6 +67,7 @@ __all__ = [
     "mount_dedup",
     "dedup_append",
     "stream_dedup_append",
+    "dedup_embed_append",
     "N_BKT",
     "N_SBKT",
 ]
@@ -508,3 +516,97 @@ def stream_dedup_append(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def dedup_embed_append(
+    spark: SparkSession,
+    mount_dir: str,
+    emb_delta: DataFrame,
+    emb_base: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    update: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs for a vector delta against a MOUNTED
+    corpus — the SemDeDup contract made incremental (r12): the mounted
+    IVF codes table IS the blocking index.  Delta vectors assign to the
+    FROZEN cells (``maintain._assign_cells``, same argmin as serving);
+    candidates are the same-cell (delta ↔ base) and (delta ↔ delta)
+    pairs — the codes scan is DIRECTORY-pruned to the delta's cells and
+    carries only ids — and exact cosine against ``emb_base`` (the
+    full-vector store, the serve-path pattern) verifies them.  Recall is
+    same-cell by contract, exactly the within-cluster scope batch
+    SemDeDup (``semdedup_prune``) has; cost is Σ_cell |delta_c|·|base_c|,
+    never corpus².
+
+    ``update=True`` appends the delta's codes afterwards via
+    ``maintain.append_rows`` (idempotent, frozen artifacts), so the next
+    delta's candidates include this one — the ``dedup_append`` growth
+    discipline on the vector front.  Returns (id_a, id_b, cos_sim),
+    id_a < id_b, eagerly checkpointed."""
+    from simsearch_spark.functions.measures import cosine_similarity
+    from simsearch_spark.mount.artifacts import load_centroid_map
+    from simsearch_spark.mount.maintain import _assign_cells, _drop_existing_ids
+
+    cmap = load_centroid_map(spark, mount_dir)
+    delta = _drop_existing_ids(spark, mount_dir, emb_delta, id_col)
+    delta = _assign_cells(delta, id_col, vec_col, cmap).select(
+        F.col(id_col), F.col(vec_col), F.col("__cell").alias("cell")
+    ).localCheckpoint(eager=True)
+    cells = sorted({r[0] for r in delta.select("cell").distinct().collect()})
+    if not cells:
+        return spark.createDataFrame(
+            [], f"id_a {dict(emb_delta.dtypes)[id_col]}, "
+            f"id_b {dict(emb_delta.dtypes)[id_col]}, cos_sim double"
+        )
+
+    codes_path = os.path.join(mount_dir, "pq_codes")
+    base_ids = (
+        spark.read.parquet(codes_path)
+        .where(F.col("cell").isin(cells))
+        .select(F.col("vec_id").alias(id_col), "cell")
+    )
+    tomb_path = os.path.join(mount_dir, "tombstones")
+    if os.path.isdir(tomb_path):
+        tomb = spark.read.parquet(tomb_path).select(
+            F.col("vec_id").alias(id_col)
+        ).distinct()
+        base_ids = base_ids.join(F.broadcast(tomb), id_col, "left_anti")
+    base_side = base_ids.join(
+        emb_base.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(
+        F.col(id_col).alias("_id_o"), F.col(vec_col).alias("_v_o"), "cell"
+    )
+    both = base_side.unionByName(
+        delta.select(
+            F.col(id_col).alias("_id_o"), F.col(vec_col).alias("_v_o"), "cell"
+        )
+    )
+    left = delta.select(
+        F.col(id_col).alias("_id_n"), F.col(vec_col).alias("_v_n"), "cell"
+    )
+    cand = (
+        left.join(both, "cell")
+        .where(F.col("_id_n") != F.col("_id_o"))
+        .withColumn(
+            "cos_sim", F.round(cosine_similarity(F.col("_v_n"), F.col("_v_o")), 6)
+        )
+        .where(F.col("cos_sim") >= float(threshold))
+        .select(
+            F.least("_id_n", "_id_o").alias("id_a"),
+            F.greatest("_id_n", "_id_o").alias("id_b"),
+            "cos_sim",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=True)
+    )
+    if update:
+        from simsearch_spark.mount.maintain import append_rows
+
+        append_rows(
+            spark, mount_dir,
+            emb_delta=delta.select(id_col, vec_col, F.col("cell").alias("label")),
+            id_col=id_col, vec_col=vec_col, cell_col="label",
+        )
+    return cand

@@ -247,3 +247,83 @@ def test_stream_dedup_append_equals_batch(spark, sf_dir, tmp_path):
     assert got2 == want
     assert load_manifest(m_s)["dedup"]["n_docs"] == n1
     assert spark.read.parquet(f"{m_s}/dedup_bands").count() == bands_rows
+
+
+def test_dedup_embed_append_same_cell_parity(spark, sf_dir, tmp_path):
+    """The embedding front (r12): delta vectors assign to the FROZEN
+    cells and pair against same-cell mounted members by exact cosine —
+    equal to computing same-cell delta-touching cosine pairs directly
+    over the union (the SemDeDup within-cluster scope), idempotent after
+    update=True, and tombstoned base members never pair."""
+    from pyspark.sql.window import Window
+
+    from simsearch_spark.functions.measures import cosine_similarity
+    from simsearch_spark.mount import delete_ids, mount
+    from simsearch_spark.mount.artifacts import load_centroid_map
+    from simsearch_spark.mount.dedup import dedup_embed_append
+    from simsearch_spark.mount.maintain import _assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cut = 300
+    base = emb.where(F.col("vec_id") < cut)
+    delta = emb.where(F.col("vec_id") >= cut).select("vec_id", "embedding")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words here") for i in range(10)], "doc_id long, text string"
+    )
+    d = str(tmp_path / "m_emb")
+    mount(spark, "", d, emb_frame=base, docs_frame=docs, dedup=False)
+
+    T = 0.45
+    got = sorted(
+        tuple(r)
+        for r in dedup_embed_append(spark, d, delta, emb, threshold=T).collect()
+    )
+
+    # direct comparator: base rows keep their MOUNTED cell (the codes
+    # table was encoded with assign_col="label"); delta rows assign by
+    # the frozen-centroid argmin — exactly the operator's contract; pair
+    # same-cell, keep delta-touching, exact rounded cosine >= T
+    cmap = load_centroid_map(spark, d)
+    assigned = base.select(
+        "vec_id", "embedding", F.col("label").cast("int").alias("cell")
+    ).unionByName(
+        _assign_cells(delta, "vec_id", "embedding", cmap).select(
+            "vec_id", "embedding", F.col("__cell").alias("cell")
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"), "cell"
+    )
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, "cell")
+        .where(F.col("ia") < F.col("ib"))
+        .where((F.col("ia") >= cut) | (F.col("ib") >= cut))
+        .withColumn("cos_sim", F.round(cosine_similarity("va", "vb"), 6))
+        .where(F.col("cos_sim") >= T)
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "cos_sim")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # tombstoned base members drop out of the candidate universe
+    victim = min(p[0] for p in got if p[0] < cut)
+    delete_ids(spark, d, [victim])
+    got_t = sorted(
+        tuple(r)
+        for r in dedup_embed_append(spark, d, delta, emb, threshold=T).collect()
+    )
+    assert got_t == [p for p in got if p[0] != victim and p[1] != victim]
+
+    # update=True appends the delta's codes once; a re-submission is empty
+    n0 = spark.read.parquet(f"{d}/pq_codes").count()
+    pairs = dedup_embed_append(spark, d, delta, emb, threshold=T, update=True)
+    assert pairs.count() == len(got_t)
+    n1 = spark.read.parquet(f"{d}/pq_codes").count()
+    assert n1 == n0 + delta.count()
+    again = dedup_embed_append(spark, d, delta, emb, threshold=T, update=True)
+    assert again.count() == 0
+    assert spark.read.parquet(f"{d}/pq_codes").count() == n1
