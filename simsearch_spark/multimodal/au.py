@@ -1,0 +1,72 @@
+"""Dependency-free Sun/NeXT AU (".snd") codec, r12 — the simplest real
+audio container (6 big-endian uint32 header fields + data), still common
+for telephony corpora.
+
+Scope: encoding 1 (G.711 μ-law, via multimodal/g711.py — lossy in
+general, exact on representable levels) and encoding 3 (16-bit linear
+PCM, big-endian).  Other encodings raise ``NotImplementedError``.  An
+unknown data size (0xFFFFFFFF, legal per spec) reads to end of payload.
+The annotation field between header and data is honored via the data
+offset.  The reference engine has no audio operators (LLM-pipeline
+extension surface).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["encode_au", "decode_au"]
+
+_MAGIC = b".snd"
+_ENC_ULAW = 1
+_ENC_PCM16 = 3
+_UNKNOWN_SIZE = 0xFFFFFFFF
+
+
+def encode_au(
+    samples: list[int], sample_rate: int, channels: int = 1, codec: str = "pcm16"
+) -> bytes:
+    """Interleaved int16 samples → AU bytes.  codec: ``pcm16``
+    (encoding 3, BE) or ``ulaw`` (encoding 1, G.711-companded)."""
+    if codec == "pcm16":
+        enc = _ENC_PCM16
+        data = struct.pack(f">{len(samples)}h", *samples)
+    elif codec == "ulaw":
+        from simsearch_spark.multimodal.g711 import ulaw_encode
+
+        enc = _ENC_ULAW
+        data = bytes(ulaw_encode(int(s)) for s in samples)
+    else:
+        raise ValueError(f"unknown AU codec {codec!r}")
+    hdr = struct.pack(
+        ">4sIIIII", _MAGIC, 24, len(data), enc, int(sample_rate), int(channels)
+    )
+    return hdr + data
+
+
+def decode_au(payload: bytes) -> tuple[int, int, list[int]]:
+    """AU bytes → (sample_rate, channels, interleaved int16 samples) —
+    the ``decode_wav`` return contract."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not an AU (.snd) payload")
+    try:
+        _m, off, size, enc, rate, channels = struct.unpack(">4sIIIII", payload[:24])
+    except struct.error as e:
+        raise ValueError(f"truncated AU header: {e}") from e
+    if off < 24 or off > len(payload):
+        raise ValueError(f"AU data offset {off} outside payload")
+    if rate == 0 or channels == 0:
+        raise ValueError(f"degenerate AU header: rate={rate} channels={channels}")
+    data = payload[off:]
+    if size != _UNKNOWN_SIZE:
+        if len(data) < size:
+            raise ValueError(f"AU data holds {len(data)} B < header's {size}")
+        data = data[:size]
+    if enc == _ENC_ULAW:
+        from simsearch_spark.multimodal.g711 import ulaw_decode
+
+        return rate, channels, [ulaw_decode(b) for b in data]
+    if enc == _ENC_PCM16:
+        n = len(data) // 2
+        return rate, channels, list(struct.unpack(f">{n}h", data[: n * 2]))
+    raise NotImplementedError(f"AU encoding {enc} (μ-law / PCM-16 only)")

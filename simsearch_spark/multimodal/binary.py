@@ -331,9 +331,17 @@ def decode_audio(payload: bytes) -> tuple[int, int, list[int]]:
         from simsearch_spark.multimodal.flac import decode_flac
 
         return decode_flac(payload)
+    if payload[:4] == b"FORM":
+        from simsearch_spark.multimodal.aiff import decode_aiff
+
+        return decode_aiff(payload)
+    if payload[:4] == b".snd":
+        from simsearch_spark.multimodal.au import decode_au
+
+        return decode_au(payload)
     raise NotImplementedError(
-        "audio codec not supported (PCM WAV and FLAC implemented; "
-        "MP3/AAC/OGG are documented seams)"
+        "audio codec not supported (PCM/G.711/ADPCM WAV incl. extensible, "
+        "FLAC, AIFF, AU implemented; MP3/AAC/OGG are documented seams)"
     )
 
 

@@ -6,9 +6,11 @@ Scope: PCM 16-bit little-endian (format tag 1), μ-law (tag 7) and A-law
 (multimodal/g711.py, r10) — any sample rate / channel count — and MONO
 IMA ADPCM (tag 0x11, multimodal/adpcm.py, r11 — the coder verified
 byte-exactly against CPython's audioop; the block layer honors the fact
-chunk's sample count).  Other format tags, PCM bit depths, and stereo
-ADPCM raise ``NotImplementedError`` — the explicit-seam contract shared
-with ``multimodal/png.py``.  Companded/compressed streams decode to
+chunk's sample count), plus the WAVE_FORMAT_EXTENSIBLE wrapper (tag
+0xFFFE, r12 — effective tag recovered from the SubFormat GUID, the
+container modern writers emit even for plain PCM).  Other format tags
+and PCM bit depths raise ``NotImplementedError`` — the explicit-seam
+contract shared with ``multimodal/png.py``.  Companded/compressed streams decode to
 int16 samples, so downstream consumers (``audio_stats`` in
 ``multimodal/binary.py``) are codec-blind.  The reference engine has no
 audio operators (LLM-pipeline extension surface).
@@ -22,14 +24,31 @@ _TAG_PCM = 1
 _TAG_ALAW = 6
 _TAG_ULAW = 7
 _TAG_IMA_ADPCM = 0x11
+_TAG_EXTENSIBLE = 0xFFFE
+#: the fixed 14-byte tail every KSDATAFORMAT_SUBTYPE_* GUID shares — the
+#: leading 2 bytes are the effective format tag (Microsoft multichannel
+#: audio spec, r12)
+_GUID_TAIL = bytes(
+    [0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+)
 
 
 def encode_wav(
-    samples: list[int], sample_rate: int, channels: int = 1, codec: str = "pcm16"
+    samples: list[int],
+    sample_rate: int,
+    channels: int = 1,
+    codec: str = "pcm16",
+    extensible: bool = False,
 ) -> bytes:
     """Interleaved int16 samples → RIFF/WAVE bytes.  codec: ``pcm16``
     (tag 1, 16-bit), ``ulaw`` / ``alaw`` (tags 7 / 6, G.711-companded to
-    8-bit — lossy unless every sample sits on a representable level)."""
+    8-bit — lossy unless every sample sits on a representable level).
+    ``extensible=True`` (pcm16 only) wraps the format in
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE + 22-byte extension carrying the
+    PCM subformat GUID) — the container modern multichannel writers emit
+    even for plain PCM (r12)."""
+    if extensible and codec != "pcm16":
+        raise ValueError("extensible wrapper implemented for pcm16 only")
     if codec == "pcm16":
         tag, width = _TAG_PCM, 2
         data = struct.pack(f"<{len(samples)}h", *samples)
@@ -97,9 +116,19 @@ def encode_wav(
     else:
         raise ValueError(f"unknown WAV codec {codec!r}")
     byte_rate = sample_rate * channels * width
-    fmt = struct.pack(
-        "<HHIIHH", tag, channels, sample_rate, byte_rate, channels * width, width * 8
-    )
+    if extensible:
+        fmt = struct.pack(
+            "<HHIIHHHHI",
+            _TAG_EXTENSIBLE, channels, sample_rate, byte_rate,
+            channels * width, width * 8,
+            22,          # cbSize
+            width * 8,   # wValidBitsPerSample
+            0,           # dwChannelMask (unspecified)
+        ) + struct.pack("<H", tag) + _GUID_TAIL
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", tag, channels, sample_rate, byte_rate, channels * width, width * 8
+        )
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -134,6 +163,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
                 )
             except struct.error as e:  # truncated fmt chunk
                 raise ValueError(f"malformed fmt chunk: {e}") from e
+            if tag == _TAG_EXTENSIBLE:
+                # WAVE_FORMAT_EXTENSIBLE (r12): the effective tag lives in
+                # the SubFormat GUID's first two bytes; the remaining 14
+                # must be the shared KSDATAFORMAT tail
+                if len(body) < 40:
+                    raise ValueError("extensible fmt chunk shorter than 40 bytes")
+                (tag,) = struct.unpack("<H", body[24:26])
+                if body[26:40] != _GUID_TAIL:
+                    raise ValueError("extensible WAV with unrecognized SubFormat GUID")
             if tag not in (_TAG_PCM, _TAG_ALAW, _TAG_ULAW, _TAG_IMA_ADPCM):
                 raise NotImplementedError(
                     f"WAV format tag {tag} (PCM / G.711 / IMA ADPCM only)"

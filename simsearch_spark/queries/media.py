@@ -285,7 +285,15 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal/adpcm.py — verified byte-exactly against CPython audioop)
     carrying the coder's exactly-representable shape: a CONSTANT wave,
     whose rms is the amplitude and whose zero-crossing count is 0 — both
-    stated in closed form by the oracle."""
+    stated in closed form by the oracle.
+
+    r12: the remaining even lanes spread across the other real-world PCM
+    containers — ≡ 0 (mod 16): AIFF (big-endian, 80-bit-extended rate,
+    multimodal/aiff.py); ≡ 4 (mod 16): Sun AU (multimodal/au.py);
+    ≡ 8 (mod 16): WAVE_FORMAT_EXTENSIBLE-wrapped PCM.  All lossless
+    PCM-16, so the closed-form oracle is container-invariant."""
+    from simsearch_spark.multimodal.aiff import encode_aiff
+    from simsearch_spark.multimodal.au import encode_au
     from simsearch_spark.multimodal.binary import audio_stats
     from simsearch_spark.multimodal.flac import encode_flac
     from simsearch_spark.multimodal.wav import encode_wav
@@ -329,6 +337,15 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif d % 2:
                     payloads.append(encode_flac(wave, rate))
                     mimes.append("audio/flac")
+                elif d % 16 == 0:
+                    payloads.append(encode_aiff(wave, rate))
+                    mimes.append("audio/aiff")
+                elif d % 16 == 4:
+                    payloads.append(encode_au(wave, rate))
+                    mimes.append("audio/basic")
+                elif d % 16 == 8:
+                    payloads.append(encode_wav(wave, rate, extensible=True))
+                    mimes.append("audio/wav")
                 else:
                     payloads.append(encode_wav(wave, rate))
                     mimes.append("audio/wav")
