@@ -149,7 +149,9 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes the Adam7 INTERLACED layout, r11); ≡2 (mod 4): 8-bit
     BMP (multimodal/bmp.py; r10); ≡1,5 (mod 8): GIF89a (multimodal/gif.py
     — palette + LZW; r10); ≡3 (mod 8): little-endian and ≡7 (mod 8):
-    BIG-endian TIFF (multimodal/tiff.py; r10 — both byte orders; r11 —
+    BIG-endian TIFF (multimodal/tiff.py; r10 — both byte orders; r12:
+    ≡13 (mod 16) routes NETPBM instead of GIF — binary P5 at d%32==13,
+    ASCII P2 at ==29, multimodal/netpbm.py; r11 —
     COMPRESSED lanes: d%16==3 LZW+predictor-2, ==11 PackBits, ==7 LZW,
     ==15 uncompressed (d%32==15: wrapped as a MULTI-PAGE chain whose
     page 0 is the real image — r12), so real-world TIFF compression and
@@ -207,6 +209,13 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             w, h, 1, row * h, big_endian=d % 8 == 7,
                             compression=comp, predictor=pred,
                         )
+                    )
+                elif d % 16 == 13:
+                    # r12: Netpbm lane — d%32==13 binary P5, ==29 ASCII P2
+                    from simsearch_spark.multimodal.netpbm import encode_netpbm
+
+                    payloads.append(
+                        encode_netpbm(w, h, 1, row * h, ascii_variant=d % 32 == 29)
                     )
                 elif d % 2:
                     payloads.append(encode_gif(w, h, 1, row * h))
