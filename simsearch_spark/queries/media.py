@@ -220,7 +220,8 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif d % 2:
                     payloads.append(encode_gif(w, h, 1, row * h))
                 elif d % 4 == 2:
-                    payloads.append(encode_bmp(w, h, 1, row * h))
+                    # r12: d%16==6 writes BI_RLE8 (lossless, same oracle)
+                    payloads.append(encode_bmp(w, h, 1, row * h, rle=d % 16 == 6))
                 else:
                     # r11: (d//4) % 10 in 5..9 writes the Adam7 interlaced
                     # layout (same filter cycle); lossless either way, so

@@ -33,8 +33,8 @@ def test_nongray_palette_expands_to_rgb():
 def test_named_seams():
     g = encode_bmp(4, 2, 1, bytes(8))
     b = bytearray(g)
-    b[30:34] = struct.pack("<I", 1)  # BI_RLE8
-    with pytest.raises(NotImplementedError, match="compression 1"):
+    b[30:34] = struct.pack("<I", 2)  # BI_RLE4: still a seam (RLE8 is r12)
+    with pytest.raises(NotImplementedError, match="compression 2"):
         decode_bmp(bytes(b))
     b = bytearray(g)
     b[28:30] = struct.pack("<H", 4)  # 4-bit
@@ -74,3 +74,57 @@ def test_media_pixel_stats_routes_bmp_ids(spark, sf_dir):
         d, w = int(r.media_id), r.width
         a, b = d % 256, (d * 7 + 13) % 256
         assert r.mean_c0 == round((a * (w // 2) + b * (w - w // 2)) / w, 6)
+
+
+def test_bmp_rle8_round_trip_and_grammar():
+    """BI_RLE8 (r12): encoded runs round-trip for arbitrary gray images;
+    the decoder honors absolute literal runs (word-padded), delta moves
+    (zero fill), and treats out-of-bounds runs / missing end-of-bitmap
+    as malformed."""
+    import random
+    import struct as _s
+
+    import pytest
+
+    from simsearch_spark.multimodal.binary import decode_image
+    from simsearch_spark.multimodal.bmp import (
+        _rle8_decode,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = random.Random(11)
+    for w, h in [(1, 1), (7, 3), (16, 5), (31, 4)]:
+        # runs of random lengths exercise the run coder
+        px = bytearray()
+        while len(px) < w * h:
+            px += bytes([rng.randrange(256)]) * rng.randrange(1, 9)
+        px = bytes(px[: w * h])
+        blob = encode_bmp(w, h, 1, px, rle=True)
+        (comp,) = _s.unpack("<I", blob[30:34])
+        assert comp == 1
+        assert decode_bmp(blob) == (w, h, 1, px)
+        assert decode_image(blob) == (w, h, 1, px)
+
+    # absolute literal run with word padding + delta with zero fill
+    # 4x2 bitmap, bottom row: literal [9,8,7] then run 1x5; top row:
+    # delta right 2 (zero fill), then run 2x6
+    stream = bytes(
+        [0, 3, 9, 8, 7, 0]      # absolute 3 literals + pad byte
+        + [1, 5, 0, 0]          # run 1x5, end of line
+        + [0, 2, 2, 0]          # delta dx=2 dy=0
+        + [2, 6, 0, 1]          # run 2x6, end of bitmap
+    )
+    got = _rle8_decode(stream, 4, 2)
+    assert got == bytes([0, 0, 6, 6, 9, 8, 7, 5])
+
+    with pytest.raises(ValueError, match="outside"):
+        _rle8_decode(bytes([6, 1, 0, 1]), 4, 1)  # run longer than the row
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        _rle8_decode(bytes([2, 1, 0, 0]), 4, 1)  # EOL but no EOB
+    with pytest.raises(ValueError, match="truncated RLE8 literal"):
+        _rle8_decode(bytes([0, 4, 1, 2]), 8, 1)
+    with pytest.raises(ValueError, match="BI_RLE8 with bit depth"):
+        bad = bytearray(encode_bmp(2, 2, 3, bytes(12)))
+        _s.pack_into("<I", bad, 30, 1)
+        decode_bmp(bytes(bad))
