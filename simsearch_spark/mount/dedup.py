@@ -403,23 +403,20 @@ def dedup_append(
 
             # verification: shingles for the candidates' BASE-side ids
             # come from the sbkt-pruned shingle directories (delta ids
-            # resolve from the in-flight delta frame, so only genuinely
-            # base ids drive the pruning — directories touched track the
-            # candidate count, not the corpus); the pair set is
-            # checkpointed and verification-sized, so both collects are
-            # bounded by the work the verify stage does anyway
-            cids = {
+            # resolve from the in-flight delta frame; the anti-join
+            # keeps the collect bounded by the CANDIDATE set — never by
+            # |delta| — so only genuinely base ids drive the pruning and
+            # directories touched track the candidate count, not the
+            # corpus)
+            base_ids = sorted(
                 r[0]
                 for r in cand.select(
-                    F.explode(F.array("id_a", "id_b")).alias("i")
+                    F.explode(F.array("id_a", "id_b")).alias(id_col)
                 )
                 .distinct()
+                .join(banded_d.select(id_col), id_col, "left_anti")
                 .collect()
-            }
-            delta_ids = {
-                r[0] for r in banded_d.select(id_col).collect()
-            }
-            base_ids = sorted(cids - delta_ids)
+            )
             if base_ids:
                 base_sh = spark.read.parquet(sh_path)
                 if len(base_ids) <= MAX_IN_LITERALS:
