@@ -138,9 +138,26 @@ def refresh(
     """Retrain every artifact from the CURRENT corpus and atomically swap
     the new generation in.  ``emb_frame``/``docs_frame`` name the current
     corpus (base + all appended rows — the mount stores codes, not raw
-    vectors); default re-reads the manifest's source tables.  Returns the
-    new manifest (``generation`` incremented; tombstones do not carry
-    over — a retrain IS the compaction horizon)."""
+    vectors); default re-reads the manifest's source tables, which is
+    only correct when nothing was appended — a retrain frame that COVERS
+    FEWER vectors than the manifest counts is rejected loudly
+    (``allow_shrink=True`` in ``mount_kwargs`` overrides for deliberate
+    re-scoping), because silently dropping appended rows from the new
+    generation is exactly the failure the drift loop exists to prevent.
+    Returns the new manifest (``generation`` incremented; tombstones do
+    not carry over — a retrain IS the compaction horizon).
+
+    Crash discipline: the swap is write-new-then-two-renames (an object
+    store swaps a manifest pointer instead).  A crash between the
+    renames leaves ``<mount>__old`` holding the intact previous
+    generation — the next ``refresh`` (or any caller) restores it before
+    proceeding, so no crash point loses a generation."""
+    allow_shrink = bool(mount_kwargs.pop("allow_shrink", False))
+    old = mount_dir.rstrip("/") + "__old"
+    if not os.path.isdir(mount_dir) and os.path.isdir(old):
+        # a previous refresh crashed between its two renames: the old
+        # generation is intact under __old — restore it first
+        os.rename(old, mount_dir)
     old_manifest = load_manifest(mount_dir)
     src = sf_dir if sf_dir is not None else old_manifest["source"]
     nxt = mount_dir.rstrip("/") + "__next"
@@ -151,11 +168,20 @@ def refresh(
         emb_frame=emb_frame, docs_frame=docs_frame, **mount_kwargs,
     )
     manifest = load_manifest(nxt)
+    n_old = int(old_manifest.get("counts", {}).get("n_vectors", 0))
+    n_new = int(manifest.get("counts", {}).get("n_vectors", 0))
+    if n_new < n_old and not allow_shrink:
+        shutil.rmtree(nxt)
+        raise ValueError(
+            f"refresh: retrain frame covers {n_new} vectors < the mounted "
+            f"{n_old} — appended rows would silently vanish from the new "
+            "generation; pass emb_frame/docs_frame holding the CURRENT "
+            "corpus (or allow_shrink=True to re-scope deliberately)"
+        )
     manifest["generation"] = int(old_manifest.get("generation", 0)) + 1
     with open(os.path.join(nxt, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
 
-    old = mount_dir.rstrip("/") + "__old"
     if os.path.isdir(old):
         shutil.rmtree(old)
     os.rename(mount_dir, old)

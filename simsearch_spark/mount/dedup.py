@@ -176,6 +176,10 @@ def mount_dedup(
         }
     manifest["dedup"] = {
         "id_col": id_col,
+        # Spark's xxhash64 is TYPE-sensitive (int and long hash
+        # differently), so the sbkt partition scheme is only reproducible
+        # at the mounted dtype — every delta casts its id column to this
+        "id_dtype": dict(docs.dtypes)[id_col],
         "text_col": text_col,
         "threshold": float(threshold),
         "n_hashes": int(n_hashes),
@@ -213,8 +217,12 @@ def _delta_touching_candidates(
     operator's unordered-pair identity (delta-delta pairs generate twice,
     once per orientation)."""
     keys = ["band_idx", "band_hash"]
+    if hot_mode not in ("cap", "salt"):
+        raise ValueError(f"hot_mode {hot_mode!r} not in ('cap', 'salt')")
     extra = None
-    if hot_mode == "salt" and cap is not None:
+    if cap is None:
+        pass  # no cap → no hot buckets under either policy: plain join
+    elif hot_mode == "salt":
         hot_rows = _hot_bucket_rows(union_expl, keys, int(cap))
         if hot_rows:
             hot_set = [
@@ -260,10 +268,8 @@ def _delta_touching_candidates(
                     F.greatest("_id_n", "_id_o").alias("id_b"),
                 )
             )
-    elif hot_mode == "cap":
+    else:  # "cap"
         union_expl = _cap_lsh_buckets(union_expl, keys, id_col, cap)
-    else:
-        raise ValueError(f"hot_mode {hot_mode!r} not in ('cap', 'salt')")
 
     new_side = union_expl.where(F.col("_new")).select(
         *keys, F.col(id_col).alias("_id_n")
@@ -314,7 +320,14 @@ def dedup_append(
     bands_path = os.path.join(mount_dir, "dedup_bands")
     sh_path = os.path.join(mount_dir, "dedup_shingles")
 
-    delta = docs_delta.where(_text_ok(text_col))
+    # cast the delta's id to the MOUNTED dtype: xxhash64 (the sbkt
+    # scheme) is type-sensitive, so an int-typed delta against a
+    # long-typed mount would probe the wrong shingle partitions —
+    # silently defeating idempotency and dropping verified pairs
+    id_dtype = dd.get("id_dtype") or dict(docs_delta.dtypes)[id_col]
+    delta = docs_delta.withColumn(
+        id_col, F.col(id_col).cast(id_dtype)
+    ).where(_text_ok(text_col))
     banded_d = minhash_banded_frame(
         delta, id_col, text_col,
         dd["n_hashes"], dd["bands"], dd["shingle_n"], dd["seed"],
@@ -343,8 +356,7 @@ def dedup_append(
             # directory with an empty frame would destroy the pairs the
             # original (crashed-after-index-update) run already committed
             return spark.createDataFrame(
-                [], f"id_a {dict(docs_delta.dtypes)[id_col]}, "
-                f"id_b {dict(docs_delta.dtypes)[id_col]}, jaccard double"
+                [], f"id_a {id_dtype}, id_b {id_dtype}, jaccard double"
             )
         expl_d = _expl_frame(banded_d, id_col).persist()
         try:
@@ -423,8 +435,7 @@ def dedup_append(
                     # sbkt values must match Spark's xxhash64 — derive them
                     # with the engine itself on a tiny local frame
                     bdf = spark.createDataFrame(
-                        [(i,) for i in base_ids],
-                        f"{id_col} {dict(docs_delta.dtypes)[id_col]}",
+                        [(i,) for i in base_ids], f"{id_col} {id_dtype}"
                     ).select(
                         F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT))
                         .cast("int")
@@ -485,29 +496,32 @@ def stream_dedup_append(
     (tests/test_mount_dedup.py pins it).
 
     Replay discipline (at-least-once ``foreachBatch``): pairs write to a
-    BATCH-KEYED directory with overwrite (re-running a batch rewrites
-    identical content), the index updates are id-anti-joined (re-appends
-    are no-ops), and the ``on_pairs`` hook commits the pairs BEFORE the
-    ids become "already mounted" — so a replay after a crash either
-    recomputes identical pairs (index not yet updated) or skips as an
-    all-duplicate delta without touching the committed pairs.  A crash
+    BATCH-KEYED directory, WRITE-IF-ABSENT — the ``on_pairs`` hook runs
+    BEFORE any index update, so a batch directory with a ``_SUCCESS``
+    marker always holds the batch's FULL pair set and is never
+    overwritten (a replay after a crash mid-way through the shingle
+    append would otherwise recompute only the residual ids' pairs and
+    clobber the committed file).  The index updates are id-anti-joined
+    (re-appends are no-ops), so a full replay recomputes identical pairs
+    (index untouched) or skips as an all-duplicate delta.  A crash
     INSIDE the two index appends can leave duplicate band rows for the
     half-written batch; their only effect is redundant candidates that
     ``dropDuplicates`` absorbs — pair correctness is unaffected.
 
     Returns the started ``StreamingQuery`` (``availableNow`` trigger)."""
-    load_manifest(mount_dir)  # fail fast if not a dedup mount
+    if not load_manifest(mount_dir).get("dedup"):
+        # fail synchronously, not inside the Nth micro-batch
+        raise ValueError("mount has no dedup artifacts — run mount_dedup first")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        dedup_append(
-            spark,
-            mount_dir,
-            batch_df,
-            update=True,
-            on_pairs=lambda p: p.write.mode("overwrite").parquet(
-                os.path.join(pairs_dir, f"batch_id={int(batch_id)}")
-            ),
-        )
+        tgt = os.path.join(pairs_dir, f"batch_id={int(batch_id)}")
+
+        def commit_pairs(p: DataFrame) -> None:
+            if os.path.exists(os.path.join(tgt, "_SUCCESS")):
+                return  # committed by a pre-crash run of this batch
+            p.write.mode("overwrite").parquet(tgt)
+
+        dedup_append(spark, mount_dir, batch_df, update=True, on_pairs=commit_pairs)
 
     writer = stream_docs.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:

@@ -169,6 +169,25 @@ def append_rows(
     if emb_delta is not None:
         cmap = load_centroid_map(spark, mount_dir)
         books = load_codebooks(spark, mount_dir)
+        # a TOMBSTONED id still occupies its code row until compaction,
+        # so the dedup anti-join below would silently drop a re-insert —
+        # and accepting it would leave two rows for one id.  Fail loudly:
+        # the id lifecycle is insert → delete → compact_codes → reusable
+        # (review r12; one broadcast count, only when tombstones exist)
+        tomb_path = os.path.join(mount_dir, "tombstones")
+        if os.path.isdir(tomb_path):
+            tomb = spark.read.parquet(tomb_path).select("vec_id").distinct()
+            n_dead = (
+                emb_delta.select(F.col(id_col).alias("vec_id"))
+                .join(F.broadcast(tomb), "vec_id")
+                .count()
+            )
+            if n_dead:
+                raise ValueError(
+                    f"append_rows: {n_dead} delta id(s) are tombstoned; a "
+                    "deleted id is not reusable until compact_codes reclaims "
+                    "it (insert -> delete -> compact -> reusable)"
+                )
         if dedup_ids:
             emb_delta = _drop_existing_ids(spark, mount_dir, emb_delta, id_col)
         # count BEFORE the append — the anti-join plan reads the codes
@@ -273,7 +292,9 @@ def delete_ids(spark: SparkSession, mount_dir: str, vec_ids: list[int]) -> None:
     """Tombstone vectors by id: served results exclude them immediately
     (``serve.read_codes``); their code rows are reclaimed by
     ``compact_codes``, and statistics tables keep their mass (the
-    reference's delete semantics)."""
+    reference's delete semantics).  A deleted id is NOT reusable until
+    compaction (``append_rows`` rejects it loudly) — the id lifecycle is
+    insert → delete → compact → reusable."""
     load_manifest(mount_dir)  # validate it IS a mount before writing into it
     spark.createDataFrame(
         [(int(i),) for i in vec_ids], "vec_id long"

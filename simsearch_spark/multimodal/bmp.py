@@ -57,18 +57,18 @@ def encode_bmp(
             row += b"\x00" * (stride - len(row))
             rows += row
     else:
-        stride = (width + 3) & ~3
         palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
         bits = 8
-        rows = bytearray()
-        for y in range(height - 1, -1, -1):
-            row = bytearray(pixels[y * width : (y + 1) * width])
-            row += b"\x00" * (stride - len(row))
-            rows += row
-    comp = 0
-    if rle:
-        rows = bytearray(_rle8_encode(pixels, width, height))
-        comp = 1
+        if rle:
+            rows = bytearray(_rle8_encode(pixels, width, height))
+        else:
+            stride = (width + 3) & ~3
+            rows = bytearray()
+            for y in range(height - 1, -1, -1):
+                row = bytearray(pixels[y * width : (y + 1) * width])
+                row += b"\x00" * (stride - len(row))
+                rows += row
+    comp = 1 if rle else 0
     off = 14 + 40 + len(palette)
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, bits, comp, len(rows), 2835, 2835,

@@ -443,7 +443,12 @@ def minhash_lsh_pairs(
     ).persist()
     try:
         keys = ["band_idx", "band_hash"]
-        if hot_mode == "salt" and bucket_cap is not None:
+        if hot_mode not in ("cap", "salt"):
+            raise ValueError(f"hot_mode {hot_mode!r} not in ('cap', 'salt')")
+        if bucket_cap is None:
+            # no cap → no bucket is "hot" under either policy: plain join
+            hc, capped = None, expl
+        elif hot_mode == "salt":
             # recall-preserving tier: hot buckets pay their true pair
             # volume through the blocked self-join (no drop), healthy
             # buckets keep the plain equi-join; one shared hot-key count
@@ -458,11 +463,9 @@ def minhash_lsh_pairs(
                 capped = healthy
             else:
                 hc, capped = None, expl
-        elif hot_mode == "cap":
+        else:  # "cap"
             hc = None
             capped = _cap_lsh_buckets(expl, keys, id_col, bucket_cap)
-        else:
-            raise ValueError(f"hot_mode {hot_mode!r} not in ('cap', 'salt')")
         left = capped.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
         right = capped.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
         cand = (

@@ -7,7 +7,7 @@ constants (mount/maintain.py; discussion in SCALE.md §r12).
 
 Usage: python tools/maintain_probe.py [factors...]   (default: 1 10 30)
 Prints one JSON line:
-  {factor: {clean, tomb10, tomb30, frag16, compacted}: {sec, ...}}
+  {factor: {clean, tomb10, tomb40, frag20, compacted}: {sec, ...}}
 Each serve is warmed once and timed as the median of 3 runs (serve cost
 is sub-second; scheduler jitter would otherwise dominate).
 """
@@ -79,8 +79,8 @@ def main() -> None:
             res["clean"] = {"sec": timed_serve(spark, d, emb, qvec)}
 
             ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").collect()]
-            # tombstone 10 % then 30 % (every 10th / every ~3rd id — spread
-            # across cells, the realistic delete shape)
+            # tombstone 10 %, then the UNION of every-10th and every-3rd id
+            # (= 40 % total — spread across cells, the realistic shape)
             delete_ids(spark, d, ids[:: 10])
             s = maintenance_stats(spark, d)
             res["tomb10"] = {
@@ -90,7 +90,7 @@ def main() -> None:
             }
             delete_ids(spark, d, ids[:: 3])
             s = maintenance_stats(spark, d)
-            res["tomb30"] = {
+            res["tomb40"] = {
                 "sec": timed_serve(spark, d, emb, qvec),
                 "tombstone_fraction": round(s["tombstone_fraction"], 3),
                 "should_compact": should_compact(spark, d),
