@@ -5,13 +5,15 @@ pixel layout the AVI raw-video path already decodes (multimodal/avi.py
 (Windows BMP file format).  The reference engine has no media operators
 (LLM-pipeline surface, SURVEY.md §6).
 
-Scope: uncompressed (BI_RGB) 24-bit and 8-bit-grayscale-palette bitmaps,
-bottom-up rows (positive biHeight), and BI_RLE8 run-length-compressed
-8-bit bitmaps (r12 — encoded runs, absolute literal runs with word
-padding, end-of-line/end-of-bitmap markers, delta moves with the
-conventional zero fill).  Named seams: other biCompression values, other
-bit depths, top-down bitmaps.  Lossless, so closed-form pixel oracles
-are codec-invariant.
+Scope: uncompressed (BI_RGB) 32/24-bit and 8/4/1-bit palette bitmaps
+(sub-byte rows packed MSB-first into 4-byte-aligned strides), bottom-up
+AND top-down (negative biHeight) row orders, BI_RLE8, and BI_RLE4 (r12 —
+nibble-alternating encoded runs, word-padded absolute runs, EOL/EOB,
+delta moves with the conventional zero fill; top-down RLE is illegal per
+spec and rejected as malformed).  Named seam: 16-bit (BI_BITFIELDS-style
+5-5-5) pixels, whose 8-bit expansion is convention- not spec-defined.
+Everything here is lossless, so closed-form pixel oracles are
+codec-invariant.
 """
 
 from __future__ import annotations
@@ -32,47 +34,94 @@ def parse_bmp_header(data: bytes) -> tuple[int, int]:
 
 
 def encode_bmp(
-    width: int, height: int, channels: int, pixels: bytes, rle: bool = False
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    rle: bool = False,
+    bits: int | None = None,
+    top_down: bool = False,
 ) -> bytes:
     """Top-down row-major pixels → BMP bytes.  channels=3 writes BI_RGB
-    24-bit (rows flipped bottom-up, BGR, 4-byte stride); channels=1 writes
-    an 8-bit bitmap with the 256-entry gray palette — BI_RLE8-compressed
-    when ``rle=True`` (r12)."""
+    24-bit (BGR, 4-byte stride); channels=1 writes a palette bitmap —
+    ``bits`` picks 8 (default; 256-entry gray palette, BI_RLE8 when
+    ``rle=True``) or 4/1 (r12: the palette holds the image's DISTINCT
+    gray values — ≤16/≤2 required — so any two-tone image round-trips
+    exactly; ``rle=True`` at 4 bits writes BI_RLE4).  ``top_down=True``
+    writes negative biHeight with rows in natural order (BI_RGB only —
+    top-down RLE is illegal per spec)."""
     if channels not in (1, 3):
         raise ValueError(f"BMP encode supports 1 or 3 channels, got {channels}")
     if len(pixels) != width * height * channels:
         raise ValueError(f"pixel buffer {len(pixels)} != {width}x{height}x{channels}")
     if rle and channels != 1:
-        raise ValueError("BI_RLE8 applies to 8-bit bitmaps only")
+        raise ValueError("BI_RLE8/4 applies to palette bitmaps only")
+    if rle and top_down:
+        raise ValueError("top-down RLE BMP is illegal per spec")
     if channels == 3:
+        if bits not in (None, 24):
+            raise ValueError("3-channel BMP encodes at 24 bits")
+        bits = 24
         stride = (width * 3 + 3) & ~3
         palette = b""
-        bits = 24
         rows = bytearray()
-        for y in range(height - 1, -1, -1):
+        ys = range(height) if top_down else range(height - 1, -1, -1)
+        for y in ys:
             row = bytearray()
             for x in range(width):
                 r, g, b = pixels[3 * (y * width + x) : 3 * (y * width + x) + 3]
                 row += bytes((b, g, r))
             row += b"\x00" * (stride - len(row))
             rows += row
+        n_colors = 0
     else:
-        palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
-        bits = 8
-        if rle:
-            rows = bytearray(_rle8_encode(pixels, width, height))
+        bits = 8 if bits is None else bits
+        if bits not in (1, 4, 8):
+            raise ValueError(f"palette BMP encodes at 1/4/8 bits, got {bits}")
+        if rle and bits == 1:
+            raise ValueError("RLE applies to 4- or 8-bit bitmaps only")
+        if bits == 8:
+            palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
+            n_colors = 256
+            idx = pixels
         else:
-            stride = (width + 3) & ~3
+            values = sorted(set(pixels))
+            n_colors = 1 << bits
+            if len(values) > n_colors:
+                raise ValueError(
+                    f"{bits}-bit BMP holds {n_colors} palette entries, "
+                    f"image has {len(values)} distinct values"
+                )
+            lut = {v: i for i, v in enumerate(values)}
+            palette = b"".join(bytes((v, v, v, 0)) for v in values)
+            palette += b"\x00" * (4 * n_colors - len(palette))
+            idx = bytes(lut[v] for v in pixels)
+        if rle:
+            rows = bytearray(
+                _rle8_encode(idx, width, height)
+                if bits == 8
+                else _rle4_encode(idx, width, height)
+            )
+        else:
+            stride = ((width * bits + 31) // 32) * 4
             rows = bytearray()
-            for y in range(height - 1, -1, -1):
-                row = bytearray(pixels[y * width : (y + 1) * width])
-                row += b"\x00" * (stride - len(row))
+            ys = range(height) if top_down else range(height - 1, -1, -1)
+            for y in ys:
+                row = bytearray(stride)
+                for x in range(width):
+                    v = idx[y * width + x]
+                    if bits == 8:
+                        row[x] = v
+                    elif bits == 4:
+                        row[x >> 1] |= v << (0 if x & 1 else 4)
+                    else:
+                        row[x >> 3] |= v << (7 - (x & 7))
                 rows += row
-    comp = 1 if rle else 0
+    comp = 0 if not rle else (1 if bits == 8 else 2)
     off = 14 + 40 + len(palette)
     info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, bits, comp, len(rows), 2835, 2835,
-        256 if channels == 1 else 0, 0,
+        "<IiiHHIIiiII", 40, width, -height if top_down else height, 1, bits,
+        comp, len(rows), 2835, 2835, n_colors, 0,
     )
     file_hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
     return file_hdr + info + palette + bytes(rows)
@@ -136,10 +185,76 @@ def _rle8_encode(idx: bytes, w: int, h: int) -> bytes:
     return bytes(out)
 
 
+def _rle4_decode(body: bytes, w: int, h: int) -> bytes:
+    """BI_RLE4 stream → top-down w×h palette indices (one nibble each,
+    UNPACKED to a byte here).  Same grammar as RLE8 except values are
+    nibbles: an encoded run ``n, v`` alternates v's high and low nibbles
+    n times; an absolute run of n stores ceil(n/2) packed bytes, padded
+    to a word boundary."""
+    idx = bytearray(w * h)
+    x = y = 0  # y counts from the BOTTOM row
+    i = 0
+    while i + 1 < len(body):
+        n, v = body[i], body[i + 1]
+        i += 2
+        if n > 0:
+            if x + n > w or y >= h:
+                raise ValueError("RLE4 run outside the bitmap")
+            row = h - 1 - y
+            hi, lo = v >> 4, v & 15
+            for k in range(n):
+                idx[row * w + x + k] = hi if k % 2 == 0 else lo
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return bytes(idx)
+        elif v == 2:  # delta
+            if i + 2 > len(body):
+                raise ValueError("truncated RLE4 delta")
+            x, y = x + body[i], y + body[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("RLE4 delta outside the bitmap")
+        else:  # absolute run of v nibbles, packed, word-aligned
+            nb = (v + 1) // 2
+            if i + nb > len(body):
+                raise ValueError("truncated RLE4 literal run")
+            if x + v > w or y >= h:
+                raise ValueError("RLE4 literal run outside the bitmap")
+            row = h - 1 - y
+            for k in range(v):
+                b = body[i + (k >> 1)]
+                idx[row * w + x + k] = (b >> 4) if k % 2 == 0 else (b & 15)
+            x += v
+            i += nb + (nb & 1)
+    raise ValueError("RLE4 stream without an end-of-bitmap marker")
+
+
+def _rle4_encode(idx: bytes, w: int, h: int) -> bytes:
+    """Top-down nibble indices (one per byte, < 16) → BI_RLE4 (maximal
+    equal-value encoded runs — ``(v<<4)|v`` repeats one nibble — EOL per
+    row, EOB at the end)."""
+    out = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = idx[y * w : (y + 1) * w]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            out += bytes((run, (row[x] << 4) | row[x]))
+            x += run
+        out += b"\x00\x00"
+    out += b"\x00\x01"
+    return bytes(out)
+
+
 def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
-    """(width, height, channels, pixels) — 24-bit BI_RGB via the shared
-    DIB row decoder, 8-bit through its palette (gray palettes collapse to
-    1 channel, like GIF), BI_RLE8 through the run-length decoder."""
+    """(width, height, channels, pixels) — 32/24-bit BI_RGB directly
+    (both row orders), 8/4/1-bit through the palette (gray palettes
+    collapse to 1 channel, like GIF), BI_RLE8/BI_RLE4 through the
+    run-length decoders."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (off,) = struct.unpack("<I", data[10:14])
@@ -147,32 +262,68 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     (comp,) = struct.unpack("<I", data[30:34])
     if hdr_size < 40:
         raise NotImplementedError(f"BMP header size {hdr_size} (BITMAPINFOHEADER+ only)")
-    if comp not in (0, 1):
-        raise NotImplementedError(f"BMP compression {comp} (BI_RGB / BI_RLE8 only)")
+    if comp not in (0, 1, 2):
+        raise NotImplementedError(f"BMP compression {comp} (BI_RGB / BI_RLE8 / BI_RLE4 only)")
     if comp == 1 and bits != 8:
         raise ValueError(f"BI_RLE8 with bit depth {bits} (must be 8)")
-    if h < 0:
-        raise NotImplementedError("top-down BMP not supported")
+    if comp == 2 and bits != 4:
+        raise ValueError(f"BI_RLE4 with bit depth {bits} (must be 4)")
+    top_down = h < 0
+    if top_down and comp != 0:
+        raise ValueError("top-down RLE BMP is illegal per spec")
+    h = abs(h)
     if w <= 0 or h == 0:
         raise ValueError(f"degenerate BMP geometry {w}x{h}")
     body = data[off:]
     if bits == 24:
-        return w, h, 3, decode_dib_frame(body, w, h)
-    if bits == 8:
-        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        if not top_down:
+            return w, h, 3, decode_dib_frame(body, w, h)
+        stride = (w * 3 + 3) & ~3
+        if len(body) < stride * h:
+            raise ValueError(f"BMP pixel data {len(body)} B < {stride}x{h} layout")
+        out = bytearray(3 * w * h)
+        for y in range(h):
+            src = y * stride
+            for x in range(w):
+                b, g, r = body[src + 3 * x : src + 3 * x + 3]
+                out[3 * (y * w + x) : 3 * (y * w + x) + 3] = bytes((r, g, b))
+        return w, h, 3, bytes(out)
+    if bits == 32:
+        # BGRX quads; rows are naturally 4-byte aligned
+        if len(body) < 4 * w * h:
+            raise ValueError(f"BMP pixel data {len(body)} B < {4 * w * h} B layout")
+        out = bytearray(3 * w * h)
+        for y in range(h):
+            src = (y if top_down else h - 1 - y) * 4 * w
+            for x in range(w):
+                b, g, r = body[src + 4 * x : src + 4 * x + 3]
+                out[3 * (y * w + x) : 3 * (y * w + x) + 3] = bytes((r, g, b))
+        return w, h, 3, bytes(out)
+    if bits in (1, 4, 8):
+        n_colors = struct.unpack("<I", data[46:50])[0] or (1 << bits)
         pal = data[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
         if len(pal) < 4 * n_colors:
             raise ValueError("truncated BMP palette")
         if comp == 1:
             idx = bytearray(_rle8_decode(body, w, h))
+        elif comp == 2:
+            idx = bytearray(_rle4_decode(body, w, h))
         else:
-            stride = (w + 3) & ~3
+            stride = ((w * bits + 31) // 32) * 4
             if len(body) < stride * h:
                 raise ValueError(f"BMP pixel data {len(body)} B < {stride}x{h} layout")
             idx = bytearray(w * h)
             for y in range(h):
-                src = (h - 1 - y) * stride
-                idx[y * w : (y + 1) * w] = body[src : src + w]
+                src = (y if top_down else h - 1 - y) * stride
+                if bits == 8:
+                    idx[y * w : (y + 1) * w] = body[src : src + w]
+                elif bits == 4:
+                    for x in range(w):
+                        b = body[src + (x >> 1)]
+                        idx[y * w + x] = (b >> 4) if x % 2 == 0 else (b & 15)
+                else:
+                    for x in range(w):
+                        idx[y * w + x] = (body[src + (x >> 3)] >> (7 - (x & 7))) & 1
         used = set(idx)
         bad = [i for i in used if i >= n_colors]
         if bad:
@@ -187,4 +338,4 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 (pal[4 * i + 2], pal[4 * i + 1], pal[4 * i])
             )
         return w, h, 3, bytes(out)
-    raise NotImplementedError(f"BMP bit depth {bits} (8/24 only)")
+    raise NotImplementedError(f"BMP bit depth {bits} (1/4/8/24/32 only)")

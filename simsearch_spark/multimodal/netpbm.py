@@ -1,19 +1,26 @@
-"""Dependency-free Netpbm codec (PGM P2/P5 gray, PPM P3/P6 RGB), r12 —
-the plainest real image format, still everywhere in vision corpora.
+"""Dependency-free Netpbm codec, r12 — the plainest real image format,
+still everywhere in vision corpora.
 
-Scope: binary (P5/P6) and ASCII (P2/P3) variants, maxval ≤ 255,
-whitespace/comment-tolerant headers per the netpbm format specs.  PBM
-bitmaps (P1/P4) and 16-bit maxvals raise ``NotImplementedError`` — the
-explicit-seam contract shared with the sibling codecs.  Lossless, so the
-closed-form pixel oracles are codec-invariant.  The reference engine has
-no media operators (LLM-pipeline extension surface).
+Scope (the WHOLE classic family now): PGM P2/P5 gray, PPM P3/P6 RGB at
+any legal maxval 1..65535 (two-byte big-endian raster samples above 255
+per the pgm/ppm specs), and PBM P1/P4 bitmaps (MSB-first packed rows for
+P4; P1 digits legally need NO separating whitespace).  Headers are
+whitespace/comment-tolerant per the netpbm format specs.  Samples scale
+to 8-bit with the spec reference implementation's round-half-away
+``(v*255*2+mx)//(2*mx)``; maxval 65535 = 257*255 makes ``v*257``
+round-trip 8-bit values exactly, which keeps the closed-form pixel
+oracles codec-invariant for the 16-bit lane.  PBM's 1 bit is BLACK (0
+after scaling) and 0 is WHITE (255) — inverted vs every other format
+here, per the pbm spec.  The reference engine has no media operators
+(LLM-pipeline extension surface).
 """
 
 from __future__ import annotations
 
 __all__ = ["encode_netpbm", "decode_netpbm", "parse_netpbm_header"]
 
-_CHANNELS = {b"P2": 1, b"P5": 1, b"P3": 3, b"P6": 3}
+_CHANNELS = {b"P1": 1, b"P4": 1, b"P2": 1, b"P5": 1, b"P3": 3, b"P6": 3}
+_BITMAP = (b"P1", b"P4")
 
 
 def _tokens(data: bytes, n: int, pos: int) -> tuple[list[bytes], int]:
@@ -46,33 +53,81 @@ def parse_netpbm_header(data: bytes) -> tuple[int, int]:
 
 def _header(data: bytes) -> tuple[bytes, int, int, int, int]:
     magic = data[:2]
-    if magic in (b"P1", b"P4"):
-        raise NotImplementedError("PBM bitmaps (P1/P4) not supported")
     if magic not in _CHANNELS:
         raise ValueError("not a netpbm payload")
-    toks, pos = _tokens(data, 3, 2)
-    w, h, mx = (int(t) for t in toks)
+    # PBM has no maxval field — its samples are the bits themselves
+    n_toks = 2 if magic in _BITMAP else 3
+    toks, pos = _tokens(data, n_toks, 2)
+    w, h = int(toks[0]), int(toks[1])
+    mx = 1 if magic in _BITMAP else int(toks[2])
     if w <= 0 or h <= 0 or mx <= 0:
         raise ValueError(f"degenerate netpbm header {w}x{h} maxval {mx}")
-    if mx > 255:
-        raise NotImplementedError(f"netpbm maxval {mx} (8-bit only)")
+    if mx > 65535:
+        raise ValueError(f"netpbm maxval {mx} > 65535 is illegal")
     return magic, w, h, mx, pos
+
+
+def _p1_bits(data: bytes, n: int, pos: int) -> list[int]:
+    """P1 raster: ASCII 0/1 digits, whitespace OPTIONAL between them
+    (the pbm spec's one token-grammar exception), comments still legal."""
+    out: list[int] = []
+    i = pos
+    while len(out) < n and i < len(data):
+        b = data[i]
+        if b == ord("#"):
+            while i < len(data) and data[i] not in (10, 13):
+                i += 1
+            continue
+        if b in (ord("0"), ord("1")):
+            out.append(b - ord("0"))
+        elif not data[i : i + 1].isspace():
+            raise ValueError(f"P1 raster byte {b!r} is not 0/1/whitespace")
+        i += 1
+    if len(out) < n:
+        raise ValueError(f"P1 raster holds {len(out)} bits != {n}")
+    return out
 
 
 def decode_netpbm(data: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, row-major 8-bit pixels).  Values scale
-    by 255/maxval (integer-exact when maxval is 255 — the common case the
-    fixtures use; non-255 maxvals scale with round-half-away like the
-    spec's reference implementation)."""
+    by 255/maxval with round-half-away (integer-exact when maxval is 255
+    or 65535-with-v*257 samples — the lanes the fixtures use); PBM bits
+    map 1→0 (black), 0→255 (white) per spec."""
     magic, w, h, mx, pos = _header(data)
     ch = _CHANNELS[magic]
+    if magic in _BITMAP:
+        if magic == b"P4":
+            # packed rows, MSB first, each row padded to a byte boundary
+            stride = (w + 7) // 8
+            raster = data[pos + 1 : pos + 1 + stride * h]
+            if len(raster) != stride * h:
+                raise ValueError(
+                    f"P4 raster holds {len(raster)} B != {stride * h}"
+                )
+            bits = [
+                (raster[y * stride + (x >> 3)] >> (7 - (x & 7))) & 1
+                for y in range(h)
+                for x in range(w)
+            ]
+        else:
+            bits = _p1_bits(data, w * h, pos)
+        return w, h, 1, bytes(255 * (1 - b) for b in bits)
     n = w * h * ch
     if magic in (b"P5", b"P6"):
-        # exactly ONE whitespace byte separates maxval from raster
-        raster = data[pos + 1 : pos + 1 + n]
-        if len(raster) != n:
-            raise ValueError(f"netpbm raster holds {len(raster)} B != {n}")
-        vals = list(raster)
+        # exactly ONE whitespace byte separates maxval from raster;
+        # maxval > 255 ⇒ two-byte big-endian samples (pgm/ppm spec)
+        width_b = 2 if mx > 255 else 1
+        raster = data[pos + 1 : pos + 1 + n * width_b]
+        if len(raster) != n * width_b:
+            raise ValueError(
+                f"netpbm raster holds {len(raster)} B != {n * width_b}"
+            )
+        if width_b == 2:
+            vals = [
+                (raster[2 * i] << 8) | raster[2 * i + 1] for i in range(n)
+            ]
+        else:
+            vals = list(raster)
     else:
         toks, _end = _tokens(data, n, pos)
         vals = [int(t) for t in toks]
@@ -89,20 +144,53 @@ def encode_netpbm(
     channels: int,
     pixels: bytes,
     ascii_variant: bool = False,
+    maxval: int = 255,
+    bitmap: bool = False,
 ) -> bytes:
-    """Row-major 8-bit pixels → P5/P6 (binary) or P2/P3 (ASCII)."""
+    """Row-major 8-bit pixels → P5/P6 (binary) or P2/P3 (ASCII); with
+    ``bitmap=True`` (pixels must be 0/255, channels 1) → P4/P1; with
+    ``maxval=65535`` the binary raster stores ``v*257`` two-byte BE
+    samples, the exact 16-bit widening of the 8-bit input."""
     if channels not in (1, 3):
         raise ValueError(f"netpbm supports 1 or 3 channels, got {channels}")
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
         )
+    if bitmap:
+        if channels != 1:
+            raise ValueError("PBM is single-channel")
+        if any(v not in (0, 255) for v in pixels):
+            raise ValueError("PBM requires pure black/white (0/255) pixels")
+        bits = [1 - (v // 255) for v in pixels]  # 1 = black per spec
+        if ascii_variant:
+            body = b"\n".join(
+                b"".join(b"%d" % v for v in bits[y * width : (y + 1) * width])
+                for y in range(height)
+            )
+            return b"P1\n%d %d\n" % (width, height) + body + b"\n"
+        stride = (width + 7) // 8
+        packed = bytearray(stride * height)
+        for y in range(height):
+            for x in range(width):
+                if bits[y * width + x]:
+                    packed[y * stride + (x >> 3)] |= 0x80 >> (x & 7)
+        return b"P4\n%d %d\n" % (width, height) + bytes(packed)
+    if maxval not in (255, 65535):
+        raise ValueError("encoder writes maxval 255 or 65535 only")
     if ascii_variant:
         magic = b"P2" if channels == 1 else b"P3"
+        scale = 257 if maxval == 65535 else 1
         body = b"\n".join(
-            b" ".join(str(v).encode() for v in pixels[i : i + width * channels])
+            b" ".join(
+                str(v * scale).encode()
+                for v in pixels[i : i + width * channels]
+            )
             for i in range(0, len(pixels), width * channels)
         )
-        return magic + b"\n%d %d\n255\n" % (width, height) + body + b"\n"
+        return magic + b"\n%d %d\n%d\n" % (width, height, maxval) + body + b"\n"
     magic = b"P5" if channels == 1 else b"P6"
+    if maxval == 65535:
+        raster = b"".join(bytes([v, v]) for v in pixels)  # v*257 = (v<<8)|v
+        return magic + b"\n%d %d\n65535\n" % (width, height) + raster
     return magic + b"\n%d %d\n255\n" % (width, height) + pixels

@@ -146,12 +146,14 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     13) % 256``, width ``n_chars % 31 + 2``, height ``doc_id % 7 + 1``.
     doc_id picks the container — ≡0 (mod 4): PNG with scanline filter
     ``(doc_id//4) % 5`` (every PNG unfilter exercised; (doc_id//4)%10 ≥ 5
-    writes the Adam7 INTERLACED layout, r11); ≡2 (mod 4): 8-bit
-    BMP (multimodal/bmp.py; r10); ≡1,5 (mod 8): GIF89a (multimodal/gif.py
+    writes the Adam7 INTERLACED layout, r11); ≡2 (mod 4): BMP
+    (multimodal/bmp.py; r10 — r12 spreads d%16==6 BI_RLE8, d%32==2
+    1-bit palette, ==18 BI_RLE4, ==26 top-down, else 8-bit); ≡1,5 (mod 8): GIF89a (multimodal/gif.py
     — palette + LZW; r10); ≡3 (mod 8): little-endian and ≡7 (mod 8):
     BIG-endian TIFF (multimodal/tiff.py; r10 — both byte orders; r12:
-    ≡13 (mod 16) routes NETPBM instead of GIF — binary P5 at d%32==13,
-    ASCII P2 at ==29, multimodal/netpbm.py; r11 —
+    ≡13 (mod 16) routes NETPBM instead of GIF — 16-bit binary P5 at
+    d%64==13 (maxval 65535, exact v*257 widening), 8-bit P5 at ==45,
+    ASCII P2 at d%32==29, multimodal/netpbm.py; r11 —
     COMPRESSED lanes: d%16==3 LZW+predictor-2, ==11 PackBits, ==7 LZW,
     ==15 uncompressed (d%32==15: wrapped as a MULTI-PAGE chain whose
     page 0 is the real image — r12), so real-world TIFF compression and
@@ -211,17 +213,36 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     )
                 elif d % 16 == 13:
-                    # r12: Netpbm lane — d%32==13 binary P5, ==29 ASCII P2
+                    # r12: Netpbm lane — d%32==29 ASCII P2; binary P5 splits
+                    # d%64==13 SIXTEEN-BIT (maxval 65535, v*257 samples — the
+                    # exact widening, so the oracle stays codec-invariant) vs
+                    # d%64==45 classic 8-bit
                     from simsearch_spark.multimodal.netpbm import encode_netpbm
 
                     payloads.append(
-                        encode_netpbm(w, h, 1, row * h, ascii_variant=d % 32 == 29)
+                        encode_netpbm(
+                            w, h, 1, row * h,
+                            ascii_variant=d % 32 == 29,
+                            maxval=65535 if d % 64 == 13 else 255,
+                        )
                     )
                 elif d % 2:
                     payloads.append(encode_gif(w, h, 1, row * h))
                 elif d % 4 == 2:
-                    # r12: d%16==6 writes BI_RLE8 (lossless, same oracle)
-                    payloads.append(encode_bmp(w, h, 1, row * h, rle=d % 16 == 6))
+                    # r12: the BMP lane spreads sub-variants — d%16==6
+                    # BI_RLE8; d%32==2 ONE-BIT palette (the two-tone image
+                    # is exactly 2 distinct grays, so the minimal palette
+                    # round-trips it); ==18 BI_RLE4 (4-bit palette); ==26
+                    # TOP-DOWN rows; else plain 8-bit.  All lossless, so
+                    # the closed-form oracle is variant-invariant.
+                    payloads.append(
+                        encode_bmp(
+                            w, h, 1, row * h,
+                            rle=d % 16 == 6 or d % 32 == 18,
+                            bits={2: 1, 18: 4}.get(d % 32),
+                            top_down=d % 32 == 26,
+                        )
+                    )
                 else:
                     # r11: (d//4) % 10 in 5..9 writes the Adam7 interlaced
                     # layout (same filter cycle); lossless either way, so

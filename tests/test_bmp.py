@@ -33,21 +33,68 @@ def test_nongray_palette_expands_to_rgb():
 def test_named_seams():
     g = encode_bmp(4, 2, 1, bytes(8))
     b = bytearray(g)
-    b[30:34] = struct.pack("<I", 2)  # BI_RLE4: still a seam (RLE8 is r12)
-    with pytest.raises(NotImplementedError, match="compression 2"):
+    b[30:34] = struct.pack("<I", 3)  # BI_BITFIELDS
+    with pytest.raises(NotImplementedError, match="compression 3"):
         decode_bmp(bytes(b))
     b = bytearray(g)
-    b[28:30] = struct.pack("<H", 4)  # 4-bit
-    with pytest.raises(NotImplementedError, match="bit depth 4"):
-        decode_bmp(bytes(b))
-    b = bytearray(g)
-    b[22:26] = struct.pack("<i", -2)  # top-down
-    with pytest.raises(NotImplementedError, match="top-down"):
+    b[28:30] = struct.pack("<H", 16)  # 5-5-5: the remaining depth seam
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
         decode_bmp(bytes(b))
     with pytest.raises(ValueError, match="not a BMP"):
         decode_bmp(b"PK\x03\x04")
     with pytest.raises(ValueError, match="pixel buffer"):
         encode_bmp(4, 2, 1, bytes(7))
+
+
+def test_sub_byte_depths_round_trip():
+    """r12: 1- and 4-bit palette bitmaps — the palette carries the
+    image's distinct gray values, so arbitrary two-tone images
+    round-trip exactly at 1 bit (the media-lane trick)."""
+    rng = random.Random(5)
+    for w, h in [(1, 1), (5, 3), (9, 2), (33, 4)]:
+        # 1-bit: any two gray values
+        a, b = rng.randrange(256), rng.randrange(256)
+        px = bytes(rng.choice([a, b]) for _ in range(w * h))
+        blob = encode_bmp(w, h, 1, px, bits=1)
+        assert struct.unpack("<H", blob[28:30])[0] == 1
+        assert decode_bmp(blob) == (w, h, 1, px), (w, h, "1-bit")
+        # 4-bit: up to 16 distinct values
+        vals = [rng.randrange(256) for _ in range(16)]
+        px = bytes(rng.choice(vals) for _ in range(w * h))
+        blob = encode_bmp(w, h, 1, px, bits=4)
+        assert struct.unpack("<H", blob[28:30])[0] == 4
+        assert decode_bmp(blob) == (w, h, 1, px), (w, h, "4-bit")
+    with pytest.raises(ValueError, match="distinct values"):
+        encode_bmp(3, 1, 1, bytes([1, 2, 3]), bits=1)
+
+
+def test_top_down_and_32bit():
+    rng = random.Random(6)
+    for w, h in [(1, 1), (5, 3), (31, 2)]:
+        px3 = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        blob = encode_bmp(w, h, 3, px3, top_down=True)
+        assert struct.unpack("<i", blob[22:26])[0] == -h
+        assert parse_bmp_header(blob) == (w, h)
+        assert decode_bmp(blob) == (w, h, 3, px3), (w, h, "top-down")
+        # top-down palette bitmaps too
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        assert decode_bmp(encode_bmp(w, h, 1, px, top_down=True)) == (w, h, 1, px)
+    # 32-bit BGRX: synthesize by widening a 24-bit body
+    w, h = 3, 2
+    px3 = bytes(range(18))
+    rows = b"".join(
+        b"".join(
+            bytes((px3[3 * (y * w + x) + 2], px3[3 * (y * w + x) + 1],
+                   px3[3 * (y * w + x)], 0xAA))
+            for x in range(w)
+        )
+        for y in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(rows), 0, 0, 0, 0)
+    blob = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54) + info + rows
+    assert decode_bmp(blob) == (w, h, 3, px3)
+    with pytest.raises(ValueError, match="top-down RLE"):
+        encode_bmp(2, 2, 1, bytes(4), rle=True, top_down=True)
 
 
 def test_sniff_and_dispatch(spark):
@@ -127,4 +174,57 @@ def test_bmp_rle8_round_trip_and_grammar():
     with pytest.raises(ValueError, match="BI_RLE8 with bit depth"):
         bad = bytearray(encode_bmp(2, 2, 3, bytes(12)))
         _s.pack_into("<I", bad, 30, 1)
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_rle4_round_trip_and_grammar():
+    """BI_RLE4 (r12): encoded runs round-trip; the decoder honors
+    nibble-alternating runs, word-padded absolute nibble runs, delta
+    moves, and flags out-of-bounds / unterminated streams."""
+    import struct as _s
+
+    from simsearch_spark.multimodal.binary import decode_image
+    from simsearch_spark.multimodal.bmp import _rle4_decode
+
+    rng = random.Random(12)
+    for w, h in [(1, 1), (7, 3), (16, 5), (31, 4)]:
+        vals = [rng.randrange(256) for _ in range(16)]
+        px = bytearray()
+        while len(px) < w * h:
+            px += bytes([rng.choice(vals)]) * rng.randrange(1, 6)
+        px = bytes(px[: w * h])
+        blob = encode_bmp(w, h, 1, px, rle=True, bits=4)
+        (comp,) = _s.unpack("<I", blob[30:34])
+        assert comp == 2
+        assert decode_bmp(blob) == (w, h, 1, px)
+        assert decode_image(blob) == (w, h, 1, px)
+
+    # encoded run ALTERNATES the two nibbles of v: 5 x 0x9A → 9 A 9 A 9
+    assert _rle4_decode(bytes([5, 0x9A, 0, 1]), 5, 1) == bytes([9, 10, 9, 10, 9])
+    # absolute run of 3 nibbles (2 packed bytes, already word-aligned:
+    # ceil(3/2)=2 is even so NO pad), then a run, then delta right 1 on
+    # the next row
+    stream = bytes(
+        [0, 3, 0x12, 0x30]     # absolute nibbles 1,2,3 (low pad nibble)
+        + [1, 0x44, 0, 0]      # run 1x4, end of line
+        + [0, 2, 1, 0]         # delta dx=1
+        + [3, 0x5F, 0, 1]      # run 3: 5 F 5, end of bitmap
+    )
+    got = _rle4_decode(stream, 4, 2)
+    assert got == bytes([0, 5, 15, 5, 1, 2, 3, 4])
+
+    with pytest.raises(ValueError, match="outside"):
+        _rle4_decode(bytes([6, 0x11, 0, 1]), 4, 1)
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        _rle4_decode(bytes([2, 0x11, 0, 0]), 4, 1)
+    with pytest.raises(ValueError, match="truncated RLE4 literal"):
+        _rle4_decode(bytes([0, 5, 0x12]), 8, 1)
+    with pytest.raises(ValueError, match="BI_RLE4 with bit depth"):
+        bad = bytearray(encode_bmp(2, 2, 1, bytes(4)))
+        _s.pack_into("<I", bad, 30, 2)
+        decode_bmp(bytes(bad))
+    # top-down + RLE in the container is malformed, not a seam
+    bad = bytearray(encode_bmp(2, 2, 1, bytes([0, 0, 1, 1]), rle=True, bits=4))
+    _s.pack_into("<i", bad, 22, -2)
+    with pytest.raises(ValueError, match="top-down RLE"):
         decode_bmp(bytes(bad))

@@ -46,9 +46,72 @@ def test_maxval_scaling_and_errors():
         decode_netpbm(b"P5\n4 2\n255\n" + bytes(3))
     with pytest.raises(ValueError, match="truncated"):
         decode_netpbm(b"P5\n4")
-    with pytest.raises(NotImplementedError, match="P1/P4"):
-        decode_netpbm(b"P4\n8 1\n\xff")
-    with pytest.raises(NotImplementedError, match="maxval"):
-        decode_netpbm(b"P5\n1 1\n65535\n\x00\x00")
+    with pytest.raises(ValueError, match="> 65535"):
+        decode_netpbm(b"P5\n1 1\n70000\n\x00\x00")
     with pytest.raises(ValueError, match="not a netpbm"):
         decode_netpbm(b"P9\n1 1\n255\n\x00")
+
+
+def test_sixteen_bit_round_trip_exact():
+    """maxval 65535 with v*257 samples is the exact widening of 8-bit:
+    65535 = 257*255, so (v*257*255*2+65535)//(2*65535) == v for all v."""
+    rng = random.Random(7)
+    for ch in (1, 3):
+        px = bytes(rng.randrange(256) for _ in range(5 * 2 * ch))
+        for ascii_variant in (False, True):
+            blob = encode_netpbm(5, 2, ch, px, ascii_variant, maxval=65535)
+            assert b"65535" in blob[:20]
+            assert decode_netpbm(blob) == (5, 2, ch, px)
+            assert decode_image(blob) == (5, 2, ch, px)
+    # a generic 16-bit maxval still scales round-half-away
+    blob = b"P5\n3 1\n1000\n" + bytes([0, 0, 1, 0xE8, 3, 0xE8])
+    # samples 0, 0x01E8=488, 0x03E8=1000 → 0, round(488*255/1000)=124, 255
+    assert decode_netpbm(blob)[3] == bytes([0, 124, 255])
+    with pytest.raises(ValueError, match="raster holds"):
+        decode_netpbm(b"P5\n2 1\n65535\n\x00\x00\x00")  # odd byte count
+
+
+def test_pbm_bitmaps():
+    px = bytes([0, 255, 255, 0, 255, 0, 0, 255, 255, 0])  # 5x2
+    for ascii_variant in (False, True):
+        blob = encode_netpbm(5, 2, 1, px, ascii_variant, bitmap=True)
+        assert blob[:2] == (b"P1" if ascii_variant else b"P4")
+        assert decode_netpbm(blob) == (5, 2, 1, px)
+        assert decode_image(blob) == (5, 2, 1, px)
+        assert parse_netpbm_header(blob) == (5, 2)
+    # P4 rows pad to byte boundaries: 9 wide → 2 B/row
+    px9 = bytes([255] * 9 + [0] * 9)
+    blob = encode_netpbm(9, 2, 1, px9, bitmap=True)
+    assert len(blob.split(b"\n", 3)[-1]) == 4
+    assert decode_netpbm(blob) == (9, 2, 1, px9)
+    # P1 digits legally need no separating whitespace
+    assert decode_netpbm(b"P1\n# c\n4 1\n0110\n") == (
+        4, 1, 1, bytes([255, 0, 0, 255]),
+    )
+    with pytest.raises(ValueError, match="P1 raster holds"):
+        decode_netpbm(b"P1\n4 1\n01\n")
+    with pytest.raises(ValueError, match="not 0/1"):
+        decode_netpbm(b"P1\n2 1\n02\n")
+    with pytest.raises(ValueError, match="P4 raster holds"):
+        decode_netpbm(b"P4\n9 2\n\xff\x00\xff")
+    with pytest.raises(ValueError, match="pure black/white"):
+        encode_netpbm(2, 1, 1, bytes([0, 128]), bitmap=True)
+
+
+def test_pixel_stats_netpbm_lane(spark, sf_dir):
+    """The d%16==13 lane (16-bit P5 / 8-bit P5 / ASCII P2 split) keeps the
+    codec-invariant closed-form mean."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.queries.media import q_media_pixel_stats
+
+    rows = q_media_pixel_stats(spark, sf_dir).where(
+        (F.col("media_id") % 16) == 13
+    ).collect()
+    assert rows and all(r.decoded == "ok" for r in rows)
+    seen = {int(r.media_id) % 64 for r in rows}
+    assert {13, 45, 29, 61} <= seen  # every sub-lane actually ran
+    for r in rows[:8]:
+        d, w = int(r.media_id), r.width
+        a, b = d % 256, (d * 7 + 13) % 256
+        assert r.mean_c0 == round((a * (w // 2) + b * (w - w // 2)) / w, 6)
