@@ -1,7 +1,9 @@
 """Dependency-free WAV (RIFF) codec — real audio decode for the
 multimodal surface using only stdlib ``struct``.
 
-Scope: PCM 16-bit little-endian (format tag 1), μ-law (tag 7) and A-law
+Scope: integer PCM at 8/16/24/32 bits little-endian (format tag 1 —
+widths other than 16 reduce to the int16 contract: unsigned 8-bit
+re-centers on 128, wider widths keep their top 16 bits, r12), μ-law (tag 7) and A-law
 (tag 6) telephony bytes via the G.711 companding module
 (multimodal/g711.py, r10) — any sample rate / channel count — and MONO
 IMA ADPCM (tag 0x11, multimodal/adpcm.py, r11 — the coder verified
@@ -52,6 +54,19 @@ def encode_wav(
     if codec == "pcm16":
         tag, width = _TAG_PCM, 2
         data = struct.pack(f"<{len(samples)}h", *samples)
+    elif codec == "pcm8":
+        # unsigned 8-bit: keeps the high byte — exact iff s % 256 == 0
+        tag, width = _TAG_PCM, 1
+        data = bytes(((int(s) >> 8) + 128) & 0xFF for s in samples)
+    elif codec == "pcm24":
+        # int16 widened into the top bytes — always exact
+        tag, width = _TAG_PCM, 3
+        data = b"".join(
+            (int(s) << 8).to_bytes(3, "little", signed=True) for s in samples
+        )
+    elif codec == "pcm32":
+        tag, width = _TAG_PCM, 4
+        data = struct.pack(f"<{len(samples)}i", *(int(s) << 16 for s in samples))
     elif codec == "ulaw":
         from simsearch_spark.multimodal.g711 import ulaw_encode
 
@@ -176,8 +191,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
                 raise NotImplementedError(
                     f"WAV format tag {tag} (PCM / G.711 / IMA ADPCM only)"
                 )
-            if tag == _TAG_PCM and bits != 16:
-                raise NotImplementedError(f"WAV bit depth {bits} (16-bit PCM only)")
+            if tag == _TAG_PCM and bits not in (8, 16, 24, 32):
+                raise NotImplementedError(
+                    f"WAV bit depth {bits} (8/16/24/32-bit integer PCM only)"
+                )
             if tag in (_TAG_ALAW, _TAG_ULAW) and bits != 8:
                 raise ValueError(f"G.711 WAV with bit depth {bits} (must be 8)")
             if tag == _TAG_IMA_ADPCM:
@@ -221,5 +238,22 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         from simsearch_spark.multimodal.g711 import alaw_decode
 
         return rate, channels, [alaw_decode(b) for b in data]
+    # integer PCM (r12: 8/24/32-bit widths reduce to the int16 contract —
+    # 8-bit is UNSIGNED per spec, midpoint 128; wider widths keep their
+    # top 16 bits, the same high-byte reduction the 16-bit PNG path uses)
+    if bits == 8:
+        return rate, channels, [(b - 128) << 8 for b in data]
+    if bits == 24:
+        n = len(data) // 3
+        samples = []
+        for i in range(n):
+            v = int.from_bytes(data[3 * i : 3 * i + 3], "little", signed=True)
+            samples.append(v >> 8)
+        return rate, channels, samples
+    if bits == 32:
+        n = len(data) // 4
+        return rate, channels, [
+            v >> 16 for v in struct.unpack(f"<{n}i", data[: n * 4])
+        ]
     n = len(data) // 2
     return rate, channels, list(struct.unpack(f"<{n}h", data[: n * 2]))

@@ -321,8 +321,10 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12: the remaining even lanes spread across the other real-world PCM
     containers — ≡ 0 (mod 16): AIFF (big-endian, 80-bit-extended rate,
     multimodal/aiff.py); ≡ 4 (mod 16): Sun AU (multimodal/au.py);
-    ≡ 8 (mod 16): WAVE_FORMAT_EXTENSIBLE-wrapped PCM.  All lossless
-    PCM-16, so the closed-form oracle is container-invariant."""
+    ≡ 8 (mod 16): WAVE_FORMAT_EXTENSIBLE-wrapped PCM; ≡ 2: 24-BIT PCM
+    WAV and ≡ 6: 32-BIT PCM WAV (int16 widened into the top bytes —
+    exact reductions); ≡ 12: AIFC ``sowt`` (byte-swapped LE PCM).  All
+    lossless, so the closed-form oracle is container-invariant."""
     from simsearch_spark.multimodal.aiff import encode_aiff
     from simsearch_spark.multimodal.au import encode_au
     from simsearch_spark.multimodal.binary import audio_stats
@@ -377,6 +379,19 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif d % 16 == 8:
                     payloads.append(encode_wav(wave, rate, extensible=True))
                     mimes.append("audio/wav")
+                elif d % 16 == 2:
+                    # r12: 24-bit PCM WAV — int16 widened into the top
+                    # bytes, so the reduction back is exact
+                    payloads.append(encode_wav(wave, rate, codec="pcm24"))
+                    mimes.append("audio/wav")
+                elif d % 16 == 6:
+                    # r12: 32-bit PCM WAV — same exact widening
+                    payloads.append(encode_wav(wave, rate, codec="pcm32"))
+                    mimes.append("audio/wav")
+                elif d % 16 == 12:
+                    # r12: AIFC sowt — byte-swapped LE PCM, lossless
+                    payloads.append(encode_aiff(wave, rate, aifc="sowt"))
+                    mimes.append("audio/aiff")
                 else:
                     payloads.append(encode_wav(wave, rate))
                     mimes.append("audio/wav")

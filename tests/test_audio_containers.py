@@ -58,9 +58,10 @@ def test_aiff_round_trip_and_dispatch():
     shifted = b"FORM" + struct.pack(">L", len(shifted) - 8) + shifted[8:]
     assert decode_aiff(shifted)[2] == samples
 
-    # AIFC is a named seam; junk is malformed; 8-bit is a named seam
+    # AIFC with a classic 18-byte COMM is malformed (no compressionType);
+    # junk is malformed; 8-bit PCM is a named seam
     aifc = bytes(blob).replace(b"AIFF", b"AIFC", 1)
-    with pytest.raises(NotImplementedError, match="AIFF-C"):
+    with pytest.raises(ValueError, match="compressionType"):
         decode_aiff(aifc)
     with pytest.raises(ValueError, match="FORM/AIFF"):
         decode_aiff(b"FORMxxxxWAVE")
@@ -69,6 +70,50 @@ def test_aiff_round_trip_and_dispatch():
     bad = comm8[:j] + struct.pack(">h", 8) + comm8[j + 2 :]
     with pytest.raises(NotImplementedError, match="sample size"):
         decode_aiff(bad)
+
+
+def test_aifc_variants():
+    """r12: FORM/AIFC — NONE/twos (BE PCM) and sowt (LE PCM) round-trip
+    losslessly; ulaw/alaw compand through G.711 (idempotent on the
+    representable levels); unknown compression types are the seam."""
+    rng = random.Random(9)
+    for ctype in ("NONE", "twos", "sowt"):
+        for channels in (1, 2):
+            samples = [rng.randrange(-32768, 32768) for _ in range(6 * channels)]
+            blob = encode_aiff(samples, 22050, channels, aifc=ctype)
+            assert blob[8:12] == b"AIFC" and b"FVER" in blob[:24]
+            assert decode_aiff(blob) == (22050, channels, samples), ctype
+            assert decode_audio(blob) == (22050, channels, samples)
+    # G.711: representable levels survive the compand round trip exactly
+    from simsearch_spark.multimodal.g711 import (
+        alaw_decode, alaw_encode, ulaw_decode, ulaw_encode,
+    )
+
+    levels_u = sorted({ulaw_decode(c) for c in range(256)})
+    samples = [levels_u[i] for i in (0, 17, 99, 200, len(levels_u) - 1)]
+    blob = encode_aiff(samples, 8000, aifc="ulaw")
+    assert decode_aiff(blob) == (8000, 1, samples)
+    levels_a = sorted({alaw_decode(c) for c in range(256)})
+    samples = [levels_a[i] for i in (3, 64, 128, 230)]
+    blob = encode_aiff(samples, 8000, aifc="alaw")
+    assert decode_aiff(blob) == (8000, 1, samples)
+    # G.711 writers may record sampleSize 8 (the stored width) — accepted
+    j = blob.index(b"COMM") + 8 + 6
+    blob8 = blob[:j] + struct.pack(">h", 8) + blob[j + 2 :]
+    assert decode_aiff(blob8)[2] == samples
+    # unknown compression type = the named seam
+    ima = blob.replace(b"alaw", b"ima4", 1)
+    with pytest.raises(NotImplementedError, match="ima4"):
+        decode_aiff(ima)
+    with pytest.raises(ValueError, match="AIFC encode supports"):
+        encode_aiff([0], 8000, aifc="fl32")
+    # exercise round-trip through an encoder-side compand
+    assert decode_aiff(encode_aiff([1000], 8000, aifc="ulaw"))[2] == [
+        ulaw_decode(ulaw_encode(1000))
+    ]
+    assert decode_aiff(encode_aiff([1000], 8000, aifc="alaw"))[2] == [
+        alaw_decode(alaw_encode(1000))
+    ]
 
 
 def test_au_round_trip_and_dispatch():
@@ -133,3 +178,30 @@ def test_wav_extensible_round_trip():
     cut = bytes(short[: i + 8 + 16]) + bytes(short[i + 8 + 40 :])
     with pytest.raises(ValueError, match="40 bytes"):
         decode_wav(cut)
+
+
+def test_wav_pcm_widths():
+    """r12: 8/24/32-bit integer PCM WAVs reduce to the int16 contract —
+    24/32-bit exactly (top-byte widening), 8-bit on multiples of 256."""
+    from simsearch_spark.multimodal.wav import decode_wav, encode_wav
+
+    rng = random.Random(13)
+    for channels in (1, 2):
+        samples = [rng.randrange(-32768, 32768) for _ in range(8 * channels)]
+        for codec, bits in [("pcm24", 24), ("pcm32", 32)]:
+            blob = encode_wav(samples, 16000, channels, codec=codec)
+            assert struct.unpack("<H", blob[34:36])[0] == bits
+            assert decode_wav(blob) == (16000, channels, samples), codec
+            assert decode_audio(blob) == (16000, channels, samples)
+    # 8-bit: exact on the 256-aligned level set (unsigned, midpoint 128)
+    samples = [-32768, -256, 0, 256, 32512]
+    blob = encode_wav(samples, 8000, codec="pcm8")
+    assert struct.unpack("<H", blob[34:36])[0] == 8
+    assert decode_wav(blob) == (8000, 1, samples)
+    # silence encodes to 0x80 bytes per spec
+    assert encode_wav([0, 0], 8000, codec="pcm8")[-2:] == b"\x80\x80"
+    # unsupported float width stays the named seam
+    bad = bytearray(encode_wav(samples, 8000))
+    struct.pack_into("<H", bad, 34, 64)
+    with pytest.raises(NotImplementedError, match="bit depth 64"):
+        decode_wav(bytes(bad))
