@@ -32,11 +32,19 @@ Scope:
   baseline/progressive JPEG decoder.
 - PLANAR TILED (r12): per-plane tile runs (all plane-0 tiles row-major,
   then plane 1, …), each plane assembling like a 1-sample tiled image.
+- BIT DEPTHS beyond 8 (r12, single-plane strip path): 1-bit bilevel and
+  4-bit gray/palette (MSB-first packed, byte-aligned rows, bit
+  replication ×255/×17 to 8-bit — exact), 16-bit gray (high-byte
+  reduction in the file's byte order, the PNG-16/ColorMap convention);
+  palette ColorMaps size 3×2^bps.
 - Named NotImplementedError seams: CCITT compression, planar
-  JPEG-in-TIFF strips, mask/CMYK/YCbCr photometrics, other bit depths.
+  JPEG-in-TIFF strips, mask/CMYK/YCbCr photometrics, non-8-bit depths
+  on the tiled/planar/predictor-2/JPEG paths, mixed bits-per-sample.
 - ENCODE: little-endian, single strip, BlackIsZero gray or chunky RGB,
-  compression None/"packbits"/"lzw" (+ predictor 2 for LZW).  All
-  lossless, so closed-form pixel oracles stay codec-invariant.
+  compression None/"packbits"/"lzw" (+ predictor 2 for LZW),
+  bits_per_sample 16/4/1 for gray (exact v*257 widening / packed
+  bit-replication-representable values).  All lossless, so closed-form
+  pixel oracles stay codec-invariant.
 
 The TIFF LZW variant vs the GIF one (multimodal/gif.py): bits pack
 MSB-FIRST (GIF: LSB-first), code width starts at 9 with an 8-bit symbol
@@ -358,8 +366,28 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
     photo = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bps):
-        raise NotImplementedError(f"TIFF bits-per-sample {bps} (8 only)")
+    bps0 = int(bps[0])
+    if any(int(b) != bps0 for b in bps):
+        raise NotImplementedError(f"TIFF mixed bits-per-sample {bps}")
+    if bps0 not in (1, 4, 8, 16):
+        raise NotImplementedError(f"TIFF bits-per-sample {bps0} (1/4/8/16 only)")
+    if bps0 != 8:
+        # r12: non-8-bit depths decode on the single-plane strip path —
+        # bilevel (1), 16-color/level (4), and 16-bit gray (high-byte
+        # reduction, the PNG-16 convention); the remaining combinations
+        # stay named seams
+        if spp != 1:
+            raise NotImplementedError(
+                f"TIFF {bps0}-bit with {spp} samples not supported"
+            )
+        if 322 in tags or 324 in tags or planar == 2:
+            raise NotImplementedError(f"tiled/planar {bps0}-bit TIFF not supported")
+        if predictor == 2:
+            raise NotImplementedError(
+                f"predictor 2 with {bps0}-bit samples not supported"
+            )
+        if comp == 7:
+            raise NotImplementedError("JPEG-in-TIFF is 8-bit only")
     if photo == 2 and spp == 3:
         channels = 3
     elif photo in (0, 1, 3) and spp == 1:
@@ -372,8 +400,8 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
     cmap = None
     if photo == 3:
         cmap = tags.get(320)
-        if not cmap or len(cmap) != 3 * 256:
-            raise ValueError("palette TIFF without a 3x256 ColorMap")
+        if not cmap or len(cmap) != 3 * (1 << bps0):
+            raise ValueError(f"palette TIFF without a 3x{1 << bps0} ColorMap")
     w, h = int(tags[256][0]), int(tags[257][0])
     if w <= 0 or h <= 0:
         raise ValueError(f"degenerate TIFF geometry {w}x{h}")
@@ -463,7 +491,10 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         rows = min(rps, h - si * rps)
         if rows <= 0:
             raise ValueError("TIFF strip past image height")
-        need_s = rows * w * channels
+        # decompressed strip size in FILE bytes: sub-byte rows pack
+        # MSB-first and pad to byte boundaries (TIFF 6.0: rows begin on
+        # byte boundaries); 16-bit samples take two
+        need_s = rows * ((w * channels * bps0 + 7) // 8)
         # each strip decompresses INDEPENDENTLY (spec: compression state
         # never crosses strip boundaries), and the predictor undoes per row
         if comp == 7:
@@ -490,10 +521,46 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
             if predictor == 2:
                 raise NotImplementedError("predictor 2 with PackBits not supported")
             body += unpackbits(chunk, need_s)
+    if bps0 != 8:
+        body = _samples_to_bytes(bytes(body), w, h, bps0, bo, scale=photo != 3)
     need = w * h * channels
     if len(body) < need:
         raise ValueError(f"TIFF strips hold {len(body)} B < {need} B of pixels")
     return (w, h, *_apply_photometric(bytes(body[:need]), photo, cmap))
+
+
+def _samples_to_bytes(
+    raw: bytes, w: int, h: int, bps: int, bo: str, scale: bool
+) -> bytes:
+    """Assembled single-plane strip bytes at a non-8-bit depth → one
+    byte per sample (r12).  16-bit keeps the high byte (the PNG-16 /
+    ColorMap reduction convention, respecting the file byte order);
+    1/4-bit rows unpack MSB-first from byte-aligned rows, then
+    BIT-REPLICATE to 8-bit gray (×255 / ×17 — exact) unless the values
+    are palette indices (``scale=False``)."""
+    if bps == 16:
+        need = w * h * 2
+        if len(raw) < need:
+            raise ValueError(f"TIFF strips hold {len(raw)} B < {need} B of pixels")
+        hi = 0 if bo == ">" else 1
+        return raw[hi : hi + need : 2]
+    stride = (w * bps + 7) // 8
+    if len(raw) < stride * h:
+        raise ValueError(
+            f"TIFF strips hold {len(raw)} B < {stride * h} B of pixels"
+        )
+    out = bytearray(w * h)
+    mul = (255 // ((1 << bps) - 1)) if scale else 1
+    for y in range(h):
+        base = y * stride
+        for x in range(w):
+            if bps == 4:
+                b = raw[base + (x >> 1)]
+                v = (b >> 4) if x % 2 == 0 else (b & 15)
+            else:
+                v = (raw[base + (x >> 3)] >> (7 - (x & 7))) & 1
+            out[y * w + x] = v * mul
+    return bytes(out)
 
 
 def _apply_photometric(
@@ -507,10 +574,12 @@ def _apply_photometric(
         return 1, bytes(255 - v for v in body)
     if photo == 3:
         # ColorMap entries are 16-bit (0 = black, 65535 = max) in plane
-        # order R[256] G[256] B[256]; >>8 is the spec's 8-bit reduction.
-        r = [v >> 8 for v in cmap[0:256]]
-        g = [v >> 8 for v in cmap[256:512]]
-        b = [v >> 8 for v in cmap[512:768]]
+        # order R[n] G[n] B[n] for an n = 2^bps entry table; >>8 is the
+        # spec's 8-bit reduction.
+        n = len(cmap) // 3
+        r = [v >> 8 for v in cmap[0:n]]
+        g = [v >> 8 for v in cmap[n : 2 * n]]
+        b = [v >> 8 for v in cmap[2 * n : 3 * n]]
         used = set(body)
         if all(r[i] == g[i] == b[i] for i in used):
             lut = bytes(r)
@@ -621,11 +690,15 @@ def encode_tiff(
     big_endian: bool = False,
     compression: str | None = None,
     predictor: int = 1,
+    bits_per_sample: int = 8,
 ) -> bytes:
     """Top-down row-major pixels → single-strip TIFF (gray BlackIsZero or
     chunky RGB), little-endian by default.  ``compression``: None
     (baseline), ``"packbits"``, or ``"lzw"``; ``predictor=2`` (horizontal
-    differencing) is valid with LZW only.  All modes lossless."""
+    differencing) is valid with LZW only.  ``bits_per_sample`` (r12,
+    gray only): 16 widens each 8-bit value to ``v*257`` (exact); 4/1
+    pack rows MSB-first and require bit-replication-representable
+    values (multiples of 17 / pure 0-255).  All modes lossless."""
     if channels not in (1, 3):
         raise ValueError(f"TIFF encode supports 1 or 3 channels, got {channels}")
     if len(pixels) != width * height * channels:
@@ -636,7 +709,30 @@ def encode_tiff(
         raise ValueError("predictor 2 requires LZW compression")
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} not supported")
+    if bits_per_sample not in (1, 4, 8, 16):
+        raise ValueError(f"TIFF encode bits-per-sample {bits_per_sample}")
+    if bits_per_sample != 8 and (channels != 1 or predictor == 2):
+        raise ValueError("non-8-bit TIFF encode is single-channel, predictor 1")
     body = pixels
+    if bits_per_sample == 16:
+        bo0 = ">" if big_endian else "<"
+        body = struct.pack(f"{bo0}{len(pixels)}H", *(v * 257 for v in pixels))
+    elif bits_per_sample in (1, 4):
+        mul = 255 // ((1 << bits_per_sample) - 1)
+        if any(v % mul for v in pixels):
+            raise ValueError(
+                f"{bits_per_sample}-bit TIFF requires multiples of {mul}"
+            )
+        stride = (width * bits_per_sample + 7) // 8
+        packed = bytearray(stride * height)
+        for y in range(height):
+            for x in range(width):
+                v = pixels[y * width + x] // mul
+                if bits_per_sample == 4:
+                    packed[y * stride + (x >> 1)] |= v << (0 if x & 1 else 4)
+                else:
+                    packed[y * stride + (x >> 3)] |= v << (7 - (x & 7))
+        body = bytes(packed)
     if predictor == 2:
         body = _diff_rows(body, width, height, channels)
     comp_tag = 1
@@ -665,7 +761,7 @@ def encode_tiff(
     if channels == 3:
         entries.append((258, 3, 3, long_(bps_off)))
     else:
-        entries.append((258, 3, 1, short(8)))
+        entries.append((258, 3, 1, short(bits_per_sample)))
     entries.append((259, 3, 1, short(comp_tag)))
     entries.append((262, 3, 1, short(2 if channels == 3 else 1)))
     entries.append((273, 4, 1, long_(strip_off)))       # one strip

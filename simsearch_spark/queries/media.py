@@ -156,8 +156,9 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII P2 at d%32==29, multimodal/netpbm.py; r11 —
     COMPRESSED lanes: d%16==3 LZW+predictor-2, ==11 PackBits, ==7 LZW,
     ==15 uncompressed (d%32==15: wrapped as a MULTI-PAGE chain whose
-    page 0 is the real image — r12), so real-world TIFF compression and
-    paging hold a driver verdict too) — the same routing pattern that
+    page 0 is the real image; d%32==31: 16-BIT gray, exact v*257
+    widening — r12), so real-world TIFF compression, paging, and depth
+    hold a driver verdict too) — the same routing pattern that
     sends odd audio through FLAC/G.711.  All four codecs are lossless, so
     the closed-form oracle is codec-invariant: the engine must recover the
     exact per-image mean from any container; the pixels themselves never
@@ -210,6 +211,9 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         encode_tiff(
                             w, h, 1, row * h, big_endian=d % 8 == 7,
                             compression=comp, predictor=pred,
+                            # r12: d%32==31 stores 16-BIT gray (exact
+                            # v*257 widening) — still oracle-invariant
+                            bits_per_sample=16 if d % 32 == 31 else 8,
                         )
                     )
                 elif d % 16 == 13:

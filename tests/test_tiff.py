@@ -806,3 +806,94 @@ def test_planar_tiff_rgb_all_compressions():
             t += s_
         t += struct.pack(bo + "HHH", 8, 8, 8)
         assert decode_tiff(bytes(t)) == (w, h, 3, px), (comp, pred)
+
+
+def test_bit_depths_1_4_16():
+    """r12: non-8-bit sample depths on the strip path — 16-bit gray is
+    the exact v*257 widening (both byte orders, every compression),
+    1/4-bit pack MSB-first with byte-aligned rows and bit-replicate."""
+    import random
+
+    from simsearch_spark.multimodal.binary import decode_image
+    from simsearch_spark.multimodal.tiff import encode_tiff
+
+    rng = random.Random(21)
+    for w, h in [(1, 1), (7, 3), (16, 2), (9, 5)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        for be in (False, True):
+            for comp in (None, "lzw", "packbits"):
+                blob = encode_tiff(
+                    w, h, 1, px, big_endian=be, compression=comp,
+                    bits_per_sample=16,
+                )
+                assert decode_tiff(blob) == (w, h, 1, px), (w, h, be, comp)
+                assert decode_image(blob) == (w, h, 1, px)
+        # 1-bit: values from {0, 255}; 4-bit: multiples of 17
+        p1 = bytes(rng.choice([0, 255]) for _ in range(w * h))
+        p4 = bytes(rng.randrange(16) * 17 for _ in range(w * h))
+        for bps, px_n in [(1, p1), (4, p4)]:
+            for comp in (None, "lzw", "packbits"):
+                blob = encode_tiff(w, h, 1, px_n, compression=comp,
+                                   bits_per_sample=bps)
+                assert decode_tiff(blob) == (w, h, 1, px_n), (w, h, bps, comp)
+
+    # WhiteIsZero bilevel (the fax convention): inversion after scaling
+    blob = bytearray(encode_tiff(4, 1, 1, bytes([0, 255, 255, 0]),
+                                 bits_per_sample=1))
+    i = blob.index(struct.pack("<HHI", 262, 3, 1))
+    blob[i + 8] = 0  # photometric 1 -> 0
+    assert decode_tiff(bytes(blob)) == (4, 1, 1, bytes([255, 0, 0, 255]))
+
+    # 4-bit PALETTE: ColorMap is 3x16, indices stay unscaled
+    base = bytearray(encode_tiff(3, 1, 1, bytes([0, 17 * 5, 17 * 15]),
+                                 bits_per_sample=4))
+    i = base.index(struct.pack("<HHI", 262, 3, 1))
+    base[i + 8] = 3  # photometric palette
+    cmap = [(v * 4369) for v in range(16)] * 3  # gray ramp, 16-bit entries
+    cmap_bytes = struct.pack("<48H", *cmap)
+    # append the ColorMap and a tag pointing at it: rebuild via raw IFD
+    # surgery is brittle -- instead decode expects 3x16; craft by hand
+    from simsearch_spark.multimodal.tiff import decode_tiff as dt
+
+    n_entries = struct.unpack("<H", base[8:10])[0]
+    ifd_end = 10 + 12 * n_entries
+    new = bytearray(base[:ifd_end])
+    cmap_off = len(base) + 12  # after the grown IFD + next-IFD ptr shift
+    # grow entry count, insert tag 320 (sorted: 320 > 279, < 322)
+    struct.pack_into("<H", new, 8, n_entries + 1)
+    entry = struct.pack("<HHII", 320, 3, 48, cmap_off)
+    # find insert position: after the last tag <= 320
+    pos = 10
+    while pos < ifd_end:
+        t = struct.unpack("<H", new[pos : pos + 2])[0]
+        if t > 320:
+            break
+        pos += 12
+    new = new[:pos] + entry + new[pos:ifd_end]
+    rest = bytearray(base[ifd_end:])
+    # strip offset tag moved by +12: fix tag 273's value
+    blob2 = bytes(new) + bytes(rest) + cmap_bytes
+    blob2 = bytearray(blob2)
+    pos = 10
+    for _ in range(n_entries + 1):
+        t, typ, cnt = struct.unpack("<HHI", blob2[pos : pos + 8])
+        if t == 273:
+            (old,) = struct.unpack("<I", blob2[pos + 8 : pos + 12])
+            struct.pack_into("<I", blob2, pos + 8, old + 12)
+        pos += 12
+    got = dt(bytes(blob2))
+    assert got == (3, 1, 1, bytes([0, 85, 255]))  # 4369*v >> 8 == 17*v
+
+    # seams and malformed cases
+    with pytest.raises(ValueError, match="multiples of 17"):
+        encode_tiff(2, 1, 1, bytes([1, 2]), bits_per_sample=4)
+    with pytest.raises(ValueError, match="single-channel"):
+        encode_tiff(1, 1, 3, bytes(3), bits_per_sample=16)
+    b = bytearray(encode_tiff(4, 2, 1, bytes(8)))
+    i = b.index(struct.pack("<HHI", 258, 3, 1))
+    struct.pack_into("<H", b, i + 8, 2)  # bps 2: still a seam
+    with pytest.raises(NotImplementedError, match="bits-per-sample 2"):
+        decode_tiff(bytes(b))
+    struct.pack_into("<H", b, i + 8, 16)  # 16-bit but data too short
+    with pytest.raises(ValueError, match="strips hold"):
+        decode_tiff(bytes(b))
