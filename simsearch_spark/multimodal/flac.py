@@ -27,10 +27,12 @@ construction — decode(encode(pcm)) == pcm exactly, which is what lets the
 closed-form audio oracles (queries/media.py) stay unchanged when fixtures
 switch codecs.
 
-Scope seams (explicit, like the other codecs): sample sizes other than
-16-bit raise NotImplementedError in ``decode_flac`` (the engine's PCM
-contract is int16, matching decode_wav); everything else in the frame
-layer is implemented.
+Sample sizes (r12): every legal coded size — 8/12/16/20/24/32 — decodes;
+the result reduces to the engine's int16 contract the way decode_wav's
+PCM widths do (wider sizes keep their top 16 bits, narrower widen), and
+the encoder can write any of them (exact on the representable level
+set).  The remaining scope seam is reserved/rare stream features, which
+surface as ValueError per the bounded-failure contract.
 """
 
 from __future__ import annotations
@@ -191,6 +193,9 @@ _FIXED_COEFFS = {
     4: [4, -6, 4, -1],
 }
 
+#: frame-header sample-size codes (RFC 9639 §9.1.3); 0 = from STREAMINFO
+_SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
 
 # ---------------------------------------------------------------------------
 # decode
@@ -198,9 +203,9 @@ _FIXED_COEFFS = {
 
 def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
     """FLAC bytes → (sample_rate, channels, interleaved int samples) — the
-    same return contract as ``decode_wav``.  Raises ``ValueError`` on
-    malformed/corrupt streams (incl. CRC mismatches),
-    ``NotImplementedError`` for sample sizes other than 16 bits."""
+    same return contract as ``decode_wav``, any legal sample size
+    reduced to int16 (r12).  Raises ``ValueError`` on malformed/corrupt
+    streams (incl. CRC mismatches)."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos = 4
@@ -232,8 +237,10 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
             break
     if rate is None or not rate or channels is None:
         raise ValueError("FLAC without valid STREAMINFO")
-    if bps != 16:
-        raise NotImplementedError(f"FLAC sample size {bps} (16-bit only)")
+    if bps not in _SS_CODES:
+        raise NotImplementedError(
+            f"FLAC sample size {bps} (8/12/16/20/24/32 only)"
+        )
 
     out: list[list[int]] = [[] for _ in range(channels)]
     r = _BitReader(payload, pos * 8)
@@ -270,8 +277,8 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
         elif sr_code == 15:
             raise ValueError("invalid sample rate code 15")
         # sample size code must agree with STREAMINFO for our contract
-        if ss_code not in (0, 0b100):
-            raise NotImplementedError("FLAC frame sample size != 16-bit")
+        if ss_code not in (0, _SS_CODES[bps]):
+            raise NotImplementedError("FLAC frame sample size != STREAMINFO")
         hdr_end = r.pos >> 3
         if r.pos & 7:
             raise ValueError("unaligned FLAC frame header")
@@ -334,6 +341,13 @@ def decode_flac(payload: bytes) -> tuple[int, int, list[int]]:
     for i in range(len(out[0])):
         for c in range(channels):
             interleaved.append(out[c][i])
+    # reduce to the engine's int16 contract (r12): wider depths keep
+    # their top 16 bits, narrower depths widen into them — the WAV-PCM
+    # convention, exact on the encoder's representable level set
+    if bps > 16:
+        interleaved = [s >> (bps - 16) for s in interleaved]
+    elif bps < 16:
+        interleaved = [s << (16 - bps) for s in interleaved]
     return rate, channels, interleaved
 
 
@@ -426,16 +440,32 @@ def encode_flac(
     block_size: int = 4096,
     mid_side: bool = False,
     force_verbatim: bool = False,
+    bits_per_sample: int = 16,
 ) -> bytes:
     """Interleaved int16 samples → FLAC bytes (fixed blocking).  Per block
     and channel the cheapest of CONSTANT / FIXED order 0-2 is chosen by
     exact Rice cost (or VERBATIM when forced — decoder-coverage knob);
-    ``mid_side=True`` emits mid/side stereo decorrelation.  Lossless:
+    ``mid_side=True`` emits mid/side stereo decorrelation.
+    ``bits_per_sample`` (r12): >16 widens each int16 into the top bits
+    (always exact); <16 narrows — exact only on inputs divisible by
+    ``2^(16-bps)``, which is enforced.  Lossless on that set:
     ``decode_flac(encode_flac(x)) == x`` (property-tested)."""
     if channels < 1:
         raise ValueError("channels must be >= 1")
     if mid_side and channels != 2:
         raise ValueError("mid_side requires exactly 2 channels")
+    bps = bits_per_sample
+    if bps not in _SS_CODES:
+        raise ValueError(f"FLAC encode sample size {bps}")
+    if bps > 16:
+        samples = [int(s) << (bps - 16) for s in samples]
+    elif bps < 16:
+        step = 1 << (16 - bps)
+        if any(int(s) % step for s in samples):
+            raise ValueError(
+                f"{bps}-bit FLAC encode requires multiples of {step}"
+            )
+        samples = [int(s) >> (16 - bps) for s in samples]
     n_frames = len(samples) // channels
     chans = [samples[c::channels] for c in range(channels)]
 
@@ -448,7 +478,7 @@ def encode_flac(
     si.write(0, 24)
     si.write(sample_rate, 20)
     si.write(channels - 1, 3)
-    si.write(15, 5)  # 16 bps - 1
+    si.write(bps - 1, 5)
     si.write(n_frames, 36)
     for _ in range(16):
         si.write(0, 8)
@@ -469,7 +499,7 @@ def encode_flac(
         fw.write(0, 4)  # sample rate from STREAMINFO
         ch_code = 10 if mid_side else channels - 1
         fw.write(ch_code, 4)
-        fw.write(0b100, 3)  # 16 bps
+        fw.write(_SS_CODES[bps], 3)
         fw.write(0, 1)
         _write_utf8_num(fw, frame_no)
         fw.write(bs - 1, 16)
@@ -486,11 +516,11 @@ def encode_flac(
             rgt = chans[1][start : start + bs]
             mid = [(l_ + r_) >> 1 for l_, r_ in zip(lft, rgt)]
             sd = [l_ - r_ for l_, r_ in zip(lft, rgt)]
-            _write_subframe(fb, mid, 16, force_verbatim)
-            _write_subframe(fb, sd, 17, force_verbatim)
+            _write_subframe(fb, mid, bps, force_verbatim)
+            _write_subframe(fb, sd, bps + 1, force_verbatim)
         else:
             for c in range(channels):
-                _write_subframe(fb, chans[c][start : start + bs], 16, force_verbatim)
+                _write_subframe(fb, chans[c][start : start + bs], bps, force_verbatim)
         fb.align_byte()
         frame_bytes = fb.bytes()
         out += frame_bytes

@@ -327,7 +327,8 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal/aiff.py); ≡ 4 (mod 16): Sun AU (multimodal/au.py);
     ≡ 8 (mod 16): WAVE_FORMAT_EXTENSIBLE-wrapped PCM; ≡ 2: 24-BIT PCM
     WAV and ≡ 6: 32-BIT PCM WAV (int16 widened into the top bytes —
-    exact reductions); ≡ 12: AIFC ``sowt`` (byte-swapped LE PCM).  All
+    exact reductions); ≡ 12: AIFC ``sowt`` (byte-swapped LE PCM); FLAC
+    lanes spread sample sizes — ≡ 13: 24-bit, ≡ 5: 32-bit.  All
     lossless, so the closed-form oracle is container-invariant."""
     from simsearch_spark.multimodal.aiff import encode_aiff
     from simsearch_spark.multimodal.au import encode_au
@@ -372,7 +373,12 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(encode_wav(const, rate, codec="ima_adpcm"))
                     mimes.append("audio/wav")
                 elif d % 2:
-                    payloads.append(encode_flac(wave, rate))
+                    # r12: d%16==13 stores 24-bit and ==5 32-bit FLAC —
+                    # the exact int16 widening, so still oracle-invariant
+                    fbps = {13: 24, 5: 32}.get(d % 16, 16)
+                    payloads.append(
+                        encode_flac(wave, rate, bits_per_sample=fbps)
+                    )
                     mimes.append("audio/flac")
                 elif d % 16 == 0:
                     payloads.append(encode_aiff(wave, rate))

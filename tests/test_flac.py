@@ -59,10 +59,40 @@ def test_corruption_and_seams():
         decode_flac(bytes(bad))
     with pytest.raises(ValueError):
         decode_flac(bytes(enc[: len(enc) - 4]))  # truncated
-    # 24-bit STREAMINFO → explicit NotImplementedError seam
-    w = _craft(blocksize=4, bps=24, subframes=[lambda bw: _write_verbatim(bw, [0, 1, 2, 3], 24)])
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    # 24-bit streams decode with the >>8 reduction (r12)
+    w = _craft(
+        blocksize=4, bps=24,
+        subframes=[lambda bw: _write_verbatim(bw, [0, 256, -256, 511], 24)],
+    )
+    assert decode_flac(w) == (8000, 1, [0, 1, -1, 1])
+    # a reserved/illegal coded size stays the named seam (7-bit)
+    w = _craft(blocksize=2, bps=7,
+               subframes=[lambda bw: _write_verbatim(bw, [0, 1], 7)])
+    with pytest.raises(NotImplementedError, match="sample size 7"):
         decode_flac(w)
+
+
+def test_bit_depths_round_trip():
+    """r12: every legal coded sample size — wider depths are the exact
+    int16 widening; narrower depths exact on their level set."""
+    rng = random.Random(31)
+    pcm = [rng.randrange(-32768, 32768) for _ in range(700)]
+    for bps in (20, 24, 32):
+        for ms in (False, True):
+            blob = encode_flac(
+                pcm, 16000, 2, mid_side=ms, bits_per_sample=bps,
+                block_size=256,
+            )
+            assert decode_flac(blob) == (16000, 2, pcm), (bps, ms)
+    for bps in (8, 12):
+        step = 1 << (16 - bps)
+        pcm_n = [v - v % step for v in pcm]
+        blob = encode_flac(pcm_n, 8000, 1, bits_per_sample=bps)
+        assert decode_flac(blob) == (8000, 1, pcm_n), bps
+        with pytest.raises(ValueError, match="multiples of"):
+            encode_flac([1], 8000, bits_per_sample=bps)
+    with pytest.raises(ValueError, match="sample size 9"):
+        encode_flac([0], 8000, bits_per_sample=9)
 
 
 # ---------------------------------------------------------------------------
