@@ -3,11 +3,11 @@ for the multimodal surface using only stdlib ``struct``.
 
 Scope: the container layer — locate the ``movi`` LIST and index its video
 chunks (``..dc`` compressed / ``..db`` uncompressed), returning per-frame
-(offset, size) into the payload plus the fps from the main AVI header.
-Frame PIXEL decode stays a seam (MJPEG frames are JPEGs — entropy decode
-needs a codec library), but frame counts, sampling plans, and per-frame
-byte extraction are real: a sampler can slice exact frame payloads out of
-the binary column with no decoder at all.
+(offset, size) into the payload plus the fps from the main AVI header —
+and the RAW frame decoders: BI_RGB DIB (bottom-up BGR, padded strides)
+and, r12, the YUY2/I420 YUV fourccs via a fixed-point BT.601 matrix
+whose gray fixed point is exact (MJPEG frames route to the in-repo JPEG
+decoder at the dispatch layer, multimodal/binary.py).
 
 Same explicit-seam contract as multimodal/png.py / wav.py: malformed
 containers raise ``ValueError``, never low-level struct errors.  The
@@ -211,3 +211,148 @@ def decode_dib_frame(body: bytes, width: int, height: int) -> bytes:
             b, g, r = body[src + 3 * x : src + 3 * x + 3]
             out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# raw YUV fourccs (r12): YUY2 (packed 4:2:2) and I420 (planar 4:2:0)
+# ---------------------------------------------------------------------------
+#
+# Color math is the JFIF full-range BT.601 matrix in 8-bit fixed point —
+# the forward rows sum to (256, 0, 0), so a GRAY pixel (R=G=B=v) maps to
+# (Y=v, Cb=128, Cr=128) EXACTLY, and the inverse at Cb=Cr=128 returns
+# R=G=B=Y exactly: gray content round-trips losslessly through either
+# fourcc, which is what keeps the closed-form frame oracles invariant.
+# Chroma planes/pairs use ceil-sized dimensions so odd geometries work.
+
+YUY2_FOURCC = int.from_bytes(b"YUY2", "little")
+I420_FOURCC = int.from_bytes(b"I420", "little")
+
+
+def _rgb_to_yuv(r: int, g: int, b: int) -> tuple[int, int, int]:
+    y = (77 * r + 150 * g + 29 * b + 128) >> 8
+    cb = 128 + ((-43 * r - 85 * g + 128 * b + 128) >> 8)
+    cr = 128 + ((128 * r - 107 * g - 21 * b + 128) >> 8)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _yuv_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    r = y + ((359 * (cr - 128) + 128) >> 8)
+    g = y - ((88 * (cb - 128) + 183 * (cr - 128) + 128) >> 8)
+    b = y + ((454 * (cb - 128) + 128) >> 8)
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    return clamp(r), clamp(g), clamp(b)
+
+
+def decode_yuv_frame(body: bytes, width: int, height: int, fourcc: int) -> bytes:
+    """One YUY2 or I420 frame body → top-down row-major RGB24 bytes."""
+    out = bytearray(width * height * 3)
+    if fourcc == YUY2_FOURCC:
+        pairs = (width + 1) // 2
+        if len(body) < pairs * 4 * height:
+            raise ValueError(
+                f"YUY2 frame {len(body)} B < {pairs * 4}x{height} layout"
+            )
+        for y in range(height):
+            base = y * pairs * 4
+            for x in range(width):
+                mp = base + (x >> 1) * 4
+                yy = body[mp + 2 * (x & 1)]
+                cb, cr = body[mp + 1], body[mp + 3]
+                out[3 * (y * width + x) : 3 * (y * width + x) + 3] = bytes(
+                    _yuv_to_rgb(yy, cb, cr)
+                )
+        return bytes(out)
+    if fourcc == I420_FOURCC:
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        need = width * height + 2 * cw * ch
+        if len(body) < need:
+            raise ValueError(f"I420 frame {len(body)} B < {need} B layout")
+        uoff = width * height
+        voff = uoff + cw * ch
+        for y in range(height):
+            for x in range(width):
+                ci = (y >> 1) * cw + (x >> 1)
+                out[3 * (y * width + x) : 3 * (y * width + x) + 3] = bytes(
+                    _yuv_to_rgb(
+                        body[y * width + x], body[uoff + ci], body[voff + ci]
+                    )
+                )
+        return bytes(out)
+    raise NotImplementedError(f"YUV fourcc {fourcc:#x} not supported")
+
+
+def encode_avi_yuv(
+    frames_rgb: list[bytes], width: int, height: int, fps: int = 25,
+    fourcc: bytes = b"YUY2",
+) -> bytes:
+    """Minimal AVI wrapping raw YUY2 or I420 video.  Each input frame is
+    top-down RGB24; chroma subsampling averages each pair/2×2 block with
+    rounding (a no-op for gray content, which therefore stays exact)."""
+    if fourcc not in (b"YUY2", b"I420"):
+        raise ValueError(f"encode_avi_yuv supports YUY2/I420, got {fourcc!r}")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(body) + 4) + kind + body
+
+    packed = []
+    cw, chh = (width + 1) // 2, (height + 1) // 2
+    for f in frames_rgb:
+        if len(f) != width * height * 3:
+            raise ValueError(f"frame size {len(f)} != {width}x{height}x3")
+        yuv = [
+            _rgb_to_yuv(f[3 * i], f[3 * i + 1], f[3 * i + 2])
+            for i in range(width * height)
+        ]
+        if fourcc == b"YUY2":
+            row_b = bytearray()
+            for y in range(height):
+                for px in range(cw):
+                    x0 = 2 * px
+                    x1 = min(x0 + 1, width - 1)
+                    y0, cb0, cr0 = yuv[y * width + x0]
+                    y1, cb1, cr1 = yuv[y * width + x1]
+                    row_b += bytes(
+                        (y0, (cb0 + cb1 + 1) >> 1, y1, (cr0 + cr1 + 1) >> 1)
+                    )
+            packed.append(bytes(row_b))
+        else:
+            yplane = bytes(v[0] for v in yuv)
+            up = bytearray(cw * chh)
+            vp = bytearray(cw * chh)
+            for cy in range(chh):
+                for cx in range(cw):
+                    xs = [min(2 * cx + dx, width - 1) for dx in (0, 1)]
+                    ys = [min(2 * cy + dy, height - 1) for dy in (0, 1)]
+                    cbs = [yuv[yy * width + xx][1] for yy in ys for xx in xs]
+                    crs = [yuv[yy * width + xx][2] for yy in ys for xx in xs]
+                    up[cy * cw + cx] = (sum(cbs) + 2) >> 2
+                    vp[cy * cw + cx] = (sum(crs) + 2) >> 2
+            packed.append(yplane + bytes(up) + bytes(vp))
+    n = len(packed)
+    bits = 16 if fourcc == b"YUY2" else 12
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        _US_PER_S // max(fps, 1), 0, 0, 0x10, n, 0, 1, 0, 0, 0, 0, 0, 0, 0,
+    )
+    strh = b"vids" + fourcc + struct.pack(
+        "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bits,
+        int.from_bytes(fourcc, "little"), len(packed[0]), 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in packed)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

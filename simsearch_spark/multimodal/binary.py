@@ -495,7 +495,10 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
     failure-reason row (bounded-exception contract); a payload that fails
     container parse yields one such row for the whole video."""
     from simsearch_spark.multimodal.avi import (
+        I420_FOURCC,
+        YUY2_FOURCC,
         decode_dib_frame,
+        decode_yuv_frame,
         parse_avi_frames,
         parse_avi_video_format,
     )
@@ -564,6 +567,11 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
                         if raw_dib:
                             w, h, ch = fw, fh, 3
                             pix = decode_dib_frame(frame, fw, fh)
+                        elif comp in (YUY2_FOURCC, I420_FOURCC) and fw > 0:
+                            # r12: raw-YUV fourccs through the fixed-point
+                            # BT.601 inverse (exact for gray content)
+                            w, h, ch = fw, fh, 3
+                            pix = decode_yuv_frame(frame, fw, fh, comp)
                         elif mjpg or frame[:2] == b"\xff\xd8":
                             w, h, ch, pix = decode_image(frame)
                         else:
@@ -577,7 +585,7 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
                             )
                             raise NotImplementedError(
                                 f"video codec {fourcc!r} not supported "
-                                "(MJPG and BI_RGB DIB implemented)"
+                                "(MJPG, BI_RGB DIB, YUY2, I420 implemented)"
                             )
                         mean = round(sum(pix[0::ch]) / (w * h), 6)
                         emit(mid, "ok", len(frames), i, w, h, ch, mean)

@@ -609,7 +609,9 @@ def q_media_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9: ODD doc_ids carry the same uniform frames as UNCOMPRESSED BI_RGB
     DIB video (``encode_avi_raw`` — bottom-up BGR, 4-byte stride), so the
     raw-video decode route runs for real; lossless, so mean_c0 keeps the
-    same closed form (channels become 3).
+    same closed form (channels become 3).  r12: within the odd lanes,
+    d%8==3 stores YUY2 and ==7 I420 (gray is a fixed point of the
+    fixed-point BT.601 matrix — still exact, same closed form).
 
     r11: doc_ids ≡ 2 (mod 4) carry the same uniform frames as an ANIMATED
     GIF (``encode_gif_animation`` — GCE per frame, NETSCAPE loop block;
@@ -634,7 +636,22 @@ def q_media_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bytes([(d * 13 + i * 37) % 256]) * (w * h * 3)
                         for i in range(d % 4 + 1)
                     ]
-                    payloads.append(encode_avi_raw(frames, w, h, fps=25))
+                    # r12: the odd (raw) lanes spread fourccs — d%8==3
+                    # carries YUY2 and ==7 I420 (gray frames map to
+                    # Cb=Cr=128 exactly under the fixed-point BT.601
+                    # matrix, so the closed-form mean survives); ==1,5
+                    # stay BI_RGB DIB
+                    if d % 8 in (3, 7):
+                        from simsearch_spark.multimodal.avi import encode_avi_yuv
+
+                        payloads.append(
+                            encode_avi_yuv(
+                                frames, w, h, fps=25,
+                                fourcc=b"YUY2" if d % 8 == 3 else b"I420",
+                            )
+                        )
+                    else:
+                        payloads.append(encode_avi_raw(frames, w, h, fps=25))
                     continue
                 if d % 4 == 2:
                     gray = [

@@ -1,0 +1,69 @@
+"""Raw-YUV AVI fourccs (YUY2/I420, r12): exact gray round-trips through
+the fixed-point BT.601 matrix, container routing, and the frame query's
+lane coverage."""
+
+from __future__ import annotations
+
+import pytest
+
+def test_yuv_fourccs_round_trip_and_dispatch():
+    """r12: YUY2/I420 — gray frames round-trip exactly (fixed-point
+    BT.601 maps R=G=B=v to Y=v, Cb=Cr=128 and back); color content
+    decodes within quantization; the frame query routes both fourccs."""
+    import random
+
+    from simsearch_spark.multimodal.avi import (
+        I420_FOURCC,
+        YUY2_FOURCC,
+        decode_yuv_frame,
+        encode_avi_yuv,
+        parse_avi_frames,
+        parse_avi_video_format,
+    )
+
+    rng = random.Random(17)
+    for fourcc, fcc_int in [(b"YUY2", YUY2_FOURCC), (b"I420", I420_FOURCC)]:
+        for w, h in [(1, 1), (4, 3), (5, 2), (7, 5)]:
+            frames = [
+                bytes([rng.randrange(256)]) * (w * h * 3) for _ in range(3)
+            ]
+            blob = encode_avi_yuv(frames, w, h, fourcc=fourcc)
+            comp, fw, fh, _bits, _handler = parse_avi_video_format(blob)
+            assert (comp, fw, fh) == (fcc_int, w, h)
+            _fps, idx = parse_avi_frames(blob)
+            assert len(idx) == 3
+            for f, (off, ln) in zip(frames, idx):
+                got = decode_yuv_frame(blob[off : off + ln], w, h, comp)
+                assert got == f, (fourcc, w, h)
+    # non-gray content: decode is the documented fixed-point inverse
+    px = bytes([200, 30, 60] * 4)  # 2x2 red-ish
+    blob = encode_avi_yuv([px], 2, 2, fourcc=b"YUY2")
+    comp, fw, fh, _b, _h2 = parse_avi_video_format(blob)
+    _fps, idx = parse_avi_frames(blob)
+    off, ln = idx[0]
+    got = decode_yuv_frame(blob[off : off + ln], 2, 2, comp)
+    for c_got, c_src in zip(got, px):
+        assert abs(c_got - c_src) <= 8  # quantization + 4:2:2 averaging
+    with pytest.raises(ValueError, match="YUY2 frame"):
+        decode_yuv_frame(b"\x00", 4, 4, YUY2_FOURCC)
+    with pytest.raises(ValueError, match="I420 frame"):
+        decode_yuv_frame(b"\x00", 4, 4, I420_FOURCC)
+    with pytest.raises(ValueError, match="supports YUY2/I420"):
+        encode_avi_yuv([bytes(3)], 1, 1, fourcc=b"NV12")
+
+
+def test_frame_pixel_stats_routes_yuv_lanes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.queries.media import q_media_frame_pixel_stats
+
+    rows = (
+        q_media_frame_pixel_stats(spark, sf_dir)
+        .where((F.col("media_id") % 8).isin(3, 7))
+        .collect()
+    )
+    assert rows and all(r.decoded == "ok" for r in rows)
+    for r in rows[:8]:
+        d, i = int(r.media_id), int(r.frame_idx)
+        assert r.channels == 3
+        assert r.mean_c0 == float((d * 13 + i * 37) % 256)
