@@ -3,11 +3,13 @@ for the multimodal surface using stdlib ``struct`` + numpy.
 
 Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 — spectral
 selection, successive approximation, EOB runs; r8), 8-bit samples,
-grayscale or YCbCr, chroma subsampling up to 2×2, restart markers,
-standard or custom DQT/DHT tables.  Arithmetic coding, hierarchical
-frames, and 12-bit precision raise ``NotImplementedError``; malformed
-streams raise ``ValueError`` (same bounded-exception contract as
-png.py/wav.py/avi.py).
+grayscale, YCbCr, Adobe-marker RGB, and — r12 — 4-component CMYK/YCCK
+(APP14 transform 0/2, Photoshop's inverted-value storage convention,
+composited to RGB via the naive C'·K'/255 formula), chroma subsampling
+up to 2×2, restart markers, standard or custom DQT/DHT tables.
+Arithmetic coding, hierarchical frames, and 12-bit precision raise
+``NotImplementedError``; malformed streams raise ``ValueError`` (same
+bounded-exception contract as png.py/wav.py/avi.py).
 
 The encoder (4:4:4 or 4:2:0, Annex-K standard tables, quality-scaled) is
 JPEG's lossy round trip — tests assert PSNR bounds and near-exactness on
@@ -238,6 +240,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     progressive = False
     pstate: _ProgState | None = None
+    adobe_transform = None  # APP14: None = no Adobe marker
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -282,6 +285,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14 Adobe: transform 0 = CMYK/RGB direct, 1 = YCbCr,
+            # 2 = YCCK; its presence also flags Adobe's INVERTED CMYK
+            # storage convention (r12)
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -292,7 +300,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 scan.append((cs, tables >> 4, tables & 0xF))
             if not progressive:
                 return _decode_scan(
-                    data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac, restart_interval
+                    data, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval, adobe_transform,
                 )
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             pos = _decode_progressive_scan(
@@ -302,11 +311,14 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             continue
         pos += seg_len
     if progressive and pstate is not None and pstate.any_scan:
-        return pstate.reconstruct(qt)
+        return pstate.reconstruct(qt, adobe_transform)
     raise ValueError("JPEG without SOS scan")
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+def _decode_scan(
+    data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval,
+    adobe_transform=None,
+):
     w, h, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -341,12 +353,25 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
             except _RestartMarker:
                 raise ValueError("restart marker mid-MCU") from None
             mcu_count += 1
-    return _assemble(comps, planes, w, h, hmax, vmax)
+    return _assemble(comps, planes, w, h, hmax, vmax, adobe_transform)
 
 
-def _assemble(comps, planes, w, h, hmax, vmax) -> tuple[int, int, int, bytes]:
+def _ycc_to_rgb(y, cb, cr):
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return r, g, b
+
+
+def _assemble(
+    comps, planes, w, h, hmax, vmax, adobe_transform=None
+) -> tuple[int, int, int, bytes]:
     """Upsample component planes to full size and color-convert — shared by
-    the baseline and progressive reconstruction paths."""
+    the baseline and progressive reconstruction paths.  ``adobe_transform``
+    is the APP14 byte (None = no Adobe marker): 4-component images decode
+    as CMYK (transform 0) or YCCK (2) to RGB via the naive CMYK
+    composite; an Adobe marker flags Photoshop's inverted-CMYK storage
+    (r12).  3-component transform 0 is stored RGB (no color transform)."""
     out_planes = []
     for cid, ch, cv, _tq in comps:
         p = planes[cid]
@@ -356,12 +381,29 @@ def _assemble(comps, planes, w, h, hmax, vmax) -> tuple[int, int, int, bytes]:
     if len(comps) == 1:
         pix = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, pix.tobytes()
+    if len(comps) == 4:
+        if adobe_transform == 2:  # YCCK: YCbCr over the inverted CMY
+            ci, mi, yi = _ycc_to_rgb(*out_planes[:3])
+            ki = out_planes[3]
+        elif adobe_transform in (None, 0):
+            ci, mi, yi, ki = out_planes
+            if adobe_transform is None:
+                # no Adobe marker: plain (non-inverted) CMYK
+                ci, mi, yi, ki = 255.0 - ci, 255.0 - mi, 255.0 - yi, 255.0 - ki
+        else:
+            raise NotImplementedError(
+                f"4-component JPEG with Adobe transform {adobe_transform}"
+            )
+        # naive composite over the INVERTED values: R = C'·K'/255
+        ci, mi, yi, ki = (np.clip(p, 0.0, 255.0) for p in (ci, mi, yi, ki))
+        rgb = np.stack([ci * ki, mi * ki, yi * ki], axis=-1) / 255.0
+        return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
     if len(comps) != 3:
         raise NotImplementedError(f"{len(comps)}-component JPEG")
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    if adobe_transform == 0:  # Adobe says: stored RGB, no transform
+        rgb = np.stack(out_planes, axis=-1)
+        return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+    r, g, b = _ycc_to_rgb(*out_planes)
     rgb = np.stack([r, g, b], axis=-1)
     return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
 
@@ -419,7 +461,7 @@ class _ProgState:
             self.coef[cid] = np.zeros((bh_i * bw_i, 64), dtype=np.int64)
         self.any_scan = False
 
-    def reconstruct(self, qt) -> tuple[int, int, int, bytes]:
+    def reconstruct(self, qt, adobe_transform=None) -> tuple[int, int, int, bytes]:
         w, h, comps = self.frame
         planes = {}
         for cid, ch, cv, tq_ in comps:
@@ -431,7 +473,7 @@ class _ProgState:
             planes[cid] = (
                 px.reshape(bh_i, bw_i, 8, 8).transpose(0, 2, 1, 3).reshape(bh_i * 8, bw_i * 8)
             )
-        return _assemble(comps, planes, w, h, self.hmax, self.vmax)
+        return _assemble(comps, planes, w, h, self.hmax, self.vmax, adobe_transform)
 
 
 def _decode_progressive_scan(
@@ -648,16 +690,35 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def _prep_comps(width, height, channels, pixels, quality, subsample):
+def _prep_comps(width, height, channels, pixels, quality, subsample,
+                cmyk_transform=0):
     """Shared encoder front half: color-convert, optionally subsample, and
     MCU-pad the component planes.  Returns (comps [(cid, h, v, tq, plane)],
-    luma_q, chroma_q, hmax, vmax, mcux, mcuy, padded{cid: plane})."""
-    if channels not in (1, 3):
+    luma_q, chroma_q, hmax, vmax, mcux, mcuy, padded{cid: plane}).
+    channels==4 (r12) takes Adobe-convention INVERTED CMYK and emits the
+    4-component layout for ``cmyk_transform`` 0 (direct) or 2 (YCCK —
+    YCbCr over the inverted CMY, K passthrough), never subsampled."""
+    if channels not in (1, 3, 4):
         raise ValueError(f"channels {channels}")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels).astype(np.float64)
     lq = _scale_q(STD_LUMA_Q, quality)
     cq = _scale_q(STD_CHROMA_Q, quality)
-    if channels == 3:
+    if channels == 4:
+        if subsample:
+            raise ValueError("CMYK JPEG encode is 4:4:4 only")
+        ci, mi, yi, ki = (arr[..., i] for i in range(4))
+        if cmyk_transform == 2:
+            y = 0.299 * ci + 0.587 * mi + 0.114 * yi
+            cb = 128.0 - 0.168736 * ci - 0.331264 * mi + 0.5 * yi
+            cr = 128.0 + 0.5 * ci - 0.418688 * mi - 0.081312 * yi
+            comps = [(1, 1, 1, 0, y), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr),
+                     (4, 1, 1, 0, ki)]
+        elif cmyk_transform == 0:
+            comps = [(1, 1, 1, 0, ci), (2, 1, 1, 0, mi), (3, 1, 1, 0, yi),
+                     (4, 1, 1, 0, ki)]
+        else:
+            raise ValueError(f"CMYK transform {cmyk_transform} (0/2 only)")
+    elif channels == 3:
         r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
@@ -733,39 +794,48 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    cmyk_transform: int = 0,
 ) -> bytes:
-    """Encode row-major 8-bit pixels (grayscale or RGB) as baseline JPEG
+    """Encode row-major 8-bit pixels (grayscale, RGB, or — r12 —
+    Adobe-convention inverted CMYK for channels==4) as baseline JPEG
     with Annex-K tables; ``subsample=True`` emits 4:2:0 chroma;
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every N
     MCUs with DC-predictor resets (exercises the decoder's resync path —
     the quantized coefficients are unchanged, so decode output is
-    bit-identical to the non-restart encoding)."""
+    bit-identical to the non-restart encoding).  channels==4 writes the
+    APP14 Adobe marker with ``cmyk_transform`` (0 direct / 2 YCCK)."""
     comps, lq, cq, hmax, vmax, mcux, mcuy, padded = _prep_comps(
-        width, height, channels, pixels, quality, subsample
+        width, height, channels, pixels, quality, subsample, cmyk_transform
     )
 
     def seg(marker: int, body: bytes) -> bytes:
         return _seg(marker, body)
 
+    any_chroma = any(c[3] == 1 for c in comps)
     out = bytearray(b"\xff\xd8")
+    if channels == 4:
+        # APP14 Adobe: version 100, flags 0, the transform byte
+        out += seg(
+            0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, cmyk_transform)
+        )
     # DQT bodies are stored in ZIGZAG order (T.81 B.2.4.1)
     out += seg(0xDB, bytes([0]) + bytes(lq[ZIGZAG].tolist()))
-    if channels == 3:
+    if any_chroma:
         out += seg(0xDB, bytes([1]) + bytes(cq[ZIGZAG].tolist()))
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([len(comps)])
     for cid, ch, cv, tq_, _p in comps:
         sof += bytes([cid, (ch << 4) | cv, tq_])
     out += seg(0xC0, sof)
     tables = [(0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)]
-    if channels == 3:
+    if any_chroma:
         tables += [(0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA)]
     for tid, (bits, vals) in tables:
         out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(comps)])
-    for cid, *_ in comps:
-        sos += bytes([cid, 0x00 if cid == 1 else 0x11])
+    for cid, _ch, _cv, tq_, _p in comps:
+        sos += bytes([cid, 0x00 if tq_ == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
 
@@ -1027,6 +1097,8 @@ def encode_jpeg_progressive(
     with predictor and EOB-run resets — the quantized coefficients are
     unchanged, so decode output stays bit-identical to the non-restart
     encoding while exercising the decoder's progressive resync path."""
+    if channels == 4:
+        raise ValueError("progressive CMYK encode not supported")
     comps, lq, cq, hmax, vmax, mcux, mcuy, padded = _prep_comps(
         width, height, channels, pixels, quality, subsample
     )

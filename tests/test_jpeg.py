@@ -410,3 +410,77 @@ def test_progressive_restart_markers_round_trip():
                 encode_jpeg_progressive(w, h, ch, pix, subsample=sub, restart_interval=ri)
             )
             assert rst == plain
+
+
+def test_cmyk_and_ycck():
+    """r12: 4-component JPEG — Adobe APP14 transform 0 (direct inverted
+    CMYK) and 2 (YCCK).  Uniform images are block-constant, so q85
+    decodes each component exactly and the naive composite
+    R = round(C'*K'/255) is a closed form."""
+    import numpy as np
+
+    # uniform inverted-CMYK values
+    for transform in (0, 2):
+        for ci, mi, yi, ki in [(255, 255, 255, 255), (200, 100, 50, 230),
+                               (0, 128, 17, 255)]:
+            w, h = 10, 6
+            px = bytes([ci, mi, yi, ki]) * (w * h)
+            blob = encode_jpeg(w, h, 4, px, cmyk_transform=transform)
+            assert b"Adobe" in blob[:40]
+            gw, gh, gch, gpix = decode_jpeg(blob)
+            assert (gw, gh, gch) == (w, h, 3)
+            exp = tuple(
+                int(np.rint(v * ki / 255.0)) for v in (ci, mi, yi)
+            )
+            if transform == 0:
+                # integer component planes -> q85 block-constant exactness
+                assert gpix[:3] == bytes(exp), (ci, mi, yi, ki)
+            else:
+                # YCCK's forward YCbCr planes are non-integer, so the
+                # quantized DC may shift the composite by one level
+                assert all(
+                    abs(g - e) <= 1 for g, e in zip(gpix[:3], exp)
+                ), (ci, mi, yi, ki)
+            assert all(
+                gpix[3 * i : 3 * i + 3] == gpix[:3] for i in range(w * h)
+            )
+    # no Adobe marker: values are PLAIN CMYK (inverted internally) —
+    # strip APP14 and re-state the values as non-inverted
+    w, h = 8, 8
+    px = bytes([200, 100, 50, 230]) * (w * h)
+    blob = encode_jpeg(w, h, 4, px, cmyk_transform=0)
+    i = blob.index(b"\xff\xee")
+    (ln,) = struct.unpack(">H", blob[i + 2 : i + 4])
+    stripped = blob[:i] + blob[i + 2 + ln :]
+    gw, gh, gch, gpix = decode_jpeg(stripped)
+    exp = tuple(
+        int(np.rint((255 - v) * (255 - 230) / 255.0)) for v in (200, 100, 50)
+    )
+    assert (gch, gpix[:3]) == (3, bytes(exp))
+    # Adobe transform 0 with THREE components = stored RGB
+    rgb = bytes([10, 200, 60]) * (w * h)
+    blob3 = encode_jpeg(w, h, 3, rgb)
+    # splice an APP14 transform-0 marker after SOI
+    app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+        ">HHHB", 100, 0, 0, 0
+    )
+    spliced = blob3[:2] + app14 + blob3[2:]
+    w3, h3, c3, p3 = decode_jpeg(spliced)
+    # stored YCbCr read AS RGB: just assert it decodes and differs from
+    # the YCbCr interpretation (the transform byte is honored)
+    assert (w3, h3, c3) == (w, h, 3)
+    assert p3[:3] != decode_jpeg(blob3)[3][:3]
+    # unknown transform byte on 4 components = named seam
+    blob = encode_jpeg(4, 4, 4, bytes([1, 2, 3, 4]) * 16, cmyk_transform=0)
+    i = blob.index(b"Adobe") + 11
+    bad = blob[:i] + b"\x07" + blob[i + 1 :]
+    with pytest.raises(NotImplementedError, match="transform 7"):
+        decode_jpeg(bad)
+    with pytest.raises(ValueError, match="transform 5"):
+        encode_jpeg(2, 2, 4, bytes(16), cmyk_transform=5)
+    with pytest.raises(ValueError, match="4:4:4"):
+        encode_jpeg(2, 2, 4, bytes(16), subsample=True)
+    from simsearch_spark.multimodal.jpeg import encode_jpeg_progressive
+
+    with pytest.raises(ValueError, match="progressive CMYK"):
+        encode_jpeg_progressive(2, 2, 4, bytes(16))
