@@ -21,17 +21,22 @@ import struct
 _US_PER_S = 1_000_000
 
 
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    """One RIFF chunk, word-padded."""
+    return cid + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
+def _lst(kind: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", len(body) + 4) + kind + body
+
+
 def encode_avi_mjpeg(frames: list[bytes], fps: int = 25) -> bytes:
     """Minimal valid AVI wrapping ``frames`` as ``00dc`` video chunks —
     enough container structure for the parser (and any standard demuxer)
     to index: RIFF(AVI ) → LIST(hdrl: avih + LIST(strl: strh/strf)) →
     LIST(movi: 00dc…) → idx1."""
-
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
-
-    def lst(kind: bytes, body: bytes) -> bytes:
-        return b"LIST" + struct.pack("<I", len(body) + 4) + kind + body
 
     n = len(frames)
     avih = struct.pack(
@@ -48,15 +53,15 @@ def encode_avi_mjpeg(frames: list[bytes], fps: int = 25) -> bytes:
         "<IiiHHIIiiII",
         40, 16, 16, 1, 24, int.from_bytes(b"MJPG", "little"), 0, 0, 0, 0, 0,
     )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih) + _lst(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi_body = b"movi" + b"".join(_chunk(b"00dc", f) for f in frames)
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     idx_entries = []
     off = 4  # idx1 offsets are relative to the start of 'movi'
     for f in frames:
         idx_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
         off += 8 + len(f) + (len(f) & 1)
-    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -108,12 +113,6 @@ def encode_avi_raw(frames_rgb: list[bytes], width: int, height: int, fps: int = 
     (biCompression=0/BI_RGB, biBitCount=24) so demuxers and
     ``parse_avi_video_format`` can route the frames to the raw decoder."""
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
-
-    def lst(kind: bytes, body: bytes) -> bytes:
-        return b"LIST" + struct.pack("<I", len(body) + 4) + kind + body
-
     stride = (width * 3 + 3) & ~3
     dibs = []
     for f in frames_rgb:
@@ -137,8 +136,8 @@ def encode_avi_raw(frames_rgb: list[bytes], width: int, height: int, fps: int = 
         b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0)
     )
     strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_body = b"movi" + b"".join(chunk(b"00db", f) for f in dibs)
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih) + _lst(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi_body = b"movi" + b"".join(_chunk(b"00db", f) for f in dibs)
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -292,14 +291,6 @@ def encode_avi_yuv(
     if fourcc not in (b"YUY2", b"I420"):
         raise ValueError(f"encode_avi_yuv supports YUY2/I420, got {fourcc!r}")
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        return cid + struct.pack("<I", len(body)) + body + (
-            b"\x00" if len(body) & 1 else b""
-        )
-
-    def lst(kind: bytes, body: bytes) -> bytes:
-        return b"LIST" + struct.pack("<I", len(body) + 4) + kind + body
-
     packed = []
     cw, chh = (width + 1) // 2, (height + 1) // 2
     for f in frames_rgb:
@@ -336,6 +327,11 @@ def encode_avi_yuv(
             packed.append(yplane + bytes(up) + bytes(vp))
     n = len(packed)
     bits = 16 if fourcc == b"YUY2" else 12
+    # biSizeImage from geometry, not packed[0] — valid for 0 frames too
+    frame_size = (
+        cw * 4 * height if fourcc == b"YUY2"
+        else width * height + 2 * cw * chh
+    )
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         _US_PER_S // max(fps, 1), 0, 0, 0x10, n, 0, 1, 0, 0, 0, 0, 0, 0, 0,
@@ -345,14 +341,14 @@ def encode_avi_yuv(
     )
     strf = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, bits,
-        int.from_bytes(fourcc, "little"), len(packed[0]), 0, 0, 0, 0,
+        int.from_bytes(fourcc, "little"), frame_size, 0, 0, 0, 0,
     )
-    hdrl = lst(
+    hdrl = _lst(
         b"hdrl",
-        chunk(b"avih", avih)
-        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        _chunk(b"avih", avih)
+        + _lst(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
-    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in packed)
+    movi_body = b"movi" + b"".join(_chunk(b"00dc", f) for f in packed)
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -567,7 +567,11 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
                         if raw_dib:
                             w, h, ch = fw, fh, 3
                             pix = decode_dib_frame(frame, fw, fh)
-                        elif comp in (YUY2_FOURCC, I420_FOURCC) and fw > 0:
+                        elif (
+                            comp in (YUY2_FOURCC, I420_FOURCC)
+                            and fw > 0
+                            and fh > 0  # fh==0 would divide by zero below
+                        ):
                             # r12: raw-YUV fourccs through the fixed-point
                             # BT.601 inverse (exact for gray content)
                             w, h, ch = fw, fh, 3

@@ -278,16 +278,14 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     if bits == 24:
         if not top_down:
             return w, h, 3, decode_dib_frame(body, w, h)
+        # top-down: decode_dib_frame's layout with rows in natural order
         stride = (w * 3 + 3) & ~3
         if len(body) < stride * h:
             raise ValueError(f"BMP pixel data {len(body)} B < {stride}x{h} layout")
-        out = bytearray(3 * w * h)
-        for y in range(h):
-            src = y * stride
-            for x in range(w):
-                b, g, r = body[src + 3 * x : src + 3 * x + 3]
-                out[3 * (y * w + x) : 3 * (y * w + x) + 3] = bytes((r, g, b))
-        return w, h, 3, bytes(out)
+        flipped = b"".join(
+            body[y * stride : (y + 1) * stride] for y in range(h - 1, -1, -1)
+        )
+        return w, h, 3, decode_dib_frame(flipped, w, h)
     if bits == 32:
         # BGRX quads; rows are naturally 4-byte aligned
         if len(body) < 4 * w * h:

@@ -569,7 +569,10 @@ def _write_subframe(w: _BitWriter, x: list[int], bps: int, force_verbatim: bool)
         w.write(0, 1)
         w.write(x[0] & ((1 << bps) - 1), bps)
         return
-    # exhaustive FIXED order 0-2 by exact rice cost
+    # exhaustive FIXED order 0-2 by exact rice cost, with VERBATIM as a
+    # candidate too — at wide bps (24/32-bit, r12) residual magnitudes
+    # outgrow the 4-bit Rice parameter ceiling (k ≤ 14) and unary
+    # quotients explode ~1000×; VERBATIM bounds the subframe at bs·bps
     best = None
     for order in range(0, 3):
         if bs <= order:
@@ -579,6 +582,13 @@ def _write_subframe(w: _BitWriter, x: list[int], bps: int, force_verbatim: bool)
         total = order * bps + cost
         if best is None or total < best[0]:
             best = (total, order, resid, k)
+    if best[0] > bs * bps:
+        w.write(0, 1)
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        for v in x:
+            w.write(v & ((1 << bps) - 1), bps)
+        return
     _, order, resid, k = best
     w.write(0, 1)
     w.write(8 + order, 6)

@@ -388,6 +388,11 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
             )
         if comp == 7:
             raise NotImplementedError("JPEG-in-TIFF is 8-bit only")
+        if bps0 == 16 and photo == 3:
+            # the 16-bit path keeps each sample's HIGH byte, which is a
+            # gray reduction — applied to palette INDICES it would look
+            # up the wrong entries and mislabel the result 'ok'
+            raise NotImplementedError("16-bit palette TIFF not supported")
     if photo == 2 and spp == 3:
         channels = 3
     elif photo in (0, 1, 3) and spp == 1:

@@ -67,3 +67,34 @@ def test_frame_pixel_stats_routes_yuv_lanes(spark, sf_dir):
         d, i = int(r.media_id), int(r.frame_idx)
         assert r.channels == 3
         assert r.mean_c0 == float((d * 13 + i * 37) % 256)
+
+
+def test_review_fixes_r12_session(spark):
+    """Self-review regressions: (1) a YUY2 strf with biHeight==0 must
+    surface as a bounded failure row, not a ZeroDivisionError killing the
+    whole Arrow batch; (2) encode_avi_yuv with zero frames builds a valid
+    container instead of raising IndexError."""
+    import struct
+
+    from simsearch_spark.multimodal.avi import encode_avi_yuv, parse_avi_frames
+    from simsearch_spark.multimodal.binary import frame_pixel_stats
+
+    blob = bytearray(encode_avi_yuv([bytes([7] * 12)], 2, 2, fourcc=b"YUY2"))
+    i = bytes(blob).index(b"strf")
+    struct.pack_into("<i", blob, i + 8 + 8, 0)  # biHeight = 0
+    good = encode_avi_yuv([bytes([9] * 12)], 2, 2, fourcc=b"YUY2")
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(blob), "video/avi"),
+            (2, "video", bytearray(good), "video/avi"),
+        ],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    rows = {r.media_id: r for r in frame_pixel_stats(df).collect()}
+    assert rows[1].decoded != "ok"          # bounded failure row
+    assert rows[2].decoded == "ok"          # neighbors in the batch survive
+    assert rows[2].mean_c0 == 9.0
+
+    empty = encode_avi_yuv([], 3, 2, fourcc=b"I420")
+    _fps, idx = parse_avi_frames(empty)
+    assert idx == []

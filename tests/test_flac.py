@@ -357,3 +357,17 @@ def test_decode_flac_mutated_valid_stream():
             decode_flac(bytes(b))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_wide_bps_payload_bounded():
+    """Self-review regression: at 24/32-bit, square-wave residuals outgrow
+    the Rice k<=14 ceiling — the encoder must fall back to VERBATIM so the
+    subframe is bounded by bs*bps bits, not ~1000x unary blowup."""
+    amp, half, cycles = 20900, 3, 9
+    wave = ([amp] * half + [-amp] * half) * cycles
+    b16 = encode_flac(wave, 8000)
+    for bps in (24, 32):
+        blob = encode_flac(wave, 8000, bits_per_sample=bps)
+        # generous bound: a few x the 16-bit size, never the 700 kB blowup
+        assert len(blob) < 8 * len(b16), (bps, len(blob), len(b16))
+        assert decode_flac(blob) == (8000, 1, wave)

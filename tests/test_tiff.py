@@ -897,3 +897,14 @@ def test_bit_depths_1_4_16():
     struct.pack_into("<H", b, i + 8, 16)  # 16-bit but data too short
     with pytest.raises(ValueError, match="strips hold"):
         decode_tiff(bytes(b))
+
+
+def test_sixteen_bit_palette_is_a_seam():
+    """Self-review regression: photo==3 at bps 16 would high-byte-reduce
+    the palette INDICES (wrong colors marked 'ok') — must be a named
+    NotImplementedError seam instead."""
+    b = bytearray(encode_tiff(2, 1, 1, bytes([0, 17]), bits_per_sample=16))
+    i = b.index(struct.pack("<HHI", 262, 3, 1))
+    b[i + 8] = 3  # photometric: palette
+    with pytest.raises(NotImplementedError, match="16-bit palette"):
+        decode_tiff(bytes(b))
