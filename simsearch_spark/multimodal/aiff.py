@@ -7,6 +7,8 @@ format the spec mandates) and SSND (offset/blockSize headers honored)
 chunks; PCM 16-bit BIG-endian samples.  FORM/AIFC ("AIFF-C 1.0" draft)
 adds the extended COMM with a compressionType (r12): ``NONE``/``twos``
 (BE PCM), ``sowt`` (byte-swapped LE PCM — the QuickTime convention),
+``fl32``/``FL32`` (IEEE float32 BE, ±1.0 full scale — s/32768.0 is
+exact for every int16, so the round trip is lossless),
 and the G.711 types ``ulaw``/``alaw`` through multimodal/g711.py.
 Other sample sizes and compression types raise ``NotImplementedError``
 — the explicit-seam contract shared with the sibling codecs.  The PCM
@@ -54,6 +56,8 @@ _AIFC_NAMES = {
     b"sowt": b"not compressed",
     b"ulaw": b"\xb5law 2:1",  # the spec's own name string
     b"alaw": b"Alaw 2:1",
+    b"fl32": b"32-bit floating point",
+    b"FL32": b"32-bit floating point",  # the SoundManager spelling
 }
 
 
@@ -83,6 +87,9 @@ def encode_aiff(
         raise ValueError(f"AIFC encode supports {sorted(_AIFC_NAMES)}, got {aifc}")
     if ctype == b"sowt":
         data = struct.pack(f"<{len(samples)}h", *samples)
+    elif ctype in (b"fl32", b"FL32"):
+        # IEEE float32 BE: s/32768.0 is exact for any int16 (r12)
+        data = struct.pack(f">{len(samples)}f", *(int(s) / 32768.0 for s in samples))
     elif ctype == b"ulaw":
         from simsearch_spark.multimodal.g711 import ulaw_encode
 
@@ -93,7 +100,8 @@ def encode_aiff(
         data = bytes(alaw_encode(s) for s in samples)
     else:
         data = struct.pack(f">{len(samples)}h", *samples)
-    comm = struct.pack(">hLh", channels, n_frames, 16) + _pack_extended(
+    ss_bits = 32 if ctype in (b"fl32", b"FL32") else 16
+    comm = struct.pack(">hLh", channels, n_frames, ss_bits) + _pack_extended(
         int(sample_rate)
     )
     if ctype is not None:
@@ -145,8 +153,14 @@ def decode_aiff(payload: bytes) -> tuple[int, int, list[int]]:
                         f"AIFC compression {ctype!r} not supported"
                     )
             # G.711 stores 8-bit codes; writers record the ORIGINAL
-            # (pre-companding) 16 or the stored 8 — accept both
-            if bits != 16 and not (ctype in (b"ulaw", b"alaw") and bits == 8):
+            # (pre-companding) 16 or the stored 8 — accept both.  fl32
+            # records its storage width, 32.
+            ok_bits = (
+                bits == 16
+                or (ctype in (b"ulaw", b"alaw") and bits == 8)
+                or (ctype in (b"fl32", b"FL32") and bits == 32)
+            )
+            if not ok_bits:
                 raise NotImplementedError(f"AIFF sample size {bits} (16-bit only)")
             if rate == 0 or channels < 1:
                 raise ValueError(
@@ -160,7 +174,12 @@ def decode_aiff(payload: bytes) -> tuple[int, int, list[int]]:
     if rate is None or data is None:
         raise ValueError("AIFF without COMM/SSND chunk")
     want = n_frames * channels
-    if ctype == b"ulaw":
+    if ctype in (b"fl32", b"FL32"):
+        n = len(data) // 4
+        vals = struct.unpack(f">{n}f", data[: n * 4])
+        clamp = lambda v: -32768 if v < -32768 else (32767 if v > 32767 else v)  # noqa: E731
+        samples = [clamp(int(round(v * 32768.0))) for v in vals]
+    elif ctype == b"ulaw":
         from simsearch_spark.multimodal.g711 import ulaw_decode
 
         samples = [ulaw_decode(b) for b in data]

@@ -3,7 +3,9 @@ multimodal surface using only stdlib ``struct``.
 
 Scope: integer PCM at 8/16/24/32 bits little-endian (format tag 1 —
 widths other than 16 reduce to the int16 contract: unsigned 8-bit
-re-centers on 128, wider widths keep their top 16 bits, r12), μ-law (tag 7) and A-law
+re-centers on 128, wider widths keep their top 16 bits, r12), IEEE
+float32/float64 (tag 3, ±1.0 full scale — s/32768.0 is float32-exact
+for every int16, r12), μ-law (tag 7) and A-law
 (tag 6) telephony bytes via the G.711 companding module
 (multimodal/g711.py, r10) — any sample rate / channel count — and MONO
 IMA ADPCM (tag 0x11, multimodal/adpcm.py, r11 — the coder verified
@@ -23,6 +25,7 @@ from __future__ import annotations
 import struct
 
 _TAG_PCM = 1
+_TAG_FLOAT = 3
 _TAG_ALAW = 6
 _TAG_ULAW = 7
 _TAG_IMA_ADPCM = 0x11
@@ -67,6 +70,13 @@ def encode_wav(
     elif codec == "pcm32":
         tag, width = _TAG_PCM, 4
         data = struct.pack(f"<{len(samples)}i", *(int(s) << 16 for s in samples))
+    elif codec in ("float32", "float64"):
+        # IEEE float (tag 3): s/32768.0 is exact in float32 for any int16
+        tag, width = _TAG_FLOAT, 4 if codec == "float32" else 8
+        fmt = "f" if codec == "float32" else "d"
+        data = struct.pack(
+            f"<{len(samples)}{fmt}", *(int(s) / 32768.0 for s in samples)
+        )
     elif codec == "ulaw":
         from simsearch_spark.multimodal.g711 import ulaw_encode
 
@@ -187,14 +197,18 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
                 (tag,) = struct.unpack("<H", body[24:26])
                 if body[26:40] != _GUID_TAIL:
                     raise ValueError("extensible WAV with unrecognized SubFormat GUID")
-            if tag not in (_TAG_PCM, _TAG_ALAW, _TAG_ULAW, _TAG_IMA_ADPCM):
+            if tag not in (
+                _TAG_PCM, _TAG_FLOAT, _TAG_ALAW, _TAG_ULAW, _TAG_IMA_ADPCM
+            ):
                 raise NotImplementedError(
-                    f"WAV format tag {tag} (PCM / G.711 / IMA ADPCM only)"
+                    f"WAV format tag {tag} (PCM / float / G.711 / IMA ADPCM only)"
                 )
             if tag == _TAG_PCM and bits not in (8, 16, 24, 32):
                 raise NotImplementedError(
                     f"WAV bit depth {bits} (8/16/24/32-bit integer PCM only)"
                 )
+            if tag == _TAG_FLOAT and bits not in (32, 64):
+                raise ValueError(f"float WAV with bit depth {bits} (32/64)")
             if tag in (_TAG_ALAW, _TAG_ULAW) and bits != 8:
                 raise ValueError(f"G.711 WAV with bit depth {bits} (must be 8)")
             if tag == _TAG_IMA_ADPCM:
@@ -238,6 +252,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         from simsearch_spark.multimodal.g711 import alaw_decode
 
         return rate, channels, [alaw_decode(b) for b in data]
+    if tag == _TAG_FLOAT:
+        # IEEE-float WAV (r12): full scale is ±1.0; s/32768.0 is exactly
+        # representable in float32, so int16 round-trips losslessly
+        n = len(data) // (bits // 8)
+        vals = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[: n * bits // 8])
+        clamp = lambda v: -32768 if v < -32768 else (32767 if v > 32767 else v)  # noqa: E731
+        return rate, channels, [
+            clamp(int(round(v * 32768.0))) for v in vals
+        ]
     # integer PCM (r12: 8/24/32-bit widths reduce to the int16 contract —
     # 8-bit is UNSIGNED per spec, midpoint 128; wider widths keep their
     # top 16 bits, the same high-byte reduction the 16-bit PNG path uses)

@@ -327,7 +327,9 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal/aiff.py); ≡ 4 (mod 16): Sun AU (multimodal/au.py);
     ≡ 8 (mod 16): WAVE_FORMAT_EXTENSIBLE-wrapped PCM; ≡ 2: 24-BIT PCM
     WAV and ≡ 6: 32-BIT PCM WAV (int16 widened into the top bytes —
-    exact reductions); ≡ 12: AIFC ``sowt`` (byte-swapped LE PCM); FLAC
+    exact reductions); ≡ 12: AIFC ``sowt`` (byte-swapped LE PCM);
+    ≡ 10 (mod 32): IEEE-FLOAT WAV (tag 3) and ≡ 14 (mod 32): AIFC
+    ``fl32`` (s/32768.0 is float32-exact for every int16); FLAC
     lanes spread sample sizes — ≡ 13: 24-bit, ≡ 5: 32-bit.  All
     lossless, so the closed-form oracle is container-invariant."""
     from simsearch_spark.multimodal.aiff import encode_aiff
@@ -401,6 +403,15 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif d % 16 == 12:
                     # r12: AIFC sowt — byte-swapped LE PCM, lossless
                     payloads.append(encode_aiff(wave, rate, aifc="sowt"))
+                    mimes.append("audio/aiff")
+                elif d % 32 == 10:
+                    # r12: IEEE-float WAV (tag 3) — s/32768.0 is
+                    # float32-exact, so the oracle is unchanged
+                    payloads.append(encode_wav(wave, rate, codec="float32"))
+                    mimes.append("audio/wav")
+                elif d % 32 == 14:
+                    # r12: AIFC fl32 — the BE float sibling, same exactness
+                    payloads.append(encode_aiff(wave, rate, aifc="fl32"))
                     mimes.append("audio/aiff")
                 else:
                     payloads.append(encode_wav(wave, rate))

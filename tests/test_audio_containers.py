@@ -106,7 +106,7 @@ def test_aifc_variants():
     with pytest.raises(NotImplementedError, match="ima4"):
         decode_aiff(ima)
     with pytest.raises(ValueError, match="AIFC encode supports"):
-        encode_aiff([0], 8000, aifc="fl32")
+        encode_aiff([0], 8000, aifc="ima4")
     # exercise round-trip through an encoder-side compand
     assert decode_aiff(encode_aiff([1000], 8000, aifc="ulaw"))[2] == [
         ulaw_decode(ulaw_encode(1000))
@@ -204,4 +204,35 @@ def test_wav_pcm_widths():
     bad = bytearray(encode_wav(samples, 8000))
     struct.pack_into("<H", bad, 34, 64)
     with pytest.raises(NotImplementedError, match="bit depth 64"):
+        decode_wav(bytes(bad))
+
+
+def test_float_audio_exact():
+    """r12: IEEE-float WAV (tag 3) and AIFC fl32 — s/32768.0 is exactly
+    representable in float32 for every int16, so round trips are
+    lossless; out-of-range floats clamp."""
+    rng = random.Random(23)
+    for channels in (1, 2):
+        samples = [rng.randrange(-32768, 32768) for _ in range(9 * channels)]
+        for codec in ("float32", "float64"):
+            blob = encode_wav(samples, 48000, channels, codec=codec)
+            (tag,) = struct.unpack("<H", blob[20:22])
+            (bits,) = struct.unpack("<H", blob[34:36])
+            assert (tag, bits) == (3, 32 if codec == "float32" else 64)
+            assert decode_wav(blob) == (48000, channels, samples), codec
+            assert decode_audio(blob) == (48000, channels, samples)
+        blob = encode_aiff(samples, 48000, channels, aifc="fl32")
+        assert decode_aiff(blob) == (48000, channels, samples)
+        assert decode_audio(blob) == (48000, channels, samples)
+    # the SoundManager spelling decodes too
+    blob = encode_aiff([100, -100], 8000, aifc="FL32")
+    assert decode_aiff(blob)[2] == [100, -100]
+    # +1.5 full scale clamps to int16 max
+    over = encode_wav([0], 8000, codec="float32")
+    over = over[:-4] + struct.pack("<f", 1.5)
+    assert decode_wav(over)[2] == [32767]
+    # float WAV with a non-32/64 width is malformed
+    bad = bytearray(encode_wav([0, 0], 8000, codec="float32"))
+    struct.pack_into("<H", bad, 34, 16)
+    with pytest.raises(ValueError, match="float WAV"):
         decode_wav(bytes(bad))
