@@ -5,15 +5,15 @@ pixel layout the AVI raw-video path already decodes (multimodal/avi.py
 (Windows BMP file format).  The reference engine has no media operators
 (LLM-pipeline surface, SURVEY.md §6).
 
-Scope: uncompressed (BI_RGB) 32/24-bit and 8/4/1-bit palette bitmaps
+Scope: uncompressed (BI_RGB) 32/24/16-bit (implied 5-5-5 words expanded
+by GDI's (c5<<3)|(c5>>2) bit replication) and 8/4/1-bit palette bitmaps
 (sub-byte rows packed MSB-first into 4-byte-aligned strides), bottom-up
 AND top-down (negative biHeight) row orders, BI_RLE8, and BI_RLE4 (r12 —
 nibble-alternating encoded runs, word-padded absolute runs, EOL/EOB,
 delta moves with the conventional zero fill; top-down RLE is illegal per
-spec and rejected as malformed).  Named seam: 16-bit (BI_BITFIELDS-style
-5-5-5) pixels, whose 8-bit expansion is convention- not spec-defined.
-Everything here is lossless, so closed-form pixel oracles are
-codec-invariant.
+spec and rejected as malformed).  Named seam: BI_BITFIELDS (compression
+3 — arbitrary channel masks).  Everything here is lossless, so
+closed-form pixel oracles are codec-invariant.
 """
 
 from __future__ import annotations
@@ -59,21 +59,43 @@ def encode_bmp(
     if rle and top_down:
         raise ValueError("top-down RLE BMP is illegal per spec")
     if channels == 3:
-        if bits not in (None, 24):
-            raise ValueError("3-channel BMP encodes at 24 bits")
-        bits = 24
-        stride = (width * 3 + 3) & ~3
+        if bits not in (None, 16, 24):
+            raise ValueError("3-channel BMP encodes at 16 or 24 bits")
+        n_colors = 0
         palette = b""
         rows = bytearray()
         ys = range(height) if top_down else range(height - 1, -1, -1)
-        for y in ys:
-            row = bytearray()
-            for x in range(width):
-                r, g, b = pixels[3 * (y * width + x) : 3 * (y * width + x) + 3]
-                row += bytes((b, g, r))
-            row += b"\x00" * (stride - len(row))
-            rows += row
-        n_colors = 0
+        if bits == 16:
+            # 5-5-5 words; channel values must sit on the bit-replication
+            # level set ((c5<<3)|(c5>>2)) so the round trip is exact
+            stride = (width * 2 + 3) & ~3
+            for y in ys:
+                row = bytearray(stride)
+                for x in range(width):
+                    r, g, b = pixels[3 * (y * width + x) : 3 * (y * width + x) + 3]
+                    c5s = []
+                    for v in (r, g, b):
+                        c5 = v >> 3
+                        if (c5 << 3) | (c5 >> 2) != v:
+                            raise ValueError(
+                                f"16-bit BMP requires 5-bit-replicated values, got {v}"
+                            )
+                        c5s.append(c5)
+                    struct.pack_into(
+                        "<H", row, 2 * x,
+                        (c5s[0] << 10) | (c5s[1] << 5) | c5s[2],
+                    )
+                rows += row
+        else:
+            bits = 24
+            stride = (width * 3 + 3) & ~3
+            for y in ys:
+                row = bytearray()
+                for x in range(width):
+                    r, g, b = pixels[3 * (y * width + x) : 3 * (y * width + x) + 3]
+                    row += bytes((b, g, r))
+                row += b"\x00" * (stride - len(row))
+                rows += row
     else:
         bits = 8 if bits is None else bits
         if bits not in (1, 4, 8):
@@ -286,6 +308,23 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             body[y * stride : (y + 1) * stride] for y in range(h - 1, -1, -1)
         )
         return w, h, 3, decode_dib_frame(flipped, w, h)
+    if bits == 16:
+        # BI_RGB 16-bit is implied X1-R5-G5-B5 little-endian words; each
+        # 5-bit channel expands by GDI's bit replication (c5<<3)|(c5>>2).
+        # BI_BITFIELDS (5-6-5 etc.) stays the compression-3 seam above.
+        stride = (w * 2 + 3) & ~3
+        if len(body) < stride * h:
+            raise ValueError(f"BMP pixel data {len(body)} B < {stride}x{h} layout")
+        out = bytearray(3 * w * h)
+        for y in range(h):
+            src = (y if top_down else h - 1 - y) * stride
+            for x in range(w):
+                (word,) = struct.unpack_from("<H", body, src + 2 * x)
+                for c, c5 in enumerate(
+                    ((word >> 10) & 31, (word >> 5) & 31, word & 31)
+                ):
+                    out[3 * (y * w + x) + c] = (c5 << 3) | (c5 >> 2)
+        return w, h, 3, bytes(out)
     if bits == 32:
         # BGRX quads; rows are naturally 4-byte aligned
         if len(body) < 4 * w * h:

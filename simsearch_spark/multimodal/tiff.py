@@ -35,7 +35,8 @@ Scope:
 - BIT DEPTHS beyond 8 (r12, single-plane strip path): 1-bit bilevel and
   4-bit gray/palette (MSB-first packed, byte-aligned rows, bit
   replication ×255/×17 to 8-bit — exact), 16-bit gray (high-byte
-  reduction in the file's byte order, the PNG-16/ColorMap convention);
+  reduction in the file's byte order, the PNG-16/ColorMap convention;
+  predictor 2 differences in SAMPLE space mod 65536 under LZW);
   palette ColorMaps size 3×2^bps.
 - Named NotImplementedError seams: CCITT compression, planar
   JPEG-in-TIFF strips, mask/CMYK/YCbCr photometrics, non-8-bit depths
@@ -261,6 +262,31 @@ def _diff_rows(pixels: bytes, w: int, rows: int, spp: int) -> bytes:
             out[base + i] = (out[base + i] - out[base + i - spp]) & 0xFF
     return bytes(out)
 
+
+def _undiff_rows16(body: bytearray, w: int, rows: int, bo: str) -> None:
+    """Predictor 2 decode for 16-BIT samples (r12): differencing happens
+    in SAMPLE space (mod 65536, TIFF 6.0 §14), words in file byte order."""
+    for r in range(rows):
+        base = r * w * 2
+        prev = struct.unpack_from(bo + "H", body, base)[0]
+        for x in range(1, w):
+            off = base + 2 * x
+            prev = (struct.unpack_from(bo + "H", body, off)[0] + prev) & 0xFFFF
+            struct.pack_into(bo + "H", body, off, prev)
+
+
+def _diff_rows16(pixels: bytes, w: int, rows: int, bo: str) -> bytes:
+    """Predictor 2 encode for 16-bit samples — the exact dual."""
+    out = bytearray(pixels)
+    for r in range(rows):
+        base = r * w * 2
+        for x in range(w - 1, 0, -1):
+            off = base + 2 * x
+            cur = struct.unpack_from(bo + "H", pixels, off)[0]
+            left = struct.unpack_from(bo + "H", pixels, off - 2)[0]
+            struct.pack_into(bo + "H", out, off, (cur - left) & 0xFFFF)
+    return bytes(out)
+
 #: BYTE ASCII SHORT LONG RATIONAL … UNDEFINED (7: raw bytes — JPEGTables)
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
@@ -382,7 +408,9 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
             )
         if 322 in tags or 324 in tags or planar == 2:
             raise NotImplementedError(f"tiled/planar {bps0}-bit TIFF not supported")
-        if predictor == 2:
+        if predictor == 2 and bps0 != 16:
+            # 16-bit differencing works in sample space (r12); sub-byte
+            # differencing stays the named seam
             raise NotImplementedError(
                 f"predictor 2 with {bps0}-bit samples not supported"
             )
@@ -520,7 +548,10 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         elif comp == 5:
             strip = bytearray(lzw_decode_tiff(chunk, need_s))
             if predictor == 2:
-                _undiff_rows(strip, w, rows, channels)
+                if bps0 == 16:
+                    _undiff_rows16(strip, w, rows, bo)
+                else:
+                    _undiff_rows(strip, w, rows, channels)
             body += strip
         else:  # 32773
             if predictor == 2:
@@ -716,12 +747,16 @@ def encode_tiff(
         raise ValueError(f"TIFF predictor {predictor} not supported")
     if bits_per_sample not in (1, 4, 8, 16):
         raise ValueError(f"TIFF encode bits-per-sample {bits_per_sample}")
-    if bits_per_sample != 8 and (channels != 1 or predictor == 2):
-        raise ValueError("non-8-bit TIFF encode is single-channel, predictor 1")
+    if bits_per_sample != 8 and channels != 1:
+        raise ValueError("non-8-bit TIFF encode is single-channel")
+    if predictor == 2 and bits_per_sample not in (8, 16):
+        raise ValueError("predictor 2 encodes at 8 or 16 bits")
     body = pixels
     if bits_per_sample == 16:
         bo0 = ">" if big_endian else "<"
         body = struct.pack(f"{bo0}{len(pixels)}H", *(v * 257 for v in pixels))
+        if predictor == 2:
+            body = _diff_rows16(body, width, height, bo0)
     elif bits_per_sample in (1, 4):
         mul = 255 // ((1 << bits_per_sample) - 1)
         if any(v % mul for v in pixels):
@@ -738,7 +773,7 @@ def encode_tiff(
                 else:
                     packed[y * stride + (x >> 3)] |= v << (7 - (x & 7))
         body = bytes(packed)
-    if predictor == 2:
+    if predictor == 2 and bits_per_sample == 8:
         body = _diff_rows(body, width, height, channels)
     comp_tag = 1
     if compression == "packbits":

@@ -212,8 +212,12 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             w, h, 1, row * h, big_endian=d % 8 == 7,
                             compression=comp, predictor=pred,
                             # r12: d%32==31 stores 16-BIT gray (exact
-                            # v*257 widening) — still oracle-invariant
-                            bits_per_sample=16 if d % 32 == 31 else 8,
+                            # v*257 widening) and d%64==35 16-bit under
+                            # LZW+predictor-2 (sample-space differencing)
+                            # — still oracle-invariant
+                            bits_per_sample=(
+                                16 if d % 32 == 31 or d % 64 == 35 else 8
+                            ),
                         )
                     )
                 elif d % 16 == 13:

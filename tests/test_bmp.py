@@ -33,17 +33,32 @@ def test_nongray_palette_expands_to_rgb():
 def test_named_seams():
     g = encode_bmp(4, 2, 1, bytes(8))
     b = bytearray(g)
-    b[30:34] = struct.pack("<I", 3)  # BI_BITFIELDS
+    b[30:34] = struct.pack("<I", 3)  # BI_BITFIELDS: the remaining seam
     with pytest.raises(NotImplementedError, match="compression 3"):
         decode_bmp(bytes(b))
     b = bytearray(g)
-    b[28:30] = struct.pack("<H", 16)  # 5-5-5: the remaining depth seam
-    with pytest.raises(NotImplementedError, match="bit depth 16"):
+    b[28:30] = struct.pack("<H", 2)  # 2-bit: not a legal BMP depth
+    with pytest.raises(NotImplementedError, match="bit depth 2"):
         decode_bmp(bytes(b))
     with pytest.raises(ValueError, match="not a BMP"):
         decode_bmp(b"PK\x03\x04")
     with pytest.raises(ValueError, match="pixel buffer"):
         encode_bmp(4, 2, 1, bytes(7))
+
+
+def test_sixteen_bit_555_round_trip():
+    """r12: BI_RGB 16-bit (implied 5-5-5) — exact on the bit-replication
+    level set, both row orders."""
+    rng = random.Random(14)
+    rep = [(c5 << 3) | (c5 >> 2) for c5 in range(32)]
+    for w, h in [(1, 1), (5, 3), (6, 2)]:
+        px = bytes(rng.choice(rep) for _ in range(3 * w * h))
+        for td in (False, True):
+            blob = encode_bmp(w, h, 3, px, bits=16, top_down=td)
+            assert struct.unpack("<H", blob[28:30])[0] == 16
+            assert decode_bmp(blob) == (w, h, 3, px), (w, h, td)
+    with pytest.raises(ValueError, match="5-bit-replicated"):
+        encode_bmp(1, 1, 3, bytes([1, 2, 3]), bits=16)
 
 
 def test_sub_byte_depths_round_trip():

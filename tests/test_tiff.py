@@ -908,3 +908,26 @@ def test_sixteen_bit_palette_is_a_seam():
     b[i + 8] = 3  # photometric: palette
     with pytest.raises(NotImplementedError, match="16-bit palette"):
         decode_tiff(bytes(b))
+
+
+def test_sixteen_bit_predictor2():
+    """r12: predictor 2 at 16 bits differences in SAMPLE space (mod
+    65536, file byte order) under LZW — exact round trip both orders."""
+    import random
+
+    rng = random.Random(41)
+    for w, h in [(1, 1), (7, 3), (16, 2)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        for be in (False, True):
+            blob = encode_tiff(
+                w, h, 1, px, big_endian=be, compression="lzw",
+                predictor=2, bits_per_sample=16,
+            )
+            assert decode_tiff(blob) == (w, h, 1, px), (w, h, be)
+    # sub-byte differencing stays the seam
+    b = bytearray(encode_tiff(4, 1, 1, bytes([0, 255, 0, 255]),
+                              compression="lzw", bits_per_sample=1))
+    # splice a predictor-2 tag (317) is fiddly; assert the encoder gate
+    with pytest.raises(ValueError, match="8 or 16 bits"):
+        encode_tiff(4, 1, 1, bytes([0, 255, 0, 255]), compression="lzw",
+                    predictor=2, bits_per_sample=1)
