@@ -236,3 +236,27 @@ def test_float_audio_exact():
     struct.pack_into("<H", bad, 34, 16)
     with pytest.raises(ValueError, match="float WAV"):
         decode_wav(bytes(bad))
+
+
+def test_extensible_float_wav():
+    """WAVE_FORMAT_EXTENSIBLE whose SubFormat GUID carries tag 3 (IEEE
+    float) routes through the float path."""
+    base = encode_wav([100, -200, 300], 8000, codec="float32")
+    i = base.index(b"fmt ")
+    (ln,) = struct.unpack("<I", base[i + 4 : i + 8])
+    fmt = base[i + 8 : i + 8 + ln]
+    tag, ch, rate, br, ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    guid_tail = bytes(
+        [0, 0, 0, 0, 0x10, 0, 0x80, 0, 0, 0xAA, 0, 0x38, 0x9B, 0x71]
+    )
+    ext = (
+        struct.pack("<HHIIHHHHI", 0xFFFE, ch, rate, br, ba, bits, 22, bits, 0)
+        + struct.pack("<H", 3)
+        + guid_tail
+    )
+    blob = (
+        base[:i] + b"fmt " + struct.pack("<I", len(ext)) + ext
+        + base[i + 8 + ln :]
+    )
+    blob = b"RIFF" + struct.pack("<I", len(blob) - 8) + blob[8:]
+    assert decode_wav(blob) == (8000, 1, [100, -200, 300])
