@@ -134,6 +134,7 @@ def mount(
     emb_frame: DataFrame | None = None,
     docs_frame: DataFrame | None = None,
     dedup: bool = True,
+    dedup_params: dict | None = None,
 ) -> dict:
     """Train and persist the full artifact set from the corpus at
     ``sf_dir``; returns the manifest (also written to
@@ -314,14 +315,24 @@ def mount(
     if dedup:
         # the persisted MinHash signature/band index (mount/dedup.py) —
         # frozen hash family matching the declared dedup queries, so
-        # dedup_append deltas stay parity-equal to the batch operator
+        # dedup_append deltas stay parity-equal to the batch operator.
+        # ``dedup_params`` overrides the family (a refresh passes the OLD
+        # manifest's block through, so a regenerated mount never silently
+        # reverts a custom family to the defaults — self-review r12)
         from simsearch_spark.mount.dedup import mount_dedup
         from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES
 
-        manifest = mount_dedup(
-            spark, mount_dir, docs,
-            threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS,
-        )
+        dp = {"threshold": MINHASH_T, "n_hashes": N_HASHES, "bands": N_BANDS}
+        if dedup_params:
+            allowed = {
+                "id_col", "text_col", "threshold", "n_hashes", "bands",
+                "shingle_n", "seed", "bucket_cap", "hot_mode",
+            }
+            bad = set(dedup_params) - allowed
+            if bad:
+                raise ValueError(f"dedup_params keys not settable: {sorted(bad)}")
+            dp.update(dedup_params)
+        manifest = mount_dedup(spark, mount_dir, docs, **dp)
     return manifest
 
 

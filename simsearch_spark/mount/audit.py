@@ -163,6 +163,19 @@ def refresh(
     nxt = mount_dir.rstrip("/") + "__next"
     if os.path.isdir(nxt):
         shutil.rmtree(nxt)  # a crashed earlier refresh left debris
+    # carry the mounted dedup hash family into the new generation — a
+    # refresh must never silently revert a custom family to the module
+    # defaults (self-review r12); an explicit dedup_params still wins
+    if "dedup_params" not in mount_kwargs and old_manifest.get("dedup"):
+        dd = old_manifest["dedup"]
+        mount_kwargs["dedup_params"] = {
+            k: dd[k]
+            for k in (
+                "id_col", "text_col", "threshold", "n_hashes", "bands",
+                "shingle_n", "seed", "bucket_cap", "hot_mode",
+            )
+            if k in dd
+        }
     mount(
         spark, src, nxt,
         emb_frame=emb_frame, docs_frame=docs_frame, **mount_kwargs,

@@ -59,6 +59,7 @@ from simsearch_spark.operators.dedup import (
     _bucket_key_expr,
     _cap_lsh_buckets,
     _hot_bucket_rows,
+    _with_block_group,
     minhash_banded_frame,
     verify_shingle_pairs,
 )
@@ -98,12 +99,14 @@ def _text_ok(text_col: str):
     return F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
 
 
-def _expl_frame(banded: DataFrame, id_col: str) -> DataFrame:
+def _expl_frame(banded: DataFrame, id_col: str, n_bkt: int = N_BKT) -> DataFrame:
     """(band_idx, band_hash, bkt, id): the exploded band-index rows — the
-    shape the persisted band table stores."""
+    shape the persisted band table stores.  ``n_bkt`` is the MOUNTED
+    fan-out (frozen in the manifest like the hash family — a later change
+    to the module constant must not re-bucket an existing mount)."""
     return banded.select(
         F.col(id_col), F.posexplode("bands").alias("band_idx", "band_hash")
-    ).withColumn("bkt", F.pmod(F.col("band_hash"), F.lit(N_BKT)).cast("int"))
+    ).withColumn("bkt", F.pmod(F.col("band_hash"), F.lit(n_bkt)).cast("int"))
 
 
 def mount_dedup(
@@ -189,6 +192,12 @@ def mount_dedup(
         "bucket_cap": None if bucket_cap is None else int(bucket_cap),
         "hot_mode": hot_mode,
         "n_docs": n_docs,
+        # the partition fan-outs are layout, not semantics, but the
+        # DIRECTORY-PRUNING predicates must be computed with the values
+        # the index was WRITTEN with — freeze them like the hash family
+        # (raising the module constants must not break existing mounts)
+        "n_bkt": N_BKT,
+        "n_sbkt": N_SBKT,
     }
     for a in ("dedup_bands", "dedup_shingles"):
         if a not in manifest["artifacts"]:
@@ -236,18 +245,10 @@ def _delta_touching_candidates(
             # block), the delta left side replicates across the G right
             # blocks — per-(bucket, block) task volume is |delta∩bucket|
             # × O(cap), total the honest |delta|·n delta-touching pair
-            # volume, and no task is quadratic in the bucket
-            spark = union_expl.sparkSession
-            g_rows = [
-                (
-                    "\x00".join(str(r[c]) for c in keys),
-                    int(-(-int(r["_bn"]) // int(cap))),
-                )
-                for r in hot_rows
-            ]
-            gdf = spark.createDataFrame(g_rows, "_hkey string, _g int")
-            keyed = _bucket_key_expr(keys)
-            hg = hot.withColumn("_hkey", keyed).join(F.broadcast(gdf), "_hkey")
+            # volume, and no task is quadratic in the bucket.  The block
+            # assignment itself is the batch tier's, via the shared
+            # ``_with_block_group`` helper.
+            hg = _with_block_group(hot, keys, hot_rows, int(cap))
             right = hg.select(
                 *keys,
                 F.col(id_col).alias("_id_o"),
@@ -317,6 +318,10 @@ def dedup_append(
         raise ValueError("mount has no dedup artifacts — run mount_dedup first")
     id_col, text_col = dd["id_col"], dd["text_col"]
     cap = dd["bucket_cap"]
+    # the fan-outs the index was WRITTEN with (frozen in the manifest;
+    # pre-freeze mounts fall back to the constants they were built with)
+    n_bkt = int(dd.get("n_bkt", N_BKT))
+    n_sbkt = int(dd.get("n_sbkt", N_SBKT))
     bands_path = os.path.join(mount_dir, "dedup_bands")
     sh_path = os.path.join(mount_dir, "dedup_shingles")
 
@@ -328,16 +333,20 @@ def dedup_append(
     delta = docs_delta.withColumn(
         id_col, F.col(id_col).cast(id_dtype)
     ).where(_text_ok(text_col))
-    banded_d = minhash_banded_frame(
+    # persist the RAW banded frame BEFORE the dbkts collect: the fused
+    # shingle/permutation kernel is the dominant delta cost, and without
+    # the barrier both the collect and the anti-joined count would each
+    # re-execute it (self-review r12: ~2× the append's kernel cost)
+    banded_raw = minhash_banded_frame(
         delta, id_col, text_col,
         dd["n_hashes"], dd["bands"], dd["shingle_n"], dd["seed"],
-    )
+    ).persist()
     # idempotency: drop ids already mounted (prune the probe by the
     # delta's own id-hash buckets before the anti-join)
     dbkts = [
         r[0]
-        for r in banded_d.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT)).cast("int")
+        for r in banded_raw.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sbkt)).cast("int")
         )
         .distinct()
         .collect()
@@ -347,9 +356,10 @@ def dedup_append(
         .where(F.col("sbkt").isin(dbkts))
         .select(id_col)
     )
-    banded_d = banded_d.join(existing, id_col, "left_anti").persist()
+    banded_d = banded_raw.join(existing, id_col, "left_anti").persist()
     try:
         n_new = int(banded_d.count())
+        banded_raw.unpersist()  # anti-joined frame is materialized now
         if n_new == 0:
             # deliberately does NOT invoke on_pairs: an all-duplicate
             # delta is a REPLAY, and overwriting the sink's batch
@@ -358,7 +368,7 @@ def dedup_append(
             return spark.createDataFrame(
                 [], f"id_a {id_dtype}, id_b {id_dtype}, jaccard double"
             )
-        expl_d = _expl_frame(banded_d, id_col).persist()
+        expl_d = _expl_frame(banded_d, id_col, n_bkt).persist()
         try:
             # the delta's distinct band keys, broadcast against the
             # DIRECTORY-PRUNED base band scan: base never shuffles, and
@@ -375,7 +385,7 @@ def dedup_append(
                     hashes = sorted(
                         {int(r[0]) for r in keys_d.select("band_hash").collect()}
                     )
-                    bkts = sorted({h % N_BKT for h in hashes})
+                    bkts = sorted({h % n_bkt for h in hashes})
                 else:
                     hashes = None
                     bkts = sorted(
@@ -437,7 +447,7 @@ def dedup_append(
                     bdf = spark.createDataFrame(
                         [(i,) for i in base_ids], f"{id_col} {id_dtype}"
                     ).select(
-                        F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT))
+                        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sbkt))
                         .cast("int")
                         .alias("b")
                     )
@@ -464,7 +474,7 @@ def dedup_append(
                 )
                 banded_d.select(F.col(id_col), F.col("shingles")).withColumn(
                     "sbkt",
-                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT)).cast("int"),
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sbkt)).cast("int"),
                 ).repartition("sbkt").sortWithinPartitions(id_col).write.mode(
                     "append"
                 ).partitionBy("sbkt").parquet(sh_path)
@@ -476,6 +486,7 @@ def dedup_append(
             expl_d.unpersist()
     finally:
         banded_d.unpersist()
+        banded_raw.unpersist()  # no-op if already freed; leak-safe on error
 
 
 def stream_dedup_append(

@@ -68,7 +68,9 @@ def maintenance_stats(spark: SparkSession, mount_dir: str) -> dict:
     manifest + one tombstone count, and the parquet file census of the
     codes table (os.walk — no Spark job)."""
     manifest = load_manifest(mount_dir)
-    n_vectors = int(manifest["counts"]["n_vectors"])
+    # a dedup-only mount (mount_dedup on a fresh directory) has no vector
+    # artifacts — report zero vectors instead of a bare KeyError
+    n_vectors = int(manifest.get("counts", {}).get("n_vectors", 0))
     tomb_path = os.path.join(mount_dir, "tombstones")
     n_tomb = (
         int(spark.read.parquet(tomb_path).select("vec_id").distinct().count())

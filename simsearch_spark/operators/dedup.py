@@ -292,6 +292,27 @@ def _cap_lsh_buckets(
     return healthy.unionByName(capped)
 
 
+def _with_block_group(
+    expl: DataFrame, key_cols: list[str], hot_rows, cap: int
+) -> DataFrame:
+    """Annotate each hot-bucket row with its block-group count
+    ``_g = ceil(n / cap)`` via a broadcast hkey→G map — the shared
+    boilerplate of the salted tiers (batch ``_salted_hot_candidates``
+    and the mounted delta-asymmetric lane, mount/dedup.py), factored so
+    the skew-join discipline cannot silently diverge between them."""
+    keyed = _bucket_key_expr(key_cols)
+    spark = expl.sparkSession
+    g_rows = [
+        (
+            "\x00".join(str(r[c]) for c in key_cols),
+            int(-(-int(r["_bn"]) // int(cap))),  # ceil(n / cap)
+        )
+        for r in hot_rows
+    ]
+    gdf = spark.createDataFrame(g_rows, "_hkey string, _g int")
+    return expl.withColumn("_hkey", keyed).join(F.broadcast(gdf), "_hkey")
+
+
 def _salted_hot_candidates(
     expl: DataFrame,
     key_cols: list[str],
@@ -326,17 +347,7 @@ def _salted_hot_candidates(
     for); what the salt buys is that no executor ever materializes the
     bucket quadratically.  Replication factor is G per side — rows touched
     scale n·G = n²/cap, strictly bounded by the pair volume itself."""
-    keyed = _bucket_key_expr(key_cols)
-    spark = expl.sparkSession
-    g_rows = [
-        (
-            "\x00".join(str(r[c]) for c in key_cols),
-            int(-(-int(r["_bn"]) // int(cap))),  # ceil(n / cap)
-        )
-        for r in hot_rows
-    ]
-    gdf = spark.createDataFrame(g_rows, "_hkey string, _g int")
-    he = expl.withColumn("_hkey", keyed).join(F.broadcast(gdf), "_hkey")
+    he = _with_block_group(expl, key_cols, hot_rows, cap)
     own = F.pmod(F.xxhash64(F.col(id_col)), F.col("_g")).cast("int")
     lanes = F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
     left = he.select(

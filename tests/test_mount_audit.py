@@ -124,3 +124,30 @@ def test_refresh_preserves_serving_and_is_crash_safe(
     # same corpus, same training frame → the retrained generation serves
     # the identical answer (mount is deterministic)
     assert after == before
+
+
+def test_refresh_carries_custom_dedup_family(
+    spark, corpus, docs_stub, tmp_path_factory
+):
+    """Self-review r12: a refresh must regenerate the dedup index with the
+    OLD manifest's hash family, never silently reverting a custom family
+    to the module defaults (which would change every later dedup_append)."""
+    base, _delta = corpus
+    d = str(tmp_path_factory.mktemp("audit3") / "m")
+    custom = {"n_hashes": 8, "bands": 2, "threshold": 0.9, "hot_mode": "salt"}
+    mount(spark, "", d, emb_frame=base, docs_frame=docs_stub,
+          dedup_params=custom)
+    dd0 = load_manifest(d)["dedup"]
+    assert (dd0["n_hashes"], dd0["bands"], dd0["threshold"], dd0["hot_mode"]) == (
+        8, 2, 0.9, "salt",
+    )
+    refresh(spark, d, sf_dir="", emb_frame=base, docs_frame=docs_stub)
+    dd1 = load_manifest(d)["dedup"]
+    for k in ("n_hashes", "bands", "threshold", "hot_mode", "seed",
+              "shingle_n", "bucket_cap"):
+        assert dd1[k] == dd0[k], k
+    # unknown keys are rejected loudly, not silently dropped
+    with pytest.raises(ValueError, match="not settable"):
+        mount(spark, "", str(tmp_path_factory.mktemp("audit4") / "m"),
+              emb_frame=base, docs_frame=docs_stub,
+              dedup_params={"n_bkt": 64})

@@ -327,3 +327,45 @@ def test_dedup_embed_append_same_cell_parity(spark, sf_dir, tmp_path):
     again = dedup_embed_append(spark, d, delta, emb, threshold=T, update=True)
     assert again.count() == 0
     assert spark.read.parquet(f"{d}/pq_codes").count() == n1
+
+
+def test_fanouts_frozen_in_manifest(spark, sf_dir, tmp_path, monkeypatch):
+    """Self-review r12: N_BKT/N_SBKT are layout constants the index was
+    WRITTEN with — dedup_append must read the manifest's frozen values,
+    so raising the module constants later never silently breaks
+    directory pruning on an existing mount."""
+    import simsearch_spark.mount.dedup as md
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = 300
+    base = docs.where(F.col("doc_id") < cut)
+    delta = docs.where(F.col("doc_id") >= cut)
+    delta_ids = [r.doc_id for r in delta.select("doc_id").collect()]
+
+    d = str(tmp_path / "m_frozen")
+    man = mount_dedup(
+        spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS
+    )
+    assert man["dedup"]["n_bkt"] == md.N_BKT
+    assert man["dedup"]["n_sbkt"] == md.N_SBKT
+    # a "deployment" raises the constants AFTER the mount was written
+    monkeypatch.setattr(md, "N_BKT", 64)
+    monkeypatch.setattr(md, "N_SBKT", 512)
+    got = dedup_append(spark, d, delta)
+    want = _batch_restricted(docs, delta_ids)
+    assert _rows(got) == _rows(want)
+    # and the replay is still a no-op (sbkt probe found the mounted ids)
+    assert dedup_append(spark, d, delta).count() == 0
+
+
+def test_maintenance_stats_on_dedup_only_mount(spark, sf_dir, tmp_path):
+    """Self-review r12: a dedup-only mount has counts={} — maintenance
+    accessors report zero vectors instead of a bare KeyError."""
+    from simsearch_spark.mount.maintain import maintenance_stats, should_compact
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    d = str(tmp_path / "m_only")
+    mount_dedup(spark, d, docs)
+    stats = maintenance_stats(spark, d)
+    assert stats["n_vectors"] == 0
+    assert should_compact(spark, d) in (False, True)  # no crash
