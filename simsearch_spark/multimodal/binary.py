@@ -618,16 +618,16 @@ def resize_images(df: DataFrame, max_w: int = 512, max_h: int = 512) -> DataFram
 
     The TARGET-geometry computation is real (min-scale fit into
     ``max_w × max_h``, never upscales, parsed from the actual container
-    header), and for decodable PNGs the resample is REAL too (r6):
-    nearest-neighbor via multimodal/png.py decode → re-encode, tagged
-    ``'resized'`` (baseline JPEG decodes too, via decode_image; the
-    resampled payload is re-encoded as PNG — lossless output regardless of
-    input container).  Other cases record why (``'pass-through'`` when
-    already within bounds, ``'stub'`` for payloads only a full decoder
-    library could resample — progressive JPEG, truncated containers —
-    ``'unknown'`` when the header is not parseable).  Schema, Arrow
-    batching, and the per-row geometry contract are identical on every
-    path.
+    header), and the resample is REAL for every container
+    ``decode_image`` handles (r6 PNG; by r12 that is PNG/JPEG incl.
+    progressive and CMYK/GIF/BMP/TIFF/Netpbm at every supported depth):
+    nearest-neighbor over the decoded grid, re-encoded as PNG — lossless
+    output regardless of input container.  Other cases record why
+    (``'pass-through'`` when already within bounds, ``'stub'`` for
+    payloads only a named-seam decoder could resample — e.g. CCITT TIFF,
+    truncated containers — ``'unknown'`` when the header is not
+    parseable).  Schema, Arrow batching, and the per-row geometry
+    contract are identical on every path.
     """
     from simsearch_spark.multimodal.png import encode_png
 

@@ -115,3 +115,34 @@ def test_pixel_stats_netpbm_lane(spark, sf_dir):
         d, w = int(r.media_id), r.width
         a, b = d % 256, (d * 7 + 13) % 256
         assert r.mean_c0 == round((a * (w // 2) + b * (w - w // 2)) / w, 6)
+
+
+def test_resize_handles_new_containers(spark):
+    """resize_images' real-resample path goes through decode_image, so
+    the r12 containers (Netpbm, sub-byte BMP, 16-bit TIFF) resize for
+    real rather than falling to the 'stub' tag."""
+    from simsearch_spark.multimodal.bmp import encode_bmp
+    from simsearch_spark.multimodal.binary import resize_images
+    from simsearch_spark.multimodal.png import decode_png
+    from simsearch_spark.multimodal.tiff import encode_tiff
+
+    w, h = 600, 40  # wider than the 512 bound → must resample
+    px = bytes((i * 7) % 256 for i in range(w * h))
+    blobs = [
+        (1, encode_netpbm(w, h, 1, px)),
+        (2, encode_netpbm(w, h, 1, px, maxval=65535)),
+        (3, encode_bmp(w, h, 1, px)),
+        (4, encode_tiff(w, h, 1, px, bits_per_sample=16)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in blobs], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in resize_images(df).collect()}
+    for i, _b in blobs:
+        r = rows[i]
+        assert r.resized == "resized", i
+        assert (r.dst_width, r.dst_height) == (512, 34)
+        dw, dh, ch, dpix = decode_png(bytes(r.payload))
+        assert (dw, dh, ch) == (512, 34, 1)
+        # nearest-neighbor: spot-check a mapped pixel
+        assert dpix[0] == px[0]
