@@ -3,8 +3,10 @@ audio container (6 big-endian uint32 header fields + data), still common
 for telephony corpora.
 
 Scope: encoding 1 (G.711 μ-law, via multimodal/g711.py — lossy in
-general, exact on representable levels) and encoding 3 (16-bit linear
-PCM, big-endian).  Other encodings raise ``NotImplementedError``.  An
+general, exact on representable levels), 3 (16-bit linear PCM,
+big-endian), 6/7 (IEEE float32/float64 BE, ±1.0 full scale —
+``s/32768.0`` is float32-exact for every int16, r12), and 27 (G.711
+A-law, r12).  Other encodings raise ``NotImplementedError``.  An
 unknown data size (0xFFFFFFFF, legal per spec) reads to end of payload.
 The annotation field between header and data is honored via the data
 offset.  The reference engine has no audio operators (LLM-pipeline
@@ -20,6 +22,9 @@ __all__ = ["encode_au", "decode_au"]
 _MAGIC = b".snd"
 _ENC_ULAW = 1
 _ENC_PCM16 = 3
+_ENC_FLOAT32 = 6
+_ENC_FLOAT64 = 7
+_ENC_ALAW = 27
 _UNKNOWN_SIZE = 0xFFFFFFFF
 
 
@@ -27,7 +32,9 @@ def encode_au(
     samples: list[int], sample_rate: int, channels: int = 1, codec: str = "pcm16"
 ) -> bytes:
     """Interleaved int16 samples → AU bytes.  codec: ``pcm16``
-    (encoding 3, BE) or ``ulaw`` (encoding 1, G.711-companded)."""
+    (encoding 3, BE), ``ulaw``/``alaw`` (encodings 1/27,
+    G.711-companded), or ``float32``/``float64`` (encodings 6/7,
+    s/32768.0 — exact)."""
     if codec == "pcm16":
         enc = _ENC_PCM16
         data = struct.pack(f">{len(samples)}h", *samples)
@@ -36,6 +43,17 @@ def encode_au(
 
         enc = _ENC_ULAW
         data = bytes(ulaw_encode(int(s)) for s in samples)
+    elif codec == "alaw":
+        from simsearch_spark.multimodal.g711 import alaw_encode
+
+        enc = _ENC_ALAW
+        data = bytes(alaw_encode(int(s)) for s in samples)
+    elif codec in ("float32", "float64"):
+        enc = _ENC_FLOAT32 if codec == "float32" else _ENC_FLOAT64
+        fmt = "f" if codec == "float32" else "d"
+        data = struct.pack(
+            f">{len(samples)}{fmt}", *(int(s) / 32768.0 for s in samples)
+        )
     else:
         raise ValueError(f"unknown AU codec {codec!r}")
     hdr = struct.pack(
@@ -66,7 +84,19 @@ def decode_au(payload: bytes) -> tuple[int, int, list[int]]:
         from simsearch_spark.multimodal.g711 import ulaw_decode
 
         return rate, channels, [ulaw_decode(b) for b in data]
+    if enc == _ENC_ALAW:
+        from simsearch_spark.multimodal.g711 import alaw_decode
+
+        return rate, channels, [alaw_decode(b) for b in data]
     if enc == _ENC_PCM16:
         n = len(data) // 2
         return rate, channels, list(struct.unpack(f">{n}h", data[: n * 2]))
-    raise NotImplementedError(f"AU encoding {enc} (μ-law / PCM-16 only)")
+    if enc in (_ENC_FLOAT32, _ENC_FLOAT64):
+        width = 4 if enc == _ENC_FLOAT32 else 8
+        n = len(data) // width
+        vals = struct.unpack(f">{n}{'f' if width == 4 else 'd'}", data[: n * width])
+        clamp = lambda v: -32768 if v < -32768 else (32767 if v > 32767 else v)  # noqa: E731
+        return rate, channels, [clamp(int(round(v * 32768.0))) for v in vals]
+    raise NotImplementedError(
+        f"AU encoding {enc} (G.711 / PCM-16 / IEEE-float only)"
+    )

@@ -112,7 +112,7 @@ def _sniff_header(payload: bytes) -> tuple[str, int, int]:
             return ("tiff", w, h)
         except (ValueError, struct.error, IndexError):
             return ("tiff", -1, -1)
-    if payload[:1] == b"P" and payload[1:2] in b"123456":
+    if payload[:1] == b"P" and payload[1:2] in b"1234567":
         from simsearch_spark.multimodal.netpbm import parse_netpbm_header
 
         try:
@@ -217,7 +217,7 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return decode_bmp(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(payload)
-    if payload[:1] == b"P" and payload[1:2] in b"123456":
+    if payload[:1] == b"P" and payload[1:2] in b"1234567":
         from simsearch_spark.multimodal.netpbm import decode_netpbm
 
         return decode_netpbm(payload)

@@ -17,7 +17,7 @@ here, per the pbm spec.  The reference engine has no media operators
 
 from __future__ import annotations
 
-__all__ = ["encode_netpbm", "decode_netpbm", "parse_netpbm_header"]
+__all__ = ["encode_netpbm", "decode_netpbm", "encode_pam", "parse_netpbm_header"]
 
 _CHANNELS = {b"P1": 1, b"P4": 1, b"P2": 1, b"P5": 1, b"P3": 3, b"P6": 3}
 _BITMAP = (b"P1", b"P4")
@@ -47,8 +47,57 @@ def _tokens(data: bytes, n: int, pos: int) -> tuple[list[bytes], int]:
 
 def parse_netpbm_header(data: bytes) -> tuple[int, int]:
     """(width, height) — the metadata sniff."""
+    if data[:2] == b"P7":
+        w, h, _d, _mx, _pos = _pam_header(data)
+        return w, h
     _m, w, h, _mx, _pos = _header(data)
     return w, h
+
+
+def _pam_header(data: bytes) -> tuple[int, int, int, int, int]:
+    """PAM (P7) header: token pairs up to ENDHDR (pam spec) —
+    (width, height, depth, maxval, raster_pos)."""
+    if data[:2] != b"P7":
+        raise ValueError("not a PAM payload")
+    pos = 2
+    fields: dict[bytes, int] = {}
+    tupltype = b""
+    while True:
+        # one header LINE at a time (comments start with '#')
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError("truncated PAM header (no ENDHDR)")
+        line = data[pos:nl].strip()
+        pos = nl + 1
+        if not line or line.startswith(b"#"):
+            continue
+        parts = line.split(None, 1)
+        key = parts[0].upper()
+        if key == b"ENDHDR":
+            break
+        if key == b"TUPLTYPE":
+            tupltype = (tupltype + b" " + parts[1]).strip() if len(parts) > 1 else tupltype
+            continue
+        if key in (b"WIDTH", b"HEIGHT", b"DEPTH", b"MAXVAL"):
+            if len(parts) < 2:
+                raise ValueError(f"PAM header {key.decode()} without a value")
+            try:
+                fields[key] = int(parts[1])
+            except ValueError as e:
+                raise ValueError(f"malformed PAM header line {line!r}") from e
+        # unknown keys are skipped (forward-compatible per spec)
+    for k in (b"WIDTH", b"HEIGHT", b"DEPTH", b"MAXVAL"):
+        if k not in fields:
+            raise ValueError(f"PAM header missing {k.decode()}")
+    w, h, d, mx = (fields[k] for k in (b"WIDTH", b"HEIGHT", b"DEPTH", b"MAXVAL"))
+    if w <= 0 or h <= 0 or mx <= 0 or mx > 65535:
+        raise ValueError(f"degenerate PAM header {w}x{h} maxval {mx}")
+    if d not in (1, 3) or b"ALPHA" in tupltype:
+        raise NotImplementedError(
+            f"PAM depth {d} / tupltype {tupltype.decode(errors='replace')!r} "
+            "(GRAYSCALE and RGB only)"
+        )
+    return w, h, d, mx, pos
 
 
 def _header(data: bytes) -> tuple[bytes, int, int, int, int]:
@@ -92,7 +141,24 @@ def decode_netpbm(data: bytes) -> tuple[int, int, int, bytes]:
     """(width, height, channels, row-major 8-bit pixels).  Values scale
     by 255/maxval with round-half-away (integer-exact when maxval is 255
     or 65535-with-v*257 samples — the lanes the fixtures use); PBM bits
-    map 1→0 (black), 0→255 (white) per spec."""
+    map 1→0 (black), 0→255 (white) per spec.  P7/PAM (r12) decodes
+    GRAYSCALE and RGB tuples, binary raster only per spec."""
+    if data[:2] == b"P7":
+        w, h, ch, mx, pos = _pam_header(data)
+        n = w * h * ch
+        width_b = 2 if mx > 255 else 1
+        raster = data[pos : pos + n * width_b]
+        if len(raster) != n * width_b:
+            raise ValueError(f"PAM raster holds {len(raster)} B != {n * width_b}")
+        if width_b == 2:
+            vals = [(raster[2 * i] << 8) | raster[2 * i + 1] for i in range(n)]
+        else:
+            vals = list(raster)
+        if any(v > mx for v in vals):
+            raise ValueError("PAM sample exceeds maxval")
+        if mx != 255:
+            vals = [(v * 255 * 2 + mx) // (2 * mx) for v in vals]
+        return w, h, ch, bytes(vals)
     magic, w, h, mx, pos = _header(data)
     ch = _CHANNELS[magic]
     if magic in _BITMAP:
@@ -194,3 +260,34 @@ def encode_netpbm(
         raster = b"".join(bytes([v, v]) for v in pixels)  # v*257 = (v<<8)|v
         return magic + b"\n%d %d\n65535\n" % (width, height) + raster
     return magic + b"\n%d %d\n255\n" % (width, height) + pixels
+
+
+def encode_pam(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    maxval: int = 255,
+) -> bytes:
+    """Row-major 8-bit pixels → P7/PAM (GRAYSCALE or RGB tuple type,
+    binary raster; ``maxval=65535`` writes the exact v*257 widening)."""
+    if channels not in (1, 3):
+        raise ValueError(f"PAM encode supports 1 or 3 channels, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
+        )
+    if maxval not in (255, 65535):
+        raise ValueError("encoder writes maxval 255 or 65535 only")
+    hdr = (
+        b"P7\n"
+        + b"WIDTH %d\n" % width
+        + b"HEIGHT %d\n" % height
+        + b"DEPTH %d\n" % channels
+        + b"MAXVAL %d\n" % maxval
+        + (b"TUPLTYPE GRAYSCALE\n" if channels == 1 else b"TUPLTYPE RGB\n")
+        + b"ENDHDR\n"
+    )
+    if maxval == 65535:
+        return hdr + b"".join(bytes([v, v]) for v in pixels)
+    return hdr + pixels

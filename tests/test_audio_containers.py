@@ -142,8 +142,19 @@ def test_au_round_trip_and_dispatch():
         decode_au(b"RIFFxxxx")
     with pytest.raises(NotImplementedError, match="AU encoding"):
         bad = bytearray(blob)
-        struct.pack_into(">I", bad, 12, 27)  # ADPCM G.721: a seam
+        struct.pack_into(">I", bad, 12, 23)  # ADPCM G.721: a seam
         decode_au(bytes(bad))
+    # encoding 27 (A-law, r12) and 6/7 (IEEE float, r12) decode
+    levels_a = sorted(
+        {__import__("simsearch_spark.multimodal.g711", fromlist=["x"]).alaw_decode(c) for c in range(256)}
+    )
+    wave_a = [levels_a[i] for i in (5, 99, 200)]
+    assert decode_au(encode_au(wave_a, 8000, codec="alaw"))[2] == wave_a
+    for codec in ("float32", "float64"):
+        assert decode_au(encode_au(samples, 8000, codec=codec)) == (
+            8000, 1, samples,
+        ), codec
+        assert decode_audio(encode_au(samples, 8000, codec=codec))[2] == samples
     with pytest.raises(ValueError, match="offset"):
         bad = bytearray(blob)
         struct.pack_into(">I", bad, 4, len(blob) + 99)

@@ -146,3 +146,31 @@ def test_resize_handles_new_containers(spark):
         assert (dw, dh, ch) == (512, 34, 1)
         # nearest-neighbor: spot-check a mapped pixel
         assert dpix[0] == px[0]
+
+
+def test_pam_p7():
+    """r12: P7/PAM — GRAYSCALE and RGB tuples, 8- and 16-bit, header
+    comments and unknown keys tolerated; ALPHA tuple types are the seam."""
+    from simsearch_spark.multimodal.netpbm import encode_pam
+
+    rng = random.Random(19)
+    for ch in (1, 3):
+        px = bytes(rng.randrange(256) for _ in range(4 * 3 * ch))
+        for mx in (255, 65535):
+            blob = encode_pam(4, 3, ch, px, maxval=mx)
+            assert decode_netpbm(blob) == (4, 3, ch, px), (ch, mx)
+            assert decode_image(blob) == (4, 3, ch, px)
+            assert parse_netpbm_header(blob) == (4, 3)
+    # comments and unknown header keys are skipped per spec
+    blob = (b"P7\n# c\nWIDTH 2\nXROLL 9\nHEIGHT 1\nDEPTH 1\n"
+            b"MAXVAL 255\nTUPLTYPE GRAYSCALE\nENDHDR\nAB")
+    assert decode_netpbm(blob) == (2, 1, 1, b"AB")
+    with pytest.raises(NotImplementedError, match="ALPHA"):
+        decode_netpbm(b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 2\nMAXVAL 255\n"
+                      b"TUPLTYPE GRAYSCALE_ALPHA\nENDHDR\nAB")
+    with pytest.raises(ValueError, match="missing DEPTH"):
+        decode_netpbm(b"P7\nWIDTH 1\nHEIGHT 1\nMAXVAL 255\nENDHDR\nA")
+    with pytest.raises(ValueError, match="no ENDHDR"):
+        decode_netpbm(b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 1\nMAXVAL 255\n")
+    with pytest.raises(ValueError, match="PAM raster holds"):
+        decode_netpbm(b"P7\nWIDTH 3\nHEIGHT 1\nDEPTH 1\nMAXVAL 255\nENDHDR\nAB")
