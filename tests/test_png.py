@@ -231,10 +231,16 @@ def test_wav_round_trip_and_failures():
     assert stereo == (44100, 2, samples[:6])
     with pytest.raises(ValueError):
         decode_wav(b"OggS not a wav")
-    # non-PCM format tag must be an explicit seam, not garbage samples
+    # an unimplemented format tag must be an explicit seam, not garbage
+    # samples (tag 3 / IEEE float decodes for real since r12, so the
+    # seam example is now 0x55 / MPEG Layer-3)
     bad = bytearray(encode_wav([1, 2], 8000))
-    bad[20] = 3  # format tag -> IEEE float
+    bad[20] = 0x55
     with pytest.raises(NotImplementedError, match="format tag"):
+        decode_wav(bytes(bad))
+    # tag 3 with a non-float width is malformed, not silently decoded
+    with pytest.raises(ValueError, match="float WAV"):
+        bad[20] = 3
         decode_wav(bytes(bad))
 
 
