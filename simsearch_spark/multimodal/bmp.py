@@ -11,9 +11,12 @@ by GDI's (c5<<3)|(c5>>2) bit replication) and 8/4/1-bit palette bitmaps
 AND top-down (negative biHeight) row orders, BI_RLE8, and BI_RLE4 (r12 —
 nibble-alternating encoded runs, word-padded absolute runs, EOL/EOB,
 delta moves with the conventional zero fill; top-down RLE is illegal per
-spec and rejected as malformed).  Named seam: BI_BITFIELDS (compression
-3 — arbitrary channel masks).  Everything here is lossless, so
-closed-form pixel oracles are codec-invariant.
+spec and rejected as malformed), and BI_BITFIELDS (compression 3, r12 —
+explicit contiguous channel masks over 16/32-bit words, e.g. 5-6-5;
+each channel expands by GDI's bit replication, exact on that level
+set).  Named seams: embedded BI_JPEG/BI_PNG payloads and pre-BITMAPINFO
+(OS/2 core) headers.  Everything here is lossless, so closed-form pixel
+oracles are codec-invariant.
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ def encode_bmp(
     rle: bool = False,
     bits: int | None = None,
     top_down: bool = False,
+    bitfields_565: bool = False,
 ) -> bytes:
     """Top-down row-major pixels → BMP bytes.  channels=3 writes BI_RGB
     24-bit (BGR, 4-byte stride); channels=1 writes a palette bitmap —
@@ -66,25 +70,26 @@ def encode_bmp(
         rows = bytearray()
         ys = range(height) if top_down else range(height - 1, -1, -1)
         if bits == 16:
-            # 5-5-5 words; channel values must sit on the bit-replication
-            # level set ((c5<<3)|(c5>>2)) so the round trip is exact
+            # 5-5-5 (BI_RGB) or 5-6-5 (BI_BITFIELDS) words; each channel
+            # value must sit on its bit-replication level set so the
+            # round trip is exact
+            widths = (5, 6, 5) if bitfields_565 else (5, 5, 5)
+            shifts = (11, 5, 0) if bitfields_565 else (10, 5, 0)
             stride = (width * 2 + 3) & ~3
             for y in ys:
                 row = bytearray(stride)
                 for x in range(width):
-                    r, g, b = pixels[3 * (y * width + x) : 3 * (y * width + x) + 3]
-                    c5s = []
-                    for v in (r, g, b):
-                        c5 = v >> 3
-                        if (c5 << 3) | (c5 >> 2) != v:
+                    rgb = pixels[3 * (y * width + x) : 3 * (y * width + x) + 3]
+                    word = 0
+                    for v, n, sh in zip(rgb, widths, shifts):
+                        cn = v >> (8 - n)
+                        if _replicate(cn, n) != v:
                             raise ValueError(
-                                f"16-bit BMP requires 5-bit-replicated values, got {v}"
+                                f"16-bit BMP requires {n}-bit-replicated "
+                                f"values, got {v}"
                             )
-                        c5s.append(c5)
-                    struct.pack_into(
-                        "<H", row, 2 * x,
-                        (c5s[0] << 10) | (c5s[1] << 5) | c5s[2],
-                    )
+                        word |= cn << sh
+                    struct.pack_into("<H", row, 2 * x, word)
                 rows += row
         else:
             bits = 24
@@ -139,14 +144,40 @@ def encode_bmp(
                     else:
                         row[x >> 3] |= v << (7 - (x & 7))
                 rows += row
-    comp = 0 if not rle else (1 if bits == 8 else 2)
-    off = 14 + 40 + len(palette)
+    if bitfields_565 and bits != 16:
+        raise ValueError("bitfields_565 applies to 16-bit RGB only")
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F) if bitfields_565 else b""
+    comp = 3 if bitfields_565 else (0 if not rle else (1 if bits == 8 else 2))
+    off = 14 + 40 + len(masks) + len(palette)
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, -height if top_down else height, 1, bits,
         comp, len(rows), 2835, 2835, n_colors, 0,
     )
     file_hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
-    return file_hdr + info + palette + bytes(rows)
+    return file_hdr + info + masks + palette + bytes(rows)
+
+
+def _replicate(v: int, n: int) -> int:
+    """Expand an n-bit channel value to 8 bits by bit replication —
+    GDI's convention (the 5-5-5 path's (c5<<3)|(c5>>2) generalized)."""
+    out, sh = 0, 8
+    while sh > 0:
+        sh -= n
+        out |= (v << sh) if sh >= 0 else (v >> -sh)
+    return out & 0xFF
+
+
+def _mask_layout(mask: int, word_bits: int) -> tuple[int, int]:
+    """(shift, width) of a contiguous BI_BITFIELDS channel mask."""
+    if mask == 0 or mask >> word_bits:
+        raise ValueError(f"BI_BITFIELDS mask {mask:#x} outside {word_bits}-bit word")
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    if (mask >> shift) != (1 << width) - 1:
+        raise ValueError(f"BI_BITFIELDS mask {mask:#x} is not contiguous")
+    if width > 8:
+        raise ValueError(f"BI_BITFIELDS channel width {width} > 8")
+    return shift, width
 
 
 def _rle8_decode(body: bytes, w: int, h: int) -> bytes:
@@ -284,14 +315,28 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     (comp,) = struct.unpack("<I", data[30:34])
     if hdr_size < 40:
         raise NotImplementedError(f"BMP header size {hdr_size} (BITMAPINFOHEADER+ only)")
-    if comp not in (0, 1, 2):
-        raise NotImplementedError(f"BMP compression {comp} (BI_RGB / BI_RLE8 / BI_RLE4 only)")
+    if comp not in (0, 1, 2, 3):
+        raise NotImplementedError(
+            f"BMP compression {comp} (BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS only)"
+        )
+    masks = None
+    if comp == 3:
+        # BI_BITFIELDS (r12): three contiguous channel masks follow the
+        # 40-byte header (V4/V5 headers store them at the same offset)
+        if bits not in (16, 32):
+            raise ValueError(f"BI_BITFIELDS with bit depth {bits} (16/32 only)")
+        if len(data) < 66:
+            raise ValueError("BI_BITFIELDS without mask DWORDs")
+        masks = [
+            _mask_layout(m, bits)
+            for m in struct.unpack("<III", data[54:66])
+        ]
     if comp == 1 and bits != 8:
         raise ValueError(f"BI_RLE8 with bit depth {bits} (must be 8)")
     if comp == 2 and bits != 4:
         raise ValueError(f"BI_RLE4 with bit depth {bits} (must be 4)")
     top_down = h < 0
-    if top_down and comp != 0:
+    if top_down and comp in (1, 2):
         raise ValueError("top-down RLE BMP is illegal per spec")
     h = abs(h)
     if w <= 0 or h == 0:
@@ -309,9 +354,10 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         )
         return w, h, 3, decode_dib_frame(flipped, w, h)
     if bits == 16:
-        # BI_RGB 16-bit is implied X1-R5-G5-B5 little-endian words; each
-        # 5-bit channel expands by GDI's bit replication (c5<<3)|(c5>>2).
-        # BI_BITFIELDS (5-6-5 etc.) stays the compression-3 seam above.
+        # BI_RGB 16-bit is implied X1-R5-G5-B5 little-endian words;
+        # BI_BITFIELDS supplies explicit masks (5-6-5 the common case).
+        # Each channel expands by GDI's bit replication.
+        layout = masks or [(10, 5), (5, 5), (0, 5)]
         stride = (w * 2 + 3) & ~3
         if len(body) < stride * h:
             raise ValueError(f"BMP pixel data {len(body)} B < {stride}x{h} layout")
@@ -320,20 +366,28 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             src = (y if top_down else h - 1 - y) * stride
             for x in range(w):
                 (word,) = struct.unpack_from("<H", body, src + 2 * x)
-                for c, c5 in enumerate(
-                    ((word >> 10) & 31, (word >> 5) & 31, word & 31)
-                ):
-                    out[3 * (y * w + x) + c] = (c5 << 3) | (c5 >> 2)
+                for c, (sh, n) in enumerate(layout):
+                    out[3 * (y * w + x) + c] = _replicate(
+                        (word >> sh) & ((1 << n) - 1), n
+                    )
         return w, h, 3, bytes(out)
     if bits == 32:
-        # BGRX quads; rows are naturally 4-byte aligned
+        # BGRX quads (BI_RGB) or masked DWORDs (BI_BITFIELDS); rows are
+        # naturally 4-byte aligned
         if len(body) < 4 * w * h:
             raise ValueError(f"BMP pixel data {len(body)} B < {4 * w * h} B layout")
         out = bytearray(3 * w * h)
         for y in range(h):
             src = (y if top_down else h - 1 - y) * 4 * w
             for x in range(w):
-                b, g, r = body[src + 4 * x : src + 4 * x + 3]
+                if masks is None:
+                    b, g, r = body[src + 4 * x : src + 4 * x + 3]
+                else:
+                    (word,) = struct.unpack_from("<I", body, src + 4 * x)
+                    r, g, b = (
+                        _replicate((word >> sh) & ((1 << n) - 1), n)
+                        for sh, n in masks
+                    )
                 out[3 * (y * w + x) : 3 * (y * w + x) + 3] = bytes((r, g, b))
         return w, h, 3, bytes(out)
     if bits in (1, 4, 8):

@@ -33,8 +33,8 @@ def test_nongray_palette_expands_to_rgb():
 def test_named_seams():
     g = encode_bmp(4, 2, 1, bytes(8))
     b = bytearray(g)
-    b[30:34] = struct.pack("<I", 3)  # BI_BITFIELDS: the remaining seam
-    with pytest.raises(NotImplementedError, match="compression 3"):
+    b[30:34] = struct.pack("<I", 4)  # BI_JPEG embedded payload: a seam
+    with pytest.raises(NotImplementedError, match="compression 4"):
         decode_bmp(bytes(b))
     b = bytearray(g)
     b[28:30] = struct.pack("<H", 2)  # 2-bit: not a legal BMP depth
@@ -243,3 +243,63 @@ def test_bmp_rle4_round_trip_and_grammar():
     _s.pack_into("<i", bad, 22, -2)
     with pytest.raises(ValueError, match="top-down RLE"):
         decode_bmp(bytes(bad))
+
+
+def test_bitfields_565_and_32bit_masks():
+    """r12: BI_BITFIELDS — 5-6-5 words round-trip on the replication
+    level sets (both row orders); 32-bit masked DWORDs honor arbitrary
+    contiguous mask placement; malformed masks are rejected."""
+    from simsearch_spark.multimodal.bmp import _replicate
+
+    rng = random.Random(15)
+    rep5 = sorted({_replicate(v, 5) for v in range(32)})
+    rep6 = sorted({_replicate(v, 6) for v in range(64)})
+    for w, h in [(1, 1), (5, 3), (6, 2)]:
+        px = bytes(
+            c for _ in range(w * h)
+            for c in (rng.choice(rep5), rng.choice(rep6), rng.choice(rep5))
+        )
+        for td in (False, True):
+            blob = encode_bmp(w, h, 3, px, bits=16, bitfields_565=True,
+                              top_down=td)
+            assert struct.unpack("<I", blob[30:34])[0] == 3
+            assert decode_bmp(blob) == (w, h, 3, px), (w, h, td)
+    with pytest.raises(ValueError, match="6-bit-replicated"):
+        encode_bmp(1, 1, 3, bytes([0, 1, 0]), bits=16, bitfields_565=True)
+
+    # 32-bit BI_BITFIELDS with XBGR-ordered 8-8-8 masks (hand-built)
+    w, h = 3, 2
+    px = bytes(range(18))
+    rows = b"".join(
+        b"".join(
+            struct.pack(
+                "<I",
+                (px[3 * (y * w + x)])            # R in bits 0-7
+                | (px[3 * (y * w + x) + 1] << 8)   # G in bits 8-15
+                | (px[3 * (y * w + x) + 2] << 16), # B in bits 16-23
+            )
+            for x in range(w)
+        )
+        for y in range(h - 1, -1, -1)
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3, len(rows), 0, 0, 0, 0)
+    masks = struct.pack("<III", 0x0000FF, 0x00FF00, 0xFF0000)
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 66 + len(rows), 0, 0, 66)
+        + info + masks + rows
+    )
+    assert decode_bmp(blob) == (w, h, 3, px)
+
+    # non-contiguous / zero masks are malformed
+    bad = bytearray(blob)
+    struct.pack_into("<I", bad, 54, 0x0000F5)
+    with pytest.raises(ValueError, match="not contiguous"):
+        decode_bmp(bytes(bad))
+    struct.pack_into("<I", bad, 54, 0)
+    with pytest.raises(ValueError, match="mask 0x0"):
+        decode_bmp(bytes(bad))
+    # BI_BITFIELDS at 8 bits is malformed
+    g = bytearray(encode_bmp(2, 2, 1, bytes(4)))
+    struct.pack_into("<I", g, 30, 3)
+    with pytest.raises(ValueError, match="BI_BITFIELDS with bit depth"):
+        decode_bmp(bytes(g) + bytes(12))
