@@ -143,8 +143,11 @@ def mount_dedup(
         # predicates (In filters) skip row groups — the file-level
         # index-lookup approximation that keeps base-side read cost
         # tracking the delta's key footprint instead of the corpus
+        # pass the CALL-TIME global explicitly: _expl_frame's default was
+        # bound at import, so a deployment raising N_BKT at runtime would
+        # otherwise write bkt = hash % old while the manifest froze new
         _write(
-            _expl_frame(banded, id_col)
+            _expl_frame(banded, id_col, N_BKT)
             .repartition("band_idx", "bkt")
             .sortWithinPartitions("band_hash"),
             os.path.join(mount_dir, "dedup_bands"),

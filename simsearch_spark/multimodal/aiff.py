@@ -175,10 +175,11 @@ def decode_aiff(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("AIFF without COMM/SSND chunk")
     want = n_frames * channels
     if ctype in (b"fl32", b"FL32"):
+        from simsearch_spark.multimodal.pcm import float_to_int16
+
         n = len(data) // 4
         vals = struct.unpack(f">{n}f", data[: n * 4])
-        clamp = lambda v: -32768 if v < -32768 else (32767 if v > 32767 else v)  # noqa: E731
-        samples = [clamp(int(round(v * 32768.0))) for v in vals]
+        samples = [float_to_int16(v) for v in vals]
     elif ctype == b"ulaw":
         from simsearch_spark.multimodal.g711 import ulaw_decode
 

@@ -92,11 +92,12 @@ def decode_au(payload: bytes) -> tuple[int, int, list[int]]:
         n = len(data) // 2
         return rate, channels, list(struct.unpack(f">{n}h", data[: n * 2]))
     if enc in (_ENC_FLOAT32, _ENC_FLOAT64):
+        from simsearch_spark.multimodal.pcm import float_to_int16
+
         width = 4 if enc == _ENC_FLOAT32 else 8
         n = len(data) // width
         vals = struct.unpack(f">{n}{'f' if width == 4 else 'd'}", data[: n * width])
-        clamp = lambda v: -32768 if v < -32768 else (32767 if v > 32767 else v)  # noqa: E731
-        return rate, channels, [clamp(int(round(v * 32768.0))) for v in vals]
+        return rate, channels, [float_to_int16(v) for v in vals]
     raise NotImplementedError(
         f"AU encoding {enc} (G.711 / PCM-16 / IEEE-float only)"
     )

@@ -176,7 +176,9 @@ def _mask_layout(mask: int, word_bits: int) -> tuple[int, int]:
     if (mask >> shift) != (1 << width) - 1:
         raise ValueError(f"BI_BITFIELDS mask {mask:#x} is not contiguous")
     if width > 8:
-        raise ValueError(f"BI_BITFIELDS channel width {width} > 8")
+        # legal in real files (A2R10G10B10 etc.) but unsupported here —
+        # a named seam, not a malformed-input error
+        raise NotImplementedError(f"BI_BITFIELDS channel width {width} > 8")
     return shift, width
 
 
@@ -361,21 +363,30 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         stride = (w * 2 + 3) & ~3
         if len(body) < stride * h:
             raise ValueError(f"BMP pixel data {len(body)} B < {stride}x{h} layout")
+        # per-channel expansion LUTs: 32-256 entries once, instead of a
+        # Python _replicate call per pixel per channel (hot path —
+        # resize_images feeds full images through here)
+        luts = [
+            (sh, (1 << n) - 1, bytes(_replicate(v, n) for v in range(1 << n)))
+            for sh, n in layout
+        ]
         out = bytearray(3 * w * h)
         for y in range(h):
             src = (y if top_down else h - 1 - y) * stride
             for x in range(w):
                 (word,) = struct.unpack_from("<H", body, src + 2 * x)
-                for c, (sh, n) in enumerate(layout):
-                    out[3 * (y * w + x) + c] = _replicate(
-                        (word >> sh) & ((1 << n) - 1), n
-                    )
+                for c, (sh, m, lut) in enumerate(luts):
+                    out[3 * (y * w + x) + c] = lut[(word >> sh) & m]
         return w, h, 3, bytes(out)
     if bits == 32:
         # BGRX quads (BI_RGB) or masked DWORDs (BI_BITFIELDS); rows are
         # naturally 4-byte aligned
         if len(body) < 4 * w * h:
             raise ValueError(f"BMP pixel data {len(body)} B < {4 * w * h} B layout")
+        luts32 = [
+            (sh, (1 << n) - 1, bytes(_replicate(v, n) for v in range(1 << n)))
+            for sh, n in (masks or [])
+        ]
         out = bytearray(3 * w * h)
         for y in range(h):
             src = (y if top_down else h - 1 - y) * 4 * w
@@ -385,8 +396,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 else:
                     (word,) = struct.unpack_from("<I", body, src + 4 * x)
                     r, g, b = (
-                        _replicate((word >> sh) & ((1 << n) - 1), n)
-                        for sh, n in masks
+                        lut[(word >> sh) & m] for sh, m, lut in luts32
                     )
                 out[3 * (y * w + x) : 3 * (y * w + x) + 3] = bytes((r, g, b))
         return w, h, 3, bytes(out)

@@ -255,12 +255,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     if tag == _TAG_FLOAT:
         # IEEE-float WAV (r12): full scale is ±1.0; s/32768.0 is exactly
         # representable in float32, so int16 round-trips losslessly
+        from simsearch_spark.multimodal.pcm import float_to_int16
+
         n = len(data) // (bits // 8)
         vals = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[: n * bits // 8])
-        clamp = lambda v: -32768 if v < -32768 else (32767 if v > 32767 else v)  # noqa: E731
-        return rate, channels, [
-            clamp(int(round(v * 32768.0))) for v in vals
-        ]
+        return rate, channels, [float_to_int16(v) for v in vals]
     # integer PCM (r12: 8/24/32-bit widths reduce to the int16 contract —
     # 8-bit is UNSIGNED per spec, midpoint 128; wider widths keep their
     # top 16 bits, the same high-byte reduction the 16-bit PNG path uses)

@@ -271,3 +271,20 @@ def test_extensible_float_wav():
     )
     blob = b"RIFF" + struct.pack("<I", len(blob) - 8) + blob[8:]
     assert decode_wav(blob) == (8000, 1, [100, -200, 300])
+
+
+def test_float_decode_bounded_on_inf_nan():
+    """Self-review r12: ±inf/NaN float samples (encodable in a corrupt
+    payload) must clamp/zero, not raise OverflowError past the codecs'
+    bounded-exception contract."""
+    import math
+
+    from simsearch_spark.multimodal.pcm import float_to_int16
+
+    assert float_to_int16(math.inf) == 32767
+    assert float_to_int16(-math.inf) == -32768
+    assert float_to_int16(math.nan) == 0
+    blob = encode_wav([0, 0, 0], 8000, codec="float32")
+    body = struct.pack("<fff", math.inf, -math.inf, math.nan)
+    blob = blob[: len(blob) - 12] + body
+    assert decode_wav(blob)[2] == [32767, -32768, 0]

@@ -303,3 +303,16 @@ def test_bitfields_565_and_32bit_masks():
     struct.pack_into("<I", g, 30, 3)
     with pytest.raises(ValueError, match="BI_BITFIELDS with bit depth"):
         decode_bmp(bytes(g) + bytes(12))
+
+
+def test_wide_bitfields_masks_are_a_seam():
+    """Self-review r12: legal >8-bit channel masks (A2R10G10B10) are a
+    named seam, not a malformed-input error."""
+    w, h = 1, 1
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3, 4, 0, 0, 0, 0)
+    masks = struct.pack("<III", 0x3FF00000, 0x000FFC00, 0x000003FF)
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 70, 0, 0, 66) + info + masks + bytes(4)
+    )
+    with pytest.raises(NotImplementedError, match="width 10"):
+        decode_bmp(blob)
