@@ -62,6 +62,8 @@ def encode_bmp(
         raise ValueError("BI_RLE8/4 applies to palette bitmaps only")
     if rle and top_down:
         raise ValueError("top-down RLE BMP is illegal per spec")
+    if bitfields_565 and (channels != 3 or bits != 16):
+        raise ValueError("bitfields_565 applies to 16-bit RGB only")
     if channels == 3:
         if bits not in (None, 16, 24):
             raise ValueError("3-channel BMP encodes at 16 or 24 bits")
@@ -144,8 +146,6 @@ def encode_bmp(
                     else:
                         row[x >> 3] |= v << (7 - (x & 7))
                 rows += row
-    if bitfields_565 and bits != 16:
-        raise ValueError("bitfields_565 applies to 16-bit RGB only")
     masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F) if bitfields_565 else b""
     comp = 3 if bitfields_565 else (0 if not rle else (1 if bits == 8 else 2))
     off = 14 + 40 + len(masks) + len(palette)
@@ -329,10 +329,14 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"BI_BITFIELDS with bit depth {bits} (16/32 only)")
         if len(data) < 66:
             raise ValueError("BI_BITFIELDS without mask DWORDs")
-        masks = [
-            _mask_layout(m, bits)
-            for m in struct.unpack("<III", data[54:66])
-        ]
+        raw_masks = struct.unpack("<III", data[54:66])
+        if (raw_masks[0] & raw_masks[1]) or (raw_masks[0] & raw_masks[2]) or (
+            raw_masks[1] & raw_masks[2]
+        ):
+            raise ValueError(
+                f"BI_BITFIELDS masks overlap: {[hex(m) for m in raw_masks]}"
+            )
+        masks = [_mask_layout(m, bits) for m in raw_masks]
     if comp == 1 and bits != 8:
         raise ValueError(f"BI_RLE8 with bit depth {bits} (must be 8)")
     if comp == 2 and bits != 4:
@@ -439,4 +443,4 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 (pal[4 * i + 2], pal[4 * i + 1], pal[4 * i])
             )
         return w, h, 3, bytes(out)
-    raise NotImplementedError(f"BMP bit depth {bits} (1/4/8/24/32 only)")
+    raise NotImplementedError(f"BMP bit depth {bits} (1/4/8/16/24/32 only)")

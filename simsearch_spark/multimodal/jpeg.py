@@ -400,6 +400,10 @@ def _assemble(
         return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
     if len(comps) != 3:
         raise NotImplementedError(f"{len(comps)}-component JPEG")
+    if adobe_transform == 2:
+        # YCCK is only meaningful for 4 components; a 3-component scan
+        # claiming transform 2 is an inconsistent marker combination
+        raise ValueError("3-component JPEG with Adobe transform 2 (YCCK)")
     if adobe_transform == 0:  # Adobe says: stored RGB, no transform
         rgb = np.stack(out_planes, axis=-1)
         return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
