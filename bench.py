@@ -244,6 +244,17 @@ def run_mount(spark) -> dict[str, float]:
 
 
 def main() -> None:
+    # Load guard (VERDICT r12 task 2): record 1-min loadavg at start so a
+    # bench taken under background load is identifiable from the artifact
+    # alone — the r12 ANN/PQ "regression" was exactly this.
+    load1 = os.getloadavg()[0]
+    cpus = os.cpu_count() or 1
+    load_ratio = round(load1 / cpus, 3)
+    if load_ratio > 0.2:
+        sys.stderr.write(
+            f"WARNING: loadavg/cpus = {load_ratio} > 0.2 at bench start — "
+            "timings will include background-load noise\n"
+        )
     spark = get_spark(app_name="simsearch-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warm-up on an unrelated tiny job so q1 isn't charged for it
@@ -271,6 +282,8 @@ def main() -> None:
     detail = {
         "sf": sf_val,
         "runs": 4,
+        "load_start": load_ratio,
+        "load_end": round(os.getloadavg()[0] / cpus, 3),
         "queries_min": warm,
         "queries_median": med,
         "queries_cold": cold,
@@ -280,7 +293,7 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    print(stdout_line(cold, med, warm, sf_val))
+    print(stdout_line(cold, med, warm, sf_val, load_ratio))
     spark.stop()
 
 
@@ -293,7 +306,7 @@ DRIVER_TAIL_CHARS = 2000
 STDOUT_LINE_MARGIN = 16
 
 
-def stdout_line(cold, med, warm, sf_val) -> str:
+def stdout_line(cold, med, warm, sf_val, load_ratio=None) -> str:
     """The ONE stdout JSON line — as a function so tests can pin what the
     driver's tail window keeps.  At 92 registered queries the full min map
     no longer fits 2000 chars even bare (the r9 registry's names alone are
@@ -316,6 +329,10 @@ def stdout_line(cold, med, warm, sf_val) -> str:
             "cold_value": round(sum(cold.values()), 2),
             "median_value": round(sum(med.values()), 2),
         }
+        if load_ratio is not None:
+            doc["load_start"] = load_ratio
+            if load_ratio > 0.2:
+                doc["load_warn"] = True
         if omitted:
             doc["queries_omitted"] = omitted
         doc["queries"] = kept

@@ -94,6 +94,20 @@ MAX_BROADCAST_KEYS = 1_000_000
 #: join alone bounds the work.
 MAX_IN_LITERALS = 2048
 
+#: the band-HASH point-predicate pushdown cap is far lower: literal cost
+#: is ~0.5 ms each at plan time (r13 measured: 1200 hash literals = 0.63 s
+#: plan + 0.75 s execution overhead vs 0.22 s for the same pruned scan
+#: without them, on single-row-group files where the In skips nothing),
+#: so the filter only pays for itself on tiny deltas — larger ones are
+#: already bounded by directory pruning + the broadcast key join
+MAX_HASH_PUSH_LITERALS = 128
+
+#: guard on the optimistic (hot-count-free) candidate collect: a healthy
+#: corpus' delta-touching pair stream is a few rows per true duplicate,
+#: so overflowing this bound means a degenerate bucket — fall back to
+#: the capped distributed path rather than pull an unbounded stream
+MAX_OPTIMISTIC_PAIR_ROWS = 200_000
+
 
 def _text_ok(text_col: str):
     return F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
@@ -215,6 +229,8 @@ def _delta_touching_candidates(
     id_col: str,
     cap: int | None,
     hot_mode: str,
+    dedup: bool = True,
+    broadcast_new: bool = False,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs with at least one NEW (delta) member,
     over the union membership of the delta-touched buckets, under the
@@ -264,6 +280,8 @@ def _delta_touching_candidates(
                 F.col(id_col).alias("_id_n"),
                 F.explode(F.sequence(F.lit(0), F.col("_g") - 1)).alias("_br"),
             )
+            if broadcast_new:
+                left = F.broadcast(left)
             extra = (
                 left.join(right, [*keys, "_br"])
                 .where(F.col("_id_n") != F.col("_id_o"))
@@ -278,6 +296,12 @@ def _delta_touching_candidates(
     new_side = union_expl.where(F.col("_new")).select(
         *keys, F.col(id_col).alias("_id_n")
     )
+    if broadcast_new:
+        # the delta side is driver-bounded (fast-path gate: ≤ lim rows ×
+        # bands keys) — broadcasting it keeps the full-membership side
+        # shuffle-free, which removes every exchange from the candidate
+        # job when the caller also dedups driver-side
+        new_side = F.broadcast(new_side)
     all_side = union_expl.select(*keys, F.col(id_col).alias("_id_o"))
     cand = (
         new_side.join(all_side, keys)
@@ -289,7 +313,49 @@ def _delta_touching_candidates(
     )
     if extra is not None:
         cand = cand.unionByName(extra)
-    return cand.dropDuplicates(["id_a", "id_b"])
+    # dedup=False callers collect the (candidate-bounded) pair stream and
+    # dedup driver-side, trading the dropDuplicates exchange for a set()
+    return cand.dropDuplicates(["id_a", "id_b"]) if dedup else cand
+
+
+def _empty_pairs(spark: SparkSession, id_dtype: str) -> DataFrame:
+    return spark.createDataFrame(
+        [], f"id_a {id_dtype}, id_b {id_dtype}, jaccard double"
+    )
+
+
+def _update_index(
+    spark, mount_dir, manifest, expl_d, banded_d, id_col, n_new, n_sbkt
+) -> None:
+    """Append the delta's band/shingle rows and bump the manifest count.
+    The two partitioned writes are independent jobs over the same cached
+    delta frames, submitted CONCURRENTLY (Spark's scheduler is
+    thread-safe) — the per-delta write floor is the max of the two, not
+    their sum (the floor dominates at production append cadence)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    bands_path = os.path.join(mount_dir, "dedup_bands")
+    sh_path = os.path.join(mount_dir, "dedup_shingles")
+
+    def wr_bands():
+        expl_d.repartition("band_idx", "bkt").sortWithinPartitions(
+            "band_hash"
+        ).write.mode("append").partitionBy("band_idx", "bkt").parquet(bands_path)
+
+    def wr_shingles():
+        banded_d.select(F.col(id_col), F.col("shingles")).withColumn(
+            "sbkt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sbkt)).cast("int"),
+        ).repartition("sbkt").sortWithinPartitions(id_col).write.mode(
+            "append"
+        ).partitionBy("sbkt").parquet(sh_path)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for fut in [ex.submit(wr_bands), ex.submit(wr_shingles)]:
+            fut.result()
+    manifest["dedup"]["n_docs"] = int(manifest["dedup"]["n_docs"]) + n_new
+    with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
 
 
 def dedup_append(
@@ -309,12 +375,26 @@ def dedup_append(
     split-invariant across delta batches.
 
     Replay safety: delta ids already present in the mounted index are
-    dropped (anti-join against the pruned shingle table), so
+    dropped (probe of the sbkt-pruned shingle table by id), so
     re-submitting a delta returns no pairs and appends nothing — the
     ``maintain.append_rows`` discipline.  ``on_pairs`` (used by the
     streaming sink) is invoked with the materialized pair frame AFTER
     verification but BEFORE the index updates, so a sink can commit the
-    pairs idempotently before the batch's ids become "already mounted"."""
+    pairs idempotently before the batch's ids become "already mounted".
+
+    DRIVER-JOB FLOOR (r13): a production deployment appends thousands of
+    deltas a day, so the per-delta fixed cost — driver jobs and parquet
+    listings, not data volume — IS the operator's cost.  One probe job
+    collects the delta's (id, sbkt, band-hash) metadata; when the delta
+    is small enough that every derived key set stays within
+    ``MAX_IN_LITERALS`` (the common crawl-batch case) the whole append
+    runs DRIVER-RESIDENT: the id/bucket/hash sets and the candidates'
+    base-side shingle buckets are derived without further jobs, the
+    shingle relation (one file listing) is shared by the idempotency
+    probe and the verify stage, the candidate chain executes once over a
+    checkpointed union, and the two index writes go out concurrently —
+    6 bounded jobs total vs ~20 in the r12 shape.  Larger deltas take
+    the distributed path (same semantics, collect-free key handling)."""
     manifest = load_manifest(mount_dir)
     dd = manifest.get("dedup")
     if not dd:
@@ -333,19 +413,267 @@ def dedup_append(
     # long-typed mount would probe the wrong shingle partitions —
     # silently defeating idempotency and dropping verified pairs
     id_dtype = dd.get("id_dtype") or dict(docs_delta.dtypes)[id_col]
+    # a bare session (the driver's) keeps the default partition-discovery
+    # threshold of 32, under which resolving the 256-dir shingle relation
+    # launches a cluster listing job per append (~0.45 s of pure floor).
+    # Raise it monotonically (never restored — idempotent, so concurrent
+    # appends can't race a save/restore) exactly as session.py configures
+    thr = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    if int(spark.conf.get(thr, "32")) < 4096:
+        spark.conf.set(thr, "4096")
     delta = docs_delta.withColumn(
         id_col, F.col(id_col).cast(id_dtype)
     ).where(_text_ok(text_col))
-    # persist the RAW banded frame BEFORE the dbkts collect: the fused
-    # shingle/permutation kernel is the dominant delta cost, and without
-    # the barrier both the collect and the anti-joined count would each
-    # re-execute it (self-review r12: ~2× the append's kernel cost)
+    # persist the RAW banded frame BEFORE the probe collect: the fused
+    # shingle/permutation kernel is the dominant delta compute, and the
+    # candidate/verify/write stages all re-read it from cache
     banded_raw = minhash_banded_frame(
         delta, id_col, text_col,
         dd["n_hashes"], dd["bands"], dd["shingle_n"], dd["seed"],
     ).persist()
-    # idempotency: drop ids already mounted (prune the probe by the
-    # delta's own id-hash buckets before the anti-join)
+    # ONE relation per artifact: spark.read.parquet lists the directory
+    # when the relation is resolved, and every frame derived from the
+    # same reader object shares that file index — the r12 shape paid the
+    # 256-directory shingle listing twice (idempotency probe + verify)
+    sh_reader = spark.read.parquet(sh_path)
+    try:
+        # the fast-path gate: collect the delta's metadata bounded by
+        # lim+1 rows; overflow means a large delta → distributed path.
+        # lim is sized so n_new·bands (the band-key count) stays within
+        # MAX_IN_LITERALS, the same bound the r12 fast path enforced.
+        lim = max(1, MAX_IN_LITERALS // max(1, int(dd["bands"])))
+        meta = (
+            banded_raw.select(
+                F.col(id_col).alias("_id"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sbkt))
+                .cast("int")
+                .alias("_sbkt"),
+                F.col("bands").alias("_bands"),
+            )
+            .limit(lim + 1)
+            .collect()
+        )
+        if len(meta) <= lim:
+            return _append_small(
+                spark, mount_dir, manifest, dd, meta, banded_raw, sh_reader,
+                id_col, id_dtype, n_bkt, n_sbkt, cap, bands_path,
+                update, on_pairs,
+            )
+        return _append_large(
+            spark, mount_dir, manifest, dd, banded_raw, sh_reader,
+            id_col, id_dtype, n_bkt, n_sbkt, cap, bands_path,
+            update, on_pairs,
+        )
+    finally:
+        banded_raw.unpersist()
+
+
+def _append_small(
+    spark, mount_dir, manifest, dd, meta, banded_raw, sh_reader,
+    id_col, id_dtype, n_bkt, n_sbkt, cap, bands_path, update, on_pairs,
+) -> DataFrame:
+    """The driver-resident append: ``meta`` is the delta's full
+    (id, sbkt, band-hashes) metadata, so every key set the r12 shape
+    collected in separate jobs is already in hand."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    delta_ids = [r["_id"] for r in meta]
+    dbkts = sorted({r["_sbkt"] for r in meta})
+    # the delta's band keys, bucket footprint, and hash set — all driver-
+    # computable from meta (band hashes are non-negative by construction,
+    # so bkt = hash % n_bkt equals the stored pmod).  Derived from ALL
+    # delta ids (a superset of the post-idempotency set) so the base
+    # probe can run CONCURRENTLY with the idempotency probe below; the
+    # superset only ADDS base rows, which the replay branch drops again
+    keys_all = sorted({(i, int(h)) for r in meta for i, h in enumerate(r["_bands"])})
+    hashes_all = sorted({h for _, h in keys_all})
+    bkts_all = sorted({h % n_bkt for h in hashes_all})
+    keys_local = spark.createDataFrame(keys_all, "band_idx int, band_hash long")
+    # DIRECTORY-pruned base scan; for TINY deltas the band-hash set is
+    # additionally pushed as point predicates (the table is sorted by
+    # band_hash per directory, so the In filter skips non-matching row
+    # groups — deployments raise spark.sql.parquet.pushdown.
+    # inFilterThreshold so the set stays OR-of-eq instead of min/max).
+    # Past MAX_HASH_PUSH_LITERALS the literals cost more at plan time
+    # than they prune and the broadcast key join alone bounds the scan
+    base = spark.read.parquet(bands_path).where(F.col("bkt").isin(bkts_all))
+    if len(hashes_all) <= MAX_HASH_PUSH_LITERALS:
+        base = base.where(F.col("band_hash").isin(hashes_all))
+    base_matched = base.join(
+        F.broadcast(keys_local), ["band_idx", "band_hash"]
+    ).select("band_idx", "band_hash", id_col, F.lit(False).alias("_new"))
+
+    def probe_existing():
+        # idempotency probe: sbkt directory pruning + id point-lookups,
+        # one bounded job over the shared shingle relation
+        return {
+            r[0]
+            for r in sh_reader.where(F.col("sbkt").isin(dbkts))
+            .where(F.col(id_col).isin(delta_ids))
+            .select(id_col)
+            .collect()
+        }
+
+    # the two index probes touch DIFFERENT artifacts and neither depends
+    # on the other — overlap them (Spark's scheduler is thread-safe).
+    # The base checkpoint also pre-pays the scan the hot-bucket count and
+    # candidate join both replay — the r12 shape re-scanned parquet for
+    # each (its localCheckpoint after candidate generation came too late)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_exist = ex.submit(probe_existing)
+        f_base = ex.submit(lambda: base_matched.localCheckpoint(eager=True))
+        existing = f_exist.result()
+        base_ckpt = f_base.result()
+    new_meta = [r for r in meta if r["_id"] not in existing]
+    n_new = len(new_meta)
+    if n_new == 0:
+        # deliberately does NOT invoke on_pairs: an all-duplicate delta
+        # is a REPLAY, and overwriting the sink's batch directory with an
+        # empty frame would destroy the pairs the original
+        # (crashed-after-index-update) run already committed
+        return _empty_pairs(spark, id_dtype)
+    new_id_set = {r["_id"] for r in new_meta}
+    if existing:
+        # partial replay: restrict the checkpointed base rows to the NEW
+        # ids' key set (the superset probe may have pulled buckets only
+        # the replayed ids touch) and the delta frame to the new ids
+        keys_new = sorted(
+            {(i, int(h)) for r in new_meta for i, h in enumerate(r["_bands"])}
+        )
+        base_ckpt = base_ckpt.join(
+            F.broadcast(
+                spark.createDataFrame(keys_new, "band_idx int, band_hash long")
+            ),
+            ["band_idx", "band_hash"],
+            "left_semi",
+        )
+        banded_d = banded_raw.where(F.col(id_col).isin(sorted(new_id_set)))
+    else:
+        banded_d = banded_raw
+    expl_d = _expl_frame(banded_d, id_col, n_bkt)
+    union_expl = base_ckpt.unionByName(
+        expl_d.select("band_idx", "band_hash", id_col, F.lit(True).alias("_new"))
+    )
+    # OPTIMISTIC candidate pass: on a healthy corpus no bucket exceeds
+    # the hot cap, so the capped result equals the uncapped one — skip
+    # the hot-bucket count job, generate the raw pair stream annotated
+    # with its bucket key, and let the DRIVER verify the no-hot-bucket
+    # assumption from the stream itself (for bucket k the distinct
+    # partner ids across its rows ∪ its delta ids = the full membership).
+    # The collect is limit-guarded: a degenerate corpus overflows the
+    # guard (or reveals an over-cap bucket) and falls back to the capped
+    # distributed path — paying the count job only when it matters
+    fallback = True
+    opt = (
+        union_expl.where(F.col("_new"))
+        .select("band_idx", "band_hash", F.col(id_col).alias("_id_n"))
+    )
+    opt = F.broadcast(opt).join(
+        union_expl.select("band_idx", "band_hash", F.col(id_col).alias("_id_o")),
+        ["band_idx", "band_hash"],
+    ).where(F.col("_id_n") != F.col("_id_o"))
+    guard = MAX_OPTIMISTIC_PAIR_ROWS
+    opt_rows = (
+        opt.select(
+            "band_idx", "band_hash",
+            F.least("_id_n", "_id_o").alias("id_a"),
+            F.greatest("_id_n", "_id_o").alias("id_b"),
+            F.pmod(F.xxhash64(F.least("_id_n", "_id_o")), F.lit(n_sbkt))
+            .cast("int")
+            .alias("_sb_a"),
+            F.pmod(F.xxhash64(F.greatest("_id_n", "_id_o")), F.lit(n_sbkt))
+            .cast("int")
+            .alias("_sb_b"),
+        )
+        .limit(guard + 1)
+        .collect()
+    )
+    if len(opt_rows) <= guard:
+        # bucket sizes, driver-derived: a delta-touching bucket's full
+        # membership = the distinct ids over its pair rows (every member
+        # pairs with the bucket's delta member(s); a single-member bucket
+        # generates no rows and trivially satisfies any cap)
+        members: dict = {}
+        for r in opt_rows:
+            k = (r["band_idx"], r["band_hash"])
+            s = members.setdefault(k, set())
+            s.add(r["id_a"])
+            s.add(r["id_b"])
+        if cap is None or all(len(s) <= cap for s in members.values()):
+            fallback = False
+            raw_rows = opt_rows
+    if fallback:
+        cand = _delta_touching_candidates(
+            union_expl, id_col, cap, dd["hot_mode"], dedup=False,
+            broadcast_new=True,
+        )
+        raw_rows = (
+            cand.withColumn(
+                "_sb_a",
+                F.pmod(F.xxhash64(F.col("id_a")), F.lit(n_sbkt)).cast("int"),
+            )
+            .withColumn(
+                "_sb_b",
+                F.pmod(F.xxhash64(F.col("id_b")), F.lit(n_sbkt)).cast("int"),
+            )
+            .collect()
+        )
+    # collected pair stream: bounded by the (hot-bucket-capped) candidate
+    # set exactly as the r12 base-ids collect was; folding the base-id
+    # anti-join, the pair dedup (dropDuplicates would add an exchange; a
+    # set() over the stream is free), and the sbkt derivation into it
+    seen_pairs = set()
+    cand_rows = []
+    for r in raw_rows:
+        k = (r["id_a"], r["id_b"])
+        if k not in seen_pairs:
+            seen_pairs.add(k)
+            cand_rows.append(r)
+    if not cand_rows:
+        pairs = _empty_pairs(spark, id_dtype)
+    else:
+        cand_local = spark.createDataFrame(
+            [(r["id_a"], r["id_b"]) for r in cand_rows],
+            f"id_a {id_dtype}, id_b {id_dtype}",
+        )
+        base_ids = sorted(
+            {r["id_a"] for r in cand_rows if r["id_a"] not in new_id_set}
+            | {r["id_b"] for r in cand_rows if r["id_b"] not in new_id_set}
+        )
+        if base_ids:
+            cbkts = sorted(
+                {r["_sb_a"] for r in cand_rows if r["id_a"] not in new_id_set}
+                | {r["_sb_b"] for r in cand_rows if r["id_b"] not in new_id_set}
+            )
+            base_sh = sh_reader.where(F.col("sbkt").isin(cbkts))
+            if len(base_ids) <= MAX_IN_LITERALS:
+                base_sh = base_sh.where(F.col(id_col).isin(base_ids))
+            sh = base_sh.select(id_col, "shingles").unionByName(
+                banded_d.select(id_col, "shingles")
+            )
+        else:
+            sh = banded_d.select(id_col, "shingles")
+        pairs = verify_shingle_pairs(
+            cand_local, sh, id_col, dd["threshold"]
+        ).localCheckpoint(eager=True)
+    if on_pairs is not None:
+        on_pairs(pairs)
+    if update:
+        _update_index(
+            spark, mount_dir, manifest, expl_d, banded_d, id_col, n_new, n_sbkt
+        )
+    return pairs
+
+
+def _append_large(
+    spark, mount_dir, manifest, dd, banded_raw, sh_reader,
+    id_col, id_dtype, n_bkt, n_sbkt, cap, bands_path, update, on_pairs,
+) -> DataFrame:
+    """The distributed append for deltas past the fast-path gate: no
+    literal In pushdowns (a giant literal In costs more in planning than
+    it prunes — measured: an 18k-hash delta took the append from ~6 s to
+    ~30 s), shuffle-join probe when the key set would strain the driver
+    broadcast."""
     dbkts = [
         r[0]
         for r in banded_raw.select(
@@ -354,59 +682,25 @@ def dedup_append(
         .distinct()
         .collect()
     ]
-    existing = (
-        spark.read.parquet(sh_path)
-        .where(F.col("sbkt").isin(dbkts))
-        .select(id_col)
-    )
+    existing = sh_reader.where(F.col("sbkt").isin(dbkts)).select(id_col)
     banded_d = banded_raw.join(existing, id_col, "left_anti").persist()
     try:
         n_new = int(banded_d.count())
-        banded_raw.unpersist()  # anti-joined frame is materialized now
         if n_new == 0:
-            # deliberately does NOT invoke on_pairs: an all-duplicate
-            # delta is a REPLAY, and overwriting the sink's batch
-            # directory with an empty frame would destroy the pairs the
-            # original (crashed-after-index-update) run already committed
-            return spark.createDataFrame(
-                [], f"id_a {id_dtype}, id_b {id_dtype}, jaccard double"
-            )
+            return _empty_pairs(spark, id_dtype)  # replay — see _append_small
         expl_d = _expl_frame(banded_d, id_col, n_bkt).persist()
         try:
-            # the delta's distinct band keys, broadcast against the
-            # DIRECTORY-PRUNED base band scan: base never shuffles, and
-            # only the delta's hash-range partitions are even listed
+            # the delta's distinct band keys against the DIRECTORY-PRUNED
+            # base band scan: base never shuffles below the broadcast cap
             keys_d = expl_d.select("band_idx", "band_hash").distinct().persist()
             try:
-                # n_new·bands bounds the distinct key count exactly, so
-                # the small-delta fast path needs ONE collect for hashes
-                # AND touched buckets (bkt = hash % N_BKT is driver-
-                # computable: band hashes are non-negative by
-                # construction) instead of three separate driver jobs
                 n_keys_bound = n_new * int(dd["bands"])
-                if n_keys_bound <= MAX_IN_LITERALS:
-                    hashes = sorted(
-                        {int(r[0]) for r in keys_d.select("band_hash").collect()}
-                    )
-                    bkts = sorted({h % n_bkt for h in hashes})
-                else:
-                    hashes = None
-                    bkts = sorted(
-                        {r[0] for r in expl_d.select("bkt").distinct().collect()}
-                    )
+                bkts = sorted(
+                    {r[0] for r in expl_d.select("bkt").distinct().collect()}
+                )
                 base = spark.read.parquet(bands_path).where(
                     F.col("bkt").isin(bkts)
                 )
-                if hashes is not None:
-                    # push the delta's band-hash set INTO the scan: with
-                    # the table sorted by band_hash per directory, the In
-                    # filter skips non-matching row groups (deployments
-                    # raise spark.sql.parquet.pushdown.inFilterThreshold
-                    # so large key sets stay OR-of-eq instead of a
-                    # min/max range; correctness never depends on it).
-                    # Bounded by MAX_IN_LITERALS — a giant literal In
-                    # costs more in planning than it prunes
-                    base = base.where(F.col("band_hash").isin(hashes))
                 probe = (
                     F.broadcast(keys_d)
                     if n_keys_bound <= MAX_BROADCAST_KEYS
@@ -443,7 +737,7 @@ def dedup_append(
                 .collect()
             )
             if base_ids:
-                base_sh = spark.read.parquet(sh_path)
+                base_sh = sh_reader
                 if len(base_ids) <= MAX_IN_LITERALS:
                     # sbkt values must match Spark's xxhash64 — derive them
                     # with the engine itself on a tiny local frame
@@ -468,28 +762,16 @@ def dedup_append(
             ).localCheckpoint(eager=True)
             if on_pairs is not None:
                 on_pairs(pairs)
-
             if update:
-                expl_d.repartition("band_idx", "bkt").sortWithinPartitions(
-                    "band_hash"
-                ).write.mode("append").partitionBy("band_idx", "bkt").parquet(
-                    bands_path
+                _update_index(
+                    spark, mount_dir, manifest, expl_d, banded_d,
+                    id_col, n_new, n_sbkt,
                 )
-                banded_d.select(F.col(id_col), F.col("shingles")).withColumn(
-                    "sbkt",
-                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sbkt)).cast("int"),
-                ).repartition("sbkt").sortWithinPartitions(id_col).write.mode(
-                    "append"
-                ).partitionBy("sbkt").parquet(sh_path)
-                manifest["dedup"]["n_docs"] = int(dd["n_docs"]) + n_new
-                with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
-                    json.dump(manifest, f, indent=1, sort_keys=True)
             return pairs
         finally:
             expl_d.unpersist()
     finally:
         banded_d.unpersist()
-        banded_raw.unpersist()  # no-op if already freed; leak-safe on error
 
 
 def stream_dedup_append(

@@ -41,6 +41,13 @@ def get_spark(
         # rejects; read as long nanos, converted in sources.registry
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # hash-range-partitioned mount artifacts (dedup_shingles at 256
+        # dirs, pq_codes at cell fan-out) cross the default threshold of
+        # 32, which makes every relation resolution launch a CLUSTER JOB
+        # just to list directories (~0.45 s of the dedup_append floor);
+        # driver-side listing of a few thousand dirs is milliseconds on
+        # local fs and a bounded batched call on object stores
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "4096")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
