@@ -216,7 +216,8 @@ def run_mount(spark) -> dict[str, float]:
 
         t0 = time.perf_counter()
         audit = audit_drift(spark, root, emb, sample_n=16, k=10,
-                            n_probe=N_PROBE, rerank=RERANK)
+                            n_probe=N_PROBE, rerank=RERANK,
+                            corpus_sample_n=512)
         out["drift_audit"] = round(time.perf_counter() - t0, 3)
         out["drift_audit_recall"] = audit["recall_at_k"]
 

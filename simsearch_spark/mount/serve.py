@@ -43,8 +43,69 @@ __all__ = [
     "serve_bm25_topk",
     "serve_lang_id",
     "serve_lm_perplexity",
+    "serve_dedup_lookup",
     "read_codes",
 ]
+
+
+def serve_dedup_lookup(
+    spark: SparkSession, mount_dir: str, text: str, probe_id=None
+) -> DataFrame:
+    """Which mounted documents near-duplicate ``text``?  The READ dual of
+    ``mount/dedup.py dedup_append`` (VERDICT r12 task 6): the probe text
+    enters as a single-row delta with ``update=False`` — same frozen
+    hash family, same directory-pruned band probe, same hot-bucket
+    policy across the boundary — so the result is hash-equal to the
+    batch operator's pairs restricted to the probe
+    (tests/test_mount_dedup.py).  Returns (<id_col>, jaccard) rows of
+    the mounted near-duplicates, the ``serve_ivfpq_topk`` symmetry for
+    the text-dedup mount.
+
+    ``probe_id`` is the synthetic id the probe travels under (default
+    ``-1`` for numeric id columns); a collision with a mounted id would
+    silently read as "no duplicates" (the replay guard drops mounted
+    ids), so collisions are rejected loudly — pass a fresh id if the
+    corpus legitimately uses the default."""
+    from simsearch_spark.mount.artifacts import load_manifest
+    from simsearch_spark.mount.dedup import dedup_append
+
+    manifest = load_manifest(mount_dir)
+    dd = manifest.get("dedup")
+    if not dd:
+        raise ValueError("mount has no dedup artifacts — run mount_dedup first")
+    id_col, text_col = dd["id_col"], dd["text_col"]
+    id_dtype = dd.get("id_dtype", "bigint")
+    if probe_id is None:
+        if id_dtype in ("string", "varchar"):
+            probe_id = "\x00__dedup_probe__"
+        else:
+            probe_id = -1
+    delta = spark.createDataFrame(
+        [(probe_id, text)], f"{id_col} {id_dtype}, {text_col} string"
+    )
+    n_sbkt = int(dd.get("n_sbkt", 256))
+    pbkt = delta.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sbkt)).cast("int")
+    ).first()[0]
+    mounted = (
+        spark.read.parquet(os.path.join(mount_dir, "dedup_shingles"))
+        .where(F.col("sbkt") == pbkt)
+        .where(F.col(id_col) == probe_id)
+        .limit(1)
+        .count()
+    )
+    if mounted:
+        raise ValueError(
+            f"serve_dedup_lookup: probe_id {probe_id!r} is a mounted id — "
+            "the lookup would read as a replay; pass an unused probe_id"
+        )
+    pairs = dedup_append(spark, mount_dir, delta, update=False)
+    return pairs.select(
+        F.when(F.col("id_a") == F.lit(probe_id), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias(id_col),
+        "jaccard",
+    )
 
 
 def read_codes(spark: SparkSession, mount_dir: str) -> DataFrame:
@@ -150,11 +211,14 @@ def serve_ivfpq_multi_topk(
     ``emb`` rescores the ≤ Q·rerank candidate union exactly.  Per-query
     results equal ``operators/pq.py ivf_pq_multi_topk`` (and therefore Q
     single-query serves) — tests/test_mount.py."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
     from pyspark.sql.window import Window
 
     from simsearch_spark.functions.measures import cosine_similarity
-    from simsearch_spark.operators.kmeans import _lit_vec
-    from simsearch_spark.operators.pq import _adc_dist_expr
+    from simsearch_spark.operators.pq import _adc_luts
 
     cmap = load_centroid_map(spark, mount_dir)
     books = load_codebooks(spark, mount_dir)
@@ -169,68 +233,70 @@ def serve_ivfpq_multi_topk(
     union_cells = sorted({c for ps in probes.values() for c in ps})
 
     codes = read_codes(spark, mount_dir).where(F.col("cell").isin(union_cells))
-    entries = []
+    # the per-(query, cell) residual LUTs, built once driver-side — the
+    # same `_adc_luts` constants the literal expression path indexes, so
+    # the Arrow kernel below is float-identical to the Q-sized when-chain
+    # it replaces (r13: at Q=16 the chain cost ~0.5 s/query in codegen +
+    # eval; the kernel is a numpy gather per (query, cell))
+    m = len(books)
+    luts: dict[tuple[int, int], "np.ndarray"] = {}
     for qid, qv in qs:
-        adc = F.lit(None).cast("double")
         for cid in probes[qid]:
             qres = [a - b for a, b in zip(qv, cmap[cid])]
-            adc = F.when(
-                F.col("cell") == F.lit(cid), _adc_dist_expr(books, qres)
-            ).otherwise(adc)
-        entries.append(F.struct(F.lit(qid).alias("query_id"), adc.alias("adc_dist")))
+            luts[(qid, cid)] = np.asarray(_adc_luts(books, qres), dtype=np.float64)
+    sel = codes.select(
+        F.col(id_col), F.col("cell").cast("int").alias("cell"),
+        *[F.col(f"code_{j}") for j in range(m)],
+    )
+    id_dt = dict(sel.dtypes)[id_col]
+
+    def adc_kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            cell = b.column(1).to_numpy(zero_copy_only=False)
+            code_np = [
+                b.column(2 + j).to_numpy(zero_copy_only=False) for j in range(m)
+            ]
+            q_out, i_out, a_out = [], [], []
+            for (qid, cid), lut in luts.items():
+                idx = np.flatnonzero(cell == cid)
+                if idx.size == 0:
+                    continue
+                # left-associated += reproduces the literal chain's
+                # fixed-order double sum exactly
+                acc = lut[0][code_np[0][idx]].copy()
+                for j in range(1, m):
+                    acc = acc + lut[j][code_np[j][idx]]
+                q_out.append(np.full(idx.size, qid, dtype=np.int32))
+                i_out.append(ids[idx])
+                a_out.append(acc)
+            if q_out:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(q_out), type=pa.int32()),
+                        pa.array(np.concatenate(i_out)),
+                        pa.array(np.concatenate(a_out), type=pa.float64()),
+                    ],
+                    names=["query_id", id_col, "_acc"],
+                )
+
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col(id_col).asc()
     )
     cand = (
-        codes.select(F.col(id_col), F.explode(F.array(*entries)).alias("q"))
-        .select(
-            id_col,
-            F.col("q.query_id").alias("query_id"),
-            F.col("q.adc_dist").alias("adc_dist"),
+        sel.mapInArrow(
+            adc_kernel, f"query_id int, {id_col} {id_dt}, _acc double"
         )
-        .where(F.col("adc_dist").isNotNull())
+        # the score contract (round(sqrt(Σ), 6)) applied by the ENGINE on
+        # the kernel's raw accumulator — bit-equal to the expression path
+        .withColumn("adc_dist", F.round(F.sqrt(F.col("_acc")), 6))
+        .drop("_acc")
         .withColumn("_rn", F.row_number().over(w_adc))
         .where(F.col("_rn") <= int(rerank))
         .drop("_rn")
         .collect()
     )
-    ids = sorted({r[id_col] for r in cand})
-    adc_of = {(r["query_id"], r[id_col]): float(r["adc_dist"]) for r in cand}
-    by_q: dict[int, list] = {}
-    for r in cand:
-        by_q.setdefault(int(r["query_id"]), []).append(r[id_col])
-
-    # ONE point-lookup for the candidate union; per-query cosine against
-    # the query literal, ranked per query (bounded frame: ≤ Q·rerank rows)
-    lookup = emb.where(F.col(id_col).isin(ids)).select(
-        F.col(id_col),
-        *[
-            F.round(cosine_similarity(F.col(vec_col), _lit_vec(qv)), 6).alias(
-                f"_cos_{qid}"
-            )
-            for qid, qv in qs
-        ],
-    )
-    arms = []
-    for qid, _qv in qs:
-        qmap = F.create_map(
-            *[
-                F.lit(v)
-                for i in by_q.get(qid, [])
-                for v in (i, adc_of[(qid, i)])
-            ]
-        ) if by_q.get(qid) else None
-        if qmap is None:
-            continue
-        arms.append(
-            lookup.where(F.col(id_col).isin(by_q[qid])).select(
-                F.lit(qid).alias("query_id"),
-                F.col(id_col),
-                F.element_at(qmap, F.col(id_col)).alias("adc_dist"),
-                F.col(f"_cos_{qid}").alias("cos_sim"),
-            )
-        )
-    if not arms:
+    if not cand:
         # every probed partition empty or fully tombstoned — empty result
         # with the contract schema, like the single-query serve path
         return spark.createDataFrame(
@@ -238,9 +304,35 @@ def serve_ivfpq_multi_topk(
             f"query_id int, {id_col} bigint, adc_dist double, "
             "cos_sim double, rank int",
         )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
+    ids = sorted({r[id_col] for r in cand})
+
+    # rescore tail with a CONSTANT-size plan (r13): the r12 shape built Q
+    # cosine columns against Q query literals plus Q create_map arms and
+    # a Q-way union — ~4 s of pure Catalyst/py4j plan construction at
+    # Q=16.  The candidates are already driver-resident (≤ Q·rerank
+    # rows), so they re-enter as a local relation, the query vectors join
+    # as a broadcast 16-row frame, and ONE cosine expression rescores
+    # every (query, candidate) row — float-identical (the same doubles
+    # flow through the same expression, literal vs column source)
+    cand_local = spark.createDataFrame(
+        [(int(r["query_id"]), r[id_col], float(r["adc_dist"])) for r in cand],
+        f"query_id int, {id_col} {id_dt}, adc_dist double",
+    )
+    qvecs = spark.createDataFrame(
+        [(qid, qv) for qid, qv in qs], "query_id int, _qvec array<double>"
+    )
+    lookup = emb.where(F.col(id_col).isin(ids)).select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    )
+    out = (
+        cand_local.join(lookup, id_col)
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(cosine_similarity(F.col("_v"), F.col("_qvec")), 6),
+        )
+        .drop("_v", "_qvec")
+    )
     w_cos = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )

@@ -213,13 +213,14 @@ def _check_query_dim(
     return m, dsub
 
 
-def _adc_dist_expr(
+def _adc_luts(
     codebooks: list[dict[int, list[float]]], query_vec: list[float]
-):
-    """The ADC distance column over ``code_0..code_{m-1}``: per subspace
-    the query builds a ksub-entry LUT of squared subdistances driver-side
-    (m·ksub floats — constant); the scan is m ``element_at`` lookups + a
-    fixed-order sum, rounded to 6 (the engine-wide score contract)."""
+) -> list[list[float]]:
+    """Per-subspace ksub-entry LUTs of squared subdistances for a query —
+    the driver-side constant both the literal expression
+    (``_adc_dist_expr``) and the Arrow batch-serve kernel
+    (``mount/serve.py``) index with ``code_j``; sharing the builder keeps
+    the two paths float-identical."""
     m, dsub = _check_query_dim(codebooks, query_vec)
     luts = []
     for j, cb in enumerate(codebooks):
@@ -232,8 +233,19 @@ def _adc_dist_expr(
                 s += d * d
             lut.append(s)
         luts.append(lut)
+    return luts
+
+
+def _adc_dist_expr(
+    codebooks: list[dict[int, list[float]]], query_vec: list[float]
+):
+    """The ADC distance column over ``code_0..code_{m-1}``: per subspace
+    the query builds a ksub-entry LUT of squared subdistances driver-side
+    (m·ksub floats — constant); the scan is m ``element_at`` lookups + a
+    fixed-order sum, rounded to 6 (the engine-wide score contract)."""
+    luts = _adc_luts(codebooks, query_vec)
     acc = None
-    for j in range(m):
+    for j in range(len(luts)):
         term = F.element_at(F.lit(luts[j]), F.col(f"code_{j}") + 1)
         acc = term if acc is None else acc + term
     return F.round(F.sqrt(acc), 6)

@@ -151,3 +151,37 @@ def test_refresh_carries_custom_dedup_family(
         mount(spark, "", str(tmp_path_factory.mktemp("audit4") / "m"),
               emb_frame=base, docs_frame=docs_stub,
               dedup_params={"n_bkt": 64})
+
+
+def test_sampled_audit_tracks_full_audit(spark, corpus, docs_stub, tmp_path_factory):
+    """VERDICT r12 task 4: the bounded brute arm (``corpus_sample_n``)
+    must DETECT the same drift the exact arm detects and agree with it
+    through the degrade→refresh→recover loop — the sampled universe is
+    the hash-lowest vectors plus whatever the index served, so a healthy
+    serve scores ~1 and a drifted one is outranked by sampled points."""
+    base, delta = corpus
+    union = base.unionByName(delta)
+    d = str(tmp_path_factory.mktemp("audit3") / "m")
+    mount(spark, "", d, emb_frame=base, docs_frame=docs_stub, dedup=False)
+
+    def both(frame):
+        full = audit_drift(spark, d, frame, sample_n=16, k=K, n_probe=2, rerank=40)
+        samp = audit_drift(
+            spark, d, frame, sample_n=16, k=K, n_probe=2, rerank=40,
+            corpus_sample_n=120,
+        )
+        assert samp["corpus_sample_n"] == 120 and full["corpus_sample_n"] is None
+        return full["recall_at_k"], samp["recall_at_k"]
+
+    h_full, h_samp = both(base)
+    assert h_samp >= 0.8
+    append_rows(spark, d, emb_delta=delta.select("vec_id", "embedding"))
+    d_full, d_samp = both(union)
+    # same detection decision as the exact arm: measurable degradation
+    assert d_samp <= h_samp - 0.2, (h_samp, d_samp)
+    refresh(spark, d, sf_dir="", emb_frame=union, docs_frame=docs_stub, dedup=False)
+    r_full, r_samp = both(union)
+    assert r_samp >= h_samp - 0.05 and r_samp >= d_samp + 0.2
+    # agreement with the exact metric at every stage of the loop
+    for full, samp in [(h_full, h_samp), (d_full, d_samp), (r_full, r_samp)]:
+        assert abs(full - samp) <= 0.15, (full, samp)

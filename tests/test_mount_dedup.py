@@ -369,3 +369,46 @@ def test_maintenance_stats_on_dedup_only_mount(spark, sf_dir, tmp_path):
     stats = maintenance_stats(spark, d)
     assert stats["n_vectors"] == 0
     assert should_compact(spark, d) in (False, True)  # no crash
+
+
+def test_serve_dedup_lookup_equals_batch_restricted(spark, sf_dir, tmp_path):
+    """VERDICT r12 task 6: the read query "which mounted docs
+    near-duplicate this text?" — hash-equal to the batch operator on
+    base ∪ probe restricted to probe-touching pairs, and a colliding
+    probe id is rejected loudly instead of reading as 'no duplicates'."""
+    from simsearch_spark.mount.serve import serve_dedup_lookup
+    from simsearch_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 400)
+    d = str(tmp_path / "m_lookup")
+    mount_dedup(spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+
+    # probe with an exact copy of a mounted text: must surface it
+    probe_text = base.where(F.col("doc_id") == 7).first()["text"]
+    got = sorted(
+        (int(r["doc_id"]), float(r["jaccard"]))
+        for r in serve_dedup_lookup(spark, d, probe_text).collect()
+    )
+    assert (7, 1.0) in got
+
+    # hash-equal to the batch operator restricted to the probe id
+    probe = spark.createDataFrame([(-1, probe_text)], "doc_id long, text string")
+    batch = minhash_lsh_pairs(
+        base.select("doc_id", "text").unionByName(probe), "doc_id", "text",
+        threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS,
+    ).where((F.col("id_a") == -1) | (F.col("id_b") == -1))
+    want = sorted(
+        (int(r["id_b"] if r["id_a"] == -1 else r["id_a"]), float(r["jaccard"]))
+        for r in batch.collect()
+    )
+    assert got == want
+
+    # a probe text with no mounted near-dup: empty, not an error
+    assert serve_dedup_lookup(
+        spark, d, "entirely novel text with nothing shared whatsoever xyzzy"
+    ).count() == 0
+
+    # collision with a mounted id is loud
+    with pytest.raises(ValueError, match="mounted id"):
+        serve_dedup_lookup(spark, d, probe_text, probe_id=7)

@@ -78,6 +78,21 @@ def main() -> None:
             res: dict[str, dict] = {}
             res["clean"] = {"sec": timed_serve(spark, d, emb, qvec)}
 
+            # drift audit with the bounded brute arm (r13): cost must be
+            # ~flat in corpus size — the serve arm is cell-pruned and the
+            # ground-truth arm is the fixed-size hash sample ∪ served ids
+            from simsearch_spark.mount import audit_drift
+
+            audit_drift(spark, d, emb, sample_n=16, k=K, n_probe=N_PROBE,
+                        rerank=RERANK, corpus_sample_n=512)  # warm
+            t0 = time.perf_counter()
+            a = audit_drift(spark, d, emb, sample_n=16, k=K, n_probe=N_PROBE,
+                            rerank=RERANK, corpus_sample_n=512)
+            res["audit_sampled"] = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "recall": a["recall_at_k"],
+            }
+
             ids = [r.vec_id for r in emb.select("vec_id").orderBy("vec_id").collect()]
             # tombstone 10 %, then the UNION of every-10th and every-3rd id
             # (= 40 % total — spread across cells, the realistic shape)
