@@ -375,9 +375,10 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
             raise ValueError(f"TIFF has {idx + 1} page(s), page {page} requested")
         tags, nxt = _read_ifd(data, bo, nxt)
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 5, 7, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} (uncompressed/LZW/JPEG/PackBits implemented)"
+            f"TIFF compression {comp} "
+            "(uncompressed/CCITT G3 and G4/LZW/JPEG/PackBits implemented)"
         )
     # JPEGTables form (TIFF/EP tag 347, r12): one abbreviated
     # tables-only stream (SOI, DQT/DHT…, EOI) shared by every strip/tile,
@@ -397,6 +398,19 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(f"TIFF mixed bits-per-sample {bps}")
     if bps0 not in (1, 4, 8, 16):
         raise NotImplementedError(f"TIFF bits-per-sample {bps0} (1/4/8/16 only)")
+    if comp in (2, 3, 4):
+        # CCITT is bilevel by definition (T.4 §1): one sample, one bit,
+        # White/BlackIsZero photometrics only
+        if bps0 != 1 or tags.get(277, [1])[0] != 1:
+            raise ValueError(
+                f"CCITT compression {comp} with bits {bps0} / "
+                f"{tags.get(277, [1])[0]} samples — bilevel only"
+            )
+        if tags.get(262, [1])[0] not in (0, 1):
+            raise ValueError(
+                f"CCITT compression {comp} with photometric "
+                f"{tags.get(262, [1])[0]} (0/1 only)"
+            )
     if bps0 != 8:
         # r12: non-8-bit depths decode on the single-plane strip path —
         # bilevel (1), 16-color/level (4), and 16-bit gray (high-byte
@@ -553,6 +567,18 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
                 else:
                     _undiff_rows(strip, w, rows, channels)
             body += strip
+        elif comp in (2, 3, 4):
+            # CCITT G3/G4 (r13, multimodal/ccitt.py): each strip is an
+            # independent coding block (G4's first reference line resets
+            # to all-white per strip, TIFF 6.0 §11); photometric 1 flips
+            # the packed bits so white lands on the BlackIsZero max
+            from simsearch_spark.multimodal.ccitt import ccitt_decode
+
+            body += ccitt_decode(
+                chunk, w, rows, comp,
+                t4_options=int(tags.get(292, [0])[0]),
+                invert=photo == 1,
+            )
         else:  # 32773
             if predictor == 2:
                 raise NotImplementedError("predictor 2 with PackBits not supported")
@@ -818,6 +844,70 @@ def encode_tiff(
     out += struct.pack(bo + "I", 0)                     # no next IFD
     if channels == 3:
         out += struct.pack(bo + "HHH", 8, 8, 8)
+    out += body
+    return bytes(out)
+
+
+def encode_tiff_ccitt(
+    width: int,
+    height: int,
+    pixels: bytes,
+    compression: int = 4,
+    big_endian: bool = False,
+) -> bytes:
+    """Two-tone gray rows ({0, 255} bytes, 255 = white) → bilevel CCITT
+    TIFF under photometric 0 (WhiteIsZero, the fax norm): compression 2
+    (modified Huffman, byte-aligned rows), 3 (T.4 G3 1D, EOL per line,
+    T4Options=0) or 4 (T.6 G4 MMR, EOFB-terminated).  Single strip;
+    exact round trip through ``decode_tiff`` (tests/test_ccitt.py)."""
+    from simsearch_spark.multimodal.ccitt import (
+        ccitt_encode_g3_1d,
+        ccitt_encode_g3_eol,
+        ccitt_encode_g4,
+        rows_to_bits,
+    )
+
+    if compression not in (2, 3, 4):
+        raise ValueError(f"CCITT compression {compression} (2/3/4 only)")
+    if len(pixels) != width * height:
+        raise ValueError(f"pixel buffer {len(pixels)} != {width}x{height}")
+    lines = rows_to_bits(bytes(pixels), width, height)
+    body = {
+        2: ccitt_encode_g3_1d,
+        3: ccitt_encode_g3_eol,
+        4: ccitt_encode_g4,
+    }[compression](lines, width)
+
+    bo = ">" if big_endian else "<"
+
+    def short(v: int) -> bytes:
+        return struct.pack(bo + "HH", v, 0)
+
+    def long_(v: int) -> bytes:
+        return struct.pack(bo + "I", v)
+
+    entries: list[tuple[int, int, int, bytes]] = [
+        (256, 3, 1, short(width)),
+        (257, 3, 1, short(height)),
+        (258, 3, 1, short(1)),
+        (259, 3, 1, short(compression)),
+        (262, 3, 1, short(0)),          # WhiteIsZero
+        (277, 3, 1, short(1)),
+        (278, 3, 1, short(height)),
+        (279, 4, 1, long_(len(body))),
+    ]
+    if compression == 3:
+        entries.append((292, 4, 1, long_(0)))  # T4Options: 1D, no fill
+    n_entries = len(entries) + 1                # + the strip offset
+    ifd_size = 2 + 12 * n_entries + 4
+    strip_off = 8 + ifd_size
+    entries.append((273, 4, 1, long_(strip_off)))
+    out = bytearray()
+    out += (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(bo + "I", 8)
+    out += struct.pack(bo + "H", n_entries)
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    out += struct.pack(bo + "I", 0)
     out += body
     return bytes(out)
 

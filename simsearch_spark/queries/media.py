@@ -185,6 +185,29 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # d%16==11: LE PackBits, d%16==7: BE LZW, d%16==15:
                     # BE uncompressed.  All lossless; the oracle is
                     # codec-invariant either way.
+                    if d % 128 in (23, 87) or d % 64 == 39:
+                        # r13: BILEVEL CCITT lanes carved from the
+                        # d%16==7 route — d%128==23 G3 MH (comp 2),
+                        # ==87 G3 with EOLs (comp 3), d%64==39 G4 MMR
+                        # (comp 4).  CCITT is 1-bit, so the two half
+                        # values THRESHOLD to {0,255}; the oracle states
+                        # the same thresholding in closed form (the one
+                        # lane whose values transform — still
+                        # row-closed-form from documents columns)
+                        from simsearch_spark.multimodal.tiff import (
+                            encode_tiff_ccitt,
+                        )
+
+                        ccomp = (
+                            2 if d % 128 == 23
+                            else 3 if d % 128 == 87
+                            else 4
+                        )
+                        bi = bytes(255 if v >= 128 else 0 for v in row)
+                        payloads.append(
+                            encode_tiff_ccitt(w, h, bi * h, compression=ccomp)
+                        )
+                        continue
                     comp, pred = {
                         3: ("lzw", 2),
                         11: ("packbits", 1),
@@ -283,10 +306,20 @@ SQL_MEDIA_PIXEL_STATS = """
 SELECT doc_id AS media_id, 'ok' AS decoded,
        (n_chars % 31 + 2)::INT AS width, (doc_id % 7 + 1)::INT AS height,
        1 AS channels,
-       round(((doc_id % 256) * ((n_chars % 31 + 2) // 2)
-              + ((doc_id * 7 + 13) % 256)
-                * ((n_chars % 31 + 2) - (n_chars % 31 + 2) // 2))::DOUBLE
-             / (n_chars % 31 + 2), 6) AS mean_c0
+       CASE WHEN doc_id % 128 IN (23, 87) OR doc_id % 64 = 39
+            -- r13 bilevel CCITT lanes: the two half values threshold to
+            -- {0, 255} before encoding (1-bit fax can carry no grays)
+            THEN round(((CASE WHEN doc_id % 256 >= 128 THEN 255 ELSE 0 END)
+                          * ((n_chars % 31 + 2) // 2)
+                        + (CASE WHEN (doc_id * 7 + 13) % 256 >= 128
+                                THEN 255 ELSE 0 END)
+                          * ((n_chars % 31 + 2) - (n_chars % 31 + 2) // 2)
+                       )::DOUBLE / (n_chars % 31 + 2), 6)
+            ELSE round(((doc_id % 256) * ((n_chars % 31 + 2) // 2)
+                        + ((doc_id * 7 + 13) % 256)
+                          * ((n_chars % 31 + 2) - (n_chars % 31 + 2) // 2)
+                       )::DOUBLE / (n_chars % 31 + 2), 6)
+       END AS mean_c0
 FROM documents
 """
 

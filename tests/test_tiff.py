@@ -63,8 +63,14 @@ def test_named_seams():
         raise KeyError(tag)
 
     b = bytearray(t)
-    set_tag(b, 259, 3, 1, struct.pack(bo + "HH", 4, 0))  # CCITT G4: still a seam
-    with pytest.raises(NotImplementedError, match="compression 4"):
+    set_tag(b, 259, 3, 1, struct.pack(bo + "HH", 8, 0))  # Deflate: still a seam
+    with pytest.raises(NotImplementedError, match="compression 8"):
+        decode_tiff(bytes(b))
+    b = bytearray(t)
+    # r13: CCITT G4 decodes now — but claiming it on an 8-bit gray file
+    # is malformed (bilevel only), not a seam
+    set_tag(b, 259, 3, 1, struct.pack(bo + "HH", 4, 0))
+    with pytest.raises(ValueError, match="bilevel only"):
         decode_tiff(bytes(b))
     b = bytearray(t)
     set_tag(b, 262, 3, 1, struct.pack(bo + "HH", 5, 0))  # CMYK: still a seam
@@ -113,6 +119,9 @@ def test_sniff_dispatch_and_query_routing(spark, sf_dir):
     for r in rows[:6]:
         d, w = int(r.media_id), r.width
         a, b = d % 256, (d * 7 + 13) % 256
+        if d % 128 in (23, 87) or d % 64 == 39:
+            # r13 bilevel CCITT lanes threshold the half values
+            a, b = 255 * (a >= 128), 255 * (b >= 128)
         assert r.mean_c0 == round((a * (w // 2) + b * (w - w // 2)) / w, 6)
 
 
