@@ -36,6 +36,10 @@ __all__ = [
     "ima_raw_decode",
     "ima_wav_encode_block",
     "ima_wav_decode_block",
+    "ima_qt_encode",
+    "ima_qt_decode",
+    "ima_qt_encode_packet",
+    "ima_qt_decode_packet",
     "STEP_TABLE",
     "INDEX_TABLE",
 ]
@@ -249,4 +253,107 @@ def ima_wav_decode_block_stereo(block: bytes) -> list[int]:
     out: list[int] = []
     for left, right in zip(chans[0], chans[1]):
         out += [left, right]
+    return out
+
+
+# -----------------------------------------------------------------------------
+# Apple/QuickTime 'ima4' packets (AIFF-C compression type, r13)
+# -----------------------------------------------------------------------------
+
+#: QuickTime ima4 frame: 2-byte BE header + 32 nibble-pair bytes
+IMA4_PACKET_BYTES = 34
+IMA4_SAMPLES_PER_PACKET = 64
+
+
+def ima_qt_encode_packet(
+    samples: list[int], state: tuple[int, int]
+) -> tuple[bytes, tuple[int, int]]:
+    """One 34-byte ima4 packet for exactly 64 samples of one channel.
+    The header checkpoints the RUNNING state (top 9 predictor bits |
+    7-bit step index — the seek anchor QuickTime stores); nibbles pack
+    LOW-first (the QT convention, opposite of audioop's raw stream) and
+    run through the shared IMA quantizer."""
+    if len(samples) != IMA4_SAMPLES_PER_PACKET:
+        raise ValueError(f"ima4 packet takes 64 samples, got {len(samples)}")
+    pred, index = state
+    out = bytearray(struct.pack(">H", (pred & 0xFF80) | (index & 0x7F)))
+    # the decoder restarts from the quantized header predictor — mirror
+    # it here so encode/decode states stay in lockstep
+    pred = _sext16(pred & 0xFF80)
+    lo = None
+    for s in samples:
+        nib, pred, index = encode_sample(int(s), pred, index)
+        if lo is None:
+            lo = nib
+        else:
+            out.append((nib << 4) | lo)
+            lo = None
+    return bytes(out), (pred, index)
+
+
+def ima_qt_decode_packet(packet: bytes) -> list[int]:
+    """One ima4 packet → 64 int16 samples (state restarts from the
+    header checkpoint, which is what makes packets seekable)."""
+    if len(packet) != IMA4_PACKET_BYTES:
+        raise ValueError(f"ima4 packet is 34 bytes, got {len(packet)}")
+    (hdr,) = struct.unpack(">H", packet[:2])
+    pred = _sext16(hdr & 0xFF80)
+    index = _clamp_index(hdr & 0x7F)
+    out: list[int] = []
+    for byte in packet[2:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            pred, index = decode_nibble(nib, pred, index)
+            out.append(pred)
+    return out
+
+
+def _sext16(v: int) -> int:
+    return v - 0x10000 if v & 0x8000 else v
+
+
+def ima_qt_encode(samples: list[int], channels: int = 1) -> bytes:
+    """Interleaved int16 samples → ima4 packet stream (per-channel
+    34-byte packets, channel-interleaved per 64-sample frame group; the
+    tail pads by holding the final sample — decoders trim to the COMM
+    frame count)."""
+    if channels not in (1, 2):
+        raise ValueError(f"ima4 encode supports 1 or 2 channels, got {channels}")
+    if len(samples) % channels:
+        raise ValueError("interleaved sample count not divisible by channels")
+    per = [samples[c::channels] for c in range(channels)]
+    n = len(per[0])
+    pad = (-n) % IMA4_SAMPLES_PER_PACKET
+    if pad:
+        for ch in per:
+            ch.extend([ch[-1] if ch else 0] * pad)
+    states = [(0, 0)] * channels
+    out = bytearray()
+    for base in range(0, n + pad, IMA4_SAMPLES_PER_PACKET):
+        for c in range(channels):
+            pkt, states[c] = ima_qt_encode_packet(
+                per[c][base : base + IMA4_SAMPLES_PER_PACKET], states[c]
+            )
+            out += pkt
+    return bytes(out)
+
+
+def ima_qt_decode(data: bytes, channels: int = 1) -> list[int]:
+    """ima4 packet stream → interleaved int16 samples (inverse layout of
+    ``ima_qt_encode``; trailing partial packets are malformed)."""
+    if channels not in (1, 2):
+        raise ValueError(f"ima4 decode supports 1 or 2 channels, got {channels}")
+    if len(data) % (IMA4_PACKET_BYTES * channels):
+        raise ValueError(
+            f"ima4 stream length {len(data)} not a whole packet group"
+        )
+    per: list[list[int]] = [[] for _ in range(channels)]
+    pos = 0
+    while pos < len(data):
+        for c in range(channels):
+            per[c].extend(ima_qt_decode_packet(data[pos : pos + IMA4_PACKET_BYTES]))
+            pos += IMA4_PACKET_BYTES
+    out: list[int] = []
+    for i in range(len(per[0])):
+        for c in range(channels):
+            out.append(per[c][i])
     return out

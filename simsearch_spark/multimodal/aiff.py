@@ -58,6 +58,7 @@ _AIFC_NAMES = {
     b"alaw": b"Alaw 2:1",
     b"fl32": b"32-bit floating point",
     b"FL32": b"32-bit floating point",  # the SoundManager spelling
+    b"ima4": b"IMA 4:1",  # QuickTime IMA ADPCM (r13, multimodal/adpcm.py)
 }
 
 
@@ -98,6 +99,10 @@ def encode_aiff(
         from simsearch_spark.multimodal.g711 import alaw_encode
 
         data = bytes(alaw_encode(s) for s in samples)
+    elif ctype == b"ima4":
+        from simsearch_spark.multimodal.adpcm import ima_qt_encode
+
+        data = ima_qt_encode([int(s) for s in samples], channels)
     else:
         data = struct.pack(f">{len(samples)}h", *samples)
     ss_bits = 32 if ctype in (b"fl32", b"FL32") else 16
@@ -159,6 +164,7 @@ def decode_aiff(payload: bytes) -> tuple[int, int, list[int]]:
                 bits == 16
                 or (ctype in (b"ulaw", b"alaw") and bits == 8)
                 or (ctype in (b"fl32", b"FL32") and bits == 32)
+                or (ctype == b"ima4" and bits in (4, 16))
             )
             if not ok_bits:
                 raise NotImplementedError(f"AIFF sample size {bits} (16-bit only)")
@@ -188,6 +194,10 @@ def decode_aiff(payload: bytes) -> tuple[int, int, list[int]]:
         from simsearch_spark.multimodal.g711 import alaw_decode
 
         samples = [alaw_decode(b) for b in data]
+    elif ctype == b"ima4":
+        from simsearch_spark.multimodal.adpcm import ima_qt_decode
+
+        samples = ima_qt_decode(bytes(data), channels)
     else:
         n = len(data) // 2
         endian = "<" if ctype == b"sowt" else ">"

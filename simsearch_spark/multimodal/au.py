@@ -98,6 +98,12 @@ def decode_au(payload: bytes) -> tuple[int, int, list[int]]:
         n = len(data) // width
         vals = struct.unpack(f">{n}{'f' if width == 4 else 'd'}", data[: n * width])
         return rate, channels, [float_to_int16(v) for v in vals]
+    # PERMANENT pin (r13): encodings 23-26 are the G.721/G.723 (G.726)
+    # ADPCM family — a full adaptive pole/zero predictor recommendation,
+    # not a table lookup; out of scope by the arithmetic-JPEG-decline
+    # rationale (a large stateful spec with no bounded verification
+    # vector in-container).  Everything else AU defines is covered.
     raise NotImplementedError(
-        f"AU encoding {enc} (G.711 / PCM-16 / IEEE-float only)"
+        f"AU encoding {enc} (G.711 / PCM-16 / IEEE-float implemented; "
+        "the G.721/G.723 ADPCM family is a declined seam)"
     )

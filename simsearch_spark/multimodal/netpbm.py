@@ -92,10 +92,25 @@ def _pam_header(data: bytes) -> tuple[int, int, int, int, int]:
     w, h, d, mx = (fields[k] for k in (b"WIDTH", b"HEIGHT", b"DEPTH", b"MAXVAL"))
     if w <= 0 or h <= 0 or mx <= 0 or mx > 65535:
         raise ValueError(f"degenerate PAM header {w}x{h} maxval {mx}")
-    if d not in (1, 3) or b"ALPHA" in tupltype:
+    if d not in (1, 2, 3, 4):
         raise NotImplementedError(
-            f"PAM depth {d} / tupltype {tupltype.decode(errors='replace')!r} "
-            "(GRAYSCALE and RGB only)"
+            f"PAM depth {d} (GRAYSCALE/RGB with or without ALPHA only)"
+        )
+    # a declared tuple type must agree with the depth (r13: ALPHA tuples
+    # decode — depth 2 = GRAYSCALE_ALPHA, 4 = RGB_ALPHA, the PNG
+    # channel-count convention); an inconsistent pair is malformed
+    expect = {
+        b"BLACKANDWHITE": 1, b"GRAYSCALE": 1, b"RGB": 3,
+        b"BLACKANDWHITE_ALPHA": 2, b"GRAYSCALE_ALPHA": 2, b"RGB_ALPHA": 4,
+    }.get(tupltype)
+    if tupltype and expect is not None and expect != d:
+        raise ValueError(
+            f"PAM depth {d} contradicts tupltype "
+            f"{tupltype.decode(errors='replace')!r}"
+        )
+    if b"ALPHA" in tupltype and expect is None:
+        raise NotImplementedError(
+            f"PAM tupltype {tupltype.decode(errors='replace')!r}"
         )
     return w, h, d, mx, pos
 
@@ -269,23 +284,27 @@ def encode_pam(
     pixels: bytes,
     maxval: int = 255,
 ) -> bytes:
-    """Row-major 8-bit pixels → P7/PAM (GRAYSCALE or RGB tuple type,
-    binary raster; ``maxval=65535`` writes the exact v*257 widening)."""
-    if channels not in (1, 3):
-        raise ValueError(f"PAM encode supports 1 or 3 channels, got {channels}")
+    """Row-major 8-bit pixels → P7/PAM (GRAYSCALE/RGB tuple types, with
+    ALPHA at 2/4 channels — r13; binary raster; ``maxval=65535`` writes
+    the exact v*257 widening)."""
+    if channels not in (1, 2, 3, 4):
+        raise ValueError(f"PAM encode supports 1-4 channels, got {channels}")
     if len(pixels) != width * height * channels:
         raise ValueError(
             f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
         )
     if maxval not in (255, 65535):
         raise ValueError("encoder writes maxval 255 or 65535 only")
+    ttype = {
+        1: b"GRAYSCALE", 2: b"GRAYSCALE_ALPHA", 3: b"RGB", 4: b"RGB_ALPHA",
+    }[channels]
     hdr = (
         b"P7\n"
         + b"WIDTH %d\n" % width
         + b"HEIGHT %d\n" % height
         + b"DEPTH %d\n" % channels
         + b"MAXVAL %d\n" % maxval
-        + (b"TUPLTYPE GRAYSCALE\n" if channels == 1 else b"TUPLTYPE RGB\n")
+        + b"TUPLTYPE " + ttype + b"\n"
         + b"ENDHDR\n"
     )
     if maxval == 65535:

@@ -420,21 +420,41 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
             raise NotImplementedError(
                 f"TIFF {bps0}-bit with {spp} samples not supported"
             )
-        if 322 in tags or 324 in tags or planar == 2:
-            raise NotImplementedError(f"tiled/planar {bps0}-bit TIFF not supported")
+        if planar == 2:
+            # PlanarConfiguration is meaningless at one sample per pixel
+            # (TIFF 6.0: "this field is irrelevant if SamplesPerPixel is
+            # 1") — r13: normalize instead of seaming
+            planar = 1
+        if 322 in tags or 324 in tags:
+            # r13: sub-byte and 16-bit TILED gray assemble (byte-aligned
+            # blit — spec tile widths are multiples of 16, so 1/4-bit
+            # tile boundaries land on bytes); JPEG stays 8-bit and CCITT
+            # tiles stay a named seam
+            if comp not in (1, 5, 32773):
+                raise NotImplementedError(
+                    f"tiled {bps0}-bit TIFF with compression {comp} "
+                    "not supported"
+                )
         if predictor == 2 and bps0 != 16:
-            # 16-bit differencing works in sample space (r12); sub-byte
-            # differencing stays the named seam
-            raise NotImplementedError(
-                f"predictor 2 with {bps0}-bit samples not supported"
+            # PERMANENT pin (r13): TIFF 6.0 §14 defines horizontal
+            # differencing for 8-bit samples and the TechNote extension
+            # covers 16/32 — sub-byte sample differencing has no spec
+            # meaning, so a file claiming it is malformed, not a seam
+            raise ValueError(
+                f"predictor 2 with {bps0}-bit samples is not defined by "
+                "TIFF 6.0 (8-bit) or the TechNote extension (16/32-bit)"
             )
         if comp == 7:
             raise NotImplementedError("JPEG-in-TIFF is 8-bit only")
         if bps0 == 16 and photo == 3:
-            # the 16-bit path keeps each sample's HIGH byte, which is a
-            # gray reduction — applied to palette INDICES it would look
-            # up the wrong entries and mislabel the result 'ok'
-            raise NotImplementedError("16-bit palette TIFF not supported")
+            # PERMANENT pin (r13): TIFF 6.0 §5 restricts palette images
+            # to BitsPerSample 4 or 8 — a 16-bit ColorMap index is
+            # malformed, and the 16-bit high-byte reduction would look
+            # up the wrong entries while labeling the result 'ok'
+            raise ValueError(
+                "16-bit palette TIFF is malformed (TIFF 6.0 limits "
+                "PhotometricInterpretation 3 to 4/8-bit samples)"
+            )
     if photo == 2 and spp == 3:
         channels = 3
     elif photo in (0, 1, 3) and spp == 1:
@@ -478,8 +498,11 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
                 inter[p::channels] = plane
             return (w, h, *_apply_photometric(bytes(inter), photo, cmap))
         body = _assemble_tiles(
-            data, tags, w, h, channels, comp, predictor, jpeg_tables
+            data, tags, w, h, channels, comp, predictor, jpeg_tables,
+            bps=bps0, bo=bo,
         )
+        if bps0 != 8:
+            body = _samples_to_bytes(body, w, h, bps0, bo, scale=photo != 3)
         return (w, h, *_apply_photometric(body, photo, cmap))
     offs = tags.get(273)
     counts = tags.get(279)
@@ -680,6 +703,8 @@ def _assemble_tiles(
     jpeg_tables: bytes | None = None,
     offs: list[int] | None = None,
     counts: list[int] | None = None,
+    bps: int = 8,
+    bo: str = "<",
 ) -> bytes:
     """Tiled TIFF assembly (TIFF 6.0 §15): TileWidth/TileLength (322/323,
     multiples of 16 per spec — not enforced, writers vary), offsets/byte
@@ -702,8 +727,18 @@ def _assemble_tiles(
         raise ValueError(
             f"tiled TIFF expects {across * down} tiles, has {len(offs)} offsets"
         )
-    tile_bytes = tw * tl * channels
-    body = bytearray(w * h * channels)
+    # r13: non-8-bit single-plane tiles — rows pack at bit depth ``bps``
+    # and the blit works in whole bytes, which requires tile boundaries
+    # on byte boundaries (guaranteed by the spec's multiple-of-16 tile
+    # widths; enforced for writers that deviate)
+    if bps in (1, 4) and (tw * bps) % 8:
+        raise NotImplementedError(
+            f"tiled {bps}-bit TIFF with non-byte-aligned tile width {tw}"
+        )
+    t_stride = (tw * bps * channels + 7) // 8
+    w_stride = (w * bps * channels + 7) // 8
+    tile_bytes = t_stride * tl
+    body = bytearray(w_stride * h)
     for ti, (o, c) in enumerate(zip(offs, counts)):
         chunk = data[o : o + c]
         if len(chunk) != c:
@@ -711,7 +746,10 @@ def _assemble_tiles(
         if comp == 5:
             tile = bytearray(lzw_decode_tiff(chunk, tile_bytes))
             if predictor == 2:
-                _undiff_rows(tile, tw, tl, channels)
+                if bps == 16:
+                    _undiff_rows16(tile, tw, tl, bo)
+                else:
+                    _undiff_rows(tile, tw, tl, channels)
         elif comp == 32773:
             if predictor == 2:
                 raise NotImplementedError("predictor 2 with PackBits not supported")
@@ -737,10 +775,12 @@ def _assemble_tiles(
         ty, tx = divmod(ti, across)
         x0, y0 = tx * tw, ty * tl
         cols = min(tw, w - x0)
+        nbytes = (cols * bps * channels + 7) // 8
+        x_off = x0 * bps * channels // 8  # byte-aligned by the gate above
         for row in range(min(tl, h - y0)):
-            src = row * tw * channels
-            dst = ((y0 + row) * w + x0) * channels
-            body[dst : dst + cols * channels] = tile[src : src + cols * channels]
+            src = row * t_stride
+            dst = (y0 + row) * w_stride + x_off
+            body[dst : dst + nbytes] = tile[src : src + nbytes]
     return bytes(body)
 
 

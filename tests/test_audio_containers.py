@@ -101,12 +101,13 @@ def test_aifc_variants():
     j = blob.index(b"COMM") + 8 + 6
     blob8 = blob[:j] + struct.pack(">h", 8) + blob[j + 2 :]
     assert decode_aiff(blob8)[2] == samples
-    # unknown compression type = the named seam
-    ima = blob.replace(b"alaw", b"ima4", 1)
-    with pytest.raises(NotImplementedError, match="ima4"):
-        decode_aiff(ima)
+    # unknown compression type = the named seam (r13: ima4 decodes now,
+    # so MACE 3:1 plays the unknown here)
+    mac = blob.replace(b"alaw", b"MAC3", 1)
+    with pytest.raises(NotImplementedError, match="MAC3"):
+        decode_aiff(mac)
     with pytest.raises(ValueError, match="AIFC encode supports"):
-        encode_aiff([0], 8000, aifc="ima4")
+        encode_aiff([0], 8000, aifc="MAC3")
     # exercise round-trip through an encoder-side compand
     assert decode_aiff(encode_aiff([1000], 8000, aifc="ulaw"))[2] == [
         ulaw_decode(ulaw_encode(1000))
@@ -288,3 +289,64 @@ def test_float_decode_bounded_on_inf_nan():
     body = struct.pack("<fff", math.inf, -math.inf, math.nan)
     blob = blob[: len(blob) - 12] + body
     assert decode_wav(blob)[2] == [32767, -32768, 0]
+
+
+def test_aifc_ima4():
+    """r13 (closes the ima4 seam): QuickTime IMA ADPCM in AIFF-C — 34-byte
+    packets (2-byte state checkpoint + 64 low-nibble-first samples) per
+    channel, channel-interleaved per frame group, through the SAME IMA
+    core audioop pinned for the WAV tag-0x11 path.  Lossy: the coded
+    stream round-trips exactly (decode∘encode is a fixed point of
+    encode∘decode), reconstruction error is step-bounded on smooth
+    signals, and packet headers make decode restartable."""
+    import math
+
+    from simsearch_spark.multimodal.adpcm import (
+        IMA4_PACKET_BYTES,
+        ima_qt_decode,
+        ima_qt_encode,
+        ima_qt_decode_packet,
+    )
+
+    for channels in (1, 2):
+        n = 200  # not a multiple of 64: exercises the hold-last padding
+        samples = [
+            int(4000 * math.sin(i / 20.0)) for i in range(n * channels)
+        ]
+        blob = encode_aiff(samples, 22050, channels, aifc="ima4")
+        assert blob[8:12] == b"AIFC"
+        rate, ch, out = decode_aiff(blob)
+        assert (rate, ch, len(out)) == (22050, channels, n * channels)
+        err = max(abs(a - b) for a, b in zip(samples, out))
+        assert err <= 1500, err  # smooth signal: step-table-bounded
+        # coded-stream fixed point: re-encoding the decode reproduces it
+        assert ima_qt_encode(
+            ima_qt_decode(ima_qt_encode(list(samples), channels), channels),
+            channels,
+        ) == ima_qt_encode(list(samples), channels)
+        assert decode_audio(blob) == (rate, ch, out)
+
+    # packets are independently decodable from their headers: decoding
+    # packet k alone equals samples 64k..64k+63 of the full stream
+    samples = [int(8000 * math.sin(i / 5.0)) for i in range(192)]
+    stream = ima_qt_encode(list(samples), 1)
+    full = ima_qt_decode(stream, 1)
+    for k in range(3):
+        pkt = stream[k * IMA4_PACKET_BYTES : (k + 1) * IMA4_PACKET_BYTES]
+        assert ima_qt_decode_packet(pkt) == full[k * 64 : (k + 1) * 64]
+
+    # malformed: partial packet group
+    with pytest.raises(ValueError, match="whole packet group"):
+        ima_qt_decode(stream[:-1], 1)
+
+
+def test_au_g72x_family_is_a_declined_seam():
+    """r13 PERMANENT pin: AU encodings 23-26 (G.721/G.723 ADPCM) stay a
+    named decline — a full adaptive-predictor recommendation, the
+    arithmetic-JPEG rationale."""
+    from simsearch_spark.multimodal.au import decode_au, encode_au
+
+    blob = bytearray(encode_au([0, 100, -100], 8000))
+    blob[12:16] = struct.pack(">I", 23)  # G.721 4-bit ADPCM
+    with pytest.raises(NotImplementedError, match="G.721/G.723"):
+        decode_au(bytes(blob))

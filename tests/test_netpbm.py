@@ -150,11 +150,13 @@ def test_resize_handles_new_containers(spark):
 
 def test_pam_p7():
     """r12: P7/PAM — GRAYSCALE and RGB tuples, 8- and 16-bit, header
-    comments and unknown keys tolerated; ALPHA tuple types are the seam."""
+    comments and unknown keys tolerated; r13: ALPHA tuples decode at
+    2/4 channels (the PNG convention), depth/tupltype contradictions
+    are malformed."""
     from simsearch_spark.multimodal.netpbm import encode_pam
 
     rng = random.Random(19)
-    for ch in (1, 3):
+    for ch in (1, 2, 3, 4):
         px = bytes(rng.randrange(256) for _ in range(4 * 3 * ch))
         for mx in (255, 65535):
             blob = encode_pam(4, 3, ch, px, maxval=mx)
@@ -165,9 +167,17 @@ def test_pam_p7():
     blob = (b"P7\n# c\nWIDTH 2\nXROLL 9\nHEIGHT 1\nDEPTH 1\n"
             b"MAXVAL 255\nTUPLTYPE GRAYSCALE\nENDHDR\nAB")
     assert decode_netpbm(blob) == (2, 1, 1, b"AB")
+    # GRAYSCALE_ALPHA decodes (r12 seam closed in r13)
+    assert decode_netpbm(
+        b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 2\nMAXVAL 255\n"
+        b"TUPLTYPE GRAYSCALE_ALPHA\nENDHDR\nAB"
+    ) == (1, 1, 2, b"AB")
+    with pytest.raises(ValueError, match="contradicts"):
+        decode_netpbm(b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 3\nMAXVAL 255\n"
+                      b"TUPLTYPE GRAYSCALE_ALPHA\nENDHDR\nABC")
     with pytest.raises(NotImplementedError, match="ALPHA"):
         decode_netpbm(b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 2\nMAXVAL 255\n"
-                      b"TUPLTYPE GRAYSCALE_ALPHA\nENDHDR\nAB")
+                      b"TUPLTYPE CMYK_ALPHA\nENDHDR\nAB")
     with pytest.raises(ValueError, match="missing DEPTH"):
         decode_netpbm(b"P7\nWIDTH 1\nHEIGHT 1\nMAXVAL 255\nENDHDR\nA")
     with pytest.raises(ValueError, match="no ENDHDR"):

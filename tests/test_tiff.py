@@ -908,14 +908,15 @@ def test_bit_depths_1_4_16():
         decode_tiff(bytes(b))
 
 
-def test_sixteen_bit_palette_is_a_seam():
-    """Self-review regression: photo==3 at bps 16 would high-byte-reduce
-    the palette INDICES (wrong colors marked 'ok') — must be a named
-    NotImplementedError seam instead."""
+def test_sixteen_bit_palette_is_malformed():
+    """r13 PERMANENT pin: TIFF 6.0 §5 limits palette images to 4/8-bit
+    samples, so a 16-bit photometric-3 file is malformed input
+    (ValueError), not a capability seam — high-byte reduction would look
+    up the wrong palette entries while labeling the result 'ok'."""
     b = bytearray(encode_tiff(2, 1, 1, bytes([0, 17]), bits_per_sample=16))
     i = b.index(struct.pack("<HHI", 262, 3, 1))
     b[i + 8] = 3  # photometric: palette
-    with pytest.raises(NotImplementedError, match="16-bit palette"):
+    with pytest.raises(ValueError, match="16-bit palette"):
         decode_tiff(bytes(b))
 
 
@@ -940,3 +941,137 @@ def test_sixteen_bit_predictor2():
     with pytest.raises(ValueError, match="8 or 16 bits"):
         encode_tiff(4, 1, 1, bytes([0, 255, 0, 255]), compression="lzw",
                     predictor=2, bits_per_sample=1)
+
+
+def _build_tiled_gray(w, h, tw, tl, bps, tiles, comp=1, bo="<"):
+    """Hand-built single-plane tiled TIFF at arbitrary bit depth."""
+    entries = [
+        (256, 3, 1, struct.pack(bo + "HH", w, 0)),
+        (257, 3, 1, struct.pack(bo + "HH", h, 0)),
+        (258, 3, 1, struct.pack(bo + "HH", bps, 0)),
+        (259, 3, 1, struct.pack(bo + "HH", comp, 0)),
+        (262, 3, 1, struct.pack(bo + "HH", 1, 0)),
+        (277, 3, 1, struct.pack(bo + "HH", 1, 0)),
+        (322, 3, 1, struct.pack(bo + "HH", tw, 0)),
+        (323, 3, 1, struct.pack(bo + "HH", tl, 0)),
+    ]
+    nt = len(tiles)
+    n = len(entries) + 2
+    ifd_size = 2 + 12 * n + 4
+    arr_off = 8 + ifd_size
+    data_off = arr_off + 8 * nt
+    offs, pos = [], data_off
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    entries.append((324, 4, nt, struct.pack(bo + "I", arr_off)))
+    entries.append((325, 4, nt, struct.pack(bo + "I", arr_off + 4 * nt)))
+    out = bytearray((b"II*\x00" if bo == "<" else b"MM\x00*")
+                    + struct.pack(bo + "I", 8))
+    out += struct.pack(bo + "H", n)
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + val
+    out += struct.pack(bo + "I", 0)
+    out += struct.pack(bo + f"{nt}I", *offs)
+    out += struct.pack(bo + f"{nt}I", *[len(t) for t in tiles])
+    for t in tiles:
+        out += t
+    return bytes(out)
+
+
+def test_tiled_sub_byte_and_16bit():
+    """r13 (closes the tiled-depth seam): 1/4-bit and 16-bit single-plane
+    TILED gray assemble by byte-aligned blit (spec tile widths are
+    multiples of 16, so sub-byte tile boundaries land on bytes) — edge
+    padding clipped, uncompressed and LZW, both byte orders for 16."""
+    import random
+
+    rng = random.Random(53)
+    from simsearch_spark.multimodal.tiff import lzw_encode_tiff
+
+    for bps, tw, tl in [(1, 16, 4), (4, 16, 2)]:
+        w, h = 21, 5  # 2x? grid with right/bottom padding
+        mul = 255 // ((1 << bps) - 1)
+        px = bytes(rng.randrange(1 << bps) * mul for _ in range(w * h))
+        t_stride = tw * bps // 8
+        across, down = -(-w // tw), -(-h // tl)
+        tiles = []
+        for ty in range(down):
+            for tx in range(across):
+                block = bytearray(t_stride * tl)
+                for r in range(tl):
+                    y = ty * tl + r
+                    if y >= h:
+                        break
+                    for cidx in range(tw):
+                        x = tx * tw + cidx
+                        if x >= w:
+                            break
+                        v = px[y * w + x] // mul
+                        if bps == 4:
+                            block[r * t_stride + (cidx >> 1)] |= (
+                                v << (0 if cidx & 1 else 4)
+                            )
+                        else:
+                            block[r * t_stride + (cidx >> 3)] |= (
+                                v << (7 - (cidx & 7))
+                            )
+                tiles.append(bytes(block))
+        blob = _build_tiled_gray(w, h, tw, tl, bps, tiles)
+        assert decode_tiff(blob) == (w, h, 1, px), bps
+        lzw_tiles = [lzw_encode_tiff(t) for t in tiles]
+        blob5 = _build_tiled_gray(w, h, tw, tl, bps, lzw_tiles, comp=5)
+        assert decode_tiff(blob5) == (w, h, 1, px), ("lzw", bps)
+
+    # 16-bit tiled: v*257 widening, both byte orders
+    for bo in ("<", ">"):
+        w, h, tw, tl = 20, 3, 16, 2
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        tiles = []
+        for ty in range(-(-h // tl)):
+            for tx in range(-(-w // tw)):
+                block = bytearray(tw * tl * 2)
+                for r in range(tl):
+                    y = ty * tl + r
+                    if y >= h:
+                        break
+                    for cidx in range(tw):
+                        x = tx * tw + cidx
+                        if x >= w:
+                            break
+                        struct.pack_into(
+                            bo + "H", block, (r * tw + cidx) * 2,
+                            px[y * w + x] * 257,
+                        )
+                tiles.append(bytes(block))
+        blob = _build_tiled_gray(w, h, tw, tl, 16, tiles, bo=bo)
+        assert decode_tiff(blob) == (w, h, 1, px), bo
+
+    # non-byte-aligned sub-byte tile width stays a named seam
+    bad = _build_tiled_gray(4, 2, 4, 2, 1, [bytes(2)])
+    with pytest.raises(NotImplementedError, match="tile width"):
+        decode_tiff(bad)
+
+
+def test_planar_single_sample_normalizes():
+    """r13: PlanarConfiguration 2 with SamplesPerPixel 1 is a no-op per
+    TIFF 6.0 ('irrelevant if SamplesPerPixel is 1') — decode, don't
+    seam."""
+    b = bytearray(encode_tiff(4, 2, 1, bytes([0, 17, 34, 51] * 2),
+                              bits_per_sample=4))
+    # splice planar=2 by repurposing the RowsPerStrip tag slot
+    i = b.index(struct.pack("<HHI", 278, 3, 1))
+    b[i:i + 12] = struct.pack("<HHI", 284, 3, 1) + struct.pack("<HH", 2, 0)
+    assert decode_tiff(bytes(b)) == (4, 2, 1, bytes([0, 17, 34, 51] * 2))
+
+
+def test_sub_byte_predictor_is_malformed():
+    """r13 PERMANENT pin: predictor 2 below 8 bits has no spec meaning
+    (TIFF 6.0 §14 defines differencing for 8-bit; the TechNote covers
+    16/32) — malformed input, not a seam."""
+    b = bytearray(encode_tiff(8, 1, 1, bytes([0, 255] * 4),
+                              compression="lzw", bits_per_sample=1))
+    i = b.index(struct.pack("<HHI", 278, 3, 1))
+    b[i:i + 12] = struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 2, 0)
+    with pytest.raises(ValueError, match="not defined by"):
+        decode_tiff(bytes(b))
