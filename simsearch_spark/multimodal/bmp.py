@@ -313,13 +313,29 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (off,) = struct.unpack("<I", data[10:14])
-    hdr_size, w, h, _planes, bits = struct.unpack("<IiiHH", data[14:30])
-    (comp,) = struct.unpack("<I", data[30:34])
-    if hdr_size < 40:
-        raise NotImplementedError(f"BMP header size {hdr_size} (BITMAPINFOHEADER+ only)")
-    if comp not in (0, 1, 2, 3):
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    core = hdr_size == 12
+    if core:
+        # OS/2 BITMAPCOREHEADER (r13): 16-bit unsigned geometry, no
+        # compression field (always BI_RGB), RGB-TRIPLE palette
+        w, h, _planes, bits = struct.unpack("<HHHH", data[18:26])
+        comp = 0
+        if bits not in (1, 4, 8, 24):
+            raise ValueError(
+                f"OS/2 core BMP with bit depth {bits} (1/4/8/24 only per spec)"
+            )
+    elif hdr_size >= 40:
+        w, h, _planes, bits = struct.unpack("<iiHH", data[18:30])
+        (comp,) = struct.unpack("<I", data[30:34])
+    else:
         raise NotImplementedError(
-            f"BMP compression {comp} (BI_RGB / BI_RLE8 / BI_RLE4 / BI_BITFIELDS only)"
+            f"BMP header size {hdr_size} (BITMAPCOREHEADER or "
+            "BITMAPINFOHEADER+ only)"
+        )
+    if comp not in (0, 1, 2, 3, 4, 5):
+        raise NotImplementedError(
+            f"BMP compression {comp} (BI_RGB / BI_RLE8 / BI_RLE4 / "
+            "BI_BITFIELDS / BI_JPEG / BI_PNG only)"
         )
     masks = None
     if comp == 3:
@@ -348,6 +364,22 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     if w <= 0 or h == 0:
         raise ValueError(f"degenerate BMP geometry {w}x{h}")
     body = data[off:]
+    if comp in (4, 5):
+        # BI_JPEG / BI_PNG (r13): the "pixel data" is a complete
+        # JPEG/PNG stream (GDI passthrough form) — route it to the
+        # in-repo codecs; the header geometry must agree with the
+        # embedded image (the stream is natively top-down)
+        if comp == 4:
+            from simsearch_spark.multimodal.jpeg import decode_jpeg as _dec
+        else:
+            from simsearch_spark.multimodal.png import decode_png as _dec
+        ew, eh, ech, epx = _dec(bytes(body))
+        if (ew, eh) != (w, h):
+            raise ValueError(
+                f"BI_{'JPEG' if comp == 4 else 'PNG'} stream geometry "
+                f"{ew}x{eh} != BMP header {w}x{h}"
+            )
+        return ew, eh, ech, epx
     if bits == 24:
         if not top_down:
             return w, h, 3, decode_dib_frame(body, w, h)
@@ -405,10 +437,21 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 out[3 * (y * w + x) : 3 * (y * w + x) + 3] = bytes((r, g, b))
         return w, h, 3, bytes(out)
     if bits in (1, 4, 8):
-        n_colors = struct.unpack("<I", data[46:50])[0] or (1 << bits)
-        pal = data[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
-        if len(pal) < 4 * n_colors:
-            raise ValueError("truncated BMP palette")
+        if core:
+            # OS/2 palette: RGBTRIPLE entries, count fixed at 2^bits —
+            # widen to the BGRX layout the expansion below reads
+            n_colors = 1 << bits
+            raw = data[26 : 26 + 3 * n_colors]
+            if len(raw) < 3 * n_colors:
+                raise ValueError("truncated BMP palette")
+            pal = b"".join(
+                raw[3 * i : 3 * i + 3] + b"\x00" for i in range(n_colors)
+            )
+        else:
+            n_colors = struct.unpack("<I", data[46:50])[0] or (1 << bits)
+            pal = data[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
+            if len(pal) < 4 * n_colors:
+                raise ValueError("truncated BMP palette")
         if comp == 1:
             idx = bytearray(_rle8_decode(body, w, h))
         elif comp == 2:

@@ -33,8 +33,14 @@ def test_nongray_palette_expands_to_rgb():
 def test_named_seams():
     g = encode_bmp(4, 2, 1, bytes(8))
     b = bytearray(g)
-    b[30:34] = struct.pack("<I", 4)  # BI_JPEG embedded payload: a seam
-    with pytest.raises(NotImplementedError, match="compression 4"):
+    # r13: BI_JPEG decodes now — garbage where the stream should be is
+    # malformed, not a seam; compression 6 (BI_ALPHABITFIELDS) remains one
+    b[30:34] = struct.pack("<I", 4)
+    with pytest.raises(ValueError, match="not a JPEG payload"):
+        decode_bmp(bytes(b))
+    b = bytearray(g)
+    b[30:34] = struct.pack("<I", 6)
+    with pytest.raises(NotImplementedError, match="compression 6"):
         decode_bmp(bytes(b))
     b = bytearray(g)
     b[28:30] = struct.pack("<H", 2)  # 2-bit: not a legal BMP depth
@@ -316,3 +322,81 @@ def test_wide_bitfields_masks_are_a_seam():
     )
     with pytest.raises(NotImplementedError, match="width 10"):
         decode_bmp(blob)
+
+
+def test_os2_core_header():
+    """r13: OS/2 BITMAPCOREHEADER (12-byte header, 16-bit geometry,
+    RGBTRIPLE palette) — 24-bit direct and 1/4/8-bit palettes decode;
+    illegal core depths are malformed."""
+    def build_core(w, h, bits, palette_rgb, rows):
+        off = 14 + 12 + len(palette_rgb)
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+        core = struct.pack("<IHHHH", 12, w, h, 1, bits)
+        return hdr + core + palette_rgb + rows
+
+    # 24-bit: bottom-up BGR rows, 4-byte stride
+    w, h = 3, 2
+    px = bytes(range(3 * w * h))
+    stride = (w * 3 + 3) & ~3
+    rows = b"".join(
+        bytes(
+            v for x in range(w)
+            for v in px[3 * (y * w + x) : 3 * (y * w + x) + 3][::-1]
+        ).ljust(stride, b"\x00")
+        for y in range(h - 1, -1, -1)
+    )
+    assert decode_bmp(build_core(w, h, 24, b"", rows)) == (w, h, 3, px)
+
+    # 8-bit gray palette (RGB triples, full 256 entries)
+    pal = b"".join(bytes([i, i, i]) for i in range(256))
+    w, h = 5, 3
+    idx = bytes((i * 37) & 0xFF for i in range(w * h))
+    stride = (w + 3) & ~3
+    rows = b"".join(
+        idx[y * w : (y + 1) * w].ljust(stride, b"\x00")
+        for y in range(h - 1, -1, -1)
+    )
+    assert decode_bmp(build_core(w, h, 8, pal, rows)) == (w, h, 1, idx)
+
+    # 1-bit two-tone
+    pal1 = bytes([0, 0, 0, 255, 255, 255])
+    bitsrow = bytes([0b10110000.to_bytes(1, "big")[0], 0, 0, 0])
+    got = decode_bmp(build_core(4, 1, 1, pal1, bitsrow))
+    assert got == (4, 1, 1, bytes([255, 0, 255, 255]))
+
+    with pytest.raises(ValueError, match="core BMP with bit depth 16"):
+        decode_bmp(build_core(2, 1, 16, b"", bytes(4)))
+    # header sizes between 12 and 40 stay the named seam
+    blob = bytearray(build_core(2, 1, 24, b"", bytes(8)))
+    blob[14:18] = struct.pack("<I", 16)
+    with pytest.raises(NotImplementedError, match="header size 16"):
+        decode_bmp(bytes(blob))
+
+
+def test_bi_jpeg_and_bi_png_passthrough():
+    """r13: BI_JPEG (4) / BI_PNG (5) — the pixel data is a complete
+    embedded stream routed to the in-repo codecs; header geometry must
+    agree."""
+    from simsearch_spark.multimodal.jpeg import encode_jpeg
+    from simsearch_spark.multimodal.png import encode_png
+
+    w, h = 8, 6
+    px = bytes((x * 30 + y) & 0xFF for y in range(h) for x in range(w))
+
+    def wrap(stream, comp, hw=w, hh=h):
+        off = 14 + 40
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(stream), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, hw, hh, 1, 0, comp, len(stream),
+            2835, 2835, 0, 0,
+        )
+        return hdr + info + stream
+
+    png = encode_png(w, h, 1, px)
+    assert decode_bmp(wrap(png, 5)) == (w, h, 1, px)
+    jpg = encode_jpeg(w, h, 1, bytes([77] * (w * h)), quality=90)
+    jw, jh, jch, jpx = decode_bmp(wrap(jpg, 4))
+    assert (jw, jh, jch) == (w, h, 1)  # block-constant: decodes exactly
+    assert jpx == bytes([77] * (w * h))
+    with pytest.raises(ValueError, match="stream geometry"):
+        decode_bmp(wrap(png, 5, hw=w + 1))
