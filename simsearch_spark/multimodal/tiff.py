@@ -60,6 +60,7 @@ vector in tests/test_tiff.py.
 from __future__ import annotations
 
 import struct
+import zlib
 
 __all__ = [
     "encode_tiff",
@@ -375,10 +376,10 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
             raise ValueError(f"TIFF has {idx + 1} page(s), page {page} requested")
         tags, nxt = _read_ifd(data, bo, nxt)
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 2, 3, 4, 5, 7, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} "
-            "(uncompressed/CCITT G3 and G4/LZW/JPEG/PackBits implemented)"
+            f"TIFF compression {comp} (uncompressed/CCITT G3 and G4/LZW/"
+            "JPEG/Deflate/PackBits implemented)"
         )
     # JPEGTables form (TIFF/EP tag 347, r12): one abbreviated
     # tables-only stream (SOI, DQT/DHT…, EOI) shared by every strip/tile,
@@ -430,7 +431,7 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
             # blit — spec tile widths are multiples of 16, so 1/4-bit
             # tile boundaries land on bytes); JPEG stays 8-bit and CCITT
             # tiles stay a named seam
-            if comp not in (1, 5, 32773):
+            if comp not in (1, 5, 8, 32946, 32773):
                 raise NotImplementedError(
                     f"tiled {bps0}-bit TIFF with compression {comp} "
                     "not supported"
@@ -534,6 +535,11 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
                     if predictor == 2:
                         _undiff_rows(strip, w, rows, 1)
                     plane += strip
+                elif comp in (8, 32946):
+                    strip = bytearray(_inflate_block(chunk, need_s))
+                    if predictor == 2:
+                        _undiff_rows(strip, w, rows, 1)
+                    plane += strip
                 elif comp == 32773:
                     plane += unpackbits(chunk, need_s)
                 elif comp == 1:
@@ -584,6 +590,16 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
             body += jpix
         elif comp == 5:
             strip = bytearray(lzw_decode_tiff(chunk, need_s))
+            if predictor == 2:
+                if bps0 == 16:
+                    _undiff_rows16(strip, w, rows, bo)
+                else:
+                    _undiff_rows(strip, w, rows, channels)
+            body += strip
+        elif comp in (8, 32946):
+            # Deflate (r13, TIFF TechNote 2 tag 8 + the legacy 32946):
+            # zlib streams per strip, stdlib inflate — the PNG discipline
+            strip = bytearray(_inflate_block(chunk, need_s))
             if predictor == 2:
                 if bps0 == 16:
                     _undiff_rows16(strip, w, rows, bo)
@@ -692,6 +708,20 @@ def _merge_jpegtables(tables: bytes, stream: bytes) -> bytes:
     return stream[:2] + t[2:-2] + stream[2:]
 
 
+def _inflate_block(chunk: bytes, need: int) -> bytes:
+    """One Deflate strip/tile (zlib wrapper per TIFF TechNote 2) →
+    exactly ``need`` decompressed bytes."""
+    try:
+        out = zlib.decompress(chunk)
+    except zlib.error as e:
+        raise ValueError(f"malformed Deflate TIFF block: {e}") from e
+    if len(out) < need:
+        raise ValueError(
+            f"Deflate TIFF block inflates to {len(out)} B < {need} B"
+        )
+    return out[:need]
+
+
 def _assemble_tiles(
     data: bytes,
     tags: dict[int, list[int]],
@@ -743,8 +773,12 @@ def _assemble_tiles(
         chunk = data[o : o + c]
         if len(chunk) != c:
             raise ValueError("truncated TIFF tile")
-        if comp == 5:
-            tile = bytearray(lzw_decode_tiff(chunk, tile_bytes))
+        if comp in (5, 8, 32946):
+            tile = bytearray(
+                lzw_decode_tiff(chunk, tile_bytes)
+                if comp == 5
+                else _inflate_block(chunk, tile_bytes)
+            )
             if predictor == 2:
                 if bps == 16:
                     _undiff_rows16(tile, tw, tl, bo)
@@ -796,8 +830,9 @@ def encode_tiff(
 ) -> bytes:
     """Top-down row-major pixels → single-strip TIFF (gray BlackIsZero or
     chunky RGB), little-endian by default.  ``compression``: None
-    (baseline), ``"packbits"``, or ``"lzw"``; ``predictor=2`` (horizontal
-    differencing) is valid with LZW only.  ``bits_per_sample`` (r12,
+    (baseline), ``"packbits"``, ``"lzw"``, or ``"deflate"`` (r13, zlib
+    tag 8); ``predictor=2`` (horizontal differencing) is valid with LZW
+    and Deflate.  ``bits_per_sample`` (r12,
     gray only): 16 widens each 8-bit value to ``v*257`` (exact); 4/1
     pack rows MSB-first and require bit-replication-representable
     values (multiples of 17 / pure 0-255).  All modes lossless."""
@@ -805,10 +840,10 @@ def encode_tiff(
         raise ValueError(f"TIFF encode supports 1 or 3 channels, got {channels}")
     if len(pixels) != width * height * channels:
         raise ValueError(f"pixel buffer {len(pixels)} != {width}x{height}x{channels}")
-    if compression not in (None, "packbits", "lzw"):
+    if compression not in (None, "packbits", "lzw", "deflate"):
         raise ValueError(f"TIFF compression {compression!r} not supported")
-    if predictor == 2 and compression != "lzw":
-        raise ValueError("predictor 2 requires LZW compression")
+    if predictor == 2 and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor 2 requires LZW or Deflate compression")
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} not supported")
     if bits_per_sample not in (1, 4, 8, 16):
@@ -846,6 +881,8 @@ def encode_tiff(
         body, comp_tag = packbits(body), 32773
     elif compression == "lzw":
         body, comp_tag = lzw_encode_tiff(body), 5
+    elif compression == "deflate":
+        body, comp_tag = zlib.compress(body), 8
     bo = ">" if big_endian else "<"
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, 4B value)
 

@@ -214,6 +214,11 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         7: ("lzw", 1),
                         15: (None, 1),
                     }[d % 16]
+                    if d % 64 == 19:
+                        # r13: Deflate (TechNote 2 tag 8) + predictor 2 —
+                        # carved from the LE LZW lane; still lossless, so
+                        # the oracle is untouched
+                        comp = "deflate"
                     if d % 32 == 15:
                         # r12: MULTI-PAGE lane — the real image is page 0
                         # and a decoy second page follows in the IFD

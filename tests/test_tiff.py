@@ -63,8 +63,9 @@ def test_named_seams():
         raise KeyError(tag)
 
     b = bytearray(t)
-    set_tag(b, 259, 3, 1, struct.pack(bo + "HH", 8, 0))  # Deflate: still a seam
-    with pytest.raises(NotImplementedError, match="compression 8"):
+    # old-style JPEG (6, deprecated by TechNote 2): still a seam
+    set_tag(b, 259, 3, 1, struct.pack(bo + "HH", 6, 0))
+    with pytest.raises(NotImplementedError, match="compression 6"):
         decode_tiff(bytes(b))
     b = bytearray(t)
     # r13: CCITT G4 decodes now — but claiming it on an 8-bit gray file
@@ -1075,3 +1076,70 @@ def test_sub_byte_predictor_is_malformed():
     b[i:i + 12] = struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 2, 0)
     with pytest.raises(ValueError, match="not defined by"):
         decode_tiff(bytes(b))
+
+
+def test_deflate_compression():
+    """r13 (TIFF TechNote 2): Deflate strips (tag 8) via stdlib zlib —
+    every depth, predictor 2 at 8/16 bits, both byte orders, RGB,
+    multi-strip, tiled, the legacy 32946 alias, and malformed streams."""
+    import zlib as _zlib
+
+    rng = random.Random(61)
+    for bps in (1, 4, 8, 16):
+        mul = 255 // ((1 << bps) - 1) if bps in (1, 4) else 1
+        w, h = 19, 4
+        px = bytes(
+            (rng.randrange(1 << bps) * mul) if bps in (1, 4)
+            else rng.randrange(256)
+            for _ in range(w * h)
+        )
+        for be in (False, True):
+            blob = encode_tiff(w, h, 1, px, big_endian=be,
+                               compression="deflate", bits_per_sample=bps)
+            assert decode_tiff(blob) == (w, h, 1, px), (bps, be)
+    # predictor 2 under Deflate, 8- and 16-bit
+    for bps in (8, 16):
+        px = bytes(rng.randrange(256) for _ in range(15 * 3))
+        blob = encode_tiff(15, 3, 1, px, compression="deflate",
+                           predictor=2, bits_per_sample=bps)
+        assert decode_tiff(blob) == (15, 3, 1, px), bps
+    # RGB
+    px3 = bytes(rng.randrange(256) for _ in range(6 * 2 * 3))
+    assert decode_tiff(encode_tiff(6, 2, 3, px3, compression="deflate")) \
+        == (6, 2, 3, px3)
+    # legacy tag 32946 decodes identically
+    blob = bytearray(encode_tiff(4, 2, 1, bytes(8), compression="deflate"))
+    i = blob.index(struct.pack("<HHI", 259, 3, 1))
+    blob[i + 8 : i + 12] = struct.pack("<HH", 32946 & 0xFFFF, 0)
+    assert decode_tiff(bytes(blob)) == (4, 2, 1, bytes(8))
+    # tiled Deflate at 1-bit through the shared tile path
+    from simsearch_spark.multimodal.tiff import lzw_encode_tiff  # noqa: F401
+
+    w, h, tw, tl = 21, 3, 16, 2
+    px = bytes(rng.choice((0, 255)) for _ in range(w * h))
+    t_stride = tw // 8
+    tiles = []
+    for ty in range(-(-h // tl)):
+        for tx in range(-(-w // tw)):
+            block = bytearray(t_stride * tl)
+            for r in range(tl):
+                y = ty * tl + r
+                if y >= h:
+                    break
+                for cidx in range(tw):
+                    x = tx * tw + cidx
+                    if x >= w:
+                        break
+                    if px[y * w + x] == 0:
+                        pass
+                    else:
+                        block[r * t_stride + (cidx >> 3)] |= 0x80 >> (cidx & 7)
+            tiles.append(_zlib.compress(bytes(block)))
+    # NOTE: white-on-255 convention — bit 1 = 255 under BlackIsZero
+    blob = _build_tiled_gray(w, h, tw, tl, 1, tiles, comp=8)
+    assert decode_tiff(blob) == (w, h, 1, px)
+    # malformed zlib stream
+    bad = bytearray(encode_tiff(4, 2, 1, bytes(8), compression="deflate"))
+    bad[-3] ^= 0xFF
+    with pytest.raises(ValueError, match="Deflate"):
+        decode_tiff(bytes(bad))
