@@ -225,6 +225,11 @@ def decode_dib_frame(body: bytes, width: int, height: int) -> bytes:
 
 YUY2_FOURCC = int.from_bytes(b"YUY2", "little")
 I420_FOURCC = int.from_bytes(b"I420", "little")
+#: r13: the semi-planar 4:2:0 pair — planar Y then ONE interleaved
+#: chroma plane (NV12: UVUV…, NV21: VUVU…); same math, same exact-gray
+#: property, just the hardware-decoder memory layout
+NV12_FOURCC = int.from_bytes(b"NV12", "little")
+NV21_FOURCC = int.from_bytes(b"NV21", "little")
 
 
 def _rgb_to_yuv(r: int, g: int, b: int) -> tuple[int, int, int]:
@@ -278,6 +283,24 @@ def decode_yuv_frame(body: bytes, width: int, height: int, fourcc: int) -> bytes
                     )
                 )
         return bytes(out)
+    if fourcc in (NV12_FOURCC, NV21_FOURCC):
+        cw, chh = (width + 1) // 2, (height + 1) // 2
+        need = width * height + 2 * cw * chh
+        if len(body) < need:
+            raise ValueError(
+                f"NV12/NV21 frame {len(body)} B < {need} B layout"
+            )
+        coff = width * height
+        u_first = fourcc == NV12_FOURCC
+        for y in range(height):
+            for x in range(width):
+                ci = coff + 2 * ((y >> 1) * cw + (x >> 1))
+                a, b = body[ci], body[ci + 1]
+                cb, cr = (a, b) if u_first else (b, a)
+                out[3 * (y * width + x) : 3 * (y * width + x) + 3] = bytes(
+                    _yuv_to_rgb(body[y * width + x], cb, cr)
+                )
+        return bytes(out)
     raise NotImplementedError(f"YUV fourcc {fourcc:#x} not supported")
 
 
@@ -288,8 +311,10 @@ def encode_avi_yuv(
     """Minimal AVI wrapping raw YUY2 or I420 video.  Each input frame is
     top-down RGB24; chroma subsampling averages each pair/2×2 block with
     rounding (a no-op for gray content, which therefore stays exact)."""
-    if fourcc not in (b"YUY2", b"I420"):
-        raise ValueError(f"encode_avi_yuv supports YUY2/I420, got {fourcc!r}")
+    if fourcc not in (b"YUY2", b"I420", b"NV12", b"NV21"):
+        raise ValueError(
+            f"encode_avi_yuv supports YUY2/I420/NV12/NV21, got {fourcc!r}"
+        )
 
     packed = []
     cw, chh = (width + 1) // 2, (height + 1) // 2
@@ -324,7 +349,14 @@ def encode_avi_yuv(
                     crs = [yuv[yy * width + xx][2] for yy in ys for xx in xs]
                     up[cy * cw + cx] = (sum(cbs) + 2) >> 2
                     vp[cy * cw + cx] = (sum(crs) + 2) >> 2
-            packed.append(yplane + bytes(up) + bytes(vp))
+            if fourcc == b"I420":
+                packed.append(yplane + bytes(up) + bytes(vp))
+            else:  # NV12 / NV21: one interleaved chroma plane
+                first, second = (up, vp) if fourcc == b"NV12" else (vp, up)
+                inter = bytearray(2 * cw * chh)
+                inter[0::2] = first
+                inter[1::2] = second
+                packed.append(yplane + bytes(inter))
     n = len(packed)
     bits = 16 if fourcc == b"YUY2" else 12
     # biSizeImage from geometry, not packed[0] — valid for 0 frames too

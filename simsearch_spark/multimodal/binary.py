@@ -496,6 +496,8 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
     container parse yields one such row for the whole video."""
     from simsearch_spark.multimodal.avi import (
         I420_FOURCC,
+        NV12_FOURCC,
+        NV21_FOURCC,
         YUY2_FOURCC,
         decode_dib_frame,
         decode_yuv_frame,
@@ -568,7 +570,10 @@ def frame_pixel_stats(df: DataFrame, every_n: int = 10) -> DataFrame:
                             w, h, ch = fw, fh, 3
                             pix = decode_dib_frame(frame, fw, fh)
                         elif (
-                            comp in (YUY2_FOURCC, I420_FOURCC)
+                            comp in (
+                                YUY2_FOURCC, I420_FOURCC,
+                                NV12_FOURCC, NV21_FOURCC,
+                            )
                             and fw > 0
                             and fh > 0  # fh==0 would divide by zero below
                         ):

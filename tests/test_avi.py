@@ -14,6 +14,8 @@ def test_yuv_fourccs_round_trip_and_dispatch():
 
     from simsearch_spark.multimodal.avi import (
         I420_FOURCC,
+        NV12_FOURCC,
+        NV21_FOURCC,
         YUY2_FOURCC,
         decode_yuv_frame,
         encode_avi_yuv,
@@ -22,7 +24,10 @@ def test_yuv_fourccs_round_trip_and_dispatch():
     )
 
     rng = random.Random(17)
-    for fourcc, fcc_int in [(b"YUY2", YUY2_FOURCC), (b"I420", I420_FOURCC)]:
+    for fourcc, fcc_int in [
+        (b"YUY2", YUY2_FOURCC), (b"I420", I420_FOURCC),
+        (b"NV12", NV12_FOURCC), (b"NV21", NV21_FOURCC),
+    ]:
         for w, h in [(1, 1), (4, 3), (5, 2), (7, 5)]:
             frames = [
                 bytes([rng.randrange(256)]) * (w * h * 3) for _ in range(3)
@@ -48,8 +53,26 @@ def test_yuv_fourccs_round_trip_and_dispatch():
         decode_yuv_frame(b"\x00", 4, 4, YUY2_FOURCC)
     with pytest.raises(ValueError, match="I420 frame"):
         decode_yuv_frame(b"\x00", 4, 4, I420_FOURCC)
-    with pytest.raises(ValueError, match="supports YUY2/I420"):
-        encode_avi_yuv([bytes(3)], 1, 1, fourcc=b"NV12")
+    with pytest.raises(ValueError, match="supports YUY2/I420/NV12/NV21"):
+        encode_avi_yuv([bytes(3)], 1, 1, fourcc=b"Y800")
+    # r13: NV12 vs NV21 differ only in chroma order — swapping the
+    # interleaved plane bytes converts one to the other exactly
+    px = bytes([200, 30, 60] * 4)
+    b12 = encode_avi_yuv([px], 2, 2, fourcc=b"NV12")
+    b21 = encode_avi_yuv([px], 2, 2, fourcc=b"NV21")
+    _f, i12 = parse_avi_frames(b12)
+    _f, i21 = parse_avi_frames(b21)
+    f12 = b12[i12[0][0] : i12[0][0] + i12[0][1]]
+    f21 = b21[i21[0][0] : i21[0][0] + i21[0][1]]
+    coff = 2 * 2
+    sw = bytearray(f12)
+    sw[coff::2], sw[coff + 1 :: 2] = f12[coff + 1 :: 2], f12[coff::2]
+    assert bytes(sw) == f21
+    assert decode_yuv_frame(f12, 2, 2, NV12_FOURCC) == decode_yuv_frame(
+        f21, 2, 2, NV21_FOURCC
+    )
+    with pytest.raises(ValueError, match="NV12/NV21 frame"):
+        decode_yuv_frame(b"\x00", 4, 4, NV12_FOURCC)
 
 
 def test_frame_pixel_stats_routes_yuv_lanes(spark, sf_dir):
