@@ -6,10 +6,13 @@ selection, successive approximation, EOB runs; r8), 8-bit samples,
 grayscale, YCbCr, Adobe-marker RGB, and — r12 — 4-component CMYK/YCCK
 (APP14 transform 0/2, Photoshop's inverted-value storage convention,
 composited to RGB via the naive C'·K'/255 formula), chroma subsampling
-up to 2×2, restart markers, standard or custom DQT/DHT tables.
-Arithmetic coding, hierarchical frames, and 12-bit precision raise
-``NotImplementedError``; malformed streams raise ``ValueError`` (same
-bounded-exception contract as png.py/wav.py/avi.py).
+up to 2×2, restart markers, standard or custom DQT/DHT tables, and —
+r13 — 12-bit precision in SOF1/SOF2 frames (16-bit Pq=1 DQT, level
+shift 2048, /16 reduction to the 8-bit output contract) with an
+extended-sequential grayscale encoder dual (``encode_jpeg_12``).
+Arithmetic coding and hierarchical frames raise ``NotImplementedError``;
+malformed streams raise ``ValueError`` (same bounded-exception contract
+as png.py/wav.py/avi.py).
 
 The encoder (4:4:4 or 4:2:0, Annex-K standard tables, quality-scaled) is
 JPEG's lossy round trip — tests assert PSNR bounds and near-exactness on
@@ -256,19 +259,30 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                qt[tq] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
-                p += 65
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                    p += 65
+                elif pq == 1:
+                    # 16-bit table entries (r13 — the 12-bit-precision norm)
+                    qt[tq] = np.frombuffer(
+                        seg[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.int32)
+                    p += 129
+                else:
+                    raise ValueError(f"DQT precision {pq}")
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"JPEG precision {prec}")
+            if prec == 12 and marker == 0xC0:
+                # T.81 table B.2: baseline is 8-bit by definition — a
+                # 12-bit SOF0 is an inconsistent marker combination
+                raise ValueError("12-bit precision in a baseline (SOF0) frame")
             comps = []
             for i in range(nc):
                 cid, hv, tq_ = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq_))
-            frame = (w, h, comps)
+            frame = (w, h, comps, prec)
             progressive = marker == 0xC2
             if progressive:
                 pstate = _ProgState(frame)
@@ -319,7 +333,7 @@ def _decode_scan(
     data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval,
     adobe_transform=None,
 ):
-    w, h, comps = frame
+    w, h, comps, prec = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -346,14 +360,14 @@ def _decode_scan(
                             pred[cid] = coef[0]
                             blk = np.zeros(64)
                             blk[ZIGZAG] = coef * qt[tq_]  # both zigzag-ordered
-                            px = _C.T @ blk.reshape(8, 8) @ _C + 128.0
+                            px = _C.T @ blk.reshape(8, 8) @ _C + (1 << (prec - 1))
                             y0 = (my * cv + by) * 8
                             x0 = (mx * ch + bx) * 8
                             planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
             except _RestartMarker:
                 raise ValueError("restart marker mid-MCU") from None
             mcu_count += 1
-    return _assemble(comps, planes, w, h, hmax, vmax, adobe_transform)
+    return _assemble(comps, planes, w, h, hmax, vmax, adobe_transform, prec)
 
 
 def _ycc_to_rgb(y, cb, cr):
@@ -364,17 +378,23 @@ def _ycc_to_rgb(y, cb, cr):
 
 
 def _assemble(
-    comps, planes, w, h, hmax, vmax, adobe_transform=None
+    comps, planes, w, h, hmax, vmax, adobe_transform=None, prec=8
 ) -> tuple[int, int, int, bytes]:
     """Upsample component planes to full size and color-convert — shared by
     the baseline and progressive reconstruction paths.  ``adobe_transform``
     is the APP14 byte (None = no Adobe marker): 4-component images decode
     as CMYK (transform 0) or YCCK (2) to RGB via the naive CMYK
     composite; an Adobe marker flags Photoshop's inverted-CMYK storage
-    (r12).  3-component transform 0 is stored RGB (no color transform)."""
+    (r12).  3-component transform 0 is stored RGB (no color transform).
+    ``prec`` (r13): 12-bit samples reduce to the 8-bit contract by /16
+    BEFORE color math — the level-shifted 12-bit center 2048 lands on
+    128, so the 8-bit pipeline (and the v*16 widening convention's exact
+    round trip) follows unchanged."""
     out_planes = []
     for cid, ch, cv, _tq in comps:
         p = planes[cid]
+        if prec != 8:
+            p = p / float(1 << (prec - 8))
         if ch != hmax or cv != vmax:
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         out_planes.append(p[:h, :w])
@@ -449,7 +469,7 @@ class _ProgState:
     non-interleaved grid per A.2.2 — both index into the same store)."""
 
     def __init__(self, frame):
-        w, h, comps = frame
+        w, h, comps, _prec = frame
         self.frame = frame
         self.hmax = max(c[1] for c in comps)
         self.vmax = max(c[2] for c in comps)
@@ -466,18 +486,20 @@ class _ProgState:
         self.any_scan = False
 
     def reconstruct(self, qt, adobe_transform=None) -> tuple[int, int, int, bytes]:
-        w, h, comps = self.frame
+        w, h, comps, prec = self.frame
         planes = {}
         for cid, ch, cv, tq_ in comps:
             bw_i, bh_i, _, _ = self.dims[cid]
             dq = self.coef[cid].astype(np.float64) * qt[tq_].astype(np.float64)[None, :]
             nat = np.zeros_like(dq)
             nat[:, ZIGZAG] = dq  # same zigzag placement as the baseline path
-            px = _C.T[None] @ nat.reshape(-1, 8, 8) @ _C[None] + 128.0
+            px = _C.T[None] @ nat.reshape(-1, 8, 8) @ _C[None] + (1 << (prec - 1))
             planes[cid] = (
                 px.reshape(bh_i, bw_i, 8, 8).transpose(0, 2, 1, 3).reshape(bh_i * 8, bw_i * 8)
             )
-        return _assemble(comps, planes, w, h, self.hmax, self.vmax, adobe_transform)
+        return _assemble(
+            comps, planes, w, h, self.hmax, self.vmax, adobe_transform, prec
+        )
 
 
 def _decode_progressive_scan(
@@ -498,7 +520,7 @@ def _decode_progressive_scan(
 def _decode_progressive_scan_inner(
     data, pos, st: _ProgState, scan, huff_dc, huff_ac, ss, se, ah, al, restart_interval
 ):
-    _w, _h, comps = st.frame
+    _w, _h, comps, _prec = st.frame
     cmap = {cid: (ch, cv) for cid, ch, cv, _tq in comps}
     reader = _BitReader(data, pos)
     st.any_scan = True
@@ -751,8 +773,8 @@ def _prep_comps(width, height, channels, pixels, quality, subsample,
     return comps, lq, cq, hmax, vmax, mcux, mcuy, padded
 
 
-def _encode_block(bw, blk, qtab, dc_tab, ac_tab, pred):
-    coef = _C @ (blk - 128.0) @ _C.T
+def _encode_block(bw, blk, qtab, dc_tab, ac_tab, pred, level=128.0):
+    coef = _C @ (blk - level) @ _C.T
     q = np.rint(coef.reshape(-1)[ZIGZAG] / qtab).astype(np.int64)
     diff = int(q[0]) - pred
     mag, t = abs(diff), 0
@@ -871,6 +893,69 @@ def encode_jpeg(
                             bw, blk, qz, enc_dc[0 if tq_ == 0 else 1],
                             enc_ac[0 if tq_ == 0 else 1], pred[cid],
                         )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: flat canonical Huffman specs for the 12-bit encoder: every symbol one
+#: fixed short length (DC: 16 categories at 5 bits, Kraft 0.5; AC: all
+#: 256 run/size bytes split 128 at 8 bits + 128 at 9 — DHT's per-length
+#: counts are single BYTES, so one length cannot hold all 256; Kraft
+#: 128/256 + 128/512 = 0.75) — valid tables the generic DHT reader
+#: decodes, sized for the categories 12-bit samples can reach (the
+#: Annex-K tables stop at DC category 11 / AC size 10)
+_DEEP_DC_SPEC = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(16)))
+_DEEP_AC_SPEC = ([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(256)))
+
+
+def encode_jpeg_12(
+    width: int, height: int, samples, quality: int = 85
+) -> bytes:
+    """Grayscale 12-bit EXTENDED-SEQUENTIAL (SOF1) encoder — the r13
+    dual of the 12-bit decode path.  ``samples``: 0..4095 ints, row
+    major.  Writes a Pq=1 (16-bit) DQT holding the Annex-K luma table
+    ×16 — the same relative quantization as the 8-bit encoder, so
+    values on the v*16 widened level set round-trip with exactly the
+    8-bit path's error behavior (block-constant images decode exactly) —
+    and the flat `_DEEP_*` Huffman tables whose categories cover the
+    12-bit coefficient range."""
+    vals = list(samples)
+    if len(vals) != width * height:
+        raise ValueError(f"sample buffer {len(vals)} != {width}x{height}")
+    if any(not 0 <= int(v) <= 4095 for v in vals):
+        raise ValueError("12-bit samples must lie in 0..4095")
+    arr = np.array(vals, dtype=np.float64).reshape(height, width)
+    lq = np.clip(
+        _scale_q(STD_LUMA_Q, quality).astype(np.int64) * 16, 1, 65535
+    ).astype(np.int32)
+    mcux, mcuy = (width + 7) // 8, (height + 7) // 8
+    padded = np.pad(
+        arr, ((0, mcuy * 8 - height), (0, mcux * 8 - width)), mode="edge"
+    )
+    dc_tab = _build_encode_table(*_DEEP_DC_SPEC)
+    ac_tab = _build_encode_table(*_DEEP_AC_SPEC)
+    out = bytearray(b"\xff\xd8")
+    qz = lq[ZIGZAG]
+    out += _seg(
+        0xDB,
+        bytes([0x10]) + b"".join(struct.pack(">H", int(v)) for v in qz),
+    )
+    out += _seg(
+        0xC1, bytes([12]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0])
+    )
+    for tc, (bits, vals_t) in ((0, _DEEP_DC_SPEC), (1, _DEEP_AC_SPEC)):
+        out += _seg(0xC4, bytes([tc << 4]) + bytes(bits) + bytes(vals_t))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    pred = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            blk = padded[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+            pred = _encode_block(bw, blk, qz, dc_tab, ac_tab, pred, level=2048.0)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

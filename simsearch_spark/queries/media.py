@@ -583,7 +583,11 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mod 16) in the JPEGTables form (tag 347, 8-row strips — shared
     abbreviated tables spliced per strip), so both real-world TIFF-JPEG
     layouts hold a driver verdict; the shared quantizer keeps the oracle
-    codec-invariant."""
+    codec-invariant.
+
+    r13: doc_ids ≡ 6 (mod 32) encode 12-BIT extended-sequential (SOF1,
+    ``encode_jpeg_12``) with values widened v*16 — the decoder's /16
+    reduction returns the exact 8-bit content, oracle untouched."""
     from simsearch_spark.multimodal.binary import pixel_stats
     from simsearch_spark.multimodal.jpeg import encode_jpeg, encode_jpeg_progressive
     from simsearch_spark.multimodal.tiff import encode_tiff_jpeg
@@ -608,6 +612,19 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         encode_tiff_jpeg(
                             w, h, 1, row * h, quality=85,
                             rows_per_strip=8, jpegtables=True,
+                        )
+                    )
+                    continue
+                if d % 32 == 6:
+                    # r13: 12-BIT SOF1 lane — the same block-constant
+                    # content widened v*16; the decoder's /16 reduction
+                    # returns the exact 8-bit values, so the closed-form
+                    # oracle is untouched
+                    from simsearch_spark.multimodal.jpeg import encode_jpeg_12
+
+                    payloads.append(
+                        encode_jpeg_12(
+                            w, h, [v * 16 for v in row] * h, quality=85
                         )
                     )
                     continue

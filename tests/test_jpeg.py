@@ -121,11 +121,15 @@ def test_explicit_seams():
     prog[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bytes(prog))
-    # 12-bit precision seam
+    # r13: 12-bit decodes in SOF1/SOF2 frames — but T.81 defines baseline
+    # as 8-bit, so a 12-bit SOF0 is MALFORMED, and other depths stay seams
     deep = bytearray(encode_jpeg(8, 8, 1, bytes(64), quality=85))
     idx = deep.find(b"\xff\xc0")
     deep[idx + 4] = 12  # precision byte of SOF0
-    with pytest.raises(NotImplementedError, match="precision"):
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(deep))
+    deep[idx + 4] = 10
+    with pytest.raises(NotImplementedError, match="precision 10"):
         decode_jpeg(bytes(deep))
     # truncated entropy stream
     whole = encode_jpeg(24, 24, 3, _gradient(24, 24, 3).tobytes())
@@ -484,3 +488,43 @@ def test_cmyk_and_ycck():
 
     with pytest.raises(ValueError, match="progressive CMYK"):
         encode_jpeg_progressive(2, 2, 4, bytes(16))
+
+
+def test_twelve_bit_extended_sequential():
+    """r13 (closes the 12-bit seam): SOF1 extended-sequential frames at
+    precision 12 decode through the shared pipeline — 16-bit (Pq=1) DQT,
+    level shift 2048, /16 reduction to the 8-bit contract — and the
+    encoder dual writes flat wide-category Huffman tables.  Widened
+    (v*16) block-constant images round-trip exactly, the Annex-K
+    relative quantization carries over, and malformed combinations stay
+    loud."""
+    import math
+
+    from simsearch_spark.multimodal.jpeg import encode_jpeg_12
+
+    # exact on the widened level set, any block-constant value
+    for v in (0, 1, 64, 200, 255):
+        blob = encode_jpeg_12(16, 8, [v * 16] * 128, quality=85)
+        i = blob.find(b"\xff\xc1")
+        assert i > 0 and blob[i + 4] == 12  # SOF1, precision byte
+        assert b"\xff\xc0" not in blob[: i + 2]
+        assert decode_jpeg(blob) == (16, 8, 1, bytes([v] * 128)), v
+    # 16-bit DQT really is Pq=1
+    blob = encode_jpeg_12(8, 8, [1000] * 64)
+    d = blob.find(b"\xff\xdb")
+    assert blob[d + 4] == 0x10  # Pq=1, Tq=0
+    # smooth 12-bit content: small error after reduction
+    vals = [int(2048 + 1800 * math.sin((x + 2 * y) / 7)) for y in range(24)
+            for x in range(24)]
+    w, h, ch, px = decode_jpeg(encode_jpeg_12(24, 24, vals, quality=95))
+    assert (w, h, ch) == (24, 24, 1)
+    assert max(abs(px[i] - vals[i] / 16) for i in range(len(vals))) < 6
+    # full 12-bit dynamic range survives (category-15 DC diffs)
+    hi = [0, 4095] * 32
+    w, h, ch, px = decode_jpeg(encode_jpeg_12(8, 8, hi[:64], quality=100))
+    assert (w, h, ch) == (8, 8, 1)
+    # sample bounds enforced
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg_12(2, 1, [0, 4096])
+    with pytest.raises(ValueError, match="sample buffer"):
+        encode_jpeg_12(2, 2, [0, 0, 0])
