@@ -170,3 +170,29 @@ def test_multi_strip_resets_reference():
     got_b = ccitt_decode(body_b, 8, 1, 4)
     assert bits_to_rows(got_a, 8, 1) == px_a
     assert bits_to_rows(got_b, 8, 1) == px_b
+
+
+def test_g3_2d_tag_bit_lines():
+    """Compression 3 with T4Options bit 0 (2D/MR): each EOL carries a
+    tag bit — 1 = the next line is 1D-coded, 0 = 2D-coded against the
+    previous line.  Hand-built: row 1 arrives 1D (4 white, 6 black),
+    row 2 as 2D vertical alignment (V0 V0), row 3 as 2D with a VR1
+    shift."""
+    eol = "000000000001"
+    stream = _bits_to_bytes(
+        eol + "1" + "1011" + "0010"      # 1D: white-4, black-6
+        + eol + "0" + "1" + "1"          # 2D: V0 at 4, V0 at 10
+        + eol + "0" + "011" + "1"        # 2D: VR1 (a1=5), V0 ends
+    )
+    got = ccitt_decode(stream, 10, 3, 3, t4_options=1)
+    assert got == (
+        _bits_to_bytes("0000111111")
+        + _bits_to_bytes("0000111111")
+        + _bits_to_bytes("0000011111")
+    )
+    # without the 2D option the tag bit must NOT be consumed: the same
+    # 1D row decodes under t4_options=0
+    plain = _bits_to_bytes(eol + "1011" + "0010")
+    assert ccitt_decode(plain, 10, 1, 3, t4_options=0) == _bits_to_bytes(
+        "0000111111"
+    )
