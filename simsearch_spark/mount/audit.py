@@ -132,6 +132,15 @@ def audit_drift(
     fixture through the degrade→refresh→recover loop."""
     from simsearch_spark.mount.serve import serve_ivfpq_multi_topk
 
+    if corpus_sample_n is not None and int(corpus_sample_n) < int(k):
+        # with fewer sampled competitors than k, the ground-truth
+        # universe degenerates toward the served ids themselves and the
+        # recall metric saturates at 1.0 regardless of drift (review
+        # r13); a meaningful audit wants corpus_sample_n >> k
+        raise ValueError(
+            f"audit_drift: corpus_sample_n={corpus_sample_n} < k={k} "
+            "makes the sampled recall degenerate"
+        )
     qrows = (
         emb.select(id_col, vec_col)
         .orderBy(F.col(id_col).desc())

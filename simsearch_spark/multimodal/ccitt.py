@@ -483,5 +483,8 @@ def ccitt_encode_g4(lines: list[list[int]], width: int) -> bytes:
                 _encode_run(chunks, a2 - a1, not bool(color))
                 a0 = a2
         ref = trans
-    chunks.append(EOL + "1" + EOL + "1")  # EOFB
+    # T.6 §4.2.2: EOFB is two consecutive BARE EOL codewords — tag bits
+    # exist only in T.4's 2D mode (review r13: the first cut appended
+    # EOL+1 pairs, which a strict external G4 validator rejects)
+    chunks.append(EOL + EOL)
     return _bits_to_bytes(chunks)

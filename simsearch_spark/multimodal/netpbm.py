@@ -108,7 +108,10 @@ def _pam_header(data: bytes) -> tuple[int, int, int, int, int]:
             f"PAM depth {d} contradicts tupltype "
             f"{tupltype.decode(errors='replace')!r}"
         )
-    if b"ALPHA" in tupltype and expect is None:
+    if tupltype and expect is None:
+        # ANY unknown tuple type (CMYK, vendor extensions, …) is a named
+        # seam — interpreting its planes as gray/RGB(+alpha) would be a
+        # wrong decode labeled 'ok' (review r13)
         raise NotImplementedError(
             f"PAM tupltype {tupltype.decode(errors='replace')!r}"
         )

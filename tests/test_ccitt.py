@@ -74,7 +74,7 @@ def test_g4_hand_vector():
     V0 codes (1, 1).  EOFB closes the block."""
     px = bytes([255] * 4 + [0] * 6)
     blob = ccitt_encode_g4(rows_to_bits(px * 2, 10, 2), 10)
-    want = "001" + "1011" + "0010" + "1" + "1" + "000000000001" + "1" + "000000000001" + "1"
+    want = "001" + "1011" + "0010" + "1" + "1" + "000000000001" + "000000000001"
     assert blob == _bits_to_bytes(want)
     # packed rows are byte-aligned PER ROW (width 10 → 2-byte stride)
     assert ccitt_decode(blob, 10, 2, 4) == _bits_to_bytes("0000111111") * 2
@@ -92,7 +92,8 @@ def test_g4_pass_mode_vector():
     # a1 = 10 == b1 (ref exhausted → b1 = width)
     row1 = "001" + "0111" + "011" + "1"
     row2 = "0001" + "1"
-    eofb = "000000000001" + "1" + "000000000001" + "1"
+    # T.6 EOFB: two consecutive BARE EOLs (no tag bits — those are T.4 2D)
+    eofb = "000000000001" + "000000000001"
     assert blob == _bits_to_bytes(row1 + row2 + eofb)
     got = ccitt_decode(blob, 10, 2, 4)
     assert got == _bits_to_bytes("0011110000") + _bits_to_bytes("0" * 10)
@@ -196,3 +197,10 @@ def test_g3_2d_tag_bit_lines():
     assert ccitt_decode(plain, 10, 1, 3, t4_options=0) == _bits_to_bytes(
         "0000111111"
     )
+
+
+def test_g4_eofb_is_two_bare_eols():
+    """Review r13: T.6 §4.2.2 EOFB = two consecutive EOL codewords with
+    NO tag bits — a strict external validator rejects EOL+tag pairs."""
+    blob = ccitt_encode_g4([[]], 8)  # one all-white row: V0 at b1=8 → '1'
+    assert blob == _bits_to_bytes("1" + "000000000001" * 2)

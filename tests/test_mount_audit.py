@@ -185,3 +185,15 @@ def test_sampled_audit_tracks_full_audit(spark, corpus, docs_stub, tmp_path_fact
     # agreement with the exact metric at every stage of the loop
     for full, samp in [(h_full, h_samp), (d_full, d_samp), (r_full, r_samp)]:
         assert abs(full - samp) <= 0.15, (full, samp)
+
+
+def test_degenerate_corpus_sample_rejected(spark, corpus, docs_stub, tmp_path_factory):
+    """Review r13: corpus_sample_n < k saturates the sampled recall at
+    1.0 regardless of drift — rejected loudly."""
+    base, _ = corpus
+    d = str(tmp_path_factory.mktemp("audit4") / "m")
+    mount(spark, "", d, emb_frame=base, docs_frame=docs_stub, dedup=False)
+    with pytest.raises(ValueError, match="degenerate"):
+        audit_drift(spark, d, base, sample_n=4, k=K, corpus_sample_n=0)
+    with pytest.raises(ValueError, match="degenerate"):
+        audit_drift(spark, d, base, sample_n=4, k=K, corpus_sample_n=K - 1)

@@ -184,3 +184,15 @@ def test_pam_p7():
         decode_netpbm(b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 1\nMAXVAL 255\n")
     with pytest.raises(ValueError, match="PAM raster holds"):
         decode_netpbm(b"P7\nWIDTH 3\nHEIGHT 1\nDEPTH 1\nMAXVAL 255\nENDHDR\nAB")
+
+
+def test_pam_unknown_tupltype_is_a_seam():
+    """Review r13: ANY unknown declared tuple type is a named seam —
+    a CMYK PAM must not decode its cyan plane as gray labeled 'ok'."""
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        decode_netpbm(b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 4\nMAXVAL 255\n"
+                      b"TUPLTYPE CMYK\nENDHDR\nABCD")
+    # an undeclared tupltype still decodes by depth (optional per spec)
+    assert decode_netpbm(
+        b"P7\nWIDTH 1\nHEIGHT 1\nDEPTH 4\nMAXVAL 255\nENDHDR\nABCD"
+    ) == (1, 1, 4, b"ABCD")
