@@ -46,6 +46,7 @@ __all__ = [
     "append_rows",
     "delete_ids",
     "compact_codes",
+    "compact_dedup",
     "stream_append_codes",
     "maintenance_stats",
     "should_compact",
@@ -83,21 +84,34 @@ def maintenance_stats(spark: SparkSession, mount_dir: str) -> dict:
         n = sum(1 for f in files if f.endswith(".parquet"))
         if n and os.path.basename(root).startswith("cell="):
             per_cell[os.path.basename(root)] = n
+    # the dedup artifacts fragment the same way (every append adds one
+    # file per touched band/shingle directory) — census them too (r13)
+    max_dedup = 0
+    for art in ("dedup_bands", "dedup_shingles"):
+        p = os.path.join(mount_dir, art)
+        for root, _dirs, files in os.walk(p):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n > max_dedup:
+                max_dedup = n
     return {
         "n_vectors": n_vectors,
         "n_tombstones": n_tomb,
         "tombstone_fraction": (n_tomb / n_vectors) if n_vectors else 0.0,
         "n_cells": len(per_cell),
         "max_files_per_cell": max(per_cell.values(), default=0),
+        "max_files_per_dedup_dir": max_dedup,
     }
 
 
 def should_compact(spark: SparkSession, mount_dir: str) -> bool:
-    """The r12 trigger: tombstone mass or per-cell file count over budget."""
+    """The r12 trigger: tombstone mass or per-cell file count over budget
+    — r13 extends the file budget to the dedup band/shingle directories
+    (same per-directory scan-cost mechanics, same constant)."""
     s = maintenance_stats(spark, mount_dir)
     return (
         s["tombstone_fraction"] >= COMPACT_TOMBSTONE_FRACTION
         or s["max_files_per_cell"] > COMPACT_FILES_PER_CELL
+        or s["max_files_per_dedup_dir"] > COMPACT_FILES_PER_CELL
     )
 
 
@@ -341,6 +355,57 @@ def compact_codes(spark: SparkSession, mount_dir: str) -> int:
     with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return before - after
+
+
+def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
+    """Collapse the dedup index's append debris (r13): every
+    ``dedup_append`` adds one parquet file per touched band/shingle
+    directory, so at production cadence the per-directory file count —
+    and with it the probe's footer-open cost — grows linearly in appends.
+    Rewrite both artifacts write-new-then-swap with the MOUNT-time layout
+    (one file per directory, rows sorted so point predicates skip row
+    groups); results are unchanged by construction — the tables hold the
+    same rows, only the file layout collapses.  Returns the number of
+    parquet files reclaimed; 0 when neither artifact is fragmented."""
+    manifest = load_manifest(mount_dir)
+    if not manifest.get("dedup"):
+        raise ValueError("mount has no dedup artifacts — run mount_dedup first")
+    id_col = manifest["dedup"]["id_col"]
+
+    def census(path: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    reclaimed = 0
+    bands_path = os.path.join(mount_dir, "dedup_bands")
+    sh_path = os.path.join(mount_dir, "dedup_shingles")
+    plans = [
+        (bands_path, ["band_idx", "bkt"], "band_hash"),
+        (sh_path, ["sbkt"], id_col),
+    ]
+    for path, part_cols, sort_col in plans:
+        before = census(path)
+        n_dirs = sum(
+            1 for root, _dirs, files in os.walk(path)
+            if any(f.endswith(".parquet") for f in files)
+        )
+        if before <= n_dirs:
+            continue  # already one file per directory
+        tmp = path + "__tmp"
+        (
+            spark.read.parquet(path)
+            .repartition(*part_cols)
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
+        )
+        shutil.rmtree(path)
+        shutil.move(tmp, path)
+        reclaimed += before - census(path)
+    return reclaimed
 
 
 def stream_append_codes(

@@ -412,3 +412,54 @@ def test_serve_dedup_lookup_equals_batch_restricted(spark, sf_dir, tmp_path):
     # collision with a mounted id is loud
     with pytest.raises(ValueError, match="mounted id"):
         serve_dedup_lookup(spark, d, probe_text, probe_id=7)
+
+
+def test_compact_dedup_collapses_append_debris(spark, sf_dir, tmp_path, monkeypatch):
+    """r13: every append adds one parquet file per touched band/shingle
+    directory; compact_dedup rewrites both artifacts to the mount-time
+    one-file-per-directory layout with results pinned unchanged, the
+    fragmentation shows in maintenance_stats, and the should_compact
+    budget covers it."""
+    import simsearch_spark.mount.maintain as mm
+    from simsearch_spark.mount.maintain import (
+        compact_dedup,
+        maintenance_stats,
+        should_compact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 300)
+    d = str(tmp_path / "m_compact")
+    mount_dedup(spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+    for i in range(3):
+        delta = docs.where(
+            (F.col("doc_id") >= 300 + 50 * i) & (F.col("doc_id") < 350 + 50 * i)
+        )
+        dedup_append(spark, d, delta)
+    s = maintenance_stats(spark, d)
+    assert s["max_files_per_dedup_dir"] > 1
+    monkeypatch.setattr(mm, "COMPACT_FILES_PER_CELL", 2)
+    assert should_compact(spark, d)
+
+    # a re-crawl probe (mounted texts under fresh ids) has nonempty pairs
+    probe = docs.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    before = _rows(dedup_append(spark, d, probe, update=False))
+    assert before
+    assert compact_dedup(spark, d) > 0
+    s2 = maintenance_stats(spark, d)
+    assert s2["max_files_per_dedup_dir"] == 1
+    assert not should_compact(spark, d)
+    # results unchanged by construction — same pairs, same lookup
+    assert _rows(dedup_append(spark, d, probe, update=False)) == before
+    # idempotent: a clean layout reclaims nothing
+    assert compact_dedup(spark, d) == 0
+    # and appends keep working against the compacted layout
+    extra = docs.where(
+        (F.col("doc_id") >= 450) & (F.col("doc_id") < 470)
+    )
+    dedup_append(spark, d, extra)
+    from simsearch_spark.mount.artifacts import load_manifest as _lm
+
+    assert _lm(d)["dedup"]["n_docs"] == 300 + 150 + 20
