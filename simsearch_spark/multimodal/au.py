@@ -3,10 +3,13 @@ audio container (6 big-endian uint32 header fields + data), still common
 for telephony corpora.
 
 Scope: encoding 1 (G.711 μ-law, via multimodal/g711.py — lossy in
-general, exact on representable levels), 3 (16-bit linear PCM,
-big-endian), 6/7 (IEEE float32/float64 BE, ±1.0 full scale —
-``s/32768.0`` is float32-exact for every int16, r12), and 27 (G.711
-A-law, r12).  Other encodings raise ``NotImplementedError``.  An
+general, exact on representable levels), 2/3/4/5 (8/16/24/32-bit
+linear PCM, big-endian — r13 adds the non-16 widths with the WAV
+module's widening/reduction conventions, except that AU's 8-bit is
+SIGNED per spec where WAV's is offset-128), 6/7 (IEEE float32/float64
+BE, ±1.0 full scale — ``s/32768.0`` is float32-exact for every int16,
+r12), and 27 (G.711 A-law, r12).  Other encodings raise
+``NotImplementedError``.  An
 unknown data size (0xFFFFFFFF, legal per spec) reads to end of payload.
 The annotation field between header and data is honored via the data
 offset.  The reference engine has no audio operators (LLM-pipeline
@@ -21,7 +24,10 @@ __all__ = ["encode_au", "decode_au"]
 
 _MAGIC = b".snd"
 _ENC_ULAW = 1
+_ENC_PCM8 = 2
 _ENC_PCM16 = 3
+_ENC_PCM24 = 4
+_ENC_PCM32 = 5
 _ENC_FLOAT32 = 6
 _ENC_FLOAT64 = 7
 _ENC_ALAW = 27
@@ -32,12 +38,24 @@ def encode_au(
     samples: list[int], sample_rate: int, channels: int = 1, codec: str = "pcm16"
 ) -> bytes:
     """Interleaved int16 samples → AU bytes.  codec: ``pcm16``
-    (encoding 3, BE), ``ulaw``/``alaw`` (encodings 1/27,
-    G.711-companded), or ``float32``/``float64`` (encodings 6/7,
-    s/32768.0 — exact)."""
+    (encoding 3, BE), ``pcm8``/``pcm24``/``pcm32`` (encodings 2/4/5,
+    r13 — 8-bit truncates to the signed high byte, 24/32 widen exactly),
+    ``ulaw``/``alaw`` (encodings 1/27, G.711-companded), or
+    ``float32``/``float64`` (encodings 6/7, s/32768.0 — exact)."""
     if codec == "pcm16":
         enc = _ENC_PCM16
         data = struct.pack(f">{len(samples)}h", *samples)
+    elif codec == "pcm8":
+        enc = _ENC_PCM8
+        data = struct.pack(f">{len(samples)}b", *(int(s) >> 8 for s in samples))
+    elif codec == "pcm24":
+        enc = _ENC_PCM24
+        data = b"".join(
+            (int(s) << 8).to_bytes(3, "big", signed=True) for s in samples
+        )
+    elif codec == "pcm32":
+        enc = _ENC_PCM32
+        data = struct.pack(f">{len(samples)}i", *(int(s) << 16 for s in samples))
     elif codec == "ulaw":
         from simsearch_spark.multimodal.g711 import ulaw_encode
 
@@ -91,6 +109,22 @@ def decode_au(payload: bytes) -> tuple[int, int, list[int]]:
     if enc == _ENC_PCM16:
         n = len(data) // 2
         return rate, channels, list(struct.unpack(f">{n}h", data[: n * 2]))
+    if enc == _ENC_PCM8:
+        # AU 8-bit is SIGNED linear (the spec's difference from WAV)
+        return rate, channels, [
+            v << 8 for v in struct.unpack(f">{len(data)}b", data)
+        ]
+    if enc == _ENC_PCM24:
+        n = len(data) // 3
+        return rate, channels, [
+            int.from_bytes(data[3 * i : 3 * i + 3], "big", signed=True) >> 8
+            for i in range(n)
+        ]
+    if enc == _ENC_PCM32:
+        n = len(data) // 4
+        return rate, channels, [
+            v >> 16 for v in struct.unpack(f">{n}i", data[: n * 4])
+        ]
     if enc in (_ENC_FLOAT32, _ENC_FLOAT64):
         from simsearch_spark.multimodal.pcm import float_to_int16
 

@@ -350,3 +350,25 @@ def test_au_g72x_family_is_a_declined_seam():
     blob[12:16] = struct.pack(">I", 23)  # G.721 4-bit ADPCM
     with pytest.raises(NotImplementedError, match="G.721/G.723"):
         decode_au(bytes(blob))
+
+
+def test_au_pcm_widths():
+    """r13: AU encodings 2/4/5 — 8-bit SIGNED linear (the spec's
+    difference from WAV's offset-128), 24/32-bit exact widening; same
+    reduction conventions as the WAV widths."""
+    import random as _random
+
+    rng = _random.Random(31)
+    samples = [rng.randrange(-32768, 32768) for _ in range(97)]
+    # 24/32-bit: exact round trip for every int16
+    for codec in ("pcm24", "pcm32"):
+        blob = encode_au(samples, 16000, codec=codec)
+        assert decode_au(blob) == (16000, 1, samples), codec
+        assert decode_audio(blob) == (16000, 1, samples)
+    # 8-bit: exact on the high-byte level set
+    hi = [(v >> 8) << 8 for v in samples]
+    blob = encode_au(hi, 8000, codec="pcm8")
+    assert decode_au(blob) == (8000, 1, hi)
+    # signedness pinned: sample -256 stores as byte 0xFF, not 0x7F
+    one = encode_au([-256], 8000, codec="pcm8")
+    assert one[24] == 0xFF
