@@ -332,27 +332,41 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             f"BMP header size {hdr_size} (BITMAPCOREHEADER or "
             "BITMAPINFOHEADER+ only)"
         )
-    if comp not in (0, 1, 2, 3, 4, 5):
+    if comp not in (0, 1, 2, 3, 4, 5, 6):
         raise NotImplementedError(
             f"BMP compression {comp} (BI_RGB / BI_RLE8 / BI_RLE4 / "
-            "BI_BITFIELDS / BI_JPEG / BI_PNG only)"
+            "BI_BITFIELDS / BI_JPEG / BI_PNG / BI_ALPHABITFIELDS only)"
         )
     masks = None
-    if comp == 3:
+    alpha_mask = None
+    if comp in (3, 6):
         # BI_BITFIELDS (r12): three contiguous channel masks follow the
-        # 40-byte header (V4/V5 headers store them at the same offset)
+        # 40-byte header (V4/V5 headers store them at the same offset);
+        # BI_ALPHABITFIELDS (r13) appends a fourth ALPHA mask DWORD —
+        # zero means "no alpha stored" and decodes like BI_BITFIELDS
+        n_masks = 3 if comp == 3 else 4
         if bits not in (16, 32):
             raise ValueError(f"BI_BITFIELDS with bit depth {bits} (16/32 only)")
-        if len(data) < 66:
+        if len(data) < 54 + 4 * n_masks:
             raise ValueError("BI_BITFIELDS without mask DWORDs")
-        raw_masks = struct.unpack("<III", data[54:66])
-        if (raw_masks[0] & raw_masks[1]) or (raw_masks[0] & raw_masks[2]) or (
-            raw_masks[1] & raw_masks[2]
-        ):
+        raw_masks = list(struct.unpack(f"<{n_masks}I", data[54 : 54 + 4 * n_masks]))
+        if comp == 6:
+            alpha_mask = raw_masks.pop()
+        for i, a in enumerate(raw_masks):
+            for b in raw_masks[i + 1 :]:
+                if a & b:
+                    raise ValueError(
+                        f"BI_BITFIELDS masks overlap: "
+                        f"{[hex(m) for m in raw_masks]}"
+                    )
+        if alpha_mask and any(alpha_mask & m for m in raw_masks):
             raise ValueError(
-                f"BI_BITFIELDS masks overlap: {[hex(m) for m in raw_masks]}"
+                f"BI_ALPHABITFIELDS alpha mask {alpha_mask:#x} overlaps a "
+                "color mask"
             )
         masks = [_mask_layout(m, bits) for m in raw_masks]
+        if alpha_mask:
+            alpha_mask = _mask_layout(alpha_mask, bits)
     if comp == 1 and bits != 8:
         raise ValueError(f"BI_RLE8 with bit depth {bits} (must be 8)")
     if comp == 2 and bits != 4:
@@ -393,9 +407,13 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         return w, h, 3, decode_dib_frame(flipped, w, h)
     if bits == 16:
         # BI_RGB 16-bit is implied X1-R5-G5-B5 little-endian words;
-        # BI_BITFIELDS supplies explicit masks (5-6-5 the common case).
+        # BI_BITFIELDS supplies explicit masks (5-6-5 the common case);
+        # a BI_ALPHABITFIELDS alpha mask appends a 4th channel (r13).
         # Each channel expands by GDI's bit replication.
         layout = masks or [(10, 5), (5, 5), (0, 5)]
+        if alpha_mask:
+            layout = layout + [alpha_mask]
+        nch = len(layout)
         stride = (w * 2 + 3) & ~3
         if len(body) < stride * h:
             raise ValueError(f"BMP pixel data {len(body)} B < {stride}x{h} layout")
@@ -406,36 +424,42 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
             (sh, (1 << n) - 1, bytes(_replicate(v, n) for v in range(1 << n)))
             for sh, n in layout
         ]
-        out = bytearray(3 * w * h)
+        out = bytearray(nch * w * h)
         for y in range(h):
             src = (y if top_down else h - 1 - y) * stride
             for x in range(w):
                 (word,) = struct.unpack_from("<H", body, src + 2 * x)
                 for c, (sh, m, lut) in enumerate(luts):
-                    out[3 * (y * w + x) + c] = lut[(word >> sh) & m]
-        return w, h, 3, bytes(out)
+                    out[nch * (y * w + x) + c] = lut[(word >> sh) & m]
+        return w, h, nch, bytes(out)
     if bits == 32:
-        # BGRX quads (BI_RGB) or masked DWORDs (BI_BITFIELDS); rows are
-        # naturally 4-byte aligned
+        # BGRX quads (BI_RGB) or masked DWORDs (BI_BITFIELDS, plus the
+        # alpha channel under BI_ALPHABITFIELDS); rows are naturally
+        # 4-byte aligned
         if len(body) < 4 * w * h:
             raise ValueError(f"BMP pixel data {len(body)} B < {4 * w * h} B layout")
+        layout32 = list(masks or [])
+        if alpha_mask:
+            layout32.append(alpha_mask)
+        nch = len(layout32) if layout32 else 3
         luts32 = [
             (sh, (1 << n) - 1, bytes(_replicate(v, n) for v in range(1 << n)))
-            for sh, n in (masks or [])
+            for sh, n in layout32
         ]
-        out = bytearray(3 * w * h)
+        out = bytearray(nch * w * h)
         for y in range(h):
             src = (y if top_down else h - 1 - y) * 4 * w
             for x in range(w):
                 if masks is None:
                     b, g, r = body[src + 4 * x : src + 4 * x + 3]
+                    px = (r, g, b)
                 else:
                     (word,) = struct.unpack_from("<I", body, src + 4 * x)
-                    r, g, b = (
+                    px = tuple(
                         lut[(word >> sh) & m] for sh, m, lut in luts32
                     )
-                out[3 * (y * w + x) : 3 * (y * w + x) + 3] = bytes((r, g, b))
-        return w, h, 3, bytes(out)
+                out[nch * (y * w + x) : nch * (y * w + x) + nch] = bytes(px)
+        return w, h, nch, bytes(out)
     if bits in (1, 4, 8):
         if core:
             # OS/2 palette: RGBTRIPLE entries, count fixed at 2^bits —

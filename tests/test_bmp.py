@@ -39,8 +39,13 @@ def test_named_seams():
     with pytest.raises(ValueError, match="not a JPEG payload"):
         decode_bmp(bytes(b))
     b = bytearray(g)
+    # r13: BI_ALPHABITFIELDS decodes — claiming it at 8 bits is malformed
     b[30:34] = struct.pack("<I", 6)
-    with pytest.raises(NotImplementedError, match="compression 6"):
+    with pytest.raises(ValueError, match="16/32 only"):
+        decode_bmp(bytes(b))
+    b = bytearray(g)
+    b[30:34] = struct.pack("<I", 11)  # BI_CMYK: still a seam
+    with pytest.raises(NotImplementedError, match="compression 11"):
         decode_bmp(bytes(b))
     b = bytearray(g)
     b[28:30] = struct.pack("<H", 2)  # 2-bit: not a legal BMP depth
@@ -400,3 +405,41 @@ def test_bi_jpeg_and_bi_png_passthrough():
     assert jpx == bytes([77] * (w * h))
     with pytest.raises(ValueError, match="stream geometry"):
         decode_bmp(wrap(png, 5, hw=w + 1))
+
+
+def test_bi_alphabitfields():
+    """r13: compression 6 (BI_ALPHABITFIELDS) — four mask DWORDs; a
+    nonzero alpha mask appends a 4th channel (the PNG convention), a
+    zero alpha mask decodes like BI_BITFIELDS, overlap with a color
+    mask is malformed."""
+    def build(bits, masks4, rows, w, h):
+        off = 14 + 40 + 16
+        hdr = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bits, 6, len(rows), 2835, 2835, 0, 0,
+        )
+        return hdr + info + struct.pack("<4I", *masks4) + rows
+
+    # 32-bit ARGB (A8-R8-G8-B8): one bottom-up row of two pixels
+    px = [(10, 20, 30, 40), (200, 150, 100, 255)]  # RGBA
+    words = [
+        (a << 24) | (r << 16) | (g << 8) | b for r, g, b, a in px
+    ]
+    rows = struct.pack("<2I", *words)
+    got = decode_bmp(build(32, (0xFF0000, 0xFF00, 0xFF, 0xFF000000), rows, 2, 1))
+    assert got == (2, 1, 4, bytes(v for p in px for v in p))
+
+    # zero alpha mask: plain 3-channel BI_BITFIELDS semantics
+    got3 = decode_bmp(build(32, (0xFF0000, 0xFF00, 0xFF, 0), rows, 2, 1))
+    assert got3 == (2, 1, 3, bytes(v for p in px for v in p[:3]))
+
+    # 16-bit 4-4-4-4: exact on the 17-multiple replication level set
+    v = lambda n: n * 17  # noqa: E731
+    word = (0xA << 12) | (0x3 << 8) | (0x7 << 4) | 0xC  # A R G B
+    rows16 = struct.pack("<HH", word, word)
+    got16 = decode_bmp(build(16, (0xF00, 0xF0, 0xF, 0xF000), rows16, 2, 1))
+    assert got16 == (2, 1, 4, bytes([v(3), v(7), v(0xC), v(0xA)] * 2))
+
+    # alpha mask overlapping a color mask is malformed
+    with pytest.raises(ValueError, match="overlaps"):
+        decode_bmp(build(32, (0xFF0000, 0xFF00, 0xFF, 0xFF), rows, 2, 1))
