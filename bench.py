@@ -244,6 +244,38 @@ def run_mount(spark) -> dict[str, float]:
     return out
 
 
+def cpu_calibration() -> float:
+    """Host-speed tripwire (VERDICT r13 task 5): a deterministic ~2 s
+    single-thread CPU score — fixed-seed numpy matmuls plus a Python
+    hash loop — recorded in BENCH_DETAIL so cross-round comparisons can
+    be validated from artifacts alone.  The r13 round lost 15-40 % of
+    apparent throughput to silent host slowdown and had to re-bench the
+    old tree to prove it; with `calib` in both artifacts, a ratio far
+    from 1.0 marks the raw cross-file comparison as NOT decidable.
+    Returns operations-per-second-ish (higher = faster host); the
+    workload mix (BLAS matmul + interpreter loop) tracks both executor
+    kernels and driver/py4j overheads."""
+    import hashlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    a = rng.normal(size=(384, 384))
+    b = rng.normal(size=(384, 384))
+    t0 = time.perf_counter()
+    reps = 0
+    acc = a
+    h = hashlib.sha256()
+    while time.perf_counter() - t0 < 2.0:
+        acc = (acc @ b) / np.float64(384.0)
+        h.update(acc[0].tobytes())
+        for i in range(20_000):
+            h.update(i.to_bytes(4, "little"))
+        reps += 1
+    dt = time.perf_counter() - t0
+    return round(reps / dt, 2)
+
+
 def main() -> None:
     # Load guard (VERDICT r12 task 2): record 1-min loadavg at start so a
     # bench taken under background load is identifiable from the artifact
@@ -256,6 +288,7 @@ def main() -> None:
             f"WARNING: loadavg/cpus = {load_ratio} > 0.2 at bench start — "
             "timings will include background-load noise\n"
         )
+    calib = cpu_calibration()  # before the JVM starts competing for CPU
     spark = get_spark(app_name="simsearch-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warm-up on an unrelated tiny job so q1 isn't charged for it
@@ -285,6 +318,11 @@ def main() -> None:
         "runs": 4,
         "load_start": load_ratio,
         "load_end": round(os.getloadavg()[0] / cpus, 3),
+        # deterministic host-speed score (r13 task 5): compare across
+        # rounds BEFORE reading per-query ratios — a calib ratio far from
+        # 1.0 means the host changed, not the code (SCALE.md §r14 A/B
+        # procedure)
+        "calib": calib,
         "queries_min": warm,
         "queries_median": med,
         "queries_cold": cold,

@@ -43,7 +43,12 @@ work happens, never the answer.
 """
 
 from simsearch_spark.mount.artifacts import load_manifest, mount
-from simsearch_spark.mount.audit import audit_drift, refresh
+from simsearch_spark.mount.audit import audit_dedup, audit_drift, refresh
+from simsearch_spark.mount.bpe import (
+    bpe_encode_stats,
+    mount_bpe,
+    serve_bpe_encode,
+)
 from simsearch_spark.mount.dedup import (
     dedup_append,
     dedup_embed_append,
@@ -72,5 +77,9 @@ __all__ = [
     "stream_dedup_append",
     "dedup_embed_append",
     "audit_drift",
+    "audit_dedup",
     "refresh",
+    "mount_bpe",
+    "serve_bpe_encode",
+    "bpe_encode_stats",
 ]

@@ -60,8 +60,24 @@ MANIFEST_VERSION = 1
 #: attribute; 8 matches the operators/pivot.py test contract)
 N_PIVOTS = 8
 
+#: artifact families for INCREMENTAL refresh (VERDICT r13 task 1): drift
+#: is usually localized to one family, and at 100 TB the full
+#: retrain-and-swap is the engine's most expensive lifecycle job —
+#: ``refresh(families=[...])`` regenerates only the drifted family,
+#: write-new-then-swap at family granularity, leaving the other
+#: families' artifacts byte-identical.
+FAMILY_ARTIFACTS: dict[str, list[str]] = {
+    "vector": ["ivf_centroids", "pq_codebooks", "pq_codes", "pivots",
+               "pivot_embedded"],
+    "text": ["langid_profiles", "lm_bigrams", "lm_ctx", "lm_vocab",
+             "lm_tokens", "bm25_df", "bm25_global"],
+    "dedup": ["dedup_bands", "dedup_shingles"],
+    "bpe": ["bpe_merges"],
+}
+
 __all__ = [
     "mount",
+    "FAMILY_ARTIFACTS",
     "load_manifest",
     "load_centroid_map",
     "load_codebooks",
@@ -125,6 +141,175 @@ def _write(
     w.parquet(path)
 
 
+def _train_vector_family(
+    spark: SparkSession, emb: DataFrame, train: DataFrame, out_dir: str
+) -> tuple[dict, int]:
+    """Train and persist the VECTOR artifact family (IVF centroids,
+    residual PQ codebooks, the cell-partitioned codes table, pivots and
+    the pivot distance embedding) into ``out_dir``.  ``emb`` should
+    arrive persisted — the trainers make several passes over it.
+    Returns ``(params_fragment, n_vectors)`` for the manifest."""
+    from simsearch_spark.queries.cluster import PQ_ITERS, PQ_KSUB, PQ_M, PQ_TRAIN_N
+    from simsearch_spark.queries.ivfpq import _centroids6, _train_books_residual
+
+    cents = _centroids6(train).persist()
+    try:
+        books = _train_books_residual(train, cents)
+        cent_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in cents.collect()]
+    finally:
+        cents.unpersist()
+    cmap = dict(cent_rows)
+    _write(
+        spark.createDataFrame(
+            cent_rows, "cluster_id int, centroid array<double>"
+        ),
+        os.path.join(out_dir, "ivf_centroids"),
+    )
+    _write(
+        spark.createDataFrame(
+            [
+                (j, int(cid), [float(x) for x in vec])
+                for j, cb in enumerate(books)
+                for cid, vec in sorted(cb.items())
+            ],
+            "j int, cluster_id int, centroid array<double>",
+        ),
+        os.path.join(out_dir, "pq_codebooks"),
+    )
+    codes = encode_residual_codes(emb, "vec_id", "embedding", "label", cmap, books)
+    # repartition ON the partition column: a fresh mount starts at one
+    # file per cell (the same layout compact_codes restores), so the
+    # COMPACT_FILES_PER_CELL trigger measures append debris, not the
+    # writer's shuffle spray; a petabyte mount would repartition(n,
+    # "cell") to keep intra-cell file parallelism
+    _write(
+        codes.repartition("cell"),
+        os.path.join(out_dir, "pq_codes"),
+        partition_by="cell",
+    )
+
+    # pivot artifacts — the reference's own mount-time V-path
+    # (Coordinator.java:760-788: allocate/select pivots, embed): the
+    # deterministic farthest-point pivots and the per-row distance
+    # embedding, persisted so serve-side pruned k-NN reads narrow
+    # emb_* columns (and, at scale, skips row groups via their
+    # min/max stats) instead of re-embedding the corpus per query
+    from simsearch_spark.operators.pivot import (
+        embed_distances,
+        select_pivots_farthest_point,
+    )
+
+    pivots = select_pivots_farthest_point(train, "vec_id", "embedding", N_PIVOTS)
+    _write(
+        spark.createDataFrame(
+            [
+                (pos, int(pid), [float(x) for x in vec])
+                for pos, (pid, vec) in enumerate(pivots)
+            ],
+            "pos int, pivot_id long, vector array<double>",
+        ),
+        os.path.join(out_dir, "pivots"),
+    )
+    _write(
+        embed_distances(emb, "embedding", pivots).select(
+            "vec_id", *[f"emb_{i}" for i in range(len(pivots))]
+        ),
+        os.path.join(out_dir, "pivot_embedded"),
+    )
+    n_vectors = int(emb.count())
+    params = {
+        "pq_m": PQ_M,
+        "pq_ksub": PQ_KSUB,
+        "pq_iters": PQ_ITERS,
+        "pq_train_n": PQ_TRAIN_N,
+        "n_cells": len(cmap),
+    }
+    return params, n_vectors
+
+
+def _train_text_family(
+    spark: SparkSession,
+    docs: DataFrame,
+    profiles: dict[str, dict[str, int]] | None,
+    out_dir: str,
+) -> list[str]:
+    """Train and persist the TEXT artifact family (language-ID profiles,
+    LM bigram/context/vocab tables, BM25 stats) into ``out_dir``.
+    ``docs`` must already be text-notnull-filtered and should arrive
+    persisted — the trainers make several passes and the dedup trainer
+    shares the same read.  Returns the lane-ordered language list."""
+    from simsearch_spark.functions.langid import PROFILES, _langs_of
+    from simsearch_spark.functions.text import ws_tokens
+    from simsearch_spark.queries.vocab import lm_count_tables, lm_doc_bigrams
+
+    prof = PROFILES if profiles is None else profiles
+    langs = _langs_of(profiles)
+    _write(
+        spark.createDataFrame(
+            [
+                (lane, lang, tri, int(w))
+                for lane, lang in enumerate(langs)
+                for tri, w in sorted(prof[lang].items())
+            ],
+            "lane int, lang string, tri string, w long",
+        ),
+        os.path.join(out_dir, "langid_profiles"),
+    )
+
+    toks = ws_tokens(F.col("text"))
+    bgc = lm_doc_bigrams(docs).persist()
+    try:
+        cb, cu, vocab = lm_count_tables(bgc, docs)
+        _write(cb, os.path.join(out_dir, "lm_bigrams"))
+        _write(cu, os.path.join(out_dir, "lm_ctx"))
+        _write(vocab, os.path.join(out_dir, "lm_vocab"))
+        # the distinct token set behind lm_vocab's count — countDistinct is
+        # not mergeable from counts alone, so appends re-derive v from the
+        # merged token set (maintain.append_rows)
+        _write(
+            docs.select(F.explode(toks).alias("tok")).distinct(),
+            os.path.join(out_dir, "lm_tokens"),
+        )
+    finally:
+        bgc.unpersist()
+
+    tdocs = docs.select("doc_id", toks.alias("toks")).where(F.col("toks").isNotNull())
+    _write(
+        tdocs.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df")),
+        os.path.join(out_dir, "bm25_df"),
+    )
+    _write(
+        tdocs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.size("toks").cast("double")).alias("avgdl"),
+            F.sum(F.size("toks").cast("long")).alias("sum_dl"),
+        ),
+        os.path.join(out_dir, "bm25_global"),
+    )
+    return list(langs)
+
+
+def _dedup_family_params(dedup_params: dict | None) -> dict:
+    """The frozen MinHash family the dedup index is built with: module
+    defaults overlaid with the caller's (or the previous generation's)
+    overrides, unknown keys rejected loudly."""
+    from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES
+
+    dp = {"threshold": MINHASH_T, "n_hashes": N_HASHES, "bands": N_BANDS}
+    if dedup_params:
+        allowed = {
+            "id_col", "text_col", "threshold", "n_hashes", "bands",
+            "shingle_n", "seed", "bucket_cap", "hot_mode",
+        }
+        bad = set(dedup_params) - allowed
+        if bad:
+            raise ValueError(f"dedup_params keys not settable: {sorted(bad)}")
+        dp.update(dedup_params)
+    return dp
+
+
 def mount(
     spark: SparkSession,
     sf_dir: str,
@@ -147,11 +332,12 @@ def mount(
     language-ID profile dict (e.g. ``train_profiles`` output); default is
     the embedded seed profiles the declared queries use.  ``emb_frame`` /
     ``docs_frame`` override the corpus frames themselves (partial mounts,
-    the frozen-artifact append parity tests)."""
-    from simsearch_spark.functions.langid import PROFILES, _langs_of
-    from simsearch_spark.queries.cluster import PQ_ITERS, PQ_KSUB, PQ_M, PQ_TRAIN_N
-    from simsearch_spark.queries.ivfpq import _centroids6, _train_books_residual
-    from simsearch_spark.queries.vocab import lm_count_tables, lm_doc_bigrams
+    the frozen-artifact append parity tests).
+
+    The training is structured as per-FAMILY trainers (vector / text /
+    dedup, ``FAMILY_ARTIFACTS``) sharing one persisted corpus read per
+    table, so ``audit.refresh(families=[...])`` can regenerate a single
+    drifted family without re-paying the others (VERDICT r13 task 1)."""
     from simsearch_spark.sources.registry import load_table
 
     emb = (
@@ -159,180 +345,44 @@ def mount(
     ).persist()
     train = emb if train_frame is None else train_frame
     try:
-        # --- vector artifacts -------------------------------------------
-        cents = _centroids6(train).persist()
-        try:
-            books = _train_books_residual(train, cents)
-            cent_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in cents.collect()]
-        finally:
-            cents.unpersist()
-        cmap = dict(cent_rows)
-        _write(
-            spark.createDataFrame(
-                cent_rows, "cluster_id int, centroid array<double>"
-            ),
-            os.path.join(mount_dir, "ivf_centroids"),
-        )
-        _write(
-            spark.createDataFrame(
-                [
-                    (j, int(cid), [float(x) for x in vec])
-                    for j, cb in enumerate(books)
-                    for cid, vec in sorted(cb.items())
-                ],
-                "j int, cluster_id int, centroid array<double>",
-            ),
-            os.path.join(mount_dir, "pq_codebooks"),
-        )
-        codes = encode_residual_codes(emb, "vec_id", "embedding", "label", cmap, books)
-        # repartition ON the partition column: a fresh mount starts at one
-        # file per cell (the same layout compact_codes restores), so the
-        # COMPACT_FILES_PER_CELL trigger measures append debris, not the
-        # writer's shuffle spray; a petabyte mount would repartition(n,
-        # "cell") to keep intra-cell file parallelism
-        _write(
-            codes.repartition("cell"),
-            os.path.join(mount_dir, "pq_codes"),
-            partition_by="cell",
-        )
-
-        # pivot artifacts — the reference's own mount-time V-path
-        # (Coordinator.java:760-788: allocate/select pivots, embed): the
-        # deterministic farthest-point pivots and the per-row distance
-        # embedding, persisted so serve-side pruned k-NN reads narrow
-        # emb_* columns (and, at scale, skips row groups via their
-        # min/max stats) instead of re-embedding the corpus per query
-        from simsearch_spark.operators.pivot import (
-            embed_distances,
-            select_pivots_farthest_point,
-        )
-
-        pivots = select_pivots_farthest_point(train, "vec_id", "embedding", N_PIVOTS)
-        _write(
-            spark.createDataFrame(
-                [
-                    (pos, int(pid), [float(x) for x in vec])
-                    for pos, (pid, vec) in enumerate(pivots)
-                ],
-                "pos int, pivot_id long, vector array<double>",
-            ),
-            os.path.join(mount_dir, "pivots"),
-        )
-        _write(
-            embed_distances(emb, "embedding", pivots).select(
-                "vec_id", *[f"emb_{i}" for i in range(len(pivots))]
-            ),
-            os.path.join(mount_dir, "pivot_embedded"),
-        )
-        n_vectors = int(emb.count())
+        vparams, n_vectors = _train_vector_family(spark, emb, train, mount_dir)
     finally:
         emb.unpersist()
 
-    # --- text artifacts --------------------------------------------------
+    # ONE persisted documents read shared by the text AND dedup trainers
     docs = (
-        load_table(spark, sf_dir, "documents") if docs_frame is None else docs_frame
-    ).where(F.col("text").isNotNull())
-    prof = PROFILES if profiles is None else profiles
-    langs = _langs_of(profiles)
-    _write(
-        spark.createDataFrame(
-            [
-                (lane, lang, tri, int(w))
-                for lane, lang in enumerate(langs)
-                for tri, w in sorted(prof[lang].items())
-            ],
-            "lane int, lang string, tri string, w long",
-        ),
-        os.path.join(mount_dir, "langid_profiles"),
+        (load_table(spark, sf_dir, "documents") if docs_frame is None else docs_frame)
+        .where(F.col("text").isNotNull())
+        .persist()
     )
-
-    from simsearch_spark.functions.text import ws_tokens
-
-    toks = ws_tokens(F.col("text"))
-    bgc = lm_doc_bigrams(docs).persist()
     try:
-        cb, cu, vocab = lm_count_tables(bgc, docs)
-        _write(cb, os.path.join(mount_dir, "lm_bigrams"))
-        _write(cu, os.path.join(mount_dir, "lm_ctx"))
-        _write(vocab, os.path.join(mount_dir, "lm_vocab"))
-        # the distinct token set behind lm_vocab's count — countDistinct is
-        # not mergeable from counts alone, so appends re-derive v from the
-        # merged token set (maintain.append_rows)
-        _write(
-            docs.select(F.explode(toks).alias("tok")).distinct(),
-            os.path.join(mount_dir, "lm_tokens"),
-        )
+        langs = _train_text_family(spark, docs, profiles, mount_dir)
+
+        manifest = {
+            "version": MANIFEST_VERSION,
+            "source": os.path.abspath(sf_dir),
+            "params": {**vparams, "langs": langs},
+            "counts": {"n_vectors": n_vectors},
+            "artifacts": FAMILY_ARTIFACTS["vector"] + FAMILY_ARTIFACTS["text"],
+        }
+        os.makedirs(mount_dir, exist_ok=True)
+        with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+
+        if dedup:
+            # the persisted MinHash signature/band index (mount/dedup.py) —
+            # frozen hash family matching the declared dedup queries, so
+            # dedup_append deltas stay parity-equal to the batch operator.
+            # ``dedup_params`` overrides the family (a refresh passes the
+            # OLD manifest's block through, so a regenerated mount never
+            # silently reverts a custom family to defaults — r12)
+            from simsearch_spark.mount.dedup import mount_dedup
+
+            manifest = mount_dedup(
+                spark, mount_dir, docs, **_dedup_family_params(dedup_params)
+            )
     finally:
-        bgc.unpersist()
-
-    tdocs = docs.select("doc_id", toks.alias("toks")).where(F.col("toks").isNotNull())
-    _write(
-        tdocs.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df")),
-        os.path.join(mount_dir, "bm25_df"),
-    )
-    _write(
-        tdocs.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg(F.size("toks").cast("double")).alias("avgdl"),
-            F.sum(F.size("toks").cast("long")).alias("sum_dl"),
-        ),
-        os.path.join(mount_dir, "bm25_global"),
-    )
-
-    manifest = {
-        "version": MANIFEST_VERSION,
-        "source": os.path.abspath(sf_dir),
-        "params": {
-            "pq_m": PQ_M,
-            "pq_ksub": PQ_KSUB,
-            "pq_iters": PQ_ITERS,
-            "pq_train_n": PQ_TRAIN_N,
-            "n_cells": len(cmap),
-            "langs": list(langs),
-        },
-        "counts": {"n_vectors": n_vectors},
-        "artifacts": [
-            "ivf_centroids",
-            "pq_codebooks",
-            "pq_codes",
-            "pivots",
-            "pivot_embedded",
-            "langid_profiles",
-            "lm_bigrams",
-            "lm_ctx",
-            "lm_vocab",
-            "lm_tokens",
-            "bm25_df",
-            "bm25_global",
-        ],
-    }
-    os.makedirs(mount_dir, exist_ok=True)
-    with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-
-    if dedup:
-        # the persisted MinHash signature/band index (mount/dedup.py) —
-        # frozen hash family matching the declared dedup queries, so
-        # dedup_append deltas stay parity-equal to the batch operator.
-        # ``dedup_params`` overrides the family (a refresh passes the OLD
-        # manifest's block through, so a regenerated mount never silently
-        # reverts a custom family to the defaults — self-review r12)
-        from simsearch_spark.mount.dedup import mount_dedup
-        from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES
-
-        dp = {"threshold": MINHASH_T, "n_hashes": N_HASHES, "bands": N_BANDS}
-        if dedup_params:
-            allowed = {
-                "id_col", "text_col", "threshold", "n_hashes", "bands",
-                "shingle_n", "seed", "bucket_cap", "hot_mode",
-            }
-            bad = set(dedup_params) - allowed
-            if bad:
-                raise ValueError(f"dedup_params keys not settable: {sorted(bad)}")
-            dp.update(dedup_params)
-        manifest = mount_dedup(spark, mount_dir, docs, **dp)
+        docs.unpersist()
     return manifest
 
 

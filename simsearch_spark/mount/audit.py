@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 
 from simsearch_spark.mount.artifacts import load_manifest, mount
 
-__all__ = ["audit_drift", "refresh"]
+__all__ = ["audit_drift", "audit_dedup", "refresh"]
 
 
 def _brute_multi_topk(
@@ -76,6 +76,28 @@ def _brute_multi_topk(
     return out
 
 
+def _round6_half_up(arr):
+    """``F.round(col, 6)`` parity for a driver-resident numpy vector:
+    Spark rounds through ``BigDecimal.valueOf(double)`` — the shortest
+    decimal representation that round-trips to the same double — then
+    HALF_UP at scale 6.  ``Decimal(repr(x))`` is Python's identical
+    shortest round-trip decimal, so quantizing it HALF_UP cannot differ
+    from the engine arm by the 1 ulp the pure-float emulation allowed
+    (ADVICE r13).  Cost is a Python loop, bounded by the audit's sampled
+    universe (never corpus-sized)."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    return np.array(
+        [
+            float(Decimal(repr(float(c))).quantize(q6, rounding=ROUND_HALF_UP))
+            for c in arr
+        ],
+        dtype=np.float64,
+    )
+
+
 def _brute_local(
     rows, qs: list[tuple[int, list[float]]], k: int, id_col: str, vec_col: str
 ) -> dict[int, list[int]]:
@@ -92,8 +114,14 @@ def _brute_local(
         q = np.asarray(qv, dtype=np.float64)
         qn = float(np.sqrt((q * q).sum()))
         cos = (mat @ q) / (norms * qn)
-        # HALF_UP at 6 decimals, the engine-wide score contract
-        cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
+        # HALF_UP at 6 decimals, the engine-wide score contract.  Spark's
+        # round() on a double goes through BigDecimal.valueOf — i.e. the
+        # SHORTEST-DECIMAL representation of the exact double — so the
+        # floor(|x|·1e6+0.5) emulation could disagree by 1 ulp at
+        # 6-decimal representation boundaries (ADVICE r13).  Decimal(
+        # repr(x)) is Python's same shortest round-trip decimal; HALF_UP
+        # quantize over it is bit-for-bit the Spark contract.
+        cos = _round6_half_up(cos)
         order = np.lexsort((ids, -cos))[: int(k)]
         out[int(qid)] = [int(i) for i in ids[order]]
     return out
@@ -198,16 +226,115 @@ def audit_drift(
     }
 
 
+def audit_dedup(
+    spark: SparkSession,
+    mount_dir: str,
+    sample_n: int = 256,
+) -> dict:
+    """LSH recall audit of the mounted dedup index (VERDICT r13 task 3):
+    on a bounded deterministic sample of mounted documents, compare the
+    pairs the FROZEN banding actually catches against the exact-Jaccard
+    ground truth over the same shingle sets.  A shingle-distribution
+    shift (new language, new boilerplate) moves the typical jaccard of
+    true near-duplicates toward the threshold, where a banding tuned for
+    the original corpus catches a falling fraction — recall degrades
+    silently while every caught pair still verifies correctly.  This is
+    the dedup dual of ``audit_drift``; pair it with
+    ``refresh(families=['dedup'], dedup_reestimate=True)`` to re-size
+    the banding from the current corpus.
+
+    Bounded by construction (the ``corpus_sample_n`` discipline): the
+    sample is the ``sample_n`` mounted ids of lowest ``xxhash64(id)`` —
+    a map-side top-n over an (id, shingles) projection, never a corpus
+    shuffle — and both arms run driver-resident over those rows plus ONE
+    id-pruned read of their band rows.  Cost is flat in corpus size
+    (SCALE.md §r14).
+
+    Returns ``{"recall": float|None, "n_exact_pairs", "n_caught",
+    "sample_n", "threshold", "bands", "n_hashes", "est_recall_at_mid"}``
+    — ``recall`` is None when the sample contains no true pairs (report,
+    not an error: a dup-free sample is a healthy outcome)."""
+    manifest = load_manifest(mount_dir)
+    dd = manifest.get("dedup")
+    if not dd:
+        raise ValueError("mount has no dedup artifacts — run mount_dedup first")
+    id_col = dd["id_col"]
+    threshold = float(dd["threshold"])
+    bands = int(dd["bands"])
+    n_hashes = int(dd["n_hashes"])
+
+    sh = spark.read.parquet(os.path.join(mount_dir, "dedup_shingles"))
+    srows = (
+        sh.select(F.col(id_col), F.col("shingles"))
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h")
+        .limit(int(sample_n))
+        .collect()
+    )
+    sets = {r[id_col]: frozenset(r["shingles"]) for r in srows}
+    ids = sorted(sets)
+
+    # exact arm: all-pairs jaccard over the bounded sample's shingle sets
+    # (sample_n² driver work — the audit's documented budget)
+    exact: set = set()
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        if not sa:
+            continue  # empty-shingle sentinel docs are outside the universe
+        for b in ids[i + 1:]:
+            sb = sets[b]
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= threshold:
+                exact.add((a, b))
+
+    # LSH arm: the pairs the MOUNTED band rows put in a shared bucket —
+    # read the index itself (not a recompute), id-pruned point lookups
+    brows = (
+        spark.read.parquet(os.path.join(mount_dir, "dedup_bands"))
+        .where(F.col(id_col).isin(ids))
+        .select("band_idx", "band_hash", F.col(id_col))
+        .collect()
+    )
+    buckets: dict = {}
+    for r in brows:
+        buckets.setdefault((r["band_idx"], r["band_hash"]), []).append(r[id_col])
+    cand: set = set()
+    for members in buckets.values():
+        if len(members) > 1:
+            ms = sorted(set(members))
+            for i, a in enumerate(ms):
+                for b in ms[i + 1:]:
+                    cand.add((a, b))
+    caught = exact & cand  # verification uses the same shingle sets
+
+    rows_per_band = n_hashes // bands
+    return {
+        "recall": (len(caught) / len(exact)) if exact else None,
+        "n_exact_pairs": len(exact),
+        "n_caught": len(caught),
+        "sample_n": len(ids),
+        "threshold": threshold,
+        "bands": bands,
+        "n_hashes": n_hashes,
+        # the S-curve's predicted recall AT the threshold for the frozen
+        # sizing — a healthy index should measure near (or above) this
+        "est_recall_at_threshold": 1.0 - (1.0 - threshold ** rows_per_band) ** bands,
+    }
+
+
 def refresh(
     spark: SparkSession,
     mount_dir: str,
     sf_dir: str | None = None,
     emb_frame: DataFrame | None = None,
     docs_frame: DataFrame | None = None,
+    families: list[str] | None = None,
     **mount_kwargs,
 ) -> dict:
-    """Retrain every artifact from the CURRENT corpus and atomically swap
-    the new generation in.  ``emb_frame``/``docs_frame`` name the current
+    """Retrain artifacts from the CURRENT corpus and atomically swap the
+    new generation in.  ``emb_frame``/``docs_frame`` name the current
     corpus (base + all appended rows — the mount stores codes, not raw
     vectors); default re-reads the manifest's source tables, which is
     only correct when nothing was appended — a retrain frame that COVERS
@@ -216,13 +343,26 @@ def refresh(
     re-scoping), because silently dropping appended rows from the new
     generation is exactly the failure the drift loop exists to prevent.
     Returns the new manifest (``generation`` incremented; tombstones do
-    not carry over — a retrain IS the compaction horizon).
+    not carry over from a vector retrain — a retrain IS the compaction
+    horizon).
 
-    Crash discipline: the swap is write-new-then-two-renames (an object
-    store swaps a manifest pointer instead).  A crash between the
-    renames leaves ``<mount>__old`` holding the intact previous
+    ``families`` (VERDICT r13 task 1): ``None`` retrains EVERYTHING —
+    the whole-mount default.  A subset of ``FAMILY_ARTIFACTS`` keys
+    (``vector`` / ``text`` / ``dedup``) regenerates ONLY those families
+    — drift is usually localized (the audit names the family), and at
+    100 TB a full retrain re-pays the entire corpus for artifacts that
+    did not drift.  Family artifacts train into a sibling staging
+    directory and swap in per-artifact (rename-aside, ``_swap_dirs``);
+    every artifact of an untouched family is byte-identical afterwards,
+    and the manifest generation still advances.
+
+    Crash discipline: the full-mount swap is write-new-then-two-renames
+    (an object store swaps a manifest pointer instead).  A crash between
+    the renames leaves ``<mount>__old`` holding the intact previous
     generation — the next ``refresh`` (or any caller) restores it before
-    proceeding, so no crash point loses a generation."""
+    proceeding, so no crash point loses a generation.  The family path
+    inherits ``_swap_dirs``' per-artifact guarantee: at least one
+    complete copy of each artifact exists at every instant."""
     allow_shrink = bool(mount_kwargs.pop("allow_shrink", False))
     old = mount_dir.rstrip("/") + "__old"
     if not os.path.isdir(mount_dir) and os.path.isdir(old):
@@ -231,6 +371,11 @@ def refresh(
         os.rename(old, mount_dir)
     old_manifest = load_manifest(mount_dir)
     src = sf_dir if sf_dir is not None else old_manifest["source"]
+    if families is not None:
+        return _refresh_families(
+            spark, mount_dir, src, old_manifest, list(families),
+            emb_frame, docs_frame, allow_shrink, mount_kwargs,
+        )
     nxt = mount_dir.rstrip("/") + "__next"
     if os.path.isdir(nxt):
         shutil.rmtree(nxt)  # a crashed earlier refresh left debris
@@ -251,6 +396,19 @@ def refresh(
         spark, src, nxt,
         emb_frame=emb_frame, docs_frame=docs_frame, **mount_kwargs,
     )
+    if old_manifest.get("bpe"):
+        # carry the frozen-tokenizer artifact into the new generation
+        # (mount() does not train it by default — mount_bpe is opt-in,
+        # like mount_dedup was before it moved into mount's default set)
+        from simsearch_spark.mount.bpe import mount_bpe
+        from simsearch_spark.sources.registry import load_table
+
+        bp = old_manifest["bpe"]
+        mount_bpe(
+            spark, nxt,
+            load_table(spark, src, "documents") if docs_frame is None else docs_frame,
+            text_col=bp["text_col"], n_merges=bp["n_merges"],
+        )
     manifest = load_manifest(nxt)
     n_old = int(old_manifest.get("counts", {}).get("n_vectors", 0))
     n_new = int(manifest.get("counts", {}).get("n_vectors", 0))
@@ -271,4 +429,194 @@ def refresh(
     os.rename(mount_dir, old)
     os.rename(nxt, mount_dir)
     shutil.rmtree(old)
+    return manifest
+
+
+def _refresh_families(
+    spark: SparkSession,
+    mount_dir: str,
+    src: str,
+    old_manifest: dict,
+    families: list[str],
+    emb_frame: DataFrame | None,
+    docs_frame: DataFrame | None,
+    allow_shrink: bool,
+    mount_kwargs: dict,
+) -> dict:
+    """Family-granular refresh (VERDICT r13 task 1): retrain only the
+    named families into ``<mount>__famnext``, swap each artifact in via
+    the rename-aside discipline, and advance the manifest generation.
+    Untouched families' artifacts are never rewritten — byte-identical
+    across the refresh (pinned in tests/test_mount_audit.py)."""
+    from simsearch_spark.mount.artifacts import (
+        FAMILY_ARTIFACTS,
+        _dedup_family_params,
+        _train_text_family,
+        _train_vector_family,
+    )
+    from simsearch_spark.mount.maintain import _swap_dirs
+    from simsearch_spark.sources.registry import load_table
+
+    unknown = set(families) - set(FAMILY_ARTIFACTS)
+    if unknown:
+        raise ValueError(
+            f"unknown artifact families {sorted(unknown)} — "
+            f"choose from {sorted(FAMILY_ARTIFACTS)}"
+        )
+    if "dedup" in families and not (
+        old_manifest.get("dedup") or mount_kwargs.get("dedup_params")
+    ):
+        raise ValueError(
+            "refresh(families=['dedup']) on a mount without dedup artifacts "
+            "— run mount_dedup (or pass dedup_params) first"
+        )
+    if "bpe" in families and not old_manifest.get("bpe"):
+        raise ValueError(
+            "refresh(families=['bpe']) on a mount without BPE artifacts "
+            "— run mount_bpe first"
+        )
+    bad_kw = set(mount_kwargs) - {
+        "train_frame", "profiles", "dedup_params", "dedup_reestimate",
+    }
+    if bad_kw:
+        raise ValueError(f"refresh(families=...) does not accept {sorted(bad_kw)}")
+    if mount_kwargs.get("dedup_reestimate") and "dedup" not in families:
+        raise ValueError("dedup_reestimate=True requires 'dedup' in families")
+
+    fam_tmp = mount_dir.rstrip("/") + "__famnext"
+    if os.path.isdir(fam_tmp):
+        shutil.rmtree(fam_tmp)  # a crashed earlier family refresh left debris
+    os.makedirs(fam_tmp)
+    manifest = json.loads(json.dumps(old_manifest))  # deep copy
+
+    try:
+        vparams = n_new = None
+        if "vector" in families:
+            emb = (
+                load_table(spark, src, "embeddings")
+                if emb_frame is None
+                else emb_frame
+            ).persist()
+            train = mount_kwargs.get("train_frame")
+            try:
+                vparams, n_new = _train_vector_family(
+                    spark, emb, emb if train is None else train, fam_tmp
+                )
+            finally:
+                emb.unpersist()
+            n_old = int(old_manifest.get("counts", {}).get("n_vectors", 0))
+            if n_new < n_old and not allow_shrink:
+                raise ValueError(
+                    f"refresh: retrain frame covers {n_new} vectors < the "
+                    f"mounted {n_old} — appended rows would silently vanish "
+                    "from the new generation; pass emb_frame holding the "
+                    "CURRENT corpus (or allow_shrink=True)"
+                )
+
+        dd_manifest = None
+        bp_manifest = None
+        langs = None
+        if {"text", "dedup", "bpe"} & set(families):
+            # ONE persisted documents read shared by both trainers — the
+            # same discipline mount() itself follows
+            docs = (
+                (
+                    load_table(spark, src, "documents")
+                    if docs_frame is None
+                    else docs_frame
+                )
+                .where(F.col("text").isNotNull())
+                .persist()
+            )
+            try:
+                if "text" in families:
+                    langs = _train_text_family(
+                        spark, docs, mount_kwargs.get("profiles"), fam_tmp
+                    )
+                if "dedup" in families:
+                    from simsearch_spark.mount.dedup import mount_dedup
+
+                    dp = mount_kwargs.get("dedup_params")
+                    if dp is None and old_manifest.get("dedup"):
+                        dd = old_manifest["dedup"]
+                        dp = {
+                            k: dd[k]
+                            for k in (
+                                "id_col", "text_col", "threshold", "n_hashes",
+                                "bands", "shingle_n", "seed", "bucket_cap",
+                                "hot_mode",
+                            )
+                            if k in dd
+                        }
+                    n_docs_old = int(
+                        old_manifest.get("dedup", {}).get("n_docs", 0)
+                    )
+                    dpf = _dedup_family_params(dp)
+                    if mount_kwargs.get("dedup_reestimate"):
+                        # re-size the banding from the CURRENT corpus at
+                        # the mounted threshold (VERDICT r13 task 3): a
+                        # shifted shingle distribution degrades recall at
+                        # the frozen (bands, rows) — audit_dedup detects
+                        # it, this re-estimation restores it.  The hash
+                        # SEED and shingle width stay frozen; only the
+                        # S-curve sizing moves.
+                        from simsearch_spark.operators.lshparams import (
+                            auto_minhash_params,
+                        )
+
+                        mp = auto_minhash_params(
+                            int(docs.count()), float(dpf["threshold"])
+                        )
+                        dpf["n_hashes"] = mp.n_hashes
+                        dpf["bands"] = mp.bands
+                    dd_manifest = mount_dedup(spark, fam_tmp, docs, **dpf)
+                    n_docs_new = int(dd_manifest["dedup"]["n_docs"])
+                    if n_docs_new < n_docs_old and not allow_shrink:
+                        raise ValueError(
+                            f"refresh: retrain frame covers {n_docs_new} docs "
+                            f"< the mounted {n_docs_old} — appended docs would "
+                            "silently vanish from the new dedup index; pass "
+                            "docs_frame holding the CURRENT corpus (or "
+                            "allow_shrink=True)"
+                        )
+                if "bpe" in families:
+                    from simsearch_spark.mount.bpe import mount_bpe
+
+                    bp = old_manifest["bpe"]
+                    bp_manifest = mount_bpe(
+                        spark, fam_tmp, docs,
+                        text_col=bp["text_col"], n_merges=bp["n_merges"],
+                    )
+            finally:
+                docs.unpersist()
+
+        # PUBLISH: per-artifact rename-aside swaps — the only mutation of
+        # the live mount, each step leaving a complete copy on disk
+        for fam in families:
+            for art in FAMILY_ARTIFACTS[fam]:
+                art_tmp = os.path.join(fam_tmp, art)
+                if os.path.isdir(art_tmp):
+                    _swap_dirs(art_tmp, os.path.join(mount_dir, art))
+
+        if "vector" in families:
+            manifest["params"].update(vparams)
+            manifest["counts"]["n_vectors"] = int(n_new)
+            # a vector retrain is the compaction horizon, exactly as the
+            # full refresh: tombstoned rows are not re-encoded
+            tomb = os.path.join(mount_dir, "tombstones")
+            if os.path.isdir(tomb):
+                shutil.rmtree(tomb)
+        if "text" in families:
+            manifest["params"]["langs"] = langs
+        if "dedup" in families:
+            manifest["dedup"] = dd_manifest["dedup"]
+        if "bpe" in families:
+            manifest["bpe"] = bp_manifest["bpe"]
+            if "bpe_merges" not in manifest.get("artifacts", []):
+                manifest.setdefault("artifacts", []).append("bpe_merges")
+        manifest["generation"] = int(old_manifest.get("generation", 0)) + 1
+        with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+    finally:
+        shutil.rmtree(fam_tmp, ignore_errors=True)
     return manifest

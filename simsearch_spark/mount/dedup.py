@@ -328,14 +328,36 @@ def _update_index(
     spark, mount_dir, manifest, expl_d, banded_d, id_col, n_new, n_sbkt
 ) -> None:
     """Append the delta's band/shingle rows and bump the manifest count.
-    The two partitioned writes are independent jobs over the same cached
-    delta frames, submitted CONCURRENTLY (Spark's scheduler is
-    thread-safe) — the per-delta write floor is the max of the two, not
-    their sum (the floor dominates at production append cadence)."""
+
+    COMMIT ORDERING (ADVICE r13): ``dedup_shingles`` is the idempotency
+    MARKER — the replay probe reads it — so its rows must become visible
+    only AFTER the band rows are durably in place.  The r13 shape
+    submitted both appends concurrently; if the shingles write landed
+    while the bands write failed (disk full, executor loss), a retry
+    classified the whole delta as a replay and the delta's LSH band rows
+    were permanently missing — near-duplicates against those docs were
+    silently never found.
+
+    The fix keeps the concurrency (the per-delta write floor stays the
+    max of the two jobs, not their sum): the shingle append COMPUTES
+    into a sibling staging directory alongside the bands append, and is
+    PUBLISHED — per-partition file renames, metadata-only — only once
+    the bands append has succeeded.  Failure at any point leaves the
+    marker artifact without the delta's ids, so a retry re-runs the full
+    append.  A retry after a bands-success/shingles-fail crash re-appends
+    the delta's band rows a second time; duplicate band rows are
+    semantically inert (candidate pairs are de-duplicated and hot-bucket
+    membership counts distinct ids) and are collapsed by the next
+    ``compact_dedup``."""
+    import shutil
+    import uuid
     from concurrent.futures import ThreadPoolExecutor
 
     bands_path = os.path.join(mount_dir, "dedup_bands")
     sh_path = os.path.join(mount_dir, "dedup_shingles")
+    # sibling of dedup_shingles (NOT inside it — a foreign subdirectory
+    # would break the relation's sbkt= partition discovery)
+    sh_stage = sh_path + "__stage_" + uuid.uuid4().hex
 
     def wr_bands():
         expl_d.repartition("band_idx", "bkt").sortWithinPartitions(
@@ -347,12 +369,40 @@ def _update_index(
             "sbkt",
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sbkt)).cast("int"),
         ).repartition("sbkt").sortWithinPartitions(id_col).write.mode(
-            "append"
-        ).partitionBy("sbkt").parquet(sh_path)
+            "overwrite"
+        ).partitionBy("sbkt").parquet(sh_stage)
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        for fut in [ex.submit(wr_bands), ex.submit(wr_shingles)]:
-            fut.result()
+    try:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_b = ex.submit(wr_bands)
+            f_s = ex.submit(wr_shingles)
+            # bands first: its failure must abort BEFORE any publication.
+            # Both futures are always drained so no write outlives this
+            # call half-finished in the background.
+            exc = None
+            for fut in (f_b, f_s):
+                try:
+                    fut.result()
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    exc = exc or e
+            if exc is not None:
+                raise exc
+        # commit point: bands are durable — publish the staged shingle
+        # files into the live partition directories.  Spark part-file
+        # names embed a task UUID, so same-name collisions with prior
+        # appends cannot occur; checksum companions move alongside.
+        for sub in sorted(os.listdir(sh_stage)):
+            src = os.path.join(sh_stage, sub)
+            if not os.path.isdir(src):
+                continue  # _SUCCESS and its checksum
+            dst = os.path.join(sh_path, sub)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if fn == "_SUCCESS" or fn.startswith("._SUCCESS"):
+                    continue
+                os.replace(os.path.join(src, fn), os.path.join(dst, fn))
+    finally:
+        shutil.rmtree(sh_stage, ignore_errors=True)
     manifest["dedup"]["n_docs"] = int(manifest["dedup"]["n_docs"]) + n_new
     with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

@@ -115,12 +115,28 @@ def should_compact(spark: SparkSession, mount_dir: str) -> bool:
     )
 
 
+def _swap_dirs(tmp: str, path: str) -> None:
+    """Crash-safe directory swap (ADVICE r13): the old artifact is moved
+    ASIDE (one rename), the new one moved into place (one rename), and
+    only then is the aside copy deleted — every intermediate state keeps
+    at least one complete copy on disk.  A crash between the renames
+    leaves ``path`` missing but ``path__old`` intact (recoverable by
+    hand or by the stale-aside sweep below); the previous
+    rmtree-then-move shape had a window where BOTH copies were gone."""
+    aside = path + "__old"
+    if os.path.isdir(aside):
+        shutil.rmtree(aside)  # stale aside from a prior crashed swap
+    if os.path.isdir(path):
+        shutil.move(path, aside)
+    shutil.move(tmp, path)
+    if os.path.isdir(aside):
+        shutil.rmtree(aside)
+
+
 def _swap_in(df: DataFrame, path: str) -> None:
     tmp = path + "__tmp"
     df.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    shutil.move(tmp, path)
+    _swap_dirs(tmp, path)
 
 
 def _assign_cells(
@@ -346,8 +362,7 @@ def compact_codes(spark: SparkSession, mount_dir: str) -> int:
     # a petabyte deployment would repartition(n, "cell") to keep
     # intra-cell parallelism; the trigger is COMPACT_FILES_PER_CELL)
     live.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    shutil.rmtree(codes_path)
-    shutil.move(tmp, codes_path)
+    _swap_dirs(tmp, codes_path)  # rename-aside swap, no both-gone window
     after = int(spark.read.parquet(codes_path).count())
     if has_tombstones:
         shutil.rmtree(tomb_path)
@@ -402,8 +417,7 @@ def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
             .partitionBy(*part_cols)
             .parquet(tmp)
         )
-        shutil.rmtree(path)
-        shutil.move(tmp, path)
+        _swap_dirs(tmp, path)  # rename-aside swap (ADVICE r13)
         reclaimed += before - census(path)
     return reclaimed
 

@@ -298,10 +298,13 @@ def serve_ivfpq_multi_topk(
     )
     if not cand:
         # every probed partition empty or fully tombstoned — empty result
-        # with the contract schema, like the single-query serve path
+        # with the contract schema, like the single-query serve path.
+        # The id column uses the MOUNTED dtype (derived from the codes
+        # schema above), so a non-bigint mount returns the same schema
+        # whether or not any probed cell had rows (ADVICE r13)
         return spark.createDataFrame(
             [],
-            f"query_id int, {id_col} bigint, adc_dist double, "
+            f"query_id int, {id_col} {id_dt}, adc_dist double, "
             "cos_sim double, rank int",
         )
     ids = sorted({r[id_col] for r in cand})

@@ -614,6 +614,29 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+#: Per-task executor-memory budget for the numpy pair kernels: a tile
+#: materializes two (block_rows × dim) float64 matrices plus ~3
+#: block_rows²-sized float64 intermediates (acc, denom, cos).  The
+#: 128 GiB local sandbox hides overruns a 4 GiB-executor cluster would
+#: OOM on (VERDICT r13 task 4), so block sizing is CLAMPED to this
+#: budget from (block_rows, dim) BEFORE the shuffle is planned — wide
+#: embeddings shrink the tile instead of inflating the task.
+PAIR_KERNEL_TASK_BYTES = 512 * 1024 * 1024
+
+
+def _clamp_block_rows(
+    block_rows: int, dim: int, budget_bytes: int = PAIR_KERNEL_TASK_BYTES
+) -> int:
+    """Largest tile edge whose kernel working set fits the per-task
+    budget: 8·(3·br² + 2·br·dim) ≤ budget, solved closed-form.  A floor
+    of 16 keeps a degenerate budget from collapsing to per-row tiles
+    (correctness holds at any size; the floor bounds shuffle blowup)."""
+    import math
+
+    br_max = int((math.sqrt(dim * dim + 3.0 * budget_bytes / 8.0) - dim) / 3.0)
+    return max(16, min(int(block_rows), br_max))
+
+
 def _score_pair_group(pdf, loose: float, diagonal: bool):
     """Shared numpy scoring kernel for one pair group (a block tile or an
     LSH bucket): n·m dot products as ascending rank-1 updates
@@ -671,6 +694,7 @@ def embedding_cosine_pairs(
     center: bool = False,
     auto_params: bool = False,
     bucket_cap: int | None = LSH_BUCKET_CAP,
+    task_mem_bytes: int = PAIR_KERNEL_TASK_BYTES,
 ) -> DataFrame:
     """Embedding near-dup pairs by cosine ≥ threshold.
 
@@ -818,6 +842,13 @@ def embedding_cosine_pairs(
         # skipped entirely when the caller passes a statistics-based hint
         if n_rows is None:
             n_rows = normed.count()
+        # auto-clamp the tile edge to the per-task memory budget from the
+        # vector width (one 1-row probe; VERDICT r13 task 4) — a wide
+        # embedding would otherwise push the kernel's working set past
+        # what a small-executor cluster can hold
+        probe = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(probe.d) if probe is not None and probe.d is not None else 0
+        block_rows = _clamp_block_rows(block_rows, dim, task_mem_bytes)
         n_blocks = max(1, -(-n_rows // int(block_rows)))
         blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
         tagged = normed.withColumn("blk", blk)
@@ -882,6 +913,7 @@ def clustered_cosine_pairs(
     cluster_col: str,
     threshold: float = 0.9,
     block_rows: int = 4096,
+    task_mem_bytes: int = PAIR_KERNEL_TASK_BYTES,
 ) -> DataFrame:
     """Within-cluster cosine near-dup pairs — the SemDeDup pair stage.
 
@@ -906,6 +938,11 @@ def clustered_cosine_pairs(
         measures.l2_norm(F.col(vec_col)).alias("nrm"),
     )
     loose = float(threshold) - 1e-6
+    # auto-clamp the tile edge to the per-task budget from the vector
+    # width before the per-cluster block counts are derived (r13 task 4)
+    probe = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(probe.d) if probe is not None and probe.d is not None else 0
+    block_rows = _clamp_block_rows(block_rows, dim, task_mem_bytes)
     sizes = (
         normed.groupBy("cl")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -143,6 +143,11 @@ DRIVER_EXCLUDED = frozenset(
         # encode side of bpe_merges (same non-SQL-expressible rules);
         # verified token-for-token vs the Python reference (tests/test_bpe.py)
         "bpe_token_stats",
+        # mounted-tokenizer encode (r14): deterministic training makes it
+        # row-identical to bpe_token_stats by construction; pinned in
+        # tests/test_bpe.py::test_encode_mounted_equals_selfcontained and
+        # vs the Python reference through the shared apply_bpe kernel
+        "bpe_encode_mounted",
         # real PNG decode over synthesized payloads; the in-repo oracle
         # computes the identical closed-form pixel means, and the codec
         # itself is round-trip/property-tested (tests/test_png.py)

@@ -440,6 +440,30 @@ FROM lm, thr
 """
 
 
+def q_bpe_encode_mounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale encode from a MOUNTED frozen merge table
+    (mount/bpe.py, VERDICT r13 task 2): the merges train ONCE into a
+    temp mount, then the corpus encodes through ``serve_bpe_encode`` —
+    a bounded artifact read + the row-local Arrow kernel, zero shuffles,
+    the shape a 100 TB tokenization job actually runs (train tiny,
+    encode everywhere).  Per-source stats are definitionally equal to
+    the self-contained ``bpe_token_stats`` (same merges — training is
+    deterministic; same kernel), pinned row-for-row in tests/test_bpe.py.
+    The mount is built in a temp dir and removed before returning."""
+    import shutil
+    import tempfile
+
+    from simsearch_spark.mount.bpe import bpe_encode_stats, mount_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="simsearch_bpe_mount_")
+    try:
+        mount_bpe(spark, d, docs)
+        return bpe_encode_stats(spark, d, docs).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 VOCAB_QUERIES = {
     "ngram_vocab": (q_ngram_vocab, SQL_NGRAM_VOCAB),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
@@ -448,4 +472,5 @@ VOCAB_QUERIES = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "bpe_merges": (q_bpe_merges, None),
     "bpe_token_stats": (q_bpe_token_stats, None),
+    "bpe_encode_mounted": (q_bpe_encode_mounted, None),
 }

@@ -424,3 +424,80 @@ def test_valid_embeddings_filters_structural_garbage(spark, sf_dir):
         (r.vec_id, r.cos_sim) for r in top_clean
     ]
     assert all(not math.isnan(r.cos_sim) for r in top_dirty)
+
+
+def test_pair_kernel_block_rows_clamped_to_task_budget(spark):
+    """VERDICT r13 task 4: the block tiling must shrink its tile edge
+    when (block_rows, dim) would blow the per-task memory budget — a
+    deliberately oversized request still produces the exact pair set,
+    just over more tiles, and the clamp math respects the 8·(3·br² +
+    2·br·dim) working-set model."""
+    import numpy as np
+
+    from simsearch_spark.operators.dedup import (
+        PAIR_KERNEL_TASK_BYTES,
+        _clamp_block_rows,
+        embedding_cosine_pairs,
+    )
+
+    # closed-form sanity: the returned size fits the budget, the next
+    # size up does not (away from the floor), and narrow dims keep the
+    # caller's request
+    for dim, budget in [(64, 1 << 20), (4096, PAIR_KERNEL_TASK_BYTES), (16384, PAIR_KERNEL_TASK_BYTES)]:
+        br = _clamp_block_rows(1 << 30, dim, budget)
+        cost = lambda b: 8 * (3 * b * b + 2 * b * dim)
+        assert cost(br) <= budget or br == 16
+        if br > 16:
+            assert cost(br + 1) > budget
+    assert _clamp_block_rows(4096, 64) == 4096  # default stays untouched
+    assert _clamp_block_rows(4096, 16384) < 4096  # wide embeddings shrink
+
+    # end-to-end: an oversized request (block_rows ≫ budget allows) is
+    # clamped into many tiles and the pair set equals the plain join
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(6, 32))
+    rows = []
+    for i in range(60):
+        v = base[i % 6] + rng.normal(scale=0.01, size=32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    tiny_budget = 8 * (3 * 20 * 20 + 2 * 20 * 32)  # fits ~20-row tiles
+    got = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.95,
+        block_rows=1_000_000, task_mem_bytes=tiny_budget,
+    )
+    want = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.95, blocked=False,
+    )
+    rows_of = lambda d: sorted(tuple(r) for r in d.collect())
+    assert rows_of(got) == rows_of(want)
+    assert len(rows_of(got)) > 0
+
+
+def test_clustered_pair_kernel_clamped(spark):
+    """The SemDeDup per-cluster tiling honors the same budget clamp."""
+    import numpy as np
+
+    from simsearch_spark.operators.dedup import clustered_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    ctr = rng.normal(size=(2, 16))
+    rows = []
+    for i in range(40):
+        c = i % 2
+        v = ctr[c] + rng.normal(scale=0.005, size=16)
+        rows.append((i, c, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, cl int, embedding array<double>")
+
+    tiny = 8 * (3 * 16 * 16 + 2 * 16 * 16)  # the floor: 16-row tiles
+    got = clustered_cosine_pairs(
+        df, "vec_id", "embedding", "cl", threshold=0.99,
+        block_rows=1_000_000, task_mem_bytes=tiny,
+    )
+    want = clustered_cosine_pairs(
+        df, "vec_id", "embedding", "cl", threshold=0.99,
+    )
+    rows_of = lambda d: sorted(tuple(r) for r in d.collect())
+    assert rows_of(got) == rows_of(want)
+    assert len(rows_of(got)) > 0

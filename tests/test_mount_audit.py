@@ -197,3 +197,212 @@ def test_degenerate_corpus_sample_rejected(spark, corpus, docs_stub, tmp_path_fa
         audit_drift(spark, d, base, sample_n=4, k=K, corpus_sample_n=0)
     with pytest.raises(ValueError, match="degenerate"):
         audit_drift(spark, d, base, sample_n=4, k=K, corpus_sample_n=K - 1)
+
+
+def _digest_artifacts(mount_dir, names):
+    """sha256 over every byte of each named artifact directory — the
+    byte-identity pin for untouched families."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256()
+    for name in names:
+        p = os.path.join(mount_dir, name)
+        for root, _dirs, files in sorted(os.walk(p)):
+            for fn in sorted(files):
+                fp = os.path.join(root, fn)
+                h.update(os.path.relpath(fp, mount_dir).encode())
+                with open(fp, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()
+
+
+def test_family_refresh_vector_only(spark, corpus, docs_stub, tmp_path_factory):
+    """VERDICT r13 task 1: planted VECTOR drift recovers via
+    refresh(families=['vector']) while every text and dedup artifact
+    stays byte-identical — only the drifted family is retrained — and
+    the manifest generation still advances."""
+    from simsearch_spark.mount.artifacts import FAMILY_ARTIFACTS
+    from simsearch_spark.mount.dedup import dedup_append
+
+    base, delta = corpus
+    union = base.unionByName(delta)
+    d = str(tmp_path_factory.mktemp("fam") / "m")
+    mount(spark, "", d, emb_frame=base, docs_frame=docs_stub)  # dedup=True
+
+    healthy = audit_drift(spark, d, base, sample_n=16, k=K, n_probe=2, rerank=40)
+    append_rows(spark, d, emb_delta=delta.select("vec_id", "embedding"))
+    drifted = audit_drift(spark, d, union, sample_n=16, k=K, n_probe=2, rerank=40)
+    assert drifted["recall_at_k"] <= healthy["recall_at_k"] - 0.2
+
+    untouched = FAMILY_ARTIFACTS["text"] + FAMILY_ARTIFACTS["dedup"]
+    before = _digest_artifacts(d, untouched)
+    gen0 = load_manifest(d).get("generation", 0)
+
+    man = refresh(spark, d, sf_dir="", emb_frame=union, families=["vector"])
+    assert man["generation"] == gen0 + 1
+    assert load_manifest(d)["generation"] == gen0 + 1
+    assert load_manifest(d)["counts"]["n_vectors"] == union.count()
+
+    restored = audit_drift(spark, d, union, sample_n=16, k=K, n_probe=2, rerank=40)
+    assert restored["recall_at_k"] >= drifted["recall_at_k"] + 0.2
+    assert restored["recall_at_k"] >= healthy["recall_at_k"] - 0.05
+
+    # the LM/BM25/langid/dedup artifacts were never rewritten
+    assert _digest_artifacts(d, untouched) == before
+    # and the dedup mount still works end-to-end after the family swap
+    extra = spark.createDataFrame(
+        [(100, "document number 3 with some words")], "doc_id long, text string"
+    )
+    pairs = dedup_append(spark, d, extra)
+    assert pairs.count() >= 1  # near-dup of doc 3 found via the old index
+
+
+def test_family_refresh_dedup_only(spark, corpus, docs_stub, tmp_path_factory):
+    """refresh(families=['dedup']) rebuilds the dedup index from the
+    CURRENT docs (keeping the mounted hash family) and leaves the vector
+    and text artifacts byte-identical."""
+    from simsearch_spark.mount.artifacts import FAMILY_ARTIFACTS
+
+    base, _delta = corpus
+    d = str(tmp_path_factory.mktemp("famd") / "m")
+    custom = {"n_hashes": 8, "bands": 2, "threshold": 0.6}
+    mount(spark, "", d, emb_frame=base, docs_frame=docs_stub, dedup_params=custom)
+    dd0 = load_manifest(d)["dedup"]
+
+    docs2 = docs_stub.unionByName(
+        spark.createDataFrame(
+            [(200, "document number 4 with some words")], "doc_id long, text string"
+        )
+    )
+    untouched = FAMILY_ARTIFACTS["vector"] + FAMILY_ARTIFACTS["text"]
+    before = _digest_artifacts(d, untouched)
+    gen0 = load_manifest(d).get("generation", 0)
+
+    man = refresh(spark, d, sf_dir="", docs_frame=docs2, families=["dedup"])
+    dd1 = man["dedup"]
+    assert man["generation"] == gen0 + 1
+    assert dd1["n_docs"] == 21  # the current corpus, not the old one
+    for key in ("n_hashes", "bands", "threshold", "seed", "shingle_n"):
+        assert dd1[key] == dd0[key], key  # family carried, not reverted
+    assert _digest_artifacts(d, untouched) == before
+
+
+def test_family_refresh_guards(spark, corpus, docs_stub, tmp_path_factory):
+    """Unknown family names, shrink without allow_shrink, and dedup
+    refresh on a dedup-less mount are all rejected loudly."""
+    base, _delta = corpus
+    d = str(tmp_path_factory.mktemp("famg") / "m")
+    mount(spark, "", d, emb_frame=base, docs_frame=docs_stub, dedup=False)
+
+    with pytest.raises(ValueError, match="unknown artifact families"):
+        refresh(spark, d, sf_dir="", emb_frame=base, families=["vectors"])
+    with pytest.raises(ValueError, match="without dedup artifacts"):
+        refresh(spark, d, sf_dir="", docs_frame=docs_stub, families=["dedup"])
+    shrunk = base.where(F.col("vec_id") < 100)
+    with pytest.raises(ValueError, match="silently vanish"):
+        refresh(spark, d, sf_dir="", emb_frame=shrunk, families=["vector"])
+    # allow_shrink is the explicit override, same as the full path
+    man = refresh(
+        spark, d, sf_dir="", emb_frame=shrunk, families=["vector"],
+        allow_shrink=True,
+    )
+    assert man["counts"]["n_vectors"] == shrunk.count()
+
+
+def _wordsoup_docs(spark, specs):
+    """(doc_id, text) rows from word-index specs: each spec is
+    (doc_id, [word_indices]) — disjoint index ranges give near-zero
+    cross-doc shingle jaccard, shared prefixes give controlled overlap."""
+    rows = [(i, " ".join(f"w{j:04d}" for j in idxs)) for i, idxs in specs]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_audit_dedup_detects_banding_drift_and_reestimate_restores(
+    spark, tmp_path
+):
+    """VERDICT r13 task 3: a shifted shingle distribution (true pairs at
+    much lower jaccard than the corpus the banding was sized for) drops
+    the mounted index's measured LSH recall; refresh(families=['dedup'],
+    dedup_reestimate=True) re-sizes the banding from the current corpus
+    and restores it.  Every caught pair still verifies correctly in both
+    states — the loss is silent without this audit."""
+    from simsearch_spark.mount import audit_dedup, refresh
+    from simsearch_spark.mount.dedup import dedup_append, mount_dedup
+
+    # base: 30 unique docs (disjoint 60-word ranges) + 6 EXACT-dup pairs
+    # — at (n_hashes=16, bands=2, rows=8) exact dups are always caught
+    specs = []
+    nxt = 0
+    for i in range(30):
+        specs.append((i, list(range(nxt, nxt + 60))))
+        nxt += 60
+    for p in range(6):
+        w = list(range(nxt, nxt + 60))
+        nxt += 60
+        specs.append((100 + 2 * p, w))
+        specs.append((101 + 2 * p, w))  # identical text, jaccard 1.0
+    base = _wordsoup_docs(spark, specs)
+
+    d = str(tmp_path / "m_dedup_audit")
+    mount_dedup(spark, d, base, threshold=0.5, n_hashes=16, bands=2)
+    healthy = audit_dedup(spark, d, sample_n=512)
+    assert healthy["n_exact_pairs"] == 6
+    assert healthy["recall"] == 1.0
+
+    # drift: 10 pairs at jaccard ≈ 0.65 (B = A + 80 % new words) — above
+    # the 0.5 threshold but far below the regime rows=8 was sized for
+    dspecs = []
+    for p in range(10):
+        a = list(range(nxt, nxt + 60))
+        nxt += 60
+        b = a + list(range(nxt, nxt + 48))
+        nxt += 48
+        dspecs.append((200 + 2 * p, a))
+        dspecs.append((201 + 2 * p, b))
+    dedup_append(spark, d, _wordsoup_docs(spark, dspecs))
+
+    drifted = audit_dedup(spark, d, sample_n=512)
+    assert drifted["n_exact_pairs"] == 16  # 6 exact + 10 low-j pairs
+    assert drifted["recall"] <= healthy["recall"] - 0.3, drifted
+
+    # re-estimate the banding from the CURRENT corpus at the mounted
+    # threshold; seed and shingle width stay frozen
+    union = base.unionByName(_wordsoup_docs(spark, dspecs))
+    man = refresh(
+        spark, d, sf_dir="", docs_frame=union,
+        families=["dedup"], dedup_reestimate=True,
+    )
+    assert man["dedup"]["threshold"] == 0.5
+    assert (man["dedup"]["n_hashes"], man["dedup"]["bands"]) != (16, 2)
+
+    restored = audit_dedup(spark, d, sample_n=512)
+    assert restored["n_exact_pairs"] == 16
+    assert restored["recall"] >= drifted["recall"] + 0.3
+    assert restored["recall"] >= 0.85, restored
+
+
+def test_audit_dedup_bounds_and_guards(spark, corpus, docs_stub, tmp_path):
+    """audit_dedup is sample-bounded (sample_n rows even on a larger
+    corpus), returns recall None on a dup-free sample, and the
+    re-estimation flag demands the dedup family."""
+    from simsearch_spark.mount import audit_dedup, refresh
+    from simsearch_spark.mount.dedup import mount_dedup
+
+    base, _ = corpus
+    d = str(tmp_path / "m_nodup")
+    mount_dedup(spark, d, docs_stub)  # 20 distinct docs, no near-dups
+    out = audit_dedup(spark, d, sample_n=8)
+    assert out["sample_n"] == 8  # bounded below the 20-doc corpus
+    full = audit_dedup(spark, d, sample_n=512)
+    assert full["recall"] is None and full["n_exact_pairs"] == 0
+
+    with pytest.raises(ValueError, match="requires 'dedup' in families"):
+        refresh(
+            spark, d, sf_dir="", docs_frame=docs_stub,
+            families=["text"], dedup_reestimate=True,
+        )
+    d2 = str(tmp_path / "m_novec")
+    mount(spark, "", d2, emb_frame=base, docs_frame=docs_stub, dedup=False)
+    with pytest.raises(ValueError, match="no dedup artifacts"):
+        audit_dedup(spark, d2)

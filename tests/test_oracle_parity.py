@@ -51,7 +51,14 @@ def duck(sf_dir):
 
 
 # pytest-equality elsewhere, no standalone oracle needed (see DRIVER_EXCLUDED)
-_EQUIVALENCE_COVERED = {"events_sessionize_segmented", "bpe_merges", "bpe_token_stats"}
+_EQUIVALENCE_COVERED = {
+    "events_sessionize_segmented",
+    "bpe_merges",
+    "bpe_token_stats",
+    # row-identical to bpe_token_stats (deterministic training, shared
+    # encode kernel) — tests/test_bpe.py::test_encode_mounted_equals_selfcontained
+    "bpe_encode_mounted",
+}
 
 
 def test_every_exclusion_is_covered():
