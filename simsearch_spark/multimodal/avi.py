@@ -301,6 +301,10 @@ def decode_yuv_frame(body: bytes, width: int, height: int, fourcc: int) -> bytes
                     _yuv_to_rgb(body[y * width + x], cb, cr)
                 )
         return bytes(out)
+    # PERMANENT pin (r14): MP4-era compressed video fourccs (H.26x,
+    # MPEG-4 ASP, VPx, …) are out of scope by spec size and patent-era
+    # complexity — the matrix covers raw DIB/YUV layouts and MJPEG;
+    # anything else stays a loud seam, never a silent misdecode
     raise NotImplementedError(f"YUV fourcc {fourcc:#x} not supported")
 
 

@@ -315,6 +315,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     (off,) = struct.unpack("<I", data[10:14])
     (hdr_size,) = struct.unpack("<I", data[14:18])
     core = hdr_size == 12
+    os2v2 = False
     if core:
         # OS/2 BITMAPCOREHEADER (r13): 16-bit unsigned geometry, no
         # compression field (always BI_RGB), RGB-TRIPLE palette
@@ -327,10 +328,40 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     elif hdr_size >= 40:
         w, h, _planes, bits = struct.unpack("<iiHH", data[18:30])
         (comp,) = struct.unpack("<I", data[30:34])
+        # a full OS/2 BITMAPINFOHEADER2 is 64 bytes with the Windows
+        # layout for its first 40 — only the compression ENUM differs
+        os2v2 = hdr_size == 64
+    elif hdr_size >= 16:
+        # OS/2 2.x TRUNCATED header (r14): the 2.x spec allows ANY header
+        # length 16..64; present fields share the Windows field layout,
+        # absent fields read as zero.  16 bytes carries exactly
+        # (size, w, h, planes, bits); compression needs ≥ 20.
+        w, h, _planes, bits = struct.unpack("<iiHH", data[18:30])
+        comp = struct.unpack("<I", data[30:34])[0] if hdr_size >= 20 else 0
+        os2v2 = True
     else:
         raise NotImplementedError(
-            f"BMP header size {hdr_size} (BITMAPCOREHEADER or "
-            "BITMAPINFOHEADER+ only)"
+            f"BMP header size {hdr_size} (BITMAPCOREHEADER, OS/2 2.x "
+            "16..64, or BITMAPINFOHEADER+ only)"
+        )
+    if not core and os2v2 and comp in (3, 4):
+        # PERMANENT pin: under an OS/2 2.x header the enum values 3/4
+        # mean Huffman-1D / RLE24 (not BI_BITFIELDS / BI_JPEG); both are
+        # OS/2-era curiosities with under-specified bit packing that no
+        # mainstream writer ever emitted — loud seam, not a decode
+        raise NotImplementedError(
+            f"OS/2 2.x BMP compression {comp} "
+            f"({'Huffman 1D' if comp == 3 else 'RLE24'})"
+        )
+    if comp in (11, 12, 13):
+        # PERMANENT pin (r14): BI_CMYK / BI_CMYKRLE8 / BI_CMYKRLE4 are
+        # defined ONLY for bitmaps inside Windows metafiles (the
+        # BITMAPINFOHEADER documentation scopes them to metafile use); a
+        # standalone BMP carrying them has no display semantics (no ink
+        # model, no profile) — malformed input, not a decodable seam
+        raise ValueError(
+            f"BI_CMYK-family compression {comp} is metafile-only — "
+            "not valid in a standalone BMP"
         )
     if comp not in (0, 1, 2, 3, 4, 5, 6):
         raise NotImplementedError(
@@ -472,7 +503,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 raw[3 * i : 3 * i + 3] + b"\x00" for i in range(n_colors)
             )
         else:
-            n_colors = struct.unpack("<I", data[46:50])[0] or (1 << bits)
+            # biClrUsed lives at header offset 32 (file 46) — present only
+            # when the (possibly truncated OS/2 2.x) header reaches it
+            n_colors = (
+                struct.unpack("<I", data[46:50])[0] if hdr_size >= 36 else 0
+            ) or (1 << bits)
             pal = data[14 + hdr_size : 14 + hdr_size + 4 * n_colors]
             if len(pal) < 4 * n_colors:
                 raise ValueError("truncated BMP palette")

@@ -18,9 +18,14 @@ the 2D modes — b1/b2 lookups are bisects, vertical/pass/horizontal all
 manipulate positions — and rows pack to MSB-first bits only at the edge
 (white = 0, black = 1; TIFF photometric 0, the CCITT norm).
 
-Named seams (each raises NotImplementedError): T.4 uncompressed mode
-(T4Options/T6Options bit 1 in-stream entry code) and the 2D extension
-codes — both vanishingly rare in real archives.
+PERMANENT pin (r14, both raise NotImplementedError): T.4/T.6
+uncompressed mode (T4Options/T6Options bit 1 + the in-stream entry
+code) and the other 2D extension codes.  Uncompressed mode is an
+OPTIONAL negotiated fax capability that no mainstream TIFF writer
+emits, so a from-scratch implementation would have no independently
+producible conformant fixture to cross-check against — the same
+rationale that pinned arithmetic-coded JPEG.  The codes stay loud
+seams, never silent misdecodes (tests/test_ccitt.py pins both).
 """
 
 from __future__ import annotations

@@ -429,9 +429,10 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         if 322 in tags or 324 in tags:
             # r13: sub-byte and 16-bit TILED gray assemble (byte-aligned
             # blit — spec tile widths are multiples of 16, so 1/4-bit
-            # tile boundaries land on bytes); JPEG stays 8-bit and CCITT
-            # tiles stay a named seam
-            if comp not in (1, 5, 8, 32946, 32773):
+            # tile boundaries land on bytes); r14 adds CCITT tiles (each
+            # tile an independent T.4/T.6 coding block of the full tw×tl
+            # geometry, §15 + §11); JPEG stays 8-bit
+            if comp not in (1, 2, 3, 4, 5, 8, 32946, 32773):
                 raise NotImplementedError(
                     f"tiled {bps0}-bit TIFF with compression {comp} "
                     "not supported"
@@ -501,6 +502,8 @@ def decode_tiff(data: bytes, page: int = 0) -> tuple[int, int, int, bytes]:
         body = _assemble_tiles(
             data, tags, w, h, channels, comp, predictor, jpeg_tables,
             bps=bps0, bo=bo,
+            t4_options=int(tags.get(292, [0])[0]),
+            invert=photo == 1,
         )
         if bps0 != 8:
             body = _samples_to_bytes(body, w, h, bps0, bo, scale=photo != 3)
@@ -735,6 +738,8 @@ def _assemble_tiles(
     counts: list[int] | None = None,
     bps: int = 8,
     bo: str = "<",
+    t4_options: int = 0,
+    invert: bool = False,
 ) -> bytes:
     """Tiled TIFF assembly (TIFF 6.0 §15): TileWidth/TileLength (322/323,
     multiples of 16 per spec — not enforced, writers vary), offsets/byte
@@ -788,6 +793,19 @@ def _assemble_tiles(
             if predictor == 2:
                 raise NotImplementedError("predictor 2 with PackBits not supported")
             tile = bytearray(unpackbits(chunk, tile_bytes))
+        elif comp in (2, 3, 4):
+            # CCITT tiles (r14): every tile is an INDEPENDENT T.4/T.6
+            # coding block of the full tw×tl geometry — G4's reference
+            # line resets to all-white per tile exactly as it does per
+            # strip (TIFF 6.0 §11 applied to §15 tiles); edge padding
+            # is clipped by the blit like every other compression
+            from simsearch_spark.multimodal.ccitt import ccitt_decode
+
+            tile = bytearray(
+                ccitt_decode(
+                    chunk, tw, tl, comp, t4_options=t4_options, invert=invert
+                )
+            )
         elif comp == 7:
             # tiled JPEG-in-TIFF (r12): every tile is a complete (or
             # JPEGTables-abbreviated) JPEG stream of the FULL tile

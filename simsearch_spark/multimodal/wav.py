@@ -200,6 +200,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
             if tag not in (
                 _TAG_PCM, _TAG_FLOAT, _TAG_ALAW, _TAG_ULAW, _TAG_IMA_ADPCM
             ):
+                # PERMANENT pin (r14): perceptual-codec tags (MP3 0x55,
+                # AAC, WMA, …) are out of scope by spec size and
+                # patent-era complexity — loud seam, never a misdecode
                 raise NotImplementedError(
                     f"WAV format tag {tag} (PCM / float / G.711 / IMA ADPCM only)"
                 )

@@ -44,8 +44,10 @@ def test_named_seams():
     with pytest.raises(ValueError, match="16/32 only"):
         decode_bmp(bytes(b))
     b = bytearray(g)
-    b[30:34] = struct.pack("<I", 11)  # BI_CMYK: still a seam
-    with pytest.raises(NotImplementedError, match="compression 11"):
+    # r14: BI_CMYK is PINNED metafile-only (ValueError — malformed in a
+    # standalone BMP, not a decodable seam); see test_bi_cmyk_pinned
+    b[30:34] = struct.pack("<I", 11)
+    with pytest.raises(ValueError, match="metafile-only"):
         decode_bmp(bytes(b))
     b = bytearray(g)
     b[28:30] = struct.pack("<H", 2)  # 2-bit: not a legal BMP depth
@@ -371,10 +373,11 @@ def test_os2_core_header():
 
     with pytest.raises(ValueError, match="core BMP with bit depth 16"):
         decode_bmp(build_core(2, 1, 16, b"", bytes(4)))
-    # header sizes between 12 and 40 stay the named seam
+    # r14: header sizes 16..64 parse as OS/2 2.x
+    # (test_os2_v2_truncated_and_full_headers); 13..15 remain malformed
     blob = bytearray(build_core(2, 1, 24, b"", bytes(8)))
-    blob[14:18] = struct.pack("<I", 16)
-    with pytest.raises(NotImplementedError, match="header size 16"):
+    blob[14:18] = struct.pack("<I", 14)
+    with pytest.raises(NotImplementedError, match="header size 14"):
         decode_bmp(bytes(blob))
 
 
@@ -443,3 +446,64 @@ def test_bi_alphabitfields():
     # alpha mask overlapping a color mask is malformed
     with pytest.raises(ValueError, match="overlaps"):
         decode_bmp(build(32, (0xFF0000, 0xFF00, 0xFF, 0xFF), rows, 2, 1))
+
+
+def _os2_bmp(hdr_size, w, h, bits, pixels_8bit_gray, comp=None):
+    """Hand-built OS/2 2.x BMP: variable header length (16..64), Windows
+    field layout for present fields, 4-byte palette entries."""
+    n_colors = 1 << bits
+    pal = b"".join(bytes((v, v, v, 0)) for v in range(0, 256, 256 // n_colors))
+    stride = ((w * bits + 31) // 32) * 4
+    body = bytearray(stride * h)
+    lut = {v: i for i, v in enumerate(range(0, 256, 256 // n_colors))}
+    for y in range(h):
+        dst = (h - 1 - y) * stride
+        for x in range(w):
+            body[dst + x] = lut[pixels_8bit_gray[y * w + x]]
+    hdr = bytearray(hdr_size)
+    struct.pack_into("<I", hdr, 0, hdr_size)
+    struct.pack_into("<ii", hdr, 4, w, h)
+    struct.pack_into("<HH", hdr, 12, 1, bits)
+    if comp is not None:
+        assert hdr_size >= 20
+        struct.pack_into("<I", hdr, 16, comp)
+    off = 14 + hdr_size + len(pal)
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + bytes(hdr) + pal + bytes(body)
+    )
+
+
+def test_os2_v2_truncated_and_full_headers():
+    """r14 (closes the OS/2 2.x seam): header lengths 16 (no compression
+    field), 24, and the full 64 all parse with the Windows field layout
+    and the palette at 14+hdr_size."""
+    px = bytes([0, 255, 255, 0, 0, 0, 255, 255])  # 4x2 gray
+    for hdr_size in (16, 24, 64):
+        blob = _os2_bmp(hdr_size, 4, 2, 8, px,
+                        comp=0 if hdr_size >= 20 else None)
+        w, h, ch, got = decode_bmp(blob)
+        assert (w, h, ch) == (4, 2, 1)
+        assert got == px, hdr_size
+
+
+def test_os2_v2_huffman_and_rle24_pinned():
+    """Under an OS/2 2.x header, compression 3/4 mean Huffman-1D/RLE24
+    (NOT BI_BITFIELDS/BI_JPEG) — pinned loud seams, never misread as the
+    Windows enums."""
+    px = bytes(8)
+    for comp, name in ((3, "Huffman 1D"), (4, "RLE24")):
+        blob = _os2_bmp(64, 4, 2, 8, px, comp=comp)
+        with pytest.raises(NotImplementedError, match=name):
+            decode_bmp(blob)
+
+
+def test_bi_cmyk_pinned_metafile_only():
+    """PERMANENT pin (r14): BI_CMYK-family compressions (11/12/13) are
+    metafile-only per the BITMAPINFOHEADER contract — a standalone BMP
+    carrying them is malformed input (ValueError), not a decode."""
+    blob = bytearray(encode_bmp(2, 2, 3, bytes(12)))
+    for comp in (11, 12, 13):
+        struct.pack_into("<I", blob, 30, comp)
+        with pytest.raises(ValueError, match="metafile-only"):
+            decode_bmp(bytes(blob))

@@ -1143,3 +1143,55 @@ def test_deflate_compression():
     bad[-3] ^= 0xFF
     with pytest.raises(ValueError, match="Deflate"):
         decode_tiff(bytes(bad))
+
+
+def test_ccitt_tiled_g4_and_mh():
+    """r14 (closes the CCITT-tiles seam): every tile is an independent
+    T.4/T.6 coding block of the FULL tile geometry — G4's reference line
+    resets per tile, edge padding clips at the blit, and MH tiles decode
+    through the same per-tile dispatch."""
+    from simsearch_spark.multimodal.ccitt import (
+        ccitt_encode_g3_1d,
+        ccitt_encode_g4,
+        rows_to_bits,
+    )
+
+    rng = random.Random(91)
+    w, h, tw, tl = 21, 5, 16, 4  # 2x2 tile grid with right/bottom padding
+    px = bytes(255 if rng.random() < 0.6 else 0 for _ in range(w * h))
+    across, down = -(-w // tw), -(-h // tl)
+
+    for comp, enc in ((4, ccitt_encode_g4), (2, ccitt_encode_g3_1d)):
+        tiles = []
+        for ty in range(down):
+            for tx in range(across):
+                block = bytearray([255] * (tw * tl))  # spec padding: white
+                for r in range(min(tl, h - ty * tl)):
+                    for c in range(min(tw, w - tx * tw)):
+                        block[r * tw + c] = px[(ty * tl + r) * w + tx * tw + c]
+                lines = rows_to_bits(bytes(block), tw, tl)
+                tiles.append(
+                    enc(lines, tw) if comp == 4 else enc(lines, tw)
+                )
+        blob = _build_tiled_gray(w, h, tw, tl, 1, tiles, comp=comp)
+        gw, gh, gch, gpx = decode_tiff(blob)
+        assert (gw, gh, gch) == (w, h, 1)
+        assert gpx == px, f"compression {comp} tile mismatch"
+
+
+def test_ccitt_tiled_g3_eol():
+    """Compression 3 tiles: each tile is an EOL-delimited G3 stream."""
+    from simsearch_spark.multimodal.ccitt import ccitt_encode_g3_eol, rows_to_bits
+
+    w, h, tw, tl = 16, 6, 16, 4  # 1x2 grid, bottom padding
+    px = bytes(0 if (x // 4 + y) % 2 else 255 for y in range(h) for x in range(w))
+    tiles = []
+    for ty in range(-(-h // tl)):
+        block = bytearray([255] * (tw * tl))
+        for r in range(min(tl, h - ty * tl)):
+            block[r * tw : r * tw + tw] = px[(ty * tl + r) * w : (ty * tl + r + 1) * w]
+        tiles.append(ccitt_encode_g3_eol(rows_to_bits(bytes(block), tw, tl), tw))
+    blob = _build_tiled_gray(w, h, tw, tl, 1, tiles, comp=3)
+    gw, gh, gch, gpx = decode_tiff(blob)
+    assert (gw, gh, gch) == (w, h, 1)
+    assert gpx == px
