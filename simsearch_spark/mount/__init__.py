@@ -34,7 +34,17 @@ deployment pays once.  This package is that deployment shape:
   artifact drift loop: measured recall@k of the mounted index on the
   most recent rows vs a brute-force arm, and a retrain-and-swap that
   atomically replaces the artifact generation without interrupting
-  serving.
+  serving.  r14 makes refresh FAMILY-GRANULAR
+  (``refresh(families=["vector"|"text"|"dedup"|"bpe"])``): drift is
+  usually localized, so only the drifted family retrains — per-artifact
+  rename-aside swaps, untouched families byte-identical — and
+  ``audit.audit_dedup`` adds the dedup dual of the drift audit (measured
+  LSH recall on a bounded sample, with ``dedup_reestimate=True`` re-
+  sizing the banding from the current corpus).
+- ``bpe.mount_bpe`` / ``bpe.serve_bpe_encode`` / ``bpe.bpe_encode_stats``
+  (r14): the frozen-tokenizer artifact — the merge table trains once and
+  persists; corpus-scale encode is the row-local Arrow kernel against
+  the frozen merges (no shuffle, split-invariant by construction).
 
 Parity contract (tests/test_mount.py): every serve-side operator must
 reproduce its self-contained declared query EXACTLY (same rows, same

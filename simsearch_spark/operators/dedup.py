@@ -615,12 +615,14 @@ def ngram_jaccard_pairs(
 
 
 #: Per-task executor-memory budget for the numpy pair kernels: a tile
-#: materializes two (block_rows × dim) float64 matrices plus ~3
-#: block_rows²-sized float64 intermediates (acc, denom, cos).  The
-#: 128 GiB local sandbox hides overruns a 4 GiB-executor cluster would
-#: OOM on (VERDICT r13 task 4), so block sizing is CLAMPED to this
-#: budget from (block_rows, dim) BEFORE the shuffle is planned — wide
-#: embeddings shrink the tile instead of inflating the task.
+#: materializes two (block_rows × dim) float64 matrices plus ~4
+#: block_rows²-sized float64-equivalent intermediates (acc, denom, cos,
+#: and the mask/outer temporaries — tracemalloc-measured at 1.03× this
+#: model across (br, dim) shapes, SCALE.md §r14).  The 128 GiB local
+#: sandbox hides overruns a 4 GiB-executor cluster would OOM on
+#: (VERDICT r13 task 4), so block sizing is CLAMPED to this budget from
+#: (block_rows, dim) BEFORE the shuffle is planned — wide embeddings
+#: shrink the tile instead of inflating the task.
 PAIR_KERNEL_TASK_BYTES = 512 * 1024 * 1024
 
 
@@ -628,12 +630,12 @@ def _clamp_block_rows(
     block_rows: int, dim: int, budget_bytes: int = PAIR_KERNEL_TASK_BYTES
 ) -> int:
     """Largest tile edge whose kernel working set fits the per-task
-    budget: 8·(3·br² + 2·br·dim) ≤ budget, solved closed-form.  A floor
+    budget: 8·(4·br² + 2·br·dim) ≤ budget, solved closed-form.  A floor
     of 16 keeps a degenerate budget from collapsing to per-row tiles
     (correctness holds at any size; the floor bounds shuffle blowup)."""
     import math
 
-    br_max = int((math.sqrt(dim * dim + 3.0 * budget_bytes / 8.0) - dim) / 3.0)
+    br_max = int((math.sqrt(dim * dim + 4.0 * budget_bytes / 8.0) - dim) / 4.0)
     return max(16, min(int(block_rows), br_max))
 
 

@@ -442,15 +442,19 @@ def test_pair_kernel_block_rows_clamped_to_task_budget(spark):
 
     # closed-form sanity: the returned size fits the budget, the next
     # size up does not (away from the floor), and narrow dims keep the
-    # caller's request
+    # caller's request.  Model: 8·(4·br² + 2·br·dim), tracemalloc-
+    # measured at 1.03× actual peak (tools/bpe_probe.py, SCALE.md §r14)
     for dim, budget in [(64, 1 << 20), (4096, PAIR_KERNEL_TASK_BYTES), (16384, PAIR_KERNEL_TASK_BYTES)]:
         br = _clamp_block_rows(1 << 30, dim, budget)
-        cost = lambda b: 8 * (3 * b * b + 2 * b * dim)
+        cost = lambda b: 8 * (4 * b * b + 2 * b * dim)
         assert cost(br) <= budget or br == 16
         if br > 16:
             assert cost(br + 1) > budget
-    assert _clamp_block_rows(4096, 64) == 4096  # default stays untouched
-    assert _clamp_block_rows(4096, 16384) < 4096  # wide embeddings shrink
+    assert _clamp_block_rows(2048, 64) == 2048  # under-budget stays untouched
+    # the 4096 default sits AT the 512 MiB edge for narrow dims (~0.4 %
+    # trim) and shrinks hard for wide embeddings
+    assert _clamp_block_rows(4096, 64) >= 4000
+    assert _clamp_block_rows(4096, 16384) < 2100
 
     # end-to-end: an oversized request (block_rows ≫ budget allows) is
     # clamped into many tiles and the pair set equals the plain join
@@ -462,7 +466,7 @@ def test_pair_kernel_block_rows_clamped_to_task_budget(spark):
         rows.append((i, [float(x) for x in v]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    tiny_budget = 8 * (3 * 20 * 20 + 2 * 20 * 32)  # fits ~20-row tiles
+    tiny_budget = 8 * (4 * 20 * 20 + 2 * 20 * 32)  # fits ~20-row tiles
     got = embedding_cosine_pairs(
         df, "vec_id", "embedding", threshold=0.95,
         block_rows=1_000_000, task_mem_bytes=tiny_budget,
@@ -490,7 +494,7 @@ def test_clustered_pair_kernel_clamped(spark):
         rows.append((i, c, [float(x) for x in v]))
     df = spark.createDataFrame(rows, "vec_id long, cl int, embedding array<double>")
 
-    tiny = 8 * (3 * 16 * 16 + 2 * 16 * 16)  # the floor: 16-row tiles
+    tiny = 8 * (4 * 16 * 16 + 2 * 16 * 16)  # the floor: 16-row tiles
     got = clustered_cosine_pairs(
         df, "vec_id", "embedding", "cl", threshold=0.99,
         block_rows=1_000_000, task_mem_bytes=tiny,
