@@ -45,6 +45,14 @@ deployment pays once.  This package is that deployment shape:
   (r14): the frozen-tokenizer artifact — the merge table trains once and
   persists; corpus-scale encode is the row-local Arrow kernel against
   the frozen merges (no shuffle, split-invariant by construction).
+- ``dedup.delete_docs`` (r14): document tombstones for the dedup mount —
+  pair results exclude them immediately, ``compact_dedup`` reclaims
+  their index rows and makes the ids reusable (the vector-side
+  ``delete_ids`` lifecycle, completing write/stream/read/delete/compact
+  symmetry between the two index families).
+- ``audit.auto_maintain`` (r14): the orchestrated sweep — audit every
+  mounted family, family-refresh only what measurably drifted, compact
+  when over budget; the loop a deployment schedules.
 
 Parity contract (tests/test_mount.py): every serve-side operator must
 reproduce its self-contained declared query EXACTLY (same rows, same
@@ -53,7 +61,7 @@ work happens, never the answer.
 """
 
 from simsearch_spark.mount.artifacts import load_manifest, mount
-from simsearch_spark.mount.audit import audit_dedup, audit_drift, refresh
+from simsearch_spark.mount.audit import audit_dedup, audit_drift, auto_maintain, refresh
 from simsearch_spark.mount.bpe import (
     bpe_encode_stats,
     mount_bpe,
@@ -62,6 +70,7 @@ from simsearch_spark.mount.bpe import (
 from simsearch_spark.mount.dedup import (
     dedup_append,
     dedup_embed_append,
+    delete_docs as delete_docs_dedup,
     mount_dedup,
     stream_dedup_append,
 )
@@ -84,10 +93,12 @@ __all__ = [
     "delete_ids",
     "mount_dedup",
     "dedup_append",
+    "delete_docs_dedup",
     "stream_dedup_append",
     "dedup_embed_append",
     "audit_drift",
     "audit_dedup",
+    "auto_maintain",
     "refresh",
     "mount_bpe",
     "serve_bpe_encode",

@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 
 from simsearch_spark.mount.artifacts import load_manifest, mount
 
-__all__ = ["audit_drift", "audit_dedup", "refresh"]
+__all__ = ["audit_drift", "audit_dedup", "auto_maintain", "refresh"]
 
 
 def _brute_multi_topk(
@@ -289,13 +289,64 @@ def audit_dedup(
             if inter and inter / len(sa | sb) >= threshold:
                 exact.add((a, b))
 
-    # LSH arm: the pairs the MOUNTED band rows put in a shared bucket —
-    # read the index itself (not a recompute), id-pruned point lookups
+    # LSH arm: the pairs the MOUNTED band rows put in a shared bucket.
+    # The sample's band hashes are RE-DERIVED driver-side from the
+    # collected shingle sets with the frozen family (pure int arithmetic,
+    # identical to the Arrow kernel — cross-checked below), which makes
+    # the index read DIRECTORY-pruned (bkt = hash % n_bkt) with the hash
+    # set pushed as point predicates that skip row groups (the table is
+    # band_hash-sorted per directory) — the append path's scan shape, so
+    # the audit stays bounded at any corpus size.  An id-only filter
+    # would full-scan the band table: ids are not the sort key.
+    from simsearch_spark.functions.hashing import MOD, PERM_MOD, perm_params
+    from simsearch_spark.mount.dedup import MAX_IN_LITERALS, N_BKT
+
+    rows_per_band = n_hashes // bands
+    params = perm_params(n_hashes, int(dd.get("seed", 42)))
+    n_bkt = int(dd.get("n_bkt", N_BKT))
+
+    def _doc_bands(shs) -> list[int]:
+        if shs:
+            hs = []
+            for s in shs:
+                h = 0
+                for c in s:
+                    h = (h * 31 + ord(c)) % MOD
+                hs.append(h)
+            sig = [min((a * h + b) % PERM_MOD for h in hs) for a, b in params]
+        else:
+            sig = [PERM_MOD] * n_hashes
+        out = []
+        for j in range(bands):
+            acc = 0
+            for r in range(rows_per_band):
+                acc = (acc * 31 + sig[j * rows_per_band + r]) % MOD
+            out.append(acc)
+        return out
+
+    expected = {i: _doc_bands(sets[i]) for i in ids}
+    hashes = sorted({h for bs in expected.values() for h in bs})
+    bkts = sorted({h % n_bkt for h in hashes})
+    reader = spark.read.parquet(os.path.join(mount_dir, "dedup_bands")).where(
+        F.col("bkt").isin(bkts)
+    )
+    if len(hashes) <= MAX_IN_LITERALS:
+        reader = reader.where(F.col("band_hash").isin(hashes))
     brows = (
-        spark.read.parquet(os.path.join(mount_dir, "dedup_bands"))
-        .where(F.col(id_col).isin(ids))
+        reader.where(F.col(id_col).isin(ids))
         .select("band_idx", "band_hash", F.col(id_col))
         .collect()
+    )
+    # integrity cross-check: the stored rows must be exactly the frozen
+    # family's recompute — a mismatch means index corruption or a family
+    # drift (e.g. a module-constant change re-bucketing an old mount)
+    stored: dict = {i: set() for i in ids}
+    for r in brows:
+        stored[r[id_col]].add((int(r["band_idx"]), int(r["band_hash"])))
+    integrity_bad = sum(
+        1
+        for i in ids
+        if stored[i] != {(j, h) for j, h in enumerate(expected[i])}
     )
     buckets: dict = {}
     for r in brows:
@@ -308,8 +359,6 @@ def audit_dedup(
                 for b in ms[i + 1:]:
                     cand.add((a, b))
     caught = exact & cand  # verification uses the same shingle sets
-
-    rows_per_band = n_hashes // bands
     return {
         "recall": (len(caught) / len(exact)) if exact else None,
         "n_exact_pairs": len(exact),
@@ -318,6 +367,10 @@ def audit_dedup(
         "threshold": threshold,
         "bands": bands,
         "n_hashes": n_hashes,
+        # sample docs whose STORED band rows differ from the frozen
+        # family's recompute — nonzero means index corruption/family
+        # drift, independent of recall
+        "index_integrity_mismatches": integrity_bad,
         # the S-curve's predicted recall AT the threshold for the frozen
         # sizing — a healthy index should measure near (or above) this
         "est_recall_at_threshold": 1.0 - (1.0 - threshold ** rows_per_band) ** bands,
@@ -375,6 +428,11 @@ def refresh(
         return _refresh_families(
             spark, mount_dir, src, old_manifest, list(families),
             emb_frame, docs_frame, allow_shrink, mount_kwargs,
+        )
+    if "dedup_reestimate" in mount_kwargs:
+        raise ValueError(
+            "dedup_reestimate=True requires families=['dedup'] — a full "
+            "refresh regenerates the index with the carried hash family"
         )
     nxt = mount_dir.rstrip("/") + "__next"
     if os.path.isdir(nxt):
@@ -620,3 +678,93 @@ def _refresh_families(
     finally:
         shutil.rmtree(fam_tmp, ignore_errors=True)
     return manifest
+
+
+def auto_maintain(
+    spark: SparkSession,
+    mount_dir: str,
+    emb: DataFrame | None = None,
+    docs_frame: DataFrame | None = None,
+    recall_floor: float = 0.8,
+    dedup_recall_floor: float = 0.8,
+    audit_kwargs: dict | None = None,
+    dedup_audit_kwargs: dict | None = None,
+    compact: bool = True,
+    dry_run: bool = False,
+) -> dict:
+    """ONE operational maintenance sweep (r14): audit every mounted
+    family, refresh ONLY the families whose measured quality fell below
+    its floor, then compact when the file/tombstone budgets are over —
+    the closed loop a deployment runs on a schedule, built from the
+    primitives this package already pins individually.
+
+    - vector: ``audit_drift(emb)`` (skipped when ``emb`` is None or the
+      mount has no vector artifacts); recall@k < ``recall_floor`` →
+      ``refresh(families=['vector'], emb_frame=emb)``.
+    - dedup: ``audit_dedup``; measured LSH recall < ``dedup_recall_floor``
+      → ``refresh(families=['dedup'], dedup_reestimate=True)`` (re-sizes
+      the banding from the current corpus).  A ``None`` recall (no true
+      pairs in the sample) is a healthy no-signal, never a refresh.
+    - compaction: ``should_compact`` → ``compact_codes`` /
+      ``compact_dedup`` for whichever side the mount has.
+
+    ``docs_frame`` names the CURRENT document corpus for the dedup
+    retrain (required if a dedup refresh fires and the manifest's source
+    is not re-readable); ``emb`` doubles as the vector retrain frame.
+    ``dry_run=True`` audits and DECIDES but performs no refresh/compact.
+    Returns the decision record:
+    ``{"audits": {...}, "refreshed": [...], "compacted": {...},
+    "generation": int}`` — every number in it is re-derivable from the
+    primitives, so the record is an audit log, not a new metric."""
+    manifest = load_manifest(mount_dir)
+    report: dict = {"audits": {}, "refreshed": [], "compacted": {}}
+    to_refresh: list[str] = []
+
+    has_vector = os.path.isdir(os.path.join(mount_dir, "pq_codes"))
+    if has_vector and emb is not None:
+        a = audit_drift(spark, mount_dir, emb, **(audit_kwargs or {}))
+        report["audits"]["vector"] = {
+            "recall_at_k": a["recall_at_k"], "floor": recall_floor,
+        }
+        if a["recall_at_k"] < recall_floor:
+            to_refresh.append("vector")
+    if manifest.get("dedup"):
+        a = audit_dedup(spark, mount_dir, **(dedup_audit_kwargs or {}))
+        report["audits"]["dedup"] = {
+            "recall": a["recall"],
+            "n_exact_pairs": a["n_exact_pairs"],
+            "floor": dedup_recall_floor,
+        }
+        if a["recall"] is not None and a["recall"] < dedup_recall_floor:
+            to_refresh.append("dedup")
+
+    if to_refresh and not dry_run:
+        kw: dict = {}
+        if "vector" in to_refresh:
+            kw["emb_frame"] = emb
+        if "dedup" in to_refresh:
+            kw["dedup_reestimate"] = True
+            if docs_frame is not None:
+                kw["docs_frame"] = docs_frame
+        man = refresh(spark, mount_dir, families=to_refresh, **kw)
+        report["generation"] = man.get("generation")
+    report["refreshed"] = to_refresh if not dry_run else []
+    report["would_refresh"] = to_refresh
+
+    if compact and not dry_run:
+        from simsearch_spark.mount.maintain import (
+            compact_codes,
+            compact_dedup,
+            should_compact,
+        )
+
+        if should_compact(spark, mount_dir):
+            if has_vector:
+                report["compacted"]["codes_rows"] = compact_codes(
+                    spark, mount_dir
+                )
+            if load_manifest(mount_dir).get("dedup"):
+                report["compacted"]["dedup_files"] = compact_dedup(
+                    spark, mount_dir
+                )
+    return report

@@ -67,6 +67,7 @@ from simsearch_spark.operators.dedup import (
 __all__ = [
     "mount_dedup",
     "dedup_append",
+    "delete_docs",
     "stream_dedup_append",
     "dedup_embed_append",
     "N_BKT",
@@ -111,6 +112,43 @@ MAX_OPTIMISTIC_PAIR_ROWS = 200_000
 
 def _text_ok(text_col: str):
     return F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+
+
+def delete_docs(spark: SparkSession, mount_dir: str, doc_ids: list) -> None:
+    """Tombstone mounted documents (r14 — the dedup dual of the vector
+    side's ``maintain.delete_ids``): pair results exclude them
+    immediately (``dedup_append`` / ``serve_dedup_lookup`` drop any pair
+    touching a tombstoned id); their band/shingle rows are reclaimed by
+    ``compact_dedup``, which also clears the tombstones.  A deleted id
+    is NOT reusable until compaction — a re-submitted doc under that id
+    drops as a replay, because the idempotency probe reads the
+    still-present shingle rows — the same
+    insert → delete → compact → reusable lifecycle as ``delete_ids``."""
+    manifest = load_manifest(mount_dir)
+    dd = manifest.get("dedup")
+    if not dd:
+        raise ValueError("mount has no dedup artifacts — run mount_dedup first")
+    id_col = dd["id_col"]
+    id_dtype = dd.get("id_dtype")
+    if not id_dtype:
+        id_dtype = dict(
+            spark.read.parquet(os.path.join(mount_dir, "dedup_shingles")).dtypes
+        )[id_col]
+    spark.createDataFrame(
+        [(i,) for i in doc_ids], f"{id_col} {id_dtype}"
+    ).write.mode("append").parquet(os.path.join(mount_dir, "dedup_tombstones"))
+
+
+def _dedup_tomb_ids(spark: SparkSession, mount_dir: str, id_col: str) -> set:
+    """The tombstoned doc-id set — DRIVER-bounded by deletes since the
+    last compaction (the ``delete_ids`` tombstone contract: compaction
+    is the horizon that clears it)."""
+    p = os.path.join(mount_dir, "dedup_tombstones")
+    if not os.path.isdir(p):
+        return set()
+    return {
+        r[0] for r in spark.read.parquet(p).select(id_col).distinct().collect()
+    }
 
 
 def _expl_frame(banded: DataFrame, id_col: str, n_bkt: int = N_BKT) -> DataFrame:
@@ -503,16 +541,20 @@ def dedup_append(
             .limit(lim + 1)
             .collect()
         )
+        # tombstoned base docs (delete_docs, r14): excluded from every
+        # pair result until compaction reclaims their index rows —
+        # driver-bounded by deletes since the last compact
+        tomb = _dedup_tomb_ids(spark, mount_dir, id_col)
         if len(meta) <= lim:
             return _append_small(
                 spark, mount_dir, manifest, dd, meta, banded_raw, sh_reader,
                 id_col, id_dtype, n_bkt, n_sbkt, cap, bands_path,
-                update, on_pairs,
+                update, on_pairs, tomb,
             )
         return _append_large(
             spark, mount_dir, manifest, dd, banded_raw, sh_reader,
             id_col, id_dtype, n_bkt, n_sbkt, cap, bands_path,
-            update, on_pairs,
+            update, on_pairs, tomb,
         )
     finally:
         banded_raw.unpersist()
@@ -521,6 +563,7 @@ def dedup_append(
 def _append_small(
     spark, mount_dir, manifest, dd, meta, banded_raw, sh_reader,
     id_col, id_dtype, n_bkt, n_sbkt, cap, bands_path, update, on_pairs,
+    tomb=frozenset(),
 ) -> DataFrame:
     """The driver-resident append: ``meta`` is the delta's full
     (id, sbkt, band-hashes) metadata, so every key set the r12 shape
@@ -675,6 +718,8 @@ def _append_small(
     seen_pairs = set()
     cand_rows = []
     for r in raw_rows:
+        if r["id_a"] in tomb or r["id_b"] in tomb:
+            continue  # tombstoned base doc (delete_docs): never reported
         k = (r["id_a"], r["id_b"])
         if k not in seen_pairs:
             seen_pairs.add(k)
@@ -718,6 +763,7 @@ def _append_small(
 def _append_large(
     spark, mount_dir, manifest, dd, banded_raw, sh_reader,
     id_col, id_dtype, n_bkt, n_sbkt, cap, bands_path, update, on_pairs,
+    tomb=frozenset(),
 ) -> DataFrame:
     """The distributed append for deltas past the fast-path gate: no
     literal In pushdowns (a giant literal In costs more in planning than
@@ -767,6 +813,28 @@ def _append_large(
                 cand = _delta_touching_candidates(
                     union_expl, id_col, cap, dd["hot_mode"]
                 ).localCheckpoint(eager=True)
+                if tomb:
+                    # tombstoned base docs drop from the pair stream
+                    # before verification fetches their shingles; the
+                    # set is driver-bounded (deletes since compaction),
+                    # so a literal filter suffices — past the In cap it
+                    # enters as a broadcast anti-join instead
+                    tl = sorted(tomb)
+                    if len(tl) <= MAX_IN_LITERALS:
+                        cand = cand.where(
+                            ~F.col("id_a").isin(tl) & ~F.col("id_b").isin(tl)
+                        )
+                    else:
+                        tdf = spark.createDataFrame(
+                            [(i,) for i in tl], f"{id_col} {id_dtype}"
+                        )
+                        cand = cand.join(
+                            F.broadcast(tdf.withColumnRenamed(id_col, "id_a")),
+                            "id_a", "left_anti",
+                        ).join(
+                            F.broadcast(tdf.withColumnRenamed(id_col, "id_b")),
+                            "id_b", "left_anti",
+                        )
             finally:
                 keys_d.unpersist()
 

@@ -93,10 +93,22 @@ def maintenance_stats(spark: SparkSession, mount_dir: str) -> dict:
             n = sum(1 for f in files if f.endswith(".parquet"))
             if n > max_dedup:
                 max_dedup = n
+    # dedup tombstones (delete_docs, r14) accumulate dead rows every
+    # probe re-subtracts — same budget mechanics as the vector side
+    dt_path = os.path.join(mount_dir, "dedup_tombstones")
+    dd = manifest.get("dedup") or {}
+    n_dtomb = 0
+    if os.path.isdir(dt_path) and dd:
+        n_dtomb = int(
+            spark.read.parquet(dt_path).select(dd["id_col"]).distinct().count()
+        )
+    n_docs_dd = int(dd.get("n_docs", 0))
     return {
         "n_vectors": n_vectors,
         "n_tombstones": n_tomb,
         "tombstone_fraction": (n_tomb / n_vectors) if n_vectors else 0.0,
+        "n_dedup_tombstones": n_dtomb,
+        "dedup_tombstone_fraction": (n_dtomb / n_docs_dd) if n_docs_dd else 0.0,
         "n_cells": len(per_cell),
         "max_files_per_cell": max(per_cell.values(), default=0),
         "max_files_per_dedup_dir": max_dedup,
@@ -110,6 +122,7 @@ def should_compact(spark: SparkSession, mount_dir: str) -> bool:
     s = maintenance_stats(spark, mount_dir)
     return (
         s["tombstone_fraction"] >= COMPACT_TOMBSTONE_FRACTION
+        or s["dedup_tombstone_fraction"] >= COMPACT_TOMBSTONE_FRACTION
         or s["max_files_per_cell"] > COMPACT_FILES_PER_CELL
         or s["max_files_per_dedup_dir"] > COMPACT_FILES_PER_CELL
     )
@@ -373,19 +386,32 @@ def compact_codes(spark: SparkSession, mount_dir: str) -> int:
 
 
 def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
-    """Collapse the dedup index's append debris (r13): every
-    ``dedup_append`` adds one parquet file per touched band/shingle
-    directory, so at production cadence the per-directory file count —
-    and with it the probe's footer-open cost — grows linearly in appends.
-    Rewrite both artifacts write-new-then-swap with the MOUNT-time layout
-    (one file per directory, rows sorted so point predicates skip row
-    groups); results are unchanged by construction — the tables hold the
-    same rows, only the file layout collapses.  Returns the number of
-    parquet files reclaimed; 0 when neither artifact is fragmented."""
+    """Collapse the dedup index's append debris (r13) and reclaim
+    tombstoned documents (r14): every ``dedup_append`` adds one parquet
+    file per touched band/shingle directory, so at production cadence
+    the per-directory file count — and with it the probe's footer-open
+    cost — grows linearly in appends; ``delete_docs`` tombstones
+    additionally leave dead band/shingle rows every probe re-subtracts.
+    Rewrite both artifacts write-new-then-swap with the MOUNT-time
+    layout (one file per directory, rows sorted so point predicates skip
+    row groups) MINUS the tombstoned ids, then clear the tombstones and
+    refresh the manifest doc count.  Served results are unchanged by
+    construction (the pair streams subtracted the set already) —
+    compaction only stops future probes from re-paying the anti-filter
+    and the dead bytes, and makes deleted ids reusable.  Returns the
+    number of parquet files reclaimed; 0 when neither artifact is
+    fragmented and nothing is tombstoned."""
     manifest = load_manifest(mount_dir)
     if not manifest.get("dedup"):
         raise ValueError("mount has no dedup artifacts — run mount_dedup first")
     id_col = manifest["dedup"]["id_col"]
+    tomb_path = os.path.join(mount_dir, "dedup_tombstones")
+    has_tombstones = os.path.isdir(tomb_path)
+    tomb = (
+        spark.read.parquet(tomb_path).select(id_col).distinct()
+        if has_tombstones
+        else None
+    )
 
     def census(path: str) -> int:
         n = 0
@@ -406,12 +432,14 @@ def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
             1 for root, _dirs, files in os.walk(path)
             if any(f.endswith(".parquet") for f in files)
         )
-        if before <= n_dirs:
-            continue  # already one file per directory
+        if before <= n_dirs and not has_tombstones:
+            continue  # already one file per directory, no dead rows
+        live = spark.read.parquet(path)
+        if tomb is not None:
+            live = live.join(F.broadcast(tomb), id_col, "left_anti")
         tmp = path + "__tmp"
         (
-            spark.read.parquet(path)
-            .repartition(*part_cols)
+            live.repartition(*part_cols)
             .sortWithinPartitions(sort_col)
             .write.mode("overwrite")
             .partitionBy(*part_cols)
@@ -419,6 +447,13 @@ def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
         )
         _swap_dirs(tmp, path)  # rename-aside swap (ADVICE r13)
         reclaimed += before - census(path)
+    if has_tombstones:
+        # the shingle table holds exactly one row per live doc — refresh
+        # the manifest count from it, then clear the tombstone horizon
+        manifest["dedup"]["n_docs"] = int(spark.read.parquet(sh_path).count())
+        shutil.rmtree(tomb_path)
+        with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
     return reclaimed
 
 

@@ -349,6 +349,8 @@ def test_audit_dedup_detects_banding_drift_and_reestimate_restores(
     healthy = audit_dedup(spark, d, sample_n=512)
     assert healthy["n_exact_pairs"] == 6
     assert healthy["recall"] == 1.0
+    # the driver-side frozen-family recompute matches the stored rows
+    assert healthy["index_integrity_mismatches"] == 0
 
     # drift: 10 pairs at jaccard ≈ 0.65 (B = A + 80 % new words) — above
     # the 0.5 threshold but far below the regime rows=8 was sized for
@@ -406,3 +408,71 @@ def test_audit_dedup_bounds_and_guards(spark, corpus, docs_stub, tmp_path):
     mount(spark, "", d2, emb_frame=base, docs_frame=docs_stub, dedup=False)
     with pytest.raises(ValueError, match="no dedup artifacts"):
         audit_dedup(spark, d2)
+
+
+def test_auto_maintain_refreshes_only_drifted_family(
+    spark, corpus, docs_stub, tmp_path_factory
+):
+    """r14: the orchestrated sweep — planted VECTOR drift with a healthy
+    dedup index refreshes the vector family only (dedup artifacts
+    byte-identical), recovers the audited recall, and reports its
+    decisions; a healthy mount is a no-op; dry_run decides but acts on
+    nothing."""
+    from simsearch_spark.mount import auto_maintain
+    from simsearch_spark.mount.artifacts import FAMILY_ARTIFACTS
+
+    base, delta = corpus
+    union = base.unionByName(delta)
+    d = str(tmp_path_factory.mktemp("auto") / "m")
+    mount(spark, "", d, emb_frame=base, docs_frame=docs_stub)  # incl. dedup
+
+    ak = {"sample_n": 16, "k": K, "n_probe": 2, "rerank": 40}
+    healthy = auto_maintain(spark, d, emb=base, audit_kwargs=ak)
+    assert healthy["refreshed"] == [] and healthy["would_refresh"] == []
+    assert healthy["audits"]["vector"]["recall_at_k"] >= 0.8
+    assert "dedup" in healthy["audits"]  # audited even with no true pairs
+
+    append_rows(spark, d, emb_delta=delta.select("vec_id", "embedding"))
+    untouched = FAMILY_ARTIFACTS["text"] + FAMILY_ARTIFACTS["dedup"]
+    before = _digest_artifacts(d, untouched)
+    gen0 = load_manifest(d).get("generation", 0)
+
+    dry = auto_maintain(spark, d, emb=union, audit_kwargs=ak, dry_run=True)
+    assert dry["would_refresh"] == ["vector"] and dry["refreshed"] == []
+    assert load_manifest(d).get("generation", 0) == gen0  # acted on nothing
+
+    rep = auto_maintain(spark, d, emb=union, audit_kwargs=ak)
+    assert rep["refreshed"] == ["vector"]
+    assert rep["generation"] == gen0 + 1
+    assert rep["audits"]["vector"]["recall_at_k"] < 0.8  # the trigger
+    assert _digest_artifacts(d, untouched) == before  # dedup/text untouched
+
+    after = auto_maintain(spark, d, emb=union, audit_kwargs=ak)
+    assert after["refreshed"] == []  # recovered — the loop converges
+    assert after["audits"]["vector"]["recall_at_k"] >= 0.8
+
+
+def test_auto_maintain_dedup_branch(spark, tmp_path):
+    """auto_maintain fires the dedup re-estimation when the measured LSH
+    recall is under floor, and passes a no-signal (None recall) mount."""
+    from simsearch_spark.mount import audit_dedup, auto_maintain
+    from simsearch_spark.mount.dedup import mount_dedup
+
+    # low-jaccard true pairs under a coarse banding → recall ~0 from the
+    # start (the planted-drift shape, planted at mount time)
+    specs, nxt = [], 0
+    for p in range(10):
+        a = list(range(nxt, nxt + 60)); nxt += 60
+        b = a + list(range(nxt, nxt + 48)); nxt += 48
+        specs += [(2 * p, a), (2 * p + 1, b)]
+    docs = _wordsoup_docs(spark, specs)
+    d = str(tmp_path / "m_auto_dd")
+    mount_dedup(spark, d, docs, threshold=0.5, n_hashes=16, bands=2)
+
+    rep = auto_maintain(spark, d, docs_frame=docs,
+                        dedup_audit_kwargs={"sample_n": 512})
+    assert rep["refreshed"] == ["dedup"]
+    assert audit_dedup(spark, d, sample_n=512)["recall"] >= 0.85
+    rep2 = auto_maintain(spark, d, docs_frame=docs,
+                         dedup_audit_kwargs={"sample_n": 512})
+    assert rep2["refreshed"] == []  # converged

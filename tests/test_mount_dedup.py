@@ -463,3 +463,101 @@ def test_compact_dedup_collapses_append_debris(spark, sf_dir, tmp_path, monkeypa
     from simsearch_spark.mount.artifacts import load_manifest as _lm
 
     assert _lm(d)["dedup"]["n_docs"] == 300 + 150 + 20
+
+
+def test_delete_docs_lifecycle(spark, tmp_path):
+    """r14: the dedup mount's delete path — tombstoned docs vanish from
+    every pair result immediately, their index rows reclaim at
+    compaction, the manifest count refreshes, and the deleted id becomes
+    reusable only after compaction (insert → delete → compact → reusable,
+    the vector-side delete_ids lifecycle)."""
+    from simsearch_spark.mount.dedup import delete_docs, mount_dedup
+    from simsearch_spark.mount.maintain import (
+        compact_dedup,
+        maintenance_stats,
+        should_compact,
+    )
+    from simsearch_spark.mount.serve import serve_dedup_lookup
+
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta"
+    base = spark.createDataFrame(
+        [(1, t_dup), (2, t_dup), (3, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "m_del")
+    mount_dedup(spark, d, base, threshold=0.7)
+
+    hits = lambda: sorted(
+        r.doc_id for r in serve_dedup_lookup(spark, d, t_dup).collect()
+    )
+    assert hits() == [1, 2]
+
+    delete_docs(spark, d, [2])
+    assert hits() == [1]  # excluded immediately, before any compaction
+    s = maintenance_stats(spark, d)
+    assert s["n_dedup_tombstones"] == 1
+    assert s["dedup_tombstone_fraction"] == pytest.approx(1 / 3)
+    assert should_compact(spark, d)  # 1/3 ≥ the 0.2 budget
+
+    # an appended near-dup of the duplicated text pairs only with doc 1
+    p1 = _rows(dedup_append(spark, d, spark.createDataFrame(
+        [(50, t_dup)], "doc_id long, text string",
+    )))
+    assert sorted(a for a, _b, _j in p1) == [1]
+
+    # the deleted id is NOT reusable yet: its shingle rows still mark it
+    # mounted, so re-submission drops as a replay
+    assert _rows(dedup_append(spark, d, spark.createDataFrame(
+        [(2, "completely different replacement text here")],
+        "doc_id long, text string",
+    ))) == []
+
+    # compaction reclaims the dead rows, clears the horizon, refreshes
+    # the count — and the id becomes reusable
+    compact_dedup(spark, d)
+    import os
+
+    assert not os.path.isdir(os.path.join(d, "dedup_tombstones"))
+    from simsearch_spark.mount import load_manifest
+
+    assert load_manifest(d)["dedup"]["n_docs"] == 3  # 1, 3, 50
+    assert maintenance_stats(spark, d)["n_dedup_tombstones"] == 0
+    assert hits() == [1, 50]
+    p2 = _rows(dedup_append(spark, d, spark.createDataFrame(
+        [(2, t_dup)], "doc_id long, text string",
+    )))
+    assert sorted({a for a, _b, _j in p2} | {b for _a, b, _j in p2}) == [1, 2, 50]
+
+
+def test_append_large_path_parity_and_tombstones(spark, sf_dir, tmp_path, monkeypatch):
+    """The DISTRIBUTED append path (_append_large, taken when the delta
+    overflows the fast-path gate) must match the batch-restricted answer
+    exactly and honor tombstone exclusion — forced here by shrinking the
+    gate so every delta takes it."""
+    import simsearch_spark.mount.dedup as md
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = 300
+    base = docs.where(F.col("doc_id") < cut)
+    delta = docs.where(F.col("doc_id") >= cut)
+    delta_ids = [r.doc_id for r in delta.select("doc_id").collect()]
+
+    d = str(tmp_path / "m_large")
+    mount_dedup(spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS)
+    monkeypatch.setattr(md, "MAX_IN_LITERALS", 4)  # gate: lim = 1 → large path
+    got = _rows(dedup_append(spark, d, delta, update=False))
+    want = _rows(_batch_restricted(docs, delta_ids))
+    assert got == want and len(got) > 0
+
+    # tombstone one base id that participates in a pair; the large path
+    # must drop its pairs too
+    from simsearch_spark.mount.dedup import delete_docs
+
+    base_side = sorted({a for a, _b, _j in got} | {b for _a, b, _j in got})
+    victims = [i for i in base_side if i < cut][:1]
+    assert victims, "fixture should pair a delta doc with a base doc"
+    delete_docs(spark, d, victims)
+    got2 = _rows(dedup_append(spark, d, delta, update=False))
+    assert got2 == [
+        (a, b, j) for a, b, j in want if a not in victims and b not in victims
+    ]
