@@ -251,7 +251,8 @@ def audit_dedup(
     (SCALE.md §r14).
 
     Returns ``{"recall": float|None, "n_exact_pairs", "n_caught",
-    "sample_n", "threshold", "bands", "n_hashes", "est_recall_at_mid"}``
+    "sample_n", "threshold", "bands", "n_hashes",
+    "index_integrity_mismatches", "est_recall_at_threshold"}``
     — ``recall`` is None when the sample contains no true pairs (report,
     not an error: a dup-free sample is a healthy outcome)."""
     manifest = load_manifest(mount_dir)
@@ -588,9 +589,35 @@ def _refresh_families(
             )
             try:
                 if "text" in families:
-                    langs = _train_text_family(
-                        spark, docs, mount_kwargs.get("profiles"), fam_tmp
-                    )
+                    prof = mount_kwargs.get("profiles")
+                    if prof is None and os.path.isdir(
+                        os.path.join(mount_dir, "langid_profiles")
+                    ):
+                        # carry the MOUNTED profiles (possibly custom) —
+                        # a refresh must never silently revert them to
+                        # the embedded seeds (the r12 dedup-family rule
+                        # applied to the text family, review r14)
+                        from simsearch_spark.mount.artifacts import (
+                            load_profiles,
+                        )
+
+                        prof = load_profiles(spark, mount_dir)
+                    langs = _train_text_family(spark, docs, prof, fam_tmp)
+                    # coverage guard (review r14): the text artifacts
+                    # derive from the docs frame — a retrain that covers
+                    # fewer docs than the mounted bm25_global silently
+                    # drops appended docs from every LM/BM25 table, the
+                    # same failure the vector/dedup guards reject
+                    n_txt_old = _bm25_ndocs(spark, mount_dir)
+                    n_txt_new = _bm25_ndocs(spark, fam_tmp)
+                    if n_txt_new < n_txt_old and not allow_shrink:
+                        raise ValueError(
+                            f"refresh: retrain frame covers {n_txt_new} docs "
+                            f"< the mounted {n_txt_old} — appended docs would "
+                            "silently vanish from the text artifacts; pass "
+                            "docs_frame holding the CURRENT corpus (or "
+                            "allow_shrink=True)"
+                        )
                 if "dedup" in families:
                     from simsearch_spark.mount.dedup import mount_dedup
 
@@ -649,8 +676,17 @@ def _refresh_families(
                 docs.unpersist()
 
         # PUBLISH: per-artifact rename-aside swaps — the only mutation of
-        # the live mount, each step leaving a complete copy on disk
-        for fam in families:
+        # the live mount, each step leaving a complete copy on disk.
+        # The DEDUP family swaps LAST, immediately before the atomic
+        # manifest replace below: dedup is the one family whose manifest
+        # params drive how its artifacts are READ (the frozen hash
+        # family), so the window in which new artifacts could serve
+        # under the old family block is two renames wide.  A crash
+        # inside that window is DETECTABLE — audit_dedup's integrity
+        # cross-check recomputes the sample's band rows from the
+        # manifest family and reports every mismatch — and repairable
+        # by re-running the dedup family refresh (review r14).
+        for fam in sorted(families, key=lambda f: f == "dedup"):
             for art in FAMILY_ARTIFACTS[fam]:
                 art_tmp = os.path.join(fam_tmp, art)
                 if os.path.isdir(art_tmp):
@@ -668,16 +704,35 @@ def _refresh_families(
             manifest["params"]["langs"] = langs
         if "dedup" in families:
             manifest["dedup"] = dd_manifest["dedup"]
+            for art in FAMILY_ARTIFACTS["dedup"]:
+                # a dedup family ADDED via refresh (dedup_params on a
+                # dedup-less mount) must enter the artifact inventory
+                if art not in manifest.get("artifacts", []):
+                    manifest.setdefault("artifacts", []).append(art)
         if "bpe" in families:
             manifest["bpe"] = bp_manifest["bpe"]
             if "bpe_merges" not in manifest.get("artifacts", []):
                 manifest.setdefault("artifacts", []).append("bpe_merges")
         manifest["generation"] = int(old_manifest.get("generation", 0)) + 1
-        with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+        # atomic replace: the manifest is never half-written, and the
+        # artifact-vs-manifest inconsistency window closes with one rename
+        mpath = os.path.join(mount_dir, "manifest.json")
+        with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(mpath + ".tmp", mpath)
     finally:
         shutil.rmtree(fam_tmp, ignore_errors=True)
     return manifest
+
+
+def _bm25_ndocs(spark: SparkSession, d: str) -> int:
+    """The mounted text-family doc count (one 1-row read; 0 when the
+    directory is absent) — the coverage baseline for text refreshes."""
+    p = os.path.join(d, "bm25_global")
+    if not os.path.isdir(p):
+        return 0
+    row = spark.read.parquet(p).first()
+    return int(row["n_docs"]) if row else 0
 
 
 def auto_maintain(
@@ -733,9 +788,15 @@ def auto_maintain(
         report["audits"]["dedup"] = {
             "recall": a["recall"],
             "n_exact_pairs": a["n_exact_pairs"],
+            "index_integrity_mismatches": a["index_integrity_mismatches"],
             "floor": dedup_recall_floor,
         }
-        if a["recall"] is not None and a["recall"] < dedup_recall_floor:
+        if (
+            a["recall"] is not None and a["recall"] < dedup_recall_floor
+        ) or a["index_integrity_mismatches"] > 0:
+            # low measured recall OR stored-vs-family mismatch (index
+            # corruption / an interrupted family swap) — both are fixed
+            # by rebuilding the index from the current corpus
             to_refresh.append("dedup")
 
     if to_refresh and not dry_run:
@@ -753,18 +814,26 @@ def auto_maintain(
 
     if compact and not dry_run:
         from simsearch_spark.mount.maintain import (
+            COMPACT_FILES_PER_CELL,
+            COMPACT_TOMBSTONE_FRACTION,
             compact_codes,
             compact_dedup,
-            should_compact,
+            maintenance_stats,
         )
 
-        if should_compact(spark, mount_dir):
-            if has_vector:
-                report["compacted"]["codes_rows"] = compact_codes(
-                    spark, mount_dir
-                )
-            if load_manifest(mount_dir).get("dedup"):
-                report["compacted"]["dedup_files"] = compact_dedup(
-                    spark, mount_dir
-                )
+        # PER-SIDE budgets (review r14): the shared should_compact() is
+        # an OR of both families' triggers — compacting the side that is
+        # under budget would re-pay the engine's most expensive rewrite
+        # for nothing at 100 TB
+        st = maintenance_stats(spark, mount_dir)
+        if has_vector and (
+            st["tombstone_fraction"] >= COMPACT_TOMBSTONE_FRACTION
+            or st["max_files_per_cell"] > COMPACT_FILES_PER_CELL
+        ):
+            report["compacted"]["codes_rows"] = compact_codes(spark, mount_dir)
+        if load_manifest(mount_dir).get("dedup") and (
+            st["dedup_tombstone_fraction"] >= COMPACT_TOMBSTONE_FRACTION
+            or st["max_files_per_dedup_dir"] > COMPACT_FILES_PER_CELL
+        ):
+            report["compacted"]["dedup_files"] = compact_dedup(spark, mount_dir)
     return report

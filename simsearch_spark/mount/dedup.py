@@ -383,10 +383,12 @@ def _update_index(
     the bands append has succeeded.  Failure at any point leaves the
     marker artifact without the delta's ids, so a retry re-runs the full
     append.  A retry after a bands-success/shingles-fail crash re-appends
-    the delta's band rows a second time; duplicate band rows are
-    semantically inert (candidate pairs are de-duplicated and hot-bucket
-    membership counts distinct ids) and are collapsed by the next
-    ``compact_dedup``."""
+    the delta's band rows a second time; duplicate band rows never change
+    the PAIR stream (candidates de-duplicate), but they can inflate a
+    bucket's ROW count past the hot cap on the capped fallback path —
+    ``compact_dedup`` collapses them (full-row distinct at rewrite), so
+    run a compaction after a failed append to restore exact batch parity
+    in already-hot buckets (review r14)."""
     import shutil
     import uuid
     from concurrent.futures import ThreadPoolExecutor

@@ -437,6 +437,17 @@ def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
         live = spark.read.parquet(path)
         if tomb is not None:
             live = live.join(F.broadcast(tomb), id_col, "left_anti")
+        # collapse duplicate rows (r14): a dedup_append retried after a
+        # bands-success/shingles-fail crash re-appends its band rows; the
+        # duplicates are pair-stream-invisible (pairs dedupe) but can
+        # inflate hot-bucket ROW counts past the cap — compaction is
+        # where they heal.  One row per doc in the shingle table; full-
+        # row distinct for bands (rows are value-identical per key).
+        live = (
+            live.dropDuplicates([id_col])
+            if path == sh_path
+            else live.dropDuplicates()
+        )
         tmp = path + "__tmp"
         (
             live.repartition(*part_cols)

@@ -328,9 +328,15 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     elif hdr_size >= 40:
         w, h, _planes, bits = struct.unpack("<iiHH", data[18:30])
         (comp,) = struct.unpack("<I", data[30:34])
-        # a full OS/2 BITMAPINFOHEADER2 is 64 bytes with the Windows
-        # layout for its first 40 — only the compression ENUM differs
-        os2v2 = hdr_size == 64
+        # OS/2 BITMAPINFOHEADER2 shares the Windows layout for its first
+        # 40 bytes — only the compression ENUM differs.  Windows header
+        # sizes are exactly 40/52/56/108/124; every OTHER length in
+        # 41..64 is an OS/2 2.x truncation (review r14 — classifying
+        # them as Windows would misread OS/2 enum 3/4 as
+        # BI_BITFIELDS/BI_JPEG, a silent misdecode)
+        os2v2 = hdr_size == 64 or (
+            40 < hdr_size < 64 and hdr_size not in (52, 56)
+        )
     elif hdr_size >= 16:
         # OS/2 2.x TRUNCATED header (r14): the 2.x spec allows ANY header
         # length 16..64; present fields share the Windows field layout,

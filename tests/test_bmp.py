@@ -492,10 +492,19 @@ def test_os2_v2_huffman_and_rle24_pinned():
     (NOT BI_BITFIELDS/BI_JPEG) — pinned loud seams, never misread as the
     Windows enums."""
     px = bytes(8)
-    for comp, name in ((3, "Huffman 1D"), (4, "RLE24")):
-        blob = _os2_bmp(64, 4, 2, 8, px, comp=comp)
-        with pytest.raises(NotImplementedError, match=name):
-            decode_bmp(blob)
+    for hdr_size in (64, 44):  # full AND truncated 2.x lengths (review r14)
+        for comp, name in ((3, "Huffman 1D"), (4, "RLE24")):
+            blob = _os2_bmp(hdr_size, 4, 2, 8, px, comp=comp)
+            with pytest.raises(NotImplementedError, match=name):
+                decode_bmp(blob)
+    # Windows V2/V3 header sizes (52/56) keep their Windows enums — a
+    # 52-byte header with comp 3 parses as BI_BITFIELDS, not Huffman
+    blob = bytearray(encode_bmp(2, 2, 3, bytes(12)))
+    with pytest.raises((ValueError, NotImplementedError)) as ei:
+        struct.pack_into("<I", blob, 14, 52)
+        struct.pack_into("<I", blob, 30, 3)
+        decode_bmp(bytes(blob))
+    assert "Huffman" not in str(ei.value)
 
 
 def test_bi_cmyk_pinned_metafile_only():

@@ -476,3 +476,83 @@ def test_auto_maintain_dedup_branch(spark, tmp_path):
     rep2 = auto_maintain(spark, d, docs_frame=docs,
                          dedup_audit_kwargs={"sample_n": 512})
     assert rep2["refreshed"] == []  # converged
+
+
+def test_review_r14_refresh_guards(spark, corpus, docs_stub, tmp_path_factory):
+    """Review r14: (a) a text-family refresh that covers fewer docs than
+    mounted is rejected (appended docs must not silently vanish from the
+    LM/BM25 tables); (b) custom language-ID profiles survive a text
+    refresh (never silently reverted to the embedded seeds);
+    (c) dedup_reestimate without families is rejected loudly."""
+    from simsearch_spark.mount.artifacts import load_profiles
+
+    base, _ = corpus
+    d = str(tmp_path_factory.mktemp("guards") / "m")
+    custom_prof = {
+        "xx": {"aaa": 5, "bbb": 3},
+        "yy": {"ccc": 4, "ddd": 2},
+    }
+    mount(spark, "", d, emb_frame=base, docs_frame=docs_stub,
+          profiles=custom_prof, dedup=False)
+
+    shrunk = docs_stub.where(F.col("doc_id") < 5)
+    with pytest.raises(ValueError, match="text artifacts"):
+        refresh(spark, d, sf_dir="", docs_frame=shrunk, families=["text"])
+
+    refresh(spark, d, sf_dir="", docs_frame=docs_stub, families=["text"])
+    assert load_profiles(spark, d) == custom_prof  # carried, not reverted
+
+    with pytest.raises(ValueError, match="requires families"):
+        refresh(spark, d, sf_dir="", emb_frame=base, docs_frame=docs_stub,
+                dedup_reestimate=True)
+
+
+def test_auto_maintain_integrity_trigger(spark, docs_stub, tmp_path):
+    """Review r14: a stored-vs-family mismatch (index corruption or an
+    interrupted family swap — simulated by editing the manifest's frozen
+    seed) is surfaced by audit_dedup and makes auto_maintain rebuild the
+    dedup family even though recall alone would not trigger."""
+    import json
+    import os
+
+    from simsearch_spark.mount import audit_dedup, auto_maintain, load_manifest
+    from simsearch_spark.mount.dedup import mount_dedup
+
+    d = str(tmp_path / "m_integrity")
+    mount_dedup(spark, d, docs_stub)
+    assert audit_dedup(spark, d, sample_n=64)["index_integrity_mismatches"] == 0
+
+    man = load_manifest(d)
+    man["dedup"]["seed"] = man["dedup"]["seed"] + 1  # family drift
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    a = audit_dedup(spark, d, sample_n=64)
+    assert a["index_integrity_mismatches"] > 0
+
+    rep = auto_maintain(spark, d, docs_frame=docs_stub,
+                        dedup_audit_kwargs={"sample_n": 64})
+    assert rep["refreshed"] == ["dedup"]
+    assert rep["audits"]["dedup"]["index_integrity_mismatches"] > 0
+    # rebuilt with the (drifted) manifest family — consistent again
+    assert audit_dedup(spark, d, sample_n=64)["index_integrity_mismatches"] == 0
+
+
+def test_compact_dedup_collapses_duplicate_band_rows(spark, docs_stub, tmp_path):
+    """Review r14: duplicate band rows (the bands-success/shingles-fail
+    retry residue) are collapsed by compaction — full-row distinct."""
+    import os
+
+    from simsearch_spark.mount.dedup import mount_dedup
+    from simsearch_spark.mount.maintain import compact_dedup
+
+    d = str(tmp_path / "m_dupband")
+    mount_dedup(spark, d, docs_stub)
+    bp = os.path.join(d, "dedup_bands")
+    rows = spark.read.parquet(bp)
+    n_distinct = rows.distinct().count()
+    # simulate the retry residue: every band row appended a second time
+    rows.write.mode("append").partitionBy("band_idx", "bkt").parquet(bp)
+    assert spark.read.parquet(bp).count() == 2 * n_distinct
+    compact_dedup(spark, d)
+    after = spark.read.parquet(bp)
+    assert after.count() == n_distinct == after.distinct().count()

@@ -8,7 +8,7 @@ scale ~linearly in rows with a flat per-row cost — the tokenizer analog
 of the codes-scan flatness probes.
 
 Part 2 — kernel working set: tracemalloc peak of ``_score_pair_group``
-on a (block_rows x dim) diagonal tile vs the 8*(3*br^2 + 2*br*dim)
+on a (block_rows x dim) diagonal tile vs the 8*(4*br^2 + 2*br*dim)
 model the ``_clamp_block_rows`` budget solves against — evidence the
 clamp's model matches what the kernel actually allocates (the 128 GiB
 sandbox would otherwise hide an OOM a 4 GiB executor hits).
@@ -53,7 +53,7 @@ def kernel_peak(block_rows: int, dim: int) -> dict:
     _score_pair_group(pdf, 0.99, diagonal=True)
     _cur, peak = tracemalloc.get_traced_memory()
     tracemalloc.stop()
-    model = 8 * (3 * block_rows * block_rows + 2 * block_rows * dim)
+    model = 8 * (4 * block_rows * block_rows + 2 * block_rows * dim)
     return {
         "block_rows": block_rows,
         "dim": dim,
