@@ -63,6 +63,7 @@ work happens, never the answer.
 from simsearch_spark.mount.artifacts import load_manifest, mount
 from simsearch_spark.mount.audit import audit_dedup, audit_drift, auto_maintain, refresh
 from simsearch_spark.mount.bpe import (
+    audit_bpe,
     bpe_encode_stats,
     mount_bpe,
     serve_bpe_encode,
@@ -103,4 +104,5 @@ __all__ = [
     "mount_bpe",
     "serve_bpe_encode",
     "bpe_encode_stats",
+    "audit_bpe",
 ]

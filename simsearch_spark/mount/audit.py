@@ -742,6 +742,7 @@ def auto_maintain(
     docs_frame: DataFrame | None = None,
     recall_floor: float = 0.8,
     dedup_recall_floor: float = 0.8,
+    bpe_ratio_floor: float = 0.9,
     audit_kwargs: dict | None = None,
     dedup_audit_kwargs: dict | None = None,
     compact: bool = True,
@@ -757,9 +758,14 @@ def auto_maintain(
       mount has no vector artifacts); recall@k < ``recall_floor`` →
       ``refresh(families=['vector'], emb_frame=emb)``.
     - dedup: ``audit_dedup``; measured LSH recall < ``dedup_recall_floor``
-      → ``refresh(families=['dedup'], dedup_reestimate=True)`` (re-sizes
+      OR a stored-vs-family integrity mismatch →
+      ``refresh(families=['dedup'], dedup_reestimate=True)`` (re-sizes
       the banding from the current corpus).  A ``None`` recall (no true
       pairs in the sample) is a healthy no-signal, never a refresh.
+    - bpe: ``audit_bpe(docs_frame)`` (skipped when ``docs_frame`` is None
+      or the mount has no tokenizer); compression ratio vs the mount-time
+      baseline < ``bpe_ratio_floor`` → ``refresh(families=['bpe'])``
+      retrains the merge table on the current corpus.
     - compaction: ``should_compact`` → ``compact_codes`` /
       ``compact_dedup`` for whichever side the mount has.
 
@@ -798,6 +804,18 @@ def auto_maintain(
             # corruption / an interrupted family swap) — both are fixed
             # by rebuilding the index from the current corpus
             to_refresh.append("dedup")
+    if manifest.get("bpe") and docs_frame is not None:
+        from simsearch_spark.mount.bpe import audit_bpe
+
+        a = audit_bpe(spark, mount_dir, docs_frame)
+        report["audits"]["bpe"] = {
+            "cpt": a["cpt"],
+            "baseline_cpt": a["baseline_cpt"],
+            "ratio": a["ratio"],
+            "floor": bpe_ratio_floor,
+        }
+        if a["ratio"] is not None and a["ratio"] < bpe_ratio_floor:
+            to_refresh.append("bpe")
 
     if to_refresh and not dry_run:
         kw: dict = {}
@@ -805,8 +823,8 @@ def auto_maintain(
             kw["emb_frame"] = emb
         if "dedup" in to_refresh:
             kw["dedup_reestimate"] = True
-            if docs_frame is not None:
-                kw["docs_frame"] = docs_frame
+        if {"dedup", "bpe", "text"} & set(to_refresh) and docs_frame is not None:
+            kw["docs_frame"] = docs_frame
         man = refresh(spark, mount_dir, families=to_refresh, **kw)
         report["generation"] = man.get("generation")
     report["refreshed"] = to_refresh if not dry_run else []

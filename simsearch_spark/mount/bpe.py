@@ -35,7 +35,89 @@ __all__ = [
     "load_merges",
     "serve_bpe_encode",
     "bpe_encode_stats",
+    "audit_bpe",
 ]
+
+#: bounded sample size for the mount-time baseline and the drift audit —
+#: the ``corpus_sample_n`` discipline (hash-lowest ids, map-side top-n)
+AUDIT_SAMPLE_N = 256
+
+
+def _sample_cpt(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str,
+    merges: list,
+    sample_n: int,
+) -> float:
+    """Mean chars-per-token of ``merges`` over the ``sample_n`` docs of
+    lowest ``xxhash64(text)`` (deterministic, content-keyed so the same
+    doc set samples identically regardless of ids) — one bounded encode.
+    Returns 1.0 for an empty/degenerate sample (no compression signal)."""
+    from simsearch_spark.operators.bpe import apply_bpe
+
+    sample = (
+        docs.select(F.col(text_col))
+        .withColumn("_h", F.xxhash64(F.col(text_col)))
+        .orderBy("_h")
+        .limit(int(sample_n))
+        .drop("_h")
+    )
+    row = (
+        apply_bpe(sample, text_col, merges)
+        .select(
+            F.sum(
+                F.aggregate(
+                    F.transform(F.col("bpe_tokens"), F.length),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+            ).alias("chars"),
+            F.sum(F.size("bpe_tokens")).alias("toks"),
+        )
+        .first()
+    )
+    if row is None or not row["toks"]:
+        return 1.0
+    return round(float(row["chars"]) / float(row["toks"]), 6)
+
+
+def audit_bpe(
+    spark: SparkSession,
+    mount_dir: str,
+    docs: DataFrame,
+    text_col: str | None = None,
+    sample_n: int = AUDIT_SAMPLE_N,
+) -> dict:
+    """Tokenizer-drift audit (r14 — the BPE dual of ``audit_drift`` /
+    ``audit_dedup``): mean chars-per-token of the FROZEN merges on a
+    bounded sample of ``docs`` (the current corpus) vs the baseline
+    recorded at mount time on the training corpus.  A ratio well below
+    1.0 means the merges no longer compress the incoming distribution
+    (new language, new boilerplate) — refresh the ``bpe`` family to
+    retrain them.  Bounded by construction: one ``sample_n``-doc encode,
+    flat in corpus size.  Returns ``{"cpt": float, "baseline_cpt":
+    float|None, "ratio": float|None, "sample_n": int}`` — ``ratio`` is
+    None for pre-baseline mounts (report, not an error)."""
+    manifest = load_manifest(mount_dir)
+    bp = manifest.get("bpe")
+    if not bp:
+        raise ValueError("mount has no BPE artifacts — run mount_bpe first")
+    col = bp["text_col"] if text_col is None else text_col
+    cpt = _sample_cpt(
+        spark,
+        docs.where(F.col(col).isNotNull()),
+        col,
+        load_merges(spark, mount_dir),
+        sample_n,
+    )
+    base = bp.get("baseline_cpt")
+    return {
+        "cpt": cpt,
+        "baseline_cpt": base,
+        "ratio": (round(cpt / base, 6) if base else None),
+        "sample_n": int(sample_n),
+    }
 
 
 def mount_bpe(
@@ -56,13 +138,21 @@ def mount_bpe(
 
     n = int(BPE_MERGES if n_merges is None else n_merges)
     os.makedirs(mount_dir, exist_ok=True)
-    merges = learn_bpe_merges(docs.where(F.col(text_col).isNotNull()), text_col, n)
+    live = docs.where(F.col(text_col).isNotNull())
+    merges = learn_bpe_merges(live, text_col, n)
     _write(
         spark.createDataFrame(
             merges, "merge_rank int, left string, right string, pair_count long"
         ),
         os.path.join(mount_dir, "bpe_merges"),
     )
+    # training-time compression baseline (r14): chars-per-token of the
+    # frozen merges on a bounded deterministic sample of the TRAINING
+    # corpus (hash-lowest ids — the corpus_sample_n discipline).
+    # ``audit_bpe`` compares the same metric on current data against it:
+    # a falling ratio means the merges no longer fit the incoming
+    # distribution (new language, new boilerplate) — tokenizer drift.
+    baseline = _sample_cpt(spark, live, text_col, merges, AUDIT_SAMPLE_N)
     try:
         manifest = load_manifest(mount_dir)
     except FileNotFoundError:
@@ -79,6 +169,7 @@ def mount_bpe(
         "text_col": text_col,
         "n_merges": n,
         "n_learned": len(merges),  # < n_merges only on pair-exhausted corpora
+        "baseline_cpt": baseline,  # chars/token on the training sample
     }
     if "bpe_merges" not in manifest.get("artifacts", []):
         manifest.setdefault("artifacts", []).append("bpe_merges")

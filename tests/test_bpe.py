@@ -224,3 +224,38 @@ def test_bpe_encode_split_invariant_and_refreshable(spark, sf_dir, tmp_path):
     assert man["generation"] == gen0 + 1
     new_merges = load_merges(spark, d)
     assert ("z", "q") in {(l, r) for _rk, l, r, _c in new_merges}
+
+
+def test_audit_bpe_drift_and_auto_maintain(spark, sf_dir, tmp_path):
+    """r14: tokenizer-drift loop — the frozen merges' compression ratio
+    on shifted data falls below the mount-time baseline; auto_maintain
+    detects it and retrains the bpe family from the current corpus; the
+    audit recovers and the loop converges."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.mount import audit_bpe, auto_maintain, mount_bpe
+    from simsearch_spark.sources.registry import load_table
+
+    d = str(tmp_path / "m_bpe_audit")
+    docs = load_table(spark, sf_dir, "documents")
+    mount_bpe(spark, d, docs)
+
+    same = audit_bpe(spark, d, docs)
+    assert same["ratio"] == 1.0  # identical corpus, identical sample
+
+    # drift: every doc becomes repeated single-character words — the
+    # learned multi-char merges never apply, cpt collapses toward 1.0
+    drifted = docs.withColumn(
+        "text", F.concat(F.lit("z "), F.repeat(F.lit("q z "), 40))
+    )
+    bad = audit_bpe(spark, d, drifted)
+    assert bad["ratio"] is not None and bad["ratio"] < 0.9, bad
+
+    rep = auto_maintain(spark, d, docs_frame=drifted)
+    assert rep["refreshed"] == ["bpe"]
+    assert rep["audits"]["bpe"]["ratio"] < 0.9
+
+    good = audit_bpe(spark, d, drifted)
+    assert good["ratio"] is not None and good["ratio"] >= 0.99, good
+    rep2 = auto_maintain(spark, d, docs_frame=drifted)
+    assert rep2["refreshed"] == []  # converged
