@@ -52,7 +52,11 @@ deployment pays once.  This package is that deployment shape:
   symmetry between the two index families).
 - ``audit.auto_maintain`` (r14): the orchestrated sweep — audit every
   mounted family, family-refresh only what measurably drifted, compact
-  when over budget; the loop a deployment schedules.
+  when over budget; the loop a deployment schedules.  All FOUR families
+  carry a bounded drift audit: vector (``audit_drift`` recall@k), dedup
+  (``audit_dedup`` LSH recall + index integrity), bpe (``audit_bpe``
+  compression ratio), text (``audit_text`` LM perplexity + bigram
+  coverage vs the mount-time baselines).
 
 Parity contract (tests/test_mount.py): every serve-side operator must
 reproduce its self-contained declared query EXACTLY (same rows, same
@@ -61,7 +65,13 @@ work happens, never the answer.
 """
 
 from simsearch_spark.mount.artifacts import load_manifest, mount
-from simsearch_spark.mount.audit import audit_dedup, audit_drift, auto_maintain, refresh
+from simsearch_spark.mount.audit import (
+    audit_dedup,
+    audit_drift,
+    audit_text,
+    auto_maintain,
+    refresh,
+)
 from simsearch_spark.mount.bpe import (
     audit_bpe,
     bpe_encode_stats,
@@ -99,6 +109,7 @@ __all__ = [
     "dedup_embed_append",
     "audit_drift",
     "audit_dedup",
+    "audit_text",
     "auto_maintain",
     "refresh",
     "mount_bpe",

@@ -357,12 +357,22 @@ def mount(
     )
     try:
         langs = _train_text_family(spark, docs, profiles, mount_dir)
+        # text-family drift baseline (r14): the mounted LM's mean
+        # log-perplexity on a bounded sample of its own training corpus —
+        # audit_text compares current data against it
+        from simsearch_spark.mount.audit import _sample_lm_stats
+
+        txt_stats = _sample_lm_stats(spark, mount_dir, docs)
 
         manifest = {
             "version": MANIFEST_VERSION,
             "source": os.path.abspath(sf_dir),
             "params": {**vparams, "langs": langs},
             "counts": {"n_vectors": n_vectors},
+            "text_audit": {
+                "baseline_ppl": txt_stats["log_ppl"],
+                "baseline_coverage": txt_stats["coverage"],
+            },
             "artifacts": FAMILY_ARTIFACTS["vector"] + FAMILY_ARTIFACTS["text"],
         }
         os.makedirs(mount_dir, exist_ok=True)

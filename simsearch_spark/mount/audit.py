@@ -39,7 +39,7 @@ from pyspark.sql.window import Window
 
 from simsearch_spark.mount.artifacts import load_manifest, mount
 
-__all__ = ["audit_drift", "audit_dedup", "auto_maintain", "refresh"]
+__all__ = ["audit_drift", "audit_dedup", "audit_text", "auto_maintain", "refresh"]
 
 
 def _brute_multi_topk(
@@ -378,6 +378,103 @@ def audit_dedup(
     }
 
 
+def _sample_lm_stats(
+    spark: SparkSession,
+    art_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_n: int = 256,
+) -> dict:
+    """Mean bigram-LM log-perplexity AND bigram coverage of the LM
+    tables under ``art_dir`` over the ``sample_n`` docs of lowest
+    ``xxhash64(text)`` (the content-keyed bounded-sample discipline
+    shared with ``audit_bpe``).  ``docs`` must carry ``doc_id`` +
+    ``text_col`` (the documents shape).
+
+    COVERAGE is the load-bearing drift signal: ``lm_score`` scores only
+    bigrams the mounted LM has SEEN (its oracle-pinned inner-join
+    semantics), so out-of-distribution text does not raise perplexity —
+    it silently falls out of the scored mass.  ``coverage`` = scored
+    bigram occurrences / total bigram occurrences in the sample; a
+    collapse means the vocabulary/LM no longer describe incoming data.
+    Returns ``{"log_ppl": float, "coverage": float}`` (0.0 / 0.0 for a
+    bigram-free sample)."""
+    from simsearch_spark.queries.vocab import lm_doc_bigrams, lm_score
+
+    sample = (
+        docs.where(F.col(text_col).isNotNull())
+        .withColumn("_h", F.xxhash64(F.col(text_col)))
+        .orderBy("_h")
+        .limit(int(sample_n))
+        .drop("_h")
+    )
+    bgc = lm_doc_bigrams(sample).persist()
+    try:
+        cb = spark.read.parquet(os.path.join(art_dir, "lm_bigrams"))
+        cu = spark.read.parquet(os.path.join(art_dir, "lm_ctx"))
+        vocab = spark.read.parquet(os.path.join(art_dir, "lm_vocab"))
+        scored = lm_score(sample, bgc, cb, cu, vocab)
+        row = (
+            scored.where(F.col("n_bigrams") > 0)
+            .agg(
+                F.avg("log_ppl").alias("p"),
+                F.sum("n_bigrams").alias("hit"),
+            )
+            .first()
+        )
+        total_row = bgc.agg(F.sum("m").alias("t")).first()
+        total = int(total_row["t"] or 0) if total_row else 0
+        ppl = float(row["p"]) if row and row["p"] is not None else 0.0
+        hit = int(row["hit"] or 0) if row else 0
+    finally:
+        bgc.unpersist()
+    return {
+        "log_ppl": round(ppl, 6),
+        "coverage": round(hit / total, 6) if total else 0.0,
+    }
+
+
+def audit_text(
+    spark: SparkSession,
+    mount_dir: str,
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_n: int = 256,
+) -> dict:
+    """Text-family drift audit (r14 — completing the per-family audit
+    set): mean bigram-LM log-perplexity of the FROZEN LM tables on a
+    bounded sample of ``docs`` (the current corpus) vs the baseline
+    recorded when the text family trained.  A ratio well above 1.0 means
+    the incoming distribution no longer matches the mounted LM/BM25/
+    vocabulary statistics (new language, new domain) — refresh the
+    ``text`` family; so does a COVERAGE collapse (the mounted LM's
+    inner-join semantics silently drop unseen bigrams, so coverage — the
+    fraction of the sample's bigram mass the LM has seen — is the
+    load-bearing signal for fully out-of-distribution data).  Bounded:
+    one ``sample_n``-doc scoring pass, flat in corpus size.  Returns
+    ``{"log_ppl", "coverage", "baseline_ppl", "baseline_coverage",
+    "ppl_ratio": float|None, "coverage_ratio": float|None, "sample_n"}``
+    — ratios are None on pre-baseline mounts (report, not an error)."""
+    manifest = load_manifest(mount_dir)
+    if not os.path.isdir(os.path.join(mount_dir, "lm_bigrams")):
+        raise ValueError("mount has no text artifacts — run mount() first")
+    ta = manifest.get("text_audit") or {}
+    base_ppl = ta.get("baseline_ppl")
+    base_cov = ta.get("baseline_coverage")
+    cur = _sample_lm_stats(spark, mount_dir, docs, text_col, sample_n)
+    return {
+        "log_ppl": cur["log_ppl"],
+        "coverage": cur["coverage"],
+        "baseline_ppl": base_ppl,
+        "baseline_coverage": base_cov,
+        "ppl_ratio": (round(cur["log_ppl"] / base_ppl, 6) if base_ppl else None),
+        "coverage_ratio": (
+            round(cur["coverage"] / base_cov, 6) if base_cov else None
+        ),
+        "sample_n": int(sample_n),
+    }
+
+
 def refresh(
     spark: SparkSession,
     mount_dir: str,
@@ -618,6 +715,10 @@ def _refresh_families(
                             "docs_frame holding the CURRENT corpus (or "
                             "allow_shrink=True)"
                         )
+                    # re-baseline the drift audit on the NEW tables +
+                    # the corpus they trained on (scored from fam_tmp —
+                    # the live mount is untouched until publication)
+                    txt_baseline = _sample_lm_stats(spark, fam_tmp, docs)
                 if "dedup" in families:
                     from simsearch_spark.mount.dedup import mount_dedup
 
@@ -702,6 +803,10 @@ def _refresh_families(
                 shutil.rmtree(tomb)
         if "text" in families:
             manifest["params"]["langs"] = langs
+            manifest["text_audit"] = {
+                "baseline_ppl": txt_baseline["log_ppl"],
+                "baseline_coverage": txt_baseline["coverage"],
+            }
         if "dedup" in families:
             manifest["dedup"] = dd_manifest["dedup"]
             for art in FAMILY_ARTIFACTS["dedup"]:
@@ -743,6 +848,8 @@ def auto_maintain(
     recall_floor: float = 0.8,
     dedup_recall_floor: float = 0.8,
     bpe_ratio_floor: float = 0.9,
+    text_ppl_ceiling: float = 1.25,
+    text_coverage_floor: float = 0.7,
     audit_kwargs: dict | None = None,
     dedup_audit_kwargs: dict | None = None,
     compact: bool = True,
@@ -766,6 +873,11 @@ def auto_maintain(
       or the mount has no tokenizer); compression ratio vs the mount-time
       baseline < ``bpe_ratio_floor`` → ``refresh(families=['bpe'])``
       retrains the merge table on the current corpus.
+    - text: ``audit_text(docs_frame)`` (skipped without ``docs_frame``,
+      text artifacts, or a recorded baseline); LM log-perplexity ratio
+      above ``text_ppl_ceiling`` OR bigram-coverage ratio below
+      ``text_coverage_floor`` → ``refresh(families=['text'])`` retrains
+      the LM/BM25/vocab stats.
     - compaction: ``should_compact`` → ``compact_codes`` /
       ``compact_dedup`` for whichever side the mount has.
 
@@ -816,6 +928,27 @@ def auto_maintain(
         }
         if a["ratio"] is not None and a["ratio"] < bpe_ratio_floor:
             to_refresh.append("bpe")
+    if (
+        docs_frame is not None
+        and os.path.isdir(os.path.join(mount_dir, "lm_bigrams"))
+        and (manifest.get("text_audit") or {}).get("baseline_ppl")
+    ):
+        a = audit_text(spark, mount_dir, docs_frame)
+        report["audits"]["text"] = {
+            "log_ppl": a["log_ppl"],
+            "coverage": a["coverage"],
+            "ppl_ratio": a["ppl_ratio"],
+            "coverage_ratio": a["coverage_ratio"],
+            "ceiling": text_ppl_ceiling,
+            "coverage_floor": text_coverage_floor,
+        }
+        if (
+            a["ppl_ratio"] is not None and a["ppl_ratio"] > text_ppl_ceiling
+        ) or (
+            a["coverage_ratio"] is not None
+            and a["coverage_ratio"] < text_coverage_floor
+        ):
+            to_refresh.append("text")
 
     if to_refresh and not dry_run:
         kw: dict = {}

@@ -556,3 +556,51 @@ def test_compact_dedup_collapses_duplicate_band_rows(spark, docs_stub, tmp_path)
     compact_dedup(spark, d)
     after = spark.read.parquet(bp)
     assert after.count() == n_distinct == after.distinct().count()
+
+
+def test_audit_text_drift_loop(spark, corpus, tmp_path):
+    """r14: the text-family drift loop — the mounted LM's perplexity on
+    out-of-distribution docs rises past the ceiling, auto_maintain
+    refreshes the text family only, the baseline resets, and the loop
+    converges.  Completes the per-family audit set (vector/dedup/bpe/
+    text)."""
+    from simsearch_spark.mount import audit_text, auto_maintain
+    from simsearch_spark.mount.artifacts import FAMILY_ARTIFACTS
+
+    base, _ = corpus
+    train_docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again")
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "m_textaudit")
+    mount(spark, "", d, emb_frame=base, docs_frame=train_docs, dedup=False)
+
+    same = audit_text(spark, d, train_docs)
+    # identical corpus, identical sample: both signals at parity
+    assert same["ppl_ratio"] == 1.0 and same["coverage_ratio"] == 1.0
+    assert same["coverage"] == 1.0  # every training bigram is known
+    rep0 = auto_maintain(spark, d, docs_frame=train_docs)
+    assert rep0["refreshed"] == []
+
+    # fully out-of-distribution words: the mounted LM has seen NONE of
+    # the bigrams — perplexity cannot rise (inner-join semantics), the
+    # drift shows as a coverage collapse
+    drifted = spark.createDataFrame(
+        [(100 + i, f"w{i:03d}a w{i:03d}b w{i:03d}c w{i:03d}d w{i:03d}e")
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    bad = audit_text(spark, d, drifted)
+    assert bad["coverage_ratio"] is not None and bad["coverage_ratio"] < 0.7, bad
+
+    untouched = FAMILY_ARTIFACTS["vector"]
+    before = _digest_artifacts(d, untouched)
+    rep = auto_maintain(spark, d, docs_frame=drifted)
+    assert rep["refreshed"] == ["text"]
+    assert _digest_artifacts(d, untouched) == before  # vector untouched
+
+    good = audit_text(spark, d, drifted)
+    assert good["coverage_ratio"] is not None and good["coverage_ratio"] >= 0.95, good
+    rep2 = auto_maintain(spark, d, docs_frame=drifted)
+    assert rep2["refreshed"] == []  # converged
