@@ -259,3 +259,47 @@ def test_audit_bpe_drift_and_auto_maintain(spark, sf_dir, tmp_path):
     assert good["ratio"] is not None and good["ratio"] >= 0.99, good
     rep2 = auto_maintain(spark, d, docs_frame=drifted)
     assert rep2["refreshed"] == []  # converged
+
+
+def test_serve_bpe_encode_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """The frozen-merge encode kernel is row-local, so it runs unchanged
+    on a STREAMING frame — tokens per doc identical to the batch encode
+    for any micro-batch split (the engine's streaming-dual discipline)."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.mount.bpe import mount_bpe, serve_bpe_encode
+    from simsearch_spark.sources.registry import load_table
+
+    d = str(tmp_path / "m_bpe_stream")
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    mount_bpe(spark, d, docs)
+
+    src = str(tmp_path / "doc_src")
+    for bi in range(3):
+        docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == bi).select(
+            "doc_id", "text"
+        ).write.parquet(f"{src}/b{bi}")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+    out_dir = str(tmp_path / "enc_out")
+    q = (
+        serve_bpe_encode(spark, d, stream)
+        .select("doc_id", F.to_json(F.col("bpe_tokens")).alias("toks"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    import json as _json
+
+    got = {
+        r.doc_id: tuple(_json.loads(r.toks))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        r.doc_id: tuple(r.bpe_tokens)
+        for r in serve_bpe_encode(spark, d, docs.select("doc_id", "text")).collect()
+    }
+    assert got == want and len(got) > 0
