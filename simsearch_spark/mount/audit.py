@@ -265,13 +265,9 @@ def audit_dedup(
     n_hashes = int(dd["n_hashes"])
 
     sh = spark.read.parquet(os.path.join(mount_dir, "dedup_shingles"))
-    srows = (
-        sh.select(F.col(id_col), F.col("shingles"))
-        .withColumn("_h", F.xxhash64(F.col(id_col)))
-        .orderBy("_h")
-        .limit(int(sample_n))
-        .collect()
-    )
+    srows = content_sample(
+        sh.select(F.col(id_col), F.col("shingles")), id_col, sample_n
+    ).collect()
     sets = {r[id_col]: frozenset(r["shingles"]) for r in srows}
     ids = sorted(sets)
 
@@ -378,6 +374,20 @@ def audit_dedup(
     }
 
 
+def content_sample(df: DataFrame, key_col: str, sample_n: int) -> DataFrame:
+    """THE bounded-sample discipline, in one place (review r14): the
+    ``sample_n`` rows of lowest ``xxhash64(key_col)`` — deterministic,
+    a map-side top-n, never a corpus shuffle.  Content-keyed callers
+    (bpe/text audits) hash the text so the same doc set samples
+    identically regardless of ids; id-keyed callers hash the id."""
+    return (
+        df.withColumn("_h", F.xxhash64(F.col(key_col)))
+        .orderBy("_h")
+        .limit(int(sample_n))
+        .drop("_h")
+    )
+
+
 def _sample_lm_stats(
     spark: SparkSession,
     art_dir: str,
@@ -387,9 +397,10 @@ def _sample_lm_stats(
 ) -> dict:
     """Mean bigram-LM log-perplexity AND bigram coverage of the LM
     tables under ``art_dir`` over the ``sample_n`` docs of lowest
-    ``xxhash64(text)`` (the content-keyed bounded-sample discipline
-    shared with ``audit_bpe``).  ``docs`` must carry ``doc_id`` +
-    ``text_col`` (the documents shape).
+    ``xxhash64(text)`` (``content_sample``).  ``docs`` must carry
+    ``doc_id`` + ``text_col`` (the documents shape; a non-default
+    ``text_col`` is aliased to the ``text`` column the LM machinery
+    scores — review r14).
 
     COVERAGE is the load-bearing drift signal: ``lm_score`` scores only
     bigrams the mounted LM has SEEN (its oracle-pinned inner-join
@@ -397,16 +408,16 @@ def _sample_lm_stats(
     it silently falls out of the scored mass.  ``coverage`` = scored
     bigram occurrences / total bigram occurrences in the sample; a
     collapse means the vocabulary/LM no longer describe incoming data.
-    Returns ``{"log_ppl": float, "coverage": float}`` (0.0 / 0.0 for a
-    bigram-free sample)."""
+    A bigram-free sample is NO-SIGNAL, not drift: both fields are None
+    (the audit_dedup ``recall=None`` convention)."""
     from simsearch_spark.queries.vocab import lm_doc_bigrams, lm_score
 
-    sample = (
-        docs.where(F.col(text_col).isNotNull())
-        .withColumn("_h", F.xxhash64(F.col(text_col)))
-        .orderBy("_h")
-        .limit(int(sample_n))
-        .drop("_h")
+    sample = content_sample(
+        docs.where(F.col(text_col).isNotNull()).select(
+            "doc_id", F.col(text_col).alias("text")
+        ),
+        "text",
+        sample_n,
     )
     bgc = lm_doc_bigrams(sample).persist()
     try:
@@ -424,13 +435,21 @@ def _sample_lm_stats(
         )
         total_row = bgc.agg(F.sum("m").alias("t")).first()
         total = int(total_row["t"] or 0) if total_row else 0
-        ppl = float(row["p"]) if row and row["p"] is not None else 0.0
         hit = int(row["hit"] or 0) if row else 0
     finally:
         bgc.unpersist()
+    if total == 0:
+        # no bigrams in the sample at all — no signal, never "drift"
+        return {"log_ppl": None, "coverage": None}
     return {
-        "log_ppl": round(ppl, 6),
-        "coverage": round(hit / total, 6) if total else 0.0,
+        # ppl carries signal only when something scored; a fully-unseen
+        # sample reports coverage 0.0 (THE drift signal) with ppl None
+        "log_ppl": (
+            round(float(row["p"]), 6)
+            if row is not None and row["p"] is not None
+            else None
+        ),
+        "coverage": round(hit / total, 6),
     }
 
 
@@ -462,15 +481,21 @@ def audit_text(
     base_ppl = ta.get("baseline_ppl")
     base_cov = ta.get("baseline_coverage")
     cur = _sample_lm_stats(spark, mount_dir, docs, text_col, sample_n)
+
+    def _ratio(val, base):
+        # a ratio exists only when BOTH sides carry signal; a zero base
+        # is itself no-signal (nothing was measurable at mount time)
+        if val is None or base is None or base == 0:
+            return None
+        return round(val / base, 6)
+
     return {
         "log_ppl": cur["log_ppl"],
         "coverage": cur["coverage"],
         "baseline_ppl": base_ppl,
         "baseline_coverage": base_cov,
-        "ppl_ratio": (round(cur["log_ppl"] / base_ppl, 6) if base_ppl else None),
-        "coverage_ratio": (
-            round(cur["coverage"] / base_cov, 6) if base_cov else None
-        ),
+        "ppl_ratio": _ratio(cur["log_ppl"], base_ppl),
+        "coverage_ratio": _ratio(cur["coverage"], base_cov),
         "sample_n": int(sample_n),
     }
 
@@ -538,6 +563,15 @@ def refresh(
     # carry the mounted dedup hash family into the new generation — a
     # refresh must never silently revert a custom family to the module
     # defaults (self-review r12); an explicit dedup_params still wins
+    if "profiles" not in mount_kwargs and os.path.isdir(
+        os.path.join(mount_dir, "langid_profiles")
+    ):
+        # carry the MOUNTED language-ID profiles (possibly custom) — the
+        # full path must not silently revert them to the embedded seeds
+        # any more than the family path does (review r14)
+        from simsearch_spark.mount.artifacts import load_profiles
+
+        mount_kwargs["profiles"] = load_profiles(spark, mount_dir)
     if "dedup_params" not in mount_kwargs and old_manifest.get("dedup"):
         dd = old_manifest["dedup"]
         mount_kwargs["dedup_params"] = {
@@ -699,13 +733,26 @@ def _refresh_families(
                         )
 
                         prof = load_profiles(spark, mount_dir)
+                    # EARLY coverage pre-check (review r14): reject an
+                    # obviously-shrunk frame before paying the retrain
+                    # (docs is persisted — the count is cheap); the
+                    # post-train bm25 comparison below stays the
+                    # authoritative guard
+                    n_txt_old = _bm25_ndocs(spark, mount_dir)
+                    if int(docs.count()) < n_txt_old and not allow_shrink:
+                        raise ValueError(
+                            f"refresh: retrain frame covers {docs.count()} "
+                            f"docs < the mounted {n_txt_old} — appended docs "
+                            "would silently vanish from the text artifacts; "
+                            "pass docs_frame holding the CURRENT corpus (or "
+                            "allow_shrink=True)"
+                        )
                     langs = _train_text_family(spark, docs, prof, fam_tmp)
                     # coverage guard (review r14): the text artifacts
                     # derive from the docs frame — a retrain that covers
                     # fewer docs than the mounted bm25_global silently
                     # drops appended docs from every LM/BM25 table, the
                     # same failure the vector/dedup guards reject
-                    n_txt_old = _bm25_ndocs(spark, mount_dir)
                     n_txt_new = _bm25_ndocs(spark, fam_tmp)
                     if n_txt_new < n_txt_old and not allow_shrink:
                         raise ValueError(
@@ -773,6 +820,22 @@ def _refresh_families(
                         spark, fam_tmp, docs,
                         text_col=bp["text_col"], n_merges=bp["n_merges"],
                     )
+                    if (
+                        int(bp_manifest["bpe"]["n_learned"]) == 0
+                        and int(bp.get("n_learned", 0)) > 0
+                    ):
+                        # a frame so degenerate it learned NO merges must
+                        # not replace a working tokenizer (review r14 —
+                        # the bpe analog of the doc-coverage guards).
+                        # Deliberately NOT bypassed by allow_shrink: a
+                        # 0-merge table is non-functional, not re-scoped;
+                        # mount_bpe directly if that is truly intended.
+                        raise ValueError(
+                            "refresh: retrain frame learned 0 BPE merges "
+                            "while the mounted table has "
+                            f"{bp['n_learned']} — pass docs_frame holding "
+                            "the CURRENT corpus (or allow_shrink=True)"
+                        )
             finally:
                 docs.unpersist()
 
@@ -931,7 +994,8 @@ def auto_maintain(
     if (
         docs_frame is not None
         and os.path.isdir(os.path.join(mount_dir, "lm_bigrams"))
-        and (manifest.get("text_audit") or {}).get("baseline_ppl")
+        and (manifest.get("text_audit") or {}).get("baseline_coverage")
+        is not None
     ):
         a = audit_text(spark, mount_dir, docs_frame)
         report["audits"]["text"] = {

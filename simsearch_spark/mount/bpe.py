@@ -49,20 +49,19 @@ def _sample_cpt(
     text_col: str,
     merges: list,
     sample_n: int,
-) -> float:
+) -> float | None:
     """Mean chars-per-token of ``merges`` over the ``sample_n`` docs of
-    lowest ``xxhash64(text)`` (deterministic, content-keyed so the same
-    doc set samples identically regardless of ids) — one bounded encode.
-    Returns 1.0 for an empty/degenerate sample (no compression signal)."""
+    lowest ``xxhash64(text)`` (``content_sample`` — deterministic,
+    content-keyed so the same doc set samples identically regardless of
+    ids) — one bounded encode.  A token-free sample is NO-SIGNAL, not
+    drift: returns None (the audit_dedup ``recall=None`` convention;
+    the old 1.0 sentinel read as severe drift and could make
+    auto_maintain destructively retrain on a blanked frame — review
+    r14)."""
+    from simsearch_spark.mount.audit import content_sample
     from simsearch_spark.operators.bpe import apply_bpe
 
-    sample = (
-        docs.select(F.col(text_col))
-        .withColumn("_h", F.xxhash64(F.col(text_col)))
-        .orderBy("_h")
-        .limit(int(sample_n))
-        .drop("_h")
-    )
+    sample = content_sample(docs.select(F.col(text_col)), text_col, sample_n)
     row = (
         apply_bpe(sample, text_col, merges)
         .select(
@@ -78,7 +77,7 @@ def _sample_cpt(
         .first()
     )
     if row is None or not row["toks"]:
-        return 1.0
+        return None
     return round(float(row["chars"]) / float(row["toks"]), 6)
 
 
@@ -115,7 +114,12 @@ def audit_bpe(
     return {
         "cpt": cpt,
         "baseline_cpt": base,
-        "ratio": (round(cpt / base, 6) if base else None),
+        # a ratio exists only when BOTH sides carry signal
+        "ratio": (
+            round(cpt / base, 6)
+            if cpt is not None and base is not None and base > 0
+            else None
+        ),
         "sample_n": int(sample_n),
     }
 

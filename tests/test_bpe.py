@@ -243,10 +243,12 @@ def test_audit_bpe_drift_and_auto_maintain(spark, sf_dir, tmp_path):
     same = audit_bpe(spark, d, docs)
     assert same["ratio"] == 1.0  # identical corpus, identical sample
 
-    # drift: every doc becomes repeated single-character words — the
-    # learned multi-char merges never apply, cpt collapses toward 1.0
+    # drift: every doc becomes a repeated unseen word — the learned
+    # merges never apply (cpt collapses toward 1.0), while a RETRAIN can
+    # still learn the new word's merges (the degenerate-retrain guard
+    # demands a learnable corpus)
     drifted = docs.withColumn(
-        "text", F.concat(F.lit("z "), F.repeat(F.lit("q z "), 40))
+        "text", F.concat(F.lit("qzx "), F.repeat(F.lit("qzx wvu "), 40))
     )
     bad = audit_bpe(spark, d, drifted)
     assert bad["ratio"] is not None and bad["ratio"] < 0.9, bad

@@ -604,3 +604,58 @@ def test_audit_text_drift_loop(spark, corpus, tmp_path):
     assert good["coverage_ratio"] is not None and good["coverage_ratio"] >= 0.95, good
     rep2 = auto_maintain(spark, d, docs_frame=drifted)
     assert rep2["refreshed"] == []  # converged
+
+
+def test_review_r14b_no_signal_and_guards(spark, corpus, tmp_path):
+    """Second review pass (r14): degenerate samples are NO-SIGNAL, never
+    drift — a blanked corpus must not trigger (or survive) a destructive
+    retrain; a full refresh carries custom langid profiles; audit_text
+    honors a non-default text column."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.mount import (
+        audit_bpe,
+        audit_text,
+        auto_maintain,
+        mount,
+        mount_bpe,
+        refresh,
+    )
+    from simsearch_spark.mount.artifacts import load_profiles
+
+    base, _ = corpus
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "m_r14b")
+    custom_prof = {"aa": {"abc": 7}, "bb": {"xyz": 5}}
+    mount(spark, "", d, emb_frame=base, docs_frame=docs,
+          profiles=custom_prof, dedup=False)
+    mount_bpe(spark, d, docs)
+
+    # blanked frame: every audit reports no-signal, the sweep refreshes
+    # NOTHING (the old 1.0/0.0 sentinels read as severe drift)
+    blank = spark.createDataFrame(
+        [(i, " ") for i in range(20)], "doc_id long, text string"
+    )
+    a_bpe = audit_bpe(spark, d, blank)
+    assert a_bpe["cpt"] is None and a_bpe["ratio"] is None
+    a_txt = audit_text(spark, d, blank)
+    assert a_txt["coverage"] is None and a_txt["coverage_ratio"] is None
+    rep = auto_maintain(spark, d, docs_frame=blank)
+    assert rep["refreshed"] == []
+
+    # the bpe family refuses a retrain that would learn zero merges
+    with pytest.raises(ValueError, match="0 BPE merges"):
+        refresh(spark, d, sf_dir="", docs_frame=blank, families=["bpe"],
+                allow_shrink=True)  # degeneracy caught even past the hatch
+
+    # full (families=None) refresh carries the custom profiles
+    refresh(spark, d, sf_dir="", emb_frame=base, docs_frame=docs, dedup=False)
+    assert load_profiles(spark, d) == custom_prof
+
+    # non-default text column is aliased into the LM machinery
+    renamed = docs.select("doc_id", F.col("text").alias("body"))
+    a2 = audit_text(spark, d, renamed, text_col="body")
+    assert a2["coverage"] == 1.0 and a2["ppl_ratio"] == 1.0
