@@ -78,6 +78,11 @@ from simsearch_spark.mount.bpe import (
     mount_bpe,
     serve_bpe_encode,
 )
+from simsearch_spark.mount.lock import (
+    ConcurrentMutationError,
+    MountLockTimeout,
+    mount_write_lock,
+)
 from simsearch_spark.mount.dedup import (
     dedup_append,
     dedup_embed_append,
@@ -116,4 +121,7 @@ __all__ = [
     "serve_bpe_encode",
     "bpe_encode_stats",
     "audit_bpe",
+    "mount_write_lock",
+    "MountLockTimeout",
+    "ConcurrentMutationError",
 ]

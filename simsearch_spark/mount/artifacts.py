@@ -54,6 +54,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simsearch_spark.mount.lock import locked
+
 MANIFEST_VERSION = 1
 
 #: pivots selected at mount (the reference defaults to a handful per
@@ -310,6 +312,7 @@ def _dedup_family_params(dedup_params: dict | None) -> dict:
     return dp
 
 
+@locked("mount", arg=2, makedirs=True)
 def mount(
     spark: SparkSession,
     sf_dir: str,

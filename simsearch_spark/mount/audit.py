@@ -37,6 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from simsearch_spark.mount.lock import (
+    locked,
+    manifest_bytes,
+    manifest_fence,
+)
 from simsearch_spark.mount.artifacts import load_manifest, mount
 
 __all__ = ["audit_drift", "audit_dedup", "audit_text", "auto_maintain", "refresh"]
@@ -500,6 +505,7 @@ def audit_text(
     }
 
 
+@locked("refresh")
 def refresh(
     spark: SparkSession,
     mount_dir: str,
@@ -546,6 +552,7 @@ def refresh(
         # generation is intact under __old — restore it first
         os.rename(old, mount_dir)
     old_manifest = load_manifest(mount_dir)
+    mf0 = manifest_bytes(mount_dir)  # refresh fence snapshot (mount/lock.py)
     src = sf_dir if sf_dir is not None else old_manifest["source"]
     if families is not None:
         return _refresh_families(
@@ -614,6 +621,11 @@ def refresh(
     with open(os.path.join(nxt, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
 
+    try:
+        manifest_fence(mount_dir, mf0, "refresh")
+    except Exception:
+        shutil.rmtree(nxt, ignore_errors=True)
+        raise
     if os.path.isdir(old):
         shutil.rmtree(old)
     os.rename(mount_dir, old)
@@ -673,6 +685,7 @@ def _refresh_families(
     if mount_kwargs.get("dedup_reestimate") and "dedup" not in families:
         raise ValueError("dedup_reestimate=True requires 'dedup' in families")
 
+    mf0 = manifest_bytes(mount_dir)  # refresh fence snapshot (mount/lock.py)
     fam_tmp = mount_dir.rstrip("/") + "__famnext"
     if os.path.isdir(fam_tmp):
         shutil.rmtree(fam_tmp)  # a crashed earlier family refresh left debris
@@ -839,6 +852,9 @@ def _refresh_families(
             finally:
                 docs.unpersist()
 
+        # refresh fence: a lock-bypassing append during the retrain
+        # must abort publication (fam_tmp cleaned by the finally)
+        manifest_fence(mount_dir, mf0, "refresh(families=...)")
         # PUBLISH: per-artifact rename-aside swaps — the only mutation of
         # the live mount, each step leaving a complete copy on disk.
         # The DEDUP family swaps LAST, immediately before the atomic
@@ -903,6 +919,7 @@ def _bm25_ndocs(spark: SparkSession, d: str) -> int:
     return int(row["n_docs"]) if row else 0
 
 
+@locked("auto_maintain")
 def auto_maintain(
     spark: SparkSession,
     mount_dir: str,

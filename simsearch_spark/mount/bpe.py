@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simsearch_spark.mount.lock import locked
 from simsearch_spark.mount.artifacts import _write, load_manifest
 
 __all__ = [
@@ -124,6 +125,7 @@ def audit_bpe(
     }
 
 
+@locked("mount_bpe", makedirs=True)
 def mount_bpe(
     spark: SparkSession,
     mount_dir: str,

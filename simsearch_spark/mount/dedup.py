@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simsearch_spark.mount.artifacts import _write, load_manifest
+from simsearch_spark.mount.lock import locked, mount_write_lock
 from simsearch_spark.operators.dedup import (
     LSH_BUCKET_CAP,
     _bucket_key_expr,
@@ -114,6 +115,7 @@ def _text_ok(text_col: str):
     return F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
 
 
+@locked("delete_docs")
 def delete_docs(spark: SparkSession, mount_dir: str, doc_ids: list) -> None:
     """Tombstone mounted documents (r14 — the dedup dual of the vector
     side's ``maintain.delete_ids``): pair results exclude them
@@ -161,6 +163,7 @@ def _expl_frame(banded: DataFrame, id_col: str, n_bkt: int = N_BKT) -> DataFrame
     ).withColumn("bkt", F.pmod(F.col("band_hash"), F.lit(n_bkt)).cast("int"))
 
 
+@locked("mount_dedup", makedirs=True)
 def mount_dedup(
     spark: SparkSession,
     mount_dir: str,
@@ -448,6 +451,7 @@ def _update_index(
         json.dump(manifest, f, indent=1, sort_keys=True)
 
 
+@locked("dedup_append")
 def dedup_append(
     spark: SparkSession,
     mount_dir: str,
@@ -945,6 +949,7 @@ def stream_dedup_append(
     return writer.start()
 
 
+@locked("dedup_embed_append")
 def dedup_embed_append(
     spark: SparkSession,
     mount_dir: str,

@@ -1,0 +1,313 @@
+"""Concurrent-mutator safety for the mount lifecycle (r14).
+
+Two mechanisms, layered:
+
+1. ``mount_write_lock`` — an advisory, re-entrant, crash-recoverable
+   write lock every MUTATING lifecycle op takes (appends, deletes,
+   compactions, refresh, the streaming sinks' per-batch bodies).  The
+   races it closes are real at production cadence: ``compact_dedup``
+   reads the live index, rewrites it, and swaps — an append landing
+   between the read and the swap would be silently destroyed; a
+   ``refresh`` retrain-and-swap concurrent with an append loses the
+   delta the same way; two appends interleaving can double-commit
+   through the idempotency probe.  READS never take the lock — serving
+   stays lock-free (the rename-aside swap keeps a complete artifact on
+   disk at every instant).
+
+   Scope and honesty: the lock is a same-host advisory file lock
+   (atomic ``O_CREAT|O_EXCL``), which matches the engine's coordinator
+   model — ONE driver (or a set of drivers on one submit host) owns a
+   mount's mutations, exactly like Delta/Iceberg single-writer
+   deployments.  Multi-host writers on an object store need an external
+   coordinator (the lock payload records host+pid so a foreign holder
+   is at least diagnosable); that deployment shape is out of scope and
+   documented here rather than half-solved.
+
+2. Snapshot fences (``parquet_census`` / ``snapshot_read`` /
+   ``fence``) — compactions read an EXPLICIT file-list snapshot of the
+   artifact and re-census immediately before the swap; a census change
+   means some writer bypassed the lock, and the compaction aborts
+   loudly (``ConcurrentMutationError``, staging dir removed, artifact
+   untouched) instead of swapping in a rewrite that silently drops the
+   bypasser's rows.  Detection for the discipline the lock can't
+   enforce.
+
+Reference parity note: the reference engine is a single-process
+in-memory service (``eu/smartdatalake/simsearch/coordinator``) whose
+index mutations are serialized by construction; a shared-storage Spark
+deployment has to earn the same guarantee explicitly, which is what
+this module does.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import socket
+import threading
+import time
+
+__all__ = [
+    "ConcurrentMutationError",
+    "MountLockTimeout",
+    "fence",
+    "locked",
+    "mount_write_lock",
+    "parquet_census",
+    "snapshot_read",
+]
+
+LOCK_NAME = ".write_lock"
+#: default seconds a second writer waits before giving up — sized for
+#: "a compaction or refresh is ahead of me", not for interactive use
+DEFAULT_TIMEOUT = 600.0
+_POLL = 0.05
+
+_GUARD = threading.Lock()
+#: (realpath, thread_ident) -> re-entrancy depth.  Keyed per THREAD so
+#: nesting (auto_maintain -> refresh -> mount, a stream sink ->
+#: dedup_append) is free while two threads of one process still
+#: exclude each other.
+_HELD: dict[tuple[str, int], int] = {}
+
+
+class MountLockTimeout(RuntimeError):
+    """A second writer timed out waiting for the mount write lock."""
+
+
+class ConcurrentMutationError(RuntimeError):
+    """A compaction's pre-swap fence found the artifact's file census
+    changed since its snapshot read — some writer bypassed the mount
+    write lock.  The compaction aborted with the artifact untouched."""
+
+
+def _lock_path(mount_dir: str) -> str:
+    return os.path.join(os.path.realpath(mount_dir), LOCK_NAME)
+
+
+def _read_holder(lock_path: str) -> dict:
+    try:
+        with open(lock_path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}  # vanished or torn mid-write — retry loop handles it
+
+
+def _pid_alive(pid) -> bool:
+    if not isinstance(pid, int) or pid <= 0:
+        return True  # unparseable payload: never treat as dead
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # EPERM etc.: it exists, just isn't ours
+    return True
+
+
+def _held_by_this_process(real: str) -> bool:
+    return any(k[0] == real and d > 0 for k, d in _HELD.items())
+
+
+class mount_write_lock:
+    """``with mount_write_lock(mount_dir, "compact_dedup"):`` — acquire
+    the mount's advisory write lock (re-entrant within the thread),
+    breaking a holder that is provably dead (same host, pid gone) and
+    raising ``MountLockTimeout`` with the holder's identity otherwise.
+
+    ``stale_after`` (seconds) additionally breaks a holder older than
+    the given age regardless of liveness — OFF by default because a
+    long compaction is indistinguishable from a wedged one by age
+    alone; deployments with a known op-duration ceiling can opt in.
+    """
+
+    def __init__(
+        self,
+        mount_dir: str,
+        op: str = "write",
+        timeout: float | None = None,
+        stale_after: float | None = None,
+        makedirs: bool = False,
+    ):
+        self.mount_dir = mount_dir
+        self.op = op
+        self.timeout = DEFAULT_TIMEOUT if timeout is None else float(timeout)
+        self.stale_after = stale_after
+        self.makedirs = makedirs
+        self._key: tuple[str, int] | None = None
+
+    def __enter__(self) -> "mount_write_lock":
+        if self.makedirs:  # mount-time ops lock a dir they create
+            os.makedirs(self.mount_dir, exist_ok=True)
+        real = os.path.realpath(self.mount_dir)
+        key = (real, threading.get_ident())
+        lp = _lock_path(self.mount_dir)
+        deadline = time.monotonic() + self.timeout
+        while True:
+            with _GUARD:
+                if _HELD.get(key, 0) > 0:  # re-entrant: already ours
+                    _HELD[key] += 1
+                    self._key = key
+                    return self
+                holder_here = _held_by_this_process(real)
+                if not holder_here:
+                    try:
+                        fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    except FileExistsError:
+                        pass
+                    except FileNotFoundError:
+                        raise FileNotFoundError(
+                            f"{self.op}: mount directory "
+                            f"{self.mount_dir!r} does not exist"
+                        ) from None
+                    else:
+                        os.write(
+                            fd,
+                            json.dumps(
+                                {
+                                    "pid": os.getpid(),
+                                    "host": socket.gethostname(),
+                                    "op": self.op,
+                                    "ts": time.time(),
+                                }
+                            ).encode(),
+                        )
+                        os.close(fd)
+                        _HELD[key] = 1
+                        self._key = key
+                        return self
+            # contended: decide stale vs wait OUTSIDE the guard
+            h = _read_holder(lp)
+            same_host = h.get("host") == socket.gethostname()
+            dead = (
+                same_host
+                and not holder_here
+                and h.get("pid") is not None
+                and not _pid_alive(h.get("pid"))
+            )
+            # our own pid with no _HELD entry = leaked by a crashed
+            # context in THIS process (os._exit mid-op, abandoned
+            # generator) — equally safe to break
+            leaked_ours = (
+                same_host and h.get("pid") == os.getpid() and not holder_here
+            )
+            aged = (
+                self.stale_after is not None
+                and not holder_here
+                and isinstance(h.get("ts"), (int, float))
+                and time.time() - h["ts"] > self.stale_after
+            )
+            if dead or leaked_ours or aged:
+                try:
+                    os.unlink(lp)
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() >= deadline:
+                raise MountLockTimeout(
+                    f"mount write lock on {self.mount_dir!r} held by "
+                    f"pid={h.get('pid')} host={h.get('host')} "
+                    f"op={h.get('op')} since ts={h.get('ts')} — waited "
+                    f"{self.timeout:.1f}s ({self.op!r} gave up)"
+                )
+            time.sleep(_POLL)
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        key = self._key
+        if key is None:
+            return
+        with _GUARD:
+            depth = _HELD.get(key, 0)
+            if depth <= 1:
+                _HELD.pop(key, None)
+                lp = _lock_path(self.mount_dir)
+                h = _read_holder(lp)
+                # a full refresh renames the whole mount dir, carrying
+                # the lock file away with the old generation — only
+                # unlink what is verifiably OUR lock file
+                if h.get("pid") == os.getpid():
+                    try:
+                        os.unlink(lp)
+                    except FileNotFoundError:
+                        pass
+            else:
+                _HELD[key] = depth - 1
+
+
+def locked(op: str, arg: int = 1, makedirs: bool = False):
+    """Decorator form for mutators whose ``mount_dir`` is positional
+    argument ``arg`` (or the ``mount_dir`` keyword)."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            mount_dir = kwargs.get("mount_dir")
+            if mount_dir is None:
+                mount_dir = args[arg]
+            with mount_write_lock(mount_dir, op, makedirs=makedirs):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+def parquet_census(path: str) -> frozenset:
+    """The artifact's parquet files as mount-relative paths — the unit
+    of the compaction snapshot and of the pre-swap fence."""
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(root, f), path))
+    return frozenset(out)
+
+
+def snapshot_read(spark, path: str, files: frozenset):
+    """Read EXACTLY the censused files (``basePath`` keeps the partition
+    columns) — the compaction's input is pinned to its snapshot instead
+    of whatever the directory holds at Spark's listing time."""
+    return spark.read.option("basePath", path).parquet(
+        *(os.path.join(path, f) for f in sorted(files))
+    )
+
+
+def manifest_bytes(mount_dir: str) -> bytes:
+    """Raw manifest.json bytes — the refresh fence's snapshot token.
+    Every append rewrites the manifest (counts/stream_state), so a
+    byte-compare catches the most destructive lock bypass: an append
+    landing during a retrain, which the new generation would drop."""
+    try:
+        with open(os.path.join(mount_dir, "manifest.json"), "rb") as f:
+            return f.read()
+    except FileNotFoundError:
+        return b""
+
+
+def manifest_fence(mount_dir: str, before: bytes, op: str) -> None:
+    """Raise ``ConcurrentMutationError`` if the mount manifest changed
+    since ``before`` — called immediately before a refresh publishes."""
+    if manifest_bytes(mount_dir) != before:
+        raise ConcurrentMutationError(
+            f"{op}: manifest of {mount_dir!r} changed since the retrain "
+            "began — a writer bypassed the mount write lock; aborting "
+            "before publication so its rows are not dropped from the "
+            "new generation"
+        )
+
+
+def fence(path: str, before: frozenset, op: str) -> None:
+    """Raise ``ConcurrentMutationError`` if the artifact's file census
+    changed since ``before`` — called immediately before a swap."""
+    after = parquet_census(path)
+    if after != before:
+        gained = sorted(after - before)[:5]
+        lost = sorted(before - after)[:5]
+        raise ConcurrentMutationError(
+            f"{op}: file census of {path!r} changed since the snapshot "
+            f"read (+{len(after - before)}/-{len(before - after)} files; "
+            f"e.g. gained {gained}, lost {lost}) — a writer bypassed the "
+            "mount write lock; aborting before the swap so no rows are "
+            "lost"
+        )

@@ -41,6 +41,14 @@ from simsearch_spark.mount.artifacts import (
     load_codebooks,
     load_manifest,
 )
+from simsearch_spark.mount.lock import (
+    ConcurrentMutationError,
+    fence,
+    locked,
+    mount_write_lock,
+    parquet_census,
+    snapshot_read,
+)
 
 __all__ = [
     "append_rows",
@@ -192,6 +200,7 @@ def _drop_existing_ids(
     return delta.join(existing, id_col, "left_anti")
 
 
+@locked("append_rows")
 def append_rows(
     spark: SparkSession,
     mount_dir: str,
@@ -333,6 +342,7 @@ def append_rows(
     return manifest
 
 
+@locked("delete_ids")
 def delete_ids(spark: SparkSession, mount_dir: str, vec_ids: list[int]) -> None:
     """Tombstone vectors by id: served results exclude them immediately
     (``serve.read_codes``); their code rows are reclaimed by
@@ -346,25 +356,51 @@ def delete_ids(spark: SparkSession, mount_dir: str, vec_ids: list[int]) -> None:
     ).write.mode("append").parquet(os.path.join(mount_dir, "tombstones"))
 
 
+def _clear_tombstone_files(tomb_path: str, files: frozenset) -> None:
+    """Remove exactly the tombstone files the compaction consumed; a
+    delete that landed mid-compaction (lock bypass) keeps its file — its
+    rows stay excluded at read time and are reclaimed by the NEXT
+    compaction, instead of being resurrected by a blanket rmtree."""
+    for f in files:
+        try:
+            os.unlink(os.path.join(tomb_path, f))
+        except FileNotFoundError:
+            pass
+    if not parquet_census(tomb_path):
+        shutil.rmtree(tomb_path, ignore_errors=True)
+
+
+@locked("compact_codes")
 def compact_codes(spark: SparkSession, mount_dir: str) -> int:
     """Reclaim tombstoned rows: rewrite the codes table minus the
     tombstone set (write-new-then-swap, still ``partitionBy(cell)``) and
     clear the tombstones.  Served results are unchanged by construction
     (``read_codes`` subtracted the set already) — compaction only stops
     every future scan from re-paying the anti-join and the dead bytes.
-    Returns the number of rows reclaimed."""
+    Runs under the mount write lock with a snapshot fence (mount/lock.py):
+    the rewrite reads an explicit file-list snapshot and refuses the swap
+    if the census changed underneath it.  Returns the number of rows
+    reclaimed."""
     manifest = load_manifest(mount_dir)
     tomb_path = os.path.join(mount_dir, "tombstones")
-    has_tombstones = os.path.isdir(tomb_path)
+    tomb_files0 = (
+        parquet_census(tomb_path) if os.path.isdir(tomb_path) else frozenset()
+    )
+    has_tombstones = bool(tomb_files0)
     if not has_tombstones:
         # no dead rows — rewrite only if append debris fragmented the
         # table (file compaction is the trigger's other budget, r12)
         if maintenance_stats(spark, mount_dir)["max_files_per_cell"] <= 1:
             return 0
     codes_path = os.path.join(mount_dir, "pq_codes")
-    codes = spark.read.parquet(codes_path)
+    files0 = parquet_census(codes_path)
+    codes = snapshot_read(spark, codes_path, files0)
     if has_tombstones:
-        tomb = spark.read.parquet(tomb_path).select("vec_id").distinct()
+        tomb = (
+            snapshot_read(spark, tomb_path, tomb_files0)
+            .select("vec_id")
+            .distinct()
+        )
         live = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     else:
         live = codes
@@ -375,16 +411,22 @@ def compact_codes(spark: SparkSession, mount_dir: str) -> int:
     # a petabyte deployment would repartition(n, "cell") to keep
     # intra-cell parallelism; the trigger is COMPACT_FILES_PER_CELL)
     live.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    try:
+        fence(codes_path, files0, "compact_codes")
+    except ConcurrentMutationError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     _swap_dirs(tmp, codes_path)  # rename-aside swap, no both-gone window
     after = int(spark.read.parquet(codes_path).count())
     if has_tombstones:
-        shutil.rmtree(tomb_path)
+        _clear_tombstone_files(tomb_path, tomb_files0)
     manifest["counts"]["n_vectors"] = after
     with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return before - after
 
 
+@locked("compact_dedup")
 def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
     """Collapse the dedup index's append debris (r13) and reclaim
     tombstoned documents (r14): every ``dedup_append`` adds one parquet
@@ -400,24 +442,26 @@ def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
     compaction only stops future probes from re-paying the anti-filter
     and the dead bytes, and makes deleted ids reusable.  Returns the
     number of parquet files reclaimed; 0 when neither artifact is
-    fragmented and nothing is tombstoned."""
+    fragmented and nothing is tombstoned.
+
+    Runs under the mount write lock; each rewrite reads an explicit
+    file-list snapshot and fences the swap (mount/lock.py), so an
+    append racing a lock-bypassing compaction aborts the compaction
+    instead of silently losing the appended rows."""
     manifest = load_manifest(mount_dir)
     if not manifest.get("dedup"):
         raise ValueError("mount has no dedup artifacts — run mount_dedup first")
     id_col = manifest["dedup"]["id_col"]
     tomb_path = os.path.join(mount_dir, "dedup_tombstones")
-    has_tombstones = os.path.isdir(tomb_path)
+    tomb_files0 = (
+        parquet_census(tomb_path) if os.path.isdir(tomb_path) else frozenset()
+    )
+    has_tombstones = bool(tomb_files0)
     tomb = (
-        spark.read.parquet(tomb_path).select(id_col).distinct()
+        snapshot_read(spark, tomb_path, tomb_files0).select(id_col).distinct()
         if has_tombstones
         else None
     )
-
-    def census(path: str) -> int:
-        n = 0
-        for root, _dirs, files in os.walk(path):
-            n += sum(1 for f in files if f.endswith(".parquet"))
-        return n
 
     reclaimed = 0
     bands_path = os.path.join(mount_dir, "dedup_bands")
@@ -427,14 +471,12 @@ def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
         (sh_path, ["sbkt"], id_col),
     ]
     for path, part_cols, sort_col in plans:
-        before = census(path)
-        n_dirs = sum(
-            1 for root, _dirs, files in os.walk(path)
-            if any(f.endswith(".parquet") for f in files)
-        )
+        files0 = parquet_census(path)
+        before = len(files0)
+        n_dirs = len({os.path.dirname(f) for f in files0})
         if before <= n_dirs and not has_tombstones:
             continue  # already one file per directory, no dead rows
-        live = spark.read.parquet(path)
+        live = snapshot_read(spark, path, files0)
         if tomb is not None:
             live = live.join(F.broadcast(tomb), id_col, "left_anti")
         # collapse duplicate rows (r14): a dedup_append retried after a
@@ -456,13 +498,19 @@ def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
             .partitionBy(*part_cols)
             .parquet(tmp)
         )
+        try:
+            fence(path, files0, "compact_dedup")
+        except ConcurrentMutationError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         _swap_dirs(tmp, path)  # rename-aside swap (ADVICE r13)
-        reclaimed += before - census(path)
+        reclaimed += before - len(parquet_census(path))
     if has_tombstones:
         # the shingle table holds exactly one row per live doc — refresh
         # the manifest count from it, then clear the tombstone horizon
+        # (only the files THIS compaction consumed)
         manifest["dedup"]["n_docs"] = int(spark.read.parquet(sh_path).count())
-        shutil.rmtree(tomb_path)
+        _clear_tombstone_files(tomb_path, tomb_files0)
         with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
     return reclaimed
@@ -519,20 +567,27 @@ def stream_append_codes(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if cell_col in batch_df.columns:
-            delta, cell = batch_df, cell_col
-        else:
-            delta, cell = _assign_cells(batch_df, id_col, vec_col, cmap), "__cell"
-        delta = _drop_existing_ids(spark, mount_dir, delta, id_col)
-        n = int(delta.count())  # count BEFORE the append (see append_rows)
-        if n > 0:
-            encode_residual_codes(
-                delta, id_col, vec_col, cell, cmap, books
-            ).write.mode("append").partitionBy("cell").parquet(codes_path)
-        manifest["counts"]["n_vectors"] += n
-        manifest.setdefault("stream_state", {})[ck_key] = int(batch_id)
-        with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
+        # each micro-batch is one critical section: a concurrent
+        # compaction between this batch's id-probe and its append would
+        # otherwise drop the appended files in its swap
+        with mount_write_lock(mount_dir, "stream_append_codes"):
+            if cell_col in batch_df.columns:
+                delta, cell = batch_df, cell_col
+            else:
+                delta, cell = (
+                    _assign_cells(batch_df, id_col, vec_col, cmap),
+                    "__cell",
+                )
+            delta = _drop_existing_ids(spark, mount_dir, delta, id_col)
+            n = int(delta.count())  # count BEFORE the append (see append_rows)
+            if n > 0:
+                encode_residual_codes(
+                    delta, id_col, vec_col, cell, cmap, books
+                ).write.mode("append").partitionBy("cell").parquet(codes_path)
+            manifest["counts"]["n_vectors"] += n
+            manifest.setdefault("stream_state", {})[ck_key] = int(batch_id)
+            with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
 
     writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:

@@ -1,0 +1,280 @@
+"""Concurrent-mutator safety of the mount lifecycle (mount/lock.py, r14).
+
+The races these pin are real at production cadence: a compaction's
+read-rewrite-swap racing an append destroys the appended files; a
+refresh retrain-and-swap racing an append drops the delta from the new
+generation; a blanket tombstone rmtree racing a delete resurrects the
+deleted doc.  The advisory write lock is the prevention mechanism, the
+snapshot/manifest fences are the bypass detectors — both are exercised
+here with real artifacts, not mocks of the logic under test.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import threading
+import time
+
+import pytest
+
+from simsearch_spark.mount import lock as lockmod
+from simsearch_spark.mount.lock import (
+    ConcurrentMutationError,
+    MountLockTimeout,
+    fence,
+    manifest_bytes,
+    manifest_fence,
+    mount_write_lock,
+    parquet_census,
+)
+
+
+# ---------------------------------------------------------------- lock unit
+
+
+def test_lock_reentrant_and_released(tmp_path):
+    d = str(tmp_path)
+    lp = os.path.join(d, lockmod.LOCK_NAME)
+    with mount_write_lock(d, "outer"):
+        assert os.path.exists(lp)
+        with mount_write_lock(d, "inner"):  # nested: no deadlock
+            assert json.load(open(lp))["op"] == "outer"
+        assert os.path.exists(lp)  # inner exit keeps the outer hold
+    assert not os.path.exists(lp)
+
+
+def test_lock_excludes_other_thread_and_reports_holder(tmp_path):
+    d = str(tmp_path)
+    acquired = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with mount_write_lock(d, "compact_dedup"):
+            acquired.set()
+            release.wait(10)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert acquired.wait(5)
+    try:
+        with pytest.raises(MountLockTimeout) as ei:
+            with mount_write_lock(d, "dedup_append", timeout=0.3):
+                pass
+        msg = str(ei.value)
+        assert "compact_dedup" in msg and str(os.getpid()) in msg
+    finally:
+        release.set()
+        t.join(10)
+    # and once released, acquisition succeeds
+    with mount_write_lock(d, "dedup_append", timeout=1.0):
+        pass
+
+
+def test_lock_breaks_dead_same_host_holder(tmp_path):
+    d = str(tmp_path)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    import socket
+
+    with open(os.path.join(d, lockmod.LOCK_NAME), "w") as f:
+        json.dump(
+            {"pid": proc.pid, "host": socket.gethostname(),
+             "op": "crashed", "ts": time.time()},
+            f,
+        )
+    with mount_write_lock(d, "recovery", timeout=2.0):
+        pass  # dead holder broken, not waited out
+
+
+def test_lock_never_breaks_foreign_host_holder(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, lockmod.LOCK_NAME), "w") as f:
+        json.dump(
+            {"pid": 1, "host": "some-other-executor-host",
+             "op": "refresh", "ts": time.time()},
+            f,
+        )
+    with pytest.raises(MountLockTimeout):
+        with mount_write_lock(d, "append", timeout=0.3):
+            pass
+
+
+def test_lock_stale_after_breaks_aged_holder(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, lockmod.LOCK_NAME), "w") as f:
+        json.dump(
+            {"pid": 1, "host": "some-other-executor-host",
+             "op": "wedged", "ts": time.time() - 3600.0},
+            f,
+        )
+    with mount_write_lock(d, "append", timeout=2.0, stale_after=60.0):
+        pass
+
+
+def test_lock_missing_mount_dir_is_loud(tmp_path):
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        with mount_write_lock(str(tmp_path / "nope"), "delete_docs"):
+            pass
+
+
+# ------------------------------------------------------------- fence units
+
+
+def test_parquet_census_and_fence(tmp_path):
+    d = tmp_path / "art"
+    (d / "bkt=0").mkdir(parents=True)
+    (d / "bkt=0" / "a.parquet").write_bytes(b"x")
+    (d / "bkt=0" / "_SUCCESS").write_bytes(b"")
+    before = parquet_census(str(d))
+    assert before == frozenset({"bkt=0/a.parquet"})
+    fence(str(d), before, "noop")  # unchanged: passes
+    (d / "bkt=0" / "b.parquet").write_bytes(b"y")
+    with pytest.raises(ConcurrentMutationError, match="bypassed"):
+        fence(str(d), before, "compact_test")
+
+
+def test_manifest_fence(tmp_path):
+    d = str(tmp_path)
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump({"counts": {"n_vectors": 1}}, f)
+    b0 = manifest_bytes(d)
+    manifest_fence(d, b0, "refresh")  # unchanged: passes
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump({"counts": {"n_vectors": 2}}, f)
+    with pytest.raises(ConcurrentMutationError, match="manifest"):
+        manifest_fence(d, b0, "refresh")
+
+
+def test_clear_tombstone_files_is_precise(tmp_path):
+    from simsearch_spark.mount.maintain import _clear_tombstone_files
+
+    d = tmp_path / "tombstones"
+    d.mkdir()
+    (d / "old.parquet").write_bytes(b"x")
+    (d / "_SUCCESS").write_bytes(b"")
+    consumed = parquet_census(str(d))
+    # a late delete lands AFTER the compaction's snapshot
+    (d / "late.parquet").write_bytes(b"y")
+    _clear_tombstone_files(str(d), consumed)
+    assert os.path.exists(d / "late.parquet")  # never resurrected
+    assert not os.path.exists(d / "old.parquet")
+    # nothing late: the directory itself is cleared
+    _clear_tombstone_files(str(d), parquet_census(str(d)))
+    assert not os.path.exists(d)
+
+
+# --------------------------------------------------- end-to-end with Spark
+
+
+@pytest.fixture()
+def dedup_mount(spark, tmp_path):
+    from simsearch_spark.mount.dedup import mount_dedup
+    from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "m_lock")
+    mount_dedup(
+        spark, d, docs, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS
+    )
+    return d
+
+
+def test_mutators_respect_a_held_lock(spark, dedup_mount, monkeypatch):
+    """The decorators are actually wired: a lock held by another thread
+    makes delete_docs/compact_dedup time out instead of racing."""
+    from simsearch_spark.mount.dedup import delete_docs
+    from simsearch_spark.mount.maintain import compact_dedup
+
+    monkeypatch.setattr(lockmod, "DEFAULT_TIMEOUT", 0.3)
+    acquired = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with mount_write_lock(dedup_mount, "other-writer"):
+            acquired.set()
+            release.wait(30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert acquired.wait(5)
+    try:
+        with pytest.raises(MountLockTimeout):
+            delete_docs(spark, dedup_mount, [1])
+        with pytest.raises(MountLockTimeout):
+            compact_dedup(spark, dedup_mount)
+    finally:
+        release.set()
+        t.join(10)
+
+
+def test_compact_dedup_fence_aborts_on_bypassing_append(
+    spark, dedup_mount, monkeypatch
+):
+    """A writer that bypasses the lock and appends a band file while a
+    compaction is rewriting must abort the compaction BEFORE the swap —
+    artifact untouched, staging cleaned, the bypasser's file intact."""
+    import simsearch_spark.mount.maintain as maintain
+
+    bands = os.path.join(dedup_mount, "dedup_bands")
+    # force the rewrite: fragment one band directory (debris > 1 file/dir)
+    some_dir = next(
+        root
+        for root, _d, files in os.walk(bands)
+        if any(f.endswith(".parquet") for f in files)
+    )
+    src = next(f for f in os.listdir(some_dir) if f.endswith(".parquet"))
+    shutil.copy(
+        os.path.join(some_dir, src), os.path.join(some_dir, "frag-" + src)
+    )
+
+    real_snapshot = maintain.snapshot_read
+    bypass = {"done": False}
+
+    def snapshot_then_bypass(spark_, path, files):
+        df = real_snapshot(spark_, path, files)
+        if path == bands and not bypass["done"]:
+            # the bypassing append lands AFTER the snapshot was censused
+            shutil.copy(
+                os.path.join(some_dir, src),
+                os.path.join(some_dir, "bypass-" + src),
+            )
+            bypass["done"] = True
+        return df
+
+    monkeypatch.setattr(maintain, "snapshot_read", snapshot_then_bypass)
+    before_files = parquet_census(bands)
+    with pytest.raises(ConcurrentMutationError, match="dedup_bands|census"):
+        maintain.compact_dedup(spark, dedup_mount)
+    assert not os.path.isdir(bands + "__tmp")  # staging cleaned
+    bypass_rel = os.path.relpath(
+        os.path.join(some_dir, "bypass-" + src), bands
+    )
+    # artifact untouched: exactly the pre-compaction files PLUS the
+    # bypasser's append — nothing swapped away, nothing lost
+    assert parquet_census(bands) == before_files | {bypass_rel}
+    assert os.path.exists(os.path.join(some_dir, "bypass-" + src))
+
+
+def test_compact_dedup_clean_run_after_fence_abort(spark, dedup_mount):
+    """The fence abort is recoverable: the next (properly locked)
+    compaction succeeds and the pair stream is unchanged."""
+    import simsearch_spark.mount.maintain as maintain
+    from simsearch_spark.mount.serve import serve_dedup_lookup
+
+    bands = os.path.join(dedup_mount, "dedup_bands")
+    some_dir = next(
+        root
+        for root, _d, files in os.walk(bands)
+        if any(f.endswith(".parquet") for f in files)
+    )
+    src = next(f for f in os.listdir(some_dir) if f.endswith(".parquet"))
+    shutil.copy(
+        os.path.join(some_dir, src), os.path.join(some_dir, "frag-" + src)
+    )
+    reclaimed = maintain.compact_dedup(spark, dedup_mount)
+    assert reclaimed >= 1
+    # duplicate band rows from the copied file were collapsed
+    bdf = spark.read.parquet(bands)
+    assert bdf.count() == bdf.distinct().count()
