@@ -278,3 +278,103 @@ def test_compact_dedup_clean_run_after_fence_abort(spark, dedup_mount):
     # duplicate band rows from the copied file were collapsed
     bdf = spark.read.parquet(bands)
     assert bdf.count() == bdf.distinct().count()
+
+
+def test_lock_cross_process_contention_and_death(tmp_path):
+    """A REAL second process: while it holds the lock we time out; once
+    it dies its lock is broken automatically (the crash-recovery path
+    with a genuinely dead pid that genuinely held the file)."""
+    import sys
+
+    d = str(tmp_path)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import sys, time; sys.path.insert(0, '/root/repo');"
+            "from simsearch_spark.mount.lock import mount_write_lock;"
+            f"l = mount_write_lock({d!r}, 'other-process'); l.__enter__();"
+            "print('HELD', flush=True); time.sleep(60)",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "HELD"
+        with pytest.raises(MountLockTimeout, match="other-process"):
+            with mount_write_lock(d, "me", timeout=0.5):
+                pass
+    finally:
+        child.kill()
+        child.wait()
+    # holder is now dead: acquisition breaks the stale lock and proceeds
+    with mount_write_lock(d, "recovery", timeout=5.0):
+        pass
+
+
+def test_compact_racing_live_stream_loses_nothing(spark, tmp_path):
+    """The end-to-end serialization property: compactions fired WHILE a
+    streaming dedup append is running interleave at batch boundaries
+    (writer lock) and the final pair set still equals the one-batch
+    oracle — no appended batch is swapped away, no pair lost, index
+    integrity clean."""
+    from pyspark.sql import functions as F
+
+    from simsearch_spark.mount import audit_dedup
+    from simsearch_spark.mount.dedup import (
+        dedup_append,
+        mount_dedup,
+        stream_dedup_append,
+    )
+    from simsearch_spark.mount.maintain import compact_dedup
+    from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.where(F.col("doc_id") < 250)
+    delta = docs.where(F.col("doc_id") >= 250)
+
+    def rows(df):
+        return sorted(
+            (int(r["id_a"]), int(r["id_b"]), round(float(r["jaccard"]), 6))
+            for r in df.select("id_a", "id_b", "jaccard").collect()
+        )
+
+    m_one = str(tmp_path / "m_oracle")
+    mount_dedup(
+        spark, m_one, base,
+        threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS,
+    )
+    want = rows(dedup_append(spark, m_one, delta))
+
+    m_s = str(tmp_path / "m_race")
+    mount_dedup(
+        spark, m_s, base,
+        threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS,
+    )
+    src = str(tmp_path / "delta_src")
+    for bi in range(3):
+        delta.where(F.pmod(F.col("doc_id"), F.lit(3)) == bi).select(
+            "doc_id", "text"
+        ).write.parquet(f"{src}/b{bi}")
+    pairs_dir = str(tmp_path / "pairs")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        src + "/*"
+    )
+    q = stream_dedup_append(
+        spark, m_s, stream, pairs_dir, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    # compactions racing the stream: each blocks on the writer lock
+    # until the in-flight micro-batch commits, then rewrites-and-swaps
+    # between batches
+    for _ in range(3):
+        compact_dedup(spark, m_s)
+    q.awaitTermination(300)
+    compact_dedup(spark, m_s)  # and one clean post-stream compaction
+
+    got = rows(spark.read.parquet(pairs_dir))
+    assert got == want
+    assert audit_dedup(spark, m_s, sample_n=48)[
+        "index_integrity_mismatches"
+    ] == 0
