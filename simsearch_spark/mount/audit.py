@@ -39,8 +39,10 @@ from pyspark.sql.window import Window
 
 from simsearch_spark.mount.lock import (
     locked,
-    manifest_bytes,
-    manifest_fence,
+    mount_state_fence,
+    mount_state_token,
+    mount_write_lock,
+    plant_lock,
 )
 from simsearch_spark.mount.artifacts import load_manifest, mount
 
@@ -505,7 +507,6 @@ def audit_text(
     }
 
 
-@locked("refresh")
 def refresh(
     spark: SparkSession,
     mount_dir: str,
@@ -545,14 +546,39 @@ def refresh(
     proceeding, so no crash point loses a generation.  The family path
     inherits ``_swap_dirs``' per-artifact guarantee: at least one
     complete copy of each artifact exists at every instant."""
-    allow_shrink = bool(mount_kwargs.pop("allow_shrink", False))
     old = mount_dir.rstrip("/") + "__old"
     if not os.path.isdir(mount_dir) and os.path.isdir(old):
         # a previous refresh crashed between its two renames: the old
-        # generation is intact under __old — restore it first
-        os.rename(old, mount_dir)
+        # generation is intact under __old — restore it BEFORE locking
+        # (the lock file lives inside mount_dir, which does not exist in
+        # this crash state, so acquiring first would fail and make the
+        # restore unreachable; review r14).  Two racing restorers are
+        # benign: exactly one rename succeeds.
+        try:
+            os.rename(old, mount_dir)
+        except OSError:
+            if not os.path.isdir(mount_dir):
+                raise
+    with mount_write_lock(mount_dir, "refresh"):
+        return _refresh_impl(
+            spark, mount_dir, sf_dir, emb_frame, docs_frame, families,
+            mount_kwargs,
+        )
+
+
+def _refresh_impl(
+    spark: SparkSession,
+    mount_dir: str,
+    sf_dir: str | None,
+    emb_frame: DataFrame | None,
+    docs_frame: DataFrame | None,
+    families: list[str] | None,
+    mount_kwargs: dict,
+) -> dict:
+    allow_shrink = bool(mount_kwargs.pop("allow_shrink", False))
+    old = mount_dir.rstrip("/") + "__old"
     old_manifest = load_manifest(mount_dir)
-    mf0 = manifest_bytes(mount_dir)  # refresh fence snapshot (mount/lock.py)
+    tok0 = mount_state_token(mount_dir)  # refresh fence snapshot (mount/lock.py)
     src = sf_dir if sf_dir is not None else old_manifest["source"]
     if families is not None:
         return _refresh_families(
@@ -622,10 +648,16 @@ def refresh(
         json.dump(manifest, f, indent=1, sort_keys=True)
 
     try:
-        manifest_fence(mount_dir, mf0, "refresh")
+        mount_state_fence(mount_dir, tok0, "refresh")
     except Exception:
         shutil.rmtree(nxt, ignore_errors=True)
         raise
+    # the two-rename swap would carry the HELD lock file away with the
+    # old generation, leaving the rest of the caller's critical section
+    # (e.g. auto_maintain's compactions) without cross-process
+    # exclusion — plant our lock into nxt so the rename moves an owned
+    # lock file into place atomically (review r14)
+    plant_lock(nxt, "refresh")
     if os.path.isdir(old):
         shutil.rmtree(old)
     os.rename(mount_dir, old)
@@ -685,7 +717,7 @@ def _refresh_families(
     if mount_kwargs.get("dedup_reestimate") and "dedup" not in families:
         raise ValueError("dedup_reestimate=True requires 'dedup' in families")
 
-    mf0 = manifest_bytes(mount_dir)  # refresh fence snapshot (mount/lock.py)
+    tok0 = mount_state_token(mount_dir)  # refresh fence snapshot (mount/lock.py)
     fam_tmp = mount_dir.rstrip("/") + "__famnext"
     if os.path.isdir(fam_tmp):
         shutil.rmtree(fam_tmp)  # a crashed earlier family refresh left debris
@@ -854,7 +886,7 @@ def _refresh_families(
 
         # refresh fence: a lock-bypassing append during the retrain
         # must abort publication (fam_tmp cleaned by the finally)
-        manifest_fence(mount_dir, mf0, "refresh(families=...)")
+        mount_state_fence(mount_dir, tok0, "refresh(families=...)")
         # PUBLISH: per-artifact rename-aside swaps — the only mutation of
         # the live mount, each step leaving a complete copy on disk.
         # The DEDUP family swaps LAST, immediately before the atomic

@@ -53,8 +53,13 @@ __all__ = [
     "MountLockTimeout",
     "fence",
     "locked",
+    "manifest_bytes",
+    "manifest_fence",
+    "mount_state_fence",
+    "mount_state_token",
     "mount_write_lock",
     "parquet_census",
+    "plant_lock",
     "snapshot_read",
 ]
 
@@ -110,6 +115,39 @@ def _held_by_this_process(real: str) -> bool:
     return any(k[0] == real and d > 0 for k, d in _HELD.items())
 
 
+#: grace for a momentarily-missing mount dir while waiting (the full
+#: refresh's two-rename window); first-call typos still fail fast
+_DIR_GRACE = 2.0
+
+
+def _break_stale(lp: str, judged: dict) -> None:
+    """Single-winner stale-lock break (review r14): unlink-after-decide
+    races two waiters into both deleting — the second can destroy the
+    first's FRESH lock.  Claim the file by atomic rename first (exactly
+    one waiter wins), re-verify the claimed payload still matches the
+    holder that was judged stale, and only then discard it.  If the
+    payload changed (released-and-reacquired between the read and the
+    claim), restore the live lock via ``os.link`` — which fails rather
+    than overwrites if a new holder took the slot; that three-writer
+    microsecond interleaving is the documented residual."""
+    claim = f"{lp}.stale.{os.getpid()}.{threading.get_ident()}"
+    try:
+        os.rename(lp, claim)
+    except OSError:
+        return  # someone else broke or released it first
+    h2 = _read_holder(claim)
+    if {k: h2.get(k) for k in ("pid", "host", "ts")} == {
+        k: judged.get(k) for k in ("pid", "host", "ts")
+    }:
+        os.unlink(claim)  # confirmed stale — slot is now free
+        return
+    try:  # we claimed a LIVE lock: put it back if the slot is still empty
+        os.link(claim, lp)
+    except OSError:
+        pass  # slot re-taken in the window — residual, see docstring
+    os.unlink(claim)
+
+
 class mount_write_lock:
     """``with mount_write_lock(mount_dir, "compact_dedup"):`` — acquire
     the mount's advisory write lock (re-entrant within the thread),
@@ -143,24 +181,31 @@ class mount_write_lock:
         real = os.path.realpath(self.mount_dir)
         key = (real, threading.get_ident())
         lp = _lock_path(self.mount_dir)
-        deadline = time.monotonic() + self.timeout
+        start = time.monotonic()
+        deadline = start + self.timeout
+        # a missing mount dir is loud — but only after a short grace: a
+        # full refresh's two-rename swap has a window where the dir does
+        # not exist, and a WAITER polling into that window must retry,
+        # not die (review r14)
+        dir_deadline = min(deadline, start + _DIR_GRACE)
         while True:
             with _GUARD:
                 if _HELD.get(key, 0) > 0:  # re-entrant: already ours
                     _HELD[key] += 1
                     self._key = key
                     return self
-                holder_here = _held_by_this_process(real)
-                if not holder_here:
+                if not _held_by_this_process(real):
                     try:
                         fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     except FileExistsError:
                         pass
                     except FileNotFoundError:
-                        raise FileNotFoundError(
-                            f"{self.op}: mount directory "
-                            f"{self.mount_dir!r} does not exist"
-                        ) from None
+                        if time.monotonic() >= dir_deadline:
+                            raise FileNotFoundError(
+                                f"{self.op}: mount directory "
+                                f"{self.mount_dir!r} does not exist"
+                            ) from None
+                        fd = None
                     else:
                         os.write(
                             fd,
@@ -177,8 +222,13 @@ class mount_write_lock:
                         _HELD[key] = 1
                         self._key = key
                         return self
-            # contended: decide stale vs wait OUTSIDE the guard
+            # contended: decide stale vs wait OUTSIDE the guard, but with
+            # a FRESH in-process ownership check at decision time — a
+            # stale holder_here from before the payload read could judge
+            # our own thread's newly-acquired lock as leaked (review r14)
             h = _read_holder(lp)
+            with _GUARD:
+                holder_here = _held_by_this_process(real)
             same_host = h.get("host") == socket.gethostname()
             dead = (
                 same_host
@@ -198,11 +248,8 @@ class mount_write_lock:
                 and isinstance(h.get("ts"), (int, float))
                 and time.time() - h["ts"] > self.stale_after
             )
-            if dead or leaked_ours or aged:
-                try:
-                    os.unlink(lp)
-                except FileNotFoundError:
-                    pass
+            if h and (dead or leaked_ours or aged):
+                _break_stale(lp, h)
                 continue
             if time.monotonic() >= deadline:
                 raise MountLockTimeout(
@@ -273,11 +320,33 @@ def snapshot_read(spark, path: str, files: frozenset):
     )
 
 
+def plant_lock(mount_dir: str, op: str) -> None:
+    """Write THIS thread's lock payload into ``mount_dir`` directly (no
+    O_EXCL).  Only valid for a directory the caller privately owns that
+    is about to be renamed into a locked mount's place: the full
+    refresh plants its lock into ``<mount>__next`` so the swap carries
+    an owned lock file into position atomically — without it the
+    rename discards the held lock file and the rest of the critical
+    section (e.g. auto_maintain's compactions) runs without
+    cross-process exclusion (review r14)."""
+    with open(os.path.join(mount_dir, LOCK_NAME), "w") as f:
+        json.dump(
+            {
+                "pid": os.getpid(),
+                "host": socket.gethostname(),
+                "op": op,
+                "ts": time.time(),
+            },
+            f,
+        )
+
+
 def manifest_bytes(mount_dir: str) -> bytes:
-    """Raw manifest.json bytes — the refresh fence's snapshot token.
-    Every append rewrites the manifest (counts/stream_state), so a
-    byte-compare catches the most destructive lock bypass: an append
-    landing during a retrain, which the new generation would drop."""
+    """Raw manifest.json bytes — one component of the refresh fence's
+    snapshot token (appends rewrite the manifest's counts/stream_state).
+    Deletes do NOT touch the manifest, which is why the refresh fence
+    compares ``mount_state_token`` — manifest bytes PLUS the tombstone
+    censuses — not this value alone."""
     try:
         with open(os.path.join(mount_dir, "manifest.json"), "rb") as f:
             return f.read()
@@ -294,6 +363,38 @@ def manifest_fence(mount_dir: str, before: bytes, op: str) -> None:
             "began — a writer bypassed the mount write lock; aborting "
             "before publication so its rows are not dropped from the "
             "new generation"
+        )
+
+
+#: the tombstone artifacts a DELETE mutates without touching the manifest
+TOMBSTONE_DIRS = ("tombstones", "dedup_tombstones")
+
+
+def mount_state_token(mount_dir: str) -> tuple:
+    """The refresh fence's full snapshot token: manifest bytes (appends
+    rewrite counts/stream_state) PLUS the tombstone-dir censuses —
+    deletes only add tombstone files, so a manifest-only fence would let
+    a lock-bypassing delete during a retrain be silently resurrected by
+    the new generation (review r14)."""
+    return (
+        manifest_bytes(mount_dir),
+        tuple(
+            parquet_census(p) if os.path.isdir(p) else frozenset()
+            for p in (os.path.join(mount_dir, t) for t in TOMBSTONE_DIRS)
+        ),
+    )
+
+
+def mount_state_fence(mount_dir: str, before: tuple, op: str) -> None:
+    """Raise ``ConcurrentMutationError`` if the mount's mutation-visible
+    state (manifest + tombstones) changed since ``before`` — called
+    immediately before a refresh publishes."""
+    if mount_state_token(mount_dir) != before:
+        raise ConcurrentMutationError(
+            f"{op}: manifest or tombstones of {mount_dir!r} changed "
+            "since the retrain began — a writer bypassed the mount "
+            "write lock; aborting before publication so its mutation "
+            "is not silently dropped from the new generation"
         )
 
 

@@ -360,14 +360,31 @@ def _clear_tombstone_files(tomb_path: str, files: frozenset) -> None:
     """Remove exactly the tombstone files the compaction consumed; a
     delete that landed mid-compaction (lock bypass) keeps its file — its
     rows stay excluded at read time and are reclaimed by the NEXT
-    compaction, instead of being resurrected by a blanket rmtree."""
+    compaction, instead of being resurrected by a blanket rmtree.  The
+    directory itself is removed with ``os.rmdir`` — atomic on emptiness
+    — never a census-then-rmtree, whose window would destroy a late
+    tombstone all the same (review r14)."""
     for f in files:
+        fp = os.path.join(tomb_path, f)
+        for victim in (
+            fp,
+            os.path.join(
+                os.path.dirname(fp), "." + os.path.basename(fp) + ".crc"
+            ),
+        ):
+            try:
+                os.unlink(victim)
+            except FileNotFoundError:
+                pass
+    for marker in ("_SUCCESS", "._SUCCESS.crc"):
         try:
-            os.unlink(os.path.join(tomb_path, f))
+            os.unlink(os.path.join(tomb_path, marker))
         except FileNotFoundError:
             pass
-    if not parquet_census(tomb_path):
-        shutil.rmtree(tomb_path, ignore_errors=True)
+    try:
+        os.rmdir(tomb_path)  # succeeds only if truly empty
+    except OSError:
+        pass  # a late tombstone (or its write debris) landed — keep it
 
 
 @locked("compact_codes")
@@ -584,10 +601,17 @@ def stream_append_codes(
                 encode_residual_codes(
                     delta, id_col, vec_col, cell, cmap, books
                 ).write.mode("append").partitionBy("cell").parquet(codes_path)
-            manifest["counts"]["n_vectors"] += n
-            manifest.setdefault("stream_state", {})[ck_key] = int(batch_id)
+            # reload the manifest INSIDE the critical section: a
+            # compaction interleaved between micro-batches rewrites the
+            # counts, and committing the stream-start closure copy would
+            # erase its reclaim (review r14)
+            m = load_manifest(mount_dir)
+            m["counts"]["n_vectors"] = (
+                int(m.get("counts", {}).get("n_vectors", 0)) + n
+            )
+            m.setdefault("stream_state", {})[ck_key] = int(batch_id)
             with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
-                json.dump(manifest, f, indent=1, sort_keys=True)
+                json.dump(m, f, indent=1, sort_keys=True)
 
     writer = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint_dir:

@@ -152,6 +152,7 @@ def test_clear_tombstone_files_is_precise(tmp_path):
     d = tmp_path / "tombstones"
     d.mkdir()
     (d / "old.parquet").write_bytes(b"x")
+    (d / ".old.parquet.crc").write_bytes(b"c")
     (d / "_SUCCESS").write_bytes(b"")
     consumed = parquet_census(str(d))
     # a late delete lands AFTER the compaction's snapshot
@@ -159,7 +160,9 @@ def test_clear_tombstone_files_is_precise(tmp_path):
     _clear_tombstone_files(str(d), consumed)
     assert os.path.exists(d / "late.parquet")  # never resurrected
     assert not os.path.exists(d / "old.parquet")
-    # nothing late: the directory itself is cleared
+    assert not os.path.exists(d / ".old.parquet.crc")
+    # nothing late: the directory itself is cleared (os.rmdir — atomic
+    # on emptiness, so an even-later tombstone keeps the dir alive)
     _clear_tombstone_files(str(d), parquet_census(str(d)))
     assert not os.path.exists(d)
 
@@ -378,3 +381,190 @@ def test_compact_racing_live_stream_loses_nothing(spark, tmp_path):
     assert audit_dedup(spark, m_s, sample_n=48)[
         "index_integrity_mismatches"
     ] == 0
+
+
+# ------------------------------------------- review-r14 regression pins
+
+
+def _mog_frame(spark, n_clusters, per, id0, seed, dim=64):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    ctrs = rng.normal(0.0, 1.0, (n_clusters, dim))
+    rows, vid = [], id0
+    for c in range(n_clusters):
+        for p in ctrs[c] + rng.normal(0.0, 0.05, (per, dim)):
+            rows.append((vid, c, [float(round(x, 6)) for x in p]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+
+@pytest.fixture(scope="module")
+def vec_frames(spark):
+    emb = _mog_frame(spark, 3, 20, 0, 11).persist()
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some plain words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb.count()
+    return emb, docs
+
+
+def test_refresh_restores_crashed_swap_before_locking(
+    spark, vec_frames, tmp_path
+):
+    """Review r14: a refresh crashed between its two renames leaves only
+    <mount>__old; the restore must run BEFORE lock acquisition (the lock
+    file lives inside the missing mount_dir) or it is unreachable."""
+    from simsearch_spark.mount import load_manifest, mount, refresh
+
+    emb, docs = vec_frames
+    d = str(tmp_path / "m")
+    mount(spark, "", d, emb_frame=emb, docs_frame=docs, dedup=False)
+    gen0 = load_manifest(d).get("generation", 0)
+    os.rename(d, d + "__old")  # the exact crash state
+    refresh(spark, d, sf_dir="", emb_frame=emb, docs_frame=docs, dedup=False)
+    assert os.path.isdir(d) and not os.path.isdir(d + "__old")
+    assert load_manifest(d)["generation"] == gen0 + 1
+    assert not os.path.exists(os.path.join(d, lockmod.LOCK_NAME))
+
+
+def test_full_refresh_keeps_held_lock_file(spark, vec_frames, tmp_path):
+    """Review r14: the full refresh's whole-directory swap must carry an
+    OWNED lock file into place (plant_lock into __next), so the rest of
+    an auto_maintain critical section keeps cross-process exclusion."""
+    from simsearch_spark.mount import mount, refresh
+
+    emb, docs = vec_frames
+    d = str(tmp_path / "m")
+    mount(spark, "", d, emb_frame=emb, docs_frame=docs, dedup=False)
+    lp = os.path.join(d, lockmod.LOCK_NAME)
+    with mount_write_lock(d, "sweep"):
+        refresh(
+            spark, d, sf_dir="", emb_frame=emb, docs_frame=docs, dedup=False
+        )
+        assert os.path.exists(lp), "swap discarded the held lock file"
+        assert json.load(open(lp))["pid"] == os.getpid()
+    assert not os.path.exists(lp)
+
+
+def test_break_stale_is_single_winner_and_restores_live(tmp_path):
+    """Review r14: the stale break claims by atomic rename and re-checks
+    the payload — a lock replaced between judgment and break must be
+    restored, never deleted."""
+    d = str(tmp_path)
+    lp = os.path.join(d, lockmod.LOCK_NAME)
+    stale = {"pid": 1, "host": "h", "op": "x", "ts": 1.0}
+    with open(lp, "w") as f:
+        json.dump(stale, f)
+    lockmod._break_stale(lp, stale)
+    assert not os.path.exists(lp)  # confirmed stale: removed
+
+    live = {"pid": os.getpid(), "host": "h2", "op": "y", "ts": time.time()}
+    with open(lp, "w") as f:
+        json.dump(live, f)
+    lockmod._break_stale(lp, stale)  # judged on the OLD payload
+    assert json.load(open(lp)) == live  # live lock restored intact
+
+
+def test_waiter_survives_missing_dir_window(tmp_path):
+    """Review r14: a waiter polling during the refresh swap's two-rename
+    window (mount dir briefly absent) retries instead of dying with
+    FileNotFoundError."""
+    d = str(tmp_path / "m")
+    os.makedirs(d)
+    ready = threading.Event()
+
+    def holder():
+        with mount_write_lock(d, "refresh"):
+            ready.set()
+            time.sleep(0.3)
+            os.rename(d, d + "__aside")  # the dir vanishes mid-wait
+            time.sleep(0.5)
+            os.rename(d + "__aside", d)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert ready.wait(5)
+    with mount_write_lock(d, "append", timeout=10.0):
+        pass  # acquired despite polling through the missing-dir window
+    t.join(10)
+
+
+def test_stream_sink_commits_fresh_manifest_counts(
+    spark, vec_frames, tmp_path
+):
+    """Review r14: the streaming sink must reload the manifest inside
+    its locked batch body — committing the stream-start closure copy
+    erases a compaction's reclaim that interleaved before the batch."""
+    from simsearch_spark.mount import delete_ids, load_manifest, mount
+    from simsearch_spark.mount.maintain import (
+        compact_codes,
+        stream_append_codes,
+    )
+
+    emb, docs = vec_frames
+    d = str(tmp_path / "m")
+    mount(spark, "", d, emb_frame=emb, docs_frame=docs, dedup=False)
+    n0 = load_manifest(d)["counts"]["n_vectors"]
+    delete_ids(spark, d, [0, 1, 2])
+
+    delta = _mog_frame(spark, 1, 10, 5000, 13)
+    src = str(tmp_path / "src")
+    delta.write.parquet(src + "/b0")
+    stream = spark.readStream.schema(
+        "vec_id long, label int, embedding array<double>"
+    ).parquet(src + "/*")
+
+    # hold the lock across stream start: the sink's first batch BLOCKS
+    # while we compact (re-entrant for this thread) — a deterministic
+    # "compaction interleaved after the closure manifest was loaded"
+    with mount_write_lock(d, "interleave"):
+        q = stream_append_codes(
+            spark, d, stream, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        reclaimed = compact_codes(spark, d)
+        assert reclaimed == 3
+        assert load_manifest(d)["counts"]["n_vectors"] == n0 - 3
+    q.awaitTermination(300)
+
+    n_rows = spark.read.parquet(os.path.join(d, "pq_codes")).count()
+    assert n_rows == n0 - 3 + 10
+    # the buggy closure commit would record n0 + 10, erasing the reclaim
+    assert load_manifest(d)["counts"]["n_vectors"] == n_rows
+
+
+def test_refresh_fence_catches_bypassing_delete(spark, tmp_path, monkeypatch):
+    """Review r14: the refresh fence compares tombstone censuses too — a
+    delete landing during a dedup-family retrain aborts publication
+    instead of being resurrected by the new generation."""
+    import simsearch_spark.mount.dedup as dedupmod
+    from simsearch_spark.mount import refresh
+    from simsearch_spark.mount.dedup import mount_dedup
+    from simsearch_spark.queries.pipeline import MINHASH_T, N_BANDS, N_HASHES
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d = str(tmp_path / "m")
+    mount_dedup(
+        spark, d, docs, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS
+    )
+
+    real_mount_dedup = dedupmod.mount_dedup
+
+    def mount_dedup_then_delete(spark_, mdir, *a, **kw):
+        out = real_mount_dedup(spark_, mdir, *a, **kw)
+        if mdir.endswith("__famnext"):
+            # mid-retrain delete on the LIVE mount (re-entrant for this
+            # thread, i.e. exactly what a bypassing writer produces)
+            dedupmod.delete_docs(spark_, d, [docs.first()["doc_id"]])
+        return out
+
+    monkeypatch.setattr(dedupmod, "mount_dedup", mount_dedup_then_delete)
+    with pytest.raises(ConcurrentMutationError, match="tombstones|manifest"):
+        refresh(spark, d, sf_dir="", docs_frame=docs, families=["dedup"])
+    # the live index is untouched and the late tombstone survived
+    assert os.path.isdir(os.path.join(d, "dedup_tombstones"))
+    assert not os.path.isdir(d + "__famnext")
