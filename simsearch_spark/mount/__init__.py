@@ -52,7 +52,11 @@ deployment pays once.  This package is that deployment shape:
   symmetry between the two index families).
 - ``audit.auto_maintain`` (r14): the orchestrated sweep — audit every
   mounted family, family-refresh only what measurably drifted, compact
-  when over budget; the loop a deployment schedules.  All FOUR families
+  when over budget, and ``maintain.split_cell`` the one oversized IVF
+  cell (appends cluster where the corpus drifts, so the cell nearest
+  the drift grows without bound — the split is the targeted repair
+  between an append and a full vector retrain); the loop a deployment
+  schedules.  All FOUR families
   carry a bounded drift audit: vector (``audit_drift`` recall@k), dedup
   (``audit_dedup`` LSH recall + index integrity), bpe (``audit_bpe``
   compression ratio), text (``audit_text`` LM perplexity + bigram
@@ -90,7 +94,12 @@ from simsearch_spark.mount.dedup import (
     mount_dedup,
     stream_dedup_append,
 )
-from simsearch_spark.mount.maintain import append_rows, delete_ids
+from simsearch_spark.mount.maintain import (
+    append_rows,
+    delete_ids,
+    should_split,
+    split_cell,
+)
 from simsearch_spark.mount.serve import (
     serve_bm25_topk,
     serve_ivfpq_topk,
@@ -107,6 +116,8 @@ __all__ = [
     "serve_lm_perplexity",
     "append_rows",
     "delete_ids",
+    "split_cell",
+    "should_split",
     "mount_dedup",
     "dedup_append",
     "delete_docs_dedup",

@@ -43,6 +43,7 @@ from simsearch_spark.mount.lock import (
     mount_state_token,
     mount_write_lock,
     plant_lock,
+    restore_crashed_swap,
 )
 from simsearch_spark.mount.artifacts import load_manifest, mount
 
@@ -546,19 +547,7 @@ def refresh(
     proceeding, so no crash point loses a generation.  The family path
     inherits ``_swap_dirs``' per-artifact guarantee: at least one
     complete copy of each artifact exists at every instant."""
-    old = mount_dir.rstrip("/") + "__old"
-    if not os.path.isdir(mount_dir) and os.path.isdir(old):
-        # a previous refresh crashed between its two renames: the old
-        # generation is intact under __old — restore it BEFORE locking
-        # (the lock file lives inside mount_dir, which does not exist in
-        # this crash state, so acquiring first would fail and make the
-        # restore unreachable; review r14).  Two racing restorers are
-        # benign: exactly one rename succeeds.
-        try:
-            os.rename(old, mount_dir)
-        except OSError:
-            if not os.path.isdir(mount_dir):
-                raise
+    restore_crashed_swap(mount_dir)  # BEFORE locking (lock.py docstring)
     with mount_write_lock(mount_dir, "refresh"):
         return _refresh_impl(
             spark, mount_dir, sf_dir, emb_frame, docs_frame, families,
@@ -965,6 +954,8 @@ def auto_maintain(
     audit_kwargs: dict | None = None,
     dedup_audit_kwargs: dict | None = None,
     compact: bool = True,
+    split: bool = True,
+    split_kwargs: dict | None = None,
     dry_run: bool = False,
 ) -> dict:
     """ONE operational maintenance sweep (r14): audit every mounted
@@ -992,6 +983,9 @@ def auto_maintain(
       the LM/BM25/vocab stats.
     - compaction: ``should_compact`` → ``compact_codes`` /
       ``compact_dedup`` for whichever side the mount has.
+    - balance: ``should_split`` → ``split_cell`` on the one oversized
+      IVF cell (skipped when this sweep already retrained the vector
+      family — the retrain re-partitions every cell anyway).
 
     ``docs_frame`` names the CURRENT document corpus for the dedup
     retrain (required if a dedup refresh fires and the manifest's source
@@ -1100,4 +1094,21 @@ def auto_maintain(
             or st["max_files_per_dedup_dir"] > COMPACT_FILES_PER_CELL
         ):
             report["compacted"]["dedup_files"] = compact_dedup(spark, mount_dir)
+
+    # hot-cell balance (r14): appends cluster where the corpus drifts,
+    # so one cell can grow until every probe that routes there scans a
+    # runaway partition.  A vector-family refresh this sweep already
+    # re-trained the cells from scratch — only split when it did not.
+    if split and has_vector and "vector" not in to_refresh:
+        from simsearch_spark.mount.maintain import should_split, split_cell
+
+        skw = split_kwargs or {}
+        hot = should_split(
+            spark,
+            mount_dir,
+            **{k: skw[k] for k in ("factor", "min_rows") if k in skw},
+        )
+        report["would_split"] = hot
+        if hot is not None and not dry_run:
+            report["split"] = split_cell(spark, mount_dir, cell_id=hot, **skw)
     return report

@@ -60,6 +60,7 @@ __all__ = [
     "mount_write_lock",
     "parquet_census",
     "plant_lock",
+    "restore_crashed_swap",
     "snapshot_read",
 ]
 
@@ -318,6 +319,22 @@ def snapshot_read(spark, path: str, files: frozenset):
     return spark.read.option("basePath", path).parquet(
         *(os.path.join(path, f) for f in sorted(files))
     )
+
+
+def restore_crashed_swap(mount_dir: str) -> None:
+    """If a previous whole-mount two-rename swap (refresh, split_cell)
+    crashed between its renames, the live directory is missing but the
+    old generation is intact under ``<mount>__old`` — restore it.  Must
+    run BEFORE lock acquisition: the lock file lives inside the mount
+    directory, which does not exist in this crash state.  Two racing
+    restorers are benign — exactly one rename succeeds."""
+    old = mount_dir.rstrip("/") + "__old"
+    if not os.path.isdir(mount_dir) and os.path.isdir(old):
+        try:
+            os.rename(old, mount_dir)
+        except OSError:
+            if not os.path.isdir(mount_dir):
+                raise
 
 
 def plant_lock(mount_dir: str, op: str) -> None:

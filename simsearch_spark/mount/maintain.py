@@ -42,11 +42,16 @@ from simsearch_spark.mount.artifacts import (
     load_manifest,
 )
 from simsearch_spark.mount.lock import (
+    LOCK_NAME,
     ConcurrentMutationError,
     fence,
     locked,
+    mount_state_fence,
+    mount_state_token,
     mount_write_lock,
     parquet_census,
+    plant_lock,
+    restore_crashed_swap,
     snapshot_read,
 )
 
@@ -55,11 +60,16 @@ __all__ = [
     "delete_ids",
     "compact_codes",
     "compact_dedup",
+    "split_cell",
+    "should_split",
+    "cell_sizes",
     "stream_append_codes",
     "maintenance_stats",
     "should_compact",
     "COMPACT_TOMBSTONE_FRACTION",
     "COMPACT_FILES_PER_CELL",
+    "SPLIT_SKEW_FACTOR",
+    "SPLIT_MIN_ROWS",
 ]
 
 #: compaction trigger policy (r12, derived from tools/maintain_probe.py —
@@ -531,6 +541,290 @@ def compact_dedup(spark: SparkSession, mount_dir: str) -> int:
         with open(os.path.join(mount_dir, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
     return reclaimed
+
+
+#: hot-cell split policy: a cell whose row count exceeds SPLIT_SKEW_FACTOR
+#: × the mean cell size AND holds at least SPLIT_MIN_ROWS rows is a skew
+#: hazard — every probe that routes to it scans that whole partition, so
+#: one runaway cell (appends cluster where the data drifts) degrades
+#: serve latency for exactly the queries the drift made common.  The
+#: split is the targeted repair between ``append_rows`` (never retrains)
+#: and ``refresh(families=['vector'])`` (retrains everything).
+SPLIT_SKEW_FACTOR = 4.0
+SPLIT_MIN_ROWS = 256
+
+
+def cell_sizes(spark: SparkSession, mount_dir: str) -> dict[int, int]:
+    """Per-cell row counts of the codes table — one column-pruned scan
+    over the partition column only (the footers carry the counts; no
+    data pages are read)."""
+    path = os.path.join(mount_dir, "pq_codes")
+    if not os.path.isdir(path):
+        return {}
+    rows = (
+        spark.read.parquet(path).groupBy("cell").count().collect()
+    )
+    return {int(r["cell"]): int(r["count"]) for r in rows}
+
+
+def _pick_hot(
+    sizes: dict[int, int], factor: float, min_rows: int
+) -> int | None:
+    """The skew policy over a computed size map.  Needs ≥ 2 cells
+    (splitting the only cell of a 1-cell mount just renames the scan);
+    lowest cell id wins ties."""
+    if len(sizes) < 2:
+        return None
+    mean = sum(sizes.values()) / len(sizes)
+    hot = max(sizes, key=lambda c: (sizes[c], -c))
+    if sizes[hot] >= max(min_rows, factor * mean):
+        return hot
+    return None
+
+
+def should_split(
+    spark: SparkSession,
+    mount_dir: str,
+    factor: float = SPLIT_SKEW_FACTOR,
+    min_rows: int = SPLIT_MIN_ROWS,
+) -> int | None:
+    """The cell id ``split_cell`` would target, or ``None`` when no cell
+    is over budget."""
+    return _pick_hot(cell_sizes(spark, mount_dir), factor, min_rows)
+
+
+def _decode_cell_expr(centroid: list[float], books: list[dict[int, list[float]]]):
+    """Reconstruct a PQ-coded row of ONE known cell: per subspace pick the
+    codebook entry its stored code names and add the centroid slice —
+    the exact inverse of ``encode_residual_codes`` for that cell (pure
+    codegen column expressions, row-local, zero shuffle)."""
+    from simsearch_spark.operators.kmeans import _lit_vec
+
+    m = len(books)
+    dsub = len(centroid) // m
+    segs = []
+    for j, cb in enumerate(books):
+        keys = sorted(cb)
+        if keys != list(range(len(keys))):
+            raise ValueError(
+                f"split_cell: codebook {j} keys are not contiguous 0..ksub-1"
+            )
+        arr = F.array(*[_lit_vec([float(x) for x in cb[c]]) for c in keys])
+        picked = F.element_at(arr, F.col(f"code_{j}").cast("int") + 1)
+        cent = _lit_vec([float(x) for x in centroid[j * dsub : (j + 1) * dsub]])
+        segs.append(F.zip_with(cent, picked, lambda a, b: a + b))
+    return F.concat(*segs)
+
+
+def _hardlink_tree(src: str, dst: str, skip: set[str]) -> None:
+    """Hardlink-copy a mount directory into ``dst``, skipping the
+    ``skip`` set of top-relative paths (files or whole directories).
+    Artifact files are immutable here (every writer writes NEW files and
+    swaps), so hardlinks are safe and the copy is O(metadata) — no data
+    bytes move regardless of mount size."""
+    for root, dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        relp = "" if rel == "." else rel
+        dirs[:] = [d for d in dirs if os.path.join(relp, d) not in skip]
+        os.makedirs(os.path.join(dst, relp) if relp else dst, exist_ok=True)
+        for f in files:
+            fp = os.path.join(relp, f) if relp else f
+            if fp in skip:
+                continue
+            os.link(os.path.join(root, f), os.path.join(dst, fp))
+
+
+def split_cell(
+    spark: SparkSession,
+    mount_dir: str,
+    cell_id: int | None = None,
+    parts: int = 2,
+    factor: float = SPLIT_SKEW_FACTOR,
+    min_rows: int = SPLIT_MIN_ROWS,
+    iters: int = 2,
+) -> dict:
+    """Split one oversized IVF cell into ``parts`` children without
+    retraining anything else — the targeted index repair between
+    ``append_rows`` (frozen artifacts) and a vector-family ``refresh``
+    (full retrain).  Appends cluster where the corpus drifts, so the
+    cell nearest the drift grows without bound; its probe cost grows
+    with it.  The split re-partitions ONLY that cell.
+
+    Mechanics: the hot cell's rows are PQ-RECONSTRUCTED (codes are the
+    mount's vector store — originals are not retained), 2-means-split
+    with the deterministic lowest-id seeding the trainers use
+    (``operators/kmeans.py``), re-encoded as residuals against their
+    child centroid with the UNCHANGED shared codebooks, and published by
+    a whole-mount hardlink tree + two-rename swap — the refresh
+    discipline, so lock-free readers see the old generation or the new
+    one, never a half-split cell, and a crash between the renames is
+    restored by ``restore_crashed_swap``.  Re-quantizing reconstructions
+    adds at most one quantization step of error to the split cell's ADC
+    distances; the exact rescore stage (serve-side) is unaffected.
+
+    ``cell_id=None`` picks the ``should_split`` target (skew policy
+    above) and returns ``{"split": False}`` when nothing is over budget.
+    Returns a report dict; manifest gains a ``splits`` history entry and
+    the updated ``n_cells``."""
+    restore_crashed_swap(mount_dir)  # BEFORE locking (lock.py docstring)
+    with mount_write_lock(mount_dir, "split_cell"):
+        return _split_cell_impl(
+            spark, mount_dir, cell_id, parts, factor, min_rows, iters
+        )
+
+
+def _split_cell_impl(
+    spark: SparkSession,
+    mount_dir: str,
+    cell_id: int | None,
+    parts: int,
+    factor: float,
+    min_rows: int,
+    iters: int,
+) -> dict:
+    sizes = cell_sizes(spark, mount_dir)
+    if cell_id is None:
+        cell_id = _pick_hot(sizes, factor, min_rows)
+        if cell_id is None:
+            return {"split": False, "reason": "no cell over budget"}
+    if cell_id not in sizes:
+        raise ValueError(f"split_cell: cell {cell_id} has no rows")
+    if parts < 2:
+        raise ValueError("split_cell: parts must be >= 2")
+
+    tok0 = mount_state_token(mount_dir)
+    manifest = load_manifest(mount_dir)
+    cmap = load_centroid_map(spark, mount_dir)
+    books = load_codebooks(spark, mount_dir)
+    if cell_id not in cmap:
+        raise ValueError(f"split_cell: cell {cell_id} has no centroid")
+
+    from simsearch_spark.operators.kmeans import (
+        _rounded_means,
+        assign_clusters,
+    )
+
+    codes_path = os.path.join(mount_dir, "pq_codes")
+    hot = (
+        spark.read.parquet(codes_path)
+        .where(F.col("cell") == int(cell_id))
+        .select(
+            "vec_id",
+            _decode_cell_expr(cmap[cell_id], books).alias("__recon"),
+        )
+        .persist()
+    )
+    try:
+        # deterministic Lloyd on the reconstructions: lowest-id seeding,
+        # round-6 means — the trainers' determinism contract, so a
+        # re-run of the same split is bit-identical
+        init = (
+            hot.orderBy("vec_id")
+            .limit(parts)
+            .select(
+                F.transform(
+                    F.col("__recon"), lambda x: F.round(x.cast("double"), 6)
+                ).alias("c")
+            )
+            .collect()
+        )
+        if len(init) < parts:
+            return {"split": False, "reason": "fewer rows than parts"}
+        cents = {i: [float(v) for v in r["c"]] for i, r in enumerate(init)}
+        for _ in range(iters):
+            assigned = assign_clusters(hot, "__recon", cents)
+            means = _rounded_means(assigned, "__recon")
+            cents = {cid: means.get(cid, old) for cid, old in cents.items()}
+        final = assign_clusters(hot, "__recon", cents)
+        part_counts = {
+            int(r["cluster_id"]): int(r["count"])
+            for r in final.groupBy("cluster_id").count().collect()
+        }
+        if len(part_counts) < parts or min(part_counts.values()) == 0:
+            # duplicate-heavy cells can collapse onto one centroid —
+            # splitting would publish an empty child; leave it alone
+            return {"split": False, "reason": "degenerate split"}
+
+        child_base = max(cmap) + 1
+        child_ids = [child_base + i for i in range(parts)]
+        child_map = {child_base + i: cents[i] for i in range(parts)}
+        child_of = F.element_at(
+            F.array(*[F.lit(int(c)) for c in child_ids]),
+            F.col("cluster_id").cast("int") + 1,
+        )
+        recoded = encode_residual_codes(
+            final.select("vec_id", "__recon", child_of.alias("__cell")),
+            "vec_id",
+            "__recon",
+            "__cell",
+            child_map,
+            books,
+        )
+
+        # publish: hardlink everything except the rewritten artifacts
+        # into <mount>__next, write the new pieces, fence, swap
+        nxt = mount_dir.rstrip("/") + "__next"
+        if os.path.isdir(nxt):
+            shutil.rmtree(nxt)
+        _hardlink_tree(
+            mount_dir,
+            nxt,
+            skip={
+                "manifest.json",
+                LOCK_NAME,
+                "ivf_centroids",
+                os.path.join("pq_codes", f"cell={int(cell_id)}"),
+            },
+        )
+        try:
+            new_cents = [
+                (int(cid), [float(x) for x in vec])
+                for cid, vec in sorted(cmap.items())
+                if cid != cell_id
+            ] + [(int(c), child_map[c]) for c in child_ids]
+            spark.createDataFrame(
+                new_cents, "cluster_id int, centroid array<double>"
+            ).write.mode("overwrite").parquet(os.path.join(nxt, "ivf_centroids"))
+            recoded.repartition("cell").write.mode("append").partitionBy(
+                "cell"
+            ).parquet(os.path.join(nxt, "pq_codes"))
+
+            manifest.setdefault("splits", []).append(
+                {
+                    "cell": int(cell_id),
+                    "children": [int(c) for c in child_ids],
+                    "rows": int(sizes[cell_id]),
+                    "part_rows": {
+                        str(child_base + i): part_counts[i] for i in part_counts
+                    },
+                }
+            )
+            if "n_cells" in manifest.get("params", {}):
+                manifest["params"]["n_cells"] += parts - 1
+            with open(os.path.join(nxt, "manifest.json"), "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+
+            mount_state_fence(mount_dir, tok0, "split_cell")
+            plant_lock(nxt, "split_cell")
+        except Exception:
+            shutil.rmtree(nxt, ignore_errors=True)
+            raise
+        old = mount_dir.rstrip("/") + "__old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(mount_dir, old)
+        os.rename(nxt, mount_dir)
+        shutil.rmtree(old)
+    finally:
+        hot.unpersist()
+    return {
+        "split": True,
+        "cell": int(cell_id),
+        "children": [int(c) for c in child_ids],
+        "rows": int(sizes[cell_id]),
+        "part_rows": {child_base + i: n for i, n in part_counts.items()},
+        "n_cells": len(cmap) + parts - 1,
+    }
 
 
 def stream_append_codes(
