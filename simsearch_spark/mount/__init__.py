@@ -52,10 +52,12 @@ deployment pays once.  This package is that deployment shape:
   symmetry between the two index families).
 - ``audit.auto_maintain`` (r14): the orchestrated sweep — audit every
   mounted family, family-refresh only what measurably drifted, compact
-  when over budget, and ``maintain.split_cell`` the one oversized IVF
-  cell (appends cluster where the corpus drifts, so the cell nearest
-  the drift grows without bound — the split is the targeted repair
-  between an append and a full vector retrain); the loop a deployment
+  when over budget, and rebalance: ``maintain.split_cell`` the one
+  oversized IVF cell (appends cluster where the corpus drifts, so the
+  cell nearest the drift grows without bound) and ``merge_cells`` the
+  dust cells into their nearest sibling (deletes + compaction shrink
+  cells until they waste a probe slot) — both the targeted repair
+  between an append and a full vector retrain; the loop a deployment
   schedules.  All FOUR families
   carry a bounded drift audit: vector (``audit_drift`` recall@k), dedup
   (``audit_dedup`` LSH recall + index integrity), bpe (``audit_bpe``
@@ -97,6 +99,8 @@ from simsearch_spark.mount.dedup import (
 from simsearch_spark.mount.maintain import (
     append_rows,
     delete_ids,
+    merge_cells,
+    should_merge,
     should_split,
     split_cell,
 )
@@ -118,6 +122,8 @@ __all__ = [
     "delete_ids",
     "split_cell",
     "should_split",
+    "merge_cells",
+    "should_merge",
     "mount_dedup",
     "dedup_append",
     "delete_docs_dedup",

@@ -984,8 +984,10 @@ def auto_maintain(
     - compaction: ``should_compact`` → ``compact_codes`` /
       ``compact_dedup`` for whichever side the mount has.
     - balance: ``should_split`` → ``split_cell`` on the one oversized
-      IVF cell (skipped when this sweep already retrained the vector
-      family — the retrain re-partitions every cell anyway).
+      IVF cell, then ``should_merge`` → ``merge_cells`` folding dust
+      cells into their nearest sibling (both skipped when this sweep
+      already retrained the vector family — the retrain re-partitions
+      every cell anyway).
 
     ``docs_frame`` names the CURRENT document corpus for the dedup
     retrain (required if a dedup refresh fires and the manifest's source
@@ -1100,7 +1102,12 @@ def auto_maintain(
     # runaway partition.  A vector-family refresh this sweep already
     # re-trained the cells from scratch — only split when it did not.
     if split and has_vector and "vector" not in to_refresh:
-        from simsearch_spark.mount.maintain import should_split, split_cell
+        from simsearch_spark.mount.maintain import (
+            merge_cells,
+            should_merge,
+            should_split,
+            split_cell,
+        )
 
         skw = split_kwargs or {}
         hot = should_split(
@@ -1111,4 +1118,15 @@ def auto_maintain(
         report["would_split"] = hot
         if hot is not None and not dry_run:
             report["split"] = split_cell(spark, mount_dir, cell_id=hot, **skw)
+        dust = should_merge(
+            spark, mount_dir, **({"factor": skw["factor"]} if "factor" in skw else {})
+        )
+        report["would_merge"] = dust
+        if dust and not dry_run:
+            report["merge"] = merge_cells(
+                spark,
+                mount_dir,
+                cell_ids=dust,
+                **({"factor": skw["factor"]} if "factor" in skw else {}),
+            )
     return report

@@ -62,6 +62,8 @@ __all__ = [
     "compact_dedup",
     "split_cell",
     "should_split",
+    "merge_cells",
+    "should_merge",
     "cell_sizes",
     "stream_append_codes",
     "maintenance_stats",
@@ -824,6 +826,174 @@ def _split_cell_impl(
         "rows": int(sizes[cell_id]),
         "part_rows": {child_base + i: n for i, n in part_counts.items()},
         "n_cells": len(cmap) + parts - 1,
+    }
+
+
+#: dust-cell merge policy: a cell below mean/SPLIT_SKEW_FACTOR rows is
+#: probe-budget waste — it occupies one of the query's n_probe slots for
+#: almost no candidates (deletes + compaction create these).  Bounded
+#: per sweep: each merged cell's decode embeds its ksub×m codebook
+#: literals in the plan, so the when-chain is capped.
+MERGE_MAX_PER_SWEEP = 8
+
+
+def should_merge(
+    spark: SparkSession,
+    mount_dir: str,
+    factor: float = SPLIT_SKEW_FACTOR,
+) -> list[int]:
+    """The dust cells ``merge_cells`` would fold away (rows <
+    mean/``factor``), lowest-population first, capped at
+    ``MERGE_MAX_PER_SWEEP``.  Empty when fewer than 2 cells exist or
+    every cell would be dust (nothing left to merge into)."""
+    sizes = cell_sizes(spark, mount_dir)
+    if len(sizes) < 2:
+        return []
+    mean = sum(sizes.values()) / len(sizes)
+    dust = sorted(
+        (c for c in sizes if sizes[c] < mean / factor),
+        key=lambda c: (sizes[c], c),
+    )
+    if len(dust) == len(sizes):
+        return []
+    return dust[:MERGE_MAX_PER_SWEEP]
+
+
+def merge_cells(
+    spark: SparkSession,
+    mount_dir: str,
+    cell_ids: list[int] | None = None,
+    factor: float = SPLIT_SKEW_FACTOR,
+) -> dict:
+    """Fold undersized IVF cells into their nearest surviving sibling —
+    the split's dual, closing the balance loop (deletes + compaction
+    shrink cells; appends grow them).  A dust cell wastes one of every
+    routed query's ``n_probe`` slots for almost no candidates.
+
+    Each dust cell's rows are PQ-reconstructed with ITS centroid,
+    re-encoded as residuals against the TARGET cell's centroid with the
+    unchanged shared codebooks, and appended to the target's partition;
+    the target's own rows are untouched (its centroid keeps its trained
+    position — standard IVF merge: decode correctness needs only that
+    rows are encoded against the centroid their cell names, not that
+    the centroid is the cell's exact mean).  Published exactly like
+    ``split_cell``: whole-mount hardlink tree + two-rename swap, fence,
+    planted lock; the dust cell ids are retired."""
+    restore_crashed_swap(mount_dir)  # BEFORE locking (lock.py docstring)
+    with mount_write_lock(mount_dir, "merge_cells"):
+        return _merge_cells_impl(spark, mount_dir, cell_ids, factor)
+
+
+def _merge_cells_impl(
+    spark: SparkSession,
+    mount_dir: str,
+    cell_ids: list[int] | None,
+    factor: float,
+) -> dict:
+    sizes = cell_sizes(spark, mount_dir)
+    if cell_ids is None:
+        cell_ids = should_merge(spark, mount_dir, factor)
+        if not cell_ids:
+            return {"merged": False, "reason": "no dust cells"}
+    cell_ids = [int(c) for c in cell_ids]
+    unknown = [c for c in cell_ids if c not in sizes]
+    if unknown:
+        raise ValueError(f"merge_cells: cells {unknown} have no rows")
+    if len(cell_ids) > MERGE_MAX_PER_SWEEP:
+        raise ValueError(
+            f"merge_cells: {len(cell_ids)} cells exceeds the per-call cap "
+            f"{MERGE_MAX_PER_SWEEP} (plan-size bound); call again for the rest"
+        )
+
+    tok0 = mount_state_token(mount_dir)
+    manifest = load_manifest(mount_dir)
+    cmap = load_centroid_map(spark, mount_dir)
+    books = load_codebooks(spark, mount_dir)
+    survivors = {c: v for c, v in cmap.items() if c not in set(cell_ids)}
+    if not survivors:
+        return {"merged": False, "reason": "no surviving cell to merge into"}
+
+    # nearest surviving centroid per dust cell — driver-side over the
+    # bounded centroid set, the same L2/lowest-id rule as probe routing
+    target_of = {
+        c: min(
+            survivors,
+            key=lambda s: (
+                sum((a - b) ** 2 for a, b in zip(cmap[c], survivors[s])),
+                s,
+            ),
+        )
+        for c in cell_ids
+    }
+
+    codes_path = os.path.join(mount_dir, "pq_codes")
+    dust = spark.read.parquet(codes_path).where(
+        F.col("cell").isin(cell_ids)
+    )
+    # per-cell decode (each dust cell reconstructs with ITS centroid),
+    # then the target id — both bounded when-chains over the dust set
+    recon = None
+    tgt = None
+    for c in cell_ids:
+        e = _decode_cell_expr(cmap[c], books)
+        t = F.lit(int(target_of[c]))
+        cond = F.col("cell") == int(c)
+        recon = e if recon is None else F.when(cond, e).otherwise(recon)
+        tgt = t if tgt is None else F.when(cond, t).otherwise(tgt)
+    moved = dust.select(
+        "vec_id", recon.alias("__recon"), tgt.alias("__cell")
+    )
+    recoded = encode_residual_codes(
+        moved, "vec_id", "__recon", "__cell", survivors, books
+    )
+
+    nxt = mount_dir.rstrip("/") + "__next"
+    if os.path.isdir(nxt):
+        shutil.rmtree(nxt)
+    _hardlink_tree(
+        mount_dir,
+        nxt,
+        skip={"manifest.json", LOCK_NAME, "ivf_centroids"}
+        | {os.path.join("pq_codes", f"cell={c}") for c in cell_ids},
+    )
+    try:
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in sorted(survivors.items())],
+            "cluster_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(nxt, "ivf_centroids"))
+        recoded.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(os.path.join(nxt, "pq_codes"))
+
+        manifest.setdefault("merges", []).append(
+            {
+                "cells": cell_ids,
+                "into": {str(c): int(target_of[c]) for c in cell_ids},
+                "rows": {str(c): int(sizes[c]) for c in cell_ids},
+            }
+        )
+        if "n_cells" in manifest.get("params", {}):
+            manifest["params"]["n_cells"] -= len(cell_ids)
+        with open(os.path.join(nxt, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+
+        mount_state_fence(mount_dir, tok0, "merge_cells")
+        plant_lock(nxt, "merge_cells")
+    except Exception:
+        shutil.rmtree(nxt, ignore_errors=True)
+        raise
+    old = mount_dir.rstrip("/") + "__old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(mount_dir, old)
+    os.rename(nxt, mount_dir)
+    shutil.rmtree(old)
+    return {
+        "merged": True,
+        "cells": cell_ids,
+        "into": {c: int(target_of[c]) for c in cell_ids},
+        "rows": {c: int(sizes[c]) for c in cell_ids},
+        "n_cells": len(survivors),
     }
 
 

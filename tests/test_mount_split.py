@@ -238,3 +238,113 @@ def test_auto_maintain_splits_hot_cell(spark, skewed, tmp_path):
         compact=False,
     )
     assert rep2["would_split"] is None and "split" not in rep2
+
+
+# ------------------------------------------------------------- merge dual
+
+
+def test_merge_folds_dust_into_nearest_and_hardlinks(spark, skewed, tmp_path):
+    from simsearch_spark.mount.maintain import merge_cells, should_merge
+
+    d = _mounted(spark, skewed, tmp_path, "mm1")
+    before = cell_sizes(spark, d)  # {0: 80, 1: 10, 2: 10}
+    ids_before = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(d, "pq_codes"))
+        .select("vec_id")
+        .collect()
+    }
+    inodes_before = _inode_map(os.path.join(d, "pq_codes"))
+
+    assert should_merge(spark, d, factor=2.0) == [1, 2]
+    rep = merge_cells(spark, d, factor=2.0)
+    assert rep["merged"] and rep["cells"] == [1, 2]
+    assert rep["into"] == {1: 0, 2: 0}  # only survivor
+
+    after = cell_sizes(spark, d)
+    assert after == {0: 100}
+    ids_after = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(d, "pq_codes"))
+        .select("vec_id")
+        .collect()
+    }
+    assert ids_after == ids_before
+    # the target cell's ORIGINAL files are hardlinks (untouched); the
+    # moved rows arrived as NEW files alongside them
+    inodes_after = _inode_map(os.path.join(d, "pq_codes"))
+    for rel, ino in inodes_before.items():
+        if rel.startswith("cell=0/"):
+            assert inodes_after[rel] == ino
+    assert len(inodes_after) > sum(
+        1 for r in inodes_before if r.startswith("cell=0/")
+    )
+
+    cents = {
+        int(r["cluster_id"])
+        for r in spark.read.parquet(os.path.join(d, "ivf_centroids")).collect()
+    }
+    assert cents == {0}
+    man = load_manifest(d)
+    assert man["params"]["n_cells"] == 1
+    assert man["merges"][0]["into"] == {"1": 0, "2": 0}
+    assert not os.path.exists(os.path.join(d, lockmod.LOCK_NAME))
+
+
+def test_merge_preserves_served_topk(spark, skewed, tmp_path):
+    from simsearch_spark.mount.maintain import merge_cells
+    from simsearch_spark.mount.serve import serve_ivfpq_topk
+
+    emb, docs, _ = skewed
+    d = _mounted(spark, skewed, tmp_path, "mm2")
+    # query at a COLD cluster's centroid: its members are exactly the
+    # rows the merge moves
+    cold_center = [
+        float(x)
+        for x in spark.read.parquet(os.path.join(d, "ivf_centroids"))
+        .where("cluster_id = 1")
+        .collect()[0]["centroid"]
+    ]
+    pre = [
+        r["id"]
+        for r in serve_ivfpq_topk(
+            spark, d, emb, cold_center, k=5, n_probe=3, rerank=100
+        ).collect()
+    ]
+    merge_cells(spark, d, factor=2.0)
+    post = [
+        r["id"]
+        for r in serve_ivfpq_topk(
+            spark, d, emb, cold_center, k=5, n_probe=1, rerank=100
+        ).collect()
+    ]
+    # full-probe before vs single-cell after (everything lives in the
+    # one survivor): the exact rescore sees the same true vectors
+    assert post == pre
+
+
+def test_merge_noop_when_balanced_or_all_dust(spark, tmp_path):
+    from simsearch_spark.mount.maintain import merge_cells
+
+    emb, _ = _skewed_frame(spark, hot_n=10, cold_n=10, seed=3)
+    docs = spark.createDataFrame([(0, "words")], "doc_id long, text string")
+    d = str(tmp_path / "mm3")
+    mount(spark, "", d, emb_frame=emb, docs_frame=docs, dedup=False)
+    rep = merge_cells(spark, d, factor=2.0)
+    assert rep == {"merged": False, "reason": "no dust cells"}
+
+
+def test_auto_maintain_merges_dust(spark, skewed, tmp_path):
+    from simsearch_spark.mount.audit import auto_maintain
+
+    d = _mounted(spark, skewed, tmp_path, "mm4")
+    rep = auto_maintain(
+        spark,
+        d,
+        split_kwargs={"factor": 2.0, "min_rows": 200},  # split off; merge on
+        compact=False,
+    )
+    assert rep["would_split"] is None
+    assert rep["would_merge"] == [1, 2]
+    assert rep["merge"]["merged"] is True
+    assert cell_sizes(spark, d) == {0: 100}
