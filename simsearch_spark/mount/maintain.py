@@ -172,6 +172,36 @@ def _swap_in(df: DataFrame, path: str) -> None:
     _swap_dirs(tmp, path)
 
 
+def _check_cells_known(
+    delta: DataFrame, cell: str, cmap: dict[int, list[float]], op: str
+) -> None:
+    """Fail loudly when a caller-supplied assignment column names a cell
+    the centroid map does not know — after a split/merge retires an id,
+    rows written under it would sit in a partition NO reader ever probes
+    (silent invisibility); a NULL or never-existed id is the same class.
+    One delta-bounded distinct, only on the supplied-assignment path."""
+    bad = (
+        delta.select(F.col(cell).cast("long").alias("c"))
+        .where(
+            F.col("c").isNull()
+            | ~F.col("c").isin([int(k) for k in cmap])
+        )
+        .distinct()
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        ids = sorted(
+            (None if r["c"] is None else int(r["c"]) for r in bad),
+            key=lambda x: (x is None, x if x is not None else 0),
+        )
+        raise ValueError(
+            f"{op}: delta names cell id(s) {ids} not in the mounted "
+            "centroid map — retired by a split/merge, or never existed; "
+            "drop the assignment column to re-route by nearest centroid"
+        )
+
+
 def _assign_cells(
     emb: DataFrame, id_col: str, vec_col: str, cmap: dict[int, list[float]]
 ):
@@ -263,6 +293,7 @@ def append_rows(
         if n_new > 0:  # a fully-duplicate delta dedupes to empty: no-op
             if cell_col in emb_delta.columns:
                 delta, cell = emb_delta, cell_col
+                _check_cells_known(delta, cell, cmap, "append_rows")
             else:
                 delta, cell = (
                     _assign_cells(emb_delta, id_col, vec_col, cmap),
@@ -1010,10 +1041,14 @@ def stream_append_codes(
     into the mounted codes table under the frozen-artifact contract — the
     Structured-Streaming dual of ``append_rows``.
 
-    The artifacts load ONCE at query start (centroids + codebooks are
-    driver-bounded and frozen by contract, so no per-batch reload); each
-    micro-batch assigns/encodes with the same codegen expressions as the
-    batch path and appends its partitioned code rows.  Because encoding is
+    The artifacts load ONCE at query start and are REVALIDATED per batch
+    by one O(files) census of the centroid artifact — a ``split_cell`` /
+    ``merge_cells`` / ``refresh`` between micro-batches retires or
+    retrains centroid ids, and encoding with the stream-start map would
+    write rows into a cell no reader probes; the reload itself only
+    happens when the census changes.  Each micro-batch assigns/encodes
+    with the same codegen expressions as the batch path and appends its
+    partitioned code rows.  Because encoding is
     a pure row-local function of the frozen artifacts, the final codes
     table is IDENTICAL for any micro-batch split of any arrival order —
     the same split-invariance the LSH/qsketch streaming fronts guarantee
@@ -1041,6 +1076,8 @@ def stream_append_codes(
     cmap = load_centroid_map(spark, mount_dir)
     books = load_codebooks(spark, mount_dir)
     codes_path = os.path.join(mount_dir, "pq_codes")
+    cent_path = os.path.join(mount_dir, "ivf_centroids")
+    cent_tok = parquet_census(cent_path)
     ck_key = (
         os.path.basename(os.path.normpath(checkpoint_dir))
         if checkpoint_dir
@@ -1048,12 +1085,26 @@ def stream_append_codes(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal cmap, books, cent_tok
         # each micro-batch is one critical section: a concurrent
         # compaction between this batch's id-probe and its append would
         # otherwise drop the appended files in its swap
         with mount_write_lock(mount_dir, "stream_append_codes"):
+            # revalidate the closure artifacts per batch (one O(files)
+            # census, no reload on the common path): a split_cell /
+            # merge_cells / refresh between micro-batches RETIRES or
+            # RETRAINS centroid ids — encoding this batch with the
+            # stream-start map would write rows into a cell no reader
+            # probes (silent invisibility) or decode against a centroid
+            # the rows were not encoded with
+            tok = parquet_census(cent_path)
+            if tok != cent_tok:
+                cmap = load_centroid_map(spark, mount_dir)
+                books = load_codebooks(spark, mount_dir)
+                cent_tok = tok
             if cell_col in batch_df.columns:
                 delta, cell = batch_df, cell_col
+                _check_cells_known(delta, cell, cmap, "stream_append_codes")
             else:
                 delta, cell = (
                     _assign_cells(batch_df, id_col, vec_col, cmap),

@@ -348,3 +348,64 @@ def test_auto_maintain_merges_dust(spark, skewed, tmp_path):
     assert rep["would_merge"] == [1, 2]
     assert rep["merge"]["merged"] is True
     assert cell_sizes(spark, d) == {0: 100}
+
+
+def test_stream_reloads_artifacts_after_midstream_split(
+    spark, skewed, tmp_path
+):
+    """A split/merge between micro-batches retires centroid ids; the
+    sink must revalidate its closure artifacts per batch (one census)
+    or it encodes rows into a cell no reader probes."""
+    import numpy as np
+
+    from simsearch_spark.mount.lock import mount_write_lock
+    from simsearch_spark.mount.maintain import stream_append_codes
+
+    emb, docs, hot_center = skewed
+    d = _mounted(spark, skewed, tmp_path, "ms1")
+
+    rng = np.random.default_rng(33)
+    delta = spark.createDataFrame(
+        [
+            (7000 + i, [float(round(x, 6)) for x in np.array(hot_center) + v])
+            for i, v in enumerate(rng.normal(0.0, 0.05, (6, 64)))
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "ms1_src")
+    delta.write.parquet(src + "/b0")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src + "/*")
+
+    # hold the lock across stream start: the first batch BLOCKS while we
+    # split (re-entrant for this thread) — a deterministic "split
+    # interleaved after the closure artifacts were loaded"
+    with mount_write_lock(d, "interleave"):
+        q = stream_append_codes(
+            spark, d, stream, checkpoint_dir=str(tmp_path / "ms1_ckpt")
+        )
+        rep = split_cell(spark, d, factor=2.0, min_rows=1)
+        assert rep["split"] and rep["cell"] == 0
+    q.awaitTermination(300)
+
+    sizes = cell_sizes(spark, d)
+    # the buggy stream-start closure would assign the delta to the
+    # RETIRED cell 0 — rows no probe ever reads
+    assert 0 not in sizes
+    assert sum(sizes.values()) == 106
+    assert sizes[3] + sizes[4] == 86  # 80 split members + 6 streamed
+
+
+def test_append_rejects_retired_cell_label(spark, skewed, tmp_path):
+    import pytest as _pytest
+
+    emb, docs, hot_center = skewed
+    d = _mounted(spark, skewed, tmp_path, "ms2")
+    split_cell(spark, d, factor=2.0, min_rows=1)
+    delta = spark.createDataFrame(
+        [(9000, 0, [0.0] * 64)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="retired by a split/merge"):
+        append_rows(spark, d, emb_delta=delta)
