@@ -1103,30 +1103,36 @@ def auto_maintain(
     # re-trained the cells from scratch — only split when it did not.
     if split and has_vector and "vector" not in to_refresh:
         from simsearch_spark.mount.maintain import (
+            SPLIT_MIN_ROWS,
+            SPLIT_SKEW_FACTOR,
+            _cell_universe,
+            _pick_dust,
+            _pick_hot,
             merge_cells,
-            should_merge,
-            should_split,
             split_cell,
         )
 
         skw = split_kwargs or {}
-        hot = should_split(
-            spark,
-            mount_dir,
-            **{k: skw[k] for k in ("factor", "min_rows") if k in skw},
-        )
+        factor = skw.get("factor", SPLIT_SKEW_FACTOR)
+        min_rows = skw.get("min_rows", SPLIT_MIN_ROWS)
+        # ONE universe scan feeds both balance decisions (review r14);
+        # valid because this sweep holds the write lock throughout
+        sizes, cmap = _cell_universe(spark, mount_dir)
+        hot = _pick_hot(sizes, factor, min_rows)
         report["would_split"] = hot
         if hot is not None and not dry_run:
-            report["split"] = split_cell(spark, mount_dir, cell_id=hot, **skw)
-        dust = should_merge(
-            spark, mount_dir, **({"factor": skw["factor"]} if "factor" in skw else {})
-        )
+            report["split"] = split_cell(
+                spark, mount_dir, cell_id=hot, _sizes=sizes, **skw
+            )
+            sizes, cmap = _cell_universe(spark, mount_dir)  # changed by split
+        dust = _pick_dust(sizes, factor)
         report["would_merge"] = dust
         if dust and not dry_run:
             report["merge"] = merge_cells(
                 spark,
                 mount_dir,
                 cell_ids=dust,
-                **({"factor": skw["factor"]} if "factor" in skw else {}),
+                factor=factor,
+                _universe=(sizes, cmap),
             )
     return report

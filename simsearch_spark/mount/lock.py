@@ -120,6 +120,12 @@ def _held_by_this_process(real: str) -> bool:
 #: refresh's two-rename window); first-call typos still fail fast
 _DIR_GRACE = 2.0
 
+#: how old a foreign-host holder's timestamp must be before
+#: ``restore_crashed_swap`` treats its mid-swap state as a crash (no
+#: pid-liveness signal across hosts; mirrors the lock's own
+#: never-break-a-fresh-foreign-holder rule)
+STALE_AFTER_DEFAULT = 3600.0
+
 
 def _break_stale(lp: str, judged: dict) -> None:
     """Single-winner stale-lock break (review r14): unlink-after-decide
@@ -184,11 +190,12 @@ class mount_write_lock:
         lp = _lock_path(self.mount_dir)
         start = time.monotonic()
         deadline = start + self.timeout
-        # a missing mount dir is loud — but only after a short grace: a
-        # full refresh's two-rename swap has a window where the dir does
-        # not exist, and a WAITER polling into that window must retry,
-        # not die (review r14)
-        dir_deadline = min(deadline, start + _DIR_GRACE)
+        # a missing mount dir is loud — but only after a short grace
+        # measured from when the dir was LAST SEEN (not from acquisition
+        # start — a waiter already contending for minutes can poll into
+        # a refresh/split two-rename window and must retry, not die;
+        # review r14 twice): None = dir currently present
+        missing_since: float | None = None
         while True:
             with _GUARD:
                 if _HELD.get(key, 0) > 0:  # re-entrant: already ours
@@ -199,9 +206,15 @@ class mount_write_lock:
                     try:
                         fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     except FileExistsError:
-                        pass
+                        missing_since = None  # dir exists (lock file does)
                     except FileNotFoundError:
-                        if time.monotonic() >= dir_deadline:
+                        now = time.monotonic()
+                        if missing_since is None:
+                            missing_since = now
+                        if (
+                            now - missing_since >= _DIR_GRACE
+                            or now >= deadline
+                        ):
                             raise FileNotFoundError(
                                 f"{self.op}: mount directory "
                                 f"{self.mount_dir!r} does not exist"
@@ -322,19 +335,39 @@ def snapshot_read(spark, path: str, files: frozenset):
 
 
 def restore_crashed_swap(mount_dir: str) -> None:
-    """If a previous whole-mount two-rename swap (refresh, split_cell)
-    crashed between its renames, the live directory is missing but the
-    old generation is intact under ``<mount>__old`` — restore it.  Must
-    run BEFORE lock acquisition: the lock file lives inside the mount
-    directory, which does not exist in this crash state.  Two racing
-    restorers are benign — exactly one rename succeeds."""
+    """If a previous whole-mount two-rename swap (refresh, split_cell,
+    merge_cells) crashed between its renames, the live directory is
+    missing but the old generation is intact under ``<mount>__old`` —
+    restore it.  Must run BEFORE lock acquisition: the lock file lives
+    inside the mount directory, which does not exist in this crash
+    state.  Two racing restorers are benign — exactly one rename
+    succeeds.
+
+    A LIVE swapper mid-window looks identical from the filesystem, so
+    the old generation's lock file (the swapper's HELD lock travels
+    into ``__old`` with the first rename) disambiguates: if it names a
+    live same-host pid, the swap is in flight — do nothing and let the
+    acquisition path's missing-dir grace ride the window out.  A
+    foreign-host holder is trusted while its timestamp is fresh (the
+    same single-submit-host model as the lock itself; review r14)."""
     old = mount_dir.rstrip("/") + "__old"
-    if not os.path.isdir(mount_dir) and os.path.isdir(old):
-        try:
-            os.rename(old, mount_dir)
-        except OSError:
-            if not os.path.isdir(mount_dir):
-                raise
+    if os.path.isdir(mount_dir) or not os.path.isdir(old):
+        return
+    h = _read_holder(os.path.join(old, LOCK_NAME))
+    if h:
+        same_host = h.get("host") == socket.gethostname()
+        if same_host and _pid_alive(h.get("pid")):
+            return  # live swapper mid-window — not a crash
+        if not same_host and (
+            isinstance(h.get("ts"), (int, float))
+            and time.time() - h["ts"] <= STALE_AFTER_DEFAULT
+        ):
+            return  # possibly-live foreign swapper — never break it
+    try:
+        os.rename(old, mount_dir)
+    except OSError:
+        if not os.path.isdir(mount_dir):
+            raise
 
 
 def plant_lock(mount_dir: str, op: str) -> None:

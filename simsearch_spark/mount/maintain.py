@@ -675,6 +675,7 @@ def split_cell(
     factor: float = SPLIT_SKEW_FACTOR,
     min_rows: int = SPLIT_MIN_ROWS,
     iters: int = 2,
+    _sizes: dict[int, int] | None = None,
 ) -> dict:
     """Split one oversized IVF cell into ``parts`` children without
     retraining anything else — the targeted index repair between
@@ -702,7 +703,7 @@ def split_cell(
     restore_crashed_swap(mount_dir)  # BEFORE locking (lock.py docstring)
     with mount_write_lock(mount_dir, "split_cell"):
         return _split_cell_impl(
-            spark, mount_dir, cell_id, parts, factor, min_rows, iters
+            spark, mount_dir, cell_id, parts, factor, min_rows, iters, _sizes
         )
 
 
@@ -714,8 +715,12 @@ def _split_cell_impl(
     factor: float,
     min_rows: int,
     iters: int,
+    _sizes: dict[int, int] | None = None,
 ) -> dict:
-    sizes = cell_sizes(spark, mount_dir)
+    # _sizes: precomputed cell counts, valid ONLY while the caller holds
+    # the mount write lock for the whole decision+repair (auto_maintain's
+    # sweep) - review r14, one universe scan per sweep instead of four
+    sizes = _sizes if _sizes is not None else cell_sizes(spark, mount_dir)
     if cell_id is None:
         cell_id = _pick_hot(sizes, factor, min_rows)
         if cell_id is None:
@@ -868,16 +873,33 @@ def _split_cell_impl(
 MERGE_MAX_PER_SWEEP = 8
 
 
+def _cell_universe(
+    spark: SparkSession, mount_dir: str
+) -> tuple[dict[int, int], dict[int, list[float]]]:
+    """Row counts over EVERY cell the centroid map knows — a cell whose
+    rows were all deleted and compacted away has no codes partition but
+    still occupies a probe slot (review r14: the exact waste the merge
+    policy exists to reclaim, so it must be visible to it)."""
+    cmap = load_centroid_map(spark, mount_dir)
+    counted = cell_sizes(spark, mount_dir)
+    return {c: counted.get(c, 0) for c in cmap}, cmap
+
+
 def should_merge(
     spark: SparkSession,
     mount_dir: str,
     factor: float = SPLIT_SKEW_FACTOR,
 ) -> list[int]:
     """The dust cells ``merge_cells`` would fold away (rows <
-    mean/``factor``), lowest-population first, capped at
-    ``MERGE_MAX_PER_SWEEP``.  Empty when fewer than 2 cells exist or
-    every cell would be dust (nothing left to merge into)."""
-    sizes = cell_sizes(spark, mount_dir)
+    mean/``factor``; zero-row cells always qualify), lowest-population
+    first, capped at ``MERGE_MAX_PER_SWEEP``.  Empty when fewer than 2
+    cells exist or every cell would be dust (nothing left to merge
+    into)."""
+    sizes, _cmap = _cell_universe(spark, mount_dir)
+    return _pick_dust(sizes, factor)
+
+
+def _pick_dust(sizes: dict[int, int], factor: float) -> list[int]:
     if len(sizes) < 2:
         return []
     mean = sum(sizes.values()) / len(sizes)
@@ -895,6 +917,7 @@ def merge_cells(
     mount_dir: str,
     cell_ids: list[int] | None = None,
     factor: float = SPLIT_SKEW_FACTOR,
+    _universe: tuple[dict[int, int], dict[int, list[float]]] | None = None,
 ) -> dict:
     """Fold undersized IVF cells into their nearest surviving sibling —
     the split's dual, closing the balance loop (deletes + compaction
@@ -912,7 +935,7 @@ def merge_cells(
     planted lock; the dust cell ids are retired."""
     restore_crashed_swap(mount_dir)  # BEFORE locking (lock.py docstring)
     with mount_write_lock(mount_dir, "merge_cells"):
-        return _merge_cells_impl(spark, mount_dir, cell_ids, factor)
+        return _merge_cells_impl(spark, mount_dir, cell_ids, factor, _universe)
 
 
 def _merge_cells_impl(
@@ -920,16 +943,21 @@ def _merge_cells_impl(
     mount_dir: str,
     cell_ids: list[int] | None,
     factor: float,
+    _universe: tuple | None = None,
 ) -> dict:
-    sizes = cell_sizes(spark, mount_dir)
+    # _universe: precomputed (sizes, cmap), valid ONLY under the
+    # caller's held write lock (see _split_cell_impl)
+    sizes, cmap = (
+        _universe if _universe is not None else _cell_universe(spark, mount_dir)
+    )
     if cell_ids is None:
-        cell_ids = should_merge(spark, mount_dir, factor)
+        cell_ids = _pick_dust(sizes, factor)
         if not cell_ids:
             return {"merged": False, "reason": "no dust cells"}
     cell_ids = [int(c) for c in cell_ids]
-    unknown = [c for c in cell_ids if c not in sizes]
+    unknown = [c for c in cell_ids if c not in cmap]
     if unknown:
-        raise ValueError(f"merge_cells: cells {unknown} have no rows")
+        raise ValueError(f"merge_cells: cells {unknown} have no centroid")
     if len(cell_ids) > MERGE_MAX_PER_SWEEP:
         raise ValueError(
             f"merge_cells: {len(cell_ids)} cells exceeds the per-call cap "
@@ -938,7 +966,6 @@ def _merge_cells_impl(
 
     tok0 = mount_state_token(mount_dir)
     manifest = load_manifest(mount_dir)
-    cmap = load_centroid_map(spark, mount_dir)
     books = load_codebooks(spark, mount_dir)
     survivors = {c: v for c, v in cmap.items() if c not in set(cell_ids)}
     if not survivors:
@@ -974,9 +1001,20 @@ def _merge_cells_impl(
     moved = dust.select(
         "vec_id", recon.alias("__recon"), tgt.alias("__cell")
     )
-    recoded = encode_residual_codes(
-        moved, "vec_id", "__recon", "__cell", survivors, books
-    )
+    # only the TARGET cells' centroids enter the encode when-chain —
+    # passing all survivors would embed thousands of dim-length literals
+    # to route rows that take at most MERGE_MAX_PER_SWEEP values
+    # (review r14)
+    tgt_map = {t: survivors[t] for t in sorted(set(target_of.values()))}
+    if sum(sizes[c] for c in cell_ids) > 0:
+        recoded = encode_residual_codes(
+            moved, "vec_id", "__recon", "__cell", tgt_map, books
+        )
+    else:
+        # every merged cell is empty (deleted + compacted away): the
+        # merge is a pure centroid retirement — nothing to re-encode,
+        # and an empty frame cannot probe its PQ dimensions anyway
+        recoded = None
 
     nxt = mount_dir.rstrip("/") + "__next"
     if os.path.isdir(nxt):
@@ -992,9 +1030,10 @@ def _merge_cells_impl(
             [(int(c), [float(x) for x in v]) for c, v in sorted(survivors.items())],
             "cluster_id int, centroid array<double>",
         ).write.mode("overwrite").parquet(os.path.join(nxt, "ivf_centroids"))
-        recoded.repartition("cell").write.mode("append").partitionBy(
-            "cell"
-        ).parquet(os.path.join(nxt, "pq_codes"))
+        if recoded is not None:
+            recoded.repartition("cell").write.mode("append").partitionBy(
+                "cell"
+            ).parquet(os.path.join(nxt, "pq_codes"))
 
         manifest.setdefault("merges", []).append(
             {
@@ -1104,7 +1143,6 @@ def stream_append_codes(
                 cent_tok = tok
             if cell_col in batch_df.columns:
                 delta, cell = batch_df, cell_col
-                _check_cells_known(delta, cell, cmap, "stream_append_codes")
             else:
                 delta, cell = (
                     _assign_cells(batch_df, id_col, vec_col, cmap),
@@ -1113,6 +1151,12 @@ def stream_append_codes(
             delta = _drop_existing_ids(spark, mount_dir, delta, id_col)
             n = int(delta.count())  # count BEFORE the append (see append_rows)
             if n > 0:
+                if cell == cell_col:
+                    # validate AFTER the replay anti-join (review r14): a
+                    # replayed batch whose label cell was since retired
+                    # dedupes to empty and must stay a no-op, not kill
+                    # the stream
+                    _check_cells_known(delta, cell, cmap, "stream_append_codes")
                 encode_residual_codes(
                     delta, id_col, vec_col, cell, cmap, books
                 ).write.mode("append").partitionBy("cell").parquet(codes_path)

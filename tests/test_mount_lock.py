@@ -470,27 +470,43 @@ def test_break_stale_is_single_winner_and_restores_live(tmp_path):
 
 
 def test_waiter_survives_missing_dir_window(tmp_path):
-    """Review r14: a waiter polling during the refresh swap's two-rename
-    window (mount dir briefly absent) retries instead of dying with
-    FileNotFoundError."""
+    """Review r14 (twice): a CROSS-PROCESS waiter — the only kind that
+    actually polls ``os.open`` into FileNotFoundError; a same-process
+    waiter takes the held-by-this-process branch — must retry through a
+    refresh swap's two-rename window.  The holder keeps the lock LONGER
+    than _DIR_GRACE before opening the window, so the original
+    anchored-at-start grace deadline would already be spent and the
+    waiter would die; the fix measures the grace from when the dir was
+    last seen."""
+    import sys
+
     d = str(tmp_path / "m")
     os.makedirs(d)
-    ready = threading.Event()
-
-    def holder():
-        with mount_write_lock(d, "refresh"):
-            ready.set()
-            time.sleep(0.3)
-            os.rename(d, d + "__aside")  # the dir vanishes mid-wait
-            time.sleep(0.5)
-            os.rename(d + "__aside", d)
-
-    t = threading.Thread(target=holder)
-    t.start()
-    assert ready.wait(5)
-    with mount_write_lock(d, "append", timeout=10.0):
-        pass  # acquired despite polling through the missing-dir window
-    t.join(10)
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import os, sys, time; sys.path.insert(0, '/root/repo');"
+            "from simsearch_spark.mount.lock import mount_write_lock;"
+            f"d = {d!r};"
+            "l = mount_write_lock(d, 'refresh'); l.__enter__();"
+            "print('HELD', flush=True);"
+            "time.sleep(3.0);"  # waiter contends longer than _DIR_GRACE
+            "os.rename(d, d + '__aside');"  # the swap window opens
+            "time.sleep(1.0);"
+            "os.rename(d + '__aside', d);"
+            "l.__exit__(None, None, None)",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert child.stdout.readline().strip() == "HELD"
+        with mount_write_lock(d, "append", timeout=20.0):
+            pass  # acquired despite polling through the missing-dir window
+    finally:
+        child.kill()
+        child.wait()
 
 
 def test_stream_sink_commits_fresh_manifest_counts(
@@ -568,3 +584,50 @@ def test_refresh_fence_catches_bypassing_delete(spark, tmp_path, monkeypatch):
     # the live index is untouched and the late tombstone survived
     assert os.path.isdir(os.path.join(d, "dedup_tombstones"))
     assert not os.path.isdir(d + "__famnext")
+
+
+def test_restore_crashed_swap_skips_live_swapper(tmp_path):
+    """Review r14: a LIVE swapper between its two renames looks like a
+    crash from the filesystem; the old generation's travelling lock file
+    (live same-host pid) must stop the restorer from resurrecting the
+    old generation under the swapper's feet."""
+    import socket
+
+    from simsearch_spark.mount.lock import restore_crashed_swap
+
+    d = str(tmp_path / "m")
+    old = d + "__old"
+    os.makedirs(old)
+    with open(os.path.join(old, lockmod.LOCK_NAME), "w") as f:
+        json.dump(
+            {"pid": os.getpid(), "host": socket.gethostname(),
+             "op": "refresh", "ts": time.time()},
+            f,
+        )
+    restore_crashed_swap(d)
+    assert not os.path.isdir(d) and os.path.isdir(old)  # left alone
+
+    # a DEAD holder is a genuine crash: restore proceeds
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(os.path.join(old, lockmod.LOCK_NAME), "w") as f:
+        json.dump(
+            {"pid": proc.pid, "host": socket.gethostname(),
+             "op": "refresh", "ts": time.time()},
+            f,
+        )
+    restore_crashed_swap(d)
+    assert os.path.isdir(d) and not os.path.isdir(old)
+
+    # a FRESH foreign-host holder is trusted (possibly live, no pid
+    # signal across hosts): left alone
+    old2 = d + "__old"
+    os.rename(d, old2)
+    with open(os.path.join(old2, lockmod.LOCK_NAME), "w") as f:
+        json.dump(
+            {"pid": 1, "host": "some-other-host",
+             "op": "refresh", "ts": time.time()},
+            f,
+        )
+    restore_crashed_swap(d)
+    assert not os.path.isdir(d) and os.path.isdir(old2)

@@ -409,3 +409,61 @@ def test_append_rejects_retired_cell_label(spark, skewed, tmp_path):
     )
     with _pytest.raises(ValueError, match="retired by a split/merge"):
         append_rows(spark, d, emb_delta=delta)
+
+
+def test_zero_row_cell_is_mergeable(spark, skewed, tmp_path):
+    """Review r14: a cell whose rows were all deleted then compacted
+    away has no codes partition but still occupies a probe slot — the
+    merge policy must see it and retire its centroid."""
+    from simsearch_spark.mount.maintain import (
+        compact_codes,
+        delete_ids,
+        merge_cells,
+        should_merge,
+    )
+
+    d = _mounted(spark, skewed, tmp_path, "zr1")
+    delete_ids(spark, d, list(range(80, 90)))  # every row of cell 1
+    compact_codes(spark, d)
+    assert 1 not in cell_sizes(spark, d)
+    assert 1 in should_merge(spark, d, factor=2.0)
+    rep = merge_cells(spark, d, cell_ids=[1], factor=2.0)
+    assert rep["merged"] and rep["rows"] == {1: 0}
+    cents = {
+        int(r["cluster_id"])
+        for r in spark.read.parquet(os.path.join(d, "ivf_centroids")).collect()
+    }
+    assert 1 not in cents
+    assert sum(cell_sizes(spark, d).values()) == 90
+
+
+def test_stream_replayed_batch_with_retired_cell_is_noop(
+    spark, skewed, tmp_path
+):
+    """Review r14: an at-least-once replay of a batch whose label cell
+    was retired by a mid-stream split must dedupe to empty (id
+    anti-join) BEFORE the retired-cell validation — the stream stays
+    alive and commits a no-op."""
+    from simsearch_spark.mount.artifacts import load_manifest
+    from simsearch_spark.mount.maintain import stream_append_codes
+
+    emb, docs, _ = skewed
+    d = _mounted(spark, skewed, tmp_path, "rp1")
+    split_cell(spark, d, factor=2.0, min_rows=1)
+    n0 = load_manifest(d)["counts"]["n_vectors"]
+
+    # "replay": ids 0..5 already live in the codes table, labelled with
+    # the now-retired cell 0
+    replay = emb.where("vec_id < 6").select("vec_id", "label", "embedding")
+    src = str(tmp_path / "rp1_src")
+    replay.write.parquet(src + "/b0")
+    stream = spark.readStream.schema(
+        "vec_id long, label int, embedding array<double>"
+    ).parquet(src + "/*")
+    q = stream_append_codes(
+        spark, d, stream, checkpoint_dir=str(tmp_path / "rp1_ckpt")
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None  # the buggy order kills the stream here
+    assert load_manifest(d)["counts"]["n_vectors"] == n0
+    assert sum(cell_sizes(spark, d).values()) == 100
