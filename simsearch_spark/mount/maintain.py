@@ -24,6 +24,15 @@ Rewrites are write-new-then-swap (never overwrite-in-place a table the
 new plan is reading): the merged table lands in ``<name>__tmp`` and is
 atomically swapped in — the same versioned-table discipline a 100 TB
 deployment uses.
+
+Rebalance (r14): ``split_cell`` halves an IVF cell that drifting
+appends grew past the skew budget; ``merge_cells`` folds dust cells
+(shrunk by deletes + compaction, or fully emptied) into their nearest
+sibling.  Both reconstruct only the affected rows from their PQ codes,
+re-encode against the new centroid with the unchanged shared codebooks,
+and publish a whole-mount hardlink tree by two-rename swap — atomic to
+lock-free readers, O(hot/dust rows) data movement, crash-restored by
+``lock.restore_crashed_swap``.
 """
 
 from __future__ import annotations
@@ -622,8 +631,11 @@ def should_split(
     min_rows: int = SPLIT_MIN_ROWS,
 ) -> int | None:
     """The cell id ``split_cell`` would target, or ``None`` when no cell
-    is over budget."""
-    return _pick_hot(cell_sizes(spark, mount_dir), factor, min_rows)
+    is over budget.  Uses the centroid-map cell universe (zero-row cells
+    count toward the mean) — the same sizes the sweep's merge decision
+    reads, so the two policies never disagree about the mount's shape."""
+    sizes, _cmap = _cell_universe(spark, mount_dir)
+    return _pick_hot(sizes, factor, min_rows)
 
 
 def _decode_cell_expr(centroid: list[float], books: list[dict[int, list[float]]]):
