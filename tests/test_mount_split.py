@@ -467,3 +467,15 @@ def test_stream_replayed_batch_with_retired_cell_is_noop(
     assert q.exception() is None  # the buggy order kills the stream here
     assert load_manifest(d)["counts"]["n_vectors"] == n0
     assert sum(cell_sizes(spark, d).values()) == 100
+
+
+def test_append_rejects_null_cell_label(spark, skewed, tmp_path):
+    import pytest as _pytest
+
+    d = _mounted(spark, skewed, tmp_path, "nl1")
+    delta = spark.createDataFrame(
+        [(9100, None, [0.5] * 64)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="not in the mounted"):
+        append_rows(spark, d, emb_delta=delta)

@@ -48,6 +48,7 @@ def main() -> None:
     from simsearch_spark.mount.maintain import (
         append_rows,
         cell_sizes,
+        merge_cells,
         split_cell,
     )
     from simsearch_spark.session import get_spark
@@ -98,6 +99,16 @@ def main() -> None:
             )
             assert rep["split"], rep
             res["split_cell"] = t
+
+            # merge dual: fold the smaller child straight back — same
+            # machinery in reverse, cost tracks the dust cell's rows
+            small_child = min(rep["part_rows"], key=lambda c: rep["part_rows"][c])
+            t, mrep = timed(
+                lambda: merge_cells(spark, d, cell_ids=[small_child])
+            )
+            assert mrep["merged"], mrep
+            res["merge_cells"] = t
+            res["merged_rows"] = rep["part_rows"][small_child]
 
             # the honest alternative retrains over the CURRENT corpus
             # (source + the appended delta) — the refresh guard rejects a
