@@ -479,3 +479,37 @@ def test_append_rejects_null_cell_label(spark, skewed, tmp_path):
     )
     with _pytest.raises(ValueError, match="not in the mounted"):
         append_rows(spark, d, emb_delta=delta)
+
+
+def test_full_lifecycle_sweep(spark, skewed, tmp_path):
+    """The closed loop in one sweep: deletes push the tombstone budget
+    over, the sweep compacts, then rebalances the hot cell — audits,
+    reclamation, and repair composing in a single auto_maintain call the
+    way a scheduled deployment runs them."""
+    from simsearch_spark.mount.artifacts import load_manifest
+    from simsearch_spark.mount.audit import auto_maintain
+    from simsearch_spark.mount.maintain import delete_ids
+
+    emb, docs, _ = skewed
+    d = _mounted(spark, skewed, tmp_path, "lc1")
+    delete_ids(spark, d, list(range(20)))  # 20% of cell 0 -> over budget
+
+    rep = auto_maintain(
+        spark,
+        d,
+        emb=emb,
+        split_kwargs={"factor": 2.0, "min_rows": 1},
+    )
+    # vector audit ran and found the frozen index healthy (no refresh)
+    assert rep["audits"]["vector"]["recall_at_k"] >= 0.8
+    assert rep["refreshed"] == []
+    # compaction reclaimed exactly the tombstoned rows
+    assert rep["compacted"]["codes_rows"] == 20
+    # the still-hot cell 0 (60 rows vs 10/10) split in the same sweep
+    assert rep["would_split"] == 0 and rep["split"]["split"] is True
+    assert rep["would_merge"] == []
+
+    sizes = cell_sizes(spark, d)
+    assert 0 not in sizes and sum(sizes.values()) == 80
+    assert load_manifest(d)["counts"]["n_vectors"] == 80
+    assert sizes[3] + sizes[4] == 60
