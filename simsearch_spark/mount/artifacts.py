@@ -152,73 +152,103 @@ def _train_vector_family(
     arrive persisted — the trainers make several passes over it.
     Returns ``(params_fragment, n_vectors)`` for the manifest."""
     from simsearch_spark.queries.cluster import PQ_ITERS, PQ_KSUB, PQ_M, PQ_TRAIN_N
-    from simsearch_spark.queries.ivfpq import _centroids6, _train_books_residual
+    from simsearch_spark.queries.ivfpq import (
+        _cent_rows6,
+        _sample_rows,
+        _train_books_residual_rows,
+    )
 
-    cents = _centroids6(train).persist()
-    try:
-        books = _train_books_residual(train, cents)
-        cent_rows = [(int(r[0]), [float(x) for x in r[1]]) for r in cents.collect()]
-    finally:
-        cents.unpersist()
+    from concurrent.futures import ThreadPoolExecutor
+
+    # one centroid aggregation + one bounded-sample collect; the Lloyd
+    # chains run driver-side on the collected sample (r14 — identical
+    # codebooks, tests/test_pq.py pins the arms equal)
+    cent_rows = _cent_rows6(train)
     cmap = dict(cent_rows)
-    _write(
-        spark.createDataFrame(
-            cent_rows, "cluster_id int, centroid array<double>"
-        ),
-        os.path.join(out_dir, "ivf_centroids"),
-    )
-    _write(
-        spark.createDataFrame(
-            [
-                (j, int(cid), [float(x) for x in vec])
-                for j, cb in enumerate(books)
-                for cid, vec in sorted(cb.items())
-            ],
-            "j int, cluster_id int, centroid array<double>",
-        ),
-        os.path.join(out_dir, "pq_codebooks"),
-    )
-    codes = encode_residual_codes(emb, "vec_id", "embedding", "label", cmap, books)
-    # repartition ON the partition column: a fresh mount starts at one
-    # file per cell (the same layout compact_codes restores), so the
-    # COMPACT_FILES_PER_CELL trigger measures append debris, not the
-    # writer's shuffle spray; a petabyte mount would repartition(n,
-    # "cell") to keep intra-cell file parallelism
-    _write(
-        codes.repartition("cell"),
-        os.path.join(out_dir, "pq_codes"),
-        partition_by="cell",
-    )
+    books = _train_books_residual_rows(_sample_rows(train), cmap)
 
-    # pivot artifacts — the reference's own mount-time V-path
-    # (Coordinator.java:760-788: allocate/select pivots, embed): the
-    # deterministic farthest-point pivots and the per-row distance
-    # embedding, persisted so serve-side pruned k-NN reads narrow
-    # emb_* columns (and, at scale, skips row groups via their
-    # min/max stats) instead of re-embedding the corpus per query
-    from simsearch_spark.operators.pivot import (
-        embed_distances,
-        select_pivots_farthest_point,
-    )
+    # the five artifact writes and the vector count are independent jobs
+    # over the persisted emb/driver-resident training output — overlap
+    # them so later jobs back-fill each write's straggler tail (guide
+    # §2.6; the manifest, the mount's only discovery point, is written by
+    # the caller strictly after every future resolves)
+    def write_centroids():
+        _write(
+            spark.createDataFrame(
+                cent_rows, "cluster_id int, centroid array<double>"
+            ),
+            os.path.join(out_dir, "ivf_centroids"),
+        )
 
-    pivots = select_pivots_farthest_point(train, "vec_id", "embedding", N_PIVOTS)
-    _write(
-        spark.createDataFrame(
-            [
-                (pos, int(pid), [float(x) for x in vec])
-                for pos, (pid, vec) in enumerate(pivots)
-            ],
-            "pos int, pivot_id long, vector array<double>",
-        ),
-        os.path.join(out_dir, "pivots"),
-    )
-    _write(
-        embed_distances(emb, "embedding", pivots).select(
-            "vec_id", *[f"emb_{i}" for i in range(len(pivots))]
-        ),
-        os.path.join(out_dir, "pivot_embedded"),
-    )
-    n_vectors = int(emb.count())
+    def write_codebooks():
+        _write(
+            spark.createDataFrame(
+                [
+                    (j, int(cid), [float(x) for x in vec])
+                    for j, cb in enumerate(books)
+                    for cid, vec in sorted(cb.items())
+                ],
+                "j int, cluster_id int, centroid array<double>",
+            ),
+            os.path.join(out_dir, "pq_codebooks"),
+        )
+
+    def write_codes():
+        codes = encode_residual_codes(
+            emb, "vec_id", "embedding", "label", cmap, books
+        )
+        # repartition ON the partition column: a fresh mount starts at one
+        # file per cell (the same layout compact_codes restores), so the
+        # COMPACT_FILES_PER_CELL trigger measures append debris, not the
+        # writer's shuffle spray; a petabyte mount would repartition(n,
+        # "cell") to keep intra-cell file parallelism
+        _write(
+            codes.repartition("cell"),
+            os.path.join(out_dir, "pq_codes"),
+            partition_by="cell",
+        )
+
+    def write_pivot_artifacts():
+        # pivot artifacts — the reference's own mount-time V-path
+        # (Coordinator.java:760-788: allocate/select pivots, embed): the
+        # deterministic farthest-point pivots and the per-row distance
+        # embedding, persisted so serve-side pruned k-NN reads narrow
+        # emb_* columns (and, at scale, skips row groups via their
+        # min/max stats) instead of re-embedding the corpus per query
+        from simsearch_spark.operators.pivot import (
+            embed_distances,
+            select_pivots_farthest_point,
+        )
+
+        pivots = select_pivots_farthest_point(train, "vec_id", "embedding", N_PIVOTS)
+        _write(
+            spark.createDataFrame(
+                [
+                    (pos, int(pid), [float(x) for x in vec])
+                    for pos, (pid, vec) in enumerate(pivots)
+                ],
+                "pos int, pivot_id long, vector array<double>",
+            ),
+            os.path.join(out_dir, "pivots"),
+        )
+        _write(
+            embed_distances(emb, "embedding", pivots).select(
+                "vec_id", *[f"emb_{i}" for i in range(len(pivots))]
+            ),
+            os.path.join(out_dir, "pivot_embedded"),
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(write_centroids),
+            ex.submit(write_codebooks),
+            ex.submit(write_codes),
+            ex.submit(write_pivot_artifacts),
+        ]
+        f_count = ex.submit(emb.count)
+        for f in futs:
+            f.result()
+        n_vectors = int(f_count.result())
     params = {
         "pq_m": PQ_M,
         "pq_ksub": PQ_KSUB,
@@ -258,38 +288,55 @@ def _train_text_family(
         os.path.join(out_dir, "langid_profiles"),
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     toks = ws_tokens(F.col("text"))
     bgc = lm_doc_bigrams(docs).persist()
     try:
         cb, cu, vocab = lm_count_tables(bgc, docs)
-        _write(cb, os.path.join(out_dir, "lm_bigrams"))
-        _write(cu, os.path.join(out_dir, "lm_ctx"))
-        _write(vocab, os.path.join(out_dir, "lm_vocab"))
-        # the distinct token set behind lm_vocab's count — countDistinct is
-        # not mergeable from counts alone, so appends re-derive v from the
-        # merged token set (maintain.append_rows)
-        _write(
-            docs.select(F.explode(toks).alias("tok")).distinct(),
-            os.path.join(out_dir, "lm_tokens"),
+        tdocs = docs.select("doc_id", toks.alias("toks")).where(
+            F.col("toks").isNotNull()
         )
+        # the six LM/BM25 artifact writes are independent aggregations
+        # over the persisted bgc/docs frames — overlap them (guide §2.6;
+        # the manifest is written by the caller after every write lands)
+        jobs = [
+            (cb, "lm_bigrams", None),
+            (cu, "lm_ctx", None),
+            (vocab, "lm_vocab", None),
+            # the distinct token set behind lm_vocab's count —
+            # countDistinct is not mergeable from counts alone, so
+            # appends re-derive v from the merged token set
+            # (maintain.append_rows)
+            (docs.select(F.explode(toks).alias("tok")).distinct(), "lm_tokens", None),
+            (
+                tdocs.select(
+                    "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+                )
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df")),
+                "bm25_df",
+                None,
+            ),
+            (
+                tdocs.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.avg(F.size("toks").cast("double")).alias("avgdl"),
+                    F.sum(F.size("toks").cast("long")).alias("sum_dl"),
+                ),
+                "bm25_global",
+                None,
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [
+                ex.submit(_write, frame, os.path.join(out_dir, name), part)
+                for frame, name, part in jobs
+            ]
+            for f in futs:
+                f.result()
     finally:
         bgc.unpersist()
-
-    tdocs = docs.select("doc_id", toks.alias("toks")).where(F.col("toks").isNotNull())
-    _write(
-        tdocs.select("doc_id", F.explode(F.array_distinct("toks")).alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df")),
-        os.path.join(out_dir, "bm25_df"),
-    )
-    _write(
-        tdocs.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.avg(F.size("toks").cast("double")).alias("avgdl"),
-            F.sum(F.size("toks").cast("long")).alias("sum_dl"),
-        ),
-        os.path.join(out_dir, "bm25_global"),
-    )
     return list(langs)
 
 

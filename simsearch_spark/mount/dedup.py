@@ -200,24 +200,43 @@ def mount_dedup(
         # tracking the delta's key footprint instead of the corpus
         # pass the CALL-TIME global explicitly: _expl_frame's default was
         # bound at import, so a deployment raising N_BKT at runtime would
-        # otherwise write bkt = hash % old while the manifest froze new
-        _write(
-            _expl_frame(banded, id_col, N_BKT)
-            .repartition("band_idx", "bkt")
-            .sortWithinPartitions("band_hash"),
-            os.path.join(mount_dir, "dedup_bands"),
-            partition_by=["band_idx", "bkt"],
-        )
-        _write(
-            banded.select(
-                F.col(id_col), F.col("shingles")
-            ).withColumn(
-                "sbkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT)).cast("int")
-            ).repartition("sbkt").sortWithinPartitions(id_col),
-            os.path.join(mount_dir, "dedup_shingles"),
-            partition_by="sbkt",
-        )
-        n_docs = int(banded.count())
+        # otherwise write bkt = hash % old while the manifest froze new.
+        # The two artifact writes and the doc count all read the SAME
+        # persisted banded frame and are independent — overlap them so
+        # the later jobs back-fill the first one's straggler tail (guide
+        # §2.6).  Initial-build ordering is NOT the append commit-point
+        # concern (ADVICE r13): no idempotency probe reads a half-built
+        # mount because the manifest — the only discovery point — is
+        # written strictly after both writes return.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write_bands():
+            _write(
+                _expl_frame(banded, id_col, N_BKT)
+                .repartition("band_idx", "bkt")
+                .sortWithinPartitions("band_hash"),
+                os.path.join(mount_dir, "dedup_bands"),
+                partition_by=["band_idx", "bkt"],
+            )
+
+        def write_shingles():
+            _write(
+                banded.select(
+                    F.col(id_col), F.col("shingles")
+                ).withColumn(
+                    "sbkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT)).cast("int")
+                ).repartition("sbkt").sortWithinPartitions(id_col),
+                os.path.join(mount_dir, "dedup_shingles"),
+                partition_by="sbkt",
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_b = ex.submit(write_bands)
+            f_s = ex.submit(write_shingles)
+            f_n = ex.submit(banded.count)
+            f_b.result()
+            f_s.result()
+            n_docs = int(f_n.result())
     finally:
         banded.unpersist()
 

@@ -77,15 +77,76 @@ def word_census(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+#: word-census rows at or below this bound run the merge loop driver-side
+#: (one probe job instead of one Spark job per merge); above it, the
+#: distributed loop below runs unchanged.  The probe is a LIMIT collect,
+#: so the driver never holds more than this many (word, cnt) rows — the
+#: adaptive-tier discipline of kmeans' literal/table kernel switch, keyed
+#: on data size rather than cluster shape.
+DRIVER_VOCAB_MAX = 65536
+
+
+def _learn_merges_rows(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local BPE merge loop over a collected word census — the
+    identical algorithm the distributed tier runs (exact integer pair
+    counts; argmax tie-break (count DESC, left ASC, right ASC) where
+    Python's code-point string order equals Spark's UTF-8 binary order;
+    the same greedy left-to-right non-overlapping merge fold).  Pinned
+    equal to the distributed tier in tests/test_bpe.py."""
+    syms_list = [(list(w), int(c)) for w, c in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in syms_list:
+            for pair in zip(syms, syms[1:]):
+                pc[pair] = pc.get(pair, 0) + c
+        if not pc:
+            break
+        (left, right), count = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, count))
+        merged = left + right
+        nxt: list[tuple[list[str], int]] = []
+        for syms, c in syms_list:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            nxt.append((out, c))
+        syms_list = nxt
+    return merges
+
+
 def learn_bpe_merges(
-    docs: DataFrame, text_col: str, n_merges: int
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int,
+    driver_vocab_max: int = DRIVER_VOCAB_MAX,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merge rules; returns [(rank, left, right,
-    pair_count)].  Stops early if no adjacent pair remains."""
+    pair_count)].  Stops early if no adjacent pair remains.
+
+    Adaptive execution (r14): a LIMIT probe of the persisted census
+    decides the tier — at or below ``driver_vocab_max`` distinct words
+    the merge loop runs driver-side on the collected rows (1 probe job
+    total instead of 1 Spark job per merge; the probe partially warms the
+    cache either way), above it the distributed per-merge loop runs
+    unchanged (vocab-sized frames never reach the driver).  Both tiers
+    are the same deterministic algorithm — equality is pytest-pinned."""
     words = word_census(docs, text_col).persist()
     merges: list[tuple[int, str, str, int]] = []
     stale: DataFrame | None = None
     try:
+        head = words.select("word", "cnt").limit(driver_vocab_max + 1).collect()
+        if len(head) <= driver_vocab_max:
+            return _learn_merges_rows(
+                [(r["word"], int(r["cnt"])) for r in head], n_merges
+            )
         for rank in range(n_merges):
             pc = (
                 words.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))

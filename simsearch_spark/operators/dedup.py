@@ -664,21 +664,42 @@ def _score_pair_group(pdf, loose: float, diagonal: bool):
     b_mat = np.array(list(b["v"]), dtype=np.float64)
     a_nrm = a["nrm"].to_numpy(dtype=np.float64)
     b_nrm = b["nrm"].to_numpy(dtype=np.float64)
-    acc = np.zeros((len(a_ids), len(b_ids)))
-    for j in range(a_mat.shape[1]):
-        acc += np.outer(a_mat[:, j], b_mat[:, j])
     denom = np.outer(a_nrm, b_nrm)
+    # GEMM pre-filter (r14, guide §4.2): ONE BLAS matmul screens the n·m
+    # grid instead of dim rank-1 full-matrix updates (each a complete
+    # pass over the accumulator — the old kernel's memory traffic was
+    # dim× the matrix size).  The gemm cosine differs from the exact
+    # ascending-j left fold only by summation associativity, bounded by
+    # dim·eps ≈ 1e-14 (Cauchy-Schwarz), so a 1e-9 slack under ``loose``
+    # can never drop a pair the exact fold would keep.  Survivors — the
+    # near-threshold sliver plus true pairs — get their cosine recomputed
+    # with the EXACT fold, so emitted cos_raw values are bit-identical to
+    # the JVM ``aggregate(zip_with(...))`` / DuckDB ``list_reduce`` arms
+    # (the cross-engine pin the equality tests enforce).
     with np.errstate(divide="ignore", invalid="ignore"):
-        cos = np.where(denom == 0, 0.0, acc / denom)
+        cos_mm = np.where(denom == 0, 0.0, (a_mat @ b_mat.T) / denom)
     if diagonal:
-        keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= loose)
-        ai, bi = np.nonzero(keep)
+        cand = (a_ids[:, None] < b_ids[None, :]) & (cos_mm >= loose - 1e-9)
+    else:
+        cand = cos_mm >= loose - 1e-9
+    ai, bi = np.nonzero(cand)
+    if len(ai):
+        acc = np.zeros(len(ai))
+        for j in range(a_mat.shape[1]):  # exact ascending-index left fold
+            acc += a_mat[ai, j] * b_mat[bi, j]
+        dsel = denom[ai, bi]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(dsel == 0, 0.0, acc / dsel)
+        keep = cos >= loose
+        ai, bi, cos = ai[keep], bi[keep], cos[keep]
+    else:
+        cos = np.zeros(0)
+    if diagonal:
         lo, hi = a_ids[ai], b_ids[bi]
     else:
-        ai, bi = np.nonzero(cos >= loose)
         lo = np.minimum(a_ids[ai], b_ids[bi])
         hi = np.maximum(a_ids[ai], b_ids[bi])
-    return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_raw": cos[ai, bi]})
+    return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_raw": cos})
 
 
 def embedding_cosine_pairs(

@@ -31,6 +31,8 @@ path re-scores exact vectors); PQ extends the LLM-pipeline ANN family
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +41,7 @@ from simsearch_spark.operators.kmeans import _lit_vec
 
 __all__ = [
     "pq_train",
+    "pq_train_rows",
     "pq_encode",
     "pq_adc_topk",
     "ivf_pq_topk",
@@ -53,6 +56,98 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int:
     return int(row[0])
 
 
+_Q6 = Decimal("0.000001")
+
+
+def _round6_half_up(x: float) -> float:
+    """Replicate ``F.round(col, 6)`` on doubles driver-side: Spark rounds
+    ``BigDecimal(Double.toString(d))`` HALF_UP at scale 6, and
+    ``Decimal(repr(x))`` is Python's identical shortest round-trip
+    decimal (the mount/audit.py ADVICE-r13 contract)."""
+    return float(Decimal(repr(float(x))).quantize(_Q6, rounding=ROUND_HALF_UP))
+
+
+def pq_train_rows(
+    rows: list[tuple],
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+) -> list[dict[int, list[float]]]:
+    """Driver-local PQ training over an ALREADY-COLLECTED bounded sample —
+    the optimization-round replacement for the in-engine Lloyd passes
+    (guide §1.2: the training frame is constant-bounded by contract, so
+    2+iters distributed jobs were pure scheduling latency; at 100 TB they
+    were 2+iters cluster round-trips for arithmetic over ≤PQ_TRAIN_N·dim
+    doubles).
+
+    ``rows`` = [(id, [float, ...]), ...]; order is normalized by sorting
+    on id here (the ``ORDER BY id LIMIT n`` contract).  Arithmetic
+    replicates the engine exactly: seeds = ksub lowest-id subvectors
+    rounded 6 HALF_UP, distances = sqrt of the ascending-index left fold
+    of squared deltas (``euclidean_distance``'s zip_with/aggregate), the
+    strict-< argmin keeps the lowest cluster id on ties, means fold in
+    ascending id order and are rounded 6 HALF_UP, empty clusters keep
+    their previous centroid.  Equivalence with the in-engine arm is
+    pinned per fixture in tests/test_pq.py."""
+    import math
+
+    srt = sorted(((r[0], [float(x) for x in r[1]]) for r in rows), key=lambda t: t[0])
+    if not srt:
+        raise ValueError("cannot train PQ codebooks on an empty sample")
+    dim = len(srt[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+
+    def sl(vec: list[float], j: int) -> list[float]:
+        return vec[j * dsub : (j + 1) * dsub]
+
+    codebooks: list[dict[int, list[float]]] = [
+        {
+            i: [_round6_half_up(v) for v in sl(vec, j)]
+            for i, (_id, vec) in enumerate(srt[:ksub])
+        }
+        for j in range(m)
+    ]
+
+    def dist(a: list[float], c: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, c):
+            d = x - y
+            acc += d * d
+        return math.sqrt(acc)
+
+    for _ in range(iters):
+        # per (j, cluster, pos): members' value lists in ascending id order
+        sums: dict[tuple[int, int], list[list[float]]] = {}
+        for _id, vec in srt:
+            for j in range(m):
+                s = sl(vec, j)
+                best_cid, best_d = None, None
+                for cid, cvec in sorted(codebooks[j].items()):
+                    d = dist(s, cvec)
+                    if best_d is None or d < best_d:
+                        best_cid, best_d = cid, d
+                vals = sums.setdefault((j, best_cid), [[] for _ in range(dsub)])
+                for p, v in enumerate(s):
+                    vals[p].append(v)
+        new_books: list[dict[int, list[float]]] = []
+        for j in range(m):
+            book: dict[int, list[float]] = {}
+            for cid, old in codebooks[j].items():
+                vals = sums.get((j, cid))
+                if vals is None:
+                    book[cid] = old  # empty cluster keeps its previous centroid
+                else:
+                    book[cid] = [
+                        _round6_half_up(sum(vals[p]) / len(vals[p]))
+                        for p in range(dsub)
+                    ]
+            new_books.append(book)
+        codebooks = new_books
+    return codebooks
+
+
 def pq_train(
     df: DataFrame,
     id_col: str,
@@ -61,26 +156,32 @@ def pq_train(
     ksub: int = 8,
     iters: int = 2,
 ) -> list[dict[int, list[float]]]:
-    """Train per-subspace codebooks: for each of the ``m`` dim/m-wide
-    slices, run the deterministic Lloyd loop (seeds = the ksub lowest-id
-    subvectors rounded to 6, strict-< argmin, in-engine round-6 means,
-    empty clusters keep their previous centroid — exactly
-    ``kmeans_assign``'s contract so the oracle unrolls identically).
-    Returns ``m`` codebooks of ``ksub`` centroids each.
-
-    The m subspace chains are algebraically independent but execute
-    BATCHED: one exploded (id, j, slice) frame, each Lloyd pass one Spark
-    job for ALL subspaces (per-j argmin selected by a when-chain, one
-    grouped round-6 mean collect of m·ksub·dsub rows) — 2 + iters driver
-    round-trips total instead of m·(1 + iters).  On a bounded training
-    sample the cost is pure job-scheduling latency, so this is a ~m×
-    wall-clock cut with identical per-subspace arithmetic (the declared
-    queries' oracles, which unroll each chain independently, still
-    hash-match — the cross-engine pin).
+    """Train per-subspace codebooks from a BOUNDED sample frame: ONE
+    collect of the sample (≤PQ_TRAIN_N rows by the callers' contract),
+    then ``pq_train_rows``'s driver-local Lloyd loop — identical
+    arithmetic to the former in-engine passes (equivalence pinned in
+    tests/test_pq.py), at 1 Spark job instead of 2+iters.
 
     Corpus-scale note: pass a bounded sample frame (PQ codebooks saturate
-    long before corpus size; FAISS trains on ≤10⁶ vectors) and persist it —
-    training runs ``iters`` assignment+mean passes over it.
+    long before corpus size; FAISS trains on ≤10⁶ vectors) — the collect
+    is bounded by the sample, never the corpus.
+    """
+    rows = df.select(id_col, vec_col).collect()
+    return pq_train_rows([(r[0], list(r[1])) for r in rows], m=m, ksub=ksub, iters=iters)
+
+
+def _pq_train_engine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+) -> list[dict[int, list[float]]]:
+    """The pre-r14 in-engine training arm (one exploded frame, each Lloyd
+    pass one batched Spark job).  Kept as the equivalence oracle for
+    ``pq_train_rows`` — tests/test_pq.py pins both arms equal per fixture;
+    production paths all use the driver-local arm.
     """
     dim = _probe_dim(df, vec_col)
     if dim % m:
@@ -176,10 +277,14 @@ def pq_encode(
     plus the subspace quantization distance.  Output columns: ``id_col``,
     ``code_0..code_{m-1}`` (int), ``dist_0..dist_{m-1}`` (the L2 between
     the subvector and its centroid — the audit signal).  Pure codegen
-    column expressions, row-local, no shuffle."""
+    column expressions, row-local, no shuffle.
+
+    The subspace width comes from the codebooks themselves (r14: probing
+    the frame for ``size(vec)`` was one extra Spark job per encode; the
+    codebooks already pin dsub, and a mismatched vector width surfaces in
+    the slice arithmetic exactly as before)."""
     m = len(codebooks)
-    dim = _probe_dim(df, vec_col)
-    dsub = dim // m
+    dsub = len(next(iter(codebooks[0].values())))
     out_cols = [F.col(id_col)]
     passthrough = [c for c in df.columns if c not in (id_col, vec_col)]
     out_cols += [F.col(c) for c in passthrough]
@@ -276,7 +381,7 @@ def ivf_pq_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     codebooks: list[dict[int, list[float]]],
     query_vec: list[float],
     k: int,
@@ -313,12 +418,19 @@ def ivf_pq_topk(
     store keyed by id, here the bounded candidate rows still carry them.
 
     ``centroids`` = (cluster_id, centroid array<double>), a driver-bounded
-    frame exactly like ``ivf_topk``'s; rows are routed by ``assign_col``
+    frame exactly like ``ivf_topk``'s — or the same rows already collected
+    as ``[(cluster_id, [float, ...])]`` (r14: callers that also need the
+    centroid map driver-side pass the collected list so the aggregation
+    runs once, not once per consumer); rows are routed by ``assign_col``
     when the table persists an assignment (the mount-time artifact shape),
     else assigned to their nearest centroid inline.  Returns
     (id_col, adc_dist, cos_sim), cos_sim descending, ties by id.
     """
-    cent = [(r[0], list(r[1])) for r in centroids.collect()]
+    cent = (
+        [(cid, list(vec)) for cid, vec in centroids]
+        if isinstance(centroids, list)
+        else [(r[0], list(r[1])) for r in centroids.collect()]
+    )
     # deterministic probe order: distance, then cluster id (ivf_topk's rule)
     by_dist = sorted(
         cent, key=lambda c: (sum((a - b) ** 2 for a, b in zip(query_vec, c[1])), c[0])
@@ -400,7 +512,7 @@ def ivf_pq_multi_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     codebooks: list[dict[int, list[float]]],
     queries: list[tuple[int, list[float]]],
     k: int,
@@ -439,7 +551,11 @@ def ivf_pq_multi_topk(
 
     from simsearch_spark.operators.kmeans import _lit_vec
 
-    cent = [(r[0], list(r[1])) for r in centroids.collect()]
+    cent = (
+        [(cid, list(vec)) for cid, vec in centroids]
+        if isinstance(centroids, list)
+        else [(r[0], list(r[1])) for r in centroids.collect()]
+    )
     cmap = {cid: [float(x) for x in vec] for cid, vec in cent}
     qs = [(int(qid), [float(x) for x in qv]) for qid, qv in queries]
     probes: dict[int, list[int]] = {}

@@ -75,33 +75,69 @@ def _head_agg(vals):
     )
 
 
-def _rank_value(vals, head, k: int, bins: int) -> float:
+#: histogram resolution for passes AFTER the first (r14): the first pass
+#: bounds per-map-task partial-agg output by ``bins`` at any corpus size,
+#: but once the range has narrowed the number of distinct values present
+#: (never more than the previous pass's chosen-bin count) — not the bin
+#: count — caps the shuffled rows, so a much finer grid is free and
+#: typically saves a full pass on round-6 data
+REFINE_BINS = 65536
+
+
+def _rank_value(vals, head, k: int, bins: int) -> tuple[float, int, float | None]:
     """Resolve rank ``k`` given a ``_head_agg`` row: ±Inf ranks by exact
-    mass, finite ranks by histogram narrowing over the finite range."""
+    mass, finite ranks by histogram narrowing over the finite range.
+
+    Returns ``(x_k, c_le, nxt)`` where ``c_le`` = count of values ≤ x_k
+    and ``nxt`` = the smallest value strictly greater than x_k (None when
+    no such value exists) — both reconstructed from the narrowing's own
+    bin accounting, so the interpolation neighbor costs NO extra pass
+    (r14; the former dedicated two-aggregate neighbor job is gone,
+    equality with Spark's builtin percentile still pinned bit-exact in
+    tests/test_quantile.py)."""
     n, n_neg, n_pos = int(head["n"]), int(head["n_neg"]), int(head["n_pos"])
+    n_fin = n - n_neg - n_pos
     if k < n_neg:
-        return -_INF
+        nxt = float(head["lo"]) if n_fin else (_INF if n_pos else None)
+        return -_INF, n_neg, nxt
     if k >= n - n_pos:
-        return _INF
-    return _narrow_to_rank(vals, float(head["lo"]), float(head["hi"]), k - n_neg, bins)
+        return _INF, n, None
+    x_k, n_le_fin, nxt_f = _narrow_to_rank(
+        vals, float(head["lo"]), float(head["hi"]), k - n_neg, bins, n_fin
+    )
+    if nxt_f is None:
+        nxt_f = _INF if n_pos else None
+    return x_k, n_neg + n_le_fin, nxt_f
 
 
-def _narrow_to_rank(vals, lo: float, hi: float, k_rem: int, bins: int) -> float:
+def _narrow_to_rank(
+    vals, lo: float, hi: float, k_rem: int, bins: int, n_fin: int
+) -> tuple[float, int, float | None]:
     """The shared narrowing loop over a prepared (non-null, double) ``_q``
     column: histogram passes over [lo, hi] until the rank's bin holds one
     distinct value.  Monotone bin index (clamped): equal values share a
     bin, bins are contiguous value ranges, so per-bin counts give exact
     ranks.  ``lo``/``hi`` must be finite (callers route ±Inf ranks through
-    ``_rank_value``); the range filter then excludes infinite rows."""
+    ``_rank_value``); the range filter then excludes infinite rows.
+
+    Returns ``(x_k, n_le_fin, nxt)``: the rank's value, the count of
+    FINITE values ≤ it (every copy of x_k shares its bin in every pass,
+    and earlier bins hold strictly smaller values — the monotone-index
+    argument — so ``below + chosen-bin count`` is exact), and the
+    smallest finite value > x_k (the first later non-empty bin's bmin,
+    carried down the recursion; None when x_k is the finite maximum)."""
+    if lo == hi:  # all finite values equal
+        return lo, n_fin, None
+    below = 0
+    nxt: float | None = None
+    b = bins
     for _ in range(_MAX_PASSES):
-        if lo == hi:
-            return lo
         x = F.col("_q")
         idx = F.least(
-            F.lit(bins - 1),
+            F.lit(b - 1),
             F.greatest(
                 F.lit(0),
-                F.floor((x - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * F.lit(float(bins))).cast("int"),
+                F.floor((x - F.lit(lo)) / (F.lit(hi) - F.lit(lo)) * F.lit(float(b))).cast("int"),
             ),
         )
         hist = (
@@ -112,14 +148,20 @@ def _narrow_to_rank(vals, lo: float, hi: float, k_rem: int, bins: int) -> float:
             .collect()
         )
         cum = 0
-        for row in hist:
+        for i, row in enumerate(hist):
             if cum + int(row["c"]) > k_rem:
+                if i + 1 < len(hist):
+                    nxt = float(hist[i + 1]["bmin"])
+                below += cum
+                if float(row["bmin"]) == float(row["bmax"]):
+                    return float(row["bmin"]), below + int(row["c"]), nxt
                 lo, hi = float(row["bmin"]), float(row["bmax"])
                 k_rem -= cum
                 break
             cum += int(row["c"])
         else:  # pragma: no cover - rank accounting is exact
             raise RuntimeError("histogram narrowing lost the target rank")
+        b = max(bins, REFINE_BINS)
     raise RuntimeError("histogram narrowing did not converge")  # pragma: no cover
 
 
@@ -139,7 +181,7 @@ def exact_kth_value(df: DataFrame, col: str, k: int, bins: int = DEFAULT_BINS) -
     n = int(head["n"])
     if k < 0 or k >= n:
         return None
-    return _rank_value(vals, head, k, bins)
+    return _rank_value(vals, head, k, bins)[0]
 
 
 def exact_quantile_cont(
@@ -167,18 +209,20 @@ def exact_quantile_cont(
     pos = p * (n - 1)
     k = int(math.floor(pos))
     frac = pos - k
-    x_k = _rank_value(vals, head, k, bins)
+    x_k, c_le, nxt = _rank_value(vals, head, k, bins)
     if frac == 0.0:
         return x_k
 
     # interpolation neighbor x_{k+1}: equal-run duplicates first (if rank
     # k+1 still lies inside the x_k run, the neighbor IS x_k), else the
-    # smallest strictly-greater value — one bounded two-aggregate pass
-    nb = vals.agg(
-        F.count(F.when(F.col("_q") <= F.lit(x_k), 1)).alias("c_le"),
-        F.min(F.when(F.col("_q") > F.lit(x_k), F.col("_q"))).alias("nxt"),
-    ).first()
-    x_k1 = x_k if int(nb["c_le"]) >= k + 2 else float(nb["nxt"])
+    # smallest strictly-greater value — both already known from the
+    # narrowing's bin accounting (r14: no extra pass)
+    if c_le >= k + 2:
+        x_k1 = x_k
+    else:
+        if nxt is None:  # pragma: no cover - frac>0 implies k+1 < n exists
+            raise RuntimeError("interpolation neighbor accounting lost x_{k+1}")
+        x_k1 = nxt
     # bit-identical double arithmetic to Spark's Percentile.getPercentile:
     # (higher - pos) * lower_val + (pos - lower) * higher_val — NOT the
     # algebraically-equal x_k + frac*dx, which rounds differently in ulps
@@ -262,42 +306,61 @@ def exact_grouped_quantile_cont(
     spark = df.sparkSession
     # per-key narrowing state; ±Inf ranks resolve here by exact mass
     # (ADVICE r9: an infinite range would never narrow), finite ranks
-    # narrow over the group's finite sub-range
+    # narrow over the group's finite sub-range.  c_le/nxt (count ≤ x_k,
+    # smallest value > x_k) come out of the same bin accounting as the
+    # ungrouped path (r14), so the former dedicated neighbor pass is gone.
     result: dict = {}
-    state: dict = {}  # key -> [lo, hi, k_rem]
+    state: dict = {}  # key -> [lo, hi, k_rem, below, nxt]
     frac_of: dict = {}
     k_of: dict = {}
     pos_of: dict = {}
+    c_le_of: dict = {}
+    nxt_of: dict = {}
+    neg_of: dict = {}
+    posmass_of: dict = {}
     for r in head:
+        key = r["_k"]
         n, n_neg, n_pos = int(r["n"]), int(r["n_neg"]), int(r["n_pos"])
+        n_fin = n - n_neg - n_pos
         pos = p * (n - 1)
         k = int(math.floor(pos))
-        k_of[r["_k"]] = k
-        frac_of[r["_k"]] = pos - k
-        pos_of[r["_k"]] = pos
+        k_of[key] = k
+        frac_of[key] = pos - k
+        pos_of[key] = pos
+        neg_of[key] = n_neg
+        posmass_of[key] = n_pos
         if k < n_neg:
-            result[r["_k"]] = -_INF
+            result[key] = -_INF
+            c_le_of[key] = n_neg
+            nxt_of[key] = float(r["lo"]) if n_fin else (_INF if n_pos else None)
         elif k >= n - n_pos:
-            result[r["_k"]] = _INF
+            result[key] = _INF
+            c_le_of[key] = n
+            nxt_of[key] = None
         elif float(r["lo"]) == float(r["hi"]):
-            result[r["_k"]] = float(r["lo"])
+            result[key] = float(r["lo"])
+            c_le_of[key] = n_neg + n_fin
+            nxt_of[key] = _INF if n_pos else None
         else:
-            state[r["_k"]] = [float(r["lo"]), float(r["hi"]), k - n_neg]
+            state[key] = [float(r["lo"]), float(r["hi"]), k - n_neg, 0, None]
 
+    first_pass = True
     for _ in range(_MAX_PASSES):
         if not state:
             break
+        b = bins if first_pass else max(bins, REFINE_BINS)
+        first_pass = False
         st = spark.createDataFrame(
             [(k, s[0], s[1]) for k, s in state.items()],
             f"_k {dict(vals.dtypes)['_k']}, _lo double, _hi double",
         )
         x = F.col("_q")
         idx = F.least(
-            F.lit(bins - 1),
+            F.lit(b - 1),
             F.greatest(
                 F.lit(0),
                 F.floor(
-                    (x - F.col("_lo")) / (F.col("_hi") - F.col("_lo")) * F.lit(float(bins))
+                    (x - F.col("_lo")) / (F.col("_hi") - F.col("_lo")) * F.lit(float(b))
                 ).cast("int"),
             ),
         )
@@ -312,16 +375,25 @@ def exact_grouped_quantile_cont(
         for row in hist:
             by_key.setdefault(row["_k"], []).append(row)
         for key, rows in by_key.items():
-            lo, hi, k_rem = state[key]
+            lo, hi, k_rem, below, nxt = state[key]
             cum = 0
-            for row in sorted(rows, key=lambda r: int(r["b"])):
+            srt_rows = sorted(rows, key=lambda r: int(r["b"]))
+            for i, row in enumerate(srt_rows):
                 if cum + int(row["c"]) > k_rem:
+                    if i + 1 < len(srt_rows):
+                        nxt = float(srt_rows[i + 1]["bmin"])
+                    below += cum
                     nlo, nhi = float(row["bmin"]), float(row["bmax"])
                     if nlo == nhi:
                         result[key] = nlo
+                        c_le_of[key] = neg_of[key] + below + int(row["c"])
+                        nxt_of[key] = (
+                            nxt if nxt is not None
+                            else (_INF if posmass_of[key] else None)
+                        )
                         del state[key]
                     else:
-                        state[key] = [nlo, nhi, k_rem - cum]
+                        state[key] = [nlo, nhi, k_rem - cum, below, nxt]
                     break
                 cum += int(row["c"])
             else:  # pragma: no cover - rank accounting is exact
@@ -329,29 +401,23 @@ def exact_grouped_quantile_cont(
     if state:  # pragma: no cover
         raise RuntimeError("exact_grouped_quantile_cont did not converge")
 
-    # interpolation neighbors for every key with frac > 0, in ONE pass
-    need = {k: xk for k, xk in result.items() if frac_of[k] > 0.0}
-    if need:
-        xk_frame = spark.createDataFrame(
-            [(k, x) for k, x in need.items()],
-            f"_k {dict(vals.dtypes)['_k']}, _xk double",
-        )
-        nb = (
-            vals.join(F.broadcast(xk_frame), "_k")
-            .groupBy("_k")
-            .agg(
-                F.count(F.when(F.col("_q") <= F.col("_xk"), 1)).alias("c_le"),
-                F.min(F.when(F.col("_q") > F.col("_xk"), F.col("_q"))).alias("nxt"),
-            )
-            .collect()
-        )
-        for r in nb:
-            key = r["_k"]
-            x_k = result[key]
-            k, frac, pos = k_of[key], frac_of[key], pos_of[key]
-            x_k1 = x_k if int(r["c_le"]) >= k + 2 else float(r["nxt"])
-            # (k + 1 - pos), NOT (k + 1 - (k + frac)): re-deriving pos from
-            # k + frac re-rounds it for large k, an ulp off the ungrouped
-            # path / Spark's Percentile.getPercentile (ADVICE r9)
-            result[key] = (k + 1 - pos) * x_k + frac * x_k1
+    # interpolation for every key with frac > 0 — driver arithmetic only
+    # (c_le and the strictly-greater neighbor came out of the narrowing)
+    for key, frac in frac_of.items():
+        if frac <= 0.0 or key not in result:
+            continue
+        x_k = result[key]
+        k, pos = k_of[key], pos_of[key]
+        if c_le_of[key] >= k + 2:
+            x_k1 = x_k
+        else:
+            x_k1 = nxt_of[key]
+            if x_k1 is None:  # pragma: no cover - frac>0 implies k+1 exists
+                raise RuntimeError(
+                    f"grouped interpolation lost x_k1 for key {key!r}"
+                )
+        # (k + 1 - pos), NOT (k + 1 - (k + frac)): re-deriving pos from
+        # k + frac re-rounds it for large k, an ulp off the ungrouped
+        # path / Spark's Percentile.getPercentile (ADVICE r9)
+        result[key] = (k + 1 - pos) * x_k + frac * x_k1
     return result

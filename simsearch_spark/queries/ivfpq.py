@@ -71,30 +71,60 @@ def _centroids6(emb: DataFrame) -> DataFrame:
     )
 
 
-def _train_books_residual(emb: DataFrame, cents: DataFrame):
-    """PQ codebooks over RESIDUALS ``v − centroid(label)`` of the bounded
-    lowest-id sample — the FAISS IndexIVFPQ training recipe.  The sample
-    keeps its label through a broadcast centroid join; the residual is a
-    row-local zip_with."""
-    from simsearch_spark.operators.pq import pq_train
+def _cent_rows6(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """``_centroids6`` collected ONCE as ``[(cluster_id, centroid)]``
+    (bounded: n_cells × dim) — shared by residual training, probe
+    selection, and the residual when-chains, so the centroid aggregation
+    runs exactly one Spark job per query (guide §1.2: it used to rerun
+    under the training passes, the probe collect, and the plan
+    when-chains before the r14 restructure)."""
+    rows = _centroids6(emb).collect()
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
 
-    sample = (
-        emb.orderBy("vec_id").limit(PQ_TRAIN_N).select("vec_id", "label", "embedding")
+
+def _sample_rows(emb: DataFrame) -> list:
+    """The bounded lowest-id PQ training sample, collected in one job
+    (≤PQ_TRAIN_N rows; the ``pq_training_sample`` contract with the label
+    kept for residual mode)."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(PQ_TRAIN_N)
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    res = F.zip_with(dbl, F.col("centroid"), lambda x, m: x - m)
-    # persisted: every training pass (seeds + iters means) is an action
-    # over this bounded frame — without the pin each one re-runs the
-    # centroid aggregation and the sample sort
-    frame = (
-        sample.join(F.broadcast(cents), sample["label"] == cents["cluster_id"])
-        .select("vec_id", res.alias("res"))
-        .persist()
-    )
-    try:
-        return pq_train(frame, "vec_id", "res", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
-    finally:
-        frame.unpersist()
+
+
+def _train_books_residual_rows(
+    sample_rows: list, cmap: dict[int, list[float]]
+) -> list[dict[int, list[float]]]:
+    """PQ codebooks over RESIDUALS ``v − centroid(label)`` of the bounded
+    lowest-id sample — the FAISS IndexIVFPQ training recipe, computed
+    driver-side from the collected sample (r14: the residual subtraction
+    and every Lloyd pass are arithmetic over ≤PQ_TRAIN_N·dim doubles; the
+    former broadcast join + persisted frame + per-pass Spark jobs were
+    pure scheduling latency — equivalence pinned in tests/test_pq.py).
+    Rows whose label has no centroid are dropped, exactly like the former
+    inner join."""
+    from simsearch_spark.operators.pq import pq_train_rows
+
+    res_rows = []
+    for r in sample_rows:
+        lab = r["label"]
+        if lab not in cmap:
+            continue
+        vec = [float(x) for x in r["embedding"]]
+        cent = cmap[lab]
+        res_rows.append(
+            (int(r["vec_id"]), [x - m for x, m in zip(vec, cent)])
+        )
+    return pq_train_rows(res_rows, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+
+
+def _train_books_residual(emb: DataFrame, cents: DataFrame):
+    """Compatibility wrapper (tests/tools): collect the centroid frame
+    once and run the driver-local residual trainer."""
+    cmap = {int(r[0]): [float(x) for x in r[1]] for r in cents.collect()}
+    return _train_books_residual_rows(_sample_rows(emb), cmap)
 
 
 def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,15 +139,16 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (plan-asserted, tests/test_pq.py)."""
     from simsearch_spark.operators.pq import ivf_pq_topk
 
+    # persisted: scanned by the qvec probe, the centroid aggregation, the
+    # bounded-sample collect, and the final cell-filtered serve plan
     emb = load_table(spark, sf_dir, "embeddings").persist()
-    # persisted: consumed by residual training (per-pass actions), the
-    # operator's probe collect, and the residual/ADC when-chains
-    cents = _centroids6(emb).persist()
     try:
         qvec = [float(x) for x in emb.where(F.col("vec_id") == IVF_QUERY_ID).first().embedding]
+        cent_rows = _cent_rows6(emb)
+        books = _train_books_residual_rows(_sample_rows(emb), dict(cent_rows))
         out = ivf_pq_topk(
             emb, "vec_id", "embedding",
-            cents, _train_books_residual(emb, cents), qvec, K,
+            cent_rows, books, qvec, K,
             n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
         )
         # K rows — materialize eagerly so the session-scoped caches can be
@@ -126,7 +157,6 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("id"), "adc_dist", "cos_sim"
         ).localCheckpoint(eager=True)
     finally:
-        cents.unpersist()
         emb.unpersist()
 
 
@@ -280,7 +310,6 @@ def q_ann_ivfpq_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simsearch_spark.queries.ivf import MULTI_QUERY_IDS
 
     emb = load_table(spark, sf_dir, "embeddings").persist()
-    cents = _centroids6(emb).persist()
     try:
         qrows = (
             emb.where(F.col("vec_id").isin(*MULTI_QUERY_IDS))
@@ -288,15 +317,16 @@ def q_ann_ivfpq_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         qs = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows)
+        cent_rows = _cent_rows6(emb)
+        books = _train_books_residual_rows(_sample_rows(emb), dict(cent_rows))
         out = ivf_pq_multi_topk(
-            emb, "vec_id", "embedding", cents, _train_books_residual(emb, cents),
+            emb, "vec_id", "embedding", cent_rows, books,
             qs, K, n_probe=N_PROBE, rerank=RERANK, assign_col="label",
         )
         return out.select(
             "query_id", F.col("vec_id").alias("id"), "adc_dist", "cos_sim", "rank"
         ).localCheckpoint(eager=True)
     finally:
-        cents.unpersist()
         emb.unpersist()
 
 
@@ -380,18 +410,12 @@ def _recall_audit_body(spark: SparkSession, sf_dir: str, emb: DataFrame) -> Data
         emb, "vec_id", "embedding", cents, qvec, K,
         n_probe=N_PROBE, assign_col="label",
     ).select(F.lit("ivf").alias("method"), F.col("vec_id").alias("id"))
-    cents6 = _centroids6(emb).persist()
-    try:
-        ivfpq = ivf_pq_topk(
-            emb, "vec_id", "embedding", cents6, _train_books_residual(emb, cents6),
-            qvec, K, n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
-        ).select(F.lit("ivfpq").alias("method"), F.col("vec_id").alias("id"))
-        # the ivfpq arm's LUT/probe collects all run inside ivf_pq_topk, so
-        # the cents6 cache has served its purpose once the arm is built; the
-        # arm's k-row frame is pinned by the caller's eager checkpoint
-        ivfpq = ivfpq.localCheckpoint(eager=True)
-    finally:
-        cents6.unpersist()
+    cent_rows6 = _cent_rows6(emb)
+    books = _train_books_residual_rows(_sample_rows(emb), dict(cent_rows6))
+    ivfpq = ivf_pq_topk(
+        emb, "vec_id", "embedding", cent_rows6, books,
+        qvec, K, n_probe=N_PROBE, rerank=RERANK, assign_col="label", residual=True,
+    ).select(F.lit("ivfpq").alias("method"), F.col("vec_id").alias("id"))
     hits = (
         lsh.unionByName(ivf).unionByName(ivfpq)
         .join(exact, "id", "left_semi")

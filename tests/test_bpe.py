@@ -305,3 +305,17 @@ def test_serve_bpe_encode_streaming_equals_batch(spark, sf_dir, tmp_path):
         for r in serve_bpe_encode(spark, d, docs.select("doc_id", "text")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_driver_tier_equals_distributed_tier(spark, sf_dir):
+    """r14 optimization pin: ``learn_bpe_merges``'s adaptive driver tier
+    (census ≤ DRIVER_VOCAB_MAX → collected merge loop) must produce
+    merge-for-merge the same rules as the distributed per-merge loop
+    (forced here with driver_vocab_max=0)."""
+    from simsearch_spark.operators.bpe import learn_bpe_merges
+    from simsearch_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    driver = learn_bpe_merges(docs, "text", BPE_MERGES)
+    distributed = learn_bpe_merges(docs, "text", BPE_MERGES, driver_vocab_max=0)
+    assert driver == distributed

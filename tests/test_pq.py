@@ -376,3 +376,57 @@ def test_multi_query_ivfpq_single_union_scan(spark, sf_dir):
             n_probe=2, rerank=30, assign_col="label", residual=True,
         ).collect()
         assert got[qid] == [(r.vec_id, r.adc_dist, r.cos_sim) for r in single], qid
+
+
+def test_driver_local_training_equals_engine_arm(spark, sf_dir):
+    """r14 optimization pin: ``pq_train`` (one bounded-sample collect +
+    driver-local Lloyd, ``pq_train_rows``) must produce codebooks
+    IDENTICAL to the retired in-engine arm (``_pq_train_engine`` — one
+    Spark job per Lloyd pass), on both the plain and the residual
+    training frames.  This is the regression gate for the r14 job-count
+    cut across embed_pq / ann_pq_topk / ann_ivfpq_* / mount training."""
+    from simsearch_spark.operators.pq import _pq_train_engine
+    from simsearch_spark.queries.cluster import (
+        PQ_ITERS, PQ_KSUB, PQ_M, pq_training_sample,
+    )
+    from simsearch_spark.queries.ivfpq import (
+        _cent_rows6,
+        _sample_rows,
+        _train_books_residual_rows,
+    )
+    from simsearch_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    try:
+        sample = pq_training_sample(emb)
+        local = pq_train(sample, "vec_id", "embedding",
+                         m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+        engine = _pq_train_engine(sample, "vec_id", "embedding",
+                                  m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS)
+        assert local == engine
+
+        # residual arm: driver-side ``v − centroid(label)`` must match the
+        # former broadcast-join + in-engine-Lloyd construction
+        cent_rows = _cent_rows6(emb)
+        cmap = dict(cent_rows)
+        books_local = _train_books_residual_rows(_sample_rows(emb), cmap)
+        res = F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.col("centroid"),
+            lambda x, m: x - m,
+        )
+        cents_df = spark.createDataFrame(
+            cent_rows, "cluster_id int, centroid array<double>"
+        )
+        sample_df = emb.orderBy("vec_id").limit(256).select(
+            "vec_id", "label", "embedding"
+        )
+        frame = sample_df.join(
+            F.broadcast(cents_df), sample_df["label"] == cents_df["cluster_id"]
+        ).select("vec_id", res.alias("res"))
+        books_engine = _pq_train_engine(
+            frame, "vec_id", "res", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS
+        )
+        assert books_local == books_engine
+    finally:
+        emb.unpersist()
