@@ -43,6 +43,8 @@ from collections import Counter
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from simsearch_spark.operators.fanout import fanout_for_kernel as _fanout
+
 from simsearch_spark.functions.text import lang_id
 
 __all__ = [
@@ -309,7 +311,7 @@ def langid_frame(df, id_col: str, text_col: str,
             yield pd.DataFrame(cols)
 
     score_cols = ", ".join(f"score_{l} long" for l in langs)
-    return df.select(id_col, text_col).mapInPandas(
+    return _fanout(df.select(id_col, text_col), id_col).mapInPandas(
         proc,
         f"{id_col} {id_dtype}, lang_sw string, {score_cols}, "
         "lang_tri string, lang_pred string",

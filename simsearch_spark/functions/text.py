@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from simsearch_spark.operators.fanout import fanout_for_kernel as _fanout
+
 # ---------------------------------------------------------------------------
 # tokenization
 # ---------------------------------------------------------------------------
@@ -215,7 +217,7 @@ def corpus_features_frame(df, id_col: str, text_col: str):
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _fanout(df.select(id_col, text_col), id_col).mapInPandas(
         proc,
         f"{id_col} {id_dtype}, quality_raw double, lang_pred string, "
         "fingerprint long, n_tokens int",
@@ -268,7 +270,7 @@ def lang_id_frame(df, id_col: str, text_col: str, passthrough: tuple[str, ...] =
         + [f"{c} {dtypes[c]}" for c in passthrough]
         + ["lang_pred string"]
     )
-    return df.select(id_col, *passthrough, text_col).mapInPandas(proc, schema)
+    return _fanout(df.select(id_col, *passthrough, text_col), id_col).mapInPandas(proc, schema)
 
 
 def nfc_frame(df, id_col: str, text_col: str):
@@ -314,7 +316,7 @@ def nfc_frame(df, id_col: str, text_col: str):
                  "n_chars_nfc": ln, "fp_nfc": fp}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _fanout(df.select(id_col, text_col), id_col).mapInPandas(
         proc,
         f"{id_col} {id_dtype}, was_decomposed boolean, n_chars_nfc int, fp_nfc long",
     )

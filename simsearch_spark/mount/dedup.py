@@ -543,6 +543,7 @@ def dedup_append(
     banded_raw = minhash_banded_frame(
         delta, id_col, text_col,
         dd["n_hashes"], dd["bands"], dd["shingle_n"], dd["seed"],
+        fanout=False,  # delta-sized by design; keeps the limit-probe 1 job
     ).persist()
     # ONE relation per artifact: spark.read.parquet lists the directory
     # when the relation is resolved, and every frame derived from the

@@ -194,6 +194,11 @@ def apply_bpe(
 
     import pandas as pd
 
+    from simsearch_spark.operators.fanout import fanout_for_kernel
+
+    # the greedy per-word merge loop is the encode's whole cost — spread
+    # a single-split scan across the cores first (r14)
+    docs = fanout_for_kernel(docs, text_col)
     rules = [(m[-3], m[-2]) if len(m) == 4 else (m[0], m[1]) for m in merges]
 
     def encode_word(word: str) -> list[str]:

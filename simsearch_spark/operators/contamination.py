@@ -66,7 +66,13 @@ def kgram_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
                 out_gh.extend(sel.tolist())
             yield pd.DataFrame({id_col: out_id, "gh": out_gh})
 
-    return df.select(id_col, text_col).mapInPandas(proc, f"{id_col} {id_dtype}, gh long")
+    from simsearch_spark.operators.fanout import fanout_for_kernel
+
+    # the char-fold gram hashing is a pure-Python loop per document —
+    # spread a single-split scan across the cores first (r14)
+    return fanout_for_kernel(df.select(id_col, text_col), id_col).mapInPandas(
+        proc, f"{id_col} {id_dtype}, gh long"
+    )
 
 
 #: Broadcast the distinct eval-gram table only below this many grams.

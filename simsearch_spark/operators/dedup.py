@@ -61,6 +61,9 @@ def shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
     import pandas as pd
 
+    from simsearch_spark.operators.fanout import fanout_for_kernel
+
+    df = fanout_for_kernel(df, id_col)
     id_dtype = dict(df.dtypes)[id_col]
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,6 +100,11 @@ def simhash_frame(
     import pandas as pd
 
     from simsearch_spark.functions.hashing import MOD as _MOD
+    from simsearch_spark.operators.fanout import fanout_for_kernel
+
+    # the fused shingle/permutation kernel is the corpus pass this table
+    # costs — spread a single-split scan across the cores first (r14)
+    df = fanout_for_kernel(df, id_col)
     from simsearch_spark.functions.hashing import SPREAD_MULT
 
     id_dtype = dict(df.dtypes)[id_col]
@@ -139,6 +147,7 @@ def minhash_banded_frame(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
+    fanout: bool = True,
 ) -> DataFrame:
     """(id, shingles, bands): the MinHash-LSH signature table in ONE Arrow
     pass — shingling, char-fold hashing, the n permutation minima, and band
@@ -158,7 +167,14 @@ def minhash_banded_frame(
 
     from simsearch_spark.functions.hashing import MOD as _MOD
     from simsearch_spark.functions.hashing import PERM_MOD, perm_params
+    from simsearch_spark.operators.fanout import fanout_for_kernel
 
+    # the fused shingle/permutation kernel is the corpus pass this table
+    # costs — spread a single-split scan across the cores first (r14).
+    # fanout=False is the delta-append tier: its work is ∝|delta| by
+    # design and the caller's 1-job limit-probe must stay single-job
+    if fanout:
+        df = fanout_for_kernel(df, id_col)
     id_dtype = dict(df.dtypes)[id_col]
     rows_per_band = n_hashes // bands
     params = perm_params(n_hashes, seed)

@@ -207,17 +207,26 @@ def kmeans_assign(
     if assignment == "auto":
         assignment = "table" if k > LITERAL_K_MAX else "literal"
     assign = assign_clusters if assignment == "literal" else assign_clusters_table
-    init_rows = (
-        df.orderBy(id_col)
-        .limit(k)
-        .select(F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("c"))
-        .collect()
-    )
-    cents = {i: [float(v) for v in r["c"]] for i, r in enumerate(init_rows)}
-    for _ in range(iters):
-        assigned = assign(df, vec_col, cents)
-        means = _rounded_means(assigned, vec_col)
-        cents = {cid: means.get(cid, old) for cid, old in cents.items()}
+    # persist across the training passes (r14): the seed collect and each
+    # Lloyd mean re-scan the frame — without the pin every pass re-runs
+    # the caller's lineage (scan + any fan-out exchange).  The cache is
+    # dropped before returning; the final lazy assignment recomputes the
+    # lineage exactly once at the consumer's action.
+    df_c = df.persist()
+    try:
+        init_rows = (
+            df_c.orderBy(id_col)
+            .limit(k)
+            .select(F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)).alias("c"))
+            .collect()
+        )
+        cents = {i: [float(v) for v in r["c"]] for i, r in enumerate(init_rows)}
+        for _ in range(iters):
+            assigned = assign(df_c, vec_col, cents)
+            means = _rounded_means(assigned, vec_col)
+            cents = {cid: means.get(cid, old) for cid, old in cents.items()}
+    finally:
+        df_c.unpersist()
     return assign(df, vec_col, cents)
 
 

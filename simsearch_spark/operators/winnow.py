@@ -54,6 +54,10 @@ def winnow_fingerprints(
 
     from simsearch_spark.functions.hashing import MOD as _MOD
 
+    from simsearch_spark.operators.fanout import fanout_for_kernel
+
+    df = fanout_for_kernel(df, id_col)
+
     id_dtype = dict(df.dtypes)[id_col]
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

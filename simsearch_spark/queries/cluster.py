@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simsearch_spark.operators.fanout import fanout_for_kernel
 from simsearch_spark.operators.kmeans import auto_km_k, kmeans_assign
 from simsearch_spark.operators.quantize import QUANT_LEVELS, quantization_error
 from simsearch_spark.queries.ivf import EMB_DIM
@@ -261,7 +262,10 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_train(
         pq_training_sample(emb), "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS
     )
-    enc = pq_encode(emb.select("vec_id", "label", "embedding"), "vec_id", "embedding", books)
+    enc = pq_encode(
+        fanout_for_kernel(emb.select("vec_id", "label", "embedding"), "vec_id"),
+        "vec_id", "embedding", books,
+    )
     err = None
     for j in range(PQ_M):
         term = F.col(f"dist_{j}") * F.col(f"dist_{j}")
@@ -391,7 +395,10 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_train(
         pq_training_sample(emb), "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS
     )
-    enc = pq_encode(emb.select("vec_id", "embedding"), "vec_id", "embedding", books)
+    enc = pq_encode(
+        fanout_for_kernel(emb.select("vec_id", "embedding"), "vec_id"),
+        "vec_id", "embedding", books,
+    )
     q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
     return pq_adc_topk(enc, "vec_id", books, q, ANN_PQ_K)
 

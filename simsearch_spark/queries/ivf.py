@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simsearch_spark.operators.ann import ivf_topk
+from simsearch_spark.operators.fanout import fanout_for_kernel
 from simsearch_spark.queries.core import K
 from simsearch_spark.queries.vector import _cosine_sql, _l2_sql
 from simsearch_spark.sources.registry import load_table
@@ -90,7 +91,7 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*aggs)
         .select("label", F.array(*[F.col(f"_c{i}") for i in range(EMB_DIM)]).alias("centroid"))
     )
-    joined = emb.join(F.broadcast(cent), "label")
+    joined = fanout_for_kernel(emb, "vec_id").join(F.broadcast(cent), "label")
     dist = euclidean_distance(F.col("embedding"), F.col("centroid"))
     return joined.select(
         "vec_id", "label", F.round(dist, 6).alias("centroid_dist")
@@ -128,7 +129,9 @@ def q_ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qrows = emb.where(F.col("vec_id").isin(*MULTI_QUERY_IDS)).select("vec_id", "embedding").collect()
     queries = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows)
-    out = multi_query_cosine_topk(emb, "vec_id", "embedding", queries, K)
+    out = multi_query_cosine_topk(
+        fanout_for_kernel(emb, "vec_id"), "vec_id", "embedding", queries, K
+    )
     return out.select("query_id", F.col("vec_id").alias("id"), "cos_sim", "rank")
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from simsearch_spark.multimodal.binary import decode_image_meta
 from simsearch_spark.queries.vector import _cosine_sql
+from simsearch_spark.operators.fanout import fanout_for_kernel
 from simsearch_spark.sources.registry import load_table
 
 #: fixed PNG scaffold size: signature(8) + length(4) + 'IHDR'(4) + data(13) + crc(4)
@@ -110,7 +111,7 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
+    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     meta = decode_image_meta(media)
@@ -299,7 +300,7 @@ def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
+    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     return pixel_stats(media).select(
@@ -467,7 +468,7 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
+    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     return audio_stats(media)
@@ -535,7 +536,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
+    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     from pyspark.sql import functions as F
@@ -639,7 +640,7 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
+    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     return pixel_stats(media).select(
@@ -746,7 +747,7 @@ def q_media_frame_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
+    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     return frame_pixel_stats(media, every_n=FRAME_EVERY_N)
@@ -811,7 +812,7 @@ def q_media_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
+    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     return audio_spectral(media)
@@ -891,7 +892,7 @@ def q_media_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
+    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     stats = frame_pixel_stats(media, every_n=1)
@@ -1011,7 +1012,7 @@ def q_media_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = docs.mapInPandas(
+    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     feats = extract_pixel_features(media)  # grid=4 -> 16-d, one pixel per cell

@@ -20,6 +20,7 @@ from simsearch_spark.functions.pii import (
     redact,
 )
 from simsearch_spark.functions.text import ws_tokens
+from simsearch_spark.operators.fanout import fanout_for_kernel
 from simsearch_spark.queries.pipeline import _WS_TOKS
 from simsearch_spark.sources.registry import load_table
 
@@ -47,7 +48,10 @@ def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence+element_at re-walks the array per element (quadratic per
     row — measured 11x slower at sf0.1), while two shifted slices are
     one linear copy each."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = fanout_for_kernel(
+        load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
+        "doc_id",
+    )
     toks = ws_tokens(F.col("text"))
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -95,7 +99,10 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc window for the top-N.  Determinism: counts are exact
     integers, the score is identical IEEE arithmetic on both engines,
     and the window orders by the ROUNDED score with a term tie-break."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = fanout_for_kernel(
+        load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
+        "doc_id",
+    )
     terms = docs.select("doc_id", F.explode(ws_tokens(F.col("text"))).alias("term"))
     # tf feeds BOTH the score join and the document-frequency agg; Catalyst
     # does not share common subplans, so without the persist each consumer
@@ -185,6 +192,7 @@ def lm_doc_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, ngram, m, ctx): per-document bigram counts — the row-local
     fan-out + one keyed map-side-combinable shuffle that both the LM
     training tables and per-query scoring derive from."""
+    docs = fanout_for_kernel(docs, "doc_id")
     toks = ws_tokens(F.col("text"))
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
