@@ -66,11 +66,12 @@ def kgram_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
                 out_gh.extend(sel.tolist())
             yield pd.DataFrame({id_col: out_id, "gh": out_gh})
 
-    from simsearch_spark.operators.fanout import fanout_for_kernel
-
-    # the char-fold gram hashing is a pure-Python loop per document —
-    # spread a single-split scan across the cores first (r14)
-    return fanout_for_kernel(df.select(id_col, text_col), id_col).mapInPandas(
+    # no kernel fan-out here: although the char-fold gram hashing is a
+    # pure-Python loop, the repeated r14 A/B measured the extra shuffle of
+    # the raw text as a net loss at bench scale (doc_contamination 2.42 s
+    # fanned vs 1.86 s direct, 3 alternating reps) — the np.unique'd gram
+    # emit is the expensive half and it lands after the kernel either way
+    return df.select(id_col, text_col).mapInPandas(
         proc, f"{id_col} {id_dtype}, gh long"
     )
 

@@ -19,7 +19,6 @@ from pyspark.sql.window import Window
 from simsearch_spark.functions.text import corpus_features_frame
 from simsearch_spark.queries.pipeline import _NORM_TEXT, _WS_TOKS, _charfold_sql
 from simsearch_spark.queries.pipeline import SQL_TEXT_LANG_ID, SQL_TEXT_QUALITY  # noqa: F401 (fragment provenance)
-from simsearch_spark.operators.fanout import fanout_for_kernel
 from simsearch_spark.sources.registry import load_table
 
 QUALITY_T = 0.5
@@ -289,9 +288,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simsearch_spark.functions.text import ws_tokens
     from simsearch_spark.operators.bm25 import bm25_topk
 
-    docs = fanout_for_kernel(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    ).withColumn("toks", ws_tokens(F.col("text")))
+    # no kernel fan-out: ws_tokens is a codegen'd split — cheaper than a
+    # shuffle of the raw text (r14 A/B: 1.07 s fanned vs 0.93 s direct)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", ws_tokens(F.col("text"))
+    )
     return bm25_topk(docs, "doc_id", "toks", BM25_QUERY, BM25_K)
 
 
@@ -585,10 +586,10 @@ def q_source_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simsearch_spark.functions.text import quality_score
     from simsearch_spark.operators.quantile import exact_grouped_quantile_cont
 
-    docs = fanout_for_kernel(
-        load_table(spark, sf_dir, "documents").where(F.col("source").isNotNull()),
-        "doc_id",
-    )
+    # no kernel fan-out: quality_score is codegen'd JVM expressions — one
+    # shuffle of the raw text costs more than it saves (r14 A/B: 3.56 s
+    # fanned vs 2.80 s direct at sf0.1)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("source").isNotNull())
     scored = docs.select(
         "doc_id", "source", F.round(quality_score(F.col("text")), 6).alias("quality")
     ).persist()
@@ -1008,9 +1009,11 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simsearch_spark.operators.bm25 import bm25_topk
     from simsearch_spark.queries.pipeline import ANN_QUERY_ID
 
-    docs = fanout_for_kernel(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    ).withColumn("toks", ws_tokens(F.col("text")))
+    # no kernel fan-out: same codegen'd-split trade as q_bm25_topk (r14
+    # A/B: 1.60 s fanned vs 1.35 s direct)
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", ws_tokens(F.col("text"))
+    )
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == ANN_QUERY_ID).first().embedding]
 

@@ -129,9 +129,10 @@ def q_ann_multi_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qrows = emb.where(F.col("vec_id").isin(*MULTI_QUERY_IDS)).select("vec_id", "embedding").collect()
     queries = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows)
-    out = multi_query_cosine_topk(
-        fanout_for_kernel(emb, "vec_id"), "vec_id", "embedding", queries, K
-    )
+    # no kernel fan-out: the per-query cosines are codegen'd JVM
+    # expressions — cheaper than a shuffle of the embedding payloads
+    # (r14 A/B: 0.76 s fanned vs 0.58 s direct at sf0.1)
+    out = multi_query_cosine_topk(emb, "vec_id", "embedding", queries, K)
     return out.select("query_id", F.col("vec_id").alias("id"), "cos_sim", "rank")
 
 

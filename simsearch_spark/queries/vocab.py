@@ -48,10 +48,11 @@ def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence+element_at re-walks the array per element (quadratic per
     row — measured 11x slower at sf0.1), while two shifted slices are
     one linear copy each."""
-    docs = fanout_for_kernel(
-        load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull()),
-        "doc_id",
-    )
+    # no kernel fan-out here: the bigram explode is whole-stage-codegen'd
+    # JVM work — cheaper than one shuffle of the raw text (r14 A/B:
+    # 0.94 s fanned vs 0.71 s direct at sf0.1); the map-side partial
+    # aggregation collapses the fan-out before any exchange either way
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = ws_tokens(F.col("text"))
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
@@ -184,8 +185,11 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized join."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     bgc = lm_doc_bigrams(docs).persist()
-    cb, cu, vocab = lm_count_tables(bgc, docs)
-    return lm_score(docs, bgc, cb, cu, vocab)
+    toks = ws_tokens(F.col("text"))
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    return lm_score_self(docs, bgc, vocab)
 
 
 def lm_doc_bigrams(docs: DataFrame) -> DataFrame:
@@ -227,12 +231,33 @@ def lm_score(
 ) -> DataFrame:
     """Per-document add-α bigram log-perplexity given the LM tables —
     identical arithmetic whether the tables were just aggregated
-    (q_lm_perplexity) or loaded from a mount (serve_lm_perplexity)."""
+    (mount training) or loaded from a mount (serve_lm_perplexity)."""
+    enriched = bgc.join(cb, "ngram").join(cu, "ctx").crossJoin(F.broadcast(vocab))
+    return _lm_score_enriched(docs, enriched)
+
+
+def lm_score_self(docs: DataFrame, bgc: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Self-trained scoring (q_lm_perplexity): when the LM tables would be
+    aggregated from ``bgc`` itself, the two aggregate-then-join subplans
+    are redundant — cb/cu are window sums over the very frame being
+    scored.  Integer counts make the window and join arms exactly equal
+    (sum order cannot matter), and the plan drops from two aggregation
+    subplans + two sort-merge joins (4 exchanges of ``bgc``-derived data)
+    to two window exchanges over one pass of the persisted bigram frame.
+    The serve/audit path keeps :func:`lm_score` — mounted tables are a
+    different source and genuinely need the join."""
+    enriched = (
+        bgc.withColumn("cb", F.sum("m").over(Window.partitionBy("ngram")))
+        .withColumn("cu", F.sum("m").over(Window.partitionBy("ctx")))
+        .crossJoin(F.broadcast(vocab))
+    )
+    return _lm_score_enriched(docs, enriched)
+
+
+def _lm_score_enriched(docs: DataFrame, enriched: DataFrame) -> DataFrame:
     a = F.lit(float(LM_ALPHA))
     scored = (
-        bgc.join(cb, "ngram")
-        .join(cu, "ctx")
-        .crossJoin(F.broadcast(vocab))
+        enriched
         .withColumn(
             # nll is pinned PER (doc, ngram) ROW to an exact INTEGER of
             # micro-nats before the cross-row fold (ADVICE r7, hardened):

@@ -116,6 +116,27 @@ def test_served_lm_equals_declared(spark, sf_dir, mount_dir):
     assert _rows(served) == _rows(q_lm_perplexity(spark, sf_dir))
 
 
+def test_lm_window_arm_equals_join_arm(spark, sf_dir):
+    """r14: q_lm_perplexity scores through window sums over its own bigram
+    frame (lm_score_self); the serve/audit join arm (lm_score over
+    aggregated tables) must stay exactly equal — integer counts make the
+    two folds order-independent, so equality is bitwise, not approximate."""
+    from simsearch_spark.queries.vocab import (
+        lm_count_tables,
+        lm_doc_bigrams,
+        lm_score,
+        q_lm_perplexity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bgc = lm_doc_bigrams(docs).persist()
+    try:
+        joined = lm_score(docs, bgc, *lm_count_tables(bgc, docs))
+        assert _rows(q_lm_perplexity(spark, sf_dir)) == _rows(joined)
+    finally:
+        bgc.unpersist()
+
+
 def test_append_equals_union_mount(spark, sf_dir, tmp_path):
     """Frozen-artifact append parity: mount(base) + append(delta) serves
     EXACTLY like mount(base ∪ delta, train_frame=base) — appends assign to

@@ -35,7 +35,7 @@ TOUCHED = [
     "media_frame_sample", "media_jpeg_stats", "media_frame_pixel_stats",
     "media_image_dedup", "media_shot_boundaries", "media_audio_spectral",
     "corpus_clean", "lang_id_trigram", "text_lang_id", "text_quality",
-    "text_repetition", "corpus_quality_filter", "lm_perplexity",
+    "text_repetition", "corpus_quality_filter", "lm_perplexity", "doc_contamination",
     "corpus_curation_pipeline", "ngram_vocab", "tfidf_keywords",
     "bm25_topk", "hybrid_rrf_topk", "source_quality_threshold",
     "bpe_merges", "bpe_token_stats", "bpe_encode_mounted",
@@ -62,17 +62,25 @@ def _ivfpq_serving_frame(spark, multi: bool):
     from simsearch_spark.operators.pq import ivf_pq_multi_topk, ivf_pq_topk
     from simsearch_spark.queries.core import K
     from simsearch_spark.queries.ivf import IVF_QUERY_ID, MULTI_QUERY_IDS, N_PROBE
-    from simsearch_spark.queries.ivfpq import (
-        RERANK,
-        _cent_rows6,
-        _sample_rows,
-        _train_books_residual_rows,
-    )
+    from simsearch_spark.queries.ivfpq import RERANK, _centroids6
     from simsearch_spark.sources.registry import load_table
 
     emb = load_table(spark, SF_DIR, "embeddings").persist()
-    cent_rows = _cent_rows6(emb)
-    books = _train_books_residual_rows(_sample_rows(emb), dict(cent_rows))
+    try:  # r14 API: collected centroid rows + driver-local residual books
+        from simsearch_spark.queries.ivfpq import (
+            _cent_rows6,
+            _sample_rows,
+            _train_books_residual_rows,
+        )
+
+        cent_rows = _cent_rows6(emb)
+        books = _train_books_residual_rows(_sample_rows(emb), dict(cent_rows))
+    except ImportError:  # pre-r14 tree (before-plan capture)
+        from simsearch_spark.queries.ivfpq import _train_books_residual
+
+        cents = _centroids6(emb).persist()
+        books = _train_books_residual(emb, cents)
+        cent_rows = cents
     if multi:
         qrows = (
             emb.where(F.col("vec_id").isin(*MULTI_QUERY_IDS))
