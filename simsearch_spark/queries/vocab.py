@@ -165,7 +165,9 @@ QUALIFY rank <= {TFIDF_TOP}
 LM_ALPHA = 0.5  # add-alpha smoothing
 
 
-def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lm_perplexity(
+    spark: SparkSession, sf_dir: str, scores_only: bool = False
+) -> DataFrame:
     """Per-document bigram-LM log-perplexity — the classic corpus-quality
     filter (CCNet trains a KenLM on reference text and drops the worst
     tail; here the LM is count-based and trained on the corpus itself so
@@ -182,13 +184,26 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame to the bigram LM on the bigram key as a SHUFFLE join (a corpus
     LM is vocab²-sized — not driver-sized, same broadcast-or-join call as
     TF-IDF's df); V and the context counts are a 1-row broadcast and a
-    vocab-sized join."""
+    vocab-sized join.
+
+    scores_only=True returns just the aggregated (doc_id, n_bigrams,
+    log_ppl) frame — one row per document that HAS a bigram — skipping
+    the final corpus LEFT JOIN whose only effect is re-attaching
+    unscorable (<2 token) documents with ``n_bigrams = 0, log_ppl NULL``.
+    A composition that left-joins the scores onto its own doc frame and
+    filters on ``log_ppl`` (corpus_curation_pipeline) gets an identical
+    result either way — ``X LEFT JOIN (docs LEFT JOIN S) ≡ X LEFT JOIN S``
+    on the unique key ``doc_id`` because S's keys are a subset of docs' —
+    without scanning ``documents`` once more for the re-attach join
+    (pinned in tests/test_mount.py::test_lm_scores_only_arm)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     bgc = lm_doc_bigrams(docs).persist()
     toks = ws_tokens(F.col("text"))
     vocab = docs.select(F.explode(toks).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
+    if scores_only:
+        return lm_score_self_agg(bgc, vocab)
     return lm_score_self(docs, bgc, vocab)
 
 
@@ -246,17 +261,31 @@ def lm_score_self(docs: DataFrame, bgc: DataFrame, vocab: DataFrame) -> DataFram
     to two window exchanges over one pass of the persisted bigram frame.
     The serve/audit path keeps :func:`lm_score` — mounted tables are a
     different source and genuinely need the join."""
+    return _lm_join_docs(docs, lm_score_self_agg(bgc, vocab))
+
+
+def lm_score_self_agg(bgc: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The window-sum self-scoring WITHOUT the docs re-attach join: one
+    (doc_id, n_bigrams, log_ppl) row per document that has ≥1 bigram.
+    Compositions that left-join these scores onto their own doc-keyed
+    frame (corpus_curation_pipeline) use this arm directly — the corpus
+    LEFT JOIN in :func:`lm_score_self` only re-attaches unscorable docs
+    as ``(0, NULL)`` rows, which an outer left join reproduces anyway."""
     enriched = (
         bgc.withColumn("cb", F.sum("m").over(Window.partitionBy("ngram")))
         .withColumn("cu", F.sum("m").over(Window.partitionBy("ctx")))
         .crossJoin(F.broadcast(vocab))
     )
-    return _lm_score_enriched(docs, enriched)
+    return _lm_scored_agg(enriched)
 
 
 def _lm_score_enriched(docs: DataFrame, enriched: DataFrame) -> DataFrame:
+    return _lm_join_docs(docs, _lm_scored_agg(enriched))
+
+
+def _lm_scored_agg(enriched: DataFrame) -> DataFrame:
     a = F.lit(float(LM_ALPHA))
-    scored = (
+    return (
         enriched
         .withColumn(
             # nll is pinned PER (doc, ngram) ROW to an exact INTEGER of
@@ -288,6 +317,11 @@ def _lm_score_enriched(docs: DataFrame, enriched: DataFrame) -> DataFrame:
             ).alias("log_ppl"),
         )
     )
+
+
+def _lm_join_docs(docs: DataFrame, scored: DataFrame) -> DataFrame:
+    """Re-attach unscorable (<2-token) documents as ``(0, NULL)`` rows —
+    the left join the ``scores_only`` arm skips."""
     return docs.select("doc_id").join(scored, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
