@@ -654,7 +654,16 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from simsearch_spark.queries.vocab import LM_QUALITY_P, q_lm_perplexity
 
     clean = q_corpus_clean(spark, sf_dir)
-    scored = q_lm_perplexity(spark, sf_dir).select("doc_id", "log_ppl")
+    # scores_only: the pipeline LEFT-joins the scores onto its own
+    # doc-keyed frame, so lm_score_self's corpus re-attach join (whose
+    # only effect is adding (0, NULL) rows for <2-token docs) is
+    # redundant here — X ⟕ (docs ⟕ S) ≡ X ⟕ S on the unique key.  Saves
+    # one full `documents` scan + one doc-keyed join from the composed
+    # plan (tests/test_mount.py::test_lm_scores_only_arm pins the
+    # identity bitwise).
+    scored = q_lm_perplexity(spark, sf_dir, scores_only=True).select(
+        "doc_id", "log_ppl"
+    )
     joined = clean.join(scored, "doc_id", "left").persist()
     t_raw = exact_quantile_cont(joined, "log_ppl", LM_QUALITY_P)
     thr = spark.range(1).select(

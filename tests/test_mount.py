@@ -116,6 +116,22 @@ def test_served_lm_equals_declared(spark, sf_dir, mount_dir):
     assert _rows(served) == _rows(q_lm_perplexity(spark, sf_dir))
 
 
+def test_lm_scores_only_arm(spark, sf_dir):
+    """r14: the scores_only arm (no docs re-attach join) left-joined back
+    onto the corpus reproduces the full q_lm_perplexity frame bitwise —
+    the identity that lets corpus_curation_pipeline (which left-joins the
+    scores onto its own doc-keyed frame anyway) skip one `documents` scan
+    and one doc-keyed join: X ⟕ (docs ⟕ S) ≡ X ⟕ S on the unique key."""
+    from simsearch_spark.queries.vocab import _lm_join_docs, q_lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    scores = q_lm_perplexity(spark, sf_dir, scores_only=True)
+    # the arm emits only scorable docs (≥1 bigram)
+    assert scores.count() <= docs.count()
+    reattached = _lm_join_docs(docs, scores)
+    assert _rows(reattached) == _rows(q_lm_perplexity(spark, sf_dir))
+
+
 def test_lm_window_arm_equals_join_arm(spark, sf_dir):
     """r14: q_lm_perplexity scores through window sums over its own bigram
     frame (lm_score_self); the serve/audit join arm (lm_score over
