@@ -1025,12 +1025,54 @@ def clustered_cosine_pairs(
     )
 
 
+#: driver-tier cap for connected_components: pair graphs at or below this
+#: many edge rows are labeled by a driver union-find (one LIMIT-probe job)
+#: instead of the iterative label-propagation loop (~3 jobs/round).  The
+#: dup graph is dedup-rate-sized, orders below corpus size; 2^18 rows of
+#: (long, long) is ~4 MB on the driver.  Above the cap the distributed
+#: loop runs unchanged — the 100 TB tier.
+DRIVER_CC_MAX_EDGES = 1 << 18
+
+
+def _cc_driver_rows(rows) -> list[tuple]:
+    """Union-find labeling of a collected edge list: (id, component) with
+    component = min id reachable through the graph — EXACTLY the
+    distributed loop's fixpoint (min over a connected set is independent
+    of traversal/union order, so the two arms agree bitwise)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in rows:
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    return [(node, comp_min[find(node)]) for node in sorted(parent)]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
     broadcast_threshold: int = 2_000_000,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Transitive near-dup clusters from a pair relation: (id, component)
     with component = the smallest id reachable through the pair graph —
@@ -1060,7 +1102,34 @@ def connected_components(
     the node count is already on the driver, so the choice costs nothing;
     above the threshold the same loop runs as key-partitioned shuffle
     joins.
+
+    DRIVER TIER (r14, guide §1.2 step 1): the dup graph is dedup-rate-
+    sized — at or below ``driver_max_edges`` pair rows (LIMIT-probed in
+    one job), a driver union-find labels it with the IDENTICAL
+    min-reachable-id fixpoint (order-independent, so the tiers agree
+    bitwise — pinned in tests/test_dedup_ann.py::
+    test_cc_driver_tier_equals_distributed_tier), replacing ~3 driver
+    jobs per propagation round.  Integral-id graphs only (the callers'
+    shape); NULL ids or overflow fall through to the distributed loop.
     """
+    proj = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    dts = dict(proj.dtypes)
+    if driver_max_edges > 0 and {dts["s"], dts["d"]} <= {
+        "tinyint", "smallint", "int", "bigint"
+    }:
+        probe = proj.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges and not any(
+            r["s"] is None or r["d"] is None for r in probe
+        ):
+            # schema from the distributed arm's OWN analysis (no action),
+            # so the two tiers can never diverge on output dtypes
+            out_schema = (
+                proj.groupBy(F.col("s").alias("id"))
+                .agg(F.least(F.min("d"), F.col("s")).alias("component"))
+                .schema
+            )
+            data = _cc_driver_rows([(r["s"], r["d"]) for r in probe])
+            return pairs.sparkSession.createDataFrame(data, out_schema)
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
         .unionByName(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d")))

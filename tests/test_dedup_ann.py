@@ -361,6 +361,31 @@ def test_connected_components_empty_pairs(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_cc_driver_tier_equals_distributed_tier(spark):
+    """r14: the driver union-find tier must reproduce the distributed
+    label-propagation loop EXACTLY (rows and schema) — component = min
+    reachable id is order-independent, so the arms agree bitwise.  Covers
+    multi-round chains, cycles, cross-merging, self-loops, duplicate and
+    reversed edges."""
+    from simsearch_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(100, 120)]     # long path
+        + [(1, 2), (2, 3), (1, 3), (3, 1)]        # cycle + reversed dup
+        + [(50, 51), (51, 50), (7, 7)]            # iso pair both ways, self-loop
+        + [(119, 3)]                              # merges chain into triangle
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    drv = connected_components(pairs)
+    dist = connected_components(pairs, driver_max_edges=0)
+    assert drv.schema == dist.schema
+    key = lambda r: (r.id, r.component)
+    assert sorted(map(key, drv.collect())) == sorted(map(key, dist.collect()))
+    # overflow guard: cap below the edge count falls back to distributed
+    ovf = connected_components(pairs, driver_max_edges=4)
+    assert sorted(map(key, ovf.collect())) == sorted(map(key, dist.collect()))
+
+
 def test_multi_query_topk_equals_per_query_brute(spark, sf_dir):
     """The batched kernel must reproduce Q independent single-query brute
     top-k results exactly (same fold, same round-6 ordering), including
