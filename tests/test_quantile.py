@@ -138,8 +138,10 @@ def test_grouped_interpolation_matches_ungrouped_ulp(spark):
 
 
 def test_grouped_group_count_guard(spark):
-    """VERDICT r9 note 2: an unbounded key must raise a clear error BEFORE
-    any head frame is collected, not OOM the driver."""
+    """VERDICT r9 note 2: an unbounded key must raise a clear error with
+    the driver never holding more than max_groups + 1 head rows (r14: the
+    guard is the head collect's own LIMIT cap, not a separate
+    distinct-count pass), not OOM the driver."""
     from simsearch_spark.operators.quantile import exact_grouped_quantile_cont
 
     df = spark.range(500).select(
