@@ -254,7 +254,17 @@ def cpu_calibration() -> float:
     from 1.0 marks the raw cross-file comparison as NOT decidable.
     Returns operations-per-second-ish (higher = faster host); the
     workload mix (BLAS matmul + interpreter loop) tracks both executor
-    kernels and driver/py4j overheads."""
+    kernels and driver/py4j overheads.
+
+    v2 (r14 close-out): the v1 loop divided the accumulator by 384 each
+    rep, so after ~240 reps its entries drifted through the SUBNORMAL
+    float range where the matmul is ~100x slower before underflowing to
+    exact zero — the score was nonlinear in host speed (a mildly slower
+    host ended its 2 s window stalled inside the subnormal band and
+    scored several times lower).  The accumulator is now max-abs
+    normalized every rep so every matmul runs on normal-range doubles;
+    v2 scores are NOT comparable to v1 scores (the one committed v1
+    value, 121.8, is marked as such in SCALE.md)."""
     import hashlib
 
     import numpy as np
@@ -267,7 +277,8 @@ def cpu_calibration() -> float:
     acc = a
     h = hashlib.sha256()
     while time.perf_counter() - t0 < 2.0:
-        acc = (acc @ b) / np.float64(384.0)
+        acc = acc @ b
+        acc /= np.abs(acc).max()  # stays in normal range, never subnormal
         h.update(acc[0].tobytes())
         for i in range(20_000):
             h.update(i.to_bytes(4, "little"))
@@ -323,6 +334,10 @@ def main() -> None:
         # 1.0 means the host changed, not the code (SCALE.md §r14 A/B
         # procedure)
         "calib": calib,
+        # v1 had a subnormal-float stall that made the score nonlinear
+        # in host speed; only compare calib across artifacts with the
+        # same version (bench.py cpu_calibration docstring)
+        "calib_version": 2,
         "queries_min": warm,
         "queries_median": med,
         "queries_cold": cold,

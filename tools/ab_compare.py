@@ -20,7 +20,12 @@ def main(old_path: str, new_path: str) -> None:
     old = json.load(open(old_path))
     new = json.load(open(new_path))
     co, cn = old.get("calib"), new.get("calib")
-    print(f"calib: old={co} new={cn} ratio={cn / co:.3f}" if co and cn else "calib: missing")
+    vo, vn = old.get("calib_version", 1), new.get("calib_version", 1)
+    if vo != vn:
+        print(f"calib: INCOMPARABLE (version {vo} vs {vn} — v1 had a "
+              "subnormal-float stall; see bench.py cpu_calibration)")
+    else:
+        print(f"calib: old={co} new={cn} ratio={cn / co:.3f}" if co and cn else "calib: missing")
     print(f"load_start: old={old.get('load_start')} new={new.get('load_start')}")
     for key in ("queries_min", "queries_median"):
         qo, qn = old.get(key, {}), new.get(key, {})
