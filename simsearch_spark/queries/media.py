@@ -111,7 +111,10 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
+    # no kernel fan-out: this lane only synthesizes and sniffs HEADERS
+    # (tens of bytes/doc) — the exchange costs more than the kernel
+    # (r14 site A/B: 1.01 s fanned vs 0.40 s direct at sf0.1)
+    media = docs.mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     meta = decode_image_meta(media)
@@ -536,7 +539,10 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    media = fanout_for_kernel(docs, "doc_id").mapInPandas(
+    # no kernel fan-out: frames are <=17 bytes x <=6 per doc and only the
+    # index is parsed — the exchange costs more than the kernel
+    # (r14 site A/B: 0.86 s fanned vs 0.47 s direct at sf0.1)
+    media = docs.mapInPandas(
         synth, "media_id long, kind string, payload binary, mime string"
     )
     from pyspark.sql import functions as F
