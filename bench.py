@@ -362,33 +362,42 @@ STDOUT_LINE_MARGIN = 16
 
 def stdout_line(cold, med, warm, sf_val, load_ratio=None) -> str:
     """The ONE stdout JSON line — as a function so tests can pin what the
-    driver's tail window keeps.  At 92 registered queries the full min map
-    no longer fits 2000 chars even bare (the r9 registry's names alone are
-    ~2.2 KB at worst-case values), so the line is ADAPTIVE: if the full
-    form overflows, the OLDEST map entries (registry head — the
-    rounds-stable core, re-verified every round by the oracle gates) are
-    dropped first and counted in ``queries_omitted``, until the line fits.
-    The driver's tail window therefore always captures one COMPLETE,
-    parseable JSON object — newest entries + the headline ``value`` —
-    instead of a truncated fragment.  The complete untruncated record is
-    the committed BENCH_DETAIL.json."""
+    driver's tail window keeps.  The full min map does not fit the
+    driver's 2000-char tail at the current registry size: 98 names sum to
+    1476 chars, so names + JSON punctuation alone are ~2162 chars before
+    a single scalar — no per-entry byte shaving can reach zero omission
+    while the ``queries`` object keeps the full names the driver diffs
+    across rounds (VERDICT r14 task 2; renaming/abbreviating keys would
+    read as dropped queries).  The line is therefore ADAPTIVE with every
+    non-contract scalar stripped (r15: cold/median/load/detail live only
+    in BENCH_DETAIL.json), which admits ~5 more entries than the r14
+    form: if the full form overflows, the OLDEST map entries (registry
+    head — the rounds-stable core, re-verified every round by the oracle
+    gates) are dropped first and counted in ``queries_omitted``, until
+    the line fits.  ``omitted_sum`` closes the accounting: ``value`` ==
+    sum(queries) + omitted_sum, so the headline stays auditable from the
+    line alone.  Values keep 2 decimals deliberately — 1-decimal values
+    would fit ~5 further entries but quantize sub-second queries by up to
+    ±17%, enough to flip the driver's >10% regressed/improved statuses
+    on noise.  The complete untruncated record is the committed
+    BENCH_DETAIL.json.  ``cold``/``med``/``load_ratio`` stay as
+    parameters so the signature (pinned by tests) is unchanged; a load
+    warning is the one non-essential field worth its bytes.
+    """
 
     def build(kept: dict, omitted: int) -> str:
         doc = {
             "metric": "declared_queries_total_wall",
             "unit": "sec",
             "sf": sf_val,
-            "runs": 4,
-            "detail": "BENCH_DETAIL.json",
-            "cold_value": round(sum(cold.values()), 2),
-            "median_value": round(sum(med.values()), 2),
         }
-        if load_ratio is not None:
-            doc["load_start"] = load_ratio
-            if load_ratio > 0.2:
-                doc["load_warn"] = True
+        if load_ratio is not None and load_ratio > 0.2:
+            doc["load_warn"] = True
         if omitted:
             doc["queries_omitted"] = omitted
+            doc["omitted_sum"] = round(
+                sum(warm.values()) - sum(kept.values()), 2
+            )
         doc["queries"] = kept
         doc["value"] = round(sum(warm.values()), 2)
         return json.dumps(doc, separators=(",", ":"))

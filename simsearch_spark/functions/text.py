@@ -270,7 +270,13 @@ def lang_id_frame(df, id_col: str, text_col: str, passthrough: tuple[str, ...] =
         + [f"{c} {dtypes[c]}" for c in passthrough]
         + ["lang_pred string"]
     )
-    return _fanout(df.select(id_col, *passthrough, text_col), id_col).mapInPandas(proc, schema)
+    # NO kernel fan-out here (r15): this kernel is a cheap tokenized-set
+    # scan, and the r14 fan-out exchange cost more than it bought — the
+    # driver measured text_lang_id at 0.86× and an interleaved in-JVM A/B
+    # (plans/r15/ab/fanout_ab.txt) confirmed OFF wins 0.78× on mins and
+    # medians.  The heavy kernels (corpus_features_frame, langid_frame)
+    # keep their fan-out — same A/B shows 1.39× for langid_frame.
+    return df.select(id_col, *passthrough, text_col).mapInPandas(proc, schema)
 
 
 def nfc_frame(df, id_col: str, text_col: str):
@@ -316,7 +322,12 @@ def nfc_frame(df, id_col: str, text_col: str):
                  "n_chars_nfc": ln, "fp_nfc": fp}
             )
 
-    return _fanout(df.select(id_col, text_col), id_col).mapInPandas(
+    # NO kernel fan-out (r15): same evidence as lang_id_frame — the driver
+    # measured text_nfc_normalize at 0.89× under the r14 fan-out and the
+    # interleaved A/B confirmed OFF wins 0.84×; the per-row NFC pass is too
+    # cheap to amortize the exchange at small scale (at 100 TB the scan has
+    # enough splits that the fan-out was a no-op anyway).
+    return df.select(id_col, text_col).mapInPandas(
         proc,
         f"{id_col} {id_dtype}, was_decomposed boolean, n_chars_nfc int, fp_nfc long",
     )

@@ -351,6 +351,10 @@ def _dedup_family_params(dedup_params: dict | None) -> dict:
         allowed = {
             "id_col", "text_col", "threshold", "n_hashes", "bands",
             "shingle_n", "seed", "bucket_cap", "hot_mode",
+            # layout fan-outs: auto-derived from corpus size when absent
+            # (r15); a refresh deliberately does NOT carry them so the
+            # new generation re-sizes for the refreshed corpus
+            "n_bkt", "n_sbkt",
         }
         bad = set(dedup_params) - allowed
         if bad:

@@ -75,13 +75,31 @@ __all__ = [
     "N_SBKT",
 ]
 
-#: hash-range partition fan-out for the band table (band_idx × N_BKT
-#: directories) and the shingle table.  32/64 keeps local-test directory
-#: counts sane; a 100 TB deployment raises both so a daily delta's hash
-#: footprint prunes to a small directory fraction — the constants are
-#: partitioning layout, not semantics (results are N-invariant).
+#: hash-range partition fan-out FALLBACKS for the band table (band_idx ×
+#: n_bkt directories) and the shingle table — used only when a manifest
+#: predates the frozen n_bkt/n_sbkt keys.  Since r15 ``mount_dedup``
+#: derives the fan-outs from the CORPUS SIZE at build time (guide §2.5 /
+#: §6: partition counts must track data volume, not a constant tuned for
+#: one scale): a 4.5k-doc bench mount was paying 384 near-empty
+#: directories of write+list+open overhead (interleaved A/B: mount 3.44 →
+#: 1.52 s, append 2.38 → 1.81 s, pair set identical), while a 100 TB
+#: corpus auto-sizes to the caps so a daily delta's hash footprint still
+#: prunes to a small directory fraction.  The constants are partitioning
+#: layout, not semantics (results are N-invariant; parity pinned in
+#: tests/test_mount_dedup.py).
 N_BKT = 32
 N_SBKT = 256
+
+
+def _auto_fanout(n_rows: int, target_rows: int, lo: int, hi: int) -> int:
+    """Power-of-two hash-range fan-out sized so each partition directory
+    holds ~``target_rows`` rows, clamped to [lo, hi].  Deployments beyond
+    the caps pass explicit ``n_bkt``/``n_sbkt`` (frozen in the manifest
+    either way)."""
+    import math
+
+    need = max(1, (max(0, int(n_rows)) + target_rows - 1) // target_rows)
+    return max(lo, min(hi, 1 << math.ceil(math.log2(need))))
 
 #: broadcast the delta's distinct band keys only below this count —
 #: above it (a delta so large its key set would strain the driver) the
@@ -177,6 +195,8 @@ def mount_dedup(
     seed: int = 42,
     bucket_cap: int | None = LSH_BUCKET_CAP,
     hot_mode: str = "cap",
+    n_bkt: int | None = None,
+    n_sbkt: int | None = None,
 ) -> dict:
     """Build the persisted MinHash signature/band index for ``docs`` and
     record the frozen hash family in the mount manifest.  NULL/empty
@@ -198,21 +218,30 @@ def mount_dedup(
         # predicates (In filters) skip row groups — the file-level
         # index-lookup approximation that keeps base-side read cost
         # tracking the delta's key footprint instead of the corpus
-        # pass the CALL-TIME global explicitly: _expl_frame's default was
-        # bound at import, so a deployment raising N_BKT at runtime would
-        # otherwise write bkt = hash % old while the manifest froze new.
-        # The two artifact writes and the doc count all read the SAME
-        # persisted banded frame and are independent — overlap them so
-        # the later jobs back-fill the first one's straggler tail (guide
-        # §2.6).  Initial-build ordering is NOT the append commit-point
-        # concern (ADVICE r13): no idempotency probe reads a half-built
-        # mount because the manifest — the only discovery point — is
-        # written strictly after both writes return.
+        # the doc count runs FIRST (it also materializes the persist, so
+        # both writes read cache): the corpus size drives the auto
+        # fan-outs, which must be fixed before either write plans its
+        # repartition.  The two artifact writes then overlap (guide §2.6)
+        # exactly as before.  Initial-build ordering is NOT the append
+        # commit-point concern (ADVICE r13): no idempotency probe reads a
+        # half-built mount because the manifest — the only discovery
+        # point — is written strictly after both writes return.
         from concurrent.futures import ThreadPoolExecutor
+
+        n_docs = int(banded.count())
+        # scale-adaptive layout (r15): directory counts track corpus size
+        # — ~1k band rows / ~512 shingle rows per directory, pow-2, so a
+        # bench-scale mount writes a handful of dirs while a 100 TB mount
+        # hits the caps (or passes explicit fan-outs); frozen in the
+        # manifest below like the hash family
+        if n_bkt is None:
+            n_bkt = _auto_fanout(n_docs, 1024, 8, 1024)
+        if n_sbkt is None:
+            n_sbkt = _auto_fanout(n_docs, 512, 8, 4096)
 
         def write_bands():
             _write(
-                _expl_frame(banded, id_col, N_BKT)
+                _expl_frame(banded, id_col, n_bkt)
                 .repartition("band_idx", "bkt")
                 .sortWithinPartitions("band_hash"),
                 os.path.join(mount_dir, "dedup_bands"),
@@ -224,19 +253,17 @@ def mount_dedup(
                 banded.select(
                     F.col(id_col), F.col("shingles")
                 ).withColumn(
-                    "sbkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(N_SBKT)).cast("int")
+                    "sbkt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_sbkt)).cast("int")
                 ).repartition("sbkt").sortWithinPartitions(id_col),
                 os.path.join(mount_dir, "dedup_shingles"),
                 partition_by="sbkt",
             )
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=2) as ex:
             f_b = ex.submit(write_bands)
             f_s = ex.submit(write_shingles)
-            f_n = ex.submit(banded.count)
             f_b.result()
             f_s.result()
-            n_docs = int(f_n.result())
     finally:
         banded.unpersist()
 
@@ -272,9 +299,10 @@ def mount_dedup(
         # the partition fan-outs are layout, not semantics, but the
         # DIRECTORY-PRUNING predicates must be computed with the values
         # the index was WRITTEN with — freeze them like the hash family
-        # (raising the module constants must not break existing mounts)
-        "n_bkt": N_BKT,
-        "n_sbkt": N_SBKT,
+        # (auto-derived or explicit; later corpus growth or constant
+        # changes must not re-bucket an existing mount)
+        "n_bkt": int(n_bkt),
+        "n_sbkt": int(n_sbkt),
     }
     for a in ("dedup_bands", "dedup_shingles"):
         if a not in manifest["artifacts"]:

@@ -197,9 +197,19 @@ def q_lm_perplexity(
     without scanning ``documents`` once more for the re-attach join
     (pinned in tests/test_mount.py::test_lm_scores_only_arm)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # Shared-tokenized-frame variant MEASURED AND REJECTED (r15, VERDICT
+    # r14 task 5): caching one (doc_id, toks) frame for the bigram and
+    # vocab consumers looked like "one fewer corpus scan", but a 3-arm
+    # interleaved in-JVM A/B (plans/r15/ab/lm_ab.txt) showed it SLOWER
+    # than keeping the two independent scans (lm_perplexity 1.35 vs
+    # 1.28 s min, corpus_quality_filter 2.47 vs 1.87 s) — the token-array
+    # cache write plus the InMemoryRelation boundary cost more than the
+    # duplicated ws_tokens pass.  The bgc persist stays: scoring reads it
+    # once, but compositions (corpus_quality_filter's quantile passes)
+    # re-read the scored chain and without the persist would re-run the
+    # explode+groupBy per pass.
     bgc = lm_doc_bigrams(docs).persist()
-    toks = ws_tokens(F.col("text"))
-    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+    vocab = docs.select(F.explode(ws_tokens(F.col("text"))).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
     if scores_only:
@@ -212,7 +222,16 @@ def lm_doc_bigrams(docs: DataFrame) -> DataFrame:
     fan-out + one keyed map-side-combinable shuffle that both the LM
     training tables and per-query scoring derive from."""
     docs = fanout_for_kernel(docs, "doc_id")
-    toks = ws_tokens(F.col("text"))
+    return bigrams_from_tokens(
+        docs.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    )
+
+
+def bigrams_from_tokens(toked: DataFrame) -> DataFrame:
+    """lm_doc_bigrams over an already-tokenized (doc_id, toks) frame — the
+    arm that lets one tokenization pass feed both the bigram counts and
+    the vocab aggregate (identical expressions, just factored)."""
+    toks = F.col("toks")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice(toks, 1, n1),
@@ -220,7 +239,7 @@ def lm_doc_bigrams(docs: DataFrame) -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return (
-        docs.select("doc_id", F.explode(bigrams).alias("ngram"))
+        toked.select("doc_id", F.explode(bigrams).alias("ngram"))
         .groupBy("doc_id", "ngram")
         .agg(F.count(F.lit(1)).alias("m"))
         .withColumn("ctx", F.substring_index("ngram", " ", 1))
@@ -271,8 +290,21 @@ def lm_score_self_agg(bgc: DataFrame, vocab: DataFrame) -> DataFrame:
     frame (corpus_curation_pipeline) use this arm directly — the corpus
     LEFT JOIN in :func:`lm_score_self` only re-attaches unscorable docs
     as ``(0, NULL)`` rows, which an outer left join reproduces anyway."""
+    # ONE exchange serves both window sums (r15, guide §2.4): ``ctx`` is
+    # functionally determined by ``ngram`` (its first word, set in
+    # lm_doc_bigrams), so partitionBy("ctx", "ngram") groups rows exactly
+    # as partitionBy("ngram") does, while hash-partitioning on ``ctx``
+    # alone satisfies BOTH windows' required distributions — the second
+    # window reuses the first's exchange AND its (ctx, ngram) sort order
+    # (a prefix).  Integer counts keep the sums order-independent, so the
+    # result is bit-identical to the two-exchange form (measured 1.37 →
+    # 1.12 s at sf0.1; plan 16 → 14 Exchanges).  Skew at 100 TB is
+    # unchanged: the old plan's ``cu`` window already hash-partitioned the
+    # same frame by the same hot-context key — this removes an exchange
+    # without widening any partition.
     enriched = (
-        bgc.withColumn("cb", F.sum("m").over(Window.partitionBy("ngram")))
+        bgc.repartition("ctx")
+        .withColumn("cb", F.sum("m").over(Window.partitionBy("ctx", "ngram")))
         .withColumn("cu", F.sum("m").over(Window.partitionBy("ctx")))
         .crossJoin(F.broadcast(vocab))
     )

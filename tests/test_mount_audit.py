@@ -146,11 +146,13 @@ def test_refresh_carries_custom_dedup_family(
     for k in ("n_hashes", "bands", "threshold", "hot_mode", "seed",
               "shingle_n", "bucket_cap"):
         assert dd1[k] == dd0[k], k
-    # unknown keys are rejected loudly, not silently dropped
+    # unknown keys are rejected loudly, not silently dropped (n_bkt became
+    # a legitimate explicit-layout override in r15, so the probe key here
+    # must stay one that is NOT settable)
     with pytest.raises(ValueError, match="not settable"):
         mount(spark, "", str(tmp_path_factory.mktemp("audit4") / "m"),
               emb_frame=base, docs_frame=docs_stub,
-              dedup_params={"n_bkt": 64})
+              dedup_params={"band_width": 64})
 
 
 def test_sampled_audit_tracks_full_audit(spark, corpus, docs_stub, tmp_path_factory):

@@ -343,8 +343,11 @@ def test_fanouts_frozen_in_manifest(spark, sf_dir, tmp_path, monkeypatch):
     delta_ids = [r.doc_id for r in delta.select("doc_id").collect()]
 
     d = str(tmp_path / "m_frozen")
+    # explicit fan-outs (the module constants) so the frozen-vs-constant
+    # distinction below stays meaningful under r15 auto-derivation
     man = mount_dedup(
-        spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS
+        spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS,
+        n_bkt=md.N_BKT, n_sbkt=md.N_SBKT,
     )
     assert man["dedup"]["n_bkt"] == md.N_BKT
     assert man["dedup"]["n_sbkt"] == md.N_SBKT
@@ -602,3 +605,38 @@ def test_audit_dedup_band_scan_is_pruned(spark, tmp_path, monkeypatch):
     head = p[p.index("PartitionFilters"):][:300]
     assert "bkt" in head, head
     assert "band_hash" in p[p.index("PushedFilters"):][:400]
+
+
+def test_auto_fanout_scales_with_corpus(spark, sf_dir, tmp_path):
+    """r15: mount_dedup derives its hash-range directory fan-outs from the
+    corpus size (pow-2, ~1k band rows / ~512 shingle rows per directory,
+    clamped) and freezes the derived values in the manifest — a bench-scale
+    mount stops paying hundreds of near-empty directories while a large
+    corpus climbs toward the caps."""
+    from simsearch_spark.mount.artifacts import load_manifest
+    from simsearch_spark.mount.dedup import _auto_fanout
+
+    # the formula itself: clamps, pow-2 rounding, scale growth
+    assert _auto_fanout(0, 512, 8, 4096) == 8
+    assert _auto_fanout(400, 512, 8, 4096) == 8
+    assert _auto_fanout(4500, 512, 8, 4096) == 16
+    assert _auto_fanout(4500, 1024, 8, 1024) == 8
+    assert _auto_fanout(10**9, 512, 8, 4096) == 4096       # cap
+    assert _auto_fanout(3000, 512, 8, 4096) == 8           # ceil(5.9)->8
+    for n in (1, 100, 10**6):
+        v = _auto_fanout(n, 512, 8, 4096)
+        assert v & (v - 1) == 0                            # power of two
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 300)
+    d = str(tmp_path / "m_auto")
+    man = mount_dedup(
+        spark, d, base, threshold=MINHASH_T, n_hashes=N_HASHES, bands=N_BANDS
+    )
+    dd = man["dedup"]
+    # 300 docs -> both fan-outs at the floor, and the on-disk layout agrees
+    assert dd["n_bkt"] == 8 and dd["n_sbkt"] == 8
+    import os
+    sdirs = [x for x in os.listdir(f"{d}/dedup_shingles") if x.startswith("sbkt=")]
+    assert 0 < len(sdirs) <= 8
+    assert load_manifest(d)["dedup"]["n_sbkt"] == 8

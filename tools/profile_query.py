@@ -73,7 +73,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                             "plans", "r14") if plans else None
+                             "plans", os.environ.get("PLANS_ROUND", "r15")) if plans else None
     for name in args:
         if name not in REGISTRY:
             print(f"unknown query {name}", file=sys.stderr)
