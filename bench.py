@@ -278,7 +278,10 @@ def cpu_calibration() -> float:
     h = hashlib.sha256()
     while time.perf_counter() - t0 < 2.0:
         acc = acc @ b
-        acc /= np.abs(acc).max()  # stays in normal range, never subnormal
+        # max-abs normalize: stays in normal range, never subnormal; the
+        # 1e-300 floor guards the division against a degenerate all-zero
+        # accumulator if the inputs ever change (ADVICE r14)
+        acc /= max(np.abs(acc).max(), 1e-300)
         h.update(acc[0].tobytes())
         for i in range(20_000):
             h.update(i.to_bytes(4, "little"))

@@ -12,8 +12,14 @@ def load(tag):
     return json.load(open(f"plans/r14/ab/{tag}_detail.json"))
 
 def main():
+    # default: the fair 2-vs-2 interleave (0.754 ratio).  --all adds the
+    # two final-tree legs (new3/new4, benched after the interleave), which
+    # reproduces the 0.744 ratio quoted in OPTIMIZATION_r14.md — min-over-
+    # legs then favors the tree with more legs, which is why the 4-leg
+    # number is the headline and this one is labelled (ADVICE r14).
     old_legs = [load(t) for t in ("old1", "old2")]
-    new_legs = [load(t) for t in ("new1", "new2")]
+    new_tags = ("new1", "new2", "new3", "new4") if "--all" in sys.argv else ("new1", "new2")
+    new_legs = [load(t) for t in new_tags]
 
     def min_over(legs, key):
         out = {}
@@ -56,8 +62,10 @@ def main():
 
     # per-leg totals for the stability check
     print("\nper-leg common-subset totals (stability):")
-    for tag, leg in [("old1", old_legs[0]), ("new1", new_legs[0]),
-                     ("old2", old_legs[1]), ("new2", new_legs[1])]:
+    legs = [("old1", old_legs[0]), ("old2", old_legs[1])] + list(
+        zip(new_tags, new_legs)
+    )
+    for tag, leg in legs:
         qm = leg.get("queries_min", {})
         t = sum(qm[k] for k in common if k in qm)
         print(f"  {tag}: {t:.1f}s")

@@ -168,9 +168,13 @@ def corpus_features_frame(df, id_col: str, text_col: str):
     punct = _re.compile(r"[!-/:-@\[-`{-~]")
     en = stop["en"]
 
+    from simsearch_spark.functions.hashing import (
+        batch_fold_hashes as _batch_fold,
+    )
+
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            quality, preds, fps, ntoks = [], [], [], []
+            quality, preds, fps, ntoks, norms = [], [], [], [], []
             for t in pdf[text_col]:
                 if t is None:
                     # replicate the column path's NULL propagation exactly
@@ -200,13 +204,16 @@ def corpus_features_frame(df, id_col: str, text_col: str):
                         if sc > best_score:
                             best_lang, best_score = lang, sc
                 preds.append(best_lang)
-                # fingerprint: char-fold over whitespace-normalized lower text
-                norm = " ".join(w for w in ws.split(low) if w)
-                h = 0
-                for c in norm:
-                    h = (h * 31 + ord(c)) % 1_000_000_007
-                fps.append(h)
+                # fingerprint: char-fold over whitespace-normalized lower
+                # text — collected here, folded batch-vectorized below
+                norms.append(" ".join(toks))
+                fps.append(0)
                 ntoks.append(n_tok)
+            # batched char-fold over the whole Arrow batch (r15, guide
+            # §4.2; bit-identical — see hashing.batch_fold_hashes)
+            if norms:
+                folded = iter(_batch_fold(norms))
+                fps = [None if f is None else int(next(folded)) for f in fps]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -297,13 +304,15 @@ def nfc_frame(df, id_col: str, text_col: str):
 
     import pandas as pd
 
-    from simsearch_spark.functions.hashing import MOD as _MOD
-
     id_dtype = dict(df.dtypes)[id_col]
+
+    from simsearch_spark.functions.hashing import (
+        batch_fold_hashes as _batch_fold,
+    )
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dec, ln, fp = [], [], []
+            dec, ln, fp, norms = [], [], [], []
             for t in pdf[text_col]:
                 if t is None:
                     dec.append(None)
@@ -311,12 +320,14 @@ def nfc_frame(df, id_col: str, text_col: str):
                     fp.append(None)
                     continue
                 norm = unicodedata.normalize("NFC", t)
-                h = 0
-                for c in norm:
-                    h = (h * 31 + ord(c)) % _MOD
                 dec.append(norm != t)
                 ln.append(len(norm))
-                fp.append(h)
+                fp.append(0)
+                norms.append(norm)
+            # batched char-fold (r15, guide §4.2; bit-identical)
+            if norms:
+                folded = iter(_batch_fold(norms))
+                fp = [None if f is None else int(next(folded)) for f in fp]
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "was_decomposed": dec,
                  "n_chars_nfc": ln, "fp_nfc": fp}

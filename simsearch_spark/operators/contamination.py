@@ -43,24 +43,23 @@ def kgram_hashes(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     import numpy as np
     import pandas as pd
 
-    from simsearch_spark.functions.hashing import MOD as _MOD
+    from simsearch_spark.functions.hashing import batch_kgram_hashes
 
     id_dtype = dict(df.dtypes)[id_col]
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_gh = [], []
+            ids, texts = [], []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 if t is None or t.strip() == "":
                     continue
-                words = t.split(" ")
-                n_kg = max(len(words) - (k - 1), 1)
-                hs = np.empty(n_kg, dtype=np.int64)
-                for i in range(n_kg):
-                    h = 0
-                    for c in " ".join(words[i : i + k]):
-                        h = (h * 31 + ord(c)) % _MOD
-                    hs[i] = h
+                ids.append(doc_id)
+                texts.append(t)
+            # batched char-fold over every k-gram of the whole Arrow batch
+            # (r15, guide §4.2; bit-identical — hashing.batch_kgram_hashes)
+            all_hs, _ = batch_kgram_hashes(texts, k)
+            out_id, out_gh = [], []
+            for doc_id, hs in zip(ids, all_hs):
                 sel = np.unique(hs)
                 out_id.extend([doc_id] * len(sel))
                 out_gh.extend(sel.tolist())

@@ -110,28 +110,48 @@ def simhash_frame(
     id_dtype = dict(df.dtypes)[id_col]
     jbits = np.arange(bits, dtype=np.uint64)
 
+    from simsearch_spark.functions.hashing import batch_kgram_hashes
+
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
+            texts, nonempty = [], []
             for t in pdf[text_col]:
-                if t is None or t.strip() == "":
-                    shingles = {}
-                else:
-                    words = t.split(" ")
-                    count = max(len(words) - (shingle_n - 1), 1)
-                    shingles = dict.fromkeys(
-                        " ".join(words[i : i + shingle_n]) for i in range(count)
-                    )
-                hs = []
-                for s in shingles:
-                    h = 0
-                    for c in s:
-                        h = (h * 31 + ord(c)) % _MOD
-                    hs.append(h * SPREAD_MULT)
-                if not hs:
+                ok = t is not None and t.strip() != ""
+                nonempty.append(ok)
+                if ok:
+                    texts.append(t)
+            # batched char-fold over every k-gram (r15, guide §4.2).
+            # SimHash counts each DISTINCT shingle once, so the per-doc
+            # hash vector is the all-k-gram vector selected at the FIRST
+            # OCCURRENCE index of each distinct shingle string — dedup
+            # stays by string (hash-value dedup could merge two distinct
+            # shingles on a hash collision), arithmetic stays identical.
+            all_hs = iter(batch_kgram_hashes(texts, shingle_n)[0])
+            ti = iter(texts)
+            sigs = []
+            for ok in nonempty:
+                if not ok:
                     sigs.append(0)
                     continue
-                mat = (np.asarray(hs, dtype=np.uint64)[:, None] >> jbits) & np.uint64(1)
+                t = next(ti)
+                hs_all = next(all_hs)
+                words = t.split(" ")
+                count = max(len(words) - (shingle_n - 1), 1)
+                seen, first_idx = set(), []
+                for i in range(count):
+                    s = " ".join(words[i : i + shingle_n])
+                    if s not in seen:
+                        seen.add(s)
+                        first_idx.append(i)
+                hs = (
+                    hs_all
+                    if len(first_idx) == count
+                    else hs_all[np.asarray(first_idx, dtype=np.int64)]
+                )
+                # h*SPREAD_MULT < 2^62 — exact in uint64, same value the
+                # old Python-int product produced
+                hs = hs.astype(np.uint64) * np.uint64(SPREAD_MULT)
+                mat = (hs[:, None] >> jbits) & np.uint64(1)
                 contrib = (2 * mat.astype(np.int64) - 1).sum(axis=0)
                 sigs.append(int(((contrib > 0).astype(np.uint64) << jbits).sum()))
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
@@ -181,36 +201,51 @@ def minhash_banded_frame(
     a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
 
+    from simsearch_spark.functions.hashing import batch_kgram_hashes
+
+    def _band_fold(sig, j, rpb):
+        acc = 0
+        for r in range(rpb):
+            acc = (acc * 31 + int(sig[j * rpb + r])) % _MOD
+        return acc
+
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sh_out, band_out = [], []
+            texts, nonempty = [], []
             for t in pdf[text_col]:
-                if t is None or t.strip() == "":
-                    shingles = []
-                else:
-                    words = t.split(" ")
-                    count = max(len(words) - (shingle_n - 1), 1)
-                    shingles = list(
-                        dict.fromkeys(" ".join(words[i : i + shingle_n]) for i in range(count))
+                ok = t is not None and t.strip() != ""
+                nonempty.append(ok)
+                if ok:
+                    texts.append(t)
+            # one batched char-fold over EVERY k-gram of the whole Arrow
+            # batch (r15, guide §4.2 — was an interpreted per-char loop).
+            # Duplicate shingles are hashed too: a permutation's MIN over
+            # the k-gram multiset equals its min over the distinct set, so
+            # the signatures are bit-identical (equality still pinned in
+            # tests); the distinct STRING list below is the output column
+            # and keeps the first-occurrence dedup.
+            all_hs = iter(batch_kgram_hashes(texts, shingle_n)[0])
+            sh_out, band_out = [], []
+            ti = iter(texts)
+            for ok in nonempty:
+                if not ok:
+                    sh_out.append([])
+                    band_out.append(
+                        [_band_fold(np.full(n_hashes, PERM_MOD, dtype=np.int64),
+                                    j, rows_per_band) for j in range(bands)]
                     )
-                hs = []
-                for s in shingles:
-                    h = 0
-                    for c in s:
-                        h = (h * 31 + ord(c)) % _MOD
-                    hs.append(h)
-                if hs:
-                    # (n_hashes, n_tokens) permuted hashes; a*h ≤ 9e8·1e9 < 2^63
-                    perm = (a_vec * np.asarray(hs, dtype=np.int64) + b_vec) % PERM_MOD
-                    sig = perm.min(axis=1)
-                else:
-                    sig = np.full(n_hashes, PERM_MOD, dtype=np.int64)
-                bvals = []
-                for j in range(bands):
-                    acc = 0
-                    for r in range(rows_per_band):
-                        acc = (acc * 31 + int(sig[j * rows_per_band + r])) % _MOD
-                    bvals.append(acc)
+                    continue
+                t = next(ti)
+                words = t.split(" ")
+                count = max(len(words) - (shingle_n - 1), 1)
+                shingles = list(
+                    dict.fromkeys(" ".join(words[i : i + shingle_n]) for i in range(count))
+                )
+                hs = next(all_hs)
+                # (n_hashes, n_kgrams) permuted hashes; a*h ≤ 9e8·1e9 < 2^63
+                perm = (a_vec * hs + b_vec) % PERM_MOD
+                sig = perm.min(axis=1)
+                bvals = [_band_fold(sig, j, rows_per_band) for j in range(bands)]
                 sh_out.append(shingles)
                 band_out.append(bvals)
             yield pd.DataFrame({id_col: pdf[id_col], "shingles": sh_out, "bands": band_out})

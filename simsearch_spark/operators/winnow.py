@@ -28,6 +28,10 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from simsearch_spark.functions.hashing import (
+    batch_kgram_hashes as _batch_kgram_hashes,
+)
+
 #: position packing base for the rightmost-tie argmin composite key;
 #: bounds k-gram positions per document to 2^20 (chunk longer docs first)
 POS_P = 1 << 20
@@ -52,8 +56,6 @@ def winnow_fingerprints(
     import numpy as np
     import pandas as pd
 
-    from simsearch_spark.functions.hashing import MOD as _MOD
-
     from simsearch_spark.operators.fanout import fanout_for_kernel
 
     df = fanout_for_kernel(df, id_col)
@@ -62,23 +64,23 @@ def winnow_fingerprints(
 
     def proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_pos, out_fp = [], [], []
+            ids, texts = [], []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
                 if t is None or t.strip() == "":
                     continue
-                words = t.split(" ")
-                n_kg = max(len(words) - (k - 1), 1)
+                ids.append(doc_id)
+                texts.append(t)
+            # batched char-fold over every k-gram of the whole Arrow batch
+            # (bit-identical to the per-char loop; see _batch_kgram_hashes)
+            all_hs, _ = _batch_kgram_hashes(texts, k)
+            out_id, out_pos, out_fp = [], [], []
+            for doc_id, hs in zip(ids, all_hs):
+                n_kg = len(hs)
                 if n_kg >= POS_P:
                     raise ValueError(
                         f"document {doc_id}: {n_kg} k-grams >= 2^20 position bound; "
                         "chunk long documents before winnowing"
                     )
-                hs = np.empty(n_kg, dtype=np.int64)
-                for i in range(n_kg):
-                    h = 0
-                    for c in " ".join(words[i : i + k]):
-                        h = (h * 31 + ord(c)) % _MOD
-                    hs[i] = h
                 # composite key: min -> smallest hash, ties -> rightmost pos
                 keys = hs * POS_P + (POS_P - 1 - np.arange(n_kg, dtype=np.int64))
                 eff_w = min(w, n_kg)
