@@ -17,9 +17,24 @@ def load(tag):
     return json.load(open(os.path.join(HERE, f"{tag}_detail.json")))
 
 
+def _tags(prefixes):
+    out = []
+    for t in prefixes:
+        if os.path.exists(os.path.join(HERE, f"{t}_detail.json")):
+            out.append(t)
+    return out
+
+
+OLD_TAGS = None
+NEW_TAGS = None
+
+
 def main():
-    old_legs = [load(t) for t in ("base1", "old2")]
-    new_legs = [load(t) for t in ("new1", "new2")]
+    global OLD_TAGS, NEW_TAGS
+    OLD_TAGS = _tags(("base1", "old2", "old3"))
+    NEW_TAGS = _tags(("new1", "new2", "new3"))
+    old_legs = [load(t) for t in OLD_TAGS]
+    new_legs = [load(t) for t in NEW_TAGS]
 
     def min_over(legs, key):
         out = {}
@@ -57,11 +72,13 @@ def main():
             for k in cs:
                 print(f"  {k:32s} {so[k]:9.3f} -> {sn[k]:9.3f}")
 
-    print("\nper-leg common-subset totals (stability):")
-    for tag in ("base1", "new1", "old2", "new2"):
-        qm = load(tag).get("queries_min", {})
+    print("\nper-leg common-subset totals (stability; calib v2 beside each):")
+    for tag in sorted(OLD_TAGS + NEW_TAGS):
+        leg = load(tag)
+        qm = leg.get("queries_min", {})
         t = sum(qm[k] for k in common if k in qm)
-        print(f"  {tag}: {t:.1f}s")
+        print(f"  {tag}: {t:.1f}s  (calib {leg.get('calib')}, "
+              f"load {leg.get('load_start')})")
 
 
 if __name__ == "__main__":
